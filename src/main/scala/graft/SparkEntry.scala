@@ -1,13 +1,348 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator inventory.
+  *
+  * Every `queries` key is one §2 row; every key with a SQL-expressible result
+  * also appears in `oracleSql` with IDENTICAL column names and a total
+  * ORDER BY, so the driver's DuckDB compare is deterministic.
+  *
+  * Cross-engine conventions used throughout:
+  *  - money/metric sums: sum(cast(x as decimal)) cast back to double — exact,
+  *    order-independent, so Spark's parallel aggregation matches DuckDB's
+  *    serial one bit-for-bit;
+  *  - counts from Spark int-typed functions (size, length, row_number) are
+  *    cast to INTEGER on the DuckDB side (DuckDB defaults to BIGINT);
+  *  - array math is a sequential left fold on both engines.
+  */
 object SparkEntry {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-dest/$name"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.joinStar(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 reference surface (table copy / ETL)
+    "copy_roundtrip" -> ((s, dir) => {
+      TableCopy.copyTable(s, dir, tmp("roundtrip"), "nation", TableCopy.Truncate)
+      s.read.parquet(s"${tmp("roundtrip")}/nation.parquet")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    }),
+    "copy_manifest" -> ((s, dir) =>
+      TableCopy.copyTables(s, dir, tmp("manifest"),
+        include = Seq("customer", "nation", "part", "supplier"),
+        exclude = Seq("supplier"))),
+    "copy_schema" -> ((s, dir) =>
+      TableCopy.schemaManifest(s, dir, Seq("nation", "customer", "part"))),
+    "copy_append" -> ((s, dir) => {
+      TableCopy.copyTable(s, dir, tmp("append"), "nation", TableCopy.Truncate)
+      TableCopy.copyTable(s, dir, tmp("append"), "nation", TableCopy.Append)
+      s.read.parquet(s"${tmp("append")}/nation.parquet")
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy("n_nationkey")
+    }),
+    "q_partitioned_read" -> ((s, dir) =>
+      TableCopy.partitionedRead(s, dir, "orders", "o_orderkey", 8)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+    // §2.2 relational surface
+    "q_filter_pushdown" -> ((s, dir) => Relational.filterPushdown(s, dir)),
+    "q_agg_q1" -> ((s, dir) => Relational.aggQ1(s, dir)),
+    "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
+    "q_join_star" -> ((s, dir) => Relational.joinStar(s, dir)),
+    "q_topn" -> ((s, dir) => Relational.topN(s, dir)),
+    "q_window" -> ((s, dir) => Relational.windowFuncs(s, dir)),
+    "q_time_bucket" -> ((s, dir) => Relational.timeBucket(s, dir)),
+    "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
+    "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
+    "q_semijoin" -> ((s, dir) => Relational.semiJoin(s, dir)),
+    "q_antijoin" -> ((s, dir) => Relational.antiJoin(s, dir)),
+    "q_rollup" -> ((s, dir) => Relational.rollupAgg(s, dir)),
+    "q_distinct" -> ((s, dir) => Relational.distinctJoin(s, dir)),
+    "q_string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
+    "q_sort_multi" -> ((s, dir) => Relational.sortMulti(s, dir)),
+    "q_having" -> ((s, dir) => Relational.havingAgg(s, dir)),
+    "q_casewhen" -> ((s, dir) => Relational.caseWhenAgg(s, dir)),
+    // §2.3 LLM-data-pipeline operators
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
+    "q_neardup_simhash" -> ((s, dir) => Dedup.nearDupSimhash(s, dir)),
+    "q_ann_brute" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
+    "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
+    "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
+  )
+
+  /** DuckDB fold-based dot product: same sequential left fold as Spark's
+    * aggregate(zip_with(...)), so scores are bit-identical.
+    */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. q_neardup_simhash and q_ann_lsh are intentionally
+    * omitted (hash-family-specific results; rows-only check + ScalaTest
+    * cross-validation instead).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "copy_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "copy_manifest" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |ORDER BY table_name""".stripMargin,
+    "copy_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 1, 'c_custkey', 'bigint'),
+        |  ('customer', 2, 'c_name', 'string'),
+        |  ('customer', 3, 'c_nationkey', 'int'),
+        |  ('customer', 4, 'c_acctbal', 'double'),
+        |  ('customer', 5, 'c_mktsegment', 'string'),
+        |  ('nation', 1, 'n_nationkey', 'int'),
+        |  ('nation', 2, 'n_name', 'string'),
+        |  ('nation', 3, 'n_regionkey', 'int'),
+        |  ('part', 1, 'p_partkey', 'bigint'),
+        |  ('part', 2, 'p_name', 'string'),
+        |  ('part', 3, 'p_brand', 'string'),
+        |  ('part', 4, 'p_type', 'string'),
+        |  ('part', 5, 'p_size', 'int'),
+        |  ('part', 6, 'p_retailprice', 'double')
+        |) AS t(table_name, ordinal, column_name, data_type)
+        |ORDER BY table_name, ordinal""".stripMargin,
+    "copy_append" ->
+      """WITH doubled AS (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        |SELECT n_nationkey, n_name, n_regionkey, count(*) AS n_copies
+        |FROM doubled GROUP BY 1, 2, 3 ORDER BY n_nationkey""".stripMargin,
+    "q_partitioned_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_join_star" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS rn,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket, count(*) AS n,
+        |  min(CAST(props->>'k' AS INTEGER)) AS min_k,
+        |  max(CAST(props->>'k' AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q_setops" ->
+      """WITH custn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |     suppn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, 'both' AS tag
+        |FROM (SELECT n_name FROM custn INTERSECT SELECT n_name FROM suppn) AS i
+        |UNION ALL
+        |SELECT n_name, 'cust_only' AS tag
+        |FROM (SELECT n_name FROM custn EXCEPT SELECT n_name FROM suppn) AS e
+        |ORDER BY tag, n_name""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_antijoin" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_discount >= 0.09)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '*') AS returnflag,
+        |       coalesce(l_linestatus, '*') AS linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  substr(p_name, 1, 8) AS name_pfx,
+        |  length(p_name)::INTEGER AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+        |  (p_name LIKE '%e%') AS has_e
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_sort_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |ORDER BY l_returnflag DESC, l_quantity ASC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_nationkey HAVING count(*) > 50
+        |ORDER BY c_nationkey""".stripMargin,
+    "q_casewhen" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0::DOUBLE END AS DECIMAL(18,2))) AS DOUBLE) AS f_revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,
+    "q_neardup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_ann_brute" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.q_id, n.vec_id, ${dot("n.v", "q.qv")} / (n.nrm * q.qn) AS cos
+        |  FROM n, q WHERE n.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(text), ' '))::INTEGER AS n_tokens,
+        |  length(replace(text, ' ', ''))::DOUBLE / len(string_split(trim(text), ' ')) AS avg_token_len,
+        |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_langid" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is')))::INTEGER AS en_hits,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))::INTEGER AS de_hits,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','de','es')))::INTEGER AS es_hits
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN en_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'unknown'
+        |       WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+        |       WHEN de_hits >= es_hits THEN 'de'
+        |       ELSE 'es' END AS lang_detected,
+        |  en_hits, de_hits, es_hits
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(text), ' '))::INTEGER AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+'))::INTEGER AS alpha_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+'))::INTEGER AS num_tokens,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::INTEGER AS punct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(7::BIGINT,
+        |      list_transform(string_split(trim(text), ' '),
+        |        t -> (length(t) * 7 + ascii(substr(t, 1, 1)))::BIGINT)),
+        |    (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::INTEGER AS n_tokens,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is')))::INTEGER AS stop_hits,
+        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+        |  FROM d
+        |), sc AS (
+        |  SELECT doc_id,
+        |    least(1.0::DOUBLE, n_tokens::DOUBLE / 80.0::DOUBLE) * 0.4::DOUBLE
+        |      + (1.0::DOUBLE - punct_ratio) * 0.4::DOUBLE
+        |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE AS score
+        |  FROM m
+        |)
+        |SELECT doc_id, round(score, 6) AS quality, (score >= 0.5::DOUBLE) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  hex(substr(text, 1, 4)::BLOB) AS prefix_hex,
+        |  (octet_length(encode(text)) % 640)::INTEGER AS fake_width,
+        |  (octet_length(encode(text)) % 480)::INTEGER AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_stats" ->
+      s"""WITH e AS (
+        |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |), n AS (
+        |  SELECT label, sqrt(${dot("v", "v")}) AS nrm FROM e
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_norm,
+        |  round(min(nrm), 6) AS min_norm,
+        |  round(max(nrm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+  )
 }

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** The relational query surface (SURVEY.md §2.2) as declarative DataFrame
+  * programs. Everything is built from `org.apache.spark.sql.functions` so
+  * Catalyst owns pushdown / pruning / join selection and whole-stage codegen
+  * covers the hot paths. No UDFs, no collect-loops.
+  *
+  * Cross-engine determinism: double aggregations are computed as
+  * `sum(cast(x as decimal)) :: double` — the decimal sum is exact, so the
+  * result is bit-identical regardless of partition count or add order. This is
+  * also the 100 TB-safe formulation (a parallel double sum is
+  * order-dependent; a decimal sum is not).
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact money sum: cast to decimal(18,2) (inputs are 2-decimal), sum
+    * exactly, surface as double.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact sum of per-row double products (e.g. price * (1-discount)): the
+    * per-row product is deterministic IEEE math; casting it to decimal(28,6)
+    * before the sum makes the aggregation order-independent.
+    */
+  private def dsum6(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+
+  /** §2.2 #6 — filter + projection; predicate and column pruning reach the
+    * parquet scan (PushedFilters / ReadSchema in explain).
+    */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+             col("l_shipdate") < lit("1997-01-01") &&
+             col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** §2.2 #7 — TPC-H Q1-shaped rollup over lineitem. Partial (map-side)
+    * aggregation + a 6-group shuffle; scan reads only the 5 needed columns.
+    */
+  def aggQ1(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** §2.2 #8 — fact x small-dim join. `broadcast(part)` pins a broadcast hash
+    * join: zero shuffle of the fact side at any scale (part is bounded).
+    */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("p_brand")
+
+  /** §2.2 #9 — multi-way star join: all dimension hops broadcast, the single
+    * fact-fact hop (orders x lineitem) shuffles once on the join key. AQE can
+    * still re-plan skew at runtime.
+    */
+  def joinStar(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region")
+    val nation = t(spark, dir, "nation")
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    val lineitem = t(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** §2.2 #10 — global top-N: orderBy + limit compiles to
+    * TakeOrderedAndProject (per-partition heap + driver merge of N rows, never
+    * a full global sort). Tie-broken on the unique key for determinism.
+    */
+  def topN(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** §2.2 #11 — window functions per user over events. One shuffle on
+    * user_id; ordering inside the window is on the unique event_id so results
+    * are reproducible across engines and partitionings.
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(spark, dir, "events")
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        row_number().over(w).as("rn"),
+        lag("value", 1).over(w).as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** §2.2 #12 — timestamp bucketing: events per day x type. The day bucket is
+    * surfaced as an ISO string so the result is representation-stable across
+    * engines (DATE physical encodings differ; 'yyyy-MM-dd' does not).
+    */
+  def timeBucket(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** §2.2 #13 — semi-structured parse: props JSON -> typed column -> agg.
+    * `from_json` with an explicit schema keeps the whole pipeline codegen'd.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_bucket")
+
+  /** §2.2 #14 — set operations: nations that have customers INTERSECT / EXCEPT
+    * nations that have suppliers.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val custN = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppN = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custN.intersect(suppN).withColumn("tag", lit("both"))
+      .unionByName(custN.except(suppN).withColumn("tag", lit("cust_only")))
+      .orderBy("tag", "n_name")
+  }
+
+  /** §2.2 #15 — left-semi join (EXISTS): customers with at least one order.
+    * Semi join never duplicates or widens rows — at scale it shuffles only the
+    * join keys of the probe side.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** §2.2 #16 — left-anti join (NOT EXISTS): parts never sold near the
+    * maximum discount (the right side is pre-filtered so the anti set is
+    * non-empty at every scale factor).
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .join(t(spark, dir, "lineitem").where(col("l_discount") >= 0.09),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+
+  /** §2.2 #17 — ROLLUP grouping sets with subtotal rows; grouping-set nulls
+    * surfaced as '*' so ordering is engine-neutral (null-order defaults
+    * differ across engines).
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("*")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("*")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** §2.2 #18 — DISTINCT projection across a join (dedup after widening). */
+  def distinctJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .select("c_mktsegment", "o_orderpriority")
+      .distinct()
+      .orderBy("c_mktsegment", "o_orderpriority")
+
+  /** §2.2 #19 — string function suite over part (all codegen'd builtins). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        lower(col("p_type")).as("type_lo"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"),
+        col("p_name").like("%e%").as("has_e"))
+      .orderBy("p_partkey")
+
+  /** §2.2 #20 — multi-column global sort (range-partitioned exchange; each
+    * output partition is a sorted, non-overlapping key range).
+    */
+  def sortMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy(col("l_returnflag").desc, col("l_quantity").asc,
+               col("l_orderkey").asc, col("l_linenumber").asc)
+
+  /** §2.2 #21 — aggregation + HAVING (post-agg filter). */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .where(col("n_cust") > 50)
+      .orderBy("c_nationkey")
+
+  /** §2.2 #22 — conditional aggregation (CASE WHEN pivot-style). */
+  def caseWhenAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)))
+          .as("f_revenue"))
+      .orderBy("o_orderpriority")
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for corpus curation (SURVEY.md §2.3). All pure
+  * per-row expressions over `documents` — embarrassingly parallel, no
+  * shuffle except the final presentation sort, codegen end-to-end.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def tokensCol = split(trim(col("text")), " ")
+
+  /** §2.3 #28 — per-document stats: token count, average token length,
+    * punctuation ratio. Integer ratios surfaced as doubles (single division,
+    * deterministic).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokensCol).as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("n_alnum"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).as("n_punct"),
+        length(col("text")).as("n_chars_m"))
+      .withColumn("avg_token_len", col("n_alnum").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+      .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio")
+      .orderBy("doc_id")
+
+  /** Stopword profiles for the language-ID heuristic. */
+  private val enStops = Seq("the", "a", "of", "and", "is")
+  private val deStops = Seq("der", "die", "das", "und", "ist")
+  private val esStops = Seq("el", "la", "los", "de", "es")
+
+  private def hits(words: Seq[String]) = {
+    val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+    expr(s"size(filter(toks, t -> t IN $set))")
+  }
+
+  /** §2.3 #29 — language ID by stopword-profile hits with a deterministic
+    * priority tie-break (en > de > es > unknown).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("toks"))
+      .withColumn("en_hits", hits(enStops))
+      .withColumn("de_hits", hits(deStops))
+      .withColumn("es_hits", hits(esStops))
+      .withColumn("lang_detected",
+        when(col("en_hits") === 0 && col("de_hits") === 0 && col("es_hits") === 0, "unknown")
+          .when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("es_hits"), "de")
+          .otherwise("es"))
+      .select("doc_id", "lang_detected", "en_hits", "de_hits", "es_hits")
+      .orderBy("doc_id")
+
+  /** §2.3 #30 — token counting: whitespace tokens plus BPE-ish regex classes
+    * (alpha runs, digit runs, punctuation singletons).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokensCol).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z]+")).as("alpha_tokens"),
+        regexp_count(col("text"), lit("[0-9]+")).as("num_tokens"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("punct_tokens"))
+      .orderBy("doc_id")
+
+  /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
+    * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
+    * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so
+    * the fingerprint is a pure function of the text — identical on any
+    * engine; that's what makes it a cross-system content fingerprint.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(split(trim(text), ' '),
+          |            t -> CAST(length(t) * 7 + ascii(substring(t, 1, 1)) AS bigint)),
+          |  7L, (acc, h) -> pmod(acc * 131 + h, 1000000007L))""".stripMargin).as("fp"))
+      .orderBy("doc_id")
+
+  /** §2.3 #32 — composite quality score in [0,1]:
+    * 0.4 * min(1, n_tokens/80) + 0.4 * (1 - punct_ratio) + 0.2 * stopword_ratio,
+    * with a keep/drop flag at 0.5. All ratios are single int->double
+    * divisions (deterministic); the score is rounded to 6 for presentation.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"), tokensCol.as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_hits", hits(enStops))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double")
+          / length(col("text")))
+      .withColumn("len_score",
+        least(lit(1.0), col("n_tokens").cast("double") / 80.0))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("score",
+        col("len_score") * 0.4 + (lit(1.0) - col("punct_ratio")) * 0.4
+          + col("stop_ratio") * 0.2)
+      .select(col("doc_id"), round(col("score"), 6).as("quality"),
+        (col("score") >= 0.5).as("keep"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table catalog over a directory of parquet tables.
+  *
+  * Stands in for the reference's source-database catalog (the reference
+  * enumerates SQL Server tables before copying them); here a "database" is a
+  * directory and a "table" is `<dir>/<name>.parquet`. At 100 TB each table is
+  * a multi-file parquet dataset — `spark.read.parquet` handles splits,
+  * partition discovery, and schema merge identically, so nothing in this
+  * catalog changes with scale.
+  */
+object Tables {
+  /** All tables the driver's test data ships. */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Load one table as a DataFrame (lazy — no job runs until an action).
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    * outright; `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw
+    * nanos-since-epoch long, which we convert to a microsecond TIMESTAMP
+    * (floor division — the same truncation DuckDB applies reading the file,
+    * so cross-engine timestamps agree exactly).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(path(dir, name))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
+    } else spark.read.parquet(path(dir, name))
+  }
+
+  /** Enumerate table names in a source directory, like the reference
+    * enumerates `$sourceDb.Tables`. Falls back to [[all]] filtered by
+    * existence so it works on any subset directory.
+    */
+  def list(spark: SparkSession, dir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .toSeq.sorted
+  }
+}

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/localcheck.py [sfDir] [outDir]
+
+Reads each <outDir>/<name> parquet written by graft.Verify, runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sfDir tables,
+and compares: row count, column names/dtypes (loose), and exact values after
+sorting columns by name. Exit 0 iff everything matches.
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, bad = [], []
+    result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    for d in result_dirs:
+        name = os.path.basename(d)
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            bad.append((name, "no parquet output"))
+            continue
+        got = pd.read_parquet(d)
+        if name not in oracle:
+            ok.append((name, f"rows-only: {len(got)} rows"))
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            bad.append((name, f"oracle SQL failed: {e}"))
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            bad.append((name, f"columns differ: spark={list(g.columns)} duck={list(e.columns)}"))
+            continue
+        if len(g) != len(e):
+            bad.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            ok.append((name, f"{len(g)} rows exact"))
+        except AssertionError as ex:
+            msg = str(ex).split("\n")
+            bad.append((name, " | ".join(msg[:4])))
+    for name, m in ok:
+        print(f"  OK   {name}: {m}")
+    for name, m in bad:
+        print(f"  FAIL {name}: {m}")
+    missing = set(oracle) - {os.path.basename(d) for d in result_dirs}
+    for name in sorted(missing):
+        print(f"  MISS {name}: oracle present but no result dir")
+    print(f"\n{len(ok)} ok, {len(bad)} fail, {len(missing)} missing")
+    sys.exit(1 if (bad or missing) else 0)
+
+
+if __name__ == "__main__":
+    main()
