@@ -223,7 +223,8 @@ object SparkEntry {
     "q_having" ->
       """SELECT c_nationkey, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM customer GROUP BY c_nationkey HAVING count(*) > 50
+        |FROM customer GROUP BY c_nationkey
+        |HAVING count(*) * 25 > (SELECT count(*) FROM customer)
         |ORDER BY c_nationkey""".stripMargin,
     "q_casewhen" ->
       """SELECT o_orderpriority,

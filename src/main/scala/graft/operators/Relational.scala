@@ -219,13 +219,22 @@ object Relational {
       .orderBy(col("l_returnflag").desc, col("l_quantity").asc,
                col("l_orderkey").asc, col("l_linenumber").asc)
 
-  /** §2.2 #21 — aggregation + HAVING (post-agg filter). */
-  def havingAgg(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "customer")
+  /** §2.2 #21 — aggregation + HAVING (post-agg filter): nations with an
+    * above-average customer count. The threshold is relative (count * 25 >
+    * total), so the query is meaningful at every scale factor; the scalar
+    * total rides along as a 1-row broadcast, not a driver round-trip.
+    */
+  def havingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val total = customer.agg(count(lit(1)).as("total_cust"))
+    customer
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
-      .where(col("n_cust") > 50)
+      .crossJoin(broadcast(total))
+      .where(col("n_cust") * 25 > col("total_cust"))
+      .select("c_nationkey", "n_cust", "sum_bal")
       .orderBy("c_nationkey")
+  }
 
   /** §2.2 #22 — conditional aggregation (CASE WHEN pivot-style). */
   def caseWhenAgg(spark: SparkSession, dir: String): DataFrame =

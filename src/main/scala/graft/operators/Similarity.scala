@@ -48,37 +48,49 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (seeded): nBits x dim gaussians. */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** §2.3 #27 — LSH-bucketed approximate top-k. Bucket id = sign pattern of
-    * `nBits` hyperplane projections; candidates are bucket-mates only (plain
-    * equi-join on a long key). Recall is tuned by nBits (fewer bits -> bigger
-    * buckets -> higher recall); the ScalaTest suite measures recall vs the
-    * brute-force baseline. Driver records a rows-only check (no SQL oracle).
+  /** §2.3 #27 — LSH-bucketed approximate top-k, multi-table: `nTables`
+    * independent hyperplane tables of `nBits` sign bits each. A vector lands
+    * in one bucket per table; candidates are rows sharing (table, bucket)
+    * with a query — a plain equi-join on a composite key, never a cross join.
+    * Multi-probe via table count: recall ~ 1-(1-p^nBits)^nTables where p is
+    * the per-plane agreement probability, so nTables trades linear work for
+    * recall while each table stays selective. The ScalaTest suite measures
+    * recall vs the brute-force baseline; the driver records rows-only.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
-              nBits: Int = 8): DataFrame = {
+              nBits: Int = 6, nTables: Int = 8): DataFrame = {
     val emb = embeddings(spark, dir)
     val dim = 64
-    val planes = hyperplanes(nBits, dim)
-    // bucket = sum over bits of (proj_j > 0) << j, built from literal plane
-    // coefficients so the expression is pure codegen (no UDF, no broadcast).
-    val projections = planes.zipWithIndex.map { case (p, j) =>
-      val terms = p.zipWithIndex.map { case (c, d) => s"v[$d] * $c" }.mkString(" + ")
-      s"(CASE WHEN ($terms) > 0D THEN shiftleft(1L, $j) ELSE 0L END)"
-    }
-    val bucketExpr = projections.mkString(" + ")
-    val bucketed = emb.withColumn("bucket", expr(bucketExpr))
+    // All planes ride along as ONE nested-array literal (table-major), so the
+    // bucketing expression stays small — inlining 64 coefficients per plane
+    // as scalar literals bloats the plan to multi-MB task binaries.
+    val planes: Seq[Seq[Double]] =
+      (0 until nTables).flatMap(t => hyperplanes(nBits, dim, seed = 7L + t).map(_.toSeq))
+    val bucketed = emb
+      .withColumn("pl", typedlit(planes))
+      .withColumn("bk", explode(expr(
+        s"""transform(sequence(0, ${nTables - 1}), t ->
+           |  struct(t AS tbl,
+           |    aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) ->
+           |      acc + CASE WHEN aggregate(
+           |          zip_with(v, element_at(pl, t * $nBits + j + 1), (x, y) -> x * y),
+           |          0D, (a, x) -> a + x) > 0D
+           |        THEN shiftleft(1L, j) ELSE 0L END) AS b))""".stripMargin)))
+      .drop("pl")
     val queries = bucketed.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("q_bucket"))
+        col("nrm").as("qn"), col("bk").as("q_bk"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     bucketed
       .join(broadcast(queries),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        col("bk") === col("q_bk") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
+      .dropDuplicates("q_id", "vec_id") // a pair may collide in several tables; score it once
       .withColumn("cos", expr(dotExpr.format("v", "qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

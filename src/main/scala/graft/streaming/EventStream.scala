@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session accumulator for [[EventStream.sessionize]]. Top-level so
+  * Spark can derive and code-generate its state Encoder (nested private case
+  * classes break the generated accessor calls).
+  */
+case class SessionState(nEvents: Int, firstTs: Long, lastTs: Long, totalValue: Double)
+
+/** Structured-Streaming operators over the `events` schema (SURVEY.md §2.4).
+  *
+  * Both operators take an already-constructed streaming Dataset (file source,
+  * Kafka, or MemoryStream in tests) so they compose with any input; the
+  * transforms are the operator. At 100 TB/day the same code runs with a
+  * partitioned file/Kafka source — state is keyed and distributed, and
+  * event-time watermarks bound state size deterministically (no wall-clock
+  * dependence, so reprocessing a backlog gives identical results).
+  */
+object EventStream {
+
+  /** One event as the streaming ops consume it. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  /** A closed (or flushed) per-user session. */
+  case class UserSession(user_id: Long, n_events: Int, first_ts: Timestamp,
+                         last_ts: Timestamp, total_value: Double)
+
+  /** §2.4 #35 — watermarked tumbling-window counts per event type.
+    * 10-minute windows, 20-minute watermark: late events beyond the watermark
+    * are dropped and window state is evicted — bounded state at any rate.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** §2.4 #36 — custom-state sessionization with flatMapGroupsWithState:
+    * events within `gapMinutes` of each other belong to one session; an
+    * EVENT-TIME timeout (watermark passing last_ts + gap) closes idle
+    * sessions — deterministic under replay, unlike wall-clock timeouts.
+    * State per user is O(1) (four numbers), so total state is bounded by the
+    * active-user count, and the watermark evicts users that go quiet.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, batch: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[UserSession] = {
+      def close(s: SessionState) = UserSession(userId, s.nEvents,
+        new Timestamp(s.firstTs), new Timestamp(s.lastTs), s.totalValue)
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(close(s))
+      }
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[UserSession]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(SessionState(s.nEvents + 1, s.firstTs, t, s.totalValue + e.value))
+          case Some(s) =>
+            closed ::= close(s)
+            cur = Some(SessionState(1, t, t, e.value))
+          case None =>
+            cur = Some(SessionState(1, t, t, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastTs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

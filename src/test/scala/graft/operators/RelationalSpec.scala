@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Tables
+
+class RelationalSpec extends AnyFunSuite with SparkFixture {
+
+  test("aggQ1 has the six returnflag x linestatus groups and exact counts") {
+    val rows = Relational.aggQ1(spark, sf).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == Tables.load(spark, sf, "lineitem").count())
+    // exact sum check vs an independent computation
+    val sumQty = rows.map(_.getAs[Double]("sum_qty")).sum
+    val expected = Tables.load(spark, sf, "lineitem")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).collect()(0).getDouble(0)
+    assert(sumQty == expected)
+  }
+
+  test("topN returns exactly 10 rows in strictly non-increasing price order") {
+    val rows = Relational.topN(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("window row_number restarts at 1 per user and lag aligns with previous value") {
+    val rows = Relational.windowFuncs(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { evs =>
+      val sorted = evs.sortBy(_.getAs[Long]("event_id"))
+      assert(sorted.head.getAs[Int]("rn") == 1)
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur.getAs[Double]("prev_value") == prev.getAs[Double]("value"))
+        case _ =>
+      }
+    }
+  }
+
+  test("setOps tags partition nations correctly") {
+    val rows = Relational.setOps(spark, sf).collect()
+    val both = rows.filter(_.getAs[String]("tag") == "both").map(_.getString(0)).toSet
+    val custOnly = rows.filter(_.getAs[String]("tag") == "cust_only").map(_.getString(0)).toSet
+    assert(both.intersect(custOnly).isEmpty)
+    // suppliers exist in 'both' nations only
+    val suppNations = Tables.load(spark, sf, "supplier")
+      .join(Tables.load(spark, sf, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct().collect().map(_.getString(0)).toSet
+    assert(both.subsetOf(suppNations))
+  }
+
+  test("rollup contains the grand-total row equal to the table size") {
+    val rows = Relational.rollupAgg(spark, sf).collect()
+    val grand = rows.find(r => r.getString(0) == "*" && r.getString(1) == "*").get
+    assert(grand.getAs[Long]("n_rows") == Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("semi and anti joins partition the left side") {
+    val nCust = Tables.load(spark, sf, "customer").count()
+    val semi = Relational.semiJoin(spark, sf).count()
+    assert(semi <= nCust && semi > 0)
+    val nPart = Tables.load(spark, sf, "part").count()
+    val anti = Relational.antiJoin(spark, sf).count()
+    val sold = Tables.load(spark, sf, "part").join(
+      Tables.load(spark, sf, "lineitem").where(col("l_discount") >= 0.09),
+      col("p_partkey") === col("l_partkey"), "left_semi").count()
+    assert(anti + sold == nPart)
+  }
+
+  test("filterPushdown plan pushes predicates and prunes columns at the scan") {
+    val plan = Relational.filterPushdown(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"))
+    // Scan must not read money columns we did not select/filter on.
+    assert(!plan.contains("l_tax"))
+  }
+
+  test("joinBroadcast compiles to a broadcast hash join, not a shuffle join") {
+    val plan = Relational.joinBroadcast(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  /** Local top-k oracle: sequential double fold, same math, no Spark. */
+  private def localTopK(nQueries: Int, k: Int): Map[Long, Seq[Long]] = {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    vecs.filter(_._1 < nQueries).map { case (qid, qv) =>
+      val scored = vecs.filter(_._1 != qid).map { case (id, v) =>
+        (id, dot(v, qv) / (norms(id) * norms(qid)))
+      }
+      qid -> scored.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("bruteTopK matches an independent local computation exactly") {
+    val got = Similarity.bruteTopK(spark, sf, nQueries = 5, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      }
+    assert(got == localTopK(5, 10))
+  }
+
+  test("LSH results are a subset of brute-force candidates with sane ranks") {
+    val brute = localTopK(5, 500) // full ranking per query
+    val rows = Similarity.lshTopK(spark, sf, nQueries = 5, k = 10).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"ranks must be dense for query $q")
+      rs.foreach(r => assert(brute(q).contains(r.getAs[Long]("vec_id"))))
+    }
+  }
+
+  test("LSH recall@10 vs brute force is useful (> 0.2 with 8-bit buckets)") {
+    val brute = localTopK(5, 10)
+    val lsh = Similarity.lshTopK(spark, sf, nQueries = 5, k = 10).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+    val recalls = brute.map { case (q, top) =>
+      top.count(lsh.getOrElse(q, Set.empty).contains).toDouble / top.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.2, s"mean recall@10 = $mean")
+  }
+
+  test("embedStats covers every vector exactly once") {
+    val rows = Similarity.embedStats(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables.load(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      // min/max are rounded to 6 decimals for display; allow that slack.
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-6)
+      assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm") + 1e-6)
+    }
+  }
+}

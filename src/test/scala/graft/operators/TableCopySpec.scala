@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Tables
+
+class TableCopySpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-copy-test").toString
+
+  test("copyTable roundtrips rows and schema exactly") {
+    val dest = tmpDir()
+    val n = TableCopy.copyTable(spark, sf, dest, "nation")
+    assert(n == 25)
+    val src = Tables.load(spark, sf, "nation")
+    val back = spark.read.parquet(s"$dest/nation.parquet")
+    assert(back.schema == src.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("truncate mode replaces, append mode accumulates") {
+    val dest = tmpDir()
+    TableCopy.copyTable(spark, sf, dest, "region", TableCopy.Truncate)
+    TableCopy.copyTable(spark, sf, dest, "region", TableCopy.Truncate)
+    assert(spark.read.parquet(s"$dest/region.parquet").count() == 5)
+    TableCopy.copyTable(spark, sf, dest, "region", TableCopy.Append)
+    assert(spark.read.parquet(s"$dest/region.parquet").count() == 10)
+  }
+
+  test("copyTables honors include/exclude and reports a manifest") {
+    val dest = tmpDir()
+    val manifest = TableCopy.copyTables(spark, sf, dest,
+      include = Seq("region", "nation", "supplier"), exclude = Seq("supplier"))
+    val rows = manifest.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == Map("nation" -> 25L, "region" -> 5L))
+  }
+
+  test("schemaManifest lists every column with ordinal and canonical type") {
+    val m = TableCopy.schemaManifest(spark, sf, Seq("nation")).collect()
+    assert(m.map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq ==
+      Seq((1, "n_nationkey", "int"), (2, "n_name", "string"), (3, "n_regionkey", "int")))
+  }
+
+  test("partitionedRead reassembles the table exactly, regardless of partition count") {
+    val full = Tables.load(spark, sf, "orders").count()
+    Seq(1, 3, 8, 100).foreach { n =>
+      val got = TableCopy.partitionedRead(spark, sf, "orders", "o_orderkey", n)
+      assert(got.count() == full, s"numPartitions=$n")
+      assert(got.select("o_orderkey").distinct().count() == full)
+    }
+  }
+}

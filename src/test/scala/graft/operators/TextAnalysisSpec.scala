@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Tables
+
+class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs: Map[Long, String] =
+    Tables.load(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("textStats token counts match a local split for every document") {
+    val rows = TextAnalysis.textStats(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = docs(id).trim.split(" ").length
+      assert(r.getAs[Int]("n_tokens") == expected, s"doc $id")
+    }
+  }
+
+  test("langId is deterministic and majority-en on this corpus") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    val langs = rows.map(_.getAs[String]("lang_detected"))
+    assert(langs.toSet.subsetOf(Set("en", "de", "es", "unknown")))
+    assert(langs.count(_ == "en") > rows.length / 2)
+  }
+
+  test("fingerprint equals a local reimplementation of the rolling hash") {
+    val rows = TextAnalysis.fingerprint(spark, sf).collect()
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = docs(id).trim.split(" ")
+      val expected = toks.foldLeft(7L) { (acc, t) =>
+        val h = t.length * 7L + t.charAt(0).toLong
+        (acc * 131 + h) % 1000000007L
+      }
+      assert(r.getAs[Long]("fp") == expected, s"doc $id")
+    }
+  }
+
+  test("quality scores are in [0,1] and keep flag matches the 0.5 cut") {
+    val rows = TextAnalysis.qualityScore(spark, sf).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Boolean]("keep") == (q >= 0.5) ||
+        math.abs(q - 0.5) < 1e-6) // rounded display value near the cut
+    }
+  }
+
+  test("multimodal decode stub emits consistent byte metadata") {
+    val rows = Multimodal.decodeMeta(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val len = r.getAs[Long]("byte_len")
+      assert(len == docs(id).getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Int]("fake_width") == (len % 640).toInt)
+      assert(r.getAs[String]("prefix_hex").length == 8)
+    }
+  }
+}

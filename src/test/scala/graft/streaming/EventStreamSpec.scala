@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.streaming.EventStream.Event
+
+class EventStreamSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  test("windowedCounts aggregates into 10-minute tumbling windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(12), 10, "view", 3.0),
+      Event(4, ts(14), 12, "click", 4.0))
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(5, ts(120), 10, "click", 5.0)) // advances watermark
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((ts(0).getTime, "click", 2L, 3.0)))
+      assert(rows.contains((ts(10).getTime, "view", 1L, 3.0)))
+      assert(rows.contains((ts(10).getTime, "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on the idle gap and closes sessions as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions separated by > 30 min; user 2: one session.
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(60), 1, "click", 4.0),
+      Event(4, ts(61), 1, "click", 8.0),
+      Event(5, ts(0), 2, "view", 1.5))
+    val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      def rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(4))).toSet
+      // The first session of user 1 closes when the 60-minute event arrives
+      // (processAllAvailable may also run a follow-up batch that fires
+      // already-expired event-time timeouts, e.g. user 2's).
+      assert(rows.contains((1L, 2, 3.0)))
+      // Advance the watermark past user 2's timeout (0 + 30 < 61 already,
+      // timeouts fire on the NEXT batch) with a fresh user-3 event.
+      input.addData(Event(6, ts(120), 3, "click", 1.0))
+      q.processAllAvailable()
+      assert(rows.contains((2L, 1, 1.5)))
+      // Watermark is now 120 > user 1's second-session timeout (61 + 30).
+      // User 3's first session (minute 120) also closes: the 180-minute event
+      // is beyond the 30-minute gap.
+      input.addData(Event(7, ts(180), 3, "click", 1.0))
+      q.processAllAvailable()
+      assert(rows == Set((1L, 2, 3.0), (2L, 1, 1.5), (1L, 2, 12.0), (3L, 1, 1.0)))
+    } finally q.stop()
+  }
+}
