@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: dumps `explain("formatted")` for every SparkEntry query and
+  * greps each plan for the structural properties the 100 TB design depends
+  * on. Run: `runMain graft.PlanAudit <sfDir> <outFile>`.
+  *
+  * The checks are the scale contract from SURVEY.md §5:
+  *  - scans push filters and prune columns (PushedFilters / ReadSchema)
+  *  - dim joins are broadcast (BroadcastHashJoin), never shuffled
+  *  - top-N compiles to TakeOrderedAndProject, never a global sort
+  *  - no CartesianProduct / BroadcastNestedLoopJoin outside the brute-force
+  *    ANN baseline (whose broadcast nested loop over a tiny query set is the
+  *    intended linear-scan plan)
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outFile = if (args.length > 1) args(1) else "/tmp/graft_plans.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append(s"# Physical-plan audit ($sfDir)\n\n")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      def has(s: String) = plan.contains(s)
+
+      val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (has("PushedFilters: [") && !has("PushedFilters: []")) notes += "pushed-filters"
+      if (has("BroadcastHashJoin")) notes += "broadcast-hash-join"
+      if (has("SortMergeJoin")) notes += "sort-merge-join"
+      if (has("TakeOrderedAndProject")) notes += "take-ordered"
+      if (has("HashAggregate")) notes += "partial-agg"
+      val cartesian = has("CartesianProduct")
+      val bnlj = has("BroadcastNestedLoopJoin")
+      if (cartesian) notes += "CARTESIAN!"
+      if (bnlj) notes += "broadcast-nested-loop"
+
+      // Scale-contract assertions.
+      if (cartesian)
+        failures += s"$name: CartesianProduct in plan"
+      if (bnlj && name != "q_ann_brute" && name != "q_having")
+        failures += s"$name: unexpected BroadcastNestedLoopJoin"
+      if (name == "q_topn" && !has("TakeOrderedAndProject"))
+        failures += "q_topn: expected TakeOrderedAndProject (global sort instead)"
+      if (name == "q_join_broadcast" && !has("BroadcastHashJoin"))
+        failures += "q_join_broadcast: expected BroadcastHashJoin"
+      if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))
+        failures += "q_filter_pushdown: no pushed filters at scan"
+
+      sb.append(s"## $name\n\ntags: ${notes.mkString(", ")}\n\n```\n")
+      sb.append(plan.linesIterator.take(60).mkString("\n"))
+      sb.append("\n```\n\n")
+    }
+
+    sb.append("## Audit result\n\n")
+    if (failures.isEmpty) sb.append("All scale-contract checks passed.\n")
+    else failures.foreach(f => sb.append(s"- FAIL: $f\n"))
+    Files.writeString(Paths.get(outFile), sb.toString)
+    println(s"[plan-audit] wrote $outFile; ${failures.size} failures")
+    failures.foreach(f => println(s"[plan-audit] FAIL: $f"))
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}
