@@ -58,18 +58,17 @@ object Dedup {
   }
 
   /** (doc_id, sh, sig) with a 64-long MinHash signature per document.
-    * Shingles are hashed to 32-bit ints ONCE (`hs`); each of the 64 signature
-    * lanes then runs pure integer arithmetic over that array — hashing the
-    * string 64 times would dominate the runtime (measured ~5x slower).
+    * Shingles are hashed to 32-bit ints ONCE (`hs`); the 64 signature lanes
+    * then run as a single native codegen kernel
+    * ([[graft.functions.MinhashSignature]]) — the interpreted
+    * array_min/transform formulation of the same arithmetic was ~5x slower.
     */
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sigCols: Seq[Column] = (0 until 64).map { j =>
-      expr(s"array_min(transform(hs, x -> pmod(${hashA(j)}L * x + ${hashB(j)}L, ${MinhashP}L)))")
-    }
+    import org.apache.spark.sql.graftglue._
+    val hs = expr("transform(sh, g -> pmod(xxhash64(g), 4294967296L))")
     shingled(spark, dir)
-      .withColumn("hs", expr("transform(sh, g -> pmod(xxhash64(g), 4294967296L))"))
-      .withColumn("sig", array(sigCols: _*))
-      .drop("hs")
+      .withColumn("sig", exprColumn(
+        graft.functions.MinhashSignature(columnExpr(hs), hashA, hashB, MinhashP)))
   }
 
   /** §2.3 #24 — MinHash-LSH near-dup pairs, verified with exact Jaccard.
@@ -102,17 +101,16 @@ object Dedup {
   /** 64-bit SimHash per document over word tokens: bit k of the fingerprint
     * is the sign of sum over tokens of +/-1 by bit k of xxhash64(token).
     */
-  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftglue._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      // Hash each token once; the 64 bit-majorities then fold over longs only.
-      .withColumn("hs", expr("transform(w, t -> xxhash64(t))"))
-      .withColumn("fp", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, k) ->
-          |  acc | (CASE WHEN aggregate(hs, 0L,
-          |     (s, h) -> s + CASE WHEN (shiftright(h, k) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |   THEN shiftleft(1L, k) ELSE 0L END))""".stripMargin))
+      // Hash each token once; the 64 bit-majority votes run as one native
+      // codegen kernel (graft.functions.Simhash64).
+      .withColumn("fp", exprColumn(
+        graft.functions.Simhash64(columnExpr(expr("transform(w, t -> xxhash64(t))")))))
       .select("doc_id", "fp")
+  }
 
   /** §2.3 #25 — SimHash near-dup pairs within Hamming distance `maxDist`.
     * Pigeonhole bucketing: the 64-bit fingerprint splits into 4 x 16-bit
