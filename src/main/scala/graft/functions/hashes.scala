@@ -103,3 +103,38 @@ object MinhashSignature {
     new GenericArrayData(mins)
   }
 }
+
+/** dot_product(array<double>, array<double>) -> double: a STRICTLY
+  * left-to-right fold (acc = acc + a(i)*b(i)), the same association order as
+  * `aggregate(zip_with(a, b, *), 0.0, +)` and DuckDB's sequential list fold —
+  * so cosine scores remain bit-identical across engines while running as one
+  * codegen'd loop instead of interpreted lambdas.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DotProduct.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotProduct.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,14 +22,20 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** aggregate(zip_with(a, b, *), 0.0, +) — a sequential, deterministic fold. */
-  private val dotExpr = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Sequential left-fold dot product as a native codegen kernel — same
+    * association order as `aggregate(zip_with(a, b, *), 0.0, +)` and the
+    * DuckDB oracle's list fold, so scores stay bit-identical cross-engine.
+    */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue._
+    exprColumn(graft.functions.DotProduct(columnExpr(a), columnExpr(b)))
+  }
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", sqrt(expr(dotExpr.format("v", "v"))))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** §2.3 #26 — brute-force cosine top-k for query vectors vec_id < nQueries.
     * The query set is broadcast; the corpus is scanned once, fully parallel.
@@ -40,7 +46,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", expr(dotExpr.format("v", "qv")) / (col("nrm") * col("qn")))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -66,22 +72,16 @@ object Similarity {
               nBits: Int = 6, nTables: Int = 8): DataFrame = {
     val emb = embeddings(spark, dir)
     val dim = 64
-    // All planes ride along as ONE nested-array literal (table-major), so the
-    // bucketing expression stays small — inlining 64 coefficients per plane
-    // as scalar literals bloats the plan to multi-MB task binaries.
-    val planes: Seq[Seq[Double]] =
-      (0 until nTables).flatMap(t => hyperplanes(nBits, dim, seed = 7L + t).map(_.toSeq))
-    val bucketed = emb
-      .withColumn("pl", typedlit(planes))
-      .withColumn("bk", explode(expr(
-        s"""transform(sequence(0, ${nTables - 1}), t ->
-           |  struct(t AS tbl,
-           |    aggregate(sequence(0, ${nBits - 1}), 0L, (acc, j) ->
-           |      acc + CASE WHEN aggregate(
-           |          zip_with(v, element_at(pl, t * $nBits + j + 1), (x, y) -> x * y),
-           |          0D, (a, x) -> a + x) > 0D
-           |        THEN shiftleft(1L, j) ELSE 0L END) AS b))""".stripMargin)))
-      .drop("pl")
+    // One struct(tbl, bucket) per table: each sign bit is a native dot-product
+    // kernel against an array literal — small plan, codegen'd projections.
+    val bucketCols = (0 until nTables).map { t =>
+      val planes = hyperplanes(nBits, dim, seed = 7L + t)
+      val bits = (0 until nBits).map { j =>
+        when(dot(col("v"), typedlit(planes(j).toSeq)) > 0d, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bits.as("b"))
+    }
+    val bucketed = emb.withColumn("bk", explode(array(bucketCols: _*)))
     val queries = bucketed.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bk").as("q_bk"))
@@ -91,7 +91,7 @@ object Similarity {
         col("bk") === col("q_bk") && col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
       .dropDuplicates("q_id", "vec_id") // a pair may collide in several tables; score it once
-      .withColumn("cos", expr(dotExpr.format("v", "qv")) / (col("nrm") * col("qn")))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))

@@ -38,6 +38,30 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowedCounts on a parquet file stream equals the batch computation") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir).schema // ts surfaces as nanos long
+    val stream = spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wcfile")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 100).toDouble / 100)).toSet
+      val streamed = norm(spark.table("wcfile").collect())
+      val batch = norm(EventStream.windowedCounts(
+        graft.sources.Tables.load(spark, sf, "events")).collect())
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize splits on the idle gap and closes sessions as the watermark advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
