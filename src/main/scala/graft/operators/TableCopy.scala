@@ -23,26 +23,40 @@ object TableCopy {
   case object Truncate extends Mode { def saveMode: SaveMode = SaveMode.Overwrite }
   case object Append extends Mode { def saveMode: SaveMode = SaveMode.Append }
 
-  /** Copy one table. Returns the row count moved (computed from the write's
-    * input, not a second scan). Fully distributed: source partitions map to
-    * write tasks 1:1; at 100 TB the only tuning knob is target file size via
+  /** Copy one table. Returns the row count at the destination after the
+    * write. Fully distributed: source partitions map to write tasks 1:1; at
+    * 100 TB the only tuning knob is target file size via
     * `spark.sql.files.maxPartitionBytes` on the read side.
+    *
+    * @param columns   optional column subset to replicate (empty = all)
+    * @param predicate optional SQL predicate for incremental copies
+    *                  (e.g. "o_orderdate >= '2024-01-01'") — pushed to the
+    *                  source scan, so only matching row groups are read
     */
   def copyTable(
       spark: SparkSession,
       srcDir: String,
       destDir: String,
       table: String,
-      mode: Mode = Truncate): Long = {
-    val df = Tables.load(spark, srcDir, table)
+      mode: Mode = Truncate,
+      columns: Seq[String] = Seq.empty,
+      predicate: Option[String] = None): Long = {
+    var df = Tables.load(spark, srcDir, table)
+    predicate.foreach(p => df = df.where(p))
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     df.write.mode(mode.saveMode).parquet(Tables.path(destDir, table))
     spark.read.parquet(Tables.path(destDir, table)).count()
   }
 
   /** Copy a filtered set of tables (the reference's include/exclude loop) and
-    * return a manifest DataFrame (table_name, n_rows) for auditing. Tables are
-    * copied one distributed job at a time; at scale, independent tables can be
-    * submitted from parallel threads since Spark schedules jobs concurrently.
+    * return a manifest DataFrame (table_name, n_rows) for auditing.
+    *
+    * `parallelism > 1` mirrors the reference's -Parallel switch: independent
+    * tables are submitted as concurrent Spark jobs from a thread pool. The
+    * scheduler interleaves their stages, which keeps the cluster busy when
+    * individual tables are too small to use every executor — the right model
+    * for a catalog with many small-to-medium tables. A single 100 TB table
+    * already saturates the cluster on its own, so parallelism defaults to 1.
     */
   def copyTables(
       spark: SparkSession,
@@ -50,11 +64,25 @@ object TableCopy {
       destDir: String,
       include: Seq[String] = Seq.empty,
       exclude: Seq[String] = Seq.empty,
-      mode: Mode = Truncate): DataFrame = {
+      mode: Mode = Truncate,
+      parallelism: Int = 1): DataFrame = {
     val names = Tables.list(spark, srcDir)
       .filter(n => include.isEmpty || include.contains(n))
       .filterNot(exclude.contains)
-    val manifest = names.map { t => (t, copyTable(spark, srcDir, destDir, t, mode)) }
+    val manifest: Seq[(String, Long)] =
+      if (parallelism <= 1) {
+        names.map(t => (t, copyTable(spark, srcDir, destDir, t, mode)))
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val futures = names.map(t =>
+            Future(t -> copyTable(spark, srcDir, destDir, t, mode)))
+          Await.result(Future.sequence(futures), Duration.Inf)
+        } finally pool.shutdown()
+      }
     import spark.implicits._
     manifest.toDF("table_name", "n_rows").orderBy("table_name")
   }

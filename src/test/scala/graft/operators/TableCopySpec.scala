@@ -47,6 +47,32 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       Seq((1, "n_nationkey", "int"), (2, "n_name", "string"), (3, "n_regionkey", "int")))
   }
 
+  test("parallel copyTables produces the same manifest as sequential") {
+    val seqDest = tmpDir()
+    val parDest = tmpDir()
+    val tables = Seq("region", "nation", "customer", "supplier", "part")
+    val sequential = TableCopy.copyTables(spark, sf, seqDest, include = tables)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val parallel = TableCopy.copyTables(spark, sf, parDest, include = tables,
+      parallelism = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(parallel == sequential)
+    assert(parallel.keySet == tables.toSet)
+  }
+
+  test("predicate copy replicates only matching rows; column copy only selected columns") {
+    val dest = tmpDir()
+    val n = TableCopy.copyTable(spark, sf, dest, "customer",
+      columns = Seq("c_custkey", "c_mktsegment"),
+      predicate = Some("c_mktsegment = 'BUILDING'"))
+    val expected = Tables.load(spark, sf, "customer")
+      .where("c_mktsegment = 'BUILDING'").count()
+    assert(n == expected && n > 0)
+    val back = spark.read.parquet(s"$dest/customer.parquet")
+    assert(back.columns.toSeq == Seq("c_custkey", "c_mktsegment"))
+    assert(back.where("c_mktsegment <> 'BUILDING'").count() == 0)
+  }
+
   test("partitionedRead reassembles the table exactly, regardless of partition count") {
     val full = Tables.load(spark, sf, "orders").count()
     Seq(1, 3, 8, 100).foreach { n =>
