@@ -9,6 +9,11 @@ import org.apache.spark.sql.SparkSession
   * fake elapsed time), and timing forces full materialization through a
   * noop-format write — `count()` would let Spark skip column decode and
   * under-report scan/compute cost.
+  *
+  * One untimed warm-up pass runs first (set SPARK_GRAFT_WARMUP=0 to skip):
+  * it absorbs one-time JIT/codegen/file-listing costs so the timed pass
+  * measures steady-state operator cost, which is what extrapolates to a
+  * long-running 100 TB job.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,6 +26,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
+      }
+    }
     val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val timed =
