@@ -94,11 +94,13 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. q_neardup_simhash and q_ann_lsh are intentionally
-    * omitted (hash-family-specific results; rows-only check + ScalaTest
-    * cross-validation instead).
+    * same parquet tables. Only q_neardup_simhash is omitted (its fingerprint
+    * family is built on xxhash64, which DuckDB does not implement; rows-only
+    * check + ScalaTest brute-force cross-validation instead). q_ann_lsh gets
+    * a generated oracle embedding the exact hyperplane constants.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> Similarity.lshOracleSql(),
     "copy_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_manifest" ->

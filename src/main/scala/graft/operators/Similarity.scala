@@ -98,6 +98,51 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** DuckDB oracle SQL for [[lshTopK]]: the hyperplane coefficients are
+    * embedded as double literals (shortest-repr round-trips exactly), and
+    * every dot product is the same left-to-right fold as the Spark kernel, so
+    * bucket assignments and cosine scores reproduce bit-for-bit — which is
+    * what lets an approximate ANN operator have an EXACT oracle.
+    */
+  def lshOracleSql(nQueries: Int = 10, k: Int = 10, nBits: Int = 6,
+                   nTables: Int = 8): String = {
+    def dotLit(plane: Array[Double]): String = {
+      val prods = plane.zipWithIndex.map { case (c, i) => s"v[${i + 1}] * $c" }.mkString(", ")
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$prods]), (x, y) -> x + y)"
+    }
+    val selfDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
+    val crossDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [cv.v[i] * qv.v[i] FOR i IN generate_series(1, len(cv.v))]), (x, y) -> x + y)"
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(nBits, 64, seed = 7L + t)
+      val bits = (0 until nBits).map { j =>
+        s"CASE WHEN ${dotLit(planes(j))} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, ($bits) AS b FROM n"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
+       |bk AS (
+       |$tables
+       |),
+       |q AS (SELECT vec_id AS q_id, tbl, b FROM bk WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, c.vec_id
+       |  FROM q JOIN bk c ON q.tbl = c.tbl AND q.b = c.b AND c.vec_id <> q.q_id
+       |),
+       |s AS (
+       |  SELECT cand.q_id, cand.vec_id, $crossDot / (cv.nrm * qv.nrm) AS cos
+       |  FROM cand
+       |  JOIN n cv ON cv.vec_id = cand.vec_id
+       |  JOIN n qv ON qv.vec_id = cand.q_id
+       |),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank FROM s)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** §2.3 #34 — vector-column numerics: per-label count and exact-average L2
     * norm (norms summed in decimal so the group aggregate is order-free).
     */
