@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, Simhash64}
+
+/** SparkSessionExtensions hook exposing graft's native kernels as SQL
+  * functions, so `spark.sql("SELECT simhash64(...)")` works anywhere — the
+  * standard extension-point pattern for custom Catalyst expressions.
+  *
+  * Activate at session build:
+  *   `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * or on an already-running session (e.g. a notebook) with
+  * [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  private val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      info("simhash64", "simhash64(array<long>) - 64-bit SimHash of token hashes"),
+      (args: Seq[Expression]) => Simhash64(args.head)),
+    ("dot_product",
+      info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+  )
+
+  /** Register the functions on an existing session (extensions configured at
+    * build time are not applied retroactively by getOrCreate).
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

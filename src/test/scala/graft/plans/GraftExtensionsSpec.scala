@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("registered SQL functions compute the same values as the kernels") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1D, 2D, 3D), array(4D, 5D, 6D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 32.0)
+    // simhash of a single hash is that hash's own bit pattern (every bit's
+    // majority vote is the bit itself).
+    val fp = spark.sql("SELECT simhash64(array(CAST(5 AS BIGINT))) AS fp")
+      .collect()(0).getLong(0)
+    assert(fp == 5L)
+    // Ties (equal +/- votes) resolve to 0.
+    val tie = spark.sql(
+      "SELECT simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS fp")
+      .collect()(0).getLong(0)
+    assert(tie == 0L)
+  }
+
+  test("SQL simhash64 over the documents pipeline matches the operator") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(transform(split(trim(text), ' '), t -> xxhash64(t))) AS fp
+        |FROM docs_v ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaOperator = graft.operators.Dedup.simhashFingerprints(spark, sf)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaOperator)
+  }
+}
