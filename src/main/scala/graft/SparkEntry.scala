@@ -94,13 +94,44 @@ object SparkEntry {
     s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. Only q_neardup_simhash is omitted (its fingerprint
-    * family is built on xxhash64, which DuckDB does not implement; rows-only
-    * check + ScalaTest brute-force cross-validation instead). q_ann_lsh gets
-    * a generated oracle embedding the exact hyperplane constants.
+    * same parquet tables — every query has one. The two approximate operators
+    * are exact-checkable because their randomness is deterministic and
+    * engine-reproducible: q_ann_lsh's oracle embeds the hyperplane constants,
+    * and q_neardup_simhash's token-hash family is a char polynomial both
+    * engines compute identically.
     */
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> Similarity.lshOracleSql(),
+    "q_neardup_simhash" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+        |         (a, c) -> (a * 131 + c) % 2147483647) << 31)
+        |      | list_reduce(list_prepend(CAST(11 AS BIGINT),
+        |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+        |         (a, c) -> (a * 137 + c) % 2147483629)
+        |    ) AS hs
+        |  FROM d
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CASE WHEN 2 * len(list_filter(hs, x -> (x >> k) & 1 = 1)) > len(hs)
+        |            THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+        |       FOR k IN generate_series(0, 61)]), (a, b) -> a | b) AS fp
+        |  FROM h
+        |),
+        |c AS (SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS ck FROM f),
+        |cv AS (SELECT doc_id, fp, ck, (fp >> (ck * 16)) & 65535 AS v FROM c),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+        |  FROM cv a JOIN cv b ON a.ck = b.ck AND a.v = b.v AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+        |FROM p WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "copy_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_manifest" ->

@@ -58,6 +58,65 @@ object Simhash64 {
   }
 }
 
+/** token_simhash64(array<string> tokens) -> long: SimHash over a
+  * cross-engine token-hash family. Each token hashes through two 31-bit
+  * char polynomials (h1: x131 mod 2147483647 from seed 7; h2: x137 mod
+  * 2147483629 from seed 11) combined as (h1 << 31) | h2 — 62 usable bits,
+  * all arithmetic reproducible in plain SQL on any engine (unlike xxhash64),
+  * which is what makes the near-dup operator value-checkable in DuckDB.
+  * Assumes single-byte (ASCII) token text, matching SQL `ascii()` semantics.
+  */
+case class TokenSimhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSimhash.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenSimhash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSimhash =
+    copy(child = newChild)
+}
+
+object TokenSimhash {
+  def hashToken(bytes: Array[Byte]): Long = {
+    var h1 = 7L
+    var h2 = 11L
+    var j = 0
+    while (j < bytes.length) {
+      val c = (bytes(j) & 0xff).toLong
+      h1 = (h1 * 131 + c) % 2147483647L
+      h2 = (h2 * 137 + c) % 2147483629L
+      j += 1
+    }
+    (h1 << 31) | h2
+  }
+
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](62)
+    var i = 0
+    while (i < n) {
+      val h = hashToken(arr.getUTF8String(i).getBytes)
+      var k = 0
+      while (k < 62) {
+        counts(k) += ((h >>> k) & 1L).toInt
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 62) {
+      if (2 * counts(k) > n) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+}
+
 /** minhash_sig(array<long> shingleHashes) -> array<long>(64):
   * lane j is min over shingles x of (a(j)*x + b(j)) mod p — the classic
   * universal-hash MinHash family. a(j) < 2^31 and x < 2^32 keep the product

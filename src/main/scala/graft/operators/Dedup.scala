@@ -98,17 +98,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document over word tokens: bit k of the fingerprint
-    * is the sign of sum over tokens of +/-1 by bit k of xxhash64(token).
+  /** SimHash fingerprint per document over word tokens: bit k is the
+    * majority vote of bit k across the token hashes. The hash family is the
+    * cross-engine char-polynomial one ([[graft.functions.TokenSimhash]]), so
+    * the fingerprints — and therefore the near-dup pairs — reproduce exactly
+    * in the DuckDB oracle.
     */
   private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftglue._
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      // Hash each token once; the 64 bit-majority votes run as one native
-      // codegen kernel (graft.functions.Simhash64).
       .withColumn("fp", exprColumn(
-        graft.functions.Simhash64(columnExpr(expr("transform(w, t -> xxhash64(t))")))))
+        graft.functions.TokenSimhash(columnExpr(col("w")))))
       .select("doc_id", "fp")
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Simhash64}
+import graft.functions.{DotProduct, Simhash64, TokenSimhash}
 
 /** SparkSessionExtensions hook exposing graft's native kernels as SQL
   * functions, so `spark.sql("SELECT simhash64(...)")` works anywhere — the
@@ -31,6 +31,9 @@ object GraftExtensions {
     ("simhash64",
       info("simhash64", "simhash64(array<long>) - 64-bit SimHash of token hashes"),
       (args: Seq[Expression]) => Simhash64(args.head)),
+    ("token_simhash64",
+      info("token_simhash64", "token_simhash64(array<string>) - SimHash over char-polynomial token hashes"),
+      (args: Seq[Expression]) => TokenSimhash(args.head)),
     ("dot_product",
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),

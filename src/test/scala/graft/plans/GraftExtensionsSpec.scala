@@ -24,11 +24,11 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(tie == 0L)
   }
 
-  test("SQL simhash64 over the documents pipeline matches the operator") {
+  test("SQL token_simhash64 over the documents pipeline matches the operator") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_v")
     val viaSql = spark.sql(
-      """SELECT doc_id, simhash64(transform(split(trim(text), ' '), t -> xxhash64(t))) AS fp
+      """SELECT doc_id, token_simhash64(split(trim(text), ' ')) AS fp
         |FROM docs_v ORDER BY doc_id""".stripMargin)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val viaOperator = graft.operators.Dedup.simhashFingerprints(spark, sf)
