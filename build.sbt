@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked mains write straight to this JVM's stdout/stderr, WITHOUT sbt's
+// "[info] " logger prefix — the driver parses Bench's one-line JSON from
+// stdout and a prefixed line does not parse (round-1 BENCH had parsed:null).
+outputStrategy := Some(StdoutOutput)
+run / connectInput := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
