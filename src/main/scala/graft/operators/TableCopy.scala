@@ -32,6 +32,10 @@ object TableCopy {
     * @param predicate optional SQL predicate for incremental copies
     *                  (e.g. "o_orderdate >= '2024-01-01'") — pushed to the
     *                  source scan, so only matching row groups are read
+    * @param maxRecordsPerFile optional cap on rows per output file — the
+    *                  batch-size analogue of the reference's bulk-copy
+    *                  BatchSize; at 100 TB this bounds individual file sizes
+    *                  so downstream scans split evenly
     */
   def copyTable(
       spark: SparkSession,
@@ -40,11 +44,14 @@ object TableCopy {
       table: String,
       mode: Mode = Truncate,
       columns: Seq[String] = Seq.empty,
-      predicate: Option[String] = None): Long = {
+      predicate: Option[String] = None,
+      maxRecordsPerFile: Option[Long] = None): Long = {
     var df = Tables.load(spark, srcDir, table)
     predicate.foreach(p => df = df.where(p))
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
-    df.write.mode(mode.saveMode).parquet(Tables.path(destDir, table))
+    var writer = df.write.mode(mode.saveMode)
+    maxRecordsPerFile.foreach(n => writer = writer.option("maxRecordsPerFile", n))
+    writer.parquet(Tables.path(destDir, table))
     spark.read.parquet(Tables.path(destDir, table)).count()
   }
 

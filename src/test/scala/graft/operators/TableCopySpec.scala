@@ -73,6 +73,20 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(back.where("c_mktsegment <> 'BUILDING'").count() == 0)
   }
 
+  test("maxRecordsPerFile bounds output file sizes like a bulk-copy batch size") {
+    val dest = tmpDir()
+    val n = TableCopy.copyTable(spark, sf, dest, "orders",
+      maxRecordsPerFile = Some(200L))
+    assert(n == 1500)
+    val files = new java.io.File(s"$dest/orders.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 1500 / 200) // at least ceil(rows/cap) files overall
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getPath).count()
+      assert(rows <= 200, s"${f.getName} has $rows rows")
+    }
+  }
+
   test("partitionedRead reassembles the table exactly, regardless of partition count") {
     val full = Tables.load(spark, sf, "orders").count()
     Seq(1, 3, 8, 100).foreach { n =>
