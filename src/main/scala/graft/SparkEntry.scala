@@ -77,7 +77,9 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
     "q_neardup_simhash" -> ((s, dir) => Dedup.nearDupSimhash(s, dir)),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
-    "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    // maxBits=12 caps auto-nBits where the oracle's embedded planes end —
+    // exact up to 2^14 vectors; the library default (24) scales further.
+    "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -135,27 +137,27 @@ object SparkEntry {
     "copy_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_manifest" ->
-      """SELECT 'customer' AS table_name, count(*) AS n_rows FROM customer
-        |UNION ALL SELECT 'nation', count(*) FROM nation
-        |UNION ALL SELECT 'part', count(*) FROM part
+      """SELECT 'customer' AS table_name, count(*) AS n_rows, 'ok' AS status FROM customer
+        |UNION ALL SELECT 'nation', count(*), 'ok' FROM nation
+        |UNION ALL SELECT 'part', count(*), 'ok' FROM part
         |ORDER BY table_name""".stripMargin,
     "copy_schema" ->
       """SELECT * FROM (VALUES
-        |  ('customer', 1, 'c_custkey', 'bigint'),
-        |  ('customer', 2, 'c_name', 'string'),
-        |  ('customer', 3, 'c_nationkey', 'int'),
-        |  ('customer', 4, 'c_acctbal', 'double'),
-        |  ('customer', 5, 'c_mktsegment', 'string'),
-        |  ('nation', 1, 'n_nationkey', 'int'),
-        |  ('nation', 2, 'n_name', 'string'),
-        |  ('nation', 3, 'n_regionkey', 'int'),
-        |  ('part', 1, 'p_partkey', 'bigint'),
-        |  ('part', 2, 'p_name', 'string'),
-        |  ('part', 3, 'p_brand', 'string'),
-        |  ('part', 4, 'p_type', 'string'),
-        |  ('part', 5, 'p_size', 'int'),
-        |  ('part', 6, 'p_retailprice', 'double')
-        |) AS t(table_name, ordinal, column_name, data_type)
+        |  ('customer', 1, 'c_custkey', 'bigint', true, 'BIGINT'),
+        |  ('customer', 2, 'c_name', 'string', true, 'VARCHAR(4000)'),
+        |  ('customer', 3, 'c_nationkey', 'int', true, 'INTEGER'),
+        |  ('customer', 4, 'c_acctbal', 'double', true, 'DOUBLE'),
+        |  ('customer', 5, 'c_mktsegment', 'string', true, 'VARCHAR(4000)'),
+        |  ('nation', 1, 'n_nationkey', 'int', true, 'INTEGER'),
+        |  ('nation', 2, 'n_name', 'string', true, 'VARCHAR(4000)'),
+        |  ('nation', 3, 'n_regionkey', 'int', true, 'INTEGER'),
+        |  ('part', 1, 'p_partkey', 'bigint', true, 'BIGINT'),
+        |  ('part', 2, 'p_name', 'string', true, 'VARCHAR(4000)'),
+        |  ('part', 3, 'p_brand', 'string', true, 'VARCHAR(4000)'),
+        |  ('part', 4, 'p_type', 'string', true, 'VARCHAR(4000)'),
+        |  ('part', 5, 'p_size', 'int', true, 'INTEGER'),
+        |  ('part', 6, 'p_retailprice', 'double', true, 'DOUBLE')
+        |) AS t(table_name, ordinal, column_name, data_type, nullable, jdbc_ddl_type)
         |ORDER BY table_name, ordinal""".stripMargin,
     "copy_append" ->
       """WITH doubled AS (SELECT * FROM nation UNION ALL SELECT * FROM nation)
@@ -360,12 +362,15 @@ object SparkEntry {
         |)
         |SELECT doc_id, round(score, 6) AS quality, (score >= 0.5::DOUBLE) AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Text payloads never parse as PNG/JPEG, so the oracle pins the fallback
+    // branch; the real header parsers are covered by MultimodalSpec.
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_len,
         |  hex(substr(text, 1, 4)::BLOB) AS prefix_hex,
-        |  (octet_length(encode(text)) % 640)::INTEGER AS fake_width,
-        |  (octet_length(encode(text)) % 480)::INTEGER AS fake_height
+        |  'unknown' AS format,
+        |  (octet_length(encode(text)) % 640)::INTEGER AS width,
+        |  (octet_length(encode(text)) % 480)::INTEGER AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_embed_stats" ->
       s"""WITH e AS (

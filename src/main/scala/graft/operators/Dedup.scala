@@ -1,20 +1,33 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
 /** Deduplication operators for LLM-corpus curation (SURVEY.md §2.3).
   *
-  * Scale design (the whole point): nothing here is ever all-pairs.
+  * Scale design (the whole point): nothing here is ever all-pairs, and no
+  * candidate-generation step is quadratic in corpus size.
   *  - Exact dedup groups by a 256-bit content hash — one shuffle, linear.
-  *  - MinHash-LSH emits (band-key, doc) rows and only equi-joins docs that
-  *    collide in a band; exact Jaccard runs on candidates only. At 100 TB the
-  *    band join is a plain shuffle join, linear in candidate pairs.
-  *  - SimHash buckets 64-bit fingerprints by 16-bit chunks (pigeonhole: any
-  *    pair within Hamming distance 3 shares at least one of 4 chunks), so the
-  *    pair search is 4 equi-joins, never a cross join.
+  *  - MinHash-LSH first collapses exact-duplicate clusters to one
+  *    representative (k identical docs would otherwise collide in every band
+  *    and emit k² candidates), then emits (band-key, rep) rows and only
+  *    equi-joins reps that collide in a band; exact Jaccard runs on candidate
+  *    rep pairs only, and rep-level results expand back to doc pairs.
+  *  - SimHash groups identical fingerprints first, then buckets the distinct
+  *    fingerprints by Manku-style multi-block composite keys: the 64-bit
+  *    fingerprint splits into 6 blocks and the key is a *combination of 3
+  *    blocks* (C(6,3) = 20 keys, >= 32 bits each). Any pair within Hamming
+  *    distance 3 leaves >= 3 blocks untouched, hence shares >= 1 composite
+  *    key (pigeonhole) — full recall, but random collisions now need a 32-bit
+  *    agreement instead of 16, so expected candidates are ~20·N²/2^32:
+  *    effectively linear at billions of documents where 16-bit chunks
+  *    (~N²/2^16) were a scale-killer.
+  *    (Manku, Jain, Sarma: "Detecting Near-Duplicates for Web Crawling",
+  *    WWW 2007 — the block-permutation scheme, here as composite equi-join
+  *    keys instead of sorted permuted tables.)
   */
 object Dedup {
 
@@ -71,31 +84,69 @@ object Dedup {
         graft.functions.MinhashSignature(columnExpr(hs), hashA, hashB, MinhashP)))
   }
 
-  /** §2.3 #24 — MinHash-LSH near-dup pairs, verified with exact Jaccard.
-    * Candidates come ONLY from band collisions (equi-join on the band
-    * struct); exact verification joins shingle sets for candidates only.
+  /** Signatures annotated with a 256-bit exact-content key (sha256 of the
+    * trimmed text — exactly the bytes the shingling tokenizes, so equal key
+    * implies equal shingle set), plus the per-key representative doc. Only
+    * representatives enter LSH banding; an exact-duplicate cluster of any
+    * size contributes ONE row per band instead of k.
     */
-  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    val sig = signatures(spark, dir)
-    val banded = sig.select(col("doc_id"),
+  private def groupedSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
+    signatures(spark, dir)
+      .join(keys, "doc_id")
+      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ckey")))
+  }
+
+  /** Candidate representative pairs from MinHash band collisions ONLY (the
+    * equi-join that replaces all-pairs search). Exposed for the DedupSpec
+    * scale assertion: candidate count must stay near-linear even when the
+    * corpus is full of exact duplicates.
+    */
+  private[graft] def jaccardCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val reps = groupedSignatures(spark, dir).where(col("doc_id") === col("rep_id"))
+    val banded = reps.select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, 31), i -> struct(i AS band, sig[2*i] AS h1, sig[2*i+1] AS h2))"))
           .as("bk"))
-    val candidates = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"))
       .distinct()
-    val sets = sig.select(col("doc_id"), col("sh"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+  }
+
+  /** §2.3 #24 — MinHash-LSH near-dup pairs, verified with exact Jaccard.
+    * Pipeline: collapse exact-duplicate clusters -> band representatives ->
+    * candidate rep pairs from band collisions -> exact Jaccard on candidates
+    * only -> expand rep-level results back to doc pairs (identical docs share
+    * a shingle set, so the rep-level Jaccard IS the pair's Jaccard; pairs
+    * inside one cluster are emitted directly at Jaccard 1.0).
+    */
+  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val grouped = groupedSignatures(spark, dir).select("doc_id", "ckey", "rep_id", "sh")
+    val repSets = grouped.where(col("doc_id") === col("rep_id")).select("doc_id", "sh")
+    val verified = jaccardCandidates(spark, dir)
+      .join(repSets.select(col("doc_id").as("rep_a"), col("sh").as("sa")), "rep_a")
+      .join(repSets.select(col("doc_id").as("rep_b"), col("sh").as("sb")), "rep_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("j",
         col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .where(col("j") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("rep_a"), col("rep_b"), col("j"))
+    val members = grouped.select(col("rep_id"), col("doc_id"))
+    val cross = verified
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), round(col("j"), 6).as("jaccard"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.unionAll(within).orderBy("doc_a", "doc_b")
+    else cross.orderBy("doc_a", "doc_b")
   }
 
   /** SimHash fingerprint per document over word tokens: bit k is the
@@ -113,27 +164,70 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
+  /** 6 blocks covering the 64-bit fingerprint: (shift, width). */
+  private val SimhashBlocks: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** All C(6,3) = 20 block triples; a pair within Hamming distance 3 has its
+    * differing bits in at most 3 blocks, so at least one triple is identical
+    * on both sides.
+    */
+  private val SimhashCombos: Seq[(Seq[Int], Int)] =
+    (0 until SimhashBlocks.size).combinations(3).toSeq.map(_.toSeq).zipWithIndex
+
+  /** The 20 composite keys for one fingerprint column, each packed into a
+    * single long: comboId<<33 | block_i<<22 | block_j<<11 | block_k (block
+    * values < 2^11, so fields never overlap). A one-long shuffle key keeps
+    * the candidate equi-join exchange as small as possible.
+    */
+  private def simhashKeys(fp: Column): Column = {
+    def block(i: Int): Column = {
+      val (off, w) = SimhashBlocks(i)
+      shiftright(fp, off).bitwiseAND(lit((1L << w) - 1))
+    }
+    array(SimhashCombos.map { case (Seq(i, j, k), id) =>
+      shiftleft(lit(id.toLong), 33)
+        .bitwiseOR(shiftleft(block(i), 22))
+        .bitwiseOR(shiftleft(block(j), 11))
+        .bitwiseOR(block(k))
+    }: _*)
+  }
+
+  /** Candidate fingerprint pairs from composite-key collisions, over DISTINCT
+    * fingerprints only (identical docs collapse before the join). Exposed for
+    * the DedupSpec scale assertion.
+    */
+  private[graft] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val dfp = simhashFingerprints(spark, dir).select("fp").distinct()
+    val keyed = dfp.select(col("fp"), explode(simhashKeys(col("fp"))).as("k"))
+    keyed.as("x")
+      .join(keyed.as("y"), col("x.k") === col("y.k") && col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .distinct()
+  }
+
   /** §2.3 #25 — SimHash near-dup pairs within Hamming distance `maxDist`.
-    * Pigeonhole bucketing: the 64-bit fingerprint splits into 4 x 16-bit
-    * chunks; any pair with <= 3 differing bits agrees on >= 1 chunk, so
-    * candidates are the union of 4 chunk-equality equi-joins. No oracle SQL
-    * (driver records rows-only); ScalaTest cross-checks vs brute force.
+    * Candidates come from the multi-block composite-key equi-join on distinct
+    * fingerprints; verified pairs expand back through the fingerprint ->
+    * doc_id membership, and pairs sharing one fingerprint (Hamming 0) are
+    * emitted directly. Requires maxDist <= 3 (the pigeonhole guarantee of
+    * the 6-choose-3 block scheme).
     */
   def nearDupSimhash(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, s"6-block/3-combo keys guarantee recall only to Hamming 3, got $maxDist")
     val fp = simhashFingerprints(spark, dir)
-    val chunked = fp.select(col("doc_id"), col("fp"),
-        explode(expr(
-          "transform(sequence(0, 3), c -> struct(c AS chunk, shiftright(fp, c*16) & 65535 AS v))"))
-          .as("ck"))
-    chunked.as("x")
-      .join(chunked.as("y"),
-        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .distinct()
+    val cross = simhashCandidates(spark, dir)
       .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
       .where(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+      .join(fp.select(col("fp").as("fa"), col("doc_id").as("da")), "fa")
+      .join(fp.select(col("fp").as("fb"), col("doc_id").as("db")), "fb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val within = fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 }

@@ -12,41 +12,91 @@ import graft.sources.Tables
   * task touches only its batch (bounded memory, no driver involvement), and
   * everything downstream of decode is ordinary typed columns.
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — with a deterministic fake (dimensions derived from byte length).
-  * The Spark-side plumbing is real: binary encoding, typed Dataset schema,
-  * mapPartitions batch shape, and metadata extraction are exactly what a real
-  * decoder would plug into (swap [[decodeStub]]'s body for the codec call).
+  * The decode is REAL for PNG and JPEG: container headers are parsed from the
+  * raw bytes (pure-JVM byte arithmetic — IHDR for PNG, SOFn for JPEG — no
+  * codec library needed for dimensions). Payloads that are not recognizable
+  * media fall back to a deterministic stub (dimensions derived from byte
+  * length), which keeps the pipeline oracle-checkable end-to-end on the text
+  * corpus while MultimodalSpec exercises the real parsers on synthetic
+  * image bytes.
   */
 object Multimodal {
 
   /** An opaque media payload: id + raw bytes. */
   case class MediaBlob(doc_id: Long, data: Array[Byte])
 
-  /** Decoded metadata a real codec would emit. */
-  case class MediaMeta(doc_id: Long, byte_len: Long, prefix_hex: String,
-                       fake_width: Int, fake_height: Int)
-
-  /** STUB decode: a real implementation would parse the container header
-    * (e.g. PNG IHDR / JPEG SOF) from `data`. Deterministic fake so the
-    * pipeline is oracle-checkable end-to-end.
+  /** Decoded metadata: container format + dimensions (fallback dimensions
+    * for unrecognized payloads).
     */
-  def decodeStub(blob: MediaBlob): MediaMeta = {
+  case class MediaMeta(doc_id: Long, byte_len: Long, prefix_hex: String,
+                       format: String, width: Int, height: Int)
+
+  private def be32(d: Array[Byte], p: Int): Int =
+    ((d(p) & 0xff) << 24) | ((d(p + 1) & 0xff) << 16) | ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)
+
+  private def be16(d: Array[Byte], p: Int): Int =
+    ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff)
+
+  private val PngSignature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse (format, width, height) from a PNG IHDR or JPEG SOFn header.
+    * Returns None for anything that is not a well-formed PNG/JPEG prefix —
+    * the caller decides the fallback. Bounded work: O(header bytes), never
+    * scans the payload body.
+    */
+  private[graft] def parseImageHeader(d: Array[Byte]): Option[(String, Int, Int)] = {
+    if (d.length >= 24 && d.take(8).sameElements(PngSignature) &&
+        d(12) == 'I' && d(13) == 'H' && d(14) == 'D' && d(15) == 'R') {
+      Some(("png", be32(d, 16), be32(d, 20)))
+    } else if (d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xff) == 0xd8) {
+      // Walk JPEG marker segments to the first start-of-frame (SOF0..SOF15
+      // minus DHT/JPG/DAC), which carries the frame dimensions.
+      var p = 2
+      while (p + 3 < d.length) {
+        if ((d(p) & 0xff) != 0xff) return None
+        val m = d(p + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (p + 8 >= d.length) return None
+          return Some(("jpeg", be16(d, p + 7), be16(d, p + 5)))
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) {
+          p += 2 // standalone marker, no length field
+        } else {
+          val segLen = be16(d, p + 2)
+          if (segLen < 2) return None
+          p += 2 + segLen
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Decode one payload: real header parse for PNG/JPEG, deterministic
+    * fallback ("unknown", fake dims from byte length) otherwise.
+    */
+  def decode(blob: MediaBlob): MediaMeta = {
     val len = blob.data.length.toLong
     val prefix = blob.data.take(4).map(b => f"${b & 0xff}%02X").mkString
-    MediaMeta(blob.doc_id, len, prefix,
-      fake_width = (len % 640).toInt, fake_height = (len % 480).toInt)
+    parseImageHeader(blob.data) match {
+      case Some((fmt, w, h)) => MediaMeta(blob.doc_id, len, prefix, fmt, w, h)
+      case None =>
+        MediaMeta(blob.doc_id, len, prefix, "unknown",
+          width = (len % 640).toInt, height = (len % 480).toInt)
+    }
   }
 
   /** Binary-column pipeline: text bytes stand in for a media payload. The
     * decode runs inside `mapPartitions` (one JVM call per batch of rows — the
-    * Scala analogue of `mapInPandas` batch processing).
+    * Scala analogue of `mapInPandas` batch processing); this is the plug-in
+    * point where a full codec (pixel decode, resampling, frame extraction)
+    * would run, which is why it is deliberately NOT a Catalyst expression:
+    * codecs need scratch buffers and library handles that amortize across a
+    * partition, not per-row codegen.
     */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val blobs: Dataset[MediaBlob] = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
       .as[MediaBlob]
-    blobs.mapPartitions(_.map(decodeStub)).toDF().orderBy("doc_id")
+    blobs.mapPartitions(_.map(decode)).toDF().orderBy("doc_id")
   }
 }

@@ -166,13 +166,22 @@ object Relational {
   /** §2.2 #16 — left-anti join (NOT EXISTS): parts never sold near the
     * maximum discount (the right side is pre-filtered so the anti set is
     * non-empty at every scale factor).
+    *
+    * The build side is pre-aggregated to DISTINCT join keys: an anti join
+    * only needs key existence, and the distinct is bounded by part
+    * cardinality no matter how large lineitem grows — the scale-robust
+    * shape (a raw filtered fact table as build side grows with the data).
+    * AQE picks broadcast vs shuffle for the key set from its runtime size.
     */
-  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val soldKeys = t(spark, dir, "lineitem")
+      .where(col("l_discount") >= 0.09)
+      .select("l_partkey").distinct()
     t(spark, dir, "part")
-      .join(t(spark, dir, "lineitem").where(col("l_discount") >= 0.09),
-        col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(soldKeys, col("p_partkey") === col("l_partkey"), "left_anti")
       .select("p_partkey", "p_name")
       .orderBy("p_partkey")
+  }
 
   /** §2.2 #17 — ROLLUP grouping sets with subtotal rows; grouping-set nulls
     * surfaced as '*' so ordering is engine-neutral (null-order defaults

@@ -53,44 +53,44 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded): nBits x dim gaussians. */
+  /** Deterministic random hyperplanes (seeded): nBits x dim gaussians. The
+    * draw is sequential, so the first b planes are identical for every
+    * nBits >= b — bucket bit j never depends on how many bits are in use,
+    * which is what lets the oracle gate embedded planes by a runtime bit
+    * count.
+    */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Bucket-bit count scaled to corpus size: ceil(log2 N) - 2, i.e. expected
+    * bucket occupancy ~4 per table regardless of N. With that, per-query
+    * candidates are ~4·nTables = O(1) in corpus size — the property that
+    * makes the equi-join ANN path survive a 100× scale-up (a fixed bit count
+    * would make candidates Θ(N)). Recall is then bought with `nTables`, whose
+    * cost (nTables·nBits hyperplane dots per vector) is trivial next to one
+    * brute-force pass.
+    */
+  private[graft] def autoBits(n: Long, maxBits: Int): Int = {
+    val ceilLog2 = if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(6, math.min(maxBits, ceilLog2 - 2))
+  }
+
   /** §2.3 #27 — LSH-bucketed approximate top-k, multi-table: `nTables`
-    * independent hyperplane tables of `nBits` sign bits each. A vector lands
-    * in one bucket per table; candidates are rows sharing (table, bucket)
-    * with a query — a plain equi-join on a composite key, never a cross join.
-    * Multi-probe via table count: recall ~ 1-(1-p^nBits)^nTables where p is
-    * the per-plane agreement probability, so nTables trades linear work for
-    * recall while each table stays selective. The ScalaTest suite measures
-    * recall vs the brute-force baseline; the driver records rows-only.
+    * independent hyperplane tables of `nBits` sign bits each (nBits <= 0 =
+    * auto-scale from the corpus count via [[autoBits]]). A vector lands in
+    * one bucket per table; candidates are rows sharing (table, bucket) with a
+    * query — a plain equi-join on a composite key, never a cross join.
+    * Recall ~ 1-(1-p^nBits)^nTables where p is the per-plane agreement
+    * probability, so nTables trades linear work for recall while each table
+    * stays selective. The ScalaTest suite asserts recall vs the brute-force
+    * baseline AND that the candidate set stays far below N·Q.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
-              nBits: Int = 6, nTables: Int = 8): DataFrame = {
-    val emb = embeddings(spark, dir)
-    val dim = 64
-    // One struct(tbl, bucket) per table: each sign bit is a native dot-product
-    // kernel against an array literal — small plan, codegen'd projections.
-    val bucketCols = (0 until nTables).map { t =>
-      val planes = hyperplanes(nBits, dim, seed = 7L + t)
-      val bits = (0 until nBits).map { j =>
-        when(dot(col("v"), typedlit(planes(j).toSeq)) > 0d, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bits.as("b"))
-    }
-    val bucketed = emb.withColumn("bk", explode(array(bucketCols: _*)))
-    val queries = bucketed.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bk").as("q_bk"))
+              nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    bucketed
-      .join(broadcast(queries),
-        col("bk") === col("q_bk") && col("vec_id") =!= col("q_id"))
-      .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
-      .dropDuplicates("q_id", "vec_id") // a pair may collide in several tables; score it once
+    candidatePairs(spark, dir, nQueries, nBits, nTables, maxBits)
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -98,14 +98,50 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Distinct (query, candidate) pairs from LSH bucket collisions — the
+    * pre-scoring candidate set. Exposed so SimilaritySpec can assert the
+    * scale contract |candidates| << N·Q directly.
+    */
+  private[graft] def candidatePairs(spark: SparkSession, dir: String, nQueries: Int,
+                                    nBits: Int, nTables: Int, maxBits: Int): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val dim = 64
+    val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBits)
+    // One struct(tbl, bucket) per table: each sign bit is a native dot-product
+    // kernel against an array literal — small plan, codegen'd projections.
+    val bucketCols = (0 until nTables).map { t =>
+      val planes = hyperplanes(bits, dim, seed = 7L + t)
+      val bitSum = (0 until bits).map { j =>
+        when(dot(col("v"), typedlit(planes(j).toSeq)) > 0d, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bitSum.as("b"))
+    }
+    val bucketed = emb.withColumn("bk", explode(array(bucketCols: _*)))
+    val queries = bucketed.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bk").as("q_bk"))
+    bucketed
+      .join(broadcast(queries),
+        col("bk") === col("q_bk") && col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "v", "nrm", "qv", "qn")
+      .dropDuplicates("q_id", "vec_id") // a pair may collide in several tables; score it once
+  }
+
   /** DuckDB oracle SQL for [[lshTopK]]: the hyperplane coefficients are
     * embedded as double literals (shortest-repr round-trips exactly), and
     * every dot product is the same left-to-right fold as the Spark kernel, so
     * bucket assignments and cosine scores reproduce bit-for-bit — which is
     * what lets an approximate ANN operator have an EXACT oracle.
+    *
+    * The auto-scaled bit count is computed IN SQL from the corpus count
+    * (`length(bin(count-1)) - 2` = ceil(log2 N) - 2, exactly [[autoBits]]'s
+    * integer arithmetic — no floating log whose last-ulp could differ across
+    * engines), and each embedded plane's bit is gated by `j < nbits`, so one
+    * static oracle string stays exact at EVERY scale factor up to
+    * 2^(maxBits+2) vectors.
     */
-  def lshOracleSql(nQueries: Int = 10, k: Int = 10, nBits: Int = 6,
-                   nTables: Int = 8): String = {
+  def lshOracleSql(nQueries: Int = 10, k: Int = 10, nTables: Int = 16,
+                   maxBits: Int = 12): String = {
     def dotLit(plane: Array[Double]): String = {
       val prods = plane.zipWithIndex.map { case (c, i) => s"v[${i + 1}] * $c" }.mkString(", ")
       s"list_reduce(list_prepend(0.0::DOUBLE, [$prods]), (x, y) -> x + y)"
@@ -115,13 +151,14 @@ object Similarity {
     val crossDot =
       "list_reduce(list_prepend(0.0::DOUBLE, [cv.v[i] * qv.v[i] FOR i IN generate_series(1, len(cv.v))]), (x, y) -> x + y)"
     val tables = (0 until nTables).map { t =>
-      val planes = hyperplanes(nBits, 64, seed = 7L + t)
-      val bits = (0 until nBits).map { j =>
-        s"CASE WHEN ${dotLit(planes(j))} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      val planes = hyperplanes(maxBits, 64, seed = 7L + t)
+      val bits = (0 until maxBits).map { j =>
+        s"CASE WHEN $j < p.nbits AND ${dotLit(planes(j))} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
       }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, ($bits) AS b FROM n"
+      s"SELECT vec_id, $t AS tbl, ($bits) AS b FROM n, p"
     }.mkString("\nUNION ALL\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT GREATEST(6, LEAST($maxBits, length(bin(count(*) - 1)) - 2)) AS nbits FROM e),
        |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
        |bk AS (
        |$tables

@@ -2,36 +2,144 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 import graft.sources.{PartitionPlan, Tables}
 
 /** The reference's core surface: copy tables from a source catalog to a
   * destination, with schema replication, include/exclude set filtering, and
-  * truncate/append write modes. Re-expressed Spark-first: a copy is a
-  * distributed `read -> write` job (no driver materialization, no row ever
+  * truncate/recreate/append write modes. Re-expressed Spark-first: a copy is
+  * a distributed `read -> write` job (no driver materialization, no row ever
   * passes through the driver), so the same code moves 5 rows or 100 TB — the
   * cluster's write parallelism is the "bulk copy" batch parallelism.
+  *
+  * Source/destination are [[TableCopy.Store]]s: a parquet directory (the
+  * default test catalog) or a real JDBC database. The JDBC path is the
+  * reference's literal surface (SQL Server -> SQL Server): reads use
+  * [[graft.sources.PartitionPlan]] stride predicates as genuine
+  * `spark.read.jdbc(url, table, predicates, ...)` parallel chunks, and writes
+  * use the JDBC batch writer with per-table DDL from [[schemaManifest]]'s
+  * type mapping (`createTableColumnTypes`).
   */
 object TableCopy {
 
-  /** Write-mode semantics mirroring the reference's switches:
-    * Truncate = drop existing rows then load (SaveMode.Overwrite),
-    * Append = add rows to whatever is there (SaveMode.Append).
+  /** Write-mode semantics mirroring the reference's switches.
+    *  - Truncate: drop existing ROWS, keep the table/DDL, then load. On JDBC
+    *    this is `TRUNCATE TABLE` + insert (Overwrite with truncate=true); on
+    *    parquet it is an overwrite of the directory contents.
+    *  - Recreate: drop the TABLE itself (DDL included) and re-create from the
+    *    source schema, then load. Distinct from Truncate only on destinations
+    *    that carry DDL (JDBC); parquet is self-describing so both collapse to
+    *    a directory overwrite.
+    *  - Append: add rows to whatever is there.
     */
   sealed trait Mode { def saveMode: SaveMode }
   case object Truncate extends Mode { def saveMode: SaveMode = SaveMode.Overwrite }
+  case object Recreate extends Mode { def saveMode: SaveMode = SaveMode.Overwrite }
   case object Append extends Mode { def saveMode: SaveMode = SaveMode.Append }
 
-  /** Copy one table. Returns the row count at the destination after the
-    * write. Fully distributed: source partitions map to write tasks 1:1; at
-    * 100 TB the only tuning knob is target file size via
-    * `spark.sql.files.maxPartitionBytes` on the read side.
+  /** A table endpoint: somewhere tables can be enumerated, read, written. */
+  sealed trait Store {
+    def read(spark: SparkSession, table: String): DataFrame
+    def write(df: DataFrame, table: String, mode: Mode): Unit
+    def list(spark: SparkSession): Seq[String]
+  }
+
+  /** Directory-of-parquet catalog (the driver's test data layout). */
+  final case class ParquetStore(dir: String) extends Store {
+    def read(spark: SparkSession, table: String): DataFrame =
+      Tables.load(spark, dir, table)
+    def write(df: DataFrame, table: String, mode: Mode): Unit =
+      df.write.mode(mode.saveMode).parquet(Tables.path(dir, table))
+    def list(spark: SparkSession): Seq[String] = Tables.list(spark, dir)
+  }
+
+  /** A JDBC database endpoint. Tested against embedded Derby (the JDBC
+    * driver that ships with Spark); the options map carries anything the
+    * target needs (user/password/driver/isolationLevel...).
+    *
+    * Reads are parallel when `partitionColumn` is set: bounds come from one
+    * min/max round-trip and the stride predicates are passed to
+    * `spark.read.jdbc(url, table, predicates, ...)` — each executor task
+    * issues its own bounded WHERE-clause query, the JDBC analogue of reading
+    * one parquet row-group range per task.
+    */
+  final case class JdbcStore(
+      url: String,
+      options: Map[String, String] = Map.empty,
+      numPartitions: Int = 1,
+      partitionColumn: Option[String] = None) extends Store {
+
+    private def props: java.util.Properties = {
+      val p = new java.util.Properties()
+      options.foreach { case (k, v) => p.setProperty(k, v) }
+      p
+    }
+
+    def read(spark: SparkSession, table: String): DataFrame =
+      partitionColumn match {
+        case Some(c) if numPartitions > 1 =>
+          val bounds = spark.read.jdbc(url, table, props)
+            .agg(min(col(c)).cast("long"), max(col(c)).cast("long")).collect()(0)
+          if (bounds.isNullAt(0)) spark.read.jdbc(url, table, props)
+          else {
+            // Quote the identifier: Spark's JDBC writer creates columns
+            // case-sensitively, so a bare name would be upcased by the DB.
+            val preds = PartitionPlan.stridePredicates(
+              "\"" + c + "\"", bounds.getLong(0), bounds.getLong(1) + 1, numPartitions)
+            spark.read.jdbc(url, table, preds.toArray, props)
+          }
+        case _ => spark.read.jdbc(url, table, props)
+      }
+
+    def write(df: DataFrame, table: String, mode: Mode): Unit = {
+      var w = df.write.mode(mode.saveMode)
+        .option("createTableColumnTypes", columnTypesDdl(df.schema))
+      options.foreach { case (k, v) => w = w.option(k, v) }
+      // Truncate keeps the destination DDL (TRUNCATE + load); Recreate
+      // drops and re-creates the table (Spark's default overwrite path).
+      if (mode == Truncate) w = w.option("truncate", "true")
+      w.jdbc(url, table, props)
+    }
+
+    def list(spark: SparkSession): Seq[String] = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) names += rs.getString("TABLE_NAME")
+        names.toSeq.sorted
+      } finally conn.close()
+    }
+  }
+
+  /** Copy one table between stores. Returns the row count at the destination
+    * after the write. Fully distributed: source partitions map to write tasks
+    * 1:1; at 100 TB the only tuning knobs are scan split size on the read
+    * side and `maxRecordsPerFile` / JDBC batch size on the write side.
     *
     * @param columns   optional column subset to replicate (empty = all)
     * @param predicate optional SQL predicate for incremental copies
     *                  (e.g. "o_orderdate >= '2024-01-01'") — pushed to the
-    *                  source scan, so only matching row groups are read
+    *                  source scan (parquet row-group skip / JDBC WHERE)
+    */
+  def copy(
+      spark: SparkSession,
+      src: Store,
+      dest: Store,
+      table: String,
+      mode: Mode = Truncate,
+      columns: Seq[String] = Seq.empty,
+      predicate: Option[String] = None): Long = {
+    var df = src.read(spark, table)
+    predicate.foreach(p => df = df.where(p))
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
+    dest.write(df, table, mode)
+    dest.read(spark, table).count()
+  }
+
+  /** Directory-to-directory convenience wrapper (the driver-contract shape).
+    *
     * @param maxRecordsPerFile optional cap on rows per output file — the
     *                  batch-size analogue of the reference's bulk-copy
     *                  BatchSize; at 100 TB this bounds individual file sizes
@@ -56,7 +164,12 @@ object TableCopy {
   }
 
   /** Copy a filtered set of tables (the reference's include/exclude loop) and
-    * return a manifest DataFrame (table_name, n_rows) for auditing.
+    * return a manifest DataFrame (table_name, n_rows, status) for auditing.
+    *
+    * Failure isolation: one broken table does not abort the run — its
+    * manifest row records status = "error: ..." with n_rows = -1, and every
+    * other table still copies, matching the reference's per-table error
+    * reporting loop.
     *
     * `parallelism > 1` mirrors the reference's -Parallel switch: independent
     * tables are submitted as concurrent Spark jobs from a thread pool. The
@@ -73,56 +186,86 @@ object TableCopy {
       exclude: Seq[String] = Seq.empty,
       mode: Mode = Truncate,
       parallelism: Int = 1): DataFrame = {
-    val names = Tables.list(spark, srcDir)
+    val names = (Tables.list(spark, srcDir) ++ include).distinct.sorted
       .filter(n => include.isEmpty || include.contains(n))
       .filterNot(exclude.contains)
-    val manifest: Seq[(String, Long)] =
-      if (parallelism <= 1) {
-        names.map(t => (t, copyTable(spark, srcDir, destDir, t, mode)))
-      } else {
+    def one(t: String): (String, Long, String) =
+      try { (t, copyTable(spark, srcDir, destDir, t, mode), "ok") }
+      catch { case e: Throwable =>
+        (t, -1L, s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
+      }
+    val manifest: Seq[(String, Long, String)] =
+      if (parallelism <= 1) names.map(one)
+      else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try {
-          val futures = names.map(t =>
-            Future(t -> copyTable(spark, srcDir, destDir, t, mode)))
-          Await.result(Future.sequence(futures), Duration.Inf)
-        } finally pool.shutdown()
+        try Await.result(Future.sequence(names.map(t => Future(one(t)))), Duration.Inf)
+        finally pool.shutdown()
       }
     import spark.implicits._
-    manifest.toDF("table_name", "n_rows").orderBy("table_name")
+    manifest.toDF("table_name", "n_rows", "status").orderBy("table_name")
   }
 
   /** Canonical type name for the schema manifest (engine-neutral spelling so
     * the manifest is comparable across runtimes).
     */
-  private[graft] def canonicalType(dt: org.apache.spark.sql.types.DataType): String =
-    dt.sql.toLowerCase
+  private[graft] def canonicalType(dt: DataType): String = dt.sql.toLowerCase
+
+  /** ANSI/JDBC column type for DDL generation — what the reference's SMO
+    * scripting emits per column, and what Spark's `createTableColumnTypes`
+    * option consumes on a JDBC destination. Kept to types Derby/SQL Server/
+    * Postgres all accept.
+    */
+  private[graft] def jdbcType(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case StringType => "VARCHAR(4000)"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case BinaryType => "BLOB"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => canonicalType(other).toUpperCase
+  }
+
+  /** `createTableColumnTypes`-form DDL fragment for a schema:
+    * "col TYPE, col TYPE, ...". (Spark's JDBC writer adds NOT NULL itself
+    * from each field's nullability, so the fragment carries types only.)
+    */
+  private[graft] def columnTypesDdl(schema: StructType): String =
+    schema.fields.map(f => s"${f.name} ${jdbcType(f.dataType)}").mkString(", ")
 
   /** Schema replication as data: for each table, one row per column with its
-    * ordinal and canonical type — the Spark-native analogue of the reference
-    * scripting the source DDL onto the destination before the copy. (Parquet
-    * is self-describing, so replicating the schema *object* is the write
-    * itself; this manifest is the auditable DDL record.)
+    * ordinal, canonical type, nullability, and generated JDBC DDL type — the
+    * Spark-native analogue of the reference scripting the source DDL onto the
+    * destination before the copy. (Parquet is self-describing, so replicating
+    * the schema *object* is the write itself; this manifest is the auditable
+    * DDL record, and [[columnTypesDdl]] feeds the same mapping to real JDBC
+    * writes.)
     */
   def schemaManifest(spark: SparkSession, srcDir: String, tables: Seq[String]): DataFrame = {
     import spark.implicits._
     val rows = tables.sorted.flatMap { t =>
       val schema: StructType = Tables.load(spark, srcDir, t).schema
       schema.fields.zipWithIndex.map { case (f, i) =>
-        (t, i + 1, f.name, canonicalType(f.dataType))
+        (t, i + 1, f.name, canonicalType(f.dataType), f.nullable, jdbcType(f.dataType))
       }
     }
-    rows.toDF("table_name", "ordinal", "column_name", "data_type")
+    rows.toDF("table_name", "ordinal", "column_name", "data_type", "nullable", "jdbc_ddl_type")
       .orderBy("table_name", "ordinal")
   }
 
-  /** JDBC-style partitioned parallel read: split a table on a numeric key into
-    * stride predicates and read the chunks as one union. Bounds come from one
-    * tiny min/max aggregate (the same round-trip `spark.read.jdbc` does).
-    * The union of disjoint filters re-assembles the table exactly; Catalyst
-    * pushes each stride predicate down to the scan.
+  /** JDBC-style partitioned parallel read over the parquet catalog: split a
+    * table on a numeric key into stride predicates and read the chunks as one
+    * union. Bounds come from one tiny min/max aggregate (the same round-trip
+    * `spark.read.jdbc` does). The union of disjoint filters re-assembles the
+    * table exactly; Catalyst pushes each stride predicate down to the scan.
+    * [[JdbcStore.read]] drives the identical planner against a real database.
     */
   def partitionedRead(
       spark: SparkSession,

@@ -69,6 +69,67 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.5, s"simhash recall on strong Jaccard pairs: $recall")
   }
 
+  /** Write a synthetic documents.parquet so operators can run on a corpus
+    * with a controlled duplicate structure (the driver corpus is read-only).
+    */
+  private def corpusDir(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact-duplicate clusters collapse before banding: candidates stay near-linear") {
+    // 100 identical docs + 100 mutually-unrelated docs. Without pre-grouping
+    // the identical cluster alone emits C(100,2)=4950 band candidates; with
+    // it, the cluster is ONE representative and candidate count is ~0.
+    val dup = (0L until 100L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val uniq = (100L until 200L).map(i => (i, s"u$i v$i w$i x$i y$i"))
+    val dir = corpusDir(dup ++ uniq)
+    assert(Dedup.jaccardCandidates(spark, dir).count() <= 10)
+    // ...and the final output still contains every duplicate pair, expanded
+    // back from the representative, at Jaccard exactly 1.0.
+    val pairs = Dedup.nearDupJaccard(spark, dir, 0.6).collect()
+    assert(pairs.length == 100 * 99 / 2)
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b && b < 100 })
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("simhash multi-block keys: identical fingerprints pre-group, candidates near-linear") {
+    val dup = (0L until 100L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    // Unrelated docs need unrelated TOKENS: the cross-engine char-polynomial
+    // hash maps strings differing only in a final digit to hashes differing
+    // by ±1, which correlates fingerprints by construction. Random words
+    // model a real heterogeneous corpus.
+    val uniq = (100L until 200L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Seq.fill(8)(Seq.fill(8)(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" "))
+    }
+    val dir = corpusDir(dup ++ uniq)
+    // Candidate generation runs over DISTINCT fingerprints with >=32-bit
+    // composite keys: random collisions need a 1-in-2^32 agreement, so the
+    // unrelated docs contribute ~0 candidates.
+    assert(Dedup.simhashCandidates(spark, dir).count() <= 10)
+    val got = Dedup.nearDupSimhash(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // All C(100,2) identical pairs surface at Hamming 0 via the group path.
+    val withinDup = got.filter { case (a, b, _) => a < 100 && b < 100 }
+    assert(withinDup.size == 100 * 99 / 2)
+    assert(withinDup.forall(_._3 == 0))
+    // Cross-check the whole output against a brute-force Hamming scan.
+    val fps = Dedup.simhashFingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      d = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if d <= 3
+    } yield (math.min(fps(i)._1, fps(j)._1), math.max(fps(i)._1, fps(j)._1), d)).toSet
+    assert(got == expected, s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val a = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq
     val b = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq

@@ -45,7 +45,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("LSH recall@10 vs brute force is useful (> 0.2 with 8-bit buckets)") {
+  test("LSH recall@10 vs brute force is useful (> 0.2 with auto-scaled bits)") {
     val brute = localTopK(5, 10)
     val lsh = Similarity.lshTopK(spark, sf, nQueries = 5, k = 10).collect()
       .groupBy(_.getAs[Long]("q_id"))
@@ -55,6 +55,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
     val mean = recalls.sum / recalls.size
     assert(mean > 0.2, s"mean recall@10 = $mean")
+  }
+
+  test("auto-scaled bits keep expected bucket occupancy constant as N grows") {
+    // ceil(log2 N) - 2 => N / 2^bits stays in [2, 4): per-query candidate
+    // work is O(nTables), independent of corpus size.
+    for (n <- Seq(100L, 500L, 2000L, 1000000L, 1000000000L)) {
+      val b = Similarity.autoBits(n, maxBits = 64)
+      val occupancy = n.toDouble / (1L << b)
+      assert(b >= 6, s"n=$n bits=$b")
+      if (n >= 256) assert(occupancy >= 2 && occupancy < 4.0001, s"n=$n bits=$b occ=$occupancy")
+    }
+    assert(Similarity.autoBits(2000, maxBits = 8) == 8) // cap honored
+  }
+
+  test("LSH candidate set stays far below N*Q (the scale contract)") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val q = 5
+    val cands = Similarity.candidatePairs(spark, sf, q, 0, 16, 24).count()
+    assert(cands > 0)
+    assert(cands * 4 < n * q, s"candidates=$cands vs N*Q=${n * q}")
   }
 
   test("embedStats covers every vector exactly once") {

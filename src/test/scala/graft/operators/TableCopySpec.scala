@@ -39,12 +39,71 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       include = Seq("region", "nation", "supplier"), exclude = Seq("supplier"))
     val rows = manifest.collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(rows == Map("nation" -> 25L, "region" -> 5L))
+    assert(manifest.collect().forall(_.getString(2) == "ok"))
   }
 
-  test("schemaManifest lists every column with ordinal and canonical type") {
+  test("copyTables isolates per-table failures: one broken table, rest still copy") {
+    val dest = tmpDir()
+    val rows = TableCopy.copyTables(spark, sf, dest,
+      include = Seq("region", "no_such_table", "nation"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.collect { case (t, n, "ok") => t -> n }.toMap ==
+      Map("nation" -> 25L, "region" -> 5L))
+    val broken = rows.find(_._1 == "no_such_table").get
+    assert(broken._2 == -1L && broken._3.startsWith("error:"), broken)
+    // The healthy tables actually landed on disk.
+    assert(spark.read.parquet(s"$dest/nation.parquet").count() == 25)
+  }
+
+  test("schemaManifest lists ordinal, canonical type, nullability, and JDBC DDL type") {
     val m = TableCopy.schemaManifest(spark, sf, Seq("nation")).collect()
-    assert(m.map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq ==
-      Seq((1, "n_nationkey", "int"), (2, "n_name", "string"), (3, "n_regionkey", "int")))
+    assert(m.map(r => (r.getInt(1), r.getString(2), r.getString(3),
+        r.getBoolean(4), r.getString(5))).toSeq ==
+      Seq((1, "n_nationkey", "int", true, "INTEGER"),
+        (2, "n_name", "string", true, "VARCHAR(4000)"),
+        (3, "n_regionkey", "int", true, "INTEGER")))
+    assert(TableCopy.columnTypesDdl(Tables.load(spark, sf, "nation").schema) ==
+      "n_nationkey INTEGER, n_name VARCHAR(4000), n_regionkey INTEGER")
+  }
+
+  // --- Real JDBC destination/source: embedded Derby (the JDBC driver that
+  // ships on the Spark classpath). The same Store code drives any JDBC URL.
+
+  private def derbyStore(): TableCopy.JdbcStore = TableCopy.JdbcStore(
+    s"jdbc:derby:${tmpDir()}/db;create=true",
+    Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+
+  test("JDBC roundtrip: parquet -> Derby -> read back, rows and values exact") {
+    val store = derbyStore()
+    val n = TableCopy.copy(spark, TableCopy.ParquetStore(sf), store, "nation",
+      TableCopy.Recreate)
+    assert(n == 25)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("n_nationkey").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(norm(store.read(spark, "nation")) == norm(Tables.load(spark, sf, "nation")))
+    assert(store.list(spark).contains("NATION")) // Derby upcases unquoted names
+  }
+
+  test("JDBC write modes: truncate keeps rows out, recreate drops DDL, append accumulates") {
+    val store = derbyStore()
+    val src = TableCopy.ParquetStore(sf)
+    assert(TableCopy.copy(spark, src, store, "region", TableCopy.Recreate) == 5)
+    assert(TableCopy.copy(spark, src, store, "region", TableCopy.Append) == 10)
+    assert(TableCopy.copy(spark, src, store, "region", TableCopy.Truncate) == 5)
+    assert(TableCopy.copy(spark, src, store, "region", TableCopy.Recreate) == 5)
+  }
+
+  test("JDBC partitioned read drives stride predicates as parallel chunk queries") {
+    val base = derbyStore()
+    TableCopy.copy(spark, TableCopy.ParquetStore(sf), base, "customer",
+      TableCopy.Recreate)
+    val expected = Tables.load(spark, sf, "customer").count()
+    val partitioned = base.copy(numPartitions = 4, partitionColumn = Some("c_custkey"))
+    val got = partitioned.read(spark, "customer")
+    assert(got.rdd.getNumPartitions == 4) // one task per stride predicate
+    assert(got.count() == expected)
+    assert(got.select("c_custkey").distinct().count() == expected)
   }
 
   test("parallel copyTables produces the same manifest as sequential") {

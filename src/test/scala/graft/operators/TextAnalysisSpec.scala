@@ -50,13 +50,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("multimodal decode stub emits consistent byte metadata") {
+  test("multimodal decode emits consistent byte metadata (text falls back to stub dims)") {
     val rows = Multimodal.decodeMeta(spark, sf).collect()
     rows.foreach { r =>
       val id = r.getAs[Long]("doc_id")
       val len = r.getAs[Long]("byte_len")
       assert(len == docs(id).getBytes("UTF-8").length.toLong)
-      assert(r.getAs[Int]("fake_width") == (len % 640).toInt)
+      assert(r.getAs[String]("format") == "unknown")
+      assert(r.getAs[Int]("width") == (len % 640).toInt)
       assert(r.getAs[String]("prefix_hex").length == 8)
     }
   }

@@ -62,6 +62,66 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowedCounts runs on a rate-micro-batch source (kafka-shaped unbounded input)") {
+    // rate-micro-batch emits deterministic batches: 100 rows per batch, all
+    // stamped with the batch's timestamp, advancing 10 minutes per batch —
+    // a stand-in for a partitioned Kafka topic with event-time progress.
+    val stream = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "100")
+      .option("numPartitions", "2")
+      .option("startTimestamp", "1704067200000")
+      .option("advanceMillisPerBatch", "600000")
+      .load()
+      .selectExpr("value AS event_id", "timestamp AS ts", "value % 7 AS user_id",
+        "CASE WHEN value % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+        "CAST(value % 10 AS DOUBLE) AS value")
+    val q = EventStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("ratewc")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Unbounded source: let event time advance far enough past the
+      // watermark for several windows to close, then check invariants.
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("ratewc").count() < 4 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table("ratewc").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.length >= 4)
+      // Every closed 10-minute window holds exactly one 100-row batch:
+      // 50 clicks summing value%10 over even ids (=200), 50 views (=250).
+      rows.foreach {
+        case ("click", n, s) => assert(n == 50 && s == 200.0)
+        case ("view", n, s) => assert(n == 50 && s == 250.0)
+        case other => fail(s"unexpected row $other")
+      }
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives each append batch as an ordinary DataFrame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(5), 11, "click", 2.0),
+      Event(3, ts(12), 10, "view", 3.0))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Double)]
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => seen.synchronized {
+        seen ++= batch.collect().map(r =>
+          (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      }
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Append()).foreachBatch(sink).start()
+    try {
+      input.addData(Event(4, ts(120), 10, "click", 5.0)) // advances watermark
+      q.processAllAvailable()
+      val got = seen.synchronized(seen.toSet)
+      assert(got.contains((ts(0).getTime, "click", 2L, 3.0)))
+      assert(got.contains((ts(10).getTime, "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on the idle gap and closes sessions as the watermark advances") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
