@@ -98,17 +98,15 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Distinct (query, candidate) pairs from LSH bucket collisions — the
-    * pre-scoring candidate set. Exposed so SimilaritySpec can assert the
-    * scale contract |candidates| << N·Q directly.
+  /** Each vector exploded to its (table, bucket) assignments: one
+    * struct(tbl, bucket) per table, each sign bit a native dot-product
+    * kernel against an array literal — small plan, codegen'd projections.
     */
-  private[graft] def candidatePairs(spark: SparkSession, dir: String, nQueries: Int,
-                                    nBits: Int, nTables: Int, maxBits: Int): DataFrame = {
+  private def bucketedVectors(spark: SparkSession, dir: String, nBits: Int,
+                              nTables: Int, maxBits: Int): DataFrame = {
     val emb = embeddings(spark, dir)
     val dim = 64
     val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBits)
-    // One struct(tbl, bucket) per table: each sign bit is a native dot-product
-    // kernel against an array literal — small plan, codegen'd projections.
     val bucketCols = (0 until nTables).map { t =>
       val planes = hyperplanes(bits, dim, seed = 7L + t)
       val bitSum = (0 until bits).map { j =>
@@ -116,7 +114,16 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bitSum.as("b"))
     }
-    val bucketed = emb.withColumn("bk", explode(array(bucketCols: _*)))
+    emb.withColumn("bk", explode(array(bucketCols: _*)))
+  }
+
+  /** Distinct (query, candidate) pairs from LSH bucket collisions — the
+    * pre-scoring candidate set. Exposed so SimilaritySpec can assert the
+    * scale contract |candidates| << N·Q directly.
+    */
+  private[graft] def candidatePairs(spark: SparkSession, dir: String, nQueries: Int,
+                                    nBits: Int, nTables: Int, maxBits: Int): DataFrame = {
+    val bucketed = bucketedVectors(spark, dir, nBits, nTables, maxBits)
     val queries = bucketed.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bk").as("q_bk"))
@@ -127,11 +134,13 @@ object Similarity {
       .dropDuplicates("q_id", "vec_id") // a pair may collide in several tables; score it once
   }
 
-  /** DuckDB oracle SQL for [[lshTopK]]: the hyperplane coefficients are
-    * embedded as double literals (shortest-repr round-trips exactly), and
-    * every dot product is the same left-to-right fold as the Spark kernel, so
-    * bucket assignments and cosine scores reproduce bit-for-bit — which is
-    * what lets an approximate ANN operator have an EXACT oracle.
+  /** Shared oracle CTEs: normalized vectors (`n`), the SQL-computed bit
+    * count (`p`), and per-table bucket assignment (`bk`) with every
+    * hyperplane coefficient embedded as a double literal (shortest-repr
+    * round-trips exactly). Every dot product is the same left-to-right fold
+    * as the Spark kernel, so bucket assignments and cosine scores reproduce
+    * bit-for-bit — which is what lets approximate operators have EXACT
+    * oracles.
     *
     * The auto-scaled bit count is computed IN SQL from the corpus count
     * (`length(bin(count-1)) - 2` = ceil(log2 N) - 2, exactly [[autoBits]]'s
@@ -140,16 +149,13 @@ object Similarity {
     * static oracle string stays exact at EVERY scale factor up to
     * 2^(maxBits+2) vectors.
     */
-  def lshOracleSql(nQueries: Int = 10, k: Int = 10, nTables: Int = 16,
-                   maxBits: Int = 12): String = {
+  private def bucketCtes(nTables: Int, maxBits: Int): String = {
     def dotLit(plane: Array[Double]): String = {
       val prods = plane.zipWithIndex.map { case (c, i) => s"v[${i + 1}] * $c" }.mkString(", ")
       s"list_reduce(list_prepend(0.0::DOUBLE, [$prods]), (x, y) -> x + y)"
     }
     val selfDot =
       "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
-    val crossDot =
-      "list_reduce(list_prepend(0.0::DOUBLE, [cv.v[i] * qv.v[i] FOR i IN generate_series(1, len(cv.v))]), (x, y) -> x + y)"
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(maxBits, 64, seed = 7L + t)
       val bits = (0 until maxBits).map { j =>
@@ -162,7 +168,15 @@ object Similarity {
        |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
        |bk AS (
        |$tables
-       |),
+       |)""".stripMargin
+  }
+
+  /** DuckDB oracle SQL for [[lshTopK]]. */
+  def lshOracleSql(nQueries: Int = 10, k: Int = 10, nTables: Int = 16,
+                   maxBits: Int = 12): String = {
+    val crossDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [cv.v[i] * qv.v[i] FOR i IN generate_series(1, len(cv.v))]), (x, y) -> x + y)"
+    s"""${bucketCtes(nTables, maxBits)},
        |q AS (SELECT vec_id AS q_id, tbl, b FROM bk WHERE vec_id < $nQueries),
        |cand AS (
        |  SELECT DISTINCT q.q_id, c.vec_id
@@ -178,6 +192,55 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank FROM s)
        |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** §2.3 #37 — embedding-cosine near-duplicate pairs: all (a, b) sharing an
+    * LSH bucket with cosine >= `threshold`. The semantic-dedup analogue of
+    * MinHash near-dup: where Jaccard catches lexical copies, embedding cosine
+    * catches paraphrases. Candidates come from a bucket SELF-join (equi-join
+    * on (table, bucket)) — with auto-scaled bits the expected bucket
+    * occupancy is constant, so candidate pairs are
+    * ~nTables · N · occupancy / 2 = O(N), never the N²/2 of all-pairs.
+    * Approximate recall (a pair must agree on all bits of >= 1 table), but
+    * the randomness is seeded and plane-exact in the oracle, so the result
+    * is still value-exact cross-engine.
+    */
+  def nearDupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val bucketed = bucketedVectors(spark, dir, nBits, nTables, maxBits)
+    bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.v").as("va"), col("x.nrm").as("na"),
+        col("y.v").as("vb"), col("y.nrm").as("nb"))
+      .dropDuplicates("vec_a", "vec_b") // a pair may collide in several tables
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** DuckDB oracle SQL for [[nearDupEmbedding]] (same embedded planes and
+    * SQL-computed bit count as the ANN oracle).
+    */
+  def embeddingNearDupOracleSql(threshold: Double = 0.4, nTables: Int = 16,
+                                maxBits: Int = 12): String = {
+    val crossDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [na.v[i] * nb.v[i] FOR i IN generate_series(1, len(na.v))]), (x, y) -> x + y)"
+    s"""${bucketCtes(nTables, maxBits)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id < b.vec_id
+       |),
+       |s AS (
+       |  SELECT cand.va AS vec_a, cand.vb AS vec_b, $crossDot / (na.nrm * nb.nrm) AS cos
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = cand.va
+       |  JOIN n nb ON nb.vec_id = cand.vb
+       |)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos
+       |FROM s WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** §2.3 #34 — vector-column numerics: per-label count and exact-average L2

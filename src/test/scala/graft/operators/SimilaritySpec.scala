@@ -77,6 +77,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(cands * 4 < n * q, s"candidates=$cands vs N*Q=${n * q}")
   }
 
+  test("embedding near-dup pairs are a recall-bounded subset of brute-force cosine pairs") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dotL(v, v)) }.toMap
+    val brute = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      (ia, va) = vecs(i)
+      (ib, vb) = vecs(j)
+      if dotL(va, vb) / (norms(ia) * norms(ib)) >= 0.4
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+    val got = Similarity.nearDupEmbedding(spark, sf, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "bucketed near-dup should surface some pairs")
+    assert(got.subsetOf(brute), s"spurious pairs: ${got -- brute}")
+    val recall = got.size.toDouble / brute.size
+    assert(recall > 0.2, s"recall vs brute force = $recall (${got.size}/${brute.size})")
+  }
+
   test("embedStats covers every vector exactly once") {
     val rows = Similarity.embedStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
