@@ -81,6 +81,7 @@ object SparkEntry {
     // exact up to 2^14 vectors; the library default (24) scales further.
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
     "q_neardup_embed" -> ((s, dir) => Similarity.nearDupEmbedding(s, dir, maxBits = 12)),
+    "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -106,6 +107,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> Similarity.lshOracleSql(),
     "q_neardup_embed" -> Similarity.embeddingNearDupOracleSql(),
+    "q_ann_ivf" -> Similarity.ivfOracleSql(),
     "q_neardup_simhash" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |h AS (

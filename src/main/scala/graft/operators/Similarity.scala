@@ -88,9 +88,10 @@ object Similarity {
     * baseline AND that the candidate set stays far below N·Q.
     */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
-              nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+              nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
+              probes: Int = 0): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
-    candidatePairs(spark, dir, nQueries, nBits, nTables, maxBits)
+    candidatePairs(spark, dir, nQueries, nBits, nTables, maxBits, probes)
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -98,15 +99,18 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Resolve the effective bit count for one call site (auto unless pinned). */
+  private def resolveBits(spark: SparkSession, dir: String, nBits: Int, maxBits: Int): Int =
+    if (nBits > 0) nBits
+    else autoBits(Tables.load(spark, dir, "embeddings").count(), maxBits)
+
   /** Each vector exploded to its (table, bucket) assignments: one
     * struct(tbl, bucket) per table, each sign bit a native dot-product
     * kernel against an array literal — small plan, codegen'd projections.
     */
-  private def bucketedVectors(spark: SparkSession, dir: String, nBits: Int,
-                              nTables: Int, maxBits: Int): DataFrame = {
-    val emb = embeddings(spark, dir)
+  private def bucketedVectors(spark: SparkSession, dir: String, bits: Int,
+                              nTables: Int): DataFrame = {
     val dim = 64
-    val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBits)
     val bucketCols = (0 until nTables).map { t =>
       val planes = hyperplanes(bits, dim, seed = 7L + t)
       val bitSum = (0 until bits).map { j =>
@@ -114,19 +118,39 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bitSum.as("b"))
     }
-    emb.withColumn("bk", explode(array(bucketCols: _*)))
+    embeddings(spark, dir).withColumn("bk", explode(array(bucketCols: _*)))
   }
 
   /** Distinct (query, candidate) pairs from LSH bucket collisions — the
     * pre-scoring candidate set. Exposed so SimilaritySpec can assert the
     * scale contract |candidates| << N·Q directly.
+    *
+    * `probes` > 0 enables multi-probe (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): each QUERY additionally probes every bucket at Hamming
+    * distance 1 from its own signature (1 + nBits keys per table instead of
+    * 1), which multiplies near-neighbor collision probability by roughly
+    * (1 + nBits·(1-p)/p) per table — recall comparable to nBits× more
+    * tables with ZERO extra index cost (the corpus side is untouched; only
+    * the tiny broadcast query set expands).
     */
   private[graft] def candidatePairs(spark: SparkSession, dir: String, nQueries: Int,
-                                    nBits: Int, nTables: Int, maxBits: Int): DataFrame = {
-    val bucketed = bucketedVectors(spark, dir, nBits, nTables, maxBits)
-    val queries = bucketed.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bk").as("q_bk"))
+                                    nBits: Int, nTables: Int, maxBits: Int,
+                                    probes: Int = 0): DataFrame = {
+    val bits = resolveBits(spark, dir, nBits, maxBits)
+    val bucketed = bucketedVectors(spark, dir, bits, nTables)
+    val baseQueries = bucketed.where(col("vec_id") < nQueries)
+    val queries =
+      if (probes <= 0)
+        baseQueries.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bk").as("q_bk"))
+      else {
+        val flips = col("bk") +: (0 until bits).map { j =>
+          struct(col("bk.tbl").as("tbl"),
+            col("bk.b").bitwiseXOR(lit(1L << j)).as("b"))
+        }
+        baseQueries.select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), explode(array(flips: _*)).as("q_bk"))
+      }
     bucketed
       .join(broadcast(queries),
         col("bk") === col("q_bk") && col("vec_id") =!= col("q_id"))
@@ -194,6 +218,114 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** §2.3 #38 — IVF-Flat ANN: a deterministic coarse quantizer (centroids =
+    * the first nCentroids vectors by vec_id — a seeded sample, the
+    * cross-engine-reproducible stand-in for trained k-means centroids)
+    * partitions the corpus into inverted lists by nearest-centroid cosine;
+    * each query probes only the `nProbe` nearest lists and brute-forces
+    * those. With nCentroids auto-scaled to ~sqrt(N) (2^ceil(ceil(log2 N)/2))
+    * and nProbe fixed, per-query candidate work is ~nProbe·N/K = O(sqrt N) —
+    * sublinear, and unlike hyperplane LSH the pruning adapts to the data's
+    * own cluster structure. At 100 TB the inverted lists are just a
+    * partition column: `repartition(cid)` + partitioned parquet turns the
+    * probe into genuine partition pruning at the scan.
+    *
+    * All arithmetic is fold-dot-products of DATA vectors (no random
+    * constants), so the oracle needs no embedded literals at all; ties in
+    * the argmax assignment and probe ranking break on centroid id, making
+    * the approximate result value-exact cross-engine.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+              nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val kCent =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = Tables.load(spark, dir, "embeddings").count()
+        val bitsN = if (n <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+        1 << ((bitsN + 1) / 2)
+      }
+    val np = math.min(nProbe, kCent)
+    // Centroid vectors ride into the plan as literals (a few KB); their norms
+    // use the same sequential left fold as the kernel so quotients match the
+    // oracle bit-for-bit.
+    val cents: Seq[(Long, Array[Double])] = emb.where(col("vec_id") < kCent)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    def foldNorm(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+    val cosArr = array(cents.map { case (_, cv) =>
+      dot(col("v"), typedlit(cv.toSeq)) / (col("nrm") * lit(foldNorm(cv)))
+    }: _*)
+    val assigned = emb
+      .withColumn("cid", array_position(cosArr, array_max(cosArr)) - 1)
+    val probes = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        posexplode(cosArr).as(Seq("cid", "cc")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cc").desc, col("cid").asc)))
+      .where(col("prank") <= np)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").cast("long").as("cid"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle SQL for [[ivfTopK]]: centroids, assignments, and probe
+    * rankings are all derived relationally from the data with the same
+    * sequential folds — a literal-free oracle for an approximate index.
+    */
+  def ivfOracleSql(nQueries: Int = 10, k: Int = 10, nProbe: Int = 4): String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a.v[i] * $b.v[i] FOR i IN generate_series(1, len($a.v))]), (x, y) -> x + y)"
+    val selfDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |prm AS (SELECT 1 << ((length(bin(count(*) - 1)) + 1) // 2) AS kc FROM e),
+       |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
+       |c AS (SELECT vec_id AS cid, v, nrm FROM n, prm WHERE vec_id < prm.kc),
+       |ac AS (
+       |  SELECT n.vec_id, c.cid, ${fold("n", "c")} / (n.nrm * c.nrm) AS cc
+       |  FROM n, c
+       |),
+       |a AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac) t
+       |  WHERE rn = 1
+       |),
+       |p AS (
+       |  SELECT vec_id AS q_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac WHERE vec_id < $nQueries) t
+       |  WHERE rn <= $nProbe
+       |),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id FROM p JOIN a ON a.cid = p.cid AND a.vec_id <> p.q_id
+       |),
+       |s AS (
+       |  SELECT cand.q_id, cand.vec_id, ${fold("cv", "qv")} / (cv.nrm * qv.nrm) AS cos
+       |  FROM cand
+       |  JOIN n cv ON cv.vec_id = cand.vec_id
+       |  JOIN n qv ON qv.vec_id = cand.q_id
+       |),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank FROM s)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** §2.3 #37 — embedding-cosine near-duplicate pairs: all (a, b) sharing an
     * LSH bucket with cosine >= `threshold`. The semantic-dedup analogue of
     * MinHash near-dup: where Jaccard catches lexical copies, embedding cosine
@@ -207,7 +339,8 @@ object Similarity {
     */
   def nearDupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4,
                        nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
-    val bucketed = bucketedVectors(spark, dir, nBits, nTables, maxBits)
+    val bucketed = bucketedVectors(spark, dir,
+      resolveBits(spark, dir, nBits, maxBits), nTables)
     bucketed.as("x")
       .join(bucketed.as("y"),
         col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))

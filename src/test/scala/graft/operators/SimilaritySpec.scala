@@ -77,6 +77,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(cands * 4 < n * q, s"candidates=$cands vs N*Q=${n * q}")
   }
 
+  test("multi-probe lifts recall at identical index cost (query-side Hamming-1 probes)") {
+    val brute = localTopK(5, 10)
+    def meanRecall(probes: Int): Double = {
+      val lsh = Similarity.lshTopK(spark, sf, nQueries = 5, k = 10,
+        nBits = 10, nTables = 8, probes = probes).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+      val rs = brute.map { case (q, top) =>
+        top.count(lsh.getOrElse(q, Set.empty).contains).toDouble / top.size
+      }
+      rs.sum / rs.size
+    }
+    val single = meanRecall(0)
+    val multi = meanRecall(1)
+    // 10-bit buckets on 500 vectors are sparse: single-probe recall collapses,
+    // probing the nBits Hamming-1 buckets per query recovers it with the SAME
+    // corpus-side index (only the broadcast query set expands).
+    assert(multi > single, s"multi=$multi single=$single")
+    assert(multi > 0.15, s"multi-probe recall = $multi")
+  }
+
   test("embedding near-dup pairs are a recall-bounded subset of brute-force cosine pairs") {
     val vecs = Tables.load(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
@@ -100,6 +121,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got.subsetOf(brute), s"spurious pairs: ${got -- brute}")
     val recall = got.size.toDouble / brute.size
     assert(recall > 0.2, s"recall vs brute force = $recall (${got.size}/${brute.size})")
+  }
+
+  test("IVF probes a sublinear slice of the corpus and still finds useful neighbors") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val rows = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 10).collect()
+    // Results are true cosine scores over the probed partitions only: every
+    // returned id must appear in the full brute-force ranking order-consistently.
+    val brute = localTopK(5, 500)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val ids = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(ids.distinct.size == ids.size)
+      // order within the IVF result must agree with the brute ranking order
+      val pos = ids.map(brute(q).indexOf(_))
+      assert(pos.forall(_ >= 0) && pos == pos.sorted, s"q=$q ids=$ids pos=$pos")
+    }
+    val top10 = localTopK(5, 10)
+    val recalls = top10.map { case (q, top) =>
+      val got = rows.filter(_.getAs[Long]("q_id") == q).map(_.getAs[Long]("vec_id")).toSet
+      top.count(got.contains).toDouble / top.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.15, s"IVF recall@10 = $mean")
+    // Scale contract: with K ~ sqrt(N) centroids and 4 probes, each query
+    // scans ~4/sqrt(N) of the corpus, not all of it.
+    val kCent = 1 << ((64 - java.lang.Long.numberOfLeadingZeros(n - 1) + 1) / 2)
+    assert(kCent > 4, s"auto centroid count $kCent should exceed nProbe")
   }
 
   test("embedStats covers every vector exactly once") {
