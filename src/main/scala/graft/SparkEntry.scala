@@ -72,6 +72,10 @@ object SparkEntry {
     "q_sort_multi" -> ((s, dir) => Relational.sortMulti(s, dir)),
     "q_having" -> ((s, dir) => Relational.havingAgg(s, dir)),
     "q_casewhen" -> ((s, dir) => Relational.caseWhenAgg(s, dir)),
+    "q_cube" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(s, dir)),
+    "q_corr" -> ((s, dir) => Relational.corrAgg(s, dir)),
+    "q_date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     // §2.3 LLM-data-pipeline operators
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
@@ -272,6 +276,47 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
         |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0::DOUBLE END AS DECIMAL(18,2))) AS DOUBLE) AS f_revenue
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '*') AS returnflag,
+        |       coalesce(l_linestatus, '*') AS linestatus,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    // corr from exact decimal moment sums: built-in corr() is a running
+    // merge whose value depends on accumulation order; six order-free
+    // decimal sums combined in double reproduce bit-for-bit on both engines.
+    "q_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_disc,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT event_id,
+        |  year(ts)::INTEGER AS yr,
+        |  month(ts)::INTEGER AS mo,
+        |  dayofmonth(ts)::INTEGER AS dom,
+        |  hour(ts)::INTEGER AS hr,
+        |  date_diff('day', DATE '2024-01-01', ts::DATE)::INTEGER AS days_since
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,

@@ -256,4 +256,76 @@ object Relational {
         dsum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0)))
           .as("f_revenue"))
       .orderBy("o_orderpriority")
+
+  /** §2.2 #39 — CUBE grouping sets: every (returnflag x linestatus) subtotal
+    * combination including both-axis totals; grouping-set nulls surfaced as
+    * '*' for engine-neutral ordering. Same partial-aggregation expansion as
+    * ROLLUP — each input row feeds 4 grouping sets map-side, one shuffle.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("*")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("*")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** §2.2 #40 — top-k per group (the "latest/largest N per key" workhorse):
+    * rank() over each order-priority partition, keep the top 3 orders by
+    * price. One shuffle on the partition key; each partition ranks
+    * independently — at 100 TB this is the skew-safe alternative to a global
+    * sort when only per-group leaders are needed.
+    */
+  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  /** §2.2 #41 — Pearson correlation per group, computed from EXACT decimal
+    * moment sums (n, Σx, Σy, Σxy, Σx², Σy²) combined in double at the end.
+    * Built-in corr() is a running-merge formula whose result depends on
+    * partition order — useless both for cross-engine checks and for
+    * reproducible 100 TB runs. Decimal moments are order-free, so this
+    * formulation is simultaneously the deterministic one and the one whose
+    * aggregation state is 6 numbers per group regardless of data size.
+    */
+  def corrAgg(spark: SparkSession, dir: String): DataFrame = {
+    def d(c: Column) = sum(c.cast(DecimalType(28, 6))).cast("double")
+    val x = col("l_quantity"); val y = col("l_discount")
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        d(x).as("sx"), d(y).as("sy"),
+        d(x * y).as("sxy"), d(x * x).as("sxx"), d(y * y).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_disc"),
+        col("n").cast("long").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** §2.2 #42 — calendar/date function suite over event timestamps (year /
+    * month / day-of-month / hour / day difference from a fixed epoch). Pure
+    * per-row projections, codegen'd; the day difference uses DATE-level
+    * arithmetic which both engines define identically.
+    */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        year(col("ts")).as("yr"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("hr"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("days_since"))
+      .orderBy("event_id")
 }
