@@ -76,6 +76,7 @@ object SparkEntry {
     "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(s, dir)),
     "q_corr" -> ((s, dir) => Relational.corrAgg(s, dir)),
     "q_date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
+    "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
     // §2.3 LLM-data-pipeline operators
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
@@ -317,6 +318,13 @@ object SparkEntry {
         |  hour(ts)::INTEGER AS hr,
         |  date_diff('day', DATE '2024-01-01', ts::DATE)::INTEGER AS days_since
         |FROM events ORDER BY event_id""".stripMargin,
+    // The salted join must equal the PLAIN join — the oracle is the unsalted
+    // formulation, which is exactly the correctness claim of salting.
+    "q_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,

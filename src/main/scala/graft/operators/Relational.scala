@@ -313,6 +313,28 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** §2.2 #44 — skew-salted fact-fact join: the lineitem side salts each row
+    * deterministically (line number mod `salts`), the orders side replicates
+    * each key across all salt values, and the join runs on the composite
+    * (key, salt) — so one hot order key spreads over `salts` reducers instead
+    * of melting a single one. Result is provably identical to the plain join
+    * (the oracle IS the plain join). At 100 TB this is the manual fallback
+    * when a single key exceeds even AQE's skew-split thresholds; the cost is
+    * a `salts`-times replication of the SMALLER side only.
+    */
+  def joinSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+    val ord = t(spark, dir, "orders")
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** §2.2 #42 — calendar/date function suite over event timestamps (year /
     * month / day-of-month / hour / day difference from a fixed epoch). Pure
     * per-row projections, codegen'd; the day difference uses DATE-level

@@ -44,6 +44,19 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** §2.4 #43 — streaming exact dedup: drop events whose `event_id` was
+    * already seen, keeping state only within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts seen-keys once the watermark
+    * passes them — bounded state at any rate, which is what makes exact
+    * dedup feasible on an unbounded stream (the batch analogue keeps ALL
+    * keys). This is the ingest-side guard of the corpus-dedup story: exact
+    * dedup at the stream, MinHash/SimHash/embedding near-dup in batch.
+    */
+  def dedupped(events: DataFrame, idColumn: String = "event_id"): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .dropDuplicatesWithinWatermark(idColumn)
+
   /** §2.4 #36 — custom-state sessionization with flatMapGroupsWithState:
     * events within `gapMinutes` of each other belong to one session; an
     * EVENT-TIME timeout (watermark passing last_ts + gap) closes idle

@@ -97,6 +97,27 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids with watermark-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(1, ts(1), 10, "click", 1.0), // same-batch duplicate
+      Event(2, ts(2), 11, "view", 2.0))
+    val q = EventStream.dedupped(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(2, ts(3), 11, "view", 2.0)) // cross-batch duplicate
+      input.addData(Event(3, ts(5), 12, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives each append batch as an ordinary DataFrame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
