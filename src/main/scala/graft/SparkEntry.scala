@@ -50,6 +50,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_copies"))
         .orderBy("n_nationkey")
     }),
+    "copy_csv_roundtrip" -> ((s, dir) => {
+      val schema = TableCopy.ParquetStore(dir).read(s, "nation").schema
+      val csv = TableCopy.FileStore(tmp("csvrt"), "csv", schema = Some(schema))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), csv, "nation", TableCopy.Truncate)
+      csv.read(s, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    }),
     "q_partitioned_read" -> ((s, dir) =>
       TableCopy.partitionedRead(s, dir, "orders", "o_orderkey", 8)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -93,6 +100,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
+    "q_split_hash" -> ((s, dir) => TextAnalysis.splitHash(s, dir)),
     "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
   )
 
@@ -145,6 +153,12 @@ object SparkEntry {
         |FROM p WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "copy_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "copy_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_split_hash" ->
+      """SELECT doc_id, substr(sha256(text), 1, 1) AS bucket,
+        |  CASE WHEN substr(sha256(text), 1, 1) <= '1' THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "copy_manifest" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows, 'ok' AS status FROM customer
         |UNION ALL SELECT 'nation', count(*), 'ok' FROM nation

@@ -54,6 +54,50 @@ object TableCopy {
     def list(spark: SparkSession): Seq[String] = Tables.list(spark, dir)
   }
 
+  /** Directory of delimited/semi-structured files (csv, json, parquet, orc —
+    * any DataSource V2 file format). Self-describing formats carry their
+    * schema; csv/json readers take an explicit `schema` (the schema-
+    * replication manifest provides it when copying), falling back to
+    * inference. CSV writes/reads include a header so the column order is
+    * auditable.
+    */
+  final case class FileStore(
+      dir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None) extends Store {
+
+    private def path(table: String): String = s"$dir/$table.$format"
+
+    def read(spark: SparkSession, table: String): DataFrame = {
+      var r = spark.read.format(format).options(options)
+      if (format == "csv") r = r.option("header", "true")
+      schema match {
+        case Some(s) => r = r.schema(s)
+        case None if format == "csv" => r = r.option("inferSchema", "true")
+        case None => ()
+      }
+      r.load(path(table))
+    }
+
+    def write(df: DataFrame, table: String, mode: Mode): Unit = {
+      var w = df.write.format(format).options(options).mode(mode.saveMode)
+      if (format == "csv") w = w.option("header", "true")
+      w.save(path(table))
+    }
+
+    def list(spark: SparkSession): Seq[String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.endsWith(s".$format"))
+        .map(_.stripSuffix(s".$format"))
+        .toSeq.sorted
+    }
+  }
+
   /** A JDBC database endpoint. Tested against embedded Derby (the JDBC
     * driver that ships with Spark); the options map carries anything the
     * target needs (user/password/driver/isolationLevel...).

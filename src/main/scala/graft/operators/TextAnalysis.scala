@@ -108,4 +108,23 @@ object TextAnalysis {
       .select(col("doc_id"), round(col("score"), 6).as("quality"),
         (col("score") >= 0.5).as("keep"))
       .orderBy("doc_id")
+
+  /** §2.3 #46 — deterministic train/holdout split by content hash: the
+    * first hex digit of sha256(text) buckets every document into 16 slices;
+    * `holdoutHexDigits` of them form the holdout. Content-addressed
+    * splitting is the 100 TB-correct way to cut datasets: stable under
+    * re-partitioning, re-ingestion, and engine changes (no RNG state), and
+    * exact duplicates always land on the same side of the cut, so the
+    * holdout can't leak into training via a copy. Pure per-row codegen.
+    */
+  def splitHash(spark: SparkSession, dir: String, holdoutHexDigits: Int = 2): DataFrame = {
+    require(holdoutHexDigits >= 1 && holdoutHexDigits <= 15)
+    val cut = java.lang.Integer.toHexString(holdoutHexDigits - 1)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        substring(sha2(col("text"), 256), 1, 1).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") <= cut, lit("holdout")).otherwise(lit("train")))
+      .orderBy("doc_id")
+  }
 }

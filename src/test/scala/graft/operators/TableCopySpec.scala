@@ -66,6 +66,21 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       "n_nationkey INTEGER, n_name VARCHAR(4000), n_regionkey INTEGER")
   }
 
+  test("FileStore roundtrips csv and json with the replicated schema") {
+    val src = TableCopy.ParquetStore(sf)
+    val schema = src.read(spark, "nation").schema
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("n_nationkey").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    val expected = norm(src.read(spark, "nation"))
+    for (fmt <- Seq("csv", "json")) {
+      val store = TableCopy.FileStore(tmpDir(), fmt, schema = Some(schema))
+      assert(TableCopy.copy(spark, src, store, "nation", TableCopy.Truncate) == 25)
+      assert(norm(store.read(spark, "nation")) == expected, fmt)
+      assert(store.list(spark) == Seq("nation"), fmt)
+    }
+  }
+
   // --- Real JDBC destination/source: embedded Derby (the JDBC driver that
   // ships on the Spark classpath). The same Store code drives any JDBC URL.
 
