@@ -55,6 +55,8 @@ object PlanAudit {
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
         failures += "q_topn: expected TakeOrderedAndProject (global sort instead)"
+      if (name == "q_antijoin" && !has("HashAggregate"))
+        failures += "q_antijoin: build side must pre-aggregate to distinct join keys"
       if (name == "q_join_broadcast" && !has("BroadcastHashJoin"))
         failures += "q_join_broadcast: expected BroadcastHashJoin"
       if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))

@@ -105,9 +105,14 @@ object Dedup {
     */
   private[graft] def jaccardCandidates(spark: SparkSession, dir: String): DataFrame = {
     val reps = groupedSignatures(spark, dir).where(col("doc_id") === col("rep_id"))
+    // Band key = xxhash64(band, h1, h2): one 8-byte shuffle key instead of a
+    // 20-byte struct. A hash collision can only ADD a candidate pair, and
+    // every candidate is verified with exact Jaccard afterwards, so the
+    // result set is unchanged; equal band contents always collide, so
+    // recall is untouched.
     val banded = reps.select(col("doc_id"),
         explode(expr(
-          "transform(sequence(0, 31), i -> struct(i AS band, sig[2*i] AS h1, sig[2*i+1] AS h2))"))
+          "transform(sequence(0, 31), i -> xxhash64(i, sig[2*i], sig[2*i+1]))"))
           .as("bk"))
     banded.as("x")
       .join(banded.as("y"),

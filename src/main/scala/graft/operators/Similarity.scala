@@ -104,9 +104,12 @@ object Similarity {
     if (nBits > 0) nBits
     else autoBits(Tables.load(spark, dir, "embeddings").count(), maxBits)
 
-  /** Each vector exploded to its (table, bucket) assignments: one
-    * struct(tbl, bucket) per table, each sign bit a native dot-product
-    * kernel against an array literal — small plan, codegen'd projections.
+  /** Each vector exploded to its (table, bucket) assignments, one per table;
+    * each sign bit is a native dot-product kernel against an array literal —
+    * small plan, codegen'd projections. The (table, bucket) pair is packed
+    * injectively into ONE long (table<<32 | bucket, bucket < 2^maxBits <=
+    * 2^24) so the candidate equi-join shuffles and compares an 8-byte key
+    * instead of a struct — same semantics, leaner exchange.
     */
   private def bucketedVectors(spark: SparkSession, dir: String, bits: Int,
                               nTables: Int): DataFrame = {
@@ -116,7 +119,7 @@ object Similarity {
       val bitSum = (0 until bits).map { j =>
         when(dot(col("v"), typedlit(planes(j).toSeq)) > 0d, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bitSum.as("b"))
+      (lit(t.toLong * (1L << 32)) + bitSum).as(s"bk$t")
     }
     embeddings(spark, dir).withColumn("bk", explode(array(bucketCols: _*)))
   }
@@ -144,9 +147,10 @@ object Similarity {
         baseQueries.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("bk").as("q_bk"))
       else {
+        // Packed keys: bucket bits live below bit 32, so XOR-flipping bit j
+        // probes the Hamming-1 bucket within the SAME table.
         val flips = col("bk") +: (0 until bits).map { j =>
-          struct(col("bk.tbl").as("tbl"),
-            col("bk.b").bitwiseXOR(lit(1L << j)).as("b"))
+          col("bk").bitwiseXOR(lit(1L << j))
         }
         baseQueries.select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"), explode(array(flips: _*)).as("q_bk"))

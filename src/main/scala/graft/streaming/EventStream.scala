@@ -57,6 +57,30 @@ object EventStream {
       .withWatermark("ts", "20 minutes")
       .dropDuplicatesWithinWatermark(idColumn)
 
+  /** §2.4 #47 — watermarked stream-stream join: each click joined to the
+    * same user's views within the following `withinMinutes`. Both sides are
+    * watermarked and the join predicate carries an event-time RANGE, which
+    * is what lets Spark bound the two-sided join state: each side buffers
+    * only rows inside its watermark horizon, evicting as event time
+    * advances. Without the range predicate a stream-stream join would have
+    * to buffer both streams forever.
+    */
+  def clickToView(events: DataFrame, withinMinutes: Int = 10): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "20 minutes")
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
   /** §2.4 #36 — custom-state sessionization with flatMapGroupsWithState:
     * events within `gapMinutes` of each other belong to one session; an
     * EVENT-TIME timeout (watermark passing last_ts + gap) closes idle

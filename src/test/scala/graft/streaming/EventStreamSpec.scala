@@ -97,6 +97,28 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with same-user views inside the time range") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "view", 1.0),  // within 10 min of click 1 -> pair
+      Event(3, ts(30), 1, "view", 1.0), // outside the range -> no pair
+      Event(4, ts(6), 2, "view", 1.0))  // other user -> no pair
+    val q = EventStream.clickToView(input.toDF(), withinMinutes = 10)
+      .writeStream.format("memory").queryName("ctv")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(5, ts(120), 3, "click", 1.0)) // advance both watermarks
+      q.processAllAvailable()
+      val pairs = spark.table("ctv").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+      assert(pairs == Set((1L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids with watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
