@@ -84,6 +84,8 @@ object SparkEntry {
     "q_corr" -> ((s, dir) => Relational.corrAgg(s, dir)),
     "q_date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
+    "q_percentile" -> ((s, dir) => Relational.percentileAgg(s, dir)),
+    "q_histogram" -> ((s, dir) => Relational.histogram(s, dir)),
     // §2.3 LLM-data-pipeline operators
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
@@ -332,6 +334,23 @@ object SparkEntry {
         |  hour(ts)::INTEGER AS hr,
         |  date_diff('day', DATE '2024-01-01', ts::DATE)::INTEGER AS days_since
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_percentile" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN o_totalprice END) AS p95,
+        |  max(n) AS n_rows
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n_rows, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     // The salted join must equal the PLAIN join — the oracle is the unsalted
     // formulation, which is exactly the correctness claim of salting.
     "q_join_salted" ->

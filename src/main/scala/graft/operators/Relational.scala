@@ -335,6 +335,43 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** §2.2 #48 — exact discrete percentiles per group (p50/p95 of order
+    * totals by priority) via rank arithmetic: value at row ceil(p·n) in the
+    * per-group price order. Spelled out with row_number + a count window
+    * rather than percentile_disc so both engines execute the IDENTICAL
+    * definition (and so the plan is one shuffle + one sort, the same shape a
+    * built-in would need — nothing extra to pay for determinism).
+    */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wAll = Window.partitionBy("o_orderpriority")
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .groupBy("o_orderpriority")
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"), col("o_totalprice"))).as("p95"),
+        max(col("n")).as("n_rows"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** §2.2 #49 — fixed-width histogram of lineitem quantity: 10 buckets of
+    * width 5 over [1, 50]. Bucketing is integer-floor arithmetic — a single
+    * map-side expression — then one tiny aggregation; the 100 TB histogram
+    * costs one scan.
+    */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(least(floor((col("l_quantity") - 1) / 5), lit(9)).cast("int").as("bucket"),
+        col("l_quantity"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"))
+      .orderBy("bucket")
+
   /** §2.2 #42 — calendar/date function suite over event timestamps (year /
     * month / day-of-month / hour / day difference from a fixed epoch). Pure
     * per-row projections, codegen'd; the day difference uses DATE-level

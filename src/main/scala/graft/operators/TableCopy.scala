@@ -229,12 +229,29 @@ object TableCopy {
       include: Seq[String] = Seq.empty,
       exclude: Seq[String] = Seq.empty,
       mode: Mode = Truncate,
+      parallelism: Int = 1): DataFrame =
+    copyTablesBetween(spark, ParquetStore(srcDir), ParquetStore(destDir),
+      include, exclude, mode, parallelism)
+
+  /** Store-generic multi-table copy — the reference's whole program in one
+    * call: enumerate the source catalog (parquet directory or live JDBC
+    * metadata), filter the set, replicate each table, report per-table
+    * results. `copyTablesBetween(spark, JdbcStore(srcUrl), JdbcStore(dstUrl))`
+    * IS the SQL-to-SQL copier.
+    */
+  def copyTablesBetween(
+      spark: SparkSession,
+      src: Store,
+      dest: Store,
+      include: Seq[String] = Seq.empty,
+      exclude: Seq[String] = Seq.empty,
+      mode: Mode = Truncate,
       parallelism: Int = 1): DataFrame = {
-    val names = (Tables.list(spark, srcDir) ++ include).distinct.sorted
+    val names = (src.list(spark) ++ include).distinct.sorted
       .filter(n => include.isEmpty || include.contains(n))
       .filterNot(exclude.contains)
     def one(t: String): (String, Long, String) =
-      try { (t, copyTable(spark, srcDir, destDir, t, mode), "ok") }
+      try { (t, copy(spark, src, dest, t, mode), "ok") }
       catch { case e: Throwable =>
         (t, -1L, s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()}")
       }

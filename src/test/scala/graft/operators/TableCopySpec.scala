@@ -109,6 +109,16 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(TableCopy.copy(spark, src, store, "region", TableCopy.Recreate) == 5)
   }
 
+  test("copyTablesBetween replicates a table set into a live JDBC catalog") {
+    val db = derbyStore()
+    val m = TableCopy.copyTablesBetween(spark, TableCopy.ParquetStore(sf), db,
+      include = Seq("region", "nation"), mode = TableCopy.Recreate)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(m.toSet == Set(("nation", 25L, "ok"), ("region", 5L, "ok")))
+    // The destination's own JDBC metadata sees both tables.
+    assert(Set("NATION", "REGION").subsetOf(db.list(spark).toSet))
+  }
+
   test("JDBC partitioned read drives stride predicates as parallel chunk queries") {
     val base = derbyStore()
     TableCopy.copy(spark, TableCopy.ParquetStore(sf), base, "customer",
