@@ -86,6 +86,9 @@ object SparkEntry {
     "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
     "q_percentile" -> ((s, dir) => Relational.percentileAgg(s, dir)),
     "q_histogram" -> ((s, dir) => Relational.histogram(s, dir)),
+    "q_outerjoin" -> ((s, dir) => Relational.outerJoin(s, dir)),
+    "q_running" -> ((s, dir) => Relational.runningSum(s, dir)),
+    "q_pivot" -> ((s, dir) => Relational.pivotAgg(s, dir)),
     // §2.3 LLM-data-pipeline operators
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
@@ -334,6 +337,25 @@ object SparkEntry {
         |  hour(ts)::INTEGER AS hr,
         |  date_diff('day', DATE '2024-01-01', ts::DATE)::INTEGER AS days_since
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_outerjoin" ->
+      """SELECT c_custkey, c_name,
+        |  count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0::DOUBLE) AS total_spent
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_running" ->
+      """SELECT event_id, user_id, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_percentile" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_totalprice,

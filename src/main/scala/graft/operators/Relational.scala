@@ -335,6 +335,50 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** §2.2 #50 — left outer join with null-extension: every customer with
+    * their order count and spend, INCLUDING customers who never ordered
+    * (the rows an inner join silently drops). Nulls from the outer side are
+    * coalesced to zero so the result is engine-neutral. Same shuffle
+    * economics as the inner join; the outer side just keeps its unmatched
+    * rows.
+    */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"), // count(col) skips nulls
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+
+  /** §2.2 #51 — running aggregate with an explicit window frame: cumulative
+    * event value per user in event order (ROWS UNBOUNDED PRECEDING). The
+    * frame order is pinned by the unique event_id, so the sequential
+    * accumulation is identical on every engine and partitioning.
+    */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(sum("value").over(w), 6).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("event_id")
+  }
+
+  /** §2.2 #52 — relational pivot: order counts by priority x status, statuses
+    * widened to columns through the Dataset `pivot` API with an explicit
+    * value list (explicit values keep the plan a single pass — no extra job
+    * to discover the pivot domain).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
   /** §2.2 #48 — exact discrete percentiles per group (p50/p95 of order
     * totals by priority) via rank arithmetic: value at row ceil(p·n) in the
     * per-group price order. Spelled out with row_number + a count window
