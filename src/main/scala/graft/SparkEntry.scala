@@ -106,6 +106,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
     "q_split_hash" -> ((s, dir) => TextAnalysis.splitHash(s, dir)),
+    "q_curate" -> ((s, dir) => Dedup.curate(s, dir)),
     "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
   )
 
@@ -403,6 +404,56 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // End-to-end curation verdict: composes the exact-dedup, Jaccard
+    // near-dup, and quality-score oracles with reason precedence.
+    "q_curate" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |near AS (
+        |  SELECT DISTINCT prs.doc_b AS doc_id FROM prs
+        |  JOIN sz sa ON sa.doc_id = prs.doc_a JOIN sz sb ON sb.doc_id = prs.doc_b
+        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+        |),
+        |ex AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(trim(text))) AS keep_id
+        |    FROM documents) t
+        |  WHERE doc_id <> keep_id
+        |),
+        |qm AS (
+        |  SELECT doc_id,
+        |    len(string_split(trim(text), ' '))::INTEGER AS n_tokens,
+        |    len(list_filter(string_split(trim(text), ' '), t -> t IN ('the','a','of','and','is')))::INTEGER AS stop_hits,
+        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+        |  FROM documents
+        |),
+        |lowq AS (
+        |  SELECT doc_id FROM qm
+        |  WHERE least(1.0::DOUBLE, n_tokens::DOUBLE / 80.0::DOUBLE) * 0.4::DOUBLE
+        |      + (1.0::DOUBLE - punct_ratio) * 0.4::DOUBLE
+        |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE < 0.5::DOUBLE
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+        |       WHEN lowq.doc_id IS NOT NULL THEN 'low_quality'
+        |       ELSE 'kept' END AS reason,
+        |  (ex.doc_id IS NULL AND near.doc_id IS NULL AND lowq.doc_id IS NULL) AS kept
+        |FROM documents d
+        |LEFT JOIN ex ON ex.doc_id = d.doc_id
+        |LEFT JOIN near ON near.doc_id = d.doc_id
+        |LEFT JOIN lowq ON lowq.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_ann_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -154,6 +154,44 @@ object Dedup {
     else cross.orderBy("doc_a", "doc_b")
   }
 
+  /** §2.3 #53 — the end-to-end curation verdict: every document tagged with
+    * why it survives or falls out of the corpus, composing the individual
+    * operators the way a production pipeline chains them:
+    *   1. exact_dup   — not the min-id of its normalized-content group;
+    *   2. near_dup    — appears as the larger id of a Jaccard >= tau pair
+    *                    (greedy smaller-id-wins, deterministic);
+    *   3. low_quality — composite quality score below 0.5;
+    *   4. kept        — everything else.
+    * Reasons apply in that precedence. Each stage is the already-verified
+    * operator, so the pipeline inherits their scale properties: one
+    * content-hash shuffle, banded LSH candidates, per-row scoring.
+    */
+  def curate(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val exactDup = docs
+      .withColumn("keep_id",
+        min("doc_id").over(Window.partitionBy(lower(trim(col("text"))))))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    val nearDup = nearDupJaccard(spark, dir, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    val lowQ = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .where(!col("keep"))
+      .select(col("doc_id"), lit(true).as("is_lowq"))
+    docs.select("doc_id")
+      .join(exactDup, Seq("doc_id"), "left_outer")
+      .join(nearDup, Seq("doc_id"), "left_outer")
+      .join(lowQ, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .when(col("is_lowq"), "low_quality")
+          .otherwise("kept").as("reason"))
+      .withColumn("kept", col("reason") === "kept")
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint per document over word tokens: bit k is the
     * majority vote of bit k across the token hashes. The hash family is the
     * cross-engine char-polynomial one ([[graft.functions.TokenSimhash]]), so
