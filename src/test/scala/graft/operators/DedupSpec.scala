@@ -130,6 +130,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got == expected, s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("curate tags every doc with exactly one fate and precedence holds") {
+    val rows = Dedup.curate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.length == Tables.load(spark, sf, "documents").count())
+    assert(rows.forall { case (_, reason, kept) => kept == (reason == "kept") })
+    val reasons = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(reasons.getOrElse("kept", 0) > 0, s"reasons=$reasons")
+    // Independent cross-check of the exact-dup tag: docs that are not the
+    // min id of their normalized-content group, minus those claimed first
+    // by nothing (exact_dup has top precedence).
+    val byContent = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase))
+      .groupBy(_._2).values.flatMap { g =>
+        val minId = g.map(_._1).min
+        g.map(_._1).filter(_ != minId)
+      }.toSet
+    assert(rows.filter(r => r._2 == "exact_dup").map(_._1).toSet == byContent)
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val a = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq
     val b = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq
