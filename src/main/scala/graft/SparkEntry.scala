@@ -89,6 +89,7 @@ object SparkEntry {
     "q_outerjoin" -> ((s, dir) => Relational.outerJoin(s, dir)),
     "q_running" -> ((s, dir) => Relational.runningSum(s, dir)),
     "q_pivot" -> ((s, dir) => Relational.pivotAgg(s, dir)),
+    "q_asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
     // §2.3 LLM-data-pipeline operators
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
@@ -107,6 +108,13 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
     "q_split_hash" -> ((s, dir) => TextAnalysis.splitHash(s, dir)),
     "q_curate" -> ((s, dir) => Dedup.curate(s, dir)),
+    "q_dedup_cluster" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "q_repetition" -> ((s, dir) => Curation.repetition(s, dir)),
+    "q_ngram_freq" -> ((s, dir) => Curation.ngramFreq(s, dir)),
+    "q_source_mix" -> ((s, dir) => Curation.sourceMix(s, dir)),
+    "q_token_pack" -> ((s, dir) => Curation.tokenPack(s, dir)),
+    "q_pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
+    "q_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
   )
 
@@ -454,6 +462,115 @@ object SparkEntry {
         |LEFT JOIN near ON near.doc_id = d.doc_id
         |LEFT JOIN lowq ON lowq.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(trim(text), ' '))::INTEGER AS n_tokens,
+        |         unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, n_tokens, tok, count(*) AS c FROM t GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, n_tokens, count(*) AS n_distinct, max(c) AS top_freq,
+        |  round(1.0::DOUBLE - count(*)::DOUBLE / n_tokens, 6) AS dup_ratio,
+        |  round(max(c)::DOUBLE / n_tokens, 6) AS top_ratio
+        |FROM g GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "q_ngram_freq" ->
+      """WITH toks AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks WHERE len(w) >= 2
+        |)
+        |SELECT w[i] || ' ' || w[i+1] AS bigram, count(*) AS n
+        |FROM idx GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q_source_mix" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY 1
+        |), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s)
+        |SELECT source, n_docs, n_tokens, n_langs,
+        |  round(n_tokens::DOUBLE / tot, 6) AS token_share
+        |FROM s, t ORDER BY source""".stripMargin,
+    "q_token_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(trim(text), ' '))::INTEGER AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens::BIGINT) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens, start_off,
+        |  CAST(floor(start_off / 512.0::DOUBLE) AS INTEGER) AS seq_id,
+        |  CAST(start_off % 512 AS BIGINT) AS seq_off
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT event_id,
+        |  len(regexp_extract_all(props, '[0-9]+'))::INTEGER AS n_redacted,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+        |  FROM toks WHERE len(w) >= 5
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS g
+        |  FROM idx
+        |), bg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |h AS (
+        |  SELECT s.doc_id, count(*) AS n_hit_grams
+        |  FROM sh s JOIN bg ON s.g = bg.g WHERE s.doc_id % 50 <> 0 GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+        |  (coalesce(h.n_hit_grams, 0) > 0) AS contaminated
+        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, v.view_event, v.view_value
+        |FROM events c LEFT JOIN LATERAL (
+        |  SELECT v.event_id AS view_event, v.value AS view_value
+        |  FROM events v
+        |  WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        |    AND (v.ts < c.ts OR (v.ts = c.ts AND v.event_id < c.event_id))
+        |  ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+        |) v ON true
+        |WHERE c.event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM prs
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+        |),
+        |e AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, reach.r FROM e JOIN reach ON reach.doc_id = e.a
+        |)
+        |SELECT doc_id, min(r) AS cluster_id, (doc_id = min(r)) AS is_canonical
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_brute" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-curation operators a production training-data pipeline runs after
+  * dedup/quality (SURVEY.md §2.3): repetition filtering, vocabulary stats,
+  * source mixing, sequence packing, scrubbing, and benchmark decontamination.
+  *
+  * Scale design: everything here is either pure per-row expression work
+  * (repetition ratios, scrubbing) or a single linear shuffle on a bounded key
+  * (n-gram counts, per-source aggregates, per-source packing windows). No
+  * operator is quadratic in corpus size and nothing funnels through a single
+  * partition except post-aggregation results that are bounded by the number
+  * of sources / vocabulary cutoff, not by corpus rows.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  private def tokensCol = split(trim(col("text")), " ")
+
+  /** §2.3 #54 — within-document repetition stats (the Gopher-style
+    * repetition filter): distinct-token ratio and the frequency of the most
+    * common token. One explode + two linear aggregations; the shuffle key is
+    * (doc_id, token) so a hot document spreads over many reducers and no
+    * per-document state ever exceeds its own vocabulary.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "n_tokens", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_distinct"), max("c").as("top_freq"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_ratio",
+        round(col("top_freq").cast("double") / col("n_tokens"), 6))
+      .select("doc_id", "n_tokens", "n_distinct", "top_freq", "dup_ratio", "top_ratio")
+      .orderBy("doc_id")
+
+  /** §2.3 #55 — corpus-level vocabulary: the `topK` most frequent word
+    * bigrams with a deterministic tie-break. Map-side partial counts make the
+    * shuffle proportional to DISTINCT bigrams per partition, not corpus
+    * tokens; the final top-K is a TakeOrderedAndProject (per-partition heaps,
+    * no global sort).
+    */
+  def ngramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    docs(spark, dir)
+      .select(tokensCol.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topK)
+
+  /** §2.3 #56 — domain-mixing stats: per-source document/token counts,
+    * language spread, and each source's share of corpus tokens (the numbers a
+    * data-mixing policy is written against). One linear aggregation; the
+    * 1-row token total joins back by broadcast, so nothing ever funnels
+    * through a single partition.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .select(col("source"), col("lang"), size(tokensCol).as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+        countDistinct("lang").as("n_langs"))
+    val total = per.agg(sum("n_tokens").as("tot"))
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / col("tot"), 6))
+      .select("source", "n_docs", "n_tokens", "n_langs", "token_share")
+      .orderBy("source")
+  }
+
+  /** §2.3 #57 — training-sequence packing: documents are concatenated in
+    * (source, doc_id) order and chunked into fixed `seqLen`-token sequences
+    * (documents may straddle a boundary — exactly how LLM pretraining packs
+    * tokens). Each document gets its stream start offset, the sequence id its
+    * first token lands in, and the offset within that sequence.
+    *
+    * The running offset is a window sum PARTITIONED BY source — packing is
+    * per-source, so at 100 TB each source's stream is an independent
+    * partition-local sort, never a global one.
+    */
+  def tokenPack(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(tokensCol).as("n_tokens"))
+      .withColumn("start_off",
+        coalesce(sum(col("n_tokens").cast("bigint")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("start_off") / lit(seqLen.toDouble)).cast("int"))
+      .withColumn("seq_off", col("start_off") % seqLen)
+      .select("doc_id", "source", "n_tokens", "start_off", "seq_id", "seq_off")
+      .orderBy("doc_id")
+  }
+
+  /** §2.3 #58 — scrubbing pass over the `events.props` payload: numeric
+    * identifiers are redacted to a placeholder and counted (the shape of a
+    * PII-removal pass — swap the pattern set for emails/phones/SSNs in a real
+    * corpus). Pure per-row regex, codegen'd, embarrassingly parallel.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_redacted"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"))
+      .orderBy("event_id")
+
+  /** §2.3 #59 — benchmark decontamination: flag training documents sharing
+    * any word 5-gram with the held-out benchmark slice (doc_id % 50 == 0
+    * stands in for the eval suite). Candidate generation is an equi-join on
+    * the 5-gram — never all-pairs — and the benchmark side is broadcast:
+    * real benchmark suites are MBs against a multi-TB corpus, so the corpus
+    * never shuffles at all.
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', ${
+          (0 until n).map(j => s"w[i+${j - 1}]").mkString(", ")}))"))).as("g"))
+    val bench = grams.where(col("doc_id") % 50 === 0).select("g").distinct()
+    val hits = grams.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+    docs(spark, dir).select("doc_id")
+      .where(col("doc_id") % 50 =!= 0)
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0)
+      .orderBy("doc_id")
+  }
+}

@@ -192,6 +192,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** §2.3 #60 — duplicate-cluster assignment: connected components over the
+    * near-dup pair graph, every document labeled with the minimum doc_id of
+    * its component (the canonical representative a dedup pass keeps).
+    *
+    * Distributed min-label propagation with pointer jumping: each round (a)
+    * pulls the minimum neighbor label across edges, then (b) rewrites each
+    * label by its label's own label (path halving), so convergence is
+    * O(log(diameter)) distributed rounds, not O(diameter) — near-dup
+    * components are dense and shallow, so this settles in a handful of
+    * rounds even at corpus scale. Every round is two equi-joins + one
+    * aggregation (all linear in |edges|); `localCheckpoint` cuts lineage so
+    * round N's plan does not re-execute rounds 1..N-1.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6,
+      maxRounds: Int = 25): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("nbr").as("nbr_min"))
+      val pulled = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      val parents = pulled.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+      val next = pulled.join(parents, col("cluster_id") === col("p_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("p_label"), col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .where(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    require(converged, s"dedupClusters did not converge in $maxRounds rounds")
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint per document over word tokens: bit k is the
     * majority vote of bit k across the token hashes. The hash family is the
     * cross-engine char-polynomial one ([[graft.functions.TokenSimhash]]), so

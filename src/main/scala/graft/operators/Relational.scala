@@ -431,4 +431,37 @@ object Relational {
         hour(col("ts")).as("hr"),
         datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("days_since"))
       .orderBy("event_id")
+
+  /** §2.2 #61 — as-of join: every click event picks up the latest view event
+    * by the same user at-or-before it (the canonical point-in-time lookup —
+    * trades enriched with the prevailing quote, events with the last state
+    * snapshot). "Before" is the total order (ts, event_id), so ties are
+    * deterministic.
+    *
+    * Spark has no ASOF JOIN operator; the scalable formulation is the
+    * union-and-carry-forward trick: tag both streams, sort each user's
+    * timeline once, and carry the last view forward with
+    * `last(..., ignoreNulls)` over the running frame. One shuffle on
+    * user_id + one partition-local sort — O(N log N) per user timeline —
+    * where a naive per-click lookup join would be a range join (quadratic
+    * per user). This beats even a point-lookup broadcast at 100 TB because
+    * neither side ever materializes per-key candidate lists.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("v_event"), col("value").as("v_value"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("bigint").as("v_event"), lit(null).cast("double").as("v_value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(clicks)
+      .withColumn("view_event", last("v_event", ignoreNulls = true).over(w))
+      .withColumn("view_value", last("v_value", ignoreNulls = true).over(w))
+      .where(col("v_event").isNull)
+      .select("event_id", "user_id", "view_event", "view_value")
+      .orderBy("event_id")
+  }
 }

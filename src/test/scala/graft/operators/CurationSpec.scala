@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+import graft.sources.Tables
+
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs: Array[(Long, String, Array[String])] =
+    Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split(" ")))
+
+  test("repetition stats match a local recompute") {
+    val got = Curation.repetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, _, toks) =>
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val (n, d, f) = got(id)
+      assert(n == toks.length && d == counts.size && f == counts.max,
+        s"doc $id: got ($n,$d,$f) want (${toks.length},${counts.size},${counts.max})")
+    }
+  }
+
+  test("ngramFreq returns the true top-20 bigrams with deterministic tie-break") {
+    val local = docs.flatMap(_._3.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, v) => (g, v.length.toLong) }.toSeq
+      .sortBy { case (g, n) => (-n, g) }.take(20)
+    val got = Curation.ngramFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == local)
+  }
+
+  test("sourceMix token shares sum to 1 and match local totals") {
+    val rows = Curation.sourceMix(spark, sf).collect()
+    val localTokens = docs.groupBy(_._2).view.mapValues(_.map(_._3.length.toLong).sum)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == localTokens(r.getAs[String]("source")))
+    }
+    val share = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(share - 1.0) < 1e-3)
+  }
+
+  test("tokenPack offsets are per-source cumulative sums and seq ids are consistent") {
+    val got = Curation.tokenPack(spark, sf, 512).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getLong(5)))).toMap
+    docs.groupBy(_._2).foreach { case (_, members) =>
+      var off = 0L
+      members.sortBy(_._1).foreach { case (id, _, toks) =>
+        val (_, n, start, seqId, seqOff) = got(id)
+        assert(n == toks.length && start == off,
+          s"doc $id: start=$start want $off")
+        assert(seqId == (off / 512).toInt && seqOff == off % 512)
+        off += toks.length
+      }
+    }
+  }
+
+  test("piiScrub removes every digit run and counts them") {
+    val rows = Curation.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scrubbed = r.getAs[String]("scrubbed")
+      assert(!scrubbed.exists(_.isDigit), s"digits survived: $scrubbed")
+    }
+    val byId = Tables.load(spark, sf, "events").select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(100).foreach { r =>
+      val want = "[0-9]+".r.findAllIn(byId(r.getLong(0))).size
+      assert(r.getInt(1) == want)
+    }
+  }
+
+  test("decontaminate flags exactly the docs sharing a 5-gram with the benchmark slice") {
+    val grams = docs.map { case (id, _, toks) =>
+      id -> toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    }.toMap
+    val benchGrams = grams.collect { case (id, g) if id % 50 == 0 => g }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val got = Curation.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.nonEmpty && got.forall(_._1 % 50 != 0))
+    got.foreach { case (id, hits, flag) =>
+      val want = grams(id).count(benchGrams.contains)
+      assert(hits == want && flag == (want > 0), s"doc $id: hits=$hits want $want")
+    }
+  }
+}

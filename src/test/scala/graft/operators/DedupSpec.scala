@@ -150,6 +150,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows.filter(r => r._2 == "exact_dup").map(_._1).toSet == byContent)
   }
 
+  test("dedupClusters equals union-find over the brute-force near-dup pairs") {
+    val pairs = brutePairs(0.6).map(p => (p._1, p._2))
+    // Local union-find ground truth.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = Dedup.dedupClusters(spark, sf, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val ids = Tables.load(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == ids, "every document gets a cluster label")
+    got.foreach { case (id, cluster, canonical) =>
+      assert(cluster == find(id), s"doc $id: cluster $cluster want ${find(id)}")
+      assert(canonical == (id == cluster))
+    }
+    assert(got.exists(g => g._1 != g._2), "test data should contain non-trivial clusters")
+  }
+
   test("simhash fingerprints are deterministic across runs") {
     val a = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq
     val b = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq

@@ -83,4 +83,27 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val plan = Relational.joinBroadcast(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("asofJoin picks the latest view at-or-before each click, per user") {
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000
+        + r.getTimestamp(2).getNanos / 1000 % 1000, r.getString(3), r.getDouble(4)))
+    val views = events.filter(_._4 == "view")
+    val clicks = events.filter(_._4 == "click")
+    val expected = clicks.map { c =>
+      val before = views.filter(v =>
+        v._2 == c._2 && (v._3 < c._3 || (v._3 == c._3 && v._1 < c._1)))
+      val best = if (before.isEmpty) None
+        else Some(before.maxBy(v => (v._3, v._1)))
+      c._1 -> best.map(v => (v._1, v._5))
+    }.toMap
+    val got = Relational.asofJoin(spark, sf).collect()
+    assert(got.length == clicks.length)
+    got.foreach { r =>
+      val want = expected(r.getLong(0))
+      val gotV = if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))
+      assert(gotV == want, s"click ${r.getLong(0)}: got $gotV want $want")
+    }
+  }
 }
