@@ -81,6 +81,17 @@ object EventStream {
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
   }
 
+  /** §2.4 #62 — stream-static enrichment join: each streaming event picks up
+    * dimension attributes from a static (batch) table. Stream-static joins
+    * are STATELESS — the static side is just planned into every micro-batch,
+    * and `broadcast()` pins it as a broadcast hash join, so the stream never
+    * shuffles and no join state accumulates. This is the streaming analogue
+    * of the batch dim join: at 100 TB/day the stream stays partition-local
+    * while the bounded dim rides along on every executor.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** §2.4 #36 — custom-state sessionization with flatMapGroupsWithState:
     * events within `gapMinutes` of each other belong to one session; an
     * EVENT-TIME timeout (watermark passing last_ts + gap) closes idle

@@ -140,6 +140,28 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with dim attributes, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "view", 2.0),
+      Event(3, ts(3), 99, "click", 3.0)) // no dim row -> null tier
+    val q = EventStream.enriched(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+      // Stateless: the micro-batch ran no streaming state store operator.
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives each append batch as an ordinary DataFrame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
