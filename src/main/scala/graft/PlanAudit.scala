@@ -51,7 +51,10 @@ object PlanAudit {
       // Scale-contract assertions.
       if (cartesian)
         failures += s"$name: CartesianProduct in plan"
-      if (bnlj && name != "q_ann_brute" && name != "q_having")
+      // BNLJ whitelist: q_ann_brute broadcasts the tiny query set over a
+      // linear corpus scan (the intended plan); q_having and q_source_mix
+      // broadcast a SINGLE aggregated row (scalar subquery / corpus total).
+      if (bnlj && name != "q_ann_brute" && name != "q_having" && name != "q_source_mix")
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
         failures += "q_topn: expected TakeOrderedAndProject (global sort instead)"

@@ -24,6 +24,16 @@ object SparkEntry {
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-dest/$name"
 
+  /** A deterministic "stale destination copy" of orders for the diff/upsert
+    * rows: every 10th key never arrived, every 7th has a drifted price.
+    */
+  private def staleOrders(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "orders")
+      .where(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.joinStar(spark, "/root/testdata/sf0.001")
@@ -90,6 +100,24 @@ object SparkEntry {
     "q_running" -> ((s, dir) => Relational.runningSum(s, dir)),
     "q_pivot" -> ((s, dir) => Relational.pivotAgg(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
+    "q_sessionize" -> ((s, dir) => Relational.sessionizeBatch(s, dir)),
+    // Snapshot diff / upsert exercise a deterministic "stale copy": dest is
+    // missing every 10th key and has drifted prices on every 7th.
+    "q_copy_diff" -> ((s, dir) => {
+      val src = graft.sources.Tables.load(s, dir, "orders")
+      val dst = staleOrders(s, dir)
+      TableCopy.diffTables(src, dst, Seq("o_orderkey"))
+        .groupBy("status").agg(count(lit(1)).as("n_rows"))
+        .orderBy("status")
+    }),
+    "q_copy_upsert" -> ((s, dir) => {
+      val fresh = graft.sources.Tables.load(s, dir, "orders")
+        .where(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 7 === 0)
+      TableCopy.upsert(fresh, staleOrders(s, dir), Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
     // §2.3 LLM-data-pipeline operators
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
@@ -462,6 +490,47 @@ object SparkEntry {
         |LEFT JOIN near ON near.doc_id = d.doc_id
         |LEFT JOIN lowq ON lowq.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, value, t_us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM x
+        |)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        |  min(t_us) AS first_us, max(t_us) AS last_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_copy_diff" ->
+      """WITH dst AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0::DOUBLE
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), j AS (
+        |  SELECT CASE WHEN d.o_orderkey IS NULL THEN 'missing_in_dest'
+        |              WHEN s.o_orderkey IS NULL THEN 'missing_in_source'
+        |              WHEN (s.o_custkey IS DISTINCT FROM d.o_custkey)
+        |                OR (s.o_orderstatus IS DISTINCT FROM d.o_orderstatus)
+        |                OR (s.o_totalprice IS DISTINCT FROM d.o_totalprice)
+        |                OR (s.o_orderdate IS DISTINCT FROM d.o_orderdate)
+        |                OR (s.o_orderpriority IS DISTINCT FROM d.o_orderpriority)
+        |                THEN 'changed'
+        |              ELSE 'same' END AS status
+        |  FROM orders s FULL OUTER JOIN dst d ON s.o_orderkey = d.o_orderkey
+        |)
+        |SELECT status, count(*) AS n_rows FROM j GROUP BY status ORDER BY status""".stripMargin,
+    // Upserting the fresh rows into the stale copy reconstructs the source
+    // exactly — that round-trip identity IS the upsert correctness claim.
+    "q_copy_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(trim(text), ' '))::INTEGER AS n_tokens,

@@ -121,14 +121,14 @@ object Dedup {
       .distinct()
   }
 
-  /** §2.3 #24 — MinHash-LSH near-dup pairs, verified with exact Jaccard.
-    * Pipeline: collapse exact-duplicate clusters -> band representatives ->
-    * candidate rep pairs from band collisions -> exact Jaccard on candidates
-    * only -> expand rep-level results back to doc pairs (identical docs share
-    * a shingle set, so the rep-level Jaccard IS the pair's Jaccard; pairs
-    * inside one cluster are emitted directly at Jaccard 1.0).
+  /** Verified rep-level near-dup pairs plus the exact-cluster membership:
+    * (`(rep_a, rep_b, j)` pairs at Jaccard >= threshold over cluster
+    * representatives, `(rep_id, doc_id)` membership). The shared core of
+    * [[nearDupJaccard]] (which expands back to doc pairs) and
+    * [[dedupClusters]] (which needs only connectivity).
     */
-  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+  private[graft] def verifiedRepPairs(spark: SparkSession, dir: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     val grouped = groupedSignatures(spark, dir).select("doc_id", "ckey", "rep_id", "sh")
     val repSets = grouped.where(col("doc_id") === col("rep_id")).select("doc_id", "sh")
     val verified = jaccardCandidates(spark, dir)
@@ -139,7 +139,18 @@ object Dedup {
         col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .where(col("j") >= threshold)
       .select(col("rep_a"), col("rep_b"), col("j"))
-    val members = grouped.select(col("rep_id"), col("doc_id"))
+    (verified, grouped.select(col("rep_id"), col("doc_id")))
+  }
+
+  /** §2.3 #24 — MinHash-LSH near-dup pairs, verified with exact Jaccard.
+    * Pipeline: collapse exact-duplicate clusters -> band representatives ->
+    * candidate rep pairs from band collisions -> exact Jaccard on candidates
+    * only -> expand rep-level results back to doc pairs (identical docs share
+    * a shingle set, so the rep-level Jaccard IS the pair's Jaccard; pairs
+    * inside one cluster are emitted directly at Jaccard 1.0).
+    */
+  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val (verified, members) = verifiedRepPairs(spark, dir, threshold)
     val cross = verified
       .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
       .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
@@ -193,8 +204,14 @@ object Dedup {
   }
 
   /** §2.3 #60 — duplicate-cluster assignment: connected components over the
-    * near-dup pair graph, every document labeled with the minimum doc_id of
-    * its component (the canonical representative a dedup pass keeps).
+    * near-dup graph, every document labeled with the minimum doc_id of its
+    * component (the canonical representative a dedup pass keeps).
+    *
+    * The graph is NOT the expanded doc-pair clique set: a cluster of k exact
+    * duplicates would contribute k² clique edges. Connectivity only needs
+    * (a) one star edge member->representative per exact-duplicate member
+    * (k-1 edges per cluster) and (b) the verified rep-level near-dup pairs —
+    * same components, edge count linear in corpus size.
     *
     * Distributed min-label propagation with pointer jumping: each round (a)
     * pulls the minimum neighbor label across edges, then (b) rewrites each
@@ -203,11 +220,17 @@ object Dedup {
     * components are dense and shallow, so this settles in a handful of
     * rounds even at corpus scale. Every round is two equi-joins + one
     * aggregation (all linear in |edges|); `localCheckpoint` cuts lineage so
-    * round N's plan does not re-execute rounds 1..N-1.
+    * round N's plan does not re-execute rounds 1..N-1. Labels are min-ids,
+    * hence monotonically non-increasing — convergence is detected by the
+    * label SUM going flat (one cheap agg per round, no join).
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6,
       maxRounds: Int = 25): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val (repPairs, members) = verifiedRepPairs(spark, dir, threshold)
+    val stars = members.where(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = repPairs.select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+      .unionAll(stars)
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
@@ -215,6 +238,9 @@ object Dedup {
     var labels = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster_id")).cast("long")).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -229,8 +255,9 @@ object Dedup {
       val next = pulled.join(parents, col("cluster_id") === col("p_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("p_label"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .where(col("cluster_id") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       round += 1
     }

@@ -432,6 +432,33 @@ object Relational {
         datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("days_since"))
       .orderBy("event_id")
 
+  /** §2.2 #65 — batch sessionization: the window-function twin of the
+    * streaming `EventStream.sessionize`. A new session starts when the gap
+    * from the previous event (per user, ordered by event time with event_id
+    * tie-break) exceeds `gapMinutes`; the session id is the running count of
+    * session starts. One shuffle on user_id + one partition-local sort
+    * covers both windows AND the final aggregation — timestamps surface as
+    * epoch micros so the result is engine-exact.
+    */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag("t_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("t_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("t_us").as("first_us"), max("t_us").as("last_us"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "sess_seq")
+  }
+
   /** §2.2 #61 — as-of join: every click event picks up the latest view event
     * by the same user at-or-before it (the canonical point-in-time lookup —
     * trades enriched with the prevailing quote, events with the last state

@@ -269,6 +269,38 @@ object TableCopy {
     manifest.toDF("table_name", "n_rows", "status").orderBy("table_name")
   }
 
+  /** §2.1 #63 — post-copy verification: classify every key as `same` / `changed` /
+    * `missing_in_dest` / `missing_in_source` between two table snapshots —
+    * the audit a DBA runs after a bulk copy, and the diff that drives an
+    * incremental sync. One full-outer sort-merge join on the key; non-key
+    * columns compare as a single null-safe struct equality (no per-column
+    * hashing, no formatting round-trip, exact for every type).
+    */
+  def diffTables(src: DataFrame, dst: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKey = src.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, rest: String, flag: String): DataFrame =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(rest): _*)
+        .withColumn(flag, lit(true))
+    packed(src, "_src_rest", "_in_src")
+      .join(packed(dst, "_dst_rest", "_in_dst"), keys, "full_outer")
+      .select(keys.map(col) :+
+        when(col("_in_dst").isNull, "missing_in_dest")
+          .when(col("_in_src").isNull, "missing_in_source")
+          .when(!(col("_src_rest") <=> col("_dst_rest")), "changed")
+          .otherwise("same").as("status"): _*)
+  }
+
+  /** §2.1 #64 — keyed upsert, the incremental-copy merge: every source row replaces
+    * the destination row with the same key (last-writer-wins), destination
+    * rows without a source match survive. Expressed as source ∪ (dest
+    * left-anti source-keys): one anti-join shuffle on the key plus a
+    * zero-shuffle union — no row ever compares more than once, and the
+    * source side only ships its KEYS into the anti-join.
+    */
+  def upsert(src: DataFrame, dst: DataFrame, keys: Seq[String]): DataFrame =
+    src.unionByName(
+      dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
   /** Canonical type name for the schema manifest (engine-neutral spelling so
     * the manifest is comparable across runtimes).
     */

@@ -106,4 +106,31 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(gotV == want, s"click ${r.getLong(0)}: got $gotV want $want")
     }
   }
+
+  test("sessionizeBatch matches a driver-side brute-force sessionization") {
+    val gapUs = 30L * 60 * 1000000
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as t_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Brute force: per user, sort by (t_us, event_id), split on gap > 30 min.
+    val expected = events.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._3 - acc.head.head._3 > gapUs) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (ss, i) =>
+        (uid, i + 1L) -> ((ss.length.toLong, ss.map(_._3).min, ss.map(_._3).max,
+          BigDecimal(ss.map(e => BigDecimal(e._4)).sum.toDouble)))
+      }
+    }.toMap
+    val got = Relational.sessionizeBatch(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val want = expected((r.getLong(0), r.getLong(1)))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((want._1, want._2, want._3)),
+        s"user ${r.getLong(0)} session ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(5) - want._4.toDouble) < 1e-6)
+    }
+  }
 }

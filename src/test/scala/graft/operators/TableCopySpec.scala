@@ -179,4 +179,43 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       assert(got.select("o_orderkey").distinct().count() == full)
     }
   }
+
+  test("diffTables classifies same / changed / missing rows, null-safely") {
+    val s = spark
+    import s.implicits._
+    val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "name", "v")
+    val dst = Seq((1L, "a", 10.0), (2L, "B", 20.0),
+      (4L, null.asInstanceOf[String], 40.0), (5L, "e", 50.0)).toDF("k", "name", "v")
+    val got = TableCopy.diffTables(src, dst, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "same",            // identical
+      2L -> "changed",         // name differs
+      3L -> "missing_in_dest", // only in source
+      4L -> "same",            // null == null under null-safe compare
+      5L -> "missing_in_source"))
+  }
+
+  test("upsert replaces matched keys, keeps unmatched dest rows, adds new rows") {
+    val s = spark
+    import s.implicits._
+    val dst = Seq((1L, "old", 1.0), (2L, "keep", 2.0)).toDF("k", "name", "v")
+    val fresh = Seq((1L, "new", 9.0), (3L, "add", 3.0)).toDF("k", "name", "v")
+    val got = TableCopy.upsert(fresh, dst, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "new", 9.0), (2L, "keep", 2.0), (3L, "add", 3.0)))
+  }
+
+  test("upsert of the changed+missing slice reconstructs the source exactly") {
+    val src = Tables.load(spark, sf, "orders")
+    val stale = src.where(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val fresh = src.where(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 7 === 0)
+    val merged = TableCopy.upsert(fresh, stale, Seq("o_orderkey"))
+    assert(TableCopy.diffTables(src, merged, Seq("o_orderkey"))
+      .where(col("status") =!= "same").isEmpty)
+  }
 }
