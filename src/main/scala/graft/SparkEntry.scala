@@ -144,6 +144,9 @@ object SparkEntry {
     "q_pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
     "q_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
+    "q_fk_check" -> ((s, dir) => TableCopy.fkCheck(s, dir)),
+    "q_stats_profile" -> ((s, dir) => TableCopy.statsProfile(s, dir)),
+    "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -531,6 +534,74 @@ object SparkEntry {
     "q_copy_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fk_check" ->
+      """SELECT relationship,
+        |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orphan_rows,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_orphan_keys
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS relationship,
+        |    c.l_orderkey AS k, 1 AS n
+        |  FROM lineitem c WHERE c.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey', c.l_partkey, 1
+        |  FROM lineitem c WHERE c.l_partkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey', c.o_custkey, 1
+        |  FROM orders c WHERE c.o_custkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.o_custkey)
+        |  UNION ALL
+        |  SELECT 'customer.c_nationkey->nation.n_nationkey', c.c_nationkey, 1
+        |  FROM customer c WHERE c.c_nationkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.c_nationkey)
+        |  UNION ALL
+        |  SELECT 'events.user_id->customer.c_custkey', c.user_id, 1
+        |  FROM events c WHERE c.user_id IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.user_id)
+        |) RIGHT JOIN (VALUES
+        |    ('lineitem.l_orderkey->orders.o_orderkey'),
+        |    ('lineitem.l_partkey->part.p_partkey'),
+        |    ('orders.o_custkey->customer.c_custkey'),
+        |    ('customer.c_nationkey->nation.n_nationkey'),
+        |    ('events.user_id->customer.c_custkey')) AS rels(relationship)
+        |  USING (relationship)
+        |GROUP BY relationship ORDER BY relationship""".stripMargin,
+    "q_stats_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(max(o_orderkey) AS DOUBLE) AS max_num FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', CAST(count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+        |) ORDER BY col_name""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, len(string_split(trim(text), ' '))::INTEGER AS n_tokens,

@@ -145,4 +145,27 @@ object Curation {
       .withColumn("contaminated", col("n_hit_grams") > 0)
       .orderBy("doc_id")
   }
+
+  /** §2.3 #68 — deterministic stratified sample: exactly `k` documents per
+    * source, chosen by ordering each stratum on sha256(doc_id) — a seedless,
+    * engine-reproducible shuffle. The same rows come back no matter how the
+    * corpus is partitioned, re-ingested, or re-ordered, which is what makes
+    * the sample auditable (unlike `TABLESAMPLE`/`rand()`).
+    *
+    * Fixed-k-per-stratum is inherently a per-stratum top-k: one shuffle on
+    * `source` + partition-local sort (rank window). Strata are few and the
+    * output is k rows each, so the sort is the cost ceiling; for a FRACTION
+    * sample at 100 TB use the constant-memory hash-threshold form instead
+    * (`substr(sha256(..),1,n) < t`, see [[TextAnalysis.splitHash]]) — no
+    * sort, no shuffle, same determinism.
+    */
+  def sampleStratified(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        sha2(col("doc_id").cast("string"), 256).as("h"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")))
+      .where(col("rk") <= k)
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
 }

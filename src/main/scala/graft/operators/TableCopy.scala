@@ -301,6 +301,72 @@ object TableCopy {
     src.unionByName(
       dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** §2.1 #66 — referential-integrity audit, the pre/post-copy FK check a
+    * DBA runs before trusting a copied set: for each (child.fk -> parent.pk)
+    * relationship, how many child rows (and distinct keys) point at a parent
+    * key that does not exist. NULL FKs are not violations (SQL semantics).
+    *
+    * Scale shape: the child side is aggregated to (key, row-count) FIRST, so
+    * the anti-join against the parent keys shuffles one row per DISTINCT
+    * child key — bounded by key cardinality, never by fact-table row count.
+    */
+  def fkCheck(spark: SparkSession, dir: String,
+      rels: Seq[(String, String, String, String)] = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events", "user_id", "customer", "c_custkey"))): DataFrame = {
+    val perRel = rels.map { case (child, fk, parent, pk) =>
+      val keyed = Tables.load(spark, dir, child)
+        .where(col(fk).isNotNull)
+        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("n"))
+      val orphans = keyed.join(
+        Tables.load(spark, dir, parent).select(col(pk).as("k")), Seq("k"), "left_anti")
+      orphans.agg(
+        lit(s"$child.$fk->$parent.$pk").as("relationship"),
+        coalesce(sum("n"), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    }
+    perRel.reduce(_.unionAll(_)).orderBy("relationship")
+  }
+
+  /** §2.1 #67 — column profile ("ANALYZE" for the copy planner): per column,
+    * null count, exact distinct count, and numeric min/max. This is what
+    * sizes stride partitions ([[graft.sources.PartitionPlan]] needs min/max),
+    * picks partition columns (distinct counts), and validates a copy.
+    *
+    * One scan; the exact multi-column DISTINCTs expand the scan by the
+    * column count (Spark's Expand) — the exact-profile price. At 100 TB the
+    * same operator runs with `approx_count_distinct` (HLL, one pass, no
+    * expand) when exactness isn't required; exact here because the oracle is.
+    */
+  def statsProfile(spark: SparkSession, dir: String, table: String = "orders"): DataFrame = {
+    val df = Tables.load(spark, dir, table)
+    val numeric: Set[String] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toSet
+    val aggs = df.columns.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"${c}__min"),
+            max(col(c)).cast("double").as(s"${c}__max"))
+         else Nil)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = df.columns.map { c =>
+      val (mn, mx) =
+        if (numeric(c)) (col(s"${c}__min"), col(s"${c}__max"))
+        else (lit(null).cast("double"), lit(null).cast("double"))
+      struct(lit(c).as("col_name"), col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__nd").as("n_distinct"), mn.as("min_num"), mx.as("max_num"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select("p.col_name", "p.n_nulls", "p.n_distinct", "p.min_num", "p.max_num")
+      .orderBy("col_name")
+  }
+
   /** Canonical type name for the schema manifest (engine-neutral spelling so
     * the manifest is comparable across runtimes).
     */

@@ -87,4 +87,22 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       assert(hits == want && flag == (want > 0), s"doc $id: hits=$hits want $want")
     }
   }
+
+  test("sampleStratified returns exactly k docs per source, deterministically") {
+    val k = 7
+    val a = Curation.sampleStratified(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val perSource = a.groupBy(_._1)
+    val nSources = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(perSource.size == nSources)
+    perSource.foreach { case (src, rows) =>
+      assert(rows.length == k, s"source $src")
+      assert(rows.map(_._3).sorted.toSeq == (1 to k), s"source $src ranks")
+    }
+    // Deterministic: a second run picks the identical rows.
+    val b = Curation.sampleStratified(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(a.toSeq == b.toSeq)
+  }
 }

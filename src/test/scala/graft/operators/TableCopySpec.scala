@@ -207,6 +207,38 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, "new", 9.0), (2L, "keep", 2.0), (3L, "add", 3.0)))
   }
 
+  test("fkCheck counts orphan rows and keys against driver-side ground truth") {
+    val users = Tables.load(spark, sf, "events").select("user_id")
+      .collect().map(_.getLong(0))
+    val custs = Tables.load(spark, sf, "customer").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val orphanRows = users.count(!custs.contains(_))
+    val orphanKeys = users.filter(!custs.contains(_)).distinct.length
+    val got = TableCopy.fkCheck(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("events.user_id->customer.c_custkey") ==
+      ((orphanRows.toLong, orphanKeys.toLong)))
+    // TPC-H relationships are referentially intact by construction.
+    assert(got("lineitem.l_orderkey->orders.o_orderkey") == ((0L, 0L)))
+    assert(got("customer.c_nationkey->nation.n_nationkey") == ((0L, 0L)))
+  }
+
+  test("statsProfile reports nulls, exact distincts, and numeric min/max") {
+    val orders = Tables.load(spark, sf, "orders")
+    val p = TableCopy.statsProfile(spark, sf, "orders").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == orders.columns.toSet)
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    val k = p("o_orderkey")
+    assert(k.getLong(1) == 0L) // no nulls
+    assert(k.getLong(2) == keys.distinct.length.toLong)
+    assert(k.getDouble(3) == keys.min.toDouble && k.getDouble(4) == keys.max.toDouble)
+    val status = p("o_orderstatus")
+    assert(status.isNullAt(3) && status.isNullAt(4)) // non-numeric: no min/max
+    assert(status.getLong(2) ==
+      orders.select("o_orderstatus").distinct().count())
+  }
+
   test("upsert of the changed+missing slice reconstructs the source exactly") {
     val src = Tables.load(spark, sf, "orders")
     val stale = src.where(col("o_orderkey") % 10 =!= 0)
