@@ -141,4 +141,24 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** §2.4 #69 — sessionization via Spark's NATIVE `session_window` grouping:
+    * the declarative twin of [[sessionize]]. The engine merges overlapping
+    * per-event windows `[ts, ts+gap)` into sessions inside the streaming
+    * aggregation operator — no user state code, and because it's a plain
+    * groupBy the SAME call runs in batch (where it must agree with
+    * `Relational.sessionizeBatch`). Watermark closes (emits + evicts) a
+    * session once event time passes its end — state stays bounded by the
+    * active-session count.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+      watermark: Option[String] = Some("30 minutes")): DataFrame = {
+    val in = watermark.fold(events)(events.withWatermark("ts", _))
+    in.groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+  }
 }

@@ -222,4 +222,47 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(rows == Set((1L, 2, 3.0), (2L, 1, 1.5), (1L, 2, 12.0), (3L, 1, 1.0)))
     } finally q.stop()
   }
+
+  test("sessionWindowAgg merges gap-overlapping events and closes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),  // same session (10 < 0+30)
+      Event(3, ts(60), 1, "click", 4.0))  // new session  (60 > 10+30)
+    val q = EventStream.sessionWindowAgg(input.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("swa")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Watermark (30 min behind max event time) must pass a session's END
+      // before append mode emits it: 200 - 30 > 60 + 30.
+      input.addData(Event(4, ts(200), 2, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("swa").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        (1L, ts(0).getTime, ts(40).getTime, 2L, 3.0),
+        (1L, ts(60).getTime, ts(90).getTime, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionWindowAgg in batch mode agrees with Relational.sessionizeBatch") {
+    val batch = graft.operators.Relational.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(2), r.getDouble(5))))
+      .toMap // (user, first_us) -> (n_events, total)
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val got = EventStream.sessionWindowAgg(events, 30, watermark = None)
+      .selectExpr("user_id", "unix_micros(session_start) AS s_us",
+        "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == batch.size)
+    got.foreach { case (uid, sUs, n, total) =>
+      val (wantN, wantTotal) = batch((uid, sUs))
+      assert(n == wantN, s"user $uid session@$sUs")
+      assert(math.abs(total - wantTotal) < 1e-6, s"user $uid session@$sUs value")
+    }
+  }
 }
