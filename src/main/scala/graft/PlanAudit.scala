@@ -64,6 +64,18 @@ object PlanAudit {
         failures += "q_join_broadcast: expected BroadcastHashJoin"
       if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))
         failures += "q_filter_pushdown: no pushed filters at scan"
+      if (name == "q_copy_partitioned" && !plan.contains("PartitionFilters: [isnotnull(o_year"))
+        failures += "q_copy_partitioned: year predicate did not become a partition filter"
+      if (name == "q_copy_bucketed") {
+        if (!has("SortMergeJoin"))
+          failures += "q_copy_bucketed: expected a sort-merge join of bucketed tables"
+        // The ONLY exchange allowed is the post-join aggregation/sort; the
+        // join itself must read co-located buckets with no shuffle.
+        val exchanges = "Exchange hashpartitioning\\((?:l_orderkey|o_orderkey)".r
+          .findAllIn(plan).size
+        if (exchanges > 0)
+          failures += s"q_copy_bucketed: $exchanges join-key exchange(s) — bucketing not used"
+      }
 
       sb.append(s"## $name\n\ntags: ${notes.mkString(", ")}\n\n```\n")
       sb.append(plan.linesIterator.take(60).mkString("\n"))

@@ -145,6 +145,12 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
     "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
     "q_fk_check" -> ((s, dir) => TableCopy.fkCheck(s, dir)),
+    "q_copy_partitioned" -> ((s, dir) => {
+      val dest = tmp("partitioned")
+      TableCopy.copyPartitioned(s, dir, dest)
+      TableCopy.partitionPrunedAgg(s, dest)
+    }),
+    "q_copy_bucketed" -> ((s, dir) => TableCopy.copyBucketed(s, dir, tmp("bucketed"))),
     "q_stats_profile" -> ((s, dir) => TableCopy.statsProfile(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
   )
@@ -595,6 +601,18 @@ object SparkEntry {
         |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
         |) ORDER BY col_name""".stripMargin,
+    "q_copy_partitioned" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
+    "q_copy_bucketed" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sample_stratified" ->
       """SELECT source, doc_id, rk FROM (
         |  SELECT source, doc_id,

@@ -209,9 +209,11 @@ object Dedup {
     *
     * The graph is NOT the expanded doc-pair clique set: a cluster of k exact
     * duplicates would contribute k² clique edges. Connectivity only needs
-    * (a) one star edge member->representative per exact-duplicate member
-    * (k-1 edges per cluster) and (b) the verified rep-level near-dup pairs —
-    * same components, edge count linear in corpus size.
+    * the verified rep-level near-dup pairs: the iteration runs over
+    * REPRESENTATIVE nodes only (one per distinct content), and exact-dup
+    * members inherit their rep's final label through one join afterwards —
+    * the same components, with the iterative part sized by distinct content
+    * count instead of corpus size.
     *
     * Distributed min-label propagation with pointer jumping: each round (a)
     * pulls the minimum neighbor label across edges, then (b) rewrites each
@@ -227,16 +229,14 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6,
       maxRounds: Int = 25): DataFrame = {
     val (repPairs, members) = verifiedRepPairs(spark, dir, threshold)
-    val stars = members.where(col("doc_id") =!= col("rep_id"))
-      .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"))
-    val pairs = repPairs.select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
-      .unionAll(stars)
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
+    val edges = repPairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
+      .unionAll(repPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
       .persist()
-    var labels = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Iterate over representative nodes only; docs the shingler drops (< 3
+    // tokens, absent from `members`) are singleton components by definition
+    // and rejoin in the final expansion.
+    var labels = members.select(col("rep_id").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id")).cast("long")).head.getLong(0)
@@ -263,7 +263,15 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"dedupClusters did not converge in $maxRounds rounds")
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    // Expand rep labels to every member; docs outside `members` (no
+    // shingles) are their own singleton cluster.
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(members.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left_outer")
+      .join(labels.select(col("doc_id").as("rep_id"), col("cluster_id")),
+        Seq("rep_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
 

@@ -301,6 +301,66 @@ object TableCopy {
     src.unionByName(
       dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** §2.1 #70 — PARTITIONED copy: the destination is laid out as
+    * `dest/o_year=YYYY/...` hive-style partitions, so every downstream query
+    * that filters on the partition column reads only its partitions'
+    * files — partition PRUNING, the single biggest scan saver at 100 TB
+    * (a year filter over 7 years of data touches 1/7th of the bytes, before
+    * any row is decoded). Returns the rows written.
+    */
+  def copyPartitioned(spark: SparkSession, dir: String, dest: String,
+      table: String = "orders"): Long = {
+    val src = Tables.load(spark, dir, table)
+      .withColumn("o_year", year(col("o_orderdate")))
+    src.write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(dest)
+    src.count()
+  }
+
+  /** The partition-pruned readback over a [[copyPartitioned]] destination:
+    * the `o_year = yr` predicate resolves against the directory layout
+    * (PartitionFilters in the scan), never against file contents.
+    */
+  def partitionPrunedAgg(spark: SparkSession, dest: String, yr: Int = 1997): DataFrame =
+    spark.read.parquet(dest)
+      .where(col("o_year") === yr)
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy("o_month")
+
+  /** §2.1 #71 — BUCKETED copy + shuffle-free co-located join: both tables
+    * are written bucketed (and sorted) on the join key with the same bucket
+    * count, so the subsequent sort-merge join reads matching buckets
+    * pairwise — NO exchange and NO sort on either side. This is the
+    * pre-partitioning that turns every future fact-fact join on this key
+    * into a scan-side merge; at 100 TB it's the difference between joining
+    * in place and re-shuffling the corpus every query. The join result
+    * aggregates revenue per order priority (oracle: the plain join).
+    */
+  def copyBucketed(spark: SparkSession, dir: String, warehouseDir: String,
+      nBuckets: Int = 8): DataFrame = {
+    def bucketize(table: String, key: String): String = {
+      val name = s"graft_bkt_$table"
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      Tables.load(spark, dir, table)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", s"$warehouseDir/$name")
+        .saveAsTable(name)
+      name
+    }
+    val orders = spark.table(bucketize("orders", "o_orderkey"))
+    val lineitem = spark.table(bucketize("lineitem", "l_orderkey"))
+    lineitem.hint("merge")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_orderpriority")
+  }
+
   /** §2.1 #66 — referential-integrity audit, the pre/post-copy FK check a
     * DBA runs before trusting a copied set: for each (child.fk -> parent.pk)
     * relationship, how many child rows (and distinct keys) point at a parent

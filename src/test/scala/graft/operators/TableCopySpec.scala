@@ -207,6 +207,39 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, "new", 9.0), (2L, "keep", 2.0), (3L, "add", 3.0)))
   }
 
+  test("copyPartitioned lays out hive partitions and readback prunes them") {
+    val dest = tmpDir() + "/part"
+    val n = TableCopy.copyPartitioned(spark, sf, dest)
+    assert(n == Tables.load(spark, sf, "orders").count())
+    val years = new java.io.File(dest).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("o_year=")).sorted
+    assert(years.contains("o_year=1997") && years.length >= 5)
+    val agg = TableCopy.partitionPrunedAgg(spark, dest, 1997)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan.take(500))
+    // Values survive the partitioned round trip.
+    val want = Tables.load(spark, sf, "orders")
+      .where(year(col("o_orderdate")) === 1997).count()
+    assert(agg.agg(sum("n_orders")).head.getLong(0) == want)
+  }
+
+  test("copyBucketed joins co-located buckets with zero join-side exchanges") {
+    val agg = TableCopy.copyBucketed(spark, sf, tmpDir() + "/bkt")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(400))
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "join-side shuffle present — bucketing unused")
+    // Result equals the plain unbucketed join.
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = agg.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == plain)
+  }
+
   test("fkCheck counts orphan rows and keys against driver-side ground truth") {
     val users = Tables.load(spark, sf, "events").select("user_id")
       .collect().map(_.getLong(0))
