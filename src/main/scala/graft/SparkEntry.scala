@@ -153,6 +153,8 @@ object SparkEntry {
     "q_copy_bucketed" -> ((s, dir) => TableCopy.copyBucketed(s, dir, tmp("bucketed"))),
     "q_stats_profile" -> ((s, dir) => TableCopy.statsProfile(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
+    "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
+    "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -601,6 +603,26 @@ object SparkEntry {
         |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
         |) ORDER BY col_name""".stripMargin,
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) // 64 AS nf FROM documents
+        |), e AS (
+        |  SELECT doc_id, text, unnest(generate_series(0, nf - 1)) AS i
+        |  FROM d WHERE nf > 0
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(i * 64 AS INTEGER) AS frame_off,
+        |  md5(substr(text, CAST(i AS INTEGER) * 64 + 1, 64)) AS frame_md5
+        |FROM e WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_explode" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents WHERE doc_id < 50
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM d
+        |)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[CAST(i AS INTEGER)] AS token
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
     "q_copy_partitioned" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  count(*) AS n_orders,

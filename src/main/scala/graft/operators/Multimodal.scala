@@ -99,4 +99,38 @@ object Multimodal {
       .as[MediaBlob]
     blobs.mapPartitions(_.map(decode)).toDF().orderBy("doc_id")
   }
+
+  /** One sampled frame: position + content hash of the frame bytes. */
+  case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_md5: String)
+
+  /** §2.3 #72 — frame sampling over a binary "video" payload: the payload is
+    * treated as fixed-size frames and every `every`-th full frame is emitted
+    * with its offset and an MD5 of the frame bytes. This is the batch shape
+    * of real video frame-sampling (ffmpeg seek + decode per selected frame):
+    * per-partition iteration with a per-task reusable codec handle (here the
+    * MessageDigest), output fanning out to multiple typed rows per input
+    * blob — never materializing all frames of a partition at once. Text
+    * bytes stand in for the codec-less sandbox; the digest IS real, so the
+    * result is oracle-exact (ASCII text: byte slice == char slice).
+    */
+  def frameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 64, every: Int = 2): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // amortized per task
+      it.flatMap { b =>
+        val nFrames = b.data.length / frameBytes
+        (0 until nFrames by every).iterator.map { i =>
+          val off = i * frameBytes
+          md.reset()
+          val h = md.digest(java.util.Arrays.copyOfRange(b.data, off, off + frameBytes))
+            .map(x => f"${x & 0xff}%02x").mkString
+          Frame(b.doc_id, i, off, h)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
 }

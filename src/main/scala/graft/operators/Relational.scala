@@ -459,6 +459,19 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #73 — flatten / lateral explode with ordinality: one row per token
+    * with its position (the UNNEST-WITH-ORDINALITY / LATERAL VIEW
+    * posexplode shape every nested-data pipeline needs). `posexplode` is a
+    * generator inside whole-stage codegen — rows fan out inside the scan
+    * stage with no shuffle; the only exchange is the presentation sort.
+    */
+  def explodeTokens(spark: SparkSession, dir: String, maxDoc: Long = 50): DataFrame =
+    t(spark, dir, "documents")
+      .where(col("doc_id") < maxDoc)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
   /** §2.2 #61 — as-of join: every click event picks up the latest view event
     * by the same user at-or-before it (the canonical point-in-time lookup —
     * trades enriched with the prevailing quote, events with the last state

@@ -58,4 +58,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .sortBy(_.doc_id).map(m => (m.format, m.width, m.height)).toSeq
     assert(decoded == Seq(("png", 800, 600), ("jpeg", 320, 240), ("unknown", 5, 5)))
   }
+
+  test("frameSample emits every k-th full frame with the exact content digest") {
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map(x => f"${x & 0xff}%02x").mkString
+    val expected = texts.toSeq.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      (0 until bytes.length / 64 by 2).map { i =>
+        (id, i, i * 64, md5hex(bytes.slice(i * 64, i * 64 + 64)))
+      }
+    }.sorted
+    val got = Multimodal.frameSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sorted.toSeq
+    assert(got.nonEmpty && got == expected)
+  }
 }
