@@ -155,6 +155,17 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
+    "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
+    "copy_compact" -> ((s, dir) => {
+      val dest = tmp("fragmented")
+      graft.sources.Tables.load(s, dir, "orders").repartition(64)
+        .write.mode("overwrite").parquet(dest)
+      TableCopy.compact(s, dest)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+    "copy_evolve" -> ((s, dir) => TableCopy.copyEvolve(s, dir, tmp("evolve"))),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -603,6 +614,27 @@ object SparkEntry {
         |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
         |) ORDER BY col_name""".stripMargin,
+    "q_window_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, drank, o_orderkey""".stripMargin,
+    "copy_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "copy_evolve" ->
+      """SELECT channel, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT 'original' AS channel, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT 'backfill', o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+        |) GROUP BY channel ORDER BY channel""".stripMargin,
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) // 64 AS nf FROM documents

@@ -459,6 +459,26 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #76 — analytic window suite: dense_rank / ntile / percent_rank /
+    * cume_dist in ONE window pass (same partition + order ⇒ one shuffle, one
+    * sort, one Window operator). The order key carries the unique o_orderkey
+    * tie-break, which is what makes ntile and the rank family deterministic —
+    * and percent_rank/cume_dist are rank arithmetic over exact integers, so
+    * their doubles reproduce bit-for-bit cross-engine.
+    */
+  def windowSuite(spark: SparkSession, dir: String, maxKey: Long = 2000): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .where(col("o_orderkey") < maxKey)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        dense_rank().over(w).as("drank"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy("o_orderpriority", "drank", "o_orderkey")
+  }
+
   /** §2.2 #73 — flatten / lateral explode with ordinality: one row per token
     * with its position (the UNNEST-WITH-ORDINALITY / LATERAL VIEW
     * posexplode shape every nested-data pipeline needs). `posexplode` is a

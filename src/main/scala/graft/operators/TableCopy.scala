@@ -301,6 +301,43 @@ object TableCopy {
     src.unionByName(
       dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** §2.1 #74 — small-file COMPACTION: rewrite a fragmented destination into
+    * ceil(rows / targetRowsPerFile) files. Long-running copy pipelines
+    * accrete small files (per-batch appends, per-partition writers); at
+    * 100 TB the file COUNT, not the byte count, is what kills scan planning
+    * (one task + one open/close per file). One distributed read →
+    * repartition → write into a staging dir (readers of the old path are
+    * never disturbed mid-rewrite); returns the compacted readback.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetRowsPerFile: Long = 10000L): DataFrame = {
+    val src = spark.read.parquet(path)
+    val nFiles = math.max(1L, (src.count() + targetRowsPerFile - 1) / targetRowsPerFile)
+    val staged = s"$path.compacted"
+    src.repartition(nFiles.toInt).write.mode(SaveMode.Overwrite).parquet(staged)
+    spark.read.parquet(staged)
+  }
+
+  /** §2.1 #75 — SCHEMA-EVOLUTION append: a later batch arrives with an extra
+    * column; the destination absorbs it (parquet is self-describing per
+    * file) and `mergeSchema` reads the union schema, null-filling the old
+    * rows — the additive-column path every long-lived copy destination
+    * eventually needs. Returns per-channel counts over the merged readback
+    * ('original' rows predate the column).
+    */
+  def copyEvolve(spark: SparkSession, dir: String, dest: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    orders.write.mode(SaveMode.Overwrite).parquet(dest)
+    orders.where(col("o_orderkey") % 100 === 0)
+      .withColumn("o_channel", lit("backfill"))
+      .write.mode(SaveMode.Append).parquet(dest)
+    spark.read.option("mergeSchema", "true").parquet(dest)
+      .groupBy(coalesce(col("o_channel"), lit("original")).as("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy("channel")
+  }
+
   /** §2.1 #70 — PARTITIONED copy: the destination is laid out as
     * `dest/o_year=YYYY/...` hive-style partitions, so every downstream query
     * that filters on the partition column reads only its partitions'

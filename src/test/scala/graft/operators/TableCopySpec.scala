@@ -240,6 +240,29 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(got == plain)
   }
 
+  test("compact collapses a fragmented directory to ceil(rows/target) files, data intact") {
+    val dest = tmpDir() + "/frag"
+    val orders = Tables.load(spark, sf, "orders") // 1500 rows at sf0.001
+    orders.repartition(64).write.parquet(dest)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dest) == 64)
+    val back = TableCopy.compact(spark, dest, targetRowsPerFile = 500)
+    assert(parquetFiles(s"$dest.compacted") == 3) // ceil(1500/500)
+    assert(back.count() == orders.count())
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) ==
+      orders.agg(sum("o_orderkey")).head.getLong(0))
+  }
+
+  test("copyEvolve null-fills pre-evolution rows and keeps both channels countable") {
+    val got = TableCopy.copyEvolve(spark, sf, tmpDir() + "/evolve").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = Tables.load(spark, sf, "orders").count()
+    val backfill = Tables.load(spark, sf, "orders")
+      .where(col("o_orderkey") % 100 === 0).count()
+    assert(got == Map("original" -> all, "backfill" -> backfill))
+  }
+
   test("fkCheck counts orphan rows and keys against driver-side ground truth") {
     val users = Tables.load(spark, sf, "events").select("user_id")
       .collect().map(_.getLong(0))
