@@ -343,15 +343,24 @@ object Similarity {
     */
   def nearDupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4,
                        nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    // The self-join ships (vec_id, bucket) ONLY — 16 bytes per exploded row
+    // instead of the 64-dim vector riding every one of its nTables copies
+    // through the exchange. Vectors re-attach to the (much smaller) distinct
+    // candidate-pair set afterwards.
     val bucketed = bucketedVectors(spark, dir,
       resolveBits(spark, dir, nBits, maxBits), nTables)
-    bucketed.as("x")
+      .select("vec_id", "bk")
+    val cand = bucketed.as("x")
       .join(bucketed.as("y"),
         col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.v").as("va"), col("x.nrm").as("na"),
-        col("y.v").as("vb"), col("y.nrm").as("nb"))
-      .dropDuplicates("vec_a", "vec_b") // a pair may collide in several tables
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct() // a pair may collide in several tables
+    val base = embeddings(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(base.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        col("nrm").as("nb")), "vec_b")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
