@@ -228,10 +228,14 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6,
       maxRounds: Int = 25): DataFrame = {
-    val (repPairs, members) = verifiedRepPairs(spark, dir, threshold)
+    // Materialize each side of the MinHash pipeline exactly ONCE: edges,
+    // label init, and the final expansion all reuse these checkpoints
+    // instead of re-executing the banding/verification DAG per consumer.
+    val (repPairsRaw, membersRaw) = verifiedRepPairs(spark, dir, threshold)
+    val repPairs = repPairsRaw.select("rep_a", "rep_b").localCheckpoint(true)
+    val members = membersRaw.localCheckpoint(true)
     val edges = repPairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
       .unionAll(repPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
-      .persist()
     // Iterate over representative nodes only; docs the shingler drops (< 3
     // tokens, absent from `members`) are singleton components by definition
     // and rejoin in the final expansion.
@@ -261,7 +265,6 @@ object Dedup {
       labels = next
       round += 1
     }
-    edges.unpersist()
     require(converged, s"dedupClusters did not converge in $maxRounds rounds")
     // Expand rep labels to every member; docs outside `members` (no
     // shingles) are their own singleton cluster.
