@@ -153,6 +153,9 @@ object SparkEntry {
     "q_copy_bucketed" -> ((s, dir) => TableCopy.copyBucketed(s, dir, tmp("bucketed"))),
     "q_stats_profile" -> ((s, dir) => TableCopy.statsProfile(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
+    // Sketches are engine-specific: no DuckDB oracle (driver rows-only
+    // check); CurationSpec bounds the estimates against exact answers.
+    "q_approx_stats" -> ((s, dir) => Curation.approxStats(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),

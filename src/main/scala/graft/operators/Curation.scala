@@ -159,6 +159,25 @@ object Curation {
     * (`substr(sha256(..),1,n) < t`, see [[TextAnalysis.splitHash]]) — no
     * sort, no shuffle, same determinism.
     */
+  /** §2.3 #77 — sketch-based corpus profile: HyperLogLog++ distinct counts
+    * and t-digest-style quantiles per source. This is the 100 TB twin of
+    * [[TableCopy.statsProfile]]'s exact pass: HLL state is a few KB per
+    * group no matter how many distinct values flow through it, and sketches
+    * MERGE associatively, so the whole profile is one map-side-combined
+    * aggregation — no Expand, no per-column re-shuffle, no memory cliff.
+    * Sketches are engine-specific by nature, so this row is rows-only for
+    * the driver; CurationSpec bounds both estimates against the exact
+    * answers (rsd 2%, quantile accuracy 10000).
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct_texts"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_p50_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
   def sampleStratified(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     docs(spark, dir)
       .select(col("source"), col("doc_id"),

@@ -88,6 +88,29 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approxStats sketches stay within tolerance of the exact answers") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._1)
+    val got = Curation.approxStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, rows) =>
+      val (apxDistinct, apxP50, nDocs) = got(src)
+      assert(nDocs == rows.length.toLong)
+      val exactDistinct = rows.map(_._2).distinct.length
+      assert(math.abs(apxDistinct - exactDistinct) <= math.max(2, exactDistinct / 10),
+        s"$src: approx $apxDistinct vs exact $exactDistinct")
+      val sorted = rows.map(_._3).sorted
+      // percentile_approx at accuracy 10000 on small groups is exact; allow
+      // one rank of slack anyway.
+      val lo = sorted((sorted.length - 1) / 2 - 1 max 0)
+      val hi = sorted(math.min(sorted.length - 1, (sorted.length - 1) / 2 + 1))
+      assert(apxP50 >= lo && apxP50 <= hi, s"$src: p50 $apxP50 not in [$lo,$hi]")
+    }
+  }
+
   test("sampleStratified returns exactly k docs per source, deterministically") {
     val k = 7
     val a = Curation.sampleStratified(spark, sf, k).collect()
