@@ -52,9 +52,11 @@ object PlanAudit {
       if (cartesian)
         failures += s"$name: CartesianProduct in plan"
       // BNLJ whitelist: q_ann_brute broadcasts the tiny query set over a
-      // linear corpus scan (the intended plan); q_having and q_source_mix
-      // broadcast a SINGLE aggregated row (scalar subquery / corpus total).
-      if (bnlj && name != "q_ann_brute" && name != "q_having" && name != "q_source_mix")
+      // linear corpus scan (the intended plan); q_having, q_source_mix and
+      // q_constraints broadcast a SINGLE aggregated row (scalar subquery /
+      // corpus total / 1-row x 1-row constraint frames).
+      val bnljOk = Set("q_ann_brute", "q_having", "q_source_mix", "q_constraints")
+      if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
         failures += "q_topn: expected TakeOrderedAndProject (global sort instead)"

@@ -169,6 +169,7 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
     "copy_evolve" -> ((s, dir) => TableCopy.copyEvolve(s, dir, tmp("evolve"))),
+    "q_constraints" -> ((s, dir) => TableCopy.constraintCheck(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -630,6 +631,27 @@ object SparkEntry {
     "copy_compact" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_constraints" ->
+      """WITH r AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS key_null,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_nonpositive,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1990-01-01'
+        |                    OR CAST(o_orderdate AS DATE) > DATE '2005-12-31'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS date_range
+        |  FROM orders
+        |), u AS (
+        |  SELECT CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS key_unique
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |)
+        |SELECT constraint_name, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'key_null' AS constraint_name, key_null AS n_violations FROM r
+        |  UNION ALL SELECT 'price_nonpositive', price_nonpositive FROM r
+        |  UNION ALL SELECT 'status_domain', status_domain FROM r
+        |  UNION ALL SELECT 'date_range', date_range FROM r
+        |  UNION ALL SELECT 'key_unique', key_unique FROM u
+        |) ORDER BY constraint_name""".stripMargin,
     "copy_evolve" ->
       """SELECT channel, count(*) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

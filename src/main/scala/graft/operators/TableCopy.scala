@@ -301,6 +301,42 @@ object TableCopy {
     src.unionByName(
       dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** §2.1 #78 — declarative data-quality CONSTRAINT suite (the post-copy
+    * acceptance gate): each constraint is a (name, violation-count) pair,
+    * and a copy is accepted when every count is zero. All row-level
+    * constraints for one table fuse into a SINGLE scan (one conditional sum
+    * per constraint — map-side combined, no per-constraint pass); the
+    * uniqueness constraint is its own hash-aggregate on the key. This is
+    * the deequ-style validation surface expressed as plain aggregates.
+    */
+  def constraintCheck(spark: SparkSession, dir: String): DataFrame =
+    constraintCheckOn(Tables.load(spark, dir, "orders"))
+
+  /** [[constraintCheck]] over an arbitrary orders-shaped frame (exposed so
+    * the spec can inject violations).
+    */
+  private[graft] def constraintCheckOn(orders: DataFrame): DataFrame = {
+    def viol(name: String, bad: org.apache.spark.sql.Column) =
+      sum(when(bad, 1L).otherwise(0L)).as(name)
+    val rowLevel = orders.agg(
+      viol("key_null", col("o_orderkey").isNull),
+      viol("price_nonpositive", col("o_totalprice") <= 0d),
+      viol("status_domain", !col("o_orderstatus").isin("F", "O", "P")),
+      viol("date_range",
+        to_date(col("o_orderdate")) < to_date(lit("1990-01-01")) ||
+        to_date(col("o_orderdate")) > to_date(lit("2005-12-31"))))
+    val dupKeys = orders.groupBy("o_orderkey").count()
+      .agg(viol("key_unique", col("count") > 1))
+    val wide = rowLevel.crossJoin(dupKeys) // two 1-row frames
+    val cols = Seq("key_null", "price_nonpositive", "status_domain",
+      "date_range", "key_unique")
+    wide.select(explode(array(cols.map(c =>
+        struct(lit(c).as("constraint_name"), col(c).as("n_violations"))): _*)).as("p"))
+      .select(col("p.constraint_name"), col("p.n_violations"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("constraint_name")
+  }
+
   /** §2.1 #74 — small-file COMPACTION: rewrite a fragmented destination into
     * ceil(rows / targetRowsPerFile) files. Long-running copy pipelines
     * accrete small files (per-batch appends, per-partition writers); at

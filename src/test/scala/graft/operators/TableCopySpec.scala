@@ -240,6 +240,28 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(got == plain)
   }
 
+  test("constraintCheck passes a clean table and counts injected violations") {
+    val clean = TableCopy.constraintCheck(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(clean.keySet == Set("date_range", "key_null", "key_unique",
+      "price_nonpositive", "status_domain"))
+    assert(clean.values.forall { case (n, p) => n == 0L && p })
+    // Inject: a duplicated key, a negative price, a bogus status.
+    val orders = Tables.load(spark, sf, "orders")
+    val dirty = orders
+      .unionAll(orders.limit(1)) // duplicate key
+      .unionAll(orders.limit(1)
+        .withColumn("o_totalprice", lit(-5.0))
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_orderkey", lit(999999999L)))
+    val got = TableCopy.constraintCheckOn(dirty).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("key_unique") == 1L)     // one key now appears twice
+    assert(got("price_nonpositive") == 1L)
+    assert(got("status_domain") == 1L)
+    assert(got("key_null") == 0L)
+  }
+
   test("compact collapses a fragmented directory to ceil(rows/target) files, data intact") {
     val dest = tmpDir() + "/frag"
     val orders = Tables.load(spark, sf, "orders") // 1500 rows at sf0.001
