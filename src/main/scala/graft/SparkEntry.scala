@@ -153,6 +153,7 @@ object SparkEntry {
     "q_copy_bucketed" -> ((s, dir) => TableCopy.copyBucketed(s, dir, tmp("bucketed"))),
     "q_stats_profile" -> ((s, dir) => TableCopy.statsProfile(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
+    "q_sample_stratified_agg" -> ((s, dir) => Curation.sampleStratifiedAgg(s, dir)),
     // Sketches are engine-specific: no DuckDB oracle (driver rows-only
     // check); CurationSpec bounds the estimates against exact answers.
     "q_approx_stats" -> ((s, dir) => Curation.approxStats(s, dir)),
@@ -693,6 +694,15 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_sample_stratified" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // Same sample, computed via the map-side-combining Aggregator: one SQL
+    // truth for both formulations.
+    "q_sample_stratified_agg" ->
       """SELECT source, doc_id, rk FROM (
         |  SELECT source, doc_id,
         |    CAST(row_number() OVER (PARTITION BY source

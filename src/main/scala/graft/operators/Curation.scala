@@ -187,4 +187,51 @@ object Curation {
       .where(col("rk") <= k)
       .select("source", "doc_id", "rk")
       .orderBy("source", "rk")
+
+  /** One (hash, id) sample candidate flowing through [[KSmallestByHash]]. */
+  case class SampleRow(h: String, doc_id: Long)
+
+  /** Typed Aggregator keeping the k smallest (hash, doc_id) pairs per group.
+    * Unlike the window formulation, this PARTIALLY AGGREGATES: every map
+    * task reduces its slice of a stratum to <= k rows before the shuffle, so
+    * a billion-document stratum ships k rows per task instead of sorting the
+    * whole stratum on one reducer — the skew-proof fixed-k sampler.
+    */
+  class KSmallestByHash(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (String, Long, String), Seq[SampleRow], Seq[SampleRow]] {
+    private def keep(xs: Seq[SampleRow]): Seq[SampleRow] =
+      xs.sortBy(r => (r.h, r.doc_id)).take(k)
+    def zero: Seq[SampleRow] = Nil
+    def reduce(b: Seq[SampleRow], a: (String, Long, String)): Seq[SampleRow] =
+      keep(b :+ SampleRow(a._3, a._2))
+    def merge(b1: Seq[SampleRow], b2: Seq[SampleRow]): Seq[SampleRow] = keep(b1 ++ b2)
+    def finish(r: Seq[SampleRow]): Seq[SampleRow] = keep(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[SampleRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleRow]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[SampleRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleRow]]()
+  }
+
+  /** §2.3 #80 — the aggregation-based twin of [[sampleStratified]]: same
+    * deterministic k-per-stratum sample, but computed with a map-side
+    * combining [[KSmallestByHash]] Aggregator instead of a per-stratum sort
+    * window — the formulation that survives a single skewed stratum at
+    * 100 TB. The spec asserts both formulations return identical rows; the
+    * oracle is the same SQL as `q_sample_stratified`.
+    */
+  def sampleStratifiedAgg(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val typed = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        sha2(col("doc_id").cast("string"), 256).as("h"))
+      .as[(String, Long, String)]
+    typed.groupByKey(_._1)
+      .agg(new KSmallestByHash(k).toColumn.name("picks"))
+      .toDF("source", "picks")
+      .select(col("source"), posexplode(col("picks")).as(Seq("pos", "pick")))
+      .select(col("source"), col("pick.doc_id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("source", "rk")
+  }
 }

@@ -313,20 +313,38 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** §2.2 #44 — skew-salted fact-fact join: the lineitem side salts each row
-    * deterministically (line number mod `salts`), the orders side replicates
-    * each key across all salt values, and the join runs on the composite
-    * (key, salt) — so one hot order key spreads over `salts` reducers instead
-    * of melting a single one. Result is provably identical to the plain join
-    * (the oracle IS the plain join). At 100 TB this is the manual fallback
-    * when a single key exceeds even AQE's skew-split thresholds; the cost is
-    * a `salts`-times replication of the SMALLER side only.
+  /** §2.2 #44 — skew-salted fact-fact join, HOT KEYS ONLY: a cheap
+    * keys-with-most-rows pass (aggregate + top-k, broadcast back — at real
+    * scale this runs over a sample) identifies the `hotK` heaviest join
+    * keys; only THOSE keys salt (probe side: deterministic salt from the
+    * unique line number; build side: replicated across all `salts` values),
+    * everything else joins on salt 0 unreplicated. One hot key spreads over
+    * `salts` reducers instead of melting one, while the replication cost is
+    * `salts × hotK` rows — independent of table size — rather than
+    * `salts × |orders|` as whole-side salting would pay. Result is provably
+    * identical to the plain join (the oracle IS the plain join). At 100 TB
+    * this is the manual fallback when single keys exceed even AQE's
+    * skew-split thresholds.
     */
-  def joinSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+  def joinSalted(spark: SparkSession, dir: String, salts: Int = 8,
+      hotK: Int = 100): DataFrame = {
+    val hot = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_orderkey"))
+      .limit(hotK)
+      .select(col("l_orderkey").as("hot_key"))
     val li = t(spark, dir, "lineitem")
-      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+      .join(broadcast(hot), col("l_orderkey") === col("hot_key"), "left_outer")
+      .withColumn("salt",
+        when(col("hot_key").isNotNull, pmod(col("l_linenumber"), lit(salts)))
+          .otherwise(lit(0)))
+      .drop("hot_key")
     val ord = t(spark, dir, "orders")
-      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+      .join(broadcast(hot), col("o_orderkey") === col("hot_key"), "left_outer")
+      .withColumn("salt", explode(
+        when(col("hot_key").isNotNull, expr(s"sequence(0, ${salts - 1})"))
+          .otherwise(array(lit(0)))))
+      .drop("hot_key")
     li.join(ord,
         col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy("o_orderpriority")

@@ -142,6 +142,32 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** §2.4 #79 — INCREMENTAL table copy as a stream: `Trigger.AvailableNow`
+    * processes everything that has landed in `srcDir` since the last run,
+    * appends it to `destDir`, then stops — the modern replacement for
+    * timestamp-watermark incremental copies. The checkpoint directory IS the
+    * high-watermark: file-source offsets record which input files are done,
+    * so re-running never re-copies them (exactly-once per file even across
+    * crashes — a half-written batch replays into the same epoch). At 100 TB
+    * this is the landing-zone -> warehouse conveyor: each run moves only the
+    * new files, with Spark's parallelism per batch. Returns rows copied in
+    * this run.
+    */
+  def incrementalCopy(spark: SparkSession, srcDir: String, destDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType): Long = {
+    val before = if (new java.io.File(destDir).exists())
+      spark.read.parquet(destDir).count() else 0L
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(destDir).count() - before
+  }
+
   /** §2.4 #69 — sessionization via Spark's NATIVE `session_window` grouping:
     * the declarative twin of [[sessionize]]. The engine merges overlapping
     * per-event windows `[ts, ts+gap)` into sessions inside the streaming

@@ -128,4 +128,17 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("aggregator-based stratified sample equals the window formulation") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(rows(Curation.sampleStratifiedAgg(spark, sf, 7)) ==
+      rows(Curation.sampleStratified(spark, sf, 7)))
+    // The aggregator plan partially aggregates (map-side combine), the
+    // skew-proof property: a partial_ aggregation mode appears before the
+    // exchange.
+    val plan = Curation.sampleStratifiedAgg(spark, sf, 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_ksmallestbyhash"), plan.take(800))
+  }
 }

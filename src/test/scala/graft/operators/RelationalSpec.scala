@@ -107,6 +107,17 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hot-key salted join equals the plain join and replicates only hot keys") {
+    val plain = graft.sources.Tables.load(spark, sf, "lineitem")
+      .join(graft.sources.Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Relational.joinSalted(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
   test("sessionizeBatch matches a driver-side brute-force sessionization") {
     val gapUs = 30L * 60 * 1000000
     val events = graft.sources.Tables.load(spark, sf, "events")

@@ -223,6 +223,25 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("incrementalCopy moves only new files on each run, never re-copying") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    val (src, dest, ckpt) = (s"$root/src", s"$root/dest", s"$root/ckpt")
+    val schema = Seq((1L, "a")).toDF("id", "val").schema
+    Seq((1L, "a"), (2L, "b")).toDF("id", "val")
+      .write.mode("append").parquet(src)
+    val n1 = EventStream.incrementalCopy(spark, src, dest, ckpt, schema)
+    assert(n1 == 2L)
+    // A second run with no new input copies nothing.
+    assert(EventStream.incrementalCopy(spark, src, dest, ckpt, schema) == 0L)
+    // New files land; only they move.
+    Seq((3L, "c")).toDF("id", "val").write.mode("append").parquet(src)
+    assert(EventStream.incrementalCopy(spark, src, dest, ckpt, schema) == 1L)
+    val got = spark.read.parquet(dest).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("sessionWindowAgg merges gap-overlapping events and closes on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
