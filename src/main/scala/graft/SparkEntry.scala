@@ -171,6 +171,7 @@ object SparkEntry {
     }),
     "copy_evolve" -> ((s, dir) => TableCopy.copyEvolve(s, dir, tmp("evolve"))),
     "q_constraints" -> ((s, dir) => TableCopy.constraintCheck(s, dir)),
+    "q_unpivot" -> ((s, dir) => Relational.unpivotMeasures(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -632,6 +633,19 @@ object SparkEntry {
     "copy_compact" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+        |  UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+        |) ORDER BY l_returnflag, measure""".stripMargin,
     "q_constraints" ->
       """WITH r AS (
         |  SELECT

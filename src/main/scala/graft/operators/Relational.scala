@@ -477,6 +477,22 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #81 — UNPIVOT / melt: wide measure columns rotate into
+    * (measure, value) rows — the inverse of [[pivotAgg]]. Aggregate first
+    * (6 groups), THEN unpivot the 1-row-per-group frame: the rotation runs
+    * over group-count rows, not fact rows, so it costs nothing at any scale.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
   /** §2.2 #76 — analytic window suite: dense_rank / ntile / percent_rank /
     * cume_dist in ONE window pass (same partition + order ⇒ one shuffle, one
     * sort, one Window operator). The order key carries the unique o_orderkey

@@ -168,6 +168,49 @@ object EventStream {
     spark.read.parquet(destDir).count() - before
   }
 
+  /** §2.4 #82 — CDC APPLY: a stream of keyed upserts merged into a batch
+    * destination, one `foreachBatch` at a time. Each micro-batch first
+    * collapses to one row per key (last writer within the batch wins, by
+    * `seqColumn`), then [[graft.operators.TableCopy.upsert]] merges it into
+    * the destination atomically (stage-then-swap via a versioned subdir so
+    * readers never see a half-applied batch). This is the change-feed →
+    * warehouse-table applier; state lives in the destination itself, so the
+    * stream needs no Spark state store.
+    */
+  def cdcApply(spark: SparkSession, changes: DataFrame, destDir: String,
+      checkpointDir: String, keys: Seq[String], seqColumn: String): Unit = {
+    val q = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(seqColumn).desc)
+        val latest = batch
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+        val sparkB = batch.sparkSession
+        val cur = s"$destDir/current"
+        val staged = s"$destDir/v$batchId"
+        val merged =
+          if (new java.io.File(cur).exists())
+            graft.operators.TableCopy.upsert(latest, sparkB.read.parquet(cur), keys)
+          else latest
+        merged.write.mode("overwrite").parquet(staged)
+        // Atomic-enough swap for a filesystem destination: point `current`
+        // at the new version (a real lakehouse uses a table format commit).
+        val link = new java.io.File(cur)
+        if (link.exists()) {
+          val old = new java.io.File(s"$destDir/prev-$batchId")
+          link.renameTo(old)
+        }
+        new java.io.File(staged).renameTo(link)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** §2.4 #69 — sessionization via Spark's NATIVE `session_window` grouping:
     * the declarative twin of [[sessionize]]. The engine merges overlapping
     * per-event windows `[ts, ts+gap)` into sessions inside the streaming

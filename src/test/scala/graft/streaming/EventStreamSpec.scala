@@ -223,6 +223,30 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cdcApply merges keyed change batches into the destination, last writer wins") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val (src, dest, ckpt) = (s"$root/changes", s"$root/dest", s"$root/ckpt")
+    val schema = Seq((1L, "x", 1L)).toDF("k", "payload", "seq").schema
+    def run(): Unit = EventStream.cdcApply(spark,
+      spark.readStream.schema(schema).parquet(src), dest, ckpt,
+      keys = Seq("k"), seqColumn = "seq")
+    def current: Map[Long, (String, Long)] =
+      spark.read.parquet(s"$dest/current").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // Batch 1: k1, k2 — including an in-batch update of k1 (seq 2 wins).
+    Seq((1L, "one-v1", 1L), (1L, "one-v2", 2L), (2L, "two-v1", 1L))
+      .toDF("k", "payload", "seq").write.mode("append").parquet(src)
+    run()
+    assert(current == Map(1L -> (("one-v2", 2L)), 2L -> (("two-v1", 1L))))
+    // Batch 2: update k2, insert k3; k1 must survive untouched.
+    Seq((2L, "two-v2", 5L), (3L, "three-v1", 1L))
+      .toDF("k", "payload", "seq").write.mode("append").parquet(src)
+    run()
+    assert(current == Map(1L -> (("one-v2", 2L)),
+      2L -> (("two-v2", 5L)), 3L -> (("three-v1", 1L))))
+  }
+
   test("incrementalCopy moves only new files on each run, never re-copying") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-inc").toString
