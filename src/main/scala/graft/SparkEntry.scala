@@ -172,6 +172,7 @@ object SparkEntry {
     "copy_evolve" -> ((s, dir) => TableCopy.copyEvolve(s, dir, tmp("evolve"))),
     "q_constraints" -> ((s, dir) => TableCopy.constraintCheck(s, dir)),
     "q_unpivot" -> ((s, dir) => Relational.unpivotMeasures(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -633,6 +634,15 @@ object SparkEntry {
     "copy_compact" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 0 THEN o_orderstatus ELSE 'ALL' END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 0 THEN o_orderpriority ELSE 'ALL' END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
     "q_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag,

@@ -477,6 +477,27 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #83 — arbitrary GROUPING SETS (rollup and cube are special
+    * cases): exactly the (status), (priority), and () groupings — no
+    * intermediate combinations — via the SQL surface over a temp view
+    * (grouping sets have no DataFrame-API spelling; `spark.sql` on a
+    * registered view IS the idiomatic Spark path). One Expand + one
+    * aggregate, same physical shape as rollup. `grouping()` flags
+    * disambiguate real NULLs from subtotal rows.
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 0 THEN o_orderstatus ELSE 'ALL' END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 0 THEN o_orderpriority ELSE 'ALL' END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** §2.2 #81 — UNPIVOT / melt: wide measure columns rotate into
     * (measure, value) rows — the inverse of [[pivotAgg]]. Aggregate first
     * (6 groups), THEN unpivot the 1-row-per-group frame: the rotation runs

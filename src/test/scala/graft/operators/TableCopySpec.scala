@@ -240,6 +240,41 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(got == plain)
   }
 
+  test("JDBC reads push filters into the database scan") {
+    val db = derbyStore()
+    TableCopy.copy(spark, TableCopy.ParquetStore(sf), db, "nation")
+    val filtered = db.read(spark, "nation").where(col("n_regionkey") === 2)
+    val plan = filtered.queryExecution.executedPlan.toString
+    // The predicate must reach the JDBC relation, not run as a Spark Filter
+    // over a full-table pull.
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(n_regionkey,2)"),
+      plan.take(600))
+    assert(filtered.count() ==
+      Tables.load(spark, sf, "nation").where(col("n_regionkey") === 2).count())
+  }
+
+  test("CSV readback tolerates corrupt rows in PERMISSIVE mode and flags them") {
+    val dir = tmpDir()
+    val f = new java.io.File(s"$dir/bad.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("k,v"); w.println("1,10.5"); w.println("2,not_a_number"); w.println("3,30.0")
+    w.close()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val got = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(f.getPath)
+      .cache() // corrupt-record column requires materialization before filter
+    assert(got.count() == 3)
+    val bad = got.where(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").contains("not_a_number"))
+    assert(got.where(col("_corrupt_record").isNull).agg(sum("v")).head.getDouble(0) == 40.5)
+  }
+
   test("constraintCheck passes a clean table and counts injected violations") {
     val clean = TableCopy.constraintCheck(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
