@@ -278,8 +278,12 @@ object TableCopy {
     */
   def diffTables(src: DataFrame, dst: DataFrame, keys: Seq[String]): DataFrame = {
     val nonKey = src.columns.filterNot(keys.contains).toSeq
-    def packed(df: DataFrame, rest: String, flag: String): DataFrame =
-      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(rest): _*)
+    // Keys-only tables have nothing to compare beyond presence: pack a
+    // constant so the struct equality is vacuously true.
+    def rest(df: DataFrame): org.apache.spark.sql.Column =
+      if (nonKey.isEmpty) lit(0) else struct(nonKey.map(col): _*)
+    def packed(df: DataFrame, restName: String, flag: String): DataFrame =
+      df.select(keys.map(col) :+ rest(df).as(restName): _*)
         .withColumn(flag, lit(true))
     packed(src, "_src_rest", "_in_src")
       .join(packed(dst, "_dst_rest", "_in_dst"), keys, "full_outer")

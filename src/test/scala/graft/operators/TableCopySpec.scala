@@ -197,6 +197,17 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       5L -> "missing_in_source"))
   }
 
+  test("diffTables on a keys-only table reduces to presence classification") {
+    val s = spark
+    import s.implicits._
+    val src = Seq(1L, 2L, 3L).toDF("k")
+    val dst = Seq(2L, 3L, 4L).toDF("k")
+    val got = TableCopy.diffTables(src, dst, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "missing_in_dest", 2L -> "same",
+      3L -> "same", 4L -> "missing_in_source"))
+  }
+
   test("upsert replaces matched keys, keeps unmatched dest rows, adds new rows") {
     val s = spark
     import s.implicits._
