@@ -128,6 +128,8 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
     "q_neardup_embed" -> ((s, dir) => Similarity.nearDupEmbedding(s, dir, maxBits = 12)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q_ann_ivf_indexed" -> ((s, dir) =>
+      Similarity.ivfTopKIndexed(s, dir, tmp("ivf_index"))),
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
@@ -192,6 +194,9 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.lshOracleSql(),
     "q_neardup_embed" -> Similarity.embeddingNearDupOracleSql(),
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
+    // The materialized-index variant answers the SAME query — one oracle
+    // serves both formulations.
+    "q_ann_ivf_indexed" -> Similarity.ivfOracleSql(),
     "q_neardup_simhash" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |h AS (

@@ -241,6 +241,15 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
               nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
+    val (assigned, probes) = ivfCore(spark, dir, nCentroids, nQueries, nProbe)
+    ivfScore(assigned, probes, k)
+  }
+
+  /** (assigned corpus with `cid`, probe set with per-query `cid`s) — the
+    * shared core of the inline and index-materialized IVF variants.
+    */
+  private def ivfCore(spark: SparkSession, dir: String, nCentroids: Int,
+                      nQueries: Int, nProbe: Int): (DataFrame, DataFrame) = {
     val emb = embeddings(spark, dir)
     val kCent =
       if (nCentroids > 0) nCentroids
@@ -273,6 +282,11 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("cc").desc, col("cid").asc)))
       .where(col("prank") <= np)
       .select(col("q_id"), col("qv"), col("qn"), col("cid").cast("long").as("cid"))
+    (assigned, probes)
+  }
+
+  /** Score bucket-joined candidates and keep the per-query top-k. */
+  private def ivfScore(assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     assigned
       .join(broadcast(probes), Seq("cid"))
@@ -282,6 +296,28 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rank")
+  }
+
+  /** §2.3 #84 — the IVF index MATERIALIZED as storage layout: the assigned
+    * corpus is written hive-partitioned by `cid`, so each inverted list IS a
+    * directory. Querying then filters `cid IN (probed lists)`, which
+    * resolves as PartitionFilters — the scan plans only nProbe directories
+    * per query set and never opens the rest. This is what "probe O(sqrt N)
+    * of the corpus" means at 100 TB: the pruning happens in the FILE LISTING,
+    * before a single byte of the unprobed lists is read. Results are
+    * identical to [[ivfTopK]] (same centroids, same tie-breaks — one oracle
+    * serves both).
+    */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
+                     nQueries: Int = 10, k: Int = 10, nCentroids: Int = 0,
+                     nProbe: Int = 4): DataFrame = {
+    val (assigned, probes) = ivfCore(spark, dir, nCentroids, nQueries, nProbe)
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(indexDir)
+    val probeCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val index = spark.read.parquet(indexDir)
+      .where(col("cid").isin(probeCids: _*))
+    ivfScore(index, probes, k)
   }
 
   /** DuckDB oracle SQL for [[ivfTopK]]: centroids, assignments, and probe

@@ -149,6 +149,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(kCent > 4, s"auto centroid count $kCent should exceed nProbe")
   }
 
+  test("indexed IVF equals inline IVF and prunes unprobed list directories") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val indexed = Similarity.ivfTopKIndexed(spark, sf, indexDir, nQueries = 5, k = 10)
+    val inline = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(indexed) == rows(inline))
+    // The scan must prune at the directory level: cid is a partition column
+    // and the probe filter appears as a PartitionFilter, not a data filter.
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid"), plan.take(800))
+  }
+
   test("embedStats covers every vector exactly once") {
     val rows = Similarity.embedStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
