@@ -175,6 +175,7 @@ object SparkEntry {
     "q_constraints" -> ((s, dir) => TableCopy.constraintCheck(s, dir)),
     "q_unpivot" -> ((s, dir) => Relational.unpivotMeasures(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
+    "q_setops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -639,6 +640,18 @@ object SparkEntry {
     "copy_compact" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_setops_all" ->
+      """WITH c AS (
+        |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |), s AS (
+        |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |), u AS (
+        |  SELECT 'both' AS tag, n_name FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM s)
+        |  UNION ALL
+        |  SELECT 'cust_extra', n_name FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM s)
+        |)
+        |SELECT tag, n_name, count(*) AS multiplicity
+        |FROM u GROUP BY tag, n_name ORDER BY tag, n_name""".stripMargin,
     "q_grouping_sets" ->
       """SELECT
         |  CASE WHEN grouping(o_orderstatus) = 0 THEN o_orderstatus ELSE 'ALL' END AS status,

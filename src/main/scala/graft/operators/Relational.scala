@@ -153,6 +153,28 @@ object Relational {
       .orderBy("tag", "n_name")
   }
 
+  /** §2.2 #85 — BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * multiplicities survive — a nation with 7 customers and 3 suppliers
+    * intersects 3 times and excepts 4. Spark plans both as aggregate+join
+    * on (value, count) — one shuffle each, no row explosion. Multiset
+    * results surface as (tag, name, multiplicity) counts so the comparison
+    * is order-free.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val nation = t(spark, dir, "nation")
+    val custN = t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppN = t(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    custN.intersectAll(suppN).withColumn("tag", lit("both"))
+      .unionByName(custN.exceptAll(suppN).withColumn("tag", lit("cust_extra")))
+      .groupBy("tag", "n_name")
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy("tag", "n_name")
+  }
+
   /** §2.2 #15 — left-semi join (EXISTS): customers with at least one order.
     * Semi join never duplicates or widens rows — at scale it shuffles only the
     * join keys of the probe side.
