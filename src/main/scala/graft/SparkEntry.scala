@@ -67,6 +67,13 @@ object SparkEntry {
       csv.read(s, "nation")
         .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
     }),
+    "copy_json_roundtrip" -> ((s, dir) => {
+      val schema = TableCopy.ParquetStore(dir).read(s, "nation").schema
+      val js = TableCopy.FileStore(tmp("jsonrt"), "json", schema = Some(schema))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), js, "nation", TableCopy.Truncate)
+      js.read(s, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    }),
     "q_partitioned_read" -> ((s, dir) =>
       TableCopy.partitionedRead(s, dir, "orders", "o_orderkey", 8)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -176,6 +183,7 @@ object SparkEntry {
     "q_unpivot" -> ((s, dir) => Relational.unpivotMeasures(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "q_setops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
+    "q_window_range" -> ((s, dir) => Relational.windowRange(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -232,6 +240,16 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "copy_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_window_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS t_us, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,
+        |  count(*) OVER w AS trailing_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_split_hash" ->
       """SELECT doc_id, substr(sha256(text), 1, 1) AS bucket,
         |  CASE WHEN substr(sha256(text), 1, 1) <= '1' THEN 'holdout' ELSE 'train' END AS split

@@ -499,6 +499,26 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #86 — RANGE-frame window: trailing 1-hour sum of event values per
+    * user (the moving time-window aggregate ROWS frames cannot express —
+    * the frame is defined by VALUE distance on the order key, so it
+    * absorbs however many rows fall inside the hour). Ordering on integer
+    * epoch-micros makes the frame arithmetic — and the result — exact and
+    * engine-identical. Same single-shuffle profile as any window.
+    */
+  def windowRange(spark: SparkSession, dir: String, trailingMinutes: Int = 60): DataFrame = {
+    val us = trailingMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("t_us")
+      .rangeBetween(-us, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("value"))
+      .withColumn("trailing_sum",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .orderBy("event_id")
+  }
+
   /** §2.2 #83 — arbitrary GROUPING SETS (rollup and cube are special
     * cases): exactly the (status), (priority), and () groupings — no
     * intermediate combinations — via the SQL surface over a temp view
