@@ -420,24 +420,32 @@ object Relational {
       .orderBy("o_orderpriority")
 
   /** §2.2 #48 — exact discrete percentiles per group (p50/p95 of order
-    * totals by priority) via rank arithmetic: value at row ceil(p·n) in the
-    * per-group price order. Spelled out with row_number + a count window
-    * rather than percentile_disc so both engines execute the IDENTICAL
-    * definition (and so the plan is one shuffle + one sort, the same shape a
-    * built-in would need — nothing extra to pay for determinism).
+    * totals by priority) via a VALUE HISTOGRAM: first `groupBy(group,
+    * value).count()` — fully parallel, shuffle keyed on (group, value) —
+    * then a cumulative count over the DISTINCT values of each group picks
+    * the smallest value whose cumulative count reaches ceil(p·n). That is
+    * definitionally the rank-ceil(p·n) value (what percentile_disc
+    * computes), but the per-group sort runs over distinct values, not rows:
+    * at 100 TB a group's reducer handles |distinct prices| entries (bounded
+    * by the value domain) instead of sorting terabytes of rows — the
+    * difference between an exact percentile that scales and one that melts
+    * a reducer per group.
     */
   def percentileAgg(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wCum = Window.partitionBy("o_orderpriority")
+      .orderBy("o_totalprice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy("o_orderpriority")
     t(spark, dir, "orders")
+      .groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("cnt"))
       .select(col("o_orderpriority"), col("o_totalprice"),
-        row_number().over(w).as("rn"),
-        count(lit(1)).over(wAll).as("n"))
+        sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(wAll).as("n"))
       .groupBy("o_orderpriority")
       .agg(
-        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("o_totalprice"))).as("p50"),
-        max(when(col("rn") === ceil(col("n") * 0.95).cast("long"), col("o_totalprice"))).as("p95"),
+        min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"), col("o_totalprice"))).as("p50"),
+        min(when(col("cum") >= ceil(col("n") * 0.95).cast("long"), col("o_totalprice"))).as("p95"),
         max(col("n")).as("n_rows"))
       .orderBy("o_orderpriority")
   }
