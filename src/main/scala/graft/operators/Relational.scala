@@ -300,12 +300,23 @@ object Relational {
     * independently — at 100 TB this is the skew-safe alternative to a global
     * sort when only per-group leaders are needed.
     */
-  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3,
+      buckets: Int = 32): DataFrame = {
+    // Two-phase: rank within (group, bucket) first and keep local rank <= k.
+    // For any row, global rank >= local rank (the global ordering sees a
+    // superset of strictly-greater rows), so no row with global rank <= k is
+    // ever dropped — tie semantics of rank() preserved exactly. Each bucket
+    // sorts 1/buckets of a group; the final rank runs over ~k·buckets
+    // candidates per group instead of the whole group on one reducer.
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wLocal = Window.partitionBy(col("o_orderpriority"), col("bkt")).orderBy(order: _*)
+    val wGlobal = Window.partitionBy("o_orderpriority").orderBy(order: _*)
     t(spark, dir, "orders")
+      .withColumn("bkt", pmod(col("o_orderkey"), lit(buckets)))
+      .withColumn("lrnk", rank().over(wLocal))
+      .where(col("lrnk") <= k)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        rank().over(w).as("rnk"))
+        rank().over(wGlobal).as("rnk"))
       .where(col("rnk") <= k)
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
