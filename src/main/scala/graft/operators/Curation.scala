@@ -89,17 +89,34 @@ object Curation {
     * tokens). Each document gets its stream start offset, the sequence id its
     * first token lands in, and the offset within that sequence.
     *
-    * The running offset is a window sum PARTITIONED BY source — packing is
-    * per-source, so at 100 TB each source's stream is an independent
-    * partition-local sort, never a global one.
+    * The running offset is a DISTRIBUTED PREFIX SUM, the classic two-phase
+    * decomposition: (1) contiguous doc_id ranges ("chunks") compute local
+    * prefix sums independently — fully parallel, each chunk sorts only its
+    * own slice; (2) per-chunk totals (sources × chunks rows, tiny) get a
+    * running offset of their own, broadcast back, and every document's
+    * stream offset is chunk_offset + local_offset. No source's stream ever
+    * sorts on a single reducer, so one giant source cannot melt the job —
+    * the fix for the naive `Window.partitionBy(source)` formulation.
     */
-  def tokenPack(spark: SparkSession, dir: String, seqLen: Int = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+  def tokenPack(spark: SparkSession, dir: String, seqLen: Int = 512,
+      chunkIdBits: Int = 10): DataFrame = {
+    val wLocal = Window.partitionBy("source", "chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs(spark, dir)
+    val wChunk = Window.partitionBy("source").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs(spark, dir)
       .select(col("doc_id"), col("source"), size(tokensCol).as("n_tokens"))
-      .withColumn("start_off",
-        coalesce(sum(col("n_tokens").cast("bigint")).over(w), lit(0L)))
+      .withColumn("chunk", shiftright(col("doc_id"), chunkIdBits)) // order-preserving ranges
+      .withColumn("local_off",
+        coalesce(sum(col("n_tokens").cast("bigint")).over(wLocal), lit(0L)))
+    val chunkOffsets = local
+      .groupBy("source", "chunk")
+      .agg(sum(col("n_tokens").cast("bigint")).as("chunk_total"))
+      .withColumn("chunk_off", coalesce(sum("chunk_total").over(wChunk), lit(0L)))
+      .select("source", "chunk", "chunk_off")
+    local
+      .join(broadcast(chunkOffsets), Seq("source", "chunk"))
+      .withColumn("start_off", col("chunk_off") + col("local_off"))
       .withColumn("seq_id",
         floor(col("start_off") / lit(seqLen.toDouble)).cast("int"))
       .withColumn("seq_off", col("start_off") % seqLen)
