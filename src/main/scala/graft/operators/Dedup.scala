@@ -179,9 +179,12 @@ object Dedup {
     */
   def curate(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+    // Window key is the 32-byte content HASH, not the text itself — the
+    // exchange ships hashes, never documents (same shuffle contract as
+    // [[exact]]).
     val exactDup = docs
       .withColumn("keep_id",
-        min("doc_id").over(Window.partitionBy(lower(trim(col("text"))))))
+        min("doc_id").over(Window.partitionBy(sha2(lower(trim(col("text"))), 256))))
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit(true).as("is_exact"))
     val nearDup = nearDupJaccard(spark, dir, threshold)
