@@ -184,6 +184,7 @@ object SparkEntry {
     "q_grouping_sets" -> ((s, dir) => Relational.groupingSets(s, dir)),
     "q_setops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
     "q_window_range" -> ((s, dir) => Relational.windowRange(s, dir)),
+    "q_fuzzy_join" -> ((s, dir) => Relational.fuzzyJoin(s, dir)),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -242,6 +243,14 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS t_us, value,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,

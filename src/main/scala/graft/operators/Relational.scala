@@ -518,6 +518,25 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #88 — fuzzy string-similarity join: distinct part names within
+    * Levenshtein distance `maxDist`, with BLOCKED candidate generation —
+    * names equi-join on their last token (the blocking key) and only
+    * same-block pairs pay the edit-distance compare. The all-pairs quadratic
+    * never happens; block sizes bound the candidate count, exactly the
+    * entity-resolution pattern (blocking + verify) at any scale. Distinct
+    * names first: duplicates collapse before candidates.
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val names = t(spark, dir, "part").select("p_name").distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    names.as("a").join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+      .where(col("dist") <= maxDist)
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"), col("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
   /** §2.2 #86 — RANGE-frame window: trailing 1-hour sum of event values per
     * user (the moving time-window aggregate ROWS frames cannot express —
     * the frame is defined by VALUE distance on the order key, so it

@@ -223,6 +223,40 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("observed metrics surface per-batch pipeline health without a second pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 2, "view", -3.0),
+      Event(3, ts(9), 1, "click", 2.5))
+    // observe() rides the existing micro-batch: row count and negative-value
+    // count come out of the SAME pass that computes the aggregation — the
+    // zero-cost monitoring hook a 100 TB pipeline needs (no second scan).
+    val observed = input.toDF()
+      .observe("ingest",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("value") < 0, 1L)
+            .otherwise(0L)).as("n_negative"))
+    val q = EventStream.windowedCounts(observed)
+      .writeStream.format("memory").queryName("obs")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // processAllAvailable can run a trailing EMPTY batch (watermark
+      // bookkeeping) whose metrics are all zero — read the batch that
+      // actually ingested rows.
+      val m = q.recentProgress.filter(_.numInputRows > 0).flatMap(p =>
+        Option(p.observedMetrics.get("ingest"))).last
+      assert(m.getAs[Long]("n_rows") == 3L)
+      assert(m.getAs[Long]("n_negative") == 1L)
+    } finally q.stop()
+  }
+
   test("cdcApply merges keyed change batches into the destination, last writer wins") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
