@@ -185,6 +185,15 @@ object SparkEntry {
     "q_setops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
     "q_window_range" -> ((s, dir) => Relational.windowRange(s, dir)),
     "q_fuzzy_join" -> ((s, dir) => Relational.fuzzyJoin(s, dir)),
+    "copy_clustered" -> ((s, dir) => {
+      TableCopy.copyClustered(s, dir, tmp("clustered"))
+        .where(year(col("o_orderdate")) === 1996)
+        .groupBy(month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_price"))
+        .orderBy("o_month")
+    }),
   )
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
@@ -243,6 +252,12 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "copy_clustered" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1996
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q_fuzzy_join" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         |k AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)

@@ -341,6 +341,25 @@ object TableCopy {
       .orderBy("constraint_name")
   }
 
+  /** §2.1 #90 — RANGE-CLUSTERED copy (z-order-lite): rows are
+    * range-partitioned AND sorted on the cluster key, so every output file
+    * covers a disjoint key interval and parquet's min/max footer stats make
+    * range predicates skip whole files (and row groups) without reading
+    * them. Partition pruning works at directory granularity; clustering is
+    * the finer file-level sieve — at 100 TB a date-range query over a
+    * date-clustered table reads only the files whose interval intersects
+    * the predicate. Returns the clustered readback.
+    */
+  def copyClustered(spark: SparkSession, dir: String, dest: String,
+      table: String = "orders", clusterCol: String = "o_orderdate",
+      nFiles: Int = 8): DataFrame = {
+    Tables.load(spark, dir, table)
+      .repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(SaveMode.Overwrite).parquet(dest)
+    spark.read.parquet(dest)
+  }
+
   /** §2.1 #74 — small-file COMPACTION: rewrite a fragmented destination into
     * ceil(rows / targetRowsPerFile) files. Long-running copy pipelines
     * accrete small files (per-batch appends, per-partition writers); at

@@ -308,6 +308,26 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(got("key_null") == 0L)
   }
 
+  test("copyClustered writes files with disjoint cluster-key intervals") {
+    val dest = tmpDir() + "/clustered"
+    val back = TableCopy.copyClustered(spark, sf, dest, nFiles = 4)
+    assert(back.count() == Tables.load(spark, sf, "orders").count())
+    // Every parquet file must cover a date interval that no other file
+    // overlaps — that is what lets footer min/max stats skip whole files.
+    val files = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderdate")).cast("string"),
+          max(col("o_orderdate")).cast("string")).head
+      (r.getString(0), r.getString(1)) // ISO strings: lexicographic = chronological
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"overlapping file ranges: $hiA > $loB")
+    }
+  }
+
   test("compact collapses a fragmented directory to ceil(rows/target) files, data intact") {
     val dest = tmpDir() + "/frag"
     val orders = Tables.load(spark, sf, "orders") // 1500 rows at sf0.001
