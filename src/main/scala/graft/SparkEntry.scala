@@ -185,6 +185,16 @@ object SparkEntry {
     "q_setops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
     "q_window_range" -> ((s, dir) => Relational.windowRange(s, dir)),
     "q_fuzzy_join" -> ((s, dir) => Relational.fuzzyJoin(s, dir)),
+    // Post-copy verification checksum: source tables plus a freshly copied
+    // orders must agree row-for-row — the oracle computes "orders_copy" from
+    // the SOURCE table, so the equality of the copied checksum is itself the
+    // verified claim.
+    "q_table_checksum" -> ((s, dir) => {
+      TableCopy.copyTable(s, dir, tmp("chksum"), "orders", TableCopy.Truncate)
+      TableCopy.checksumTables(s, dir, Seq("nation" -> "nation", "orders" -> "orders"))
+        .unionAll(TableCopy.checksumTables(s, tmp("chksum"), Seq("orders_copy" -> "orders")))
+        .orderBy("table_name")
+    }),
     "copy_clustered" -> ((s, dir) => {
       TableCopy.copyClustered(s, dir, tmp("clustered"))
         .where(year(col("o_orderdate")) === 1996)
@@ -195,6 +205,25 @@ object SparkEntry {
         .orderBy("o_month")
     }),
   )
+
+  /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
+    * first 15 hex chars folded to a bigint (char-by-char, the hex analogue of
+    * Spark's `conv(_, 16, 10)`) → commutative HUGEINT sum rendered as text.
+    */
+  private def checksumOracle(label: String, table: String, canon: String): String =
+    s"""SELECT '$label' AS table_name, count(*) AS n_rows,
+       |  CAST(sum(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    [CAST(strpos('0123456789abcdef', substr(sha256(s), i, 1)) - 1 AS BIGINT)
+       |     FOR i IN generate_series(1, 15)]), (a, v) -> a * 16 + v) AS HUGEINT)) AS VARCHAR) AS checksum
+       |FROM (SELECT $canon AS s FROM $table)""".stripMargin
+
+  private val ordersCanonSql: String =
+    """concat_ws('|', coalesce(CAST(o_orderkey AS VARCHAR), chr(1)),
+      |  coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+      |  coalesce(o_orderstatus, chr(1)),
+      |  coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(1)),
+      |  coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(1)),
+      |  coalesce(o_orderpriority, chr(1)))""".stripMargin
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
     * aggregate(zip_with(...)), so scores are bit-identical.
@@ -252,6 +281,19 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_table_checksum" -> {
+      val nationCanon =
+        """concat_ws('|', coalesce(CAST(n_nationkey AS VARCHAR), chr(1)),
+          |  coalesce(n_name, chr(1)),
+          |  coalesce(CAST(n_regionkey AS VARCHAR), chr(1)))""".stripMargin
+      s"""WITH chk AS (
+         |${checksumOracle("nation", "nation", nationCanon)}
+         |UNION ALL
+         |${checksumOracle("orders", "orders", ordersCanonSql)}
+         |UNION ALL
+         |${checksumOracle("orders_copy", "orders", ordersCanonSql)}
+         |) SELECT * FROM chk ORDER BY table_name""".stripMargin
+    },
     "copy_clustered" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  count(*) AS n_orders,

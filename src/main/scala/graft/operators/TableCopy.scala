@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -594,4 +594,54 @@ object TableCopy {
     val preds = PartitionPlan.stridePredicates(column, lo, hi + 1, numPartitions)
     preds.map(p => df.where(p)).reduce(_ unionAll _)
   }
+
+  /** Canonical cross-engine string form of one column for [[checksum]]:
+    * floating point goes through DECIMAL(18,2) (both engines render a fixed
+    * two-digit scale; raw double→string formatting differs between JVMs and
+    * DuckDB), timestamps become epoch microseconds, and NULL becomes a 
+    * marker so it can never collide with an empty string.
+    */
+  private def canonicalCol(f: StructField): Column = {
+    val c = col(f.name)
+    val s = f.dataType match {
+      case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast("string")
+      case TimestampType => unix_micros(c).cast("string")
+      // The catalog's timestamps are NTZ; with the session pinned to UTC the
+      // cast is a pure reinterpretation, matching DuckDB's epoch_us.
+      case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast("string")
+      case DateType => date_format(c, "yyyy-MM-dd")
+      case _ => c.cast("string")
+    }
+    coalesce(s, lit("\u0001"))
+  }
+
+  /** Order-independent table content checksum — the 100 TB answer to "did the
+    * copy arrive intact?". A full [[diffTables]] costs a second shuffle of
+    * both tables; this costs ONE scan per side and ships 16 bytes: each row's
+    * canonical form is sha256-hashed, the first 60 bits become a bigint, and
+    * the commutative SUM of those (exact, as DECIMAL(38,0) — no overflow
+    * below ~10^15 rows) is identical no matter how the rows were partitioned
+    * or ordered. Source and destination checksums can be computed on
+    * different clusters and compared as two strings. A single drifted value,
+    * missing row, or duplicated row changes the sum with probability
+    * 1 - 2^-60.
+    */
+  def checksum(df: DataFrame): DataFrame = {
+    val canon = concat_ws("|", df.schema.fields.map(canonicalCol).toSeq: _*)
+    df.select(
+        conv(substring(sha2(canon, 256), 1, 15), 16, 10)
+          .cast("long").cast(DecimalType(38, 0)).as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).cast("string").as("checksum"))
+  }
+
+  /** Per-table checksum manifest over a catalog — the post-copy verification
+    * record (table_name, n_rows, checksum). One distributed scan per table,
+    * one 3-column row out.
+    */
+  def checksumTables(spark: SparkSession, dir: String,
+      tables: Seq[(String, String)]): DataFrame =
+    tables.map { case (label, table) =>
+      checksum(Tables.load(spark, dir, table)).select(
+        lit(label).as("table_name"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionAll _).orderBy("table_name")
 }

@@ -394,4 +394,26 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(TableCopy.diffTables(src, merged, Seq("o_orderkey"))
       .where(col("status") =!= "same").isEmpty)
   }
+
+  test("checksum verifies a copy and catches tampering, independent of layout") {
+    val src = Tables.load(spark, sf, "orders")
+    def chk(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = TableCopy.checksum(df).collect()(0)
+      (r.getLong(0), r.getString(1))
+    }
+    val (nSrc, cSrc) = chk(src)
+    // A faithful copy matches no matter how its rows are partitioned/ordered.
+    val dest = tmpDir()
+    TableCopy.copyTable(spark, sf, dest, "orders")
+    assert(chk(spark.read.parquet(s"$dest/orders.parquet").repartition(7)) == ((nSrc, cSrc)))
+    // One drifted value in one row flips the checksum but not the row count.
+    val tampered = src.withColumn("o_totalprice",
+      when(col("o_orderkey") === 7, col("o_totalprice") + 0.01)
+        .otherwise(col("o_totalprice")))
+    val (nTam, cTam) = chk(tampered)
+    assert(nTam == nSrc && cTam != cSrc)
+    // A dropped row and a duplicated row both flip it too (sum, not XOR-of-set).
+    assert(chk(src.where(col("o_orderkey") =!= 7))._2 != cSrc)
+    assert(chk(src.unionAll(src.where(col("o_orderkey") === 7)))._2 != cSrc)
+  }
 }
