@@ -185,6 +185,33 @@ object SparkEntry {
     "q_setops_all" -> ((s, dir) => Relational.setOpsAll(s, dir)),
     "q_window_range" -> ((s, dir) => Relational.windowRange(s, dir)),
     "q_fuzzy_join" -> ((s, dir) => Relational.fuzzyJoin(s, dir)),
+    // SCD Type-2 merge over a deterministic dimension state: current rows
+    // as-of 2020 with drifted balances on every 7th key and every 10th key
+    // missing, plus pre-existing closed history on every 13th key.
+    "q_scd2" -> ((s, dir) => {
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      val drift = cust.where(col("c_custkey") % 10 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+      val cur = drift
+        .withColumn("valid_from", to_date(lit("2020-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val hist = drift.where(col("c_custkey") % 13 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") - 5.0)
+        .withColumn("valid_from", to_date(lit("2019-01-01")))
+        .withColumn("valid_to", to_date(lit("2020-01-01")))
+        .withColumn("is_current", lit(false))
+      TableCopy.scd2Merge(cust, cur.unionByName(hist), Seq("c_custkey"),
+          to_date(lit("2021-01-01")))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("c_custkey", "valid_from")
+    }),
     // Post-copy verification checksum: source tables plus a freshly copied
     // orders must agree row-for-row — the oracle computes "orders_copy" from
     // the SOURCE table, so the equality of the copied checksum is itself the
@@ -281,6 +308,37 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_json_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_scd2" ->
+      """WITH drift AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |chg AS (
+        |  SELECT d.c_custkey FROM drift d JOIN customer s USING (c_custkey)
+        |  WHERE d.c_acctbal IS DISTINCT FROM s.c_acctbal
+        |     OR d.c_name IS DISTINCT FROM s.c_name
+        |     OR d.c_nationkey IS DISTINCT FROM s.c_nationkey
+        |     OR d.c_mktsegment IS DISTINCT FROM s.c_mktsegment),
+        |merged AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal - 5.0 AS c_acctbal,
+        |    c_mktsegment, '2019-01-01' AS valid_from,
+        |    CAST('2020-01-01' AS VARCHAR) AS valid_to, false AS is_current
+        |  FROM drift WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    '2020-01-01', CAST(NULL AS VARCHAR), true
+        |  FROM drift WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    '2020-01-01', '2021-01-01', false
+        |  FROM drift WHERE c_custkey IN (SELECT c_custkey FROM chg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    '2021-01-01', CAST(NULL AS VARCHAR), true
+        |  FROM customer
+        |  WHERE c_custkey IN (SELECT c_custkey FROM chg) OR c_custkey % 10 = 0)
+        |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin,
     "q_table_checksum" -> {
       val nationCanon =
         """concat_ws('|', coalesce(CAST(n_nationkey AS VARCHAR), chr(1)),

@@ -305,6 +305,56 @@ object TableCopy {
     src.unionByName(
       dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** §2.1 #92 — SCD Type-2 merge: fold today's snapshot into a dimension
+    * that keeps full history (valid_from, valid_to, is_current). Per key:
+    * unchanged attrs → current row passes through; changed attrs → the
+    * current row is CLOSED (valid_to = loadDate) and a new open version is
+    * inserted; a brand-new key inserts its first version; a key absent from
+    * the snapshot stays open (no implicit deletes). Historical (non-current)
+    * rows never rejoin — they bypass the merge entirely.
+    *
+    * One full-outer join on the key is the only shuffle; the up-to-two
+    * output rows per key are emitted in the SAME pass by exploding a
+    * filtered struct array (no second join, no per-branch re-scan of the
+    * joined result — at 100 TB the join is the cost, so it must run once).
+    *
+    * `dim` carries `keys ++ attrs ++ (valid_from, valid_to, is_current)`;
+    * `src` carries `keys ++ attrs`. Attr comparison is null-safe.
+    */
+  def scd2Merge(src: DataFrame, dim: DataFrame, keys: Seq[String],
+      loadDate: Column): DataFrame = {
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    val attrs = src.columns.filterNot(keys.contains).toSeq
+    val history = dim.where(!col("is_current"))
+    val current = dim.where(col("is_current")).withColumn("_in_d", lit(true))
+    val snap = src.select(keys.map(col) ++ attrs.map(a => col(a).as(s"_s_$a")): _*)
+      .withColumn("_in_s", lit(true))
+    val joined = current.join(snap, keys, "full_outer")
+    val inBoth = col("_in_d").isNotNull && col("_in_s").isNotNull
+    val changed = inBoth &&
+      attrs.map(a => !(col(a) <=> col(s"_s_$a"))).reduce(_ || _)
+    def emit(keep: Column, attrOf: String => Column, validFrom: Column,
+        validTo: Column, isCurrent: Column): Column =
+      struct(
+        (keys.map(col) ++ attrs.map(a => attrOf(a).as(a)) ++ Seq(
+          validFrom.as("valid_from"), validTo.cast(DateType).as("valid_to"),
+          isCurrent.as("is_current"), keep.as("_keep"))): _*)
+    val nullDate = lit(null).cast(DateType)
+    val branches = array(
+      // current version survives untouched (attrs equal, or key not in snapshot)
+      emit(col("_in_d").isNotNull && !changed, col, col("valid_from"),
+        col("valid_to"), lit(true)),
+      // current version closed by a change
+      emit(changed, col, col("valid_from"), loadDate, lit(false)),
+      // new open version: changed key or brand-new key
+      emit(changed || col("_in_d").isNull, a => col(s"_s_$a"), loadDate,
+        nullDate, lit(true)))
+    val merged = joined
+      .select(explode(filter(branches, b => b("_keep"))).as("r"))
+      .select((keys ++ attrs ++ meta).map(c => col(s"r.$c")): _*)
+    history.select((keys ++ attrs ++ meta).map(col): _*).unionByName(merged)
+  }
+
   /** §2.1 #78 — declarative data-quality CONSTRAINT suite (the post-copy
     * acceptance gate): each constraint is a (name, violation-count) pair,
     * and a copy is accepted when every count is zero. All row-level

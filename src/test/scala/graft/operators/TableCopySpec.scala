@@ -395,6 +395,35 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       .where(col("status") =!= "same").isEmpty)
   }
 
+  test("scd2Merge keeps one open version per key, closes changes, and is idempotent") {
+    val cust = Tables.load(spark, sf, "customer")
+    val drift = cust.where(col("c_custkey") % 10 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1.0)
+          .otherwise(col("c_acctbal")))
+    val dim = drift
+      .withColumn("valid_from", to_date(lit("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val merged = TableCopy.scd2Merge(cust, dim, Seq("c_custkey"),
+      to_date(lit("2021-01-01")))
+    // Exactly one open version per key, and every source key is present.
+    val perKey = merged.groupBy("c_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+    assert(perKey.where(col("n_open") =!= 1).isEmpty)
+    assert(merged.select("c_custkey").distinct().count() == cust.count())
+    // Changed keys carry a closed 2020 version chained to the 2021 one.
+    val changedKeys = merged.where(!col("is_current"))
+    assert(changedKeys.count() ==
+      cust.where(col("c_custkey") % 7 === 0 && col("c_custkey") % 10 =!= 0).count())
+    assert(changedKeys.where(col("valid_to") =!= to_date(lit("2021-01-01"))).isEmpty)
+    // Open versions now all match the snapshot → a re-merge adds nothing.
+    val again = TableCopy.scd2Merge(cust, merged, Seq("c_custkey"),
+      to_date(lit("2022-01-01")))
+    assert(again.count() == merged.count())
+    assert(again.where(col("valid_from") === to_date(lit("2022-01-01"))).isEmpty)
+  }
+
   test("checksum verifies a copy and catches tampering, independent of layout") {
     val src = Tables.load(spark, sf, "orders")
     def chk(df: org.apache.spark.sql.DataFrame): (Long, String) = {
