@@ -152,6 +152,7 @@ object SparkEntry {
     "q_token_pack" -> ((s, dir) => Curation.tokenPack(s, dir)),
     "q_pii_scrub" -> ((s, dir) => Curation.piiScrub(s, dir)),
     "q_decontaminate" -> ((s, dir) => Curation.decontaminate(s, dir)),
+    "q_span_dedup" -> ((s, dir) => Curation.spanDedup(s, dir)),
     "q_embed_stats" -> ((s, dir) => Similarity.embedStats(s, dir)),
     "q_fk_check" -> ((s, dir) => TableCopy.fkCheck(s, dir)),
     "q_copy_partitioned" -> ((s, dir) => {
@@ -961,6 +962,32 @@ object SparkEntry {
         |  (coalesce(h.n_hit_grams, 0) > 0) AS contaminated
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+        |  FROM toks WHERE len(w) >= 8
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+        |  FROM idx
+        |), df AS (SELECT g, count(*) AS dfreq FROM sh GROUP BY g),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh JOIN df USING (g) GROUP BY doc_id
+        |), sh2 AS (
+        |  SELECT d.doc_id, CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+        |    CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams
+        |  FROM documents d LEFT JOIN per USING (doc_id)
+        |)
+        |SELECT doc_id, n_grams, n_dup_grams,
+        |  CASE WHEN n_grams = 0 THEN 0.0
+        |       ELSE CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) END AS dup_share,
+        |  (CASE WHEN n_grams = 0 THEN 0.0
+        |        ELSE CAST(n_dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) END > 0.2) AS flagged
+        |FROM sh2 ORDER BY doc_id""".stripMargin,
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, v.view_event, v.view_value
         |FROM events c LEFT JOIN LATERAL (

