@@ -107,6 +107,7 @@ object SparkEntry {
     "q_running" -> ((s, dir) => Relational.runningSum(s, dir)),
     "q_pivot" -> ((s, dir) => Relational.pivotAgg(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
+    "q_date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionizeBatch(s, dir)),
     // Snapshot diff / upsert exercise a deterministic "stale copy": dest is
     // missing every 10th key and has drifted prices on every 7th.
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
     "q_neardup_embed" -> ((s, dir) => Similarity.nearDupEmbedding(s, dir, maxBits = 12)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "q_ann_sq" -> ((s, dir) => Similarity.sqTopK(s, dir)),
     "q_ann_ivf_indexed" -> ((s, dir) =>
       Similarity.ivfTopKIndexed(s, dir, tmp("ivf_index"))),
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
@@ -270,6 +272,7 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.lshOracleSql(),
     "q_neardup_embed" -> Similarity.embeddingNearDupOracleSql(),
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
+    "q_ann_sq" -> Similarity.sqOracleSql(),
     // The materialized-index variant answers the SAME query — one oracle
     // serves both formulations.
     "q_ann_ivf_indexed" -> Similarity.ivfOracleSql(),
@@ -962,6 +965,19 @@ object SparkEntry {
         |  (coalesce(h.n_hit_grams, 0) > 0) AS contaminated
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_date_spine" ->
+      """WITH f AS (SELECT * FROM orders WHERE o_totalprice > 490000.0),
+        |b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |             date_trunc('month', max(o_orderdate)) AS hi FROM f),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b),
+        |agg AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM f GROUP BY 1)
+        |SELECT strftime(m, '%Y-%m') AS o_month,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(sum_price, 0.0) AS sum_price
+        |FROM spine LEFT JOIN agg USING (m) ORDER BY o_month""".stripMargin,
     "q_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |idx AS (

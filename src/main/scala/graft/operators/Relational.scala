@@ -659,4 +659,28 @@ object Relational {
       .select("event_id", "user_id", "view_event", "view_value")
       .orderBy("event_id")
   }
+
+  /** §2.2 #94 — calendar-spine gap fill: a month dimension generated from
+    * the data's own [min, max] bounds, left-joined to the monthly aggregate
+    * so months with NO qualifying rows still surface (as zeros) — the
+    * reporting pattern "every month must appear even when empty". The spine
+    * comes from one 2-value aggregate + `sequence()` (bounded by calendar
+    * length, never a driver loop) and broadcasts; the filtered fact-side
+    * aggregate is the only real shuffle, and the filter pushes to the scan.
+    */
+  def dateSpine(spark: SparkSession, dir: String, minPrice: Double = 490000.0): DataFrame = {
+    val f = t(spark, dir, "orders").where(col("o_totalprice") > minPrice)
+    val monthly = f
+      .groupBy(to_date(date_trunc("MONTH", col("o_orderdate"))).as("m"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+    val spine = f
+      .agg(to_date(date_trunc("MONTH", min(col("o_orderdate")))).as("lo"),
+        to_date(date_trunc("MONTH", max(col("o_orderdate")))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+    spine.join(monthly, Seq("m"), "left_outer")
+      .select(date_format(col("m"), "yyyy-MM").as("o_month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy("o_month")
+  }
 }

@@ -425,6 +425,76 @@ object Similarity {
        |FROM s WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** §2.3 #95 — scalar-quantized ANN with exact rescoring (the SQ8 index
+    * pattern): every vector compresses to int8 codes under ONE per-vector
+    * scale (127 / max|x|); the first pass ranks all pairs by the
+    * integer-arithmetic approximate dot product, keeps `rescoreC` candidates
+    * per query, and only those are rescored with the exact double cosine.
+    *
+    * Why this is the 100 TB compression path: the scan side reads 1-byte
+    * codes instead of 4-byte floats (4× less IO — the reason SQ indexes
+    * exist), the approximate pass is integer math, and the expensive exact
+    * cosine runs on rescoreC·Q rows, not N·Q. Code products are integers
+    * (≤127² each, summed exactly), so the approximate ranking — and with it
+    * the final answer — is bit-reproducible cross-engine; the codes are
+    * carried as integer-valued doubles so the same native fold kernel
+    * scores both passes.
+    */
+  def sqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+      rescoreC: Int = 50): DataFrame = {
+    val quant = embeddings(spark, dir)
+      .withColumn("mx", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qscale",
+        lit(127.0) / when(col("mx") === 0.0, lit(1.0)).otherwise(col("mx")))
+      .withColumn("qc",
+        expr("transform(v, x -> cast(cast(round(x * qscale) as int) as double))"))
+    val queries = quant.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        col("qscale").as("q_qscale"), col("qc").as("q_qc"))
+    val approxW = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val exactW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    quant.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        dot(col("qc"), col("q_qc")) / (col("qscale") * col("q_qscale")))
+      .withColumn("arank", row_number().over(approxW))
+      .where(col("arank") <= rescoreC)
+      .withColumn("cos", dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(exactW))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB twin of [[sqTopK]]: identical quantization, integer-valued
+    * approximate fold, same two-stage rank with the same tie-breaks.
+    */
+  def sqOracleSql(nQueries: Int = 10, k: Int = 10, rescoreC: Int = 50): String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${fold("v", "v")}) AS nrm,
+       |  127.0 / (CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+       |           ELSE list_max(list_transform(v, x -> abs(x))) END) AS qscale
+       |  FROM e),
+       |qz AS (SELECT vec_id, v, nrm, qscale,
+       |  list_transform(v, x -> CAST(CAST(round(x * qscale) AS INTEGER) AS DOUBLE)) AS qc
+       |  FROM n),
+       |pairs AS (
+       |  SELECT c.vec_id, q.vec_id AS q_id, c.v AS cv, c.nrm AS cn,
+       |    q.v AS qv, q.nrm AS qn,
+       |    ${fold("c.qc", "q.qc")} / (c.qscale * q.qscale) AS approx
+       |  FROM qz c JOIN qz q ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |a AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id ASC) AS arank
+       |  FROM pairs),
+       |s AS (SELECT q_id, vec_id, ${fold("cv", "qv")} / (cn * qn) AS cos
+       |  FROM a WHERE arank <= $rescoreC),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM s)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** §2.3 #34 — vector-column numerics: per-label count and exact-average L2
     * norm (norms summed in decimal so the group aggregate is order-free).
     */

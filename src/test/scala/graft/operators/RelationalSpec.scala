@@ -144,4 +144,30 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getDouble(5) - want._4.toDouble) < 1e-6)
     }
   }
+
+  test("dateSpine is gapless month-by-month and fills empty months with zeros") {
+    val rows = Relational.dateSpine(spark, sf).collect()
+    val months = rows.map(_.getString(0)).toSeq
+    // Contiguous: every month between min and max appears exactly once.
+    def next(m: String): String = {
+      val Array(y, mo) = m.split("-").map(_.toInt)
+      if (mo == 12) f"${y + 1}%04d-01" else f"$y%04d-${mo + 1}%02d"
+    }
+    months.sliding(2).foreach {
+      case Seq(a, b) => assert(next(a) == b, s"gap between $a and $b")
+      case _ => ()
+    }
+    // The filter is sparse enough that some months are gap-filled zeros,
+    // and zero-count months carry zero revenue.
+    val zeros = rows.filter(_.getLong(1) == 0L)
+    assert(zeros.nonEmpty)
+    zeros.foreach(r => assert(r.getDouble(2) == 0.0))
+    // Non-empty months agree with a direct recompute.
+    val direct = Tables.load(spark, sf, "orders")
+      .where(col("o_totalprice") > 490000.0)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == direct.getOrElse(r.getString(0), 0L)))
+  }
 }

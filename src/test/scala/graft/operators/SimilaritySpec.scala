@@ -162,6 +162,23 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PartitionFilters: [cid"), plan.take(800))
   }
 
+  test("SQ quantized ranking recalls most exact neighbors; rescored scores are exact") {
+    val brute = Similarity.bruteTopK(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    val sq = Similarity.sqTopK(spark, sf, nQueries = 5, k = 10).collect()
+    // int8 codes keep the ranking close: with rescoreC=50 candidates out of
+    // 500 vectors, nearly all true top-10 survive the approximate pass.
+    val hit = sq.count(r =>
+      brute.contains((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))))
+    assert(hit >= 40, s"recall@10 too low: $hit/50")
+    // Whatever survives is scored by the EXACT cosine — identical to brute.
+    sq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos"), key))
+    }
+  }
+
   test("embedStats covers every vector exactly once") {
     val rows = Similarity.embedStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
