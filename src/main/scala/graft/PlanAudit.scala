@@ -51,11 +51,13 @@ object PlanAudit {
       // Scale-contract assertions.
       if (cartesian)
         failures += s"$name: CartesianProduct in plan"
-      // BNLJ whitelist: q_ann_brute broadcasts the tiny query set over a
-      // linear corpus scan (the intended plan); q_having, q_source_mix and
+      // BNLJ whitelist: q_ann_brute and q_ann_sq broadcast the tiny query
+      // set over a linear corpus scan (the intended plan — sq additionally
+      // runs int8 code arithmetic in that scan); q_having, q_source_mix and
       // q_constraints broadcast a SINGLE aggregated row (scalar subquery /
       // corpus total / 1-row x 1-row constraint frames).
-      val bnljOk = Set("q_ann_brute", "q_having", "q_source_mix", "q_constraints")
+      val bnljOk = Set("q_ann_brute", "q_ann_sq", "q_having", "q_source_mix",
+        "q_constraints")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
