@@ -108,6 +108,7 @@ object SparkEntry {
     "q_pivot" -> ((s, dir) => Relational.pivotAgg(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
     "q_date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)),
+    "q_interval_join" -> ((s, dir) => Relational.intervalJoin(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.sessionizeBatch(s, dir)),
     // Snapshot diff / upsert exercise a deterministic "stale copy": dest is
     // missing every 10th key and has drifted prices on every 7th.
@@ -965,6 +966,23 @@ object SparkEntry {
         |  (coalesce(h.n_hit_grams, 0) > 0) AS contaminated
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us, value AS v_value
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.click_id, count(*) AS n_views,
+        |    CAST(sum(CAST(v_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_view_value
+        |  FROM c JOIN v ON v.user_id = c.user_id
+        |    AND v.v_us >= c.c_us - 3600000000 AND v.v_us < c.c_us
+        |  GROUP BY 1)
+        |SELECT c.click_id, c.user_id,
+        |  coalesce(j.n_views, 0) AS n_views,
+        |  coalesce(j.sum_view_value, 0.0) AS sum_view_value
+        |FROM c LEFT JOIN j USING (click_id) ORDER BY click_id""".stripMargin,
     "q_date_spine" ->
       """WITH f AS (SELECT * FROM orders WHERE o_totalprice > 490000.0),
         |b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,

@@ -660,6 +660,40 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** §2.2 #96 — bounded interval join (the batch twin of the streaming
+    * stream-stream range join): for every click, the same user's views in
+    * the strictly-preceding hour. A raw BETWEEN-predicate join degenerates
+    * to a per-key cartesian at scale; the scalable formulation replicates
+    * each probe (click) into the at-most-two hour buckets its window can
+    * overlap and equi-joins on (user_id, bucket) — candidate count is
+    * bounded by bucket occupancy, and the exact range predicate filters
+    * after the hash join. One shuffle per side, never a range-join blowup.
+    * Bucket ids use integer division on epoch micros (`div`), so bucketing
+    * is exact — no double rounding at bucket boundaries.
+    */
+  def intervalJoin(spark: SparkSession, dir: String, windowMinutes: Int = 60): DataFrame = {
+    val us = windowMinutes * 60L * 1000000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("c_us"))
+    val probes = clicks.withColumn("bkt",
+      explode(array(expr(s"c_us div $us"), expr(s"c_us div $us - 1"))))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("t_us").as("v_us"), col("value").as("v_value"))
+      .withColumn("bkt", expr(s"v_us div $us"))
+    val matched = probes.join(views, Seq("user_id", "bkt"))
+      .where(col("v_us") >= col("c_us") - us && col("v_us") < col("c_us"))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_views"), dsum(col("v_value")).as("sum_view_value"))
+    clicks.join(matched, Seq("click_id"), "left_outer")
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
+      .orderBy("click_id")
+  }
+
   /** §2.2 #94 — calendar-spine gap fill: a month dimension generated from
     * the data's own [min, max] bounds, left-joined to the monthly aggregate
     * so months with NO qualifying rows still surface (as zeros) — the

@@ -145,6 +145,34 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bucketized interval join equals the naive range join, without a range-join plan") {
+    val got = Relational.intervalJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // Naive BETWEEN-predicate reference (fine at test scale, a per-key
+    // cartesian at 100 TB — exactly what the bucketed plan avoids).
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type"), col("value"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("event_id").as("click_id"), col("t_us").as("c_us"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("u"), col("t_us").as("v_us"), col("value").as("v_value"))
+    val want = c.join(v,
+        c("u") === v("u") && col("v_us") >= col("c_us") - 3600000000L &&
+          col("v_us") < col("c_us"), "left_outer")
+      .groupBy(col("click_id"), c("u"))
+      .agg(
+        sum(when(col("v_us").isNotNull, 1L).otherwise(0L)).as("n_views"),
+        coalesce(sum(col("v_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double"), lit(0.0)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.sorted == want.sorted)
+    // The production plan must be hash-join shaped, not a nested-loop range join.
+    val plan = Relational.intervalJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(500))
+  }
+
   test("dateSpine is gapless month-by-month and fills empty months with zeros") {
     val rows = Relational.dateSpine(spark, sf).collect()
     val months = rows.map(_.getString(0)).toSeq
