@@ -109,6 +109,20 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
     "q_date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)),
     "q_interval_join" -> ((s, dir) => Relational.intervalJoin(s, dir)),
+    "q_sliding_window" -> ((s, dir) => Relational.slidingWindow(s, dir)),
+    "q_percentile_cont" -> ((s, dir) => Relational.percentileCont(s, dir)),
+    // The stored file carries the mapped DECIMAL type (SparkEntrySpec pins
+    // the schema); the compare projects it to DOUBLE because the driver's
+    // pandas compare can't equate DuckDB and parquet decimal encodings.
+    "copy_mapped" -> ((s, dir) => {
+      TableCopy.copyMapped(s, dir, tmp("mapped"), "customer", Seq(
+        ("c_custkey", "customer_id", "bigint"),
+        ("c_name", "full_name", "string"),
+        ("c_acctbal", "balance", "decimal(12,2)")))
+      s.read.parquet(s"${tmp("mapped")}/customer.parquet")
+        .withColumn("balance", col("balance").cast("double"))
+        .orderBy("customer_id")
+    }),
     "q_sessionize" -> ((s, dir) => Relational.sessionizeBatch(s, dir)),
     // Snapshot diff / upsert exercise a deterministic "stale copy": dest is
     // missing every 10th key and has drifted prices on every 7th.
@@ -966,6 +980,37 @@ object SparkEntry {
         |  (coalesce(h.n_hit_grams, 0) > 0) AS contaminated
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
         |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |x AS (
+        |  SELECT us, value,
+        |    unnest([(us // 900000000 - i) * 900000000 FOR i IN generate_series(0, 3)]) AS w_start_us
+        |  FROM e)
+        |SELECT w_start_us, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x WHERE us >= w_start_us AND us < w_start_us + 3600000000
+        |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
+    "q_percentile_cont" -> {
+      def term(q: Double, name: String) =
+        s"""sum(CASE WHEN rn = floor((n - 1) * CAST($q AS DOUBLE)) + 1
+           |      THEN o_totalprice * (1.0 - ((n - 1) * CAST($q AS DOUBLE) - floor((n - 1) * CAST($q AS DOUBLE))))
+           |    WHEN rn = floor((n - 1) * CAST($q AS DOUBLE)) + 2 AND (n - 1) * CAST($q AS DOUBLE) - floor((n - 1) * CAST($q AS DOUBLE)) > 0
+           |      THEN o_totalprice * ((n - 1) * CAST($q AS DOUBLE) - floor((n - 1) * CAST($q AS DOUBLE)))
+           |    ELSE 0.0 END) AS $name""".stripMargin
+      s"""WITH ranked AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+         |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM orders)
+         |SELECT o_orderpriority,
+         |${term(0.5, "p50")},
+         |${term(0.95, "p95")}
+         |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+    "copy_mapped" ->
+      """SELECT c_custkey AS customer_id, c_name AS full_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
+        |FROM customer ORDER BY customer_id""".stripMargin,
     "q_interval_join" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us

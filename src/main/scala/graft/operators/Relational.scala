@@ -660,6 +660,52 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** §2.2 #97 — hopping (sliding) window aggregation in batch: events per
+    * 1-hour window advancing every 15 minutes, via Spark's native
+    * `window(ts, win, slide)` — the SAME expression Structured Streaming
+    * uses, so batch and stream share one formulation. Each row expands to
+    * win/slide = 4 window assignments inside the scan stage (an Expand,
+    * no extra shuffle beyond the final aggregate); windows align to the
+    * epoch, so assignment is pure integer arithmetic.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("w_start_us")
+
+  /** §2.2 #98 — exact interpolated (continuous) percentiles, the type-7
+    * quantile every BI tool reports: pos = (n-1)·q, value = v⌊pos⌋ +
+    * frac·(v⌈pos⌉ − v⌊pos⌋). One window pass ranks values per group; one
+    * conditional aggregate picks the two boundary rows and interpolates —
+    * no per-group collect, no second sort. (The histogram formulation in
+    * [[percentileAgg]] is the DISCRETE twin; this one interpolates.)
+    */
+  def percentileCont(spark: SparkSession, dir: String,
+      qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val ranked = t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+    val aggs = qs.map { q =>
+      val pos = (col("n") - 1) * lit(q)
+      val lo = floor(pos)
+      val frac = pos - lo
+      sum(
+        when(col("rn") === lo + 1,
+          col("o_totalprice") * (lit(1.0) - frac))
+          .when(col("rn") === lo + 2 && frac > 0, col("o_totalprice") * frac)
+          .otherwise(lit(0.0)))
+        .as(s"p${(q * 100).round}")
+    }
+    ranked.groupBy("o_orderpriority")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("o_orderpriority")
+  }
+
   /** §2.2 #96 — bounded interval join (the batch twin of the streaming
     * stream-stream range join): for every click, the same user's views in
     * the strictly-preceding hour. A raw BETWEEN-predicate join degenerates

@@ -665,6 +665,23 @@ object TableCopy {
     coalesce(s, lit("\u0001"))
   }
 
+  /** §2.1 #99 — schema-mapping copy: rename columns and re-type values in
+    * flight, the column-mapping switch every bulk copier grows once source
+    * and destination schemas drift. The mapping is applied as a projection
+    * inside the copy's single distributed pass (select + cast — codegen'd,
+    * no second job), so it costs nothing beyond the copy itself.
+    */
+  def copyMapped(spark: SparkSession, srcDir: String, destDir: String,
+      table: String, mapping: Seq[(String, String, String)],
+      mode: Mode = Truncate): Long = {
+    val df = Tables.load(spark, srcDir, table)
+      .select(mapping.map { case (src, dst, tpe) =>
+        col(src).cast(tpe).as(dst)
+      }: _*)
+    df.write.mode(mode.saveMode).parquet(Tables.path(destDir, table))
+    spark.read.parquet(Tables.path(destDir, table)).count()
+  }
+
   /** Order-independent table content checksum — the 100 TB answer to "did the
     * copy arrive intact?". A full [[diffTables]] costs a second shuffle of
     * both tables; this costs ONE scan per side and ships 16 bytes: each row's

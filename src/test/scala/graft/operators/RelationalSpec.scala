@@ -173,6 +173,34 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       plan.take(500))
   }
 
+  test("percentileCont matches a local type-7 quantile computation") {
+    def local(q: Double): Map[String, Double] =
+      Tables.load(spark, sf, "orders")
+        .select("o_orderpriority", "o_totalprice").collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rows) =>
+          val v = rows.map(_.getDouble(1)).sorted
+          val pos = (v.length - 1) * q
+          val lo = pos.toInt
+          val frac = pos - lo
+          g -> (if (frac > 0) v(lo) * (1.0 - frac) + v(lo + 1) * frac else v(lo))
+        }
+    val p50 = local(0.5); val p95 = local(0.95)
+    Relational.percentileCont(spark, sf).collect().foreach { r =>
+      val g = r.getString(0)
+      assert(math.abs(r.getDouble(1) - p50(g)) < 1e-9, s"$g p50")
+      assert(math.abs(r.getDouble(2) - p95(g)) < 1e-9, s"$g p95")
+    }
+  }
+
+  test("slidingWindow assigns every event to exactly window/slide hops") {
+    val rows = Relational.slidingWindow(spark, sf).collect()
+    val nEvents = Tables.load(spark, sf, "events").count()
+    assert(rows.map(_.getLong(1)).sum == 4 * nEvents)
+    // Window starts are slide-aligned.
+    assert(rows.forall(_.getLong(0) % 900000000L == 0))
+  }
+
   test("dateSpine is gapless month-by-month and fills empty months with zeros") {
     val rows = Relational.dateSpine(spark, sf).collect()
     val months = rows.map(_.getString(0)).toSeq

@@ -424,6 +424,24 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(again.where(col("valid_from") === to_date(lit("2022-01-01"))).isEmpty)
   }
 
+  test("copyMapped renames and re-types columns in the stored file") {
+    val dest = tmpDir()
+    val n = TableCopy.copyMapped(spark, sf, dest, "customer", Seq(
+      ("c_custkey", "customer_id", "bigint"),
+      ("c_name", "full_name", "string"),
+      ("c_acctbal", "balance", "decimal(12,2)")))
+    assert(n == Tables.load(spark, sf, "customer").count())
+    val back = spark.read.parquet(s"$dest/customer.parquet")
+    assert(back.schema.map(f => (f.name, f.dataType.sql.toLowerCase)) == Seq(
+      ("customer_id", "bigint"), ("full_name", "string"),
+      ("balance", "decimal(12,2)")))
+    // Values survive the rename+cast, keyed by the renamed key.
+    val src = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(12,2)").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    back.collect().foreach(r => assert(src(r.getLong(0)) == r.getDecimal(2)))
+  }
+
   test("checksum verifies a copy and catches tampering, independent of layout") {
     val src = Tables.load(spark, sf, "orders")
     def chk(df: org.apache.spark.sql.DataFrame): (Long, String) = {
