@@ -78,6 +78,29 @@ object SparkEntry {
       TableCopy.partitionedRead(s, dir, "orders", "o_orderkey", 8)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")),
+    // Equi-depth chunking on a non-uniform key; exact reassembly is the
+    // oracle claim (balance is spec-asserted, not value-visible).
+    "q_partitioned_read_balanced" -> ((s, dir) =>
+      TableCopy.partitionedReadBalanced(s, dir, "orders", "o_custkey", 8)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+    // Incremental copy merged INTO a live JDBC database: stale Derby copy +
+    // fresh-slice MERGE reconstructs the source exactly (the oracle is the
+    // plain source table).
+    "copy_jdbc_upsert" -> ((s, dir) => {
+      val db = TableCopy.JdbcStore(
+        s"jdbc:derby:${tmp("jdbcups")}/db;create=true",
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      val stale = cust.where(col("c_custkey") % 10 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1.0)
+            .otherwise(col("c_acctbal")))
+      db.write(stale, "customer", TableCopy.Recreate)
+      val fresh = cust.where(col("c_custkey") % 10 === 0 || col("c_custkey") % 7 === 0)
+      TableCopy.jdbcUpsert(s, db, fresh, "customer", Seq("c_custkey"))
+      db.read(s, "customer").orderBy("c_custkey")
+    }),
     // §2.2 relational surface
     "q_filter_pushdown" -> ((s, dir) => Relational.filterPushdown(s, dir)),
     "q_agg_q1" -> ((s, dir) => Relational.aggQ1(s, dir)),
@@ -427,6 +450,12 @@ object SparkEntry {
     "q_partitioned_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_partitioned_read_balanced" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "copy_jdbc_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

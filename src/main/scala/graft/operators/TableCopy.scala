@@ -645,6 +645,62 @@ object TableCopy {
     preds.map(p => df.where(p)).reduce(_ unionAll _)
   }
 
+  /** Skew-aware variant of [[partitionedRead]]: chunk boundaries are the
+    * key's own approximate quantiles (one `percentile_approx` pass — the
+    * same cost as the min/max round-trip), so a clustered key distribution
+    * still produces near-equal chunk row counts. On a real JDBC source this
+    * is the difference between N even bulk-copy streams and one stream
+    * dragging 80% of the table. Reassembly is exact regardless of how
+    * approximate the quantiles are — the predicates stay disjoint and
+    * covering by construction.
+    */
+  def partitionedReadBalanced(
+      spark: SparkSession,
+      srcDir: String,
+      table: String,
+      column: String,
+      numPartitions: Int): DataFrame = {
+    val df = Tables.load(spark, srcDir, table)
+    val probs = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val qs = df.agg(percentile_approx(col(column).cast("double"),
+        typedLit(probs), lit(10000)).as("qs"))
+      .collect()(0).getSeq[Double](0)
+    val preds = PartitionPlan.boundaryPredicates(column, qs.map(_.toLong))
+    preds.map(p => df.where(p)).reduce(_ unionAll _)
+  }
+
+  /** Keyed upsert pushed INTO a live JDBC destination (the incremental-copy
+    * merge the way a real warehouse load runs it): the batch lands in a
+    * staging table via the distributed JDBC writer, then ONE set-based
+    * `MERGE` statement executes inside the database — update on key match,
+    * insert otherwise — and the staging table is dropped. Spark moves the
+    * data in parallel; the database applies the delta atomically. No row
+    * ever round-trips through the driver.
+    */
+  def jdbcUpsert(spark: SparkSession, store: JdbcStore, df: DataFrame,
+      table: String, keys: Seq[String]): Unit = {
+    val staging = s"${table}_stage"
+    store.write(df, staging, Recreate)
+    def q(c: String) = "\"" + c + "\""
+    val cols = df.columns.toSeq
+    val on = keys.map(k => s"d.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val set = cols.filterNot(keys.contains)
+      .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    val merge =
+      s"""MERGE INTO $table d USING $staging s ON $on
+         |WHEN MATCHED THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+         |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+    val props = new java.util.Properties()
+    store.options.foreach { case (k, v) => props.setProperty(k, v) }
+    store.options.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(store.url, props)
+    try {
+      conn.createStatement().executeUpdate(merge)
+      conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+    } finally conn.close()
+  }
+
   /** Canonical cross-engine string form of one column for [[checksum]]:
     * floating point goes through DECIMAL(18,2) (both engines render a fixed
     * two-digit scale; raw double→string formatting differs between JVMs and

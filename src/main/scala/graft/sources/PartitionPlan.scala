@@ -52,4 +52,24 @@ object PartitionPlan {
       else s"$column >= ${bounds(p)} AND $column < ${bounds(p + 1)}"
     }
   }
+
+  /** Predicates for data-driven (equi-depth) chunk boundaries: interior
+    * boundary values come from the key's own quantiles, so a skewed key
+    * distribution still yields near-equal chunk ROW counts — where uniform
+    * strides over [min, max] would put most rows in a few middle chunks.
+    * Same coverage contract as [[stridePredicates]]: disjoint, exhaustive,
+    * NULLs and out-of-range keys land in the first chunk. Duplicate
+    * boundaries (heavy single keys) collapse, so no chunk is ever empty by
+    * construction.
+    */
+  def boundaryPredicates(column: String, boundaries: Seq[Long]): Seq[String] = {
+    val bs = boundaries.distinct.sorted
+    if (bs.isEmpty) return Seq("1 = 1")
+    val n = bs.size + 1
+    (0 until n).map { p =>
+      if (p == 0) s"$column < ${bs(0)} OR $column IS NULL"
+      else if (p == n - 1) s"$column >= ${bs(n - 2)}"
+      else s"$column >= ${bs(p - 1)} AND $column < ${bs(p)}"
+    }
+  }
 }

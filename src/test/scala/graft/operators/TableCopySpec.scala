@@ -424,6 +424,49 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(again.where(col("valid_from") === to_date(lit("2022-01-01"))).isEmpty)
   }
 
+  test("balanced partitioned read reassembles exactly and beats uniform strides on skew") {
+    val got = TableCopy.partitionedReadBalanced(spark, sf, "orders", "o_custkey", 8)
+    val src = Tables.load(spark, sf, "orders")
+    assert(got.count() == src.count())
+    assert(got.select("o_orderkey").except(src.select("o_orderkey")).isEmpty)
+    // On a non-uniformly distributed key (o_totalprice is bell-shaped), the
+    // quantile boundaries give flatter chunk sizes than uniform strides.
+    val df = src.withColumn("k", col("o_totalprice").cast("long"))
+    val Array(lo, hi) = df.agg(min(col("k")), max(col("k"))).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    def spread(preds: Seq[String]): Double = {
+      val counts = preds.map(p => df.where(p).count()).filter(_ > 0)
+      counts.max.toDouble / counts.min.max(1L)
+    }
+    val uniform = spread(graft.sources.PartitionPlan.stridePredicates("k", lo, hi + 1, 8))
+    val probs = (1 until 8).map(_.toDouble / 8)
+    val qs = df.agg(percentile_approx(col("k").cast("double"),
+        typedLit(probs), lit(10000))).collect()(0).getSeq[Double](0)
+    val balanced = spread(
+      graft.sources.PartitionPlan.boundaryPredicates("k", qs.map(_.toLong)))
+    assert(balanced < uniform,
+      s"equi-depth spread $balanced should beat uniform $uniform")
+    assert(balanced < 2.0, s"equi-depth chunks should be near-equal, got $balanced")
+  }
+
+  test("jdbcUpsert merges a fresh slice into a live Derby table, set-based") {
+    val db = derbyStore()
+    val cust = Tables.load(spark, sf, "customer")
+    val stale = cust.where(col("c_custkey") % 10 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1.0)
+          .otherwise(col("c_acctbal")))
+    db.write(stale, "customer", TableCopy.Recreate)
+    val fresh = cust.where(col("c_custkey") % 10 === 0 || col("c_custkey") % 7 === 0)
+    TableCopy.jdbcUpsert(spark, db, fresh, "customer", Seq("c_custkey"))
+    val back = db.read(spark, "customer")
+    assert(TableCopy.diffTables(cust, back, Seq("c_custkey"))
+      .where(col("status") =!= "same").isEmpty)
+    // The staging table is cleaned up after the merge.
+    assert(!db.list(spark).exists(_.equalsIgnoreCase("customer_stage")))
+  }
+
   test("copyMapped renames and re-types columns in the stored file") {
     val dest = tmpDir()
     val n = TableCopy.copyMapped(spark, sf, dest, "customer", Seq(

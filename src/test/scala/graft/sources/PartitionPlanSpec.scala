@@ -48,4 +48,16 @@ class PartitionPlanSpec extends AnyFunSuite {
     val preds = PartitionPlan.stridePredicates("k", 0, 3, 16)
     assert(preds.length == 3)
   }
+
+  test("boundary predicates are contiguous, disjoint, and absorb duplicates") {
+    // Duplicated boundaries (a heavy key) collapse instead of creating
+    // empty chunks.
+    val preds = PartitionPlan.boundaryPredicates("k", Seq(10L, 20L, 20L, 40L))
+    assert(preds.length == 4)
+    (-5L to 60L).foreach { v =>
+      assert(preds.count(p => matches(p, v)) == 1, s"key $v")
+    }
+    assert(preds.head.contains("IS NULL"))
+    assert(PartitionPlan.boundaryPredicates("k", Nil) == Seq("1 = 1"))
+  }
 }
