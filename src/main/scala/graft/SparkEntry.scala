@@ -121,6 +121,15 @@ object SparkEntry {
     "q_casewhen" -> ((s, dir) => Relational.caseWhenAgg(s, dir)),
     "q_cube" -> ((s, dir) => Relational.cubeAgg(s, dir)),
     "q_topk_group" -> ((s, dir) => Relational.topKPerGroup(s, dir)),
+    // Same top-k-per-group semantics executed by the CUSTOM physical
+    // operator (bounded per-key heaps, no full partition sort).
+    "q_topk_exec" -> ((s, dir) => {
+      val orders = graft.sources.Tables.load(s, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      graft.plans.TopKPerKey(orders, Seq("o_orderpriority"),
+          Seq(("o_totalprice", false), ("o_orderkey", true)), 5)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
     "q_corr" -> ((s, dir) => Relational.corrAgg(s, dir)),
     "q_date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
@@ -453,6 +462,14 @@ object SparkEntry {
     "q_partitioned_read_balanced" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_topk_exec" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "copy_jdbc_upsert" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftglue {
   def exprColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def columnExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a hand-built logical plan as a DataFrame (`Dataset.ofRows` is
+    * private[sql] in Spark 4) — needed to hand custom logical operators like
+    * [[graft.plans.TopKPerKeyPlan]] to the planner.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
