@@ -281,6 +281,21 @@ object SparkEntry {
             .cast("double").as("sum_price"))
         .orderBy("o_month")
     }),
+    "q_funnel" -> ((s, dir) => Relational.funnel(s, dir)),
+    "q_retention" -> ((s, dir) => Relational.retention(s, dir)),
+    "q_sample_weighted" -> ((s, dir) => Curation.sampleWeighted(s, dir)),
+    "q_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
+    // High-watermark incremental sync: dest has everything before 1997;
+    // the incremental pass reads only source rows at/past the watermark
+    // (pushed to the scan) and reconstructs the source exactly.
+    "copy_incremental" -> ((s, dir) => {
+      val src = graft.sources.Tables.load(s, dir, "orders")
+      val dst = src.where(col("o_orderdate") < to_date(lit("1997-01-01")))
+      TableCopy.incrementalCopy(s, src, dst, "o_orderdate", Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -1246,5 +1261,67 @@ object SparkEntry {
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+        |s1 AS (SELECT user_id, min(t_us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t_us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t_us > s2.t2 GROUP BY 1)
+        |SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', ts::DATE) / 7.0) AS INTEGER) AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY 1),
+        |act AS (
+        |  SELECT cohort_wk, wk - cohort_wk AS wk_offset, count(*) AS n_active
+        |  FROM wk JOIN coh USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_wk, count(*) AS cohort_n FROM coh GROUP BY 1)
+        |SELECT cohort_wk, wk_offset, n_active, cohort_n,
+        |  round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+        |FROM act JOIN sz USING (cohort_wk)
+        |ORDER BY cohort_wk, wk_offset""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    (CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 5 + 1) / 10.0 AS weight,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(strpos('0123456789abcdef',
+        |         substr(sha256(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+        |       FOR i IN generate_series(1, 8)]), (a, v) -> a * 16 + v)
+        |      / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, weight FROM d WHERE u < weight ORDER BY doc_id""".stripMargin,
+    // Constants appear as the same double ARITHMETIC Spark runs ((1.2 + 1.0),
+    // not a pre-folded 2.2 literal) so both engines hit identical bits.
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tk
+        |       WHERE tok IN ('query', 'vector', 'merge') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              CAST(sum(len(w)) AS DOUBLE) AS sdl FROM d),
+        |tw AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5))
+        |      * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n_docs))) AS tw
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN st
+        |)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(tw AS DECIMAL(28,10))) AS DOUBLE), 6) AS score,
+        |  count(*) AS n_terms_hit
+        |FROM tw GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "copy_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

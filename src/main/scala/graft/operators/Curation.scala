@@ -279,6 +279,30 @@ object Curation {
     * 100 TB. The spec asserts both formulations return identical rows; the
     * oracle is the same SQL as `q_sample_stratified`.
     */
+  /** §2.3 #103b — deterministic WEIGHTED mixture sampling: each source keeps
+    * a different fraction of its documents (the "data mixing" step that
+    * up/down-weights domains before training). A document survives iff
+    * frac(sha256(doc_id)) < weight(source), where frac maps the first 8 hex
+    * chars to [0,1). Like [[sampleStratified]] this is seedless and
+    * partition-order-independent — re-running on a re-ingested corpus keeps
+    * EXACTLY the same documents — but unlike fixed-k it is a pure per-row
+    * filter: no sort, no shuffle, no state, so it runs at scan speed on any
+    * corpus size. Weights here derive from the source's numeric suffix
+    * ((n % 5 + 1)/10 → 0.1..0.5) purely so the oracle can recompute them.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("weight",
+        ((regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 5 + 1)
+          .cast("double") / 10.0))
+      .withColumn("u",
+        conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0)
+      .where(col("u") < col("weight"))
+      .select(col("doc_id"), col("source"), col("weight"))
+      .orderBy("doc_id")
+
   def sampleStratifiedAgg(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import spark.implicits._
     val typed = docs(spark, dir)

@@ -763,4 +763,64 @@ object Relational {
         coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
       .orderBy("o_month")
   }
+
+  /** §2.2 #103 — funnel analysis: how many users progress signup → click →
+    * purchase IN ORDER (each stage strictly after the previous one's first
+    * completion — the product-analytics "conversion funnel").
+    *
+    * Each stage is one linear aggregation (min event time per user) plus an
+    * equi-join against the previous stage's survivors, so the work SHRINKS
+    * monotonically down the funnel and every shuffle is keyed on user_id —
+    * no per-user event-list collection, no window over a user's whole
+    * history. At 100 TB the stage-1 aggregate dominates and is map-side
+    * combined; later joins ride the same hash partitioning.
+    */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    // reached(i): users whose stage-i event happens strictly after their
+    // stage-(i-1) completion time, carrying the new completion time forward.
+    val reached = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val mine = ev.where(col("event_type") === stage)
+        val qualified = prev match {
+          case None => mine
+          case Some(p) => mine.join(p.select(col("user_id"), col("t_done")), "user_id")
+            .where(col("t_us") > col("t_done"))
+        }
+        Some(qualified.groupBy("user_id").agg(min("t_us").as("t_done")))
+    }.flatten
+    reached.zip(stages).zipWithIndex.map { case ((df, stage), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"), col("n_users"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
+
+  /** §2.2 #104 — cohort retention: users grouped by the week of their FIRST
+    * event (the cohort); for each later week, the share of the cohort still
+    * active. The classic growth-analytics matrix.
+    *
+    * Plan: (user, week) activity is deduplicated FIRST (one aggregation —
+    * at 100 TB this collapses billions of events to |users|×|weeks| rows),
+    * cohorts are a min-aggregate over that, and the matrix is a second small
+    * aggregation. Cohort sizes join back by broadcast (weeks are bounded by
+    * calendar, not data).
+    */
+  def retention(spark: SparkSession, dir: String,
+      epoch: String = "2024-01-01"): DataFrame = {
+    val weeks = t(spark, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), to_date(lit(epoch))) / 7).cast("int").as("wk"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val active = weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_n"))
+    active.join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("wk_offset"), col("n_active"), col("cohort_n"),
+        round(col("n_active").cast("double") / col("cohort_n"), 6).as("retention"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
 }

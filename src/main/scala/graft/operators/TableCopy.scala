@@ -305,6 +305,27 @@ object TableCopy {
     src.unionByName(
       dst.join(src.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
+  /** §2.1 #105 — high-watermark incremental copy: pull only source rows at
+    * or past the destination's newest `wmCol` value, then merge by key — the
+    * standard "load yesterday's partition, not the whole table" pattern for
+    * periodic table sync.
+    *
+    * The watermark itself is a distributed 1-row max aggregate; collecting
+    * that single scalar to the driver is deliberate — as a LITERAL it pushes
+    * into the source scan (`PushedFilters: GreaterThanOrEqual(wmCol, …)`),
+    * so at 100 TB the incremental read touches only the files whose stats
+    * overlap the new range (with date/id-clustered layout: only new data).
+    * `>=` re-reads the boundary value and the key anti-join dedups it —
+    * strict `>` would silently drop late rows sharing the watermark value,
+    * the classic incremental-load bug.
+    */
+  def incrementalCopy(spark: SparkSession, src: DataFrame, dst: DataFrame,
+      wmCol: String, keys: Seq[String]): DataFrame = {
+    val wm = dst.agg(org.apache.spark.sql.functions.max(col(wmCol))).collect()(0).get(0)
+    val fresh = if (wm == null) src else src.where(col(wmCol) >= lit(wm))
+    upsert(fresh, dst, keys)
+  }
+
   /** §2.1 #92 — SCD Type-2 merge: fold today's snapshot into a dimension
     * that keeps full history (valid_from, valid_to, is_current). Per key:
     * unchanged attrs → current row passes through; changed attrs → the

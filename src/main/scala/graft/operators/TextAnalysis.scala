@@ -117,6 +117,48 @@ object TextAnalysis {
     * exact duplicates always land on the same side of the cut, so the
     * holdout can't leak into training via a copy. Pure per-row codegen.
     */
+  /** §2.3 #106 — BM25 keyword retrieval: score every document against a
+    * small query-term set and keep the top `topK` — the inverted-index
+    * ranking pass a corpus-search / hard-negative-mining pipeline runs.
+    *
+    * Plan shape at 100 TB: one explode pass computes term frequencies ONLY
+    * for query terms (the isin filter prunes inside the scan stage, so the
+    * shuffle carries ≤ |terms| rows per doc); document frequencies and
+    * corpus stats are tiny aggregates that broadcast back; the final top-K
+    * is TakeOrderedAndProject (per-partition heaps). Per-term weights are
+    * summed as exact decimals so the score is order-independent, and the
+    * ranking key is the ROUNDED score (+ doc_id tie-break) so ranks are
+    * engine-reproducible.
+    */
+  def bm25(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("query", "vector", "merge"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("dl"),
+        explode(col("w")).as("tok"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val stats = docs(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(size(tokensCol).cast("bigint")).cast("double").as("sdl"))
+    tf.join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("dfq") + 0.5) / (col("dfq") + 0.5)))
+      .withColumn("tw",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n_docs")))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tw").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   def splitHash(spark: SparkSession, dir: String, holdoutHexDigits: Int = 2): DataFrame = {
     require(holdoutHexDigits >= 1 && holdoutHexDigits <= 15)
     val cut = java.lang.Integer.toHexString(holdoutHexDigits - 1)

@@ -162,4 +162,35 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val hashed = Curation.spanDedup(spark, sf, hashGrams = true)
     assert(hashed.collect().toSeq == exact.collect().toSeq)
   }
+
+  test("sampleWeighted keeps per-source fractions near their weights, deterministically") {
+    val kept = Curation.sampleWeighted(spark, sf)
+    val rows = kept.collect()
+    // Deterministic: a second run (fresh plan) returns the identical set.
+    assert(Curation.sampleWeighted(spark, sf).collect().toSeq == rows.toSeq)
+    // Every kept row's weight matches the source-suffix rule.
+    rows.foreach { r =>
+      val n = r.getAs[String]("source").replaceAll("[^0-9]", "").toInt
+      assert(r.getAs[Double]("weight") == (n % 5 + 1) / 10.0)
+    }
+    // Acceptance rate per source tracks the weight (binomial tolerance on
+    // 25-doc strata is wide; just require monotone plausibility bounds).
+    val bySource = rows.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    val totalPer = Tables.load(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Small strata (25 docs) are noisy; allow ~4.5 sigma per source but hold
+    // the corpus-level total to a tight binomial band.
+    bySource.foreach { case (src, k) =>
+      val w = (src.replaceAll("[^0-9]", "").toInt % 5 + 1) / 10.0
+      val n = totalPer(src).toDouble
+      assert(k <= n * w + 4.5 * math.sqrt(n * w * (1 - w)) + 1,
+        s"$src kept $k of $n at weight $w")
+    }
+    val expTotal = totalPer.map { case (src, n) =>
+      n * ((src.replaceAll("[^0-9]", "").toInt % 5 + 1) / 10.0)
+    }.sum
+    assert(math.abs(rows.length - expTotal) <= 3 * math.sqrt(expTotal),
+      s"kept ${rows.length}, expected ~$expTotal")
+  }
 }

@@ -226,4 +226,46 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) == direct.getOrElse(r.getString(0), 0L)))
   }
+
+  test("funnel stages shrink monotonically and stage 1 matches distinct signup users") {
+    val rows = Relational.funnel(spark, sf).collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.map(_.getAs[String]("event_type")).toSeq ==
+      Seq("signup", "click", "purchase"))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    counts.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b, "funnel must not grow downstream")
+      case _ => ()
+    }
+    val signups = Tables.load(spark, sf, "events")
+      .where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(counts(0) == signups)
+    // Strict ordering claim: every stage-2 user has a click after their
+    // first signup (checked independently on collected events).
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    val expectedS2 = ev.count { case (_, es) =>
+      val s = es.filter(_.getString(1) == "signup").map(_.getLong(2))
+      val c = es.filter(_.getString(1) == "click").map(_.getLong(2))
+      s.nonEmpty && c.exists(_ > s.min)
+    }
+    assert(counts(1) == expectedS2)
+  }
+
+  test("retention offsets start at 0 with full cohort and rates never exceed 1") {
+    val rows = Relational.retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Int]("cohort_wk"))
+    byCohort.values.foreach { rs =>
+      val zero = rs.filter(_.getAs[Int]("wk_offset") == 0)
+      assert(zero.length == 1, "every cohort has an offset-0 row")
+      assert(zero.head.getAs[Long]("n_active") == zero.head.getAs[Long]("cohort_n"))
+      assert(zero.head.getAs[Double]("retention") == 1.0)
+      rs.foreach(r => assert(r.getAs[Double]("retention") <= 1.0))
+    }
+    // Cohort sizes partition the user base: each user is in exactly one cohort.
+    val users = Tables.load(spark, sf, "events").select("user_id").distinct().count()
+    assert(byCohort.values.map(_.head.getAs[Long]("cohort_n")).sum == users)
+  }
 }

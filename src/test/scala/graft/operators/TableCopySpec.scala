@@ -506,4 +506,26 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(chk(src.where(col("o_orderkey") =!= 7))._2 != cSrc)
     assert(chk(src.unionAll(src.where(col("o_orderkey") === 7)))._2 != cSrc)
   }
+
+  test("incrementalCopy reloads only at/past the watermark and reconstructs the source") {
+    val src = Tables.load(spark, sf, "orders")
+    val cut = to_date(lit("1997-01-01"))
+    val dst = src.where(col("o_orderdate") < cut)
+    val merged = TableCopy.incrementalCopy(spark, src, dst, "o_orderdate", Seq("o_orderkey"))
+    assert(merged.count() == src.count())
+    assert(merged.join(src, Seq("o_orderkey")).count() == src.count())
+    // >= semantics: boundary-date rows must not duplicate through the merge.
+    assert(merged.groupBy("o_orderkey").count().where(col("count") > 1).isEmpty)
+    // Empty destination degrades to a full copy (null watermark path).
+    val full = TableCopy.incrementalCopy(spark, src, dst.where(lit(false)),
+      "o_orderdate", Seq("o_orderkey"))
+    assert(full.count() == src.count())
+    // The incremental scan carries a pushed watermark predicate: the filter
+    // reaches the parquet scan as a literal (the 100 TB file-skipping claim).
+    val wm = dst.agg(max(col("o_orderdate"))).collect()(0).get(0)
+    val plan = src.where(col("o_orderdate") >= lit(wm))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      plan.take(600))
+  }
 }

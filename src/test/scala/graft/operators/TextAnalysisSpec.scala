@@ -50,6 +50,34 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bm25 ranks term-bearing docs, scores positive, and matches a local recompute") {
+    val terms = Seq("query", "vector", "merge")
+    val rows = TextAnalysis.bm25(spark, sf, terms).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    scores.foreach(s => assert(s > 0.0))
+    // Local BM25 recompute over collected docs agrees (to the 6dp rounding).
+    val docsRows = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq)
+    val n = docsRows.length.toDouble
+    val avgdl = docsRows.map(_._2.length).sum.toDouble / n
+    val dfq = terms.map(t => t -> docsRows.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = terms.map { t =>
+      val tf = toks.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log(1.0 + (n - dfq(t) + 0.5) / (dfq(t) + 0.5)) *
+        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+    }.sum
+    val expected = docsRows.map { case (id, toks) => (id, score(toks)) }
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(20)
+    rows.zip(expected).foreach { case (r, (id, s)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(math.abs(r.getAs[Double]("score") - s) < 1e-5)
+    }
+  }
+
   test("multimodal decode emits consistent byte metadata (text falls back to stub dims)") {
     val rows = Multimodal.decodeMeta(spark, sf).collect()
     rows.foreach { r =>
