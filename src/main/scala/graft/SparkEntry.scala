@@ -213,8 +213,9 @@ object SparkEntry {
     "q_stats_profile" -> ((s, dir) => TableCopy.statsProfile(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Curation.sampleStratified(s, dir)),
     "q_sample_stratified_agg" -> ((s, dir) => Curation.sampleStratifiedAgg(s, dir)),
-    // Sketches are engine-specific: no DuckDB oracle (driver rows-only
-    // check); CurationSpec bounds the estimates against exact answers.
+    // Sketch VALUES are engine-specific, but the error CONTRACT is oracle-
+    // checkable: the query emits within-tolerance booleans vs exact twins
+    // computed in the same pass, and the oracle asserts them TRUE.
     "q_approx_stats" -> ((s, dir) => Curation.approxStats(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
@@ -957,6 +958,14 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The sketch estimates themselves cannot hash-match another engine; the
+    // oracle checks the deterministic columns and asserts the in-query
+    // tolerance booleans (estimate vs exact twin) came out TRUE. A sketch
+    // regression flips a boolean and fails the hash compare.
+    "q_approx_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  TRUE AS hll_within_5pct, TRUE AS p50_within_10pct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_stratified" ->
       """SELECT source, doc_id, rk FROM (
         |  SELECT source, doc_id,

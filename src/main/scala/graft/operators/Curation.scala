@@ -224,11 +224,20 @@ object Curation {
     * group no matter how many distinct values flow through it, and sketches
     * MERGE associatively, so the whole profile is one map-side-combined
     * aggregation — no Expand, no per-column re-shuffle, no memory cliff.
-    * Sketches are engine-specific by nature, so this row is rows-only for
-    * the driver; CurationSpec bounds both estimates against the exact
-    * answers (rsd 2%, quantile accuracy 10000).
+    *
+    * Sketch VALUES are engine-specific, so raw estimates can never
+    * hash-match a DuckDB run. What IS cross-engine checkable is the error
+    * CONTRACT: the output carries the deterministic columns (source, exact
+    * row count) plus booleans asserting each estimate landed within its
+    * advertised tolerance of the exact answer (HLL rsd 2% → checked at 5%;
+    * p50 within 10%, both computed in this same query). The oracle asserts
+    * those booleans are TRUE for every source, so a sketch drifting out of
+    * tolerance flips a value and fails the hash check. The exact twin here
+    * exists only to make that contract auditable at oracle scale — the
+    * production profile at 100 TB is the sketch aggregation alone.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
+  /** The production sketch pass alone — what actually runs at 100 TB. */
+  def approxStatsRaw(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .groupBy("source")
       .agg(
@@ -236,6 +245,24 @@ object Curation {
         percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_p50_chars"),
         count(lit(1)).as("n_docs"))
       .orderBy("source")
+
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val sk = approxStatsRaw(spark, dir)
+    val exact = docs(spark, dir)
+      .groupBy("source")
+      .agg(
+        countDistinct(col("text")).as("exact_distinct_texts"),
+        expr("percentile(n_chars, 0.5D)").as("exact_p50_chars"))
+    sk.join(exact, Seq("source"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        (abs(col("approx_distinct_texts") - col("exact_distinct_texts"))
+          <= greatest(lit(2.0), col("exact_distinct_texts") * 0.05)).as("hll_within_5pct"),
+        (abs(col("approx_p50_chars").cast("double") - col("exact_p50_chars"))
+          <= col("exact_p50_chars") * 0.10).as("p50_within_10pct"))
+      .orderBy("source")
+  }
 
   def sampleStratified(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     docs(spark, dir)

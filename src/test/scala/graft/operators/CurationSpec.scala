@@ -94,7 +94,7 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       .select("source", "text", "n_chars").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val bySource = docs.groupBy(_._1)
-    val got = Curation.approxStats(spark, sf).collect()
+    val got = Curation.approxStatsRaw(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got.keySet == bySource.keySet)
     bySource.foreach { case (src, rows) =>
@@ -109,6 +109,13 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       val lo = sorted((sorted.length - 1) / 2 - 1 max 0)
       val hi = sorted(math.min(sorted.length - 1, (sorted.length - 1) / 2 + 1))
       assert(apxP50 >= lo && apxP50 <= hi, s"$src: p50 $apxP50 not in [$lo,$hi]")
+    }
+    // Oracle-facing wrapper: every tolerance boolean must come out TRUE
+    // (this is exactly what the DuckDB oracle asserts).
+    val wrapped = Curation.approxStats(spark, sf).collect()
+    assert(wrapped.nonEmpty)
+    wrapped.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3), s"${r.getString(0)}: tolerance check failed")
     }
   }
 
