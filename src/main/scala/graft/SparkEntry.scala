@@ -156,6 +156,7 @@ object SparkEntry {
         .orderBy("customer_id")
     }),
     "q_sessionize" -> ((s, dir) => Relational.sessionizeBatch(s, dir)),
+    "q_transition" -> ((s, dir) => Relational.transitions(s, dir)),
     // Snapshot diff / upsert exercise a deterministic "stale copy": dest is
     // missing every 10th key and has drifted prices on every 7th.
     "q_copy_diff" -> ((s, dir) => {
@@ -190,6 +191,7 @@ object SparkEntry {
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_entropy" -> ((s, dir) => TextAnalysis.entropy(s, dir)),
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
     "q_split_hash" -> ((s, dir) => TextAnalysis.splitHash(s, dir)),
@@ -764,6 +766,16 @@ object SparkEntry {
         |  min(t_us) AS first_us, max(t_us) AS last_us,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
+    "q_transition" ->
+      """WITH s AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |)
+        |SELECT from_type, to_type, count(*) AS n,
+        |  round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "q_copy_diff" ->
       """WITH dst AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1232,6 +1244,18 @@ object SparkEntry {
         |        t -> (length(t) * 7 + ascii(substr(t, 1, 1)))::BIGINT)),
         |    (acc, h) -> (acc * 131 + h) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Collision (Rényi-2) entropy: the summed quantity Σc² is exact integer
+    // arithmetic on both engines; the single final log2 is rounded to 6.
+    "q_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+        |), g AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  round(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE), 6) AS eff_vocab,
+        |  round(log2(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE)), 6) AS h2_bits
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
         |m AS (

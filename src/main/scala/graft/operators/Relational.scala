@@ -518,6 +518,33 @@ object Relational {
       .orderBy("user_id", "sess_seq")
   }
 
+  /** §2.2 #109 — event-sequence transition matrix (first-order Markov):
+    * for every (from_type → to_type) pair, how many times a user's next
+    * event was `to_type`, and the row-normalized transition probability.
+    * The sequence-mining primitive behind funnel discovery and
+    * next-event-prediction features.
+    *
+    * Plan shape at 100 TB: ONE shuffle (partition by user) pays for the
+    * `lead` window; the transition aggregate then collapses billions of
+    * steps to |types|² rows, and the probability normalization is a window
+    * over that tiny result — cost independent of event volume. Ordering is
+    * pinned by (ts, event_id) so ties can't flip transitions between runs
+    * or engines.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n").cast("double")
+        / sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** §2.2 #88 — fuzzy string-similarity join: distinct part names within
     * Levenshtein distance `maxDist`, with BLOCKED candidate generation —
     * names equi-join on their last token (the blocking key) and only

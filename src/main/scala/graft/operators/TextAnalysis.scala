@@ -159,6 +159,38 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** §2.3 #108 — token-diversity profile via COLLISION entropy (Rényi-2):
+    * per document, effective vocabulary size `n²/Σc²` (participation ratio)
+    * and its log2 in bits — a low-diversity / boilerplate filter signal,
+    * the sketch-free cousin of the Gopher repetition ratios.
+    *
+    * Why Rényi-2 and not Shannon: Shannon entropy sums `c·log2(c)` PER
+    * DISTINCT TOKEN, and engines disagree on float logs at the ulp level, so
+    * a cross-engine hash can flip on any of millions of per-token terms.
+    * The collision form needs only `Σc²` — exact integer arithmetic that
+    * every engine computes identically — and pays ONE float log on the
+    * final already-aggregated rational, where a 6-decimal round absorbs ulp
+    * noise with ~1e-10 residual risk per row instead of per token.
+    *
+    * Plan shape at 100 TB: shuffle key is (doc_id, token) — counts partially
+    * aggregate map-side and no per-doc state or token list ever materializes
+    * (same contract as [[Curation.repetition]]).
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((col("n_tokens") * col("n_tokens")).cast("double")
+          / col("sum_c2").cast("double"), 6).as("eff_vocab"),
+        round(log2((col("n_tokens") * col("n_tokens")).cast("double")
+          / col("sum_c2").cast("double")), 6).as("h2_bits"))
+      .orderBy("doc_id")
+
   def splitHash(spark: SparkSession, dir: String, holdoutHexDigits: Int = 2): DataFrame = {
     require(holdoutHexDigits >= 1 && holdoutHexDigits <= 15)
     val cut = java.lang.Integer.toHexString(holdoutHexDigits - 1)

@@ -145,6 +145,25 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("transitions match a driver-side brute-force next-event count and rows normalize to 1") {
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as t_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._4)
+      sorted.zip(sorted.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Relational.transitions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, n) => assert(got(k)._1 == n, s"pair $k") }
+    // Each from_type's probabilities sum to 1 (up to the per-cell rounding).
+    got.keys.toSeq.groupBy(_._1).foreach { case (from, ks) =>
+      val s = ks.map(got(_)._2).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"from $from sums to $s")
+    }
+  }
+
   test("bucketized interval join equals the naive range join, without a range-join plan") {
     val got = Relational.intervalJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq

@@ -78,6 +78,26 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("entropy matches a local collision-entropy reimplementation") {
+    val rows = TextAnalysis.entropy(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keySet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val counts = docs(id).trim.split(" ").groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum
+      val sumC2 = counts.map(c => c * c).sum
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id n")
+      assert(r.getAs[Long]("n_distinct") == counts.size.toLong, s"doc $id d")
+      val eff = (n.toDouble * n) / sumC2
+      assert(math.abs(r.getAs[Double]("eff_vocab") - eff) < 1e-5, s"doc $id eff")
+      assert(math.abs(r.getAs[Double]("h2_bits") - math.log(eff) / math.log(2)) < 1e-5,
+        s"doc $id h2")
+      // Collision entropy is bounded by log2 of the distinct count, with
+      // equality iff tokens are uniform.
+      assert(r.getAs[Double]("h2_bits") <= math.log(counts.size.toDouble) / math.log(2) + 1e-6)
+    }
+  }
+
   test("multimodal decode emits consistent byte metadata (text falls back to stub dims)") {
     val rows = Multimodal.decodeMeta(spark, sf).collect()
     rows.foreach { r =>
