@@ -53,17 +53,19 @@ object PlanAudit {
         failures += s"$name: CartesianProduct in plan"
       // BNLJ whitelist: q_ann_brute and q_ann_sq broadcast the tiny query
       // set over a linear corpus scan (the intended plan — sq additionally
-      // runs int8 code arithmetic in that scan); q_having, q_source_mix and
-      // q_constraints broadcast a SINGLE aggregated row (scalar subquery /
-      // corpus total / 1-row x 1-row constraint frames).
+      // runs int8 code arithmetic in that scan); q_having, q_source_mix,
+      // q_constraints and q_bm25 broadcast a SINGLE aggregated row (scalar
+      // subquery / corpus totals / 1-row x 1-row constraint frames).
       val bnljOk = Set("q_ann_brute", "q_ann_sq", "q_having", "q_source_mix",
-        "q_constraints")
+        "q_constraints", "q_bm25")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
         failures += "q_topn: expected TakeOrderedAndProject (global sort instead)"
       if (name == "q_antijoin" && !has("HashAggregate"))
         failures += "q_antijoin: build side must pre-aggregate to distinct join keys"
+      if (name == "q_join_bloom" && !has("bloom_might_contain"))
+        failures += "q_join_bloom: runtime-filter probe missing from the physical plan"
       if (name == "q_join_broadcast" && !has("BroadcastHashJoin"))
         failures += "q_join_broadcast: expected BroadcastHashJoin"
       if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_corr" -> ((s, dir) => Relational.corrAgg(s, dir)),
     "q_date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
+    "q_join_bloom" -> ((s, dir) => Relational.bloomJoin(s, dir)),
     "q_percentile" -> ((s, dir) => Relational.percentileAgg(s, dir)),
     "q_histogram" -> ((s, dir) => Relational.histogram(s, dir)),
     "q_outerjoin" -> ((s, dir) => Relational.outerJoin(s, dir)),
@@ -677,6 +678,16 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The bloom pre-filter must not change the join result — the oracle is
+    // the plain join, which is exactly the runtime-filter correctness claim
+    // (false positives only admit rows; the join drops them).
+    "q_join_bloom" ->
+      """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,

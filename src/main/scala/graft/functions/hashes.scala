@@ -185,6 +185,34 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** bloom_might_contain(long) -> boolean over a pre-built
+  * `org.apache.spark.util.sketch.BloomFilter`: the membership probe of a
+  * RUNTIME FILTER. The filter is built distributedly on the join's build
+  * side (partial filters OR-merge associatively), shipped to every task via
+  * the plan's reference array, and evaluated inside whole-stage codegen —
+  * one hash-and-test per row, no join, no shuffle. False positives only
+  * ever ADMIT a row (the real join still drops it), so pre-filtering with
+  * this expression never changes a join result — it only cuts the probe
+  * side's shuffle volume by roughly the build side's selectivity.
+  */
+case class BloomMightContain(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 object DotProduct {
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

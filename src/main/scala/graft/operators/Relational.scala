@@ -346,6 +346,43 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** §2.2 #110 — bloom-filter runtime-filter join (the explicit form of
+    * Spark's InjectRuntimeFilter): a selective predicate on one fact side
+    * (urgent 1997 orders) would normally still force the OTHER fact side
+    * (lineitem) to shuffle in full for the sort-merge join. Instead the
+    * selected keys are folded into a bloom filter — built distributedly,
+    * partial filters OR-merge associatively, a few MB at any build size —
+    * and probed inside the lineitem scan via the codegen'd
+    * [[graft.functions.BloomMightContain]] kernel, so ~96% of lineitem
+    * never reaches the exchange. False positives only ever ADMIT rows and
+    * the real join drops them, so the result is provably identical to the
+    * plain join — which is exactly what the oracle asserts.
+    *
+    * At 100 TB: build-side count + bloom build are one pass over the small
+    * selection (the count sizes the filter; stats would replace it on a
+    * real cluster); the probe is scan-speed per-row work with zero shuffle.
+    * Broadcast-hash-join is NOT generally available here — the selection is
+    * only small at low SF; the bloom path works at any build size where a
+    * broadcast would OOM.
+    */
+  def bloomJoin(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftglue.{columnExpr, exprColumn}
+    val sel = t(spark, dir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1997)
+      .select("o_orderkey", "o_orderdate")
+    val nKeys = math.max(1L, sel.count())
+    val bloom = sel.stat.bloomFilter("o_orderkey", nKeys, fpp)
+    val fact = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .where(exprColumn(graft.functions.BloomMightContain(
+        columnExpr(col("l_orderkey")), bloom)))
+    fact.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_month")
+  }
+
   /** §2.2 #44 — skew-salted fact-fact join, HOT KEYS ONLY: a cheap
     * keys-with-most-rows pass (aggregate + top-k, broadcast back — at real
     * scale this runs over a sample) identifies the `hotK` heaviest join

@@ -145,6 +145,33 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bloomJoin equals the plain join and the bloom pre-filter prunes the probe side") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    val lineitem = graft.sources.Tables.load(spark, sf, "lineitem")
+    val sel = orders
+      .where(col("o_orderpriority") === "1-URGENT" && year(col("o_orderdate")) === 1997)
+      .select("o_orderkey", "o_orderdate")
+    val plain = lineitem.join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("o_month"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_month").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val got = Relational.bloomJoin(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == plain.toSeq)
+    // The runtime filter must actually cut the probe side: rows passing the
+    // bloom ≈ matching rows (+ false positives), far below the full scan.
+    val bloom = sel.stat.bloomFilter("o_orderkey", math.max(1L, sel.count()), 0.01)
+    import org.apache.spark.sql.graftglue.{columnExpr, exprColumn}
+    val passed = lineitem.where(exprColumn(graft.functions.BloomMightContain(
+      columnExpr(col("l_orderkey")), bloom))).count()
+    val total = lineitem.count()
+    assert(passed < total / 5, s"bloom passed $passed of $total — no pruning")
+  }
+
   test("transitions match a driver-side brute-force next-event count and rows normalize to 1") {
     val events = graft.sources.Tables.load(spark, sf, "events")
       .selectExpr("user_id", "event_id", "unix_micros(ts) as t_us", "event_type").collect()
