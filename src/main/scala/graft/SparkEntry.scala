@@ -184,6 +184,7 @@ object SparkEntry {
     // exact up to 2^14 vectors; the library default (24) scales further.
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
     "q_neardup_embed" -> ((s, dir) => Similarity.nearDupEmbedding(s, dir, maxBits = 12)),
+    "q_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir, maxBits = 12)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_ann_sq" -> ((s, dir) => Similarity.sqTopK(s, dir)),
     "q_ann_ivf_indexed" -> ((s, dir) =>
@@ -220,6 +221,7 @@ object SparkEntry {
     // checkable: the query emits within-tolerance booleans vs exact twins
     // computed in the same pass, and the oracle asserts them TRUE.
     "q_approx_stats" -> ((s, dir) => Curation.approxStats(s, dir)),
+    "q_heavy_hitters" -> ((s, dir) => Curation.heavyHitters(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
@@ -337,6 +339,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> Similarity.lshOracleSql(),
     "q_neardup_embed" -> Similarity.embeddingNearDupOracleSql(),
+    "q_knn_graph" -> Similarity.knnGraphOracleSql(),
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
     "q_ann_sq" -> Similarity.sqOracleSql(),
     // The materialized-index variant answers the SAME query — one oracle
@@ -981,6 +984,15 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The Misra-Gries sketch only proposes CANDIDATES; the exact rescore pass
+    // makes the output the true top-k, so the oracle is plain exact SQL.
+    "q_heavy_hitters" ->
+      """SELECT rank, tok, n FROM (
+        |  SELECT tok, count(*) AS n,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS INTEGER) AS rank
+        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |  GROUP BY tok) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // The sketch estimates themselves cannot hash-match another engine; the
     // oracle checks the deterministic columns and asserts the in-query
     // tolerance booleans (estimate vs exact twin) came out TRUE. A sketch

@@ -425,6 +425,68 @@ object Similarity {
        |FROM s WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** §2.3 #112 — approximate kNN GRAPH: every vector's top-`k` neighbors
+    * among its LSH-bucket collisions — the all-vectors generalization of
+    * [[lshTopK]] (where the query side is a tiny broadcast set, here every
+    * vector is a query). The kNN graph is the substrate of graph-based
+    * semantic dedup clusters, HNSW-style index construction, and
+    * label-propagation — the batch-materialized artifact a training-data
+    * pipeline computes once per corpus snapshot.
+    *
+    * Plan shape at 100 TB: the bucket SELF-join ships (vec_id, packed
+    * bucket) pairs only — with auto-scaled bits, candidate edges are
+    * ~nTables·occupancy·N = O(N); vectors re-attach to the distinct edge
+    * set; the per-vector top-k is one row_number window partitioned by
+    * vec_id (shuffle on a key with N distinct values — no hot partition).
+    * Never N² anything. Vectors whose buckets collide with nothing simply
+    * have no edges (recall is bought with nTables, like all LSH paths here).
+    */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+               nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val bucketed = bucketedVectors(spark, dir,
+      resolveBits(spark, dir, nBits, maxBits), nTables)
+      .select("vec_id", "bk")
+    val cand = bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
+    val base = embeddings(spark, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id").asc)
+    cand
+      .join(base.select(col("vec_id"), col("v").as("va"), col("nrm").as("na")), "vec_id")
+      .join(base.select(col("vec_id").as("nbr_id"), col("v").as("vb"),
+        col("nrm").as("nb")), "nbr_id")
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** DuckDB oracle SQL for [[knnGraph]] (same embedded planes and
+    * SQL-computed bit count as the other LSH oracles).
+    */
+  def knnGraphOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12): String = {
+    val crossDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [na.v[i] * nb.v[i] FOR i IN generate_series(1, len(na.v))]), (x, y) -> x + y)"
+    s"""${bucketCtes(nTables, maxBits)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id <> b.vec_id
+       |),
+       |s AS (
+       |  SELECT cand.vec_id, cand.nbr_id, $crossDot / (na.nrm * nb.nrm) AS cos
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = cand.vec_id
+       |  JOIN n nb ON nb.vec_id = cand.nbr_id
+       |),
+       |r AS (SELECT vec_id, nbr_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank FROM s)
+       |SELECT vec_id, rank, nbr_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** §2.3 #95 — scalar-quantized ANN with exact rescoring (the SQ8 index
     * pattern): every vector compresses to int8 codes under ONE per-vector
     * scale (127 / max|x|); the first pass ranks all pairs by the

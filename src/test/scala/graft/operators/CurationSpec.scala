@@ -119,6 +119,35 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("heavyHitters equals the exact top-k and MG keeps every frequent token") {
+    val allToks = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).trim.split(" "))
+    val exact = allToks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val k = 20
+    val expected = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+    val got = Curation.heavyHitters(spark, sf, k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.length == k)
+    got.zip(expected).zipWithIndex.foreach { case (((rank, tok, n), (et, en)), i) =>
+      assert(rank == i + 1 && tok == et && n == en, s"rank ${i + 1}: got ($tok,$n) want ($et,$en)")
+    }
+    // The sketch's superset guarantee: every token with count > n/(m+1)
+    // must survive as a candidate (checked with a small m to make the
+    // threshold bite on this corpus).
+    val m = 64
+    val n = allToks.length.toLong
+    val sketch = allToks.foldLeft(Map.empty[String, Long]) { (b, t) =>
+      val nb = b.updated(t, b.getOrElse(t, 0L) + 1L)
+      if (nb.size > m) {
+        val thresh = nb.values.toIndexedSeq.sorted(Ordering[Long].reverse)(m)
+        nb.collect { case (tk, c) if c > thresh => tk -> (c - thresh) }
+      } else nb
+    }
+    exact.filter(_._2 > n / (m + 1)).keys.foreach { t =>
+      assert(sketch.contains(t), s"frequent token '$t' missing from MG sketch")
+    }
+  }
+
   test("sampleStratified returns exactly k docs per source, deterministically") {
     val k = 7
     val a = Curation.sampleStratified(spark, sf, k).collect()

@@ -179,6 +179,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("knnGraph edges carry exact cosines, dense ranks, and useful top-1 agreement") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val rows = Similarity.knnGraph(spark, sf, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // Every edge's cosine is the exact pairwise cosine; ranks are dense,
+    // descending in cosine, and never self-edges.
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to es.length), s"ranks not dense for $v")
+      assert(sorted.forall(_._3 != v), s"self edge at $v")
+      sorted.foreach { case (_, _, nbr, cos) =>
+        val exact = dot(vecs(v), vecs(nbr)) / (norms(v) * norms(nbr))
+        assert(math.abs(cos - exact) < 1e-5, s"edge $v->$nbr cos")
+      }
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"cosines not descending for $v")
+    }
+    // Graph quality: for the brute-force query slice, the graph's rank-1
+    // neighbor should equal the true nearest neighbor often (same LSH recall
+    // contract as lshTopK).
+    val graphTop1 = rows.filter(_._2 == 1).map(e => e._1 -> e._3).toMap
+    val brute = localTopK(10, 1)
+    val hits = brute.count { case (q, top) => graphTop1.get(q).contains(top.head) }
+    assert(hits >= 3, s"only $hits/10 true nearest neighbors found at rank 1")
+  }
+
   test("embedStats covers every vector exactly once") {
     val rows = Similarity.embedStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
