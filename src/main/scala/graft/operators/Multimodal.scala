@@ -70,13 +70,49 @@ object Multimodal {
     } else None
   }
 
-  /** Decode one payload: real header parse for PNG/JPEG, deterministic
-    * fallback ("unknown", fake dims from byte length) otherwise.
+  private def le32(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8) | ((d(p + 2) & 0xff) << 16) | ((d(p + 3) & 0xff) << 24)
+
+  private def le16(d: Array[Byte], p: Int): Int =
+    (d(p) & 0xff) | ((d(p + 1) & 0xff) << 8)
+
+  /** Parse audio/animation container headers: RIFF/WAVE (walks chunks to
+    * `fmt `) and GIF87a/89a (logical screen descriptor). For WAV the two
+    * dimension slots carry (sample_rate, channels) — the audio analogue of
+    * width×height in this typed-metadata shape. Bounded work like
+    * [[parseImageHeader]]: header bytes only, never the payload body.
+    */
+  private[graft] def parseAvHeader(d: Array[Byte]): Option[(String, Int, Int)] = {
+    def ascii(p: Int, s: String): Boolean =
+      p + s.length <= d.length && s.indices.forall(i => (d(p + i) & 0xff) == s.charAt(i).toInt)
+    if (d.length >= 10 && (ascii(0, "GIF87a") || ascii(0, "GIF89a"))) {
+      Some(("gif", le16(d, 6), le16(d, 8)))
+    } else if (d.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      // Chunk walk: [id(4), size(LE32), data(size, word-aligned)]*
+      var p = 12
+      while (p + 8 <= d.length) {
+        val size = le32(d, p + 4)
+        if (size < 0) return None
+        if (ascii(p, "fmt ")) {
+          if (size < 16 || p + 8 + 16 > d.length) return None
+          val channels = le16(d, p + 10)
+          val sampleRate = le32(d, p + 12)
+          return Some(("wav", sampleRate, channels))
+        }
+        p += 8 + size + (size & 1)
+      }
+      None
+    } else None
+  }
+
+  /** Decode one payload: real header parse for PNG/JPEG/GIF/WAV,
+    * deterministic fallback ("unknown", fake dims from byte length)
+    * otherwise.
     */
   def decode(blob: MediaBlob): MediaMeta = {
     val len = blob.data.length.toLong
     val prefix = blob.data.take(4).map(b => f"${b & 0xff}%02X").mkString
-    parseImageHeader(blob.data) match {
+    parseImageHeader(blob.data).orElse(parseAvHeader(blob.data)) match {
       case Some((fmt, w, h)) => MediaMeta(blob.doc_id, len, prefix, fmt, w, h)
       case None =>
         MediaMeta(blob.doc_id, len, prefix, "unknown",

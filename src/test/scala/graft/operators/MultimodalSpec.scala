@@ -34,6 +34,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(Multimodal.parseImageHeader(jpegBytes(1024, 768)) == Some(("jpeg", 1024, 768)))
   }
 
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    ("GIF89a".getBytes("US-ASCII").map(_.toInt) ++
+      Array(w & 0xff, w >>> 8, h & 0xff, h >>> 8) ++ Array(0xf7, 0, 0)).map(_.toByte)
+
+  private def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    def le32(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff, (v >>> 16) & 0xff, v >>> 24)
+    def le16(v: Int) = Array(v & 0xff, (v >>> 8) & 0xff)
+    ("RIFF".getBytes("US-ASCII").map(_.toInt) ++ le32(36) ++
+      "WAVE".getBytes("US-ASCII").map(_.toInt) ++
+      // a JUNK chunk first, as real recorders emit, to exercise the walk
+      "JUNK".getBytes("US-ASCII").map(_.toInt) ++ le32(4) ++ Array(0, 0, 0, 0) ++
+      "fmt ".getBytes("US-ASCII").map(_.toInt) ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16)).map(_.toByte)
+  }
+
+  test("GIF logical screen descriptor parse extracts dimensions") {
+    assert(Multimodal.parseAvHeader(gifBytes(320, 200)) == Some(("gif", 320, 200)))
+    assert(Multimodal.decode(Multimodal.MediaBlob(1L, gifBytes(320, 200))).format == "gif")
+  }
+
+  test("WAV fmt-chunk walk skips leading chunks and reads rate and channels") {
+    assert(Multimodal.parseAvHeader(wavBytes(44100, 2)) == Some(("wav", 44100, 2)))
+    assert(Multimodal.parseAvHeader(wavBytes(16000, 1)) == Some(("wav", 16000, 1)))
+    // Truncated RIFF (no fmt chunk) falls through to None.
+    assert(Multimodal.parseAvHeader(wavBytes(44100, 2).take(20)).isEmpty)
+  }
+
   test("non-media bytes fall back to the deterministic stub") {
     assert(Multimodal.parseImageHeader("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseImageHeader(Array[Byte]()).isEmpty)
