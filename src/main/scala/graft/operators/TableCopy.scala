@@ -139,6 +139,10 @@ object TableCopy {
     def write(df: DataFrame, table: String, mode: Mode): Unit = {
       var w = df.write.mode(mode.saveMode)
         .option("createTableColumnTypes", columnTypesDdl(df.schema))
+        // Default batch size (1000) round-trips the executor→DB pipe far too
+        // often for bulk loads; 10k per batch is the SqlBulkCopy-style
+        // setting (store options can still override).
+        .option("batchsize", "10000")
       options.foreach { case (k, v) => w = w.option(k, v) }
       // Truncate keeps the destination DDL (TRUNCATE + load); Recreate
       // drops and re-creates the table (Spark's default overwrite path).
@@ -717,6 +721,15 @@ object TableCopy {
     store.options.get("driver").foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(store.url, props)
     try {
+      // Spark's JDBC writer creates a bare heap table; without a key index
+      // the MERGE's match lookup nested-loops the whole destination per
+      // staging row (O(dest·stage) — 7× the cost of the load itself at
+      // sf0.1). A real warehouse destination has a primary key; create the
+      // equivalent once, idempotently (X0Y32 = already exists).
+      val idx = s"${table}_graft_kidx"
+      try conn.createStatement().executeUpdate(
+        s"CREATE INDEX $idx ON $table (${keys.map(q).mkString(", ")})")
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
       conn.createStatement().executeUpdate(merge)
       conn.createStatement().executeUpdate(s"DROP TABLE $staging")
     } finally conn.close()
