@@ -222,6 +222,7 @@ object SparkEntry {
     // computed in the same pass, and the oracle asserts them TRUE.
     "q_approx_stats" -> ((s, dir) => Curation.approxStats(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => Curation.heavyHitters(s, dir)),
+    "q_oov_rate" -> ((s, dir) => Curation.oovRate(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
@@ -993,6 +994,20 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |  GROUP BY tok) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q_oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+        |), v AS (
+        |  SELECT tok, 1 AS in_vocab FROM (
+        |    SELECT tok, count(*) AS n FROM t GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 256) s
+        |)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // The sketch estimates themselves cannot hash-match another engine; the
     // oracle checks the deterministic columns and asserts the in-query
     // tolerance booleans (estimate vs exact twin) came out TRUE. A sketch

@@ -347,6 +347,32 @@ object Curation {
       .select("rank", "tok", "n")
   }
 
+  /** §2.3 #114 — tokenizer-vocabulary coverage: per document, the fraction
+    * of tokens OUTSIDE a fixed top-`vocabSize` vocabulary (the corpus's own
+    * most frequent tokens stand in for a trained tokenizer's vocab). OOV
+    * rate is the standard proxy for how well a tokenizer fits a corpus —
+    * high-OOV documents fragment into long byte-level token sequences and
+    * dilute training. Plan shape: the vocab is a top-V aggregate
+    * (TakeOrderedAndProject) BROADCAST to every task; membership is then a
+    * per-token broadcast hash join at scan speed, and the per-doc rate is
+    * one (doc_id) shuffle with map-side combine. Nothing scales with vocab
+    * choice but the broadcast's few hundred strings.
+    */
+  def oovRate(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** One (hash, id) sample candidate flowing through [[KSmallestByHash]]. */
   case class SampleRow(h: String, doc_id: Long)
 

@@ -81,6 +81,32 @@ object EventStream {
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
   }
 
+  /** §2.4 #113 — watermarked stream-stream LEFT OUTER join: like
+    * [[clickToView]], but clicks that never find a view inside the time
+    * range still emit — with null view columns — once the watermark passes
+    * the end of their range (only then can the engine PROVE no match will
+    * arrive). The outer variant is what conversion analysis actually needs:
+    * the unmatched clicks ARE the non-converting sessions. Same bounded
+    * two-sided state as the inner join; the null emission piggybacks on
+    * watermark-driven state eviction.
+    */
+  def clickToViewOuter(events: DataFrame, withinMinutes: Int = 10): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    val views = events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "20 minutes")
+    clicks.join(views,
+        col("user_id") === col("view_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        "left_outer")
+      .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
   /** §2.4 #62 — stream-static enrichment join: each streaming event picks up
     * dimension attributes from a static (batch) table. Stream-static joins
     * are STATELESS — the static side is just planned into every micro-batch,

@@ -148,6 +148,24 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("oovRate matches a local vocabulary-coverage computation") {
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq).toMap
+    val vocabSize = 64
+    val freq = texts.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val vocab = freq.toSeq.sortBy { case (t, n) => (-n, t) }.take(vocabSize).map(_._1).toSet
+    val got = Curation.oovRate(spark, sf, vocabSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == texts.keySet)
+    got.foreach { case (id, n, oov, rate) =>
+      val toks = texts(id)
+      val wantOov = toks.count(!vocab.contains(_)).toLong
+      assert(n == toks.length.toLong && oov == wantOov, s"doc $id: $oov vs $wantOov")
+      assert(math.abs(rate - wantOov.toDouble / toks.length) < 1e-5, s"doc $id rate")
+    }
+  }
+
   test("sampleStratified returns exactly k docs per source, deterministically") {
     val k = 7
     val a = Curation.sampleStratified(spark, sf, k).collect()

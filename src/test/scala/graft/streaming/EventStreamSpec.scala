@@ -119,6 +119,34 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched clicks with nulls after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),  // gets a view -> matched pair
+      Event(2, ts(5), 1, "view", 1.0),
+      Event(3, ts(1), 2, "click", 1.0))  // no view ever -> null emission
+    val q = EventStream.clickToViewOuter(input.toDF(), withinMinutes = 10)
+      .writeStream.format("memory").queryName("ctvo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // Push BOTH sides' watermarks far past click 3's range end (the global
+      // watermark is the MIN over all watermark nodes) so the engine can
+      // prove no matching view will arrive and emits the null row.
+      input.addData(Event(8, ts(240), 8, "click", 1.0), Event(9, ts(240), 9, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(480), 8, "click", 1.0), Event(11, ts(480), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ctvo").collect()
+        .map(r => (r.getAs[Long]("click_id"),
+          Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong))).toSet
+      assert(rows.contains((1L, Some(2L))), s"matched pair missing: $rows")
+      assert(rows.contains((3L, None)), s"unmatched click not emitted with null: $rows")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated event ids with watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
