@@ -12,6 +12,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 case class SessionState(nEvents: Int, firstTs: Long, lastTs: Long, totalValue: Double)
 
+/** Running per-user profile state for [[EventStream.userProfile]]. */
+case class ProfileState(nEvents: Long, totalValue: Double, lastTsUs: Long)
+
+/** One emitted profile update (Update-mode output row). */
+case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
+                       last_ts_us: Long)
+
+/** StatefulProcessor for [[EventStream.userProfile]] — the arbitrary-state
+  * API v2 (`transformWithState`, Spark 4): named state variables from a
+  * handle instead of one opaque blob, optional per-state TTL, timers, and
+  * RocksDB-backed storage. One `ValueState[ProfileState]` per user holds
+  * the lifetime aggregate; each micro-batch folds its rows in and emits
+  * the refreshed profile.
+  */
+class ProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, UserProfile] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[ProfileState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[ProfileState]("profile",
+      org.apache.spark.sql.Encoders.product[ProfileState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventStream.Event],
+      timerValues: TimerValues): Iterator[UserProfile] = {
+    var s = if (state.exists()) state.get() else ProfileState(0L, 0.0, Long.MinValue)
+    rows.foreach { e =>
+      s = ProfileState(s.nEvents + 1, s.totalValue + e.value,
+        math.max(s.lastTsUs, e.ts.getTime * 1000L))
+    }
+    state.update(s)
+    Iterator.single(UserProfile(key, s.nEvents, s.totalValue, s.lastTsUs))
+  }
+}
+
 /** Structured-Streaming operators over the `events` schema (SURVEY.md §2.4).
   *
   * Both operators take an already-constructed streaming Dataset (file source,
@@ -105,6 +142,24 @@ object EventStream {
         col("view_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
         "left_outer")
       .select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+  }
+
+  /** §2.4 #115 — running per-user profile via `transformWithState` (the
+    * Spark 4 arbitrary-state API v2): lifetime event count / value total /
+    * last-seen per user, refreshed every micro-batch in Update mode. Where
+    * `flatMapGroupsWithState` gives one opaque state blob, the v2 API gives
+    * NAMED state variables with per-state TTL and timers over the RocksDB
+    * state store — the profile/feature-store accumulation shape (state is
+    * keyed and distributed; a user's profile lives on exactly one
+    * executor's store and survives restarts via the checkpoint).
+    */
+  def userProfile(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** §2.4 #62 — stream-static enrichment join: each streaming event picks up

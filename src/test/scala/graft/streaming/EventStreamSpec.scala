@@ -147,6 +147,40 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-user profiles across micro-batches (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 2.0),
+      Event(2, ts(1), 1, "view", 3.0),
+      Event(3, ts(2), 2, "click", 5.0))
+    val q = EventStream.userProfile(input.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(4, ts(10), 1, "purchase", 10.0)) // second batch folds into state
+      q.processAllAvailable()
+      // Update mode emits one row per touched user per batch; the LAST row
+      // per user is the current profile.
+      val latest = spark.table("profiles").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(latest(1L) == ((1L, 3L, 15.0, ts(10).getTime * 1000L)), s"user 1: ${latest(1L)}")
+      assert(latest(2L) == ((2L, 1L, 5.0, ts(2).getTime * 1000L)), s"user 2: ${latest(2L)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops repeated event ids with watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
