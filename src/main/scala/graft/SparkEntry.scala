@@ -223,6 +223,7 @@ object SparkEntry {
     "q_approx_stats" -> ((s, dir) => Curation.approxStats(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => Curation.heavyHitters(s, dir)),
     "q_oov_rate" -> ((s, dir) => Curation.oovRate(s, dir)),
+    "q_heavy_hitters_grouped" -> ((s, dir) => Curation.heavyHittersGrouped(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
@@ -994,6 +995,17 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |  GROUP BY tok) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // Per-group MG sketches only propose candidates; the exact rescore makes
+    // each group's output the true top-k — plain SQL oracle again.
+    "q_heavy_hitters_grouped" ->
+      """SELECT source, rank, tok, n FROM (
+        |  SELECT source, tok, count(*) AS n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY count(*) DESC, tok) AS INTEGER) AS rank
+        |  FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |        FROM documents) t
+        |  GROUP BY source, tok) g
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "q_oov_rate" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents

@@ -282,9 +282,9 @@ object Curation {
     * any token with true count > n/(m+1) survives in the final sketch, and
     * each surviving counter undercounts by at most n/(m+1).
     */
-  class MisraGries(m: Int)
+  class MisraGries[I](m: Int, token: I => String)
       extends org.apache.spark.sql.expressions.Aggregator[
-        String, Map[String, Long], Map[String, Long]] {
+        I, Map[String, Long], Map[String, Long]] {
     private def shrink(c: Map[String, Long]): Map[String, Long] =
       if (c.size <= m) c
       else {
@@ -292,7 +292,8 @@ object Curation {
         c.collect { case (t, n) if n > thresh => t -> (n - thresh) }
       }
     def zero: Map[String, Long] = Map.empty
-    def reduce(b: Map[String, Long], tok: String): Map[String, Long] = {
+    def reduce(b: Map[String, Long], row: I): Map[String, Long] = {
+      val tok = token(row)
       val nb = b.updated(tok, b.getOrElse(tok, 0L) + 1L)
       // Amortize: let the buffer grow to 2m before paying a shrink.
       if (nb.size > 2 * m) shrink(nb) else nb
@@ -335,7 +336,7 @@ object Curation {
     val toks = docs(spark, dir)
       .select(explode(tokensCol).as("tok"))
     val sketch = toks.as[String]
-      .select(new MisraGries(m).toColumn.name("sk"))
+      .select(new MisraGries[String](m, identity).toColumn.name("sk"))
       .head()
     val cands = sketch.keys.toSeq
     val exact = toks.where(col("tok").isin(cands: _*))
@@ -345,6 +346,35 @@ object Curation {
     exact.withColumn("rank",
       row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
       .select("rank", "tok", "n")
+  }
+
+  /** §2.3 #116 — PER-GROUP heavy hitters: top-`k` tokens per source, via
+    * the same sketch-then-rescore two-pass as [[heavyHitters]] but with one
+    * [[MisraGries]] sketch PER GROUP (`groupByKey(source)` + the typed
+    * Aggregator, so sketches still partially aggregate map-side and only
+    * ≤2m-counter maps shuffle — never raw tokens). The exact pass rescores
+    * the ≤ sources·m candidate (source, token) pairs with a broadcast
+    * semi-join prune at the scan, and a per-source rank window over
+    * candidate counts keeps the true top-k. The per-domain vocabulary
+    * fingerprint a mixing/contamination dashboard shows.
+    */
+  def heavyHittersGrouped(spark: SparkSession, dir: String, k: Int = 5,
+      m: Int = 256): DataFrame = {
+    import spark.implicits._
+    val toks = docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+    val sketches = toks.as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new MisraGries[(String, String)](m, _._2).toColumn.name("sk"))
+    val cands = sketches.flatMap { case (src, sk) => sk.keysIterator.map((src, _)) }
+      .toDF("source", "tok")
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("tok").asc)
+    toks.join(broadcast(cands), Seq("source", "tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("source", "rank", "tok", "n")
+      .orderBy("source", "rank")
   }
 
   /** §2.3 #114 — tokenizer-vocabulary coverage: per document, the fraction

@@ -148,6 +148,23 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("heavyHittersGrouped equals the exact per-source top-k") {
+    val rows = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val k = 5
+    val expected = rows.groupBy(_._1).flatMap { case (src, docs) =>
+      val counts = docs.flatMap(_._2.trim.split(" ")).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length.toLong }
+      counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+        .map { case ((t, n), i) => (src, i + 1, t, n) }
+    }.toSet
+    val got = Curation.heavyHittersGrouped(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got}  extra=${got -- expected}")
+  }
+
   test("oovRate matches a local vocabulary-coverage computation") {
     val texts = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
