@@ -57,17 +57,19 @@ object Bench {
       // would hide flakiness.
       name -> (if (times.size == passes) Some(median(times)) else None)
     }
-    // Per-query drift vs the round-2 driver baseline, if present (stderr —
-    // stdout stays a single parseable JSON line).
-    val baselineFile = new java.io.File("BENCH_r02.json")
-    if (baselineFile.exists()) {
-      val txt = scala.io.Source.fromFile(baselineFile).mkString
+    // Per-query drift vs the LATEST prior round's driver baseline, if any
+    // (stderr — stdout stays a single parseable JSON line).
+    val baselineFile = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName).lastOption
+    baselineFile.foreach { bf =>
+      val txt = scala.io.Source.fromFile(bf).mkString
       val entry = """"([a-z0-9_]+)":([0-9.]+)""".r
       val base = entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       results.toSeq.sortBy(_._1).foreach { case (name, t) =>
         (t, base.get(name)) match {
-          case (Some(now), Some(then_)) =>
-            System.err.println(f"[bench] $name%-22s $now%7.3fs  r02=$then_%7.3fs  ${(now / then_ - 1) * 100}%+6.1f%%")
+          case (Some(now), Some(then_)) if then_ > 0 =>
+            System.err.println(f"[bench] $name%-22s $now%7.3fs  prev=$then_%7.3fs  ${(now / then_ - 1) * 100}%+6.1f%%")
           case _ => ()
         }
       }

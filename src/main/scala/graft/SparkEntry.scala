@@ -293,6 +293,30 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => Relational.retention(s, dir)),
     "q_sample_weighted" -> ((s, dir) => Curation.sampleWeighted(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
+    // Versioned snapshot copy (time travel): v1 is a half-table snapshot,
+    // v2 the full table with drifted balances; BOTH versions read back
+    // concurrently — v1 undisturbed by the v2 write — and aggregate per
+    // version. The oracle recomputes each version's state from the source.
+    "copy_versioned" -> ((s, dir) => {
+      val dest = tmp("versioned")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dest), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dest/customer"), true)
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      TableCopy.writeSnapshot(s, cust.where(col("c_custkey") % 2 === 0),
+        dest, "customer")
+      TableCopy.writeSnapshot(s, cust.withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal"))), dest, "customer")
+      def agg(df: DataFrame, v: Int): DataFrame = df
+        .groupBy(lit(v).as("version"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_acctbal"))
+      agg(TableCopy.readSnapshot(s, dest, "customer", version = 1), 1)
+        .unionByName(agg(TableCopy.readSnapshot(s, dest, "customer"), 2))
+        .orderBy("version")
+    }),
     // High-watermark incremental sync: dest has everything before 1997;
     // the incremental pass reads only source rows at/past the watermark
     // (pushed to the scan) and reconstructs the source exactly.
@@ -427,6 +451,16 @@ object SparkEntry {
          |${checksumOracle("orders_copy", "orders", ordersCanonSql)}
          |) SELECT * FROM chk ORDER BY table_name""".stripMargin
     },
+    "copy_versioned" ->
+      """SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*),
+        |  CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
+        |                     ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM customer
+        |ORDER BY version""".stripMargin,
     "copy_clustered" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  count(*) AS n_orders,

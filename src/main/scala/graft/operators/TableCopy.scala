@@ -735,6 +735,47 @@ object TableCopy {
     } finally conn.close()
   }
 
+  /** §2.1 #117 — versioned snapshot copy (time-travel-lite): every write
+    * lands in a NEW immutable `v<N>` directory and readers pin either the
+    * latest or any historical version. This is the snapshot-isolation
+    * contract of a table format (Iceberg/Delta) reduced to its storage
+    * essentials — full-copy snapshots, no manifests — which is exactly what
+    * a periodic bulk copier produces: readers of v1 are never disturbed by
+    * the v2 write, and yesterday's pipeline can be re-run against
+    * yesterday's table. Combine with [[diffTables]] for version diffs and
+    * [[checksum]] for cross-version verification.
+    *
+    * At 100 TB each snapshot is a distributed write like any other copy;
+    * retention is directory deletion. Listing cost is one metadata call.
+    */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, destDir: String,
+      table: String): Int = {
+    val next = listSnapshots(spark, destDir, table).lastOption.getOrElse(0) + 1
+    df.write.parquet(s"$destDir/$table/v$next")
+    next
+  }
+
+  /** All committed snapshot versions of `table`, ascending. */
+  def listSnapshots(spark: SparkSession, destDir: String, table: String): Seq[Int] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(destDir), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$destDir/$table")
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .sorted
+  }
+
+  /** Read one snapshot: `version` ≤ 0 means latest. */
+  def readSnapshot(spark: SparkSession, destDir: String, table: String,
+      version: Int = 0): DataFrame = {
+    val vs = listSnapshots(spark, destDir, table)
+    require(vs.nonEmpty, s"no snapshots of $table under $destDir")
+    val v = if (version > 0) version else vs.last
+    require(vs.contains(v), s"version $v not in $vs")
+    spark.read.parquet(s"$destDir/$table/v$v")
+  }
+
   /** Canonical cross-engine string form of one column for [[checksum]]:
     * floating point goes through DECIMAL(18,2) (both engines render a fixed
     * two-digit scale; raw double→string formatting differs between JVMs and

@@ -528,4 +528,23 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
       plan.take(600))
   }
+
+  test("versioned snapshots are immutable, listable, and time-travel readable") {
+    val dest = tmpDir()
+    val nation = Tables.load(spark, sf, "nation")
+    assert(TableCopy.listSnapshots(spark, dest, "nation").isEmpty)
+    assert(TableCopy.writeSnapshot(spark, nation.where(col("n_nationkey") < 10),
+      dest, "nation") == 1)
+    assert(TableCopy.writeSnapshot(spark, nation, dest, "nation") == 2)
+    assert(TableCopy.writeSnapshot(spark, nation.where(col("n_nationkey") >= 20),
+      dest, "nation") == 3)
+    assert(TableCopy.listSnapshots(spark, dest, "nation") == Seq(1, 2, 3))
+    // Time travel: v1 is untouched by later writes; latest resolves to v3.
+    assert(TableCopy.readSnapshot(spark, dest, "nation", version = 1).count() == 10)
+    assert(TableCopy.readSnapshot(spark, dest, "nation", version = 2).count() == 25)
+    assert(TableCopy.readSnapshot(spark, dest, "nation").count() == 5)
+    intercept[IllegalArgumentException] {
+      TableCopy.readSnapshot(spark, dest, "nation", version = 9)
+    }
+  }
 }
