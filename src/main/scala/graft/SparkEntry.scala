@@ -185,6 +185,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
     "q_neardup_embed" -> ((s, dir) => Similarity.nearDupEmbedding(s, dir, maxBits = 12)),
     "q_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir, maxBits = 12)),
+    "q_semantic_cluster" -> ((s, dir) => Similarity.semanticClusters(s, dir, maxBits = 12)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_ann_sq" -> ((s, dir) => Similarity.sqTopK(s, dir)),
     "q_ann_ivf_indexed" -> ((s, dir) =>
@@ -366,6 +367,7 @@ object SparkEntry {
     "q_ann_lsh" -> Similarity.lshOracleSql(),
     "q_neardup_embed" -> Similarity.embeddingNearDupOracleSql(),
     "q_knn_graph" -> Similarity.knnGraphOracleSql(),
+    "q_semantic_cluster" -> Similarity.semanticClusterOracleSql(),
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
     "q_ann_sq" -> Similarity.sqOracleSql(),
     // The materialized-index variant answers the SAME query — one oracle

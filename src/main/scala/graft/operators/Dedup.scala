@@ -235,15 +235,45 @@ object Dedup {
     // label init, and the final expansion all reuse these checkpoints
     // instead of re-executing the banding/verification DAG per consumer.
     val (repPairsRaw, membersRaw) = verifiedRepPairs(spark, dir, threshold)
-    val repPairs = repPairsRaw.select("rep_a", "rep_b").localCheckpoint(true)
     val members = membersRaw.localCheckpoint(true)
-    val edges = repPairs.select(col("rep_a").as("src"), col("rep_b").as("dst"))
-      .unionAll(repPairs.select(col("rep_b").as("src"), col("rep_a").as("dst")))
     // Iterate over representative nodes only; docs the shingler drops (< 3
     // tokens, absent from `members`) are singleton components by definition
     // and rejoin in the final expansion.
-    var labels = members.select(col("rep_id").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    val labels = propagateMinLabels(
+      members.select(col("rep_id")).distinct(),
+      repPairsRaw.select("rep_a", "rep_b"), maxRounds)
+    // Expand rep labels to every member; docs outside `members` (no
+    // shingles) are their own singleton cluster.
+    Tables.load(spark, dir, "documents").select("doc_id")
+      .join(members.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left_outer")
+      .join(labels.select(col("id").as("rep_id"), col("cluster_id")),
+        Seq("rep_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed connected components by min-label propagation with pointer
+    * jumping, over an arbitrary undirected pair list — the shared engine
+    * under [[dedupClusters]] (lexical clusters) and
+    * [[Similarity.semanticClusters]] (embedding clusters).
+    *
+    * `nodes` is a 1-column frame of node ids; `pairs` a 2-column frame of
+    * undirected edges. Returns (id, cluster_id = component min id). Each
+    * round is two equi-joins + one aggregation (linear in |edges|), path
+    * halving makes convergence O(log diameter) rounds, `localCheckpoint`
+    * cuts lineage so round N never re-executes rounds 1..N-1, and labels
+    * are monotonically non-increasing min-ids so convergence is detected by
+    * the label sum going flat (one cheap agg per round, no join).
+    */
+  private[operators] def propagateMinLabels(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val p = pairs.toDF("a", "b").localCheckpoint(true)
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(p.select(col("b").as("src"), col("a").as("dst")))
+    var labels = nodes.toDF("id").distinct()
+      .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("cluster_id")).cast("long")).head.getLong(0)
@@ -252,15 +282,15 @@ object Dedup {
     var round = 0
     while (!converged && round < maxRounds) {
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("nbr")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("nbr").as("nbr_min"))
-      val pulled = labels.join(nbrMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      val pulled = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-      val parents = pulled.select(col("doc_id").as("p_id"), col("cluster_id").as("p_label"))
+      val parents = pulled.select(col("id").as("p_id"), col("cluster_id").as("p_label"))
       val next = pulled.join(parents, col("cluster_id") === col("p_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("p_label"), col("cluster_id")).as("cluster_id"))
+        .select(col("id"), coalesce(col("p_label"), col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
@@ -268,17 +298,8 @@ object Dedup {
       labels = next
       round += 1
     }
-    require(converged, s"dedupClusters did not converge in $maxRounds rounds")
-    // Expand rep labels to every member; docs outside `members` (no
-    // shingles) are their own singleton cluster.
-    Tables.load(spark, dir, "documents").select("doc_id")
-      .join(members.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left_outer")
-      .join(labels.select(col("doc_id").as("rep_id"), col("cluster_id")),
-        Seq("rep_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    require(converged, s"propagateMinLabels did not converge in $maxRounds rounds")
+    labels
   }
 
   /** SimHash fingerprint per document over word tokens: bit k is the

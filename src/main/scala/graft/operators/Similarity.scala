@@ -487,6 +487,57 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** §2.3 #118 — SEMANTIC duplicate clusters: connected components over the
+    * embedding near-dup pair graph, every vector labeled with its
+    * component's min vec_id. Where [[Dedup.dedupClusters]] clusters lexical
+    * copies (MinHash/Jaccard edges), this clusters PARAPHRASES — the
+    * "keep one per meaning" reduction of semantic dedup (SemDeDup-style).
+    * Same engine underneath: [[Dedup.propagateMinLabels]] min-label
+    * propagation with pointer jumping, O(log diameter) rounds over O(N)
+    * LSH-candidate edges. The oracle re-derives the identical components
+    * with a recursive CTE over the plane-exact candidate pairs.
+    */
+  def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
+      maxRounds: Int = 25): DataFrame = {
+    val pairs = nearDupEmbedding(spark, dir, threshold, nBits, nTables, maxBits)
+      .select("vec_a", "vec_b")
+    val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
+    Dedup.propagateMinLabels(nodes, pairs, maxRounds)
+      .select(col("id").as("vec_id"), col("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle SQL for [[semanticClusters]]: the near-dup pair CTEs
+    * (plane-exact) feed a recursive min-label closure.
+    */
+  def semanticClusterOracleSql(threshold: Double = 0.4, nTables: Int = 16,
+      maxBits: Int = 12): String = {
+    val crossDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [na.v[i] * nb.v[i] FOR i IN generate_series(1, len(na.v))]), (x, y) -> x + y)"
+    s"""${bucketCtes(nTables, maxBits).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id < b.vec_id
+       |),
+       |prs AS (
+       |  SELECT cand.va AS a, cand.vb AS b
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = cand.va
+       |  JOIN n nb ON nb.vec_id = cand.vb
+       |  WHERE $crossDot / (na.nrm * nb.nrm) >= $threshold
+       |),
+       |e2 AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+       |reach(vec_id, r) AS (
+       |  SELECT vec_id, vec_id FROM e
+       |  UNION
+       |  SELECT e2.b, reach.r FROM e2 JOIN reach ON reach.vec_id = e2.a
+       |)
+       |SELECT vec_id, min(r) AS cluster_id, (vec_id = min(r)) AS is_canonical
+       |FROM reach GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   /** §2.3 #95 — scalar-quantized ANN with exact rescoring (the SQ8 index
     * pattern): every vector compresses to int8 codes under ONE per-vector
     * scale (127 / max|x|); the first pass ranks all pairs by the

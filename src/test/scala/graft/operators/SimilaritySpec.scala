@@ -214,6 +214,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(hits >= 3, s"only $hits/10 true nearest neighbors found at rank 1")
   }
 
+  test("semanticClusters labels agree with a local union-find over the near-dup pairs") {
+    val pairs = Similarity.nearDupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Similarity.semanticClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val all = Tables.load(spark, sf, "embeddings").select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(labels.map(_._1).toSet == all)
+    // Local union-find ground truth.
+    val parent = scala.collection.mutable.Map(all.toSeq.map(v => v -> v): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = all.map(v => v -> find(v)).toMap
+    labels.foreach { case (v, c, canon) =>
+      assert(c == want(v), s"vec $v: got cluster $c want ${want(v)}")
+      assert(canon == (v == c))
+    }
+  }
+
   test("embedStats covers every vector exactly once") {
     val rows = Similarity.embedStats(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
