@@ -225,6 +225,7 @@ object SparkEntry {
     "q_heavy_hitters" -> ((s, dir) => Curation.heavyHitters(s, dir)),
     "q_oov_rate" -> ((s, dir) => Curation.oovRate(s, dir)),
     "q_heavy_hitters_grouped" -> ((s, dir) => Curation.heavyHittersGrouped(s, dir)),
+    "q_cooccur_pmi" -> ((s, dir) => Curation.cooccurPmi(s, dir)),
     "q_frame_sample" -> ((s, dir) => Multimodal.frameSample(s, dir)),
     "q_explode" -> ((s, dir) => Relational.explodeTokens(s, dir)),
     "q_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
@@ -1031,6 +1032,34 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |  GROUP BY tok) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // Pair generation mirrors the shifted equi-joins (±2 window, unordered
+    // least/greatest pairs); PMI uses the same multiply/divide order so the
+    // 6-decimal round absorbs only ulp-level noise.
+    "q_cooccur_pmi" ->
+      """WITH toks AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
+        |idx1 AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |         FROM toks WHERE len(w) >= 2),
+        |idx2 AS (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |         FROM toks WHERE len(w) >= 3),
+        |pr AS (
+        |  SELECT least(w[i], w[i+1]) AS tok_a, greatest(w[i], w[i+1]) AS tok_b FROM idx1
+        |  UNION ALL
+        |  SELECT least(w[i], w[i+2]), greatest(w[i], w[i+2]) FROM idx2
+        |),
+        |uni AS (SELECT unnest(w) AS tok FROM toks),
+        |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+        |tot AS (SELECT (SELECT count(*) FROM uni)::DOUBLE AS n_tok,
+        |               (SELECT count(*) FROM pr)::DOUBLE AS n_pairs),
+        |top AS (
+        |  SELECT tok_a, tok_b, count(*) AS c_ab FROM pr GROUP BY tok_a, tok_b
+        |  ORDER BY c_ab DESC, tok_a, tok_b LIMIT 20
+        |)
+        |SELECT tok_a, tok_b, c_ab,
+        |  round(log2(c_ab * n_tok * n_tok / (n_pairs * ca.c * cb.c)), 6) AS pmi
+        |FROM top CROSS JOIN tot
+        |JOIN uc ca ON ca.tok = top.tok_a
+        |JOIN uc cb ON cb.tok = top.tok_b
+        |ORDER BY c_ab DESC, tok_a, tok_b""".stripMargin,
     // Per-group MG sketches only propose candidates; the exact rescore makes
     // each group's output the true top-k — plain SQL oracle again.
     "q_heavy_hitters_grouped" ->

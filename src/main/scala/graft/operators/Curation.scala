@@ -377,6 +377,47 @@ object Curation {
       .orderBy("source", "rank")
   }
 
+  /** §2.3 #119 — token co-occurrence with PMI (the word2vec/GloVe-style
+    * corpus statistic): unordered token pairs within a ±`window` position
+    * window, ranked by count, with pointwise mutual information from exact
+    * corpus counts. High-PMI pairs surface collocations; the co-occurrence
+    * matrix is the input of classical embedding training and of
+    * phrase-mining passes.
+    *
+    * Plan shape at 100 TB: pair generation is `window` SHIFTED EQUI-JOINS
+    * on (doc_id, position) — never an inequality join, candidates exactly
+    * N·window; pair counts partially aggregate map-side; the top-k by count
+    * is TakeOrderedAndProject; PMI math runs on the k survivors only, with
+    * the two corpus totals collected as scalars (two tiny aggregates) and
+    * the unigram counts joined to just k rows.
+    */
+  def cooccurPmi(spark: SparkSession, dir: String, window: Int = 2,
+      topK: Int = 20): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensCol).as(Seq("i", "tok")))
+    val shifted = (1 to window).map { d =>
+      toks.select(col("doc_id"), (col("i") + d).as("j"), col("tok").as("ta"))
+    }.reduce(_ unionAll _)
+    val pairs = shifted
+      .join(toks.select(col("doc_id"), col("i").as("j"), col("tok").as("tb")),
+        Seq("doc_id", "j"))
+      .select(least(col("ta"), col("tb")).as("tok_a"),
+        greatest(col("ta"), col("tb")).as("tok_b"))
+    val nTok = toks.count().toDouble
+    val nPairs = pairs.count().toDouble
+    val top = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .orderBy(col("c_ab").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(topK)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    broadcast(top)
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(log2(col("c_ab") * nTok * nTok / (lit(nPairs) * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("c_ab").desc, col("tok_a").asc, col("tok_b").asc)
+  }
+
   /** §2.3 #114 — tokenizer-vocabulary coverage: per document, the fraction
     * of tokens OUTSIDE a fixed top-`vocabSize` vocabulary (the corpus's own
     * most frequent tokens stand in for a trained tokenizer's vocab). OOV

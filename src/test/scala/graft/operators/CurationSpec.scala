@@ -165,6 +165,29 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       s"missing=${expected -- got}  extra=${got -- expected}")
   }
 
+  test("cooccurPmi counts windowed pairs exactly and PMI matches a local formula") {
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).trim.split(" ").toSeq)
+    val window = 2
+    val localPairs = texts.flatMap { w =>
+      (1 to window).flatMap(d => w.dropRight(d).zip(w.drop(d)))
+    }.map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+    val pairCounts = localPairs.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val uni = texts.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val nTok = texts.map(_.size).sum.toDouble
+    val nPairs = localPairs.size.toDouble
+    val expected = pairCounts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+    val got = Curation.cooccurPmi(spark, sf, window).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((a, b, c, pmi), ((ea, eb), ec)) =>
+      assert((a, b, c) == ((ea, eb, ec)), s"pair ($a,$b,$c) vs ($ea,$eb,$ec)")
+      val want = math.log(c * nTok * nTok / (nPairs * uni(a) * uni(b))) / math.log(2)
+      assert(math.abs(pmi - want) < 1e-5, s"pmi($a,$b)=$pmi want $want")
+    }
+  }
+
   test("oovRate matches a local vocabulary-coverage computation") {
     val texts = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
