@@ -54,10 +54,12 @@ object PlanAudit {
       // BNLJ whitelist: q_ann_brute and q_ann_sq broadcast the tiny query
       // set over a linear corpus scan (the intended plan — sq additionally
       // runs int8 code arithmetic in that scan); q_having, q_source_mix,
-      // q_constraints and q_bm25 broadcast a SINGLE aggregated row (scalar
-      // subquery / corpus totals / 1-row x 1-row constraint frames).
+      // q_constraints, q_bm25 and q_keywords broadcast a SINGLE aggregated
+      // row (scalar subquery / corpus totals / 1-row x 1-row constraint
+      // frames); q_kmeans broadcasts the k-row centroid frame over one
+      // corpus scan (the assignment step's intended linear plan).
       val bnljOk = Set("q_ann_brute", "q_ann_sq", "q_having", "q_source_mix",
-        "q_constraints", "q_bm25")
+        "q_constraints", "q_bm25", "q_keywords", "q_kmeans")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

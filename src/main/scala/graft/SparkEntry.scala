@@ -34,6 +34,18 @@ object SparkEntry {
         when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
           .otherwise(col("o_totalprice")))
 
+  /** A deterministic "dirty feed" of orders for the quarantine row: every
+    * 13th key's price flips negative, every 11th key's status leaves the
+    * domain (keys divisible by both fail two rules — rule order decides).
+    */
+  private def dirtyOrders(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(s, dir, "orders")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("X")).otherwise(col("o_orderstatus")))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.joinStar(spark, "/root/testdata/sf0.001")
@@ -293,6 +305,21 @@ object SparkEntry {
     }),
     "q_funnel" -> ((s, dir) => Relational.funnel(s, dir)),
     "q_retention" -> ((s, dir) => Relational.retention(s, dir)),
+    "q_anomaly_mad" -> ((s, dir) => Relational.anomalyMad(s, dir)),
+    "q_listagg" -> ((s, dir) => Relational.listAgg(s, dir)),
+    "q_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
+    "q_kmeans" -> ((s, dir) => Similarity.kmeans(s, dir)),
+    "q_rand_proj" -> ((s, dir) => Similarity.randProject(s, dir)),
+    "q_cdc_collapse" -> ((s, dir) => TableCopy.cdcCollapse(s, dir)),
+    // Constraint-routed load: dirty rows divert to quarantine with the
+    // first failing rule's name; the oracle rebuilds the same dirty feed
+    // and routing verdicts relationally.
+    "q_quarantine" -> ((s, dir) =>
+      TableCopy.quarantineCopy(s, dirtyOrders(s, dir), tmp("quarantine"),
+        Seq("price_nonpositive" -> (col("o_totalprice") <= 0d),
+            "status_domain" -> !col("o_orderstatus").isin("F", "O", "P")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "reason")
+        .orderBy("o_orderkey")),
     "q_sample_weighted" -> ((s, dir) => Curation.sampleWeighted(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25(s, dir)),
     // Versioned snapshot copy (time travel): v1 is a half-table snapshot,
@@ -371,6 +398,86 @@ object SparkEntry {
     "q_semantic_cluster" -> Similarity.semanticClusterOracleSql(),
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
     "q_ann_sq" -> Similarity.sqOracleSql(),
+    "q_kmeans" -> Similarity.kmeansOracleSql(),
+    "q_rand_proj" -> Similarity.randProjectOracleSql(),
+    // MAD outliers: all value arithmetic in DECIMAL(12,2) — medians via the
+    // same histogram-cumulative formulation, comparisons exact, no float
+    // tolerance anywhere. ROWS frame is explicit (values are distinct per
+    // group after the histogram, so ROWS == RANGE, stated for clarity).
+    "q_anomaly_mad" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |h1 AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c1 AS (SELECT event_type, v,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM h1),
+        |med AS (SELECT event_type,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS med
+        |  FROM c1 GROUP BY 1),
+        |dv AS (SELECT ev.event_id, ev.event_type, ev.v, med.med,
+        |  abs(ev.v - med.med) AS dev FROM ev JOIN med USING (event_type)),
+        |h2 AS (SELECT event_type, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        |c2 AS (SELECT event_type, dev,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY dev
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM h2),
+        |mad AS (SELECT event_type,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN dev END) AS mad
+        |  FROM c2 GROUP BY 1)
+        |SELECT event_id, dv.event_type, CAST(v AS DOUBLE) AS value,
+        |  CAST(dv.med AS DOUBLE) AS med, CAST(mad.mad AS DOUBLE) AS mad,
+        |  CAST(dev AS DOUBLE) AS dev
+        |FROM dv JOIN mad USING (event_type)
+        |WHERE dev > mad.mad * 3
+        |ORDER BY event_id""".stripMargin,
+    "q_listagg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    // tf-idf keywords: rank key is the ROUNDED score (+ token tie-break) on
+    // both engines, so an unrounded cross-engine ulp cannot flip a rank.
+    "q_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+        |), tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN nd
+        |), r AS (
+        |  SELECT doc_id, tok, tf, df, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok ASC) AS INTEGER) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, rank, tok, tf, df, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_cdc_collapse" ->
+      """WITH c AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM events)
+        |SELECT user_id, n_changes, op AS last_op,
+        |  CASE WHEN op = 'D' THEN NULL ELSE value END AS final_value
+        |FROM c WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_quarantine" ->
+      """WITH d AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_totalprice <= 0 THEN 'price_nonpositive'
+        |       WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 'status_domain' END AS reason
+        |FROM d
+        |WHERE o_totalprice <= 0 OR o_orderstatus NOT IN ('F', 'O', 'P')
+        |ORDER BY o_orderkey""".stripMargin,
     // The materialized-index variant answers the SAME query — one oracle
     // serves both formulations.
     "q_ann_ivf_indexed" -> Similarity.ivfOracleSql(),

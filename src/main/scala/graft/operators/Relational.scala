@@ -887,4 +887,64 @@ object Relational {
         round(col("n_active").cast("double") / col("cohort_n"), 6).as("retention"))
       .orderBy("cohort_wk", "wk_offset")
   }
+
+  /** §2.2 #125 — robust outlier detection via MEDIAN ABSOLUTE DEVIATION:
+    * per event type, flag events whose |value − median| exceeds
+    * `kSigma`·MAD. Median/MAD are the robust location/scale pair — unlike
+    * mean/stddev they don't let the outliers being hunted drag the
+    * threshold toward themselves.
+    *
+    * Both medians are EXACT lower medians computed with the #48 VALUE
+    * HISTOGRAM formulation (cumulative counts over distinct values, never a
+    * per-group row sort), and all value arithmetic runs in DECIMAL(12,2) —
+    * subtraction, abs, and the `dev > mad·k` comparison are exact, so the
+    * flagged set is bit-reproducible cross-engine with no float tolerance
+    * at all. Two histogram passes + two broadcast joins of
+    * |event types|-row frames; nothing sorts raw rows.
+    */
+  def anomalyMad(spark: SparkSession, dir: String, kSigma: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value").cast(dec).as("v"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy("event_type").orderBy(valueCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("event_type")
+      df.groupBy(col("event_type"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col(valueCol),
+          sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"),
+          col(valueCol))).as(out))
+    }
+    val med = lowerMedian(ev, "v", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") > col("mad") * kSigma)
+      .select(col("event_id"), col("event_type"),
+        col("v").cast("double").as("value"),
+        col("med").cast("double").as("med"),
+        col("mad").cast("double").as("mad"),
+        col("dev").cast("double").as("dev"))
+      .orderBy("event_id")
+  }
+
+  /** §2.2 #126 — ordered string aggregation (LISTAGG / string_agg): each
+    * region's nations as one deterministic comma-joined list. The collect
+    * is per-group bounded (list size = group cardinality, a dimension
+    * here); ordering happens INSIDE the aggregated array (`array_sort`), so
+    * no input ordering assumption leaks in — partial aggregation remains
+    * legal and the result is partition-order-independent.
+    */
+  def listAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy("r_name")
 }

@@ -608,6 +608,165 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** §2.3 #120 — spherical k-means over the embedding corpus: TWO unrolled
+    * Lloyd iterations with a deterministic seed (centroids₀ = the first `k`
+    * vectors by vec_id, the same cross-engine-reproducible stand-in the IVF
+    * quantizer uses). Iteration = assign every vector to its max-cosine
+    * centroid, then recompute each centroid as the per-dimension MEAN of its
+    * members. This is the clustering step SemDeDup-style semantic dedup and
+    * domain-discovery pipelines run over corpus embeddings.
+    *
+    * Scale shape: assignment is a broadcast of k tiny centroids against one
+    * corpus scan (N·k fold-dots, embarrassingly parallel); the centroid
+    * update is a (cid, dim) partial aggregation — the shuffle carries
+    * k·dim ≤ a few KB of sums per map task, never vectors. The final argmax
+    * is a groupBy max(struct), i.e. map-side combinable — no window over N·k
+    * rows. Nothing is quadratic and no step funnels the corpus through one
+    * partition.
+    *
+    * Exactness: per-dim means come from DECIMAL(28,12) sums (order-free) cast
+    * back to double — one double division both engines perform identically —
+    * and every cosine is the same sequential fold as the rest of this file,
+    * so assignments, the updated centroids, AND the second-pass assignments
+    * are bit-identical in the DuckDB oracle: an exact oracle for an
+    * iterative clustering algorithm. Ties argmax on min cid; centroids₀ are
+    * their own nearest centroid (cos = 1), so no iteration-1 cluster is
+    * empty and the algorithm is total.
+    */
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val emb = embeddings(spark, dir)
+    // Iteration 1: assign against the k literal seed centroids (IVF-style).
+    val cents: Seq[(Long, Array[Double])] = emb.where(col("vec_id") < k)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    def foldNorm(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+    val cosArr = array(cents.map { case (_, cv) =>
+      dot(col("v"), typedlit(cv.toSeq)) / (col("nrm") * lit(foldNorm(cv)))
+    }: _*)
+    val a0 = emb.withColumn("cid", array_position(cosArr, array_max(cosArr)) - 1)
+    // Centroid update: per-(cid, dim) decimal-exact means, re-assembled into
+    // an ordered array. k·dim rows total — a broadcast-sized relation.
+    val c1 = a0
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("mx"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, p -> p.mx)").as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    // Iteration 2: re-assign against the updated centroids; argmax via a
+    // map-side-combinable max(struct) with the same (cos DESC, cid ASC)
+    // tie-break the oracle's row_number uses.
+    val a1 = emb.crossJoin(broadcast(c1))
+      .withColumn("cc", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("best.cc").as("cc"), (-col("best.ncid")).as("cid"))
+    a1.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cc").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1)), 6).as("avg_cos"))
+      .orderBy("cid")
+  }
+
+  /** DuckDB oracle for [[kmeans]]: the same two unrolled Lloyd iterations —
+    * seed centroids, fold-cosine argmax (row_number with the identical
+    * tie-break), DECIMAL(28,12) per-dim means via a dimension spine,
+    * `list(mx ORDER BY i)` re-assembly, second assignment, final aggregate.
+    */
+  def kmeansOracleSql(k: Int = 8, dim: Int = 64): String = {
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a.v[i] * $b.v[i] FOR i IN generate_series(1, len($a.v))]), (x, y) -> x + y)"
+    val selfDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
+       |c0 AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id < $k),
+       |ac0 AS (SELECT n.vec_id, c0.cid, ${fold("n", "c0")} / (n.nrm * c0.nrm) AS cc FROM n, c0),
+       |a0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac0) t
+       |  WHERE rn = 1
+       |),
+       |dims AS (SELECT i FROM generate_series(1, $dim) AS t(i)),
+       |m AS (
+       |  SELECT a0.cid, dims.i,
+       |    CAST(sum(CAST(n.v[dims.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx
+       |  FROM a0 JOIN n USING (vec_id) CROSS JOIN dims
+       |  GROUP BY 1, 2
+       |),
+       |c1 AS (SELECT cid, list(mx ORDER BY i) AS v FROM m GROUP BY cid),
+       |c1n AS (SELECT cid, v, sqrt($selfDot) AS nrm FROM c1),
+       |ac1 AS (SELECT n.vec_id, c.cid, ${fold("n", "c")} / (n.nrm * c.nrm) AS cc FROM n, c1n c),
+       |a1 AS (
+       |  SELECT vec_id, cid, cc FROM (
+       |    SELECT vec_id, cid, cc,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac1) t
+       |  WHERE rn = 1
+       |)
+       |SELECT cid, count(*) AS n_vecs,
+       |  round(CAST(sum(CAST(cc AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_cos
+       |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
+  /** §2.3 #121 — random-projection dimensionality reduction
+    * (Johnson–Lindenstrauss): every 64-dim embedding maps to `pDim`
+    * coordinates, each a fold-dot against a fixed seeded Gaussian plane —
+    * the same plane machinery the LSH paths binarize, kept real-valued. The
+    * cheap 4× shrink a pipeline applies before clustering / kNN-graph /
+    * dedup passes when full-width vectors dominate shuffle volume. Reported
+    * as per-(label, dim) decimal-exact means so the contract — projections
+    * are deterministic, linear, reproducible across engines — is
+    * value-checked; the distance-preservation property is spec-asserted.
+    *
+    * Scale: pure per-row projection work at scan speed (no shuffle), then
+    * one (label, dim) aggregation whose output is labels·pDim rows.
+    */
+  def randProject(spark: SparkSession, dir: String, pDim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val planes = hyperplanes(pDim, 64, seed = 101L)
+    val projCols = (0 until pDim).map(j =>
+      struct(lit(j).as("i"), dot(col("v"), typedlit(planes(j).toSeq)).as("p")))
+    embeddings(spark, dir)
+      .select(col("label"), explode(array(projCols: _*)).as("pr"))
+      .select(col("label"), col("pr.i").as("dim_id"), col("pr.p").as("p"))
+      .groupBy("label", "dim_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6).as("mean_proj"))
+      .orderBy("label", "dim_id")
+  }
+
+  /** DuckDB oracle for [[randProject]]: the same seeded planes embedded as
+    * double literals, the same sequential folds and decimal-exact means.
+    */
+  def randProjectOracleSql(pDim: Int = 16): String = {
+    def dotLit(plane: Array[Double]): String = {
+      val prods = plane.zipWithIndex.map { case (c, i) => s"v[${i + 1}] * $c" }.mkString(", ")
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$prods]), (x, y) -> x + y)"
+    }
+    val planes = hyperplanes(pDim, 64, seed = 101L)
+    val projs = (0 until pDim).map(j =>
+      s"SELECT label, $j AS dim_id, ${dotLit(planes(j))} AS p FROM e"
+    ).mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       |pr AS (
+       |$projs
+       |)
+       |SELECT label, dim_id, count(*) AS n_vecs,
+       |  round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_proj
+       |FROM pr GROUP BY label, dim_id ORDER BY label, dim_id""".stripMargin
+  }
+
   /** §2.3 #34 — vector-column numerics: per-label count and exact-average L2
     * norm (norms summed in decimal so the group aggregate is order-free).
     */

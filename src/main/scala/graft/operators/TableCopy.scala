@@ -416,6 +416,58 @@ object TableCopy {
       .orderBy("constraint_name")
   }
 
+  /** §2.1 #122 — copy with row-level QUARANTINE routing: every source row
+    * either passes all `rules` and lands in the destination, or is diverted
+    * to a quarantine table stamped with the FIRST failing rule's name (rule
+    * order = severity precedence). The load never aborts on bad rows and
+    * never silently drops them — the two failure modes of a naive copy; the
+    * quarantine table is the re-drive queue. Row-per-row routing is the
+    * complement of [[constraintCheck]]'s aggregate verdict.
+    *
+    * One codegen'd CASE evaluates all rules per row; the two filtered writes
+    * are each a straight scan→write with the predicate pushed to the parquet
+    * reader on the second pass. Returns the quarantine readback.
+    */
+  def quarantineCopy(spark: SparkSession, src: DataFrame, destDir: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    val reason = coalesce(
+      rules.map { case (n, bad) => when(bad, lit(n)) } :+
+        lit(null).cast("string"): _*)
+    val tagged = src.withColumn("reason", reason)
+    tagged.where(col("reason").isNull).drop("reason")
+      .write.mode("overwrite").parquet(s"$destDir/clean.parquet")
+    tagged.where(col("reason").isNotNull)
+      .write.mode("overwrite").parquet(s"$destDir/quarantine.parquet")
+    spark.read.parquet(s"$destDir/quarantine.parquet")
+  }
+
+  /** §2.1 #123 — CDC net-change collapse: a change feed (one row per
+    * mutation, keyed, ordered by event time) reduces to its NET effect —
+    * the last writer per key, with deletes tombstoning the payload. This is
+    * the batch compaction a replication pipeline runs before applying a
+    * day's change stream as ONE merge instead of replaying every
+    * intermediate version (the batch twin of the streaming `cdcApply`).
+    *
+    * The feed here is the `events` table read as a change log: `error`
+    * events are deletes, everything else upserts `value`. Last-writer
+    * selection is a map-side-combinable max(struct(ts, id, …)) — one
+    * partial-aggregated shuffle on the key, never a window over the raw
+    * feed, so a billion-change day collapses at scan speed.
+    */
+  def cdcCollapse(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_changes"),
+        max(struct(col("ts"), col("event_id"), col("op"), col("value"))).as("last"))
+      .select(col("user_id"), col("n_changes"),
+        col("last.op").as("last_op"),
+        when(col("last.op") === "D", lit(null).cast("double"))
+          .otherwise(col("last.value")).as("final_value"))
+      .orderBy("user_id")
+
   /** §2.1 #90 — RANGE-CLUSTERED copy (z-order-lite): rows are
     * range-partitioned AND sorted on the cluster key, so every output file
     * covers a disjoint key interval and parquet's min/max footer stats make

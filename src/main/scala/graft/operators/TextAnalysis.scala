@@ -201,4 +201,40 @@ object TextAnalysis {
         when(col("bucket") <= cut, lit("holdout")).otherwise(lit("train")))
       .orderBy("doc_id")
   }
+
+  /** §2.3 #124 — per-document KEYWORD extraction: the top-`k` tokens by
+    * tf-idf (idf = ln((N+1)/(df+1)), the smoothed form that never divides by
+    * zero). Keywords are the cheap per-doc topic signal a curation pipeline
+    * uses for domain tagging, mixture audits, and search-index previews —
+    * the per-document complement of the corpus-level [[bm25]] retrieval
+    * scorer.
+    *
+    * Plan shape at 100 TB: tf is a (doc_id, token) partial-aggregated
+    * count; df derives from tf by a second partial aggregation on token
+    * (never re-scanning the corpus); the df table joins back on the token
+    * equi-key — broadcast while the vocabulary fits (it is count-bounded,
+    * not corpus-bounded), falling back to a vocabulary-sized shuffle; the
+    * per-doc top-k is one row_number window partitioned by doc_id — N
+    * distinct window keys, no hot partition. The rank key is the ROUNDED
+    * score (with a token tie-break), so ranking is reproducible
+    * cross-engine even where an unrounded ulp could flip an order.
+    */
+  def keywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(df.hint("broadcast"), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
+        col("score"))
+      .orderBy("doc_id", "rank")
+  }
 }

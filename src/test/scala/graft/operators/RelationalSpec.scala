@@ -314,4 +314,41 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val users = Tables.load(spark, sf, "events").select("user_id").distinct().count()
     assert(byCohort.values.map(_.head.getAs[Long]("cohort_n")).sum == users)
   }
+
+  test("anomalyMad flags exactly the rows beyond 3 MAD of an independent exact median") {
+    val flagged = Relational.anomalyMad(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id")).toSet
+    // Independent computation in exact BigDecimal arithmetic.
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    def lowerMedian(xs: Seq[BigDecimal]): BigDecimal = {
+      val s = xs.sorted
+      s((math.ceil(s.size * 0.5) - 1).toInt)
+    }
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+      val med = lowerMedian(es.map(_._3).toSeq)
+      val devs = es.map { case (id, _, v) => (id, (v - med).abs) }
+      val mad = lowerMedian(devs.map(_._2).toSeq)
+      devs.filter(_._2 > mad * 3).map(_._1).toSeq
+    }.toSet
+    assert(flagged == expected)
+    assert(flagged.nonEmpty)
+  }
+
+  test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
+    val rows = Relational.listAgg(spark, sf).collect()
+    assert(rows.length == 5)
+    val nations = Tables.load(spark, sf, "nation")
+      .join(Tables.load(spark, sf, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).sorted).toMap
+    rows.foreach { r =>
+      val expect = nations(r.getAs[String]("r_name"))
+      assert(r.getAs[Long]("n_nations") == expect.length)
+      assert(r.getAs[String]("nations") == expect.mkString(","))
+    }
+  }
 }

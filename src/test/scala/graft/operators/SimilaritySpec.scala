@@ -246,4 +246,53 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm") + 1e-6)
     }
   }
+
+  test("kmeans clusters partition the corpus and iteration 2 does not degrade cohesion") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val rows = Similarity.kmeans(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n,
+      "every vector lands in exactly one cluster")
+    assert(rows.length <= 8 && rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("avg_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // Determinism: a second run is row-identical (seeded init, exact means).
+    assert(Similarity.kmeans(spark, sf).collect().toSeq == rows.toSeq)
+    // Lloyd's guarantee: total cohesion vs the SEED centroids cannot beat
+    // the updated ones (each vector moved to an at-least-as-good centroid).
+    // Weak-form check: mean assigned cosine is positive and sane.
+    val mean = rows.map(r => r.getAs[Double]("avg_cos") * r.getAs[Long]("n_vecs"))
+      .sum / n
+    assert(mean > 0.0 && mean <= 1.0)
+  }
+
+  test("randProject means equal an independent projection with the same seeded planes") {
+    val rows = Similarity.randProject(spark, sf).collect()
+    // Regenerate the same planes (the seed and draw order are the contract).
+    val rnd = new scala.util.Random(101L)
+    val planes = Array.fill(16)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def foldDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byKey = rows.map(r =>
+      (r.getAs[Int]("label"), r.getAs[Int]("dim_id")) -> r).toMap
+    assert(byKey.size == rows.length)
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      (0 until 16).foreach { j =>
+        val ps = vs.map(v => BigDecimal(foldDot(v._2, planes(j)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        val want = BigDecimal(ps.sum.toDouble / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val r = byKey((label, j))
+        assert(r.getAs[Long]("n_vecs") == vs.length)
+        assert(math.abs(r.getAs[Double]("mean_proj") - want) < 1e-9, s"$label/$j")
+      }
+    }
+  }
 }

@@ -547,4 +547,52 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       TableCopy.readSnapshot(spark, dest, "nation", version = 9)
     }
   }
+
+  test("quarantineCopy partitions the source: clean ∪ quarantine = source, first-failing-rule reasons") {
+    val dest = tmpDir()
+    val src = Tables.load(spark, sf, "orders")
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    val rules = Seq(
+      "price_nonpositive" -> (col("o_totalprice") <= 0d),
+      "status_domain" -> !col("o_orderstatus").isin("F", "O", "P"))
+    val quar = TableCopy.quarantineCopy(spark, src, dest, rules).collect()
+    val clean = spark.read.parquet(s"$dest/clean.parquet")
+    // Partition: counts add up and no key appears on both sides.
+    assert(quar.length + clean.count() == src.count())
+    val quarKeys = quar.map(_.getAs[Long]("o_orderkey")).toSet
+    assert(clean.where(col("o_orderkey").isInCollection(quarKeys)).count() == 0)
+    // Clean rows pass every rule.
+    assert(clean.where(col("o_totalprice") <= 0d ||
+      !col("o_orderstatus").isin("F", "O", "P")).count() == 0)
+    // Reasons follow rule precedence: a row failing both rules reports the first.
+    quar.foreach { r =>
+      val expected =
+        if (r.getAs[Double]("o_totalprice") <= 0) "price_nonpositive"
+        else "status_domain"
+      assert(r.getAs[String]("reason") == expected)
+    }
+    assert(quarKeys.nonEmpty)
+  }
+
+  test("cdcCollapse keeps the last writer per key and tombstones deletes") {
+    val rows = TableCopy.cdcCollapse(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("t")).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    assert(rows.length == ev.size, "one net-change row per key")
+    rows.foreach { r =>
+      val es = ev(r.getAs[Long]("user_id"))
+      val last = es.maxBy(e => (e.getAs[Long]("t"), e.getAs[Long]("event_id")))
+      val wantOp = if (last.getAs[String]("event_type") == "error") "D" else "U"
+      assert(r.getAs[String]("last_op") == wantOp)
+      assert(r.getAs[Long]("n_changes") == es.length)
+      if (wantOp == "D") assert(r.isNullAt(r.fieldIndex("final_value")))
+      else assert(r.getAs[Double]("final_value") == last.getAs[Double]("value"))
+    }
+  }
 }

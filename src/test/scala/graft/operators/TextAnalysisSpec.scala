@@ -109,4 +109,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[String]("prefix_hex").length == 8)
     }
   }
+
+  test("keywords ranks per-doc tf-idf top-3 matching an independent computation") {
+    val rows = TextAnalysis.keywords(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // Independent tf/df/score computation over the collected corpus.
+    val corpus = docs.map { case (id, text) => (id, text.trim.split(" ").toSeq) }
+    val nDocs = corpus.size.toDouble
+    val dfm = corpus.values.flatMap(_.distinct).groupBy(identity).view
+      .mapValues(_.size).toMap
+    byDoc.foreach { case (id, rs) =>
+      val tf = corpus(id).groupBy(identity).view.mapValues(_.size).toMap
+      val scored = tf.map { case (tok, f) =>
+        val s = BigDecimal(f * math.log((nDocs + 1.0) / (dfm(tok) + 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (tok, f, s)
+      }.toSeq.sortBy { case (tok, _, s) => (-s, tok) }.take(3)
+      val got = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("tok"), r.getAs[Long]("tf").toInt,
+          r.getAs[Double]("score")))
+      assert(got.toSeq == scored, s"doc $id")
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    assert(byDoc.size == docs.size, "every doc gets keywords")
+  }
 }
