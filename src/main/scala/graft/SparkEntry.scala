@@ -307,6 +307,10 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => Relational.retention(s, dir)),
     "q_anomaly_mad" -> ((s, dir) => Relational.anomalyMad(s, dir)),
     "q_listagg" -> ((s, dir) => Relational.listAgg(s, dir)),
+    "q_attribution" -> ((s, dir) => Relational.attribution(s, dir)),
+    "q_variant" -> ((s, dir) => Relational.variantProps(s, dir)),
+    "q_doc_chunks" -> ((s, dir) => Curation.docChunks(s, dir)),
+    "q_pagerank" -> ((s, dir) => Similarity.pageRank(s, dir)),
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "q_kmeans" -> ((s, dir) => Similarity.kmeans(s, dir)),
     "q_rand_proj" -> ((s, dir) => Similarity.randProject(s, dir)),
@@ -400,6 +404,33 @@ object SparkEntry {
     "q_ann_sq" -> Similarity.sqOracleSql(),
     "q_kmeans" -> Similarity.kmeansOracleSql(),
     "q_rand_proj" -> Similarity.randProjectOracleSql(),
+    "q_pagerank" -> Similarity.pageRankOracleSql(),
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.event_id AS attr_click,
+        |  p.t_us - c.t_us AS latency_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT e.event_id, e.t_us FROM e
+        |  WHERE e.user_id = p.user_id AND e.event_type = 'click'
+        |    AND (e.t_us < p.t_us OR (e.t_us = p.t_us AND e.event_id < p.event_id))
+        |  ORDER BY e.t_us DESC, e.event_id DESC LIMIT 1) c ON TRUE
+        |ORDER BY p.event_id""".stripMargin,
+    "q_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
+        |  count(json_extract(props, '$.absent')) AS n_absent_hits
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens, w,
+        |  unnest(generate_series(0, len(w) - 1, 48)) AS start_tok FROM d)
+        |SELECT doc_id, CAST(start_tok // 48 AS INTEGER) AS chunk_id,
+        |  CAST(start_tok AS INTEGER) AS start_tok, n_tokens,
+        |  CAST(len(list_slice(w, start_tok + 1, start_tok + 64)) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(list_slice(w, start_tok + 1, start_tok + 64), ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // MAD outliers: all value arithmetic in DECIMAL(12,2) — medians via the
     // same histogram-cumulative formulation, comparisons exact, no float
     // tolerance anywhere. ROWS frame is explicit (values are distinct per

@@ -514,4 +514,33 @@ object Curation {
         (col("pos") + 1).cast("int").as("rk"))
       .orderBy("source", "rk")
   }
+
+  /** §2.3 #127 — RAG/context chunking: each document splits into overlapping
+    * fixed-size token windows (`chunkSize` tokens every `stride`, trailing
+    * chunk short) — the ingestion shape of retrieval pipelines and of
+    * long-document training-example construction (each chunk later gets its
+    * own embedding / fingerprint / pack slot). Chunk identity is
+    * (doc_id, chunk_id) with the token start offset, so chunks join back to
+    * spans deterministically.
+    *
+    * Pure scan-stage work at any corpus size: the window starts come from
+    * `sequence(0, n-1, stride)` exploded INSIDE the scan stage (an Expand,
+    * no shuffle), and each chunk is an array slice of the already-split
+    * token array — no self-join, no window function, no per-doc state. The
+    * only exchange is the presentation sort.
+    */
+  def docChunks(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"), col("w"),
+        explode(expr(s"sequence(0, size(w) - 1, $stride)")).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok"), col("n_tokens"),
+        expr(s"slice(w, start_tok + 1, $chunkSize)").as("cw"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tokens"),
+        size(col("cw")).as("chunk_tokens"),
+        concat_ws(" ", col("cw")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
 }

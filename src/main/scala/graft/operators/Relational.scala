@@ -932,6 +932,56 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** §2.2 #128 — LAST-TOUCH ATTRIBUTION: every purchase is credited to the
+    * user's most recent click strictly preceding it (lexicographically on
+    * (event time, event_id), so same-microsecond rows resolve
+    * deterministically); purchases with no prior click stay unattributed
+    * (`attr_click` null = "direct"). The marketing twin of the as-of join:
+    * clicks and purchases ride ONE tagged union through ONE user-partitioned
+    * window with a carry-forward `last(_, ignoreNulls)` — never a per-pair
+    * range join, so a user with millions of touches costs their own sort
+    * slice and nothing more.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("click_id",
+        when(col("event_type") === "click", col("event_id")))
+      .withColumn("click_t",
+        when(col("event_type") === "click", col("t_us")))
+      .withColumn("attr_click", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("attr_t", last(col("click_t"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("attr_click"),
+        (col("t_us") - col("attr_t")).as("latency_us"))
+      .orderBy("event_id")
+  }
+
+  /** §2.2 #129 — semi-structured access via the VARIANT type (Spark 4):
+    * `parse_json` ingests the payload ONCE into the binary variant encoding
+    * with no declared schema, then `variant_get` extracts typed paths and
+    * `try_variant_get` null-safely probes a path that may not exist — the
+    * schema-on-read pattern for payloads whose shape drifts, where
+    * [[jsonProps]]'s fixed `from_json` schema would reject new fields.
+    * Extraction is per-row scan-stage work; one small aggregation follows.
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("vr"))
+      .select(col("event_type"),
+        expr("variant_get(vr, '$.k', 'int')").as("k"),
+        expr("try_variant_get(vr, '$.absent', 'int')").as("miss"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("bigint")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        count(col("miss")).as("n_absent_hits"))
+      .orderBy("event_type")
+
   /** §2.2 #126 — ordered string aggregation (LISTAGG / string_agg): each
     * region's nations as one deterministic comma-joined list. The collect
     * is per-group bounded (list size = group cardinality, a dimension

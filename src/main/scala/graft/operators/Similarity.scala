@@ -487,6 +487,100 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** §2.3 #130 — PageRank over the approximate kNN graph: `iters` unrolled
+    * power-iteration rounds of `r' = (1−d)/N + d·Σ_in r/outdeg` on the
+    * [[knnGraph]] edge set — the centrality signal a curation pipeline uses
+    * to pick corpus-"central" representatives from duplicate clusters and
+    * to weight in-domain documents (dangling mass is not redistributed;
+    * both engines state the same recurrence).
+    *
+    * Scale shape: each round is edges ⋈ ranks on `src` (partial-aggregated
+    * shuffle on `dst`, O(E) = O(k·N) work) — the edge list and degree table
+    * are localCheckpointed once so the LSH self-join never re-runs per
+    * round. Exactness: each round's incoming sums run in DECIMAL(38,18)
+    * (order-free), the damping arithmetic is written as the same double
+    * expression on both engines ((1.0 − 0.85)/N, never a pre-folded
+    * constant), so after 3 rounds ranks are still bit-identical
+    * cross-engine — an exact oracle for an iterative graph algorithm.
+    */
+  def pageRank(spark: SparkSession, dir: String, k: Int = 3, iters: Int = 3,
+      damping: Double = 0.85, nBits: Int = 0, nTables: Int = 16,
+      maxBits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .localCheckpoint(true)
+    val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
+    val n = nodes.count()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("vec_id"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val inSum = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst"),
+          (col("r") / col("odeg")).cast(DecimalType(38, 18)).as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = nodes
+        .join(inSum.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            coalesce(col("in_sum").cast("double"), lit(0.0))).as("r"))
+    }
+    ranks.select(col("vec_id"), round(col("r"), 9).as("pagerank"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[pageRank]]: the kNN-graph CTEs (plane-exact) feed
+    * `iters` unrolled rank CTEs with the identical decimal-summed
+    * recurrence and un-folded damping arithmetic.
+    */
+  def pageRankOracleSql(k: Int = 3, iters: Int = 3, nTables: Int = 16,
+      maxBits: Int = 12): String = {
+    val crossDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [na.v[i] * nb.v[i] FOR i IN generate_series(1, len(na.v))]), (x, y) -> x + y)"
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT nd.vec_id,
+         |    (1.0 - 0.85) / cnt.n + 0.85 * coalesce(s$i.in_sum, 0.0) AS r
+         |  FROM nd CROSS JOIN cnt
+         |  LEFT JOIN (
+         |    SELECT eg.dst AS vec_id,
+         |      CAST(sum(CAST(p.r / deg.odeg AS DECIMAL(38,18))) AS DOUBLE) AS in_sum
+         |    FROM eg JOIN $prev p ON p.vec_id = eg.src JOIN deg ON deg.src = eg.src
+         |    GROUP BY eg.dst
+         |  ) s$i ON s$i.vec_id = nd.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${bucketCtes(nTables, maxBits)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS nbr_id
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id <> b.vec_id
+       |),
+       |sc AS (
+       |  SELECT cand.vec_id, cand.nbr_id, $crossDot / (na.nrm * nb.nrm) AS cos
+       |  FROM cand
+       |  JOIN n na ON na.vec_id = cand.vec_id
+       |  JOIN n nb ON nb.vec_id = cand.nbr_id
+       |),
+       |eg AS (
+       |  SELECT vec_id AS src, nbr_id AS dst FROM (
+       |    SELECT vec_id, nbr_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS rank
+       |    FROM sc) t
+       |  WHERE rank <= $k
+       |),
+       |nd AS (SELECT vec_id FROM e),
+       |cnt AS (SELECT count(*) AS n FROM e),
+       |deg AS (SELECT src, count(*) AS odeg FROM eg GROUP BY 1),
+       |r0 AS (SELECT nd.vec_id, 1.0 / cnt.n AS r FROM nd CROSS JOIN cnt),
+       |$rounds
+       |SELECT vec_id, round(r, 9) AS pagerank
+       |FROM r$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** §2.3 #118 — SEMANTIC duplicate clusters: connected components over the
     * embedding near-dup pair graph, every vector labeled with its
     * component's min vec_id. Where [[Dedup.dedupClusters]] clusters lexical

@@ -287,4 +287,31 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(rows.length - expTotal) <= 3 * math.sqrt(expTotal),
       s"kept ${rows.length}, expected ~$expTotal")
   }
+
+  test("docChunks tile every document with the declared size/stride and reassemble exactly") {
+    val chunkSize = 64
+    val stride = 48
+    val rows = Curation.docChunks(spark, sf, chunkSize, stride).collect()
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq).toMap
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == texts.keySet, "every document chunks")
+    byDoc.foreach { case (id, cs) =>
+      val toks = texts(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      assert(sorted.length == math.ceil(toks.length.toDouble / stride).toInt)
+      sorted.foreach { c =>
+        val s = c.getAs[Int]("start_tok")
+        val expect = toks.slice(s, s + chunkSize)
+        assert(c.getAs[String]("chunk_text") == expect.mkString(" "))
+        assert(c.getAs[Int]("chunk_tokens") == expect.length)
+        assert(c.getAs[Int]("n_tokens") == toks.length)
+      }
+      // Strided starts: chunk i begins at i*stride, so consecutive chunks
+      // overlap by chunkSize - stride tokens.
+      assert(sorted.map(_.getAs[Int]("start_tok")).toSeq ==
+        sorted.indices.map(_ * stride))
+    }
+  }
 }

@@ -337,6 +337,56 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(flagged.nonEmpty)
   }
 
+  test("attribution credits each purchase to the latest strictly-preceding click") {
+    val rows = Relational.attribution(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")).collect()
+    val purchases = ev.filter(_.getString(2) == "purchase")
+    assert(rows.length == purchases.length, "one row per purchase")
+    val clicksByUser = ev.filter(_.getString(2) == "click")
+      .groupBy(_.getAs[Long]("user_id"))
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    purchases.foreach { p =>
+      val r = byId(p.getAs[Long]("event_id"))
+      import scala.math.Ordering.Implicits._
+      val pKey = (p.getAs[Long]("t"), p.getAs[Long]("event_id"))
+      val want: Option[org.apache.spark.sql.Row] =
+        clicksByUser.getOrElse(p.getAs[Long]("user_id"),
+            Array.empty[org.apache.spark.sql.Row])
+          .filter(c => (c.getAs[Long]("t"), c.getAs[Long]("event_id")) < pKey)
+          .sortBy(c => (c.getAs[Long]("t"), c.getAs[Long]("event_id")))
+          .lastOption
+      want match {
+        case Some(c) =>
+          assert(r.getAs[Long]("attr_click") == c.getAs[Long]("event_id"))
+          assert(r.getAs[Long]("latency_us") ==
+            p.getAs[Long]("t") - c.getAs[Long]("t"))
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("attr_click")), "direct purchase")
+      }
+    }
+  }
+
+  test("variantProps schema-on-read extraction agrees with a local JSON parse") {
+    val rows = Relational.variantProps(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_type", "props").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val byType = ev.groupBy(_._1)
+    assert(rows.map(_.getAs[String]("event_type")).toSet == byType.keySet)
+    rows.foreach { r =>
+      val ks = byType(r.getAs[String]("event_type"))
+        .map(e => kRe.findFirstMatchIn(e._2).map(_.group(1).toLong))
+      assert(r.getAs[Long]("n") == ks.length)
+      assert(r.getAs[Long]("sum_k") == ks.flatten.sum)
+      assert(r.getAs[Long]("n_distinct_k") == ks.flatten.distinct.length)
+      // try_variant_get on a path no payload has: null for every row.
+      assert(r.getAs[Long]("n_absent_hits") == 0L)
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)

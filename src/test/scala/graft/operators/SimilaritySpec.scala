@@ -267,6 +267,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(mean > 0.0 && mean <= 1.0)
   }
 
+  test("pageRank matches a local power iteration over the engine's own kNN edges") {
+    val ranks = Similarity.pageRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank")).toMap
+    val edges = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(ranks.size == n)
+    // Local recompute: same recurrence, BigDecimal incoming sums (matching
+    // the engine's order-free DECIMAL(38,18) aggregation).
+    val odeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var r = (0L until n).map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (s, _) => BigDecimal(r(s) / odeg(s))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+      }.toMap
+      r = r.keys.map(v => v -> ((1.0 - 0.85) / n + 0.85 * in.getOrElse(v, 0.0))).toMap
+    }
+    r.foreach { case (v, want) =>
+      val got = ranks(v)
+      assert(math.abs(got - BigDecimal(want)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12, s"vec $v")
+    }
+    // Mass sanity: total rank ≤ 1 (dangling mass decays, never inflates).
+    assert(ranks.values.sum <= 1.0 + 1e-9)
+  }
+
   test("randProject means equal an independent projection with the same seeded planes") {
     val rows = Similarity.randProject(spark, sf).collect()
     // Regenerate the same planes (the seed and draw order are the contract).
