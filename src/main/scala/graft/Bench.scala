@@ -28,6 +28,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times a subset (driver leaves unset).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,13 +38,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-      SparkEntry.queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
     }
-    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    val results: Map[String, Option[Double]] = selected.map { case (name, fn) =>
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -58,8 +58,11 @@ object PlanAudit {
       // row (scalar subquery / corpus totals / 1-row x 1-row constraint
       // frames); q_kmeans broadcasts the k-row centroid frame over one
       // corpus scan (the assignment step's intended linear plan).
+      // q_locf broadcasts the CALENDAR SPINE (days between min and max —
+      // bounded by time, not data) against the user list: the intended
+      // dense-grid fan-out.
       val bnljOk = Set("q_ann_brute", "q_ann_sq", "q_having", "q_source_mix",
-        "q_constraints", "q_bm25", "q_keywords", "q_kmeans")
+        "q_constraints", "q_bm25", "q_keywords", "q_kmeans", "q_locf")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -309,6 +309,12 @@ object SparkEntry {
     "q_listagg" -> ((s, dir) => Relational.listAgg(s, dir)),
     "q_attribution" -> ((s, dir) => Relational.attribution(s, dir)),
     "q_variant" -> ((s, dir) => Relational.variantProps(s, dir)),
+    "q_locf" -> ((s, dir) => Relational.locfFill(s, dir)),
+    "q_ab_test" -> ((s, dir) => Relational.abTest(s, dir)),
+    "copy_masked" -> ((s, dir) =>
+      TableCopy.maskedCopy(s, dir, tmp("masked"), "customer",
+        Map("c_name" -> TableCopy.Hash, "c_acctbal" -> TableCopy.Redact))
+        .orderBy("c_custkey")),
     "q_doc_chunks" -> ((s, dir) => Curation.docChunks(s, dir)),
     "q_pagerank" -> ((s, dir) => Similarity.pageRank(s, dir)),
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
@@ -461,6 +467,72 @@ object SparkEntry {
         |FROM dv JOIN mad USING (event_type)
         |WHERE dev > mad.mad * 3
         |ORDER BY event_id""".stripMargin,
+    "q_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::DATE AS day, epoch_us(ts) AS t_us, event_id, value
+        |  FROM events),
+        |daily AS (
+        |  SELECT user_id, day, value AS day_close FROM (
+        |    SELECT user_id, day, value,
+        |      row_number() OVER (PARTITION BY user_id, day
+        |        ORDER BY t_us DESC, event_id DESC) AS rn
+        |    FROM ev) t
+        |  WHERE rn = 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, s.day, d.day_close
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN spine s
+        |  LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(day_close IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  day_close IS NOT NULL AS is_observed
+        |FROM grid ORDER BY user_id, day""".stripMargin,
+    // Same double arithmetic ORDER as Spark (mean recomputed per term, not
+    // hoisted) so every intermediate bit matches before the final round.
+    "q_ab_test" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  round(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS mean_a,
+        |  round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 6) AS mean_b,
+        |  round(
+        |    (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |       / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+        |     - CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |       / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END))
+        |    / sqrt(
+        |      (CAST(sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |         / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+        |       - (CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |          / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END))
+        |         * (CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |            / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)))
+        |        / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+        |      + (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |           / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+        |         - (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |            / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END))
+        |           * (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |              / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)))
+        |          / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)),
+        |    6) AS z_score
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "copy_masked" ->
+      """SELECT c_custkey, sha256(CAST(c_name AS VARCHAR)) AS c_name, c_nationkey,
+        |  CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_listagg" ->
       """SELECT r_name, count(*) AS n_nations,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations

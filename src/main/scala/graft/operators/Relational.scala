@@ -982,6 +982,79 @@ object Relational {
         count(col("miss")).as("n_absent_hits"))
       .orderBy("event_type")
 
+  /** §2.2 #131 — LOCF gap fill (last observation carried forward): every
+    * (user, day) cell of a dense user × calendar grid gets the value of the
+    * user's last event at-or-before that day — the standard
+    * missing-observation fill for feature matrices and daily state
+    * snapshots. Composes the #94 data-driven calendar spine with a
+    * carry-forward window: per-user daily closing values (one partial
+    * aggregation — `max(struct(ts, id, value))`, so "last that day" is
+    * deterministic), a broadcast spine fan-out to the dense grid, then ONE
+    * user-partitioned `last(_, ignoreNulls)` window. A user's cost is their
+    * own days-×-1 slice; nothing global.
+    */
+  def locfFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("t_us"), col("event_id"), col("value"))
+    // Per-user-day closing value (last event of the day wins, ties on id).
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max(struct(col("t_us"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("day"), col("last.value").as("day_close"))
+    // Data-driven calendar spine × user list: the dense grid.
+    val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val users = ev.select("user_id").distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    users.crossJoin(broadcast(spine))
+      .join(daily, Seq("user_id", "day"), "left")
+      .withColumn("value_filled", last(col("day_close"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("value_filled"), col("day_close").isNotNull.as("is_observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** §2.2 #132 — deterministic A/B experiment readout: users split into
+    * arms by their id's sha256 (seedless, re-ingestion-stable — the #46
+    * split applied to users), per-arm event counts and decimal-exact mean
+    * values per event type, and the z-statistic for the difference in
+    * means. Count/sum/sum-of-squares are one fused scan (conditional
+    * aggregates per arm); variances come from exact decimal moments, so
+    * only the final sqrt/divide is float — rounded to 6, both engines
+    * identical. The assignment-hash trick is what makes the experiment
+    * analyzable at 100 TB with no user-assignment table to join.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ev = t(spark, dir, "events")
+      .withColumn("arm",
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7",
+          lit("A")).otherwise(lit("B")))
+    ev.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("value").cast(dec))).as("sa"),
+        sum(when(col("arm") === "B", col("value").cast(dec))).as("sb"),
+        sum(when(col("arm") === "A", (col("value") * col("value")).cast(dec))).as("ssa"),
+        sum(when(col("arm") === "B", (col("value") * col("value")).cast(dec))).as("ssb"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("sa").cast("double") / col("n_a")).as("mean_a"),
+        (col("sb").cast("double") / col("n_b")).as("mean_b"),
+        round(
+          (col("sb").cast("double") / col("n_b") - col("sa").cast("double") / col("n_a")) /
+          sqrt(
+            (col("ssa").cast("double") / col("n_a") -
+              (col("sa").cast("double") / col("n_a")) * (col("sa").cast("double") / col("n_a"))) / col("n_a") +
+            (col("ssb").cast("double") / col("n_b") -
+              (col("sb").cast("double") / col("n_b")) * (col("sb").cast("double") / col("n_b"))) / col("n_b")),
+          6).as("z_score"))
+      .withColumn("mean_a", round(col("mean_a"), 6))
+      .withColumn("mean_b", round(col("mean_b"), 6))
+      .orderBy("event_type")
+  }
+
   /** §2.2 #126 — ordered string aggregation (LISTAGG / string_agg): each
     * region's nations as one deterministic comma-joined list. The collect
     * is per-group bounded (list size = group cardinality, a dimension

@@ -387,6 +387,57 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("locfFill builds a dense user×day grid where fills equal the last observed close") {
+    val rows = Relational.locfFill(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"),
+        unix_micros(col("ts")).as("t"), col("event_id"), col("value")).collect()
+    val users = ev.map(_.getAs[Long]("user_id")).distinct
+    val days = ev.map(_.getAs[String]("day")).distinct.sorted
+    // Dense grid: spine spans min..max day for every user.
+    assert(rows.length >= users.length * days.length)
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(byUser.keySet == users.toSet)
+    byUser.foreach { case (u, grid) =>
+      val sorted = grid.sortBy(_.getAs[String]("day"))
+      var lastClose: Option[Double] = None
+      sorted.foreach { cell =>
+        val day = cell.getAs[String]("day")
+        val obs = ev.filter(e => e.getAs[Long]("user_id") == u &&
+          e.getAs[String]("day") == day)
+        if (obs.nonEmpty) {
+          assert(cell.getAs[Boolean]("is_observed"))
+          lastClose = Some(obs.maxBy(e =>
+            (e.getAs[Long]("t"), e.getAs[Long]("event_id"))).getAs[Double]("value"))
+        } else assert(!cell.getAs[Boolean]("is_observed"))
+        lastClose match {
+          case Some(v) => assert(cell.getAs[Double]("value_filled") == v, s"$u/$day")
+          case None => assert(cell.isNullAt(cell.fieldIndex("value_filled")))
+        }
+      }
+    }
+  }
+
+  test("abTest arms partition events deterministically and moments match a local recompute") {
+    val rows = Relational.abTest(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"),
+        substring(sha2(col("user_id").cast("string"), 256), 1, 1).as("h")).collect()
+    rows.foreach { r =>
+      val es = ev.filter(_.getString(0) == r.getAs[String]("event_type"))
+      val (a, b) = es.partition(_.getString(2) <= "7")
+      assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+      def mean(xs: Array[org.apache.spark.sql.Row]) =
+        xs.map(e => BigDecimal(e.getDouble(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / xs.length
+      assert(math.abs(r.getAs[Double]("mean_a") - mean(a)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mean_b") - mean(b)) < 1e-6)
+      // Same-population split: z-scores should be unremarkable.
+      assert(math.abs(r.getAs[Double]("z_score")) < 6.0)
+    }
+    assert(rows.length == ev.map(_.getString(0)).distinct.length)
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)

@@ -578,6 +578,28 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(quarKeys.nonEmpty)
   }
 
+  test("maskedCopy hashes, redacts, and passes columns per policy; hashed equality is preserved") {
+    val dest = tmpDir()
+    val out = TableCopy.maskedCopy(spark, sf, dest, "customer",
+      Map("c_name" -> TableCopy.Hash, "c_acctbal" -> TableCopy.Redact)).collect()
+    val src = Tables.load(spark, sf, "customer").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    assert(out.length == src.size)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    out.foreach { r =>
+      val s = src(r.getAs[Long]("c_custkey"))
+      // Hash action: sha256 hex of the original, never the plaintext.
+      val want = sha.digest(s.getAs[String]("c_name").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("c_name") == want)
+      // Redact action: value gone, type kept.
+      assert(r.isNullAt(r.fieldIndex("c_acctbal")))
+      // Keep action: untouched.
+      assert(r.getAs[String]("c_mktsegment") == s.getAs[String]("c_mktsegment"))
+      assert(r.getAs[Int]("c_nationkey") == s.getAs[Int]("c_nationkey"))
+    }
+  }
+
   test("cdcCollapse keeps the last writer per key and tombstones deletes") {
     val rows = TableCopy.cdcCollapse(spark, sf).collect()
     val ev = Tables.load(spark, sf, "events")
