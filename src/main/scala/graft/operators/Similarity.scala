@@ -594,11 +594,21 @@ object Similarity {
   def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
       maxRounds: Int = 25): DataFrame = {
+    // Materialize the near-dup pipeline ONCE; label propagation runs over
+    // the vectors that actually have an edge (everything else is a
+    // singleton component by definition and rejoins at the end) — the same
+    // touched-nodes-only reduction dedupClusters applies to its
+    // representatives, so round cost tracks |edges|, not corpus size.
     val pairs = nearDupEmbedding(spark, dir, threshold, nBits, nTables, maxBits)
-      .select("vec_a", "vec_b")
-    val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
-    Dedup.propagateMinLabels(nodes, pairs, maxRounds)
-      .select(col("id").as("vec_id"), col("cluster_id"))
+      .select("vec_a", "vec_b").localCheckpoint(true)
+    val touched = pairs.select(col("vec_a").as("vec_id"))
+      .unionAll(pairs.select(col("vec_b").as("vec_id"))).distinct()
+    val labels = Dedup.propagateMinLabels(touched, pairs, maxRounds)
+    Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(labels.select(col("id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
       .orderBy("vec_id")
   }
