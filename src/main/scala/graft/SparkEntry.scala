@@ -311,6 +311,9 @@ object SparkEntry {
     "q_variant" -> ((s, dir) => Relational.variantProps(s, dir)),
     "q_locf" -> ((s, dir) => Relational.locfFill(s, dir)),
     "q_ab_test" -> ((s, dir) => Relational.abTest(s, dir)),
+    "q_winsorize" -> ((s, dir) => Relational.winsorize(s, dir)),
+    "q_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLm(s, dir)),
+    "q_skew_profile" -> ((s, dir) => TableCopy.skewProfile(s, dir)),
     "copy_masked" -> ((s, dir) =>
       TableCopy.maskedCopy(s, dir, tmp("masked"), "customer",
         Map("c_name" -> TableCopy.Hash, "c_acctbal" -> TableCopy.Redact))
@@ -533,6 +536,63 @@ object SparkEntry {
       """SELECT c_custkey, sha256(CAST(c_name AS VARCHAR)) AS c_name, c_nationkey,
         |  CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_winsorize" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events),
+        |h AS (SELECT event_type, v, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type, v,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+        |b AS (SELECT event_type,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.05) AS BIGINT) THEN v END) AS p05,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN v END) AS p95
+        |  FROM c GROUP BY 1),
+        |j AS (SELECT ev.event_type, ev.v, b.p05, b.p95,
+        |  least(greatest(ev.v, b.p05), b.p95) AS clipped
+        |  FROM ev JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(max(p05) AS DOUBLE) AS p05, CAST(max(p95) AS DOUBLE) AS p95,
+        |  round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(CAST(clipped AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_winsor,
+        |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ngram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(2, len(w)),
+        |    i -> struct_pack(a := w[i-1], b := w[i]))) AS p
+        |  FROM d WHERE len(w) >= 2),
+        |bgf AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bgf GROUP BY 1, 2),
+        |ca AS (SELECT a, count(*) AS c_a FROM bgf GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS avg_surprisal
+        |FROM bgf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Tie-break on the heaviest key: (cnt, key) max-struct = cnt DESC then
+    // key DESC, stated identically in the oracle's row_number.
+    "q_skew_profile" ->
+      """WITH ks AS (
+        |  SELECT 'orders.o_custkey' AS key_col, CAST(o_custkey AS BIGINT) AS k FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem),
+        |kc AS (SELECT key_col, k, count(*) AS cnt FROM ks GROUP BY 1, 2),
+        |top AS (SELECT key_col, k AS top_key, cnt AS max_cnt FROM (
+        |  SELECT key_col, k, cnt,
+        |    row_number() OVER (PARTITION BY key_col ORDER BY cnt DESC, k DESC) AS rn
+        |  FROM kc) t WHERE rn = 1),
+        |agg AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys FROM kc GROUP BY 1)
+        |SELECT agg.key_col, n_rows, n_keys, max_cnt, top_key,
+        |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top_share,
+        |  round(CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_factor
+        |FROM agg JOIN top USING (key_col) ORDER BY key_col""".stripMargin,
     "q_listagg" ->
       """SELECT r_name, count(*) AS n_nations,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations

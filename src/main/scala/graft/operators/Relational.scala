@@ -1055,6 +1055,46 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** §2.2 #135 — WINSORIZED robust means: per group, exact p05/p95 bounds
+    * via the #48 value-histogram formulation, then a second scan clips
+    * values into [p05, p95] and aggregates — the outlier-insensitive mean a
+    * metrics pipeline reports next to the raw one (the transform twin of
+    * #125's outlier DETECTION). All clipping and sums run in DECIMAL(12,2)
+    * / DECIMAL(28,6), so bounds, clip counts, and both means are exact
+    * cross-engine; bounds ride back via a |groups|-row broadcast.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val sumDec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("value").cast(dec).as("v"))
+    val wCum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val bounds = ev.groupBy("event_type", "v")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("v"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * 0.05).cast("long"), col("v"))).as("p05"),
+        min(when(col("cum") >= ceil(col("n") * 0.95).cast("long"), col("v"))).as("p95"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("clipped", least(greatest(col("v"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("p05")).cast("double").as("p05"),
+        max(col("p95")).cast("double").as("p95"),
+        (sum(col("v").cast(sumDec)).cast("double") / count(lit(1))).as("mean_raw"),
+        (sum(col("clipped").cast(sumDec)).cast("double") / count(lit(1))).as("mean_winsor"),
+        sum(when(col("v") < col("p05"), 1L).otherwise(0L)).as("n_clip_low"),
+        sum(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_clip_high"))
+      .withColumn("mean_raw", round(col("mean_raw"), 6))
+      .withColumn("mean_winsor", round(col("mean_winsor"), 6))
+      .orderBy("event_type")
+  }
+
   /** §2.2 #126 — ordered string aggregation (LISTAGG / string_agg): each
     * region's nations as one deterministic comma-joined list. The collect
     * is per-group bounded (list size = group cardinality, a dimension

@@ -468,6 +468,36 @@ object TableCopy {
           .otherwise(col("last.value")).as("final_value"))
       .orderBy("user_id")
 
+  /** §2.1 #136 — JOIN-KEY SKEW PROFILE: the diagnostic run BEFORE choosing
+    * a shuffle strategy (plain repartition vs #44 hot-key salting vs #100
+    * equi-depth chunking). For each candidate key column: row/key counts,
+    * the heaviest key's absolute count and share of all rows, and the
+    * skew factor max/avg — the number that says whether one reducer will
+    * eat the join. One partial-aggregated count per column plus a
+    * key-count aggregate whose shuffle is bounded by distinct keys; the
+    * heaviest key is a max(struct) (no sort, no top-k window).
+    */
+  def skewProfile(spark: SparkSession, dir: String,
+      keys: Seq[(String, String)] = Seq("orders" -> "o_custkey",
+        "lineitem" -> "l_orderkey", "lineitem" -> "l_partkey")): DataFrame = {
+    val profiles = keys.map { case (table, key) =>
+      Tables.load(spark, dir, table)
+        .groupBy(col(key).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          lit(s"$table.$key").as("key_col"),
+          sum("cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(struct(col("cnt"), col("k"))).as("top"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"),
+          col("top.cnt").as("max_cnt"), col("top.k").as("top_key"),
+          round(col("top.cnt").cast("double") / col("n_rows"), 6).as("top_share"),
+          round(col("top.cnt").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_factor"))
+    }
+    profiles.reduce(_ unionByName _).orderBy("key_col")
+  }
+
   /** §2.1 #133 — MASKED copy (column-level governance policy applied in
     * flight): each column carries an action — `Keep` passes through,
     * `Hash` replaces the value with its sha256 (referential integrity

@@ -202,6 +202,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** §2.3 #134 — bigram language-model scoring (the CCNet/Gopher-style LM
+    * quality filter, with the corpus itself as the reference model): each
+    * document's average token surprisal −ln P(cur|prev) under an add-one-
+    * smoothed bigram model fit on the whole corpus. Low-surprisal docs are
+    * repetitive/templated; high-surprisal docs are noise — the two tails a
+    * quality cut removes.
+    *
+    * Corpus model = two partial-aggregated count tables (bigrams and
+    * unigram contexts, both vocabulary-bounded, broadcast while they fit)
+    * plus a 1-row vocab size; scoring joins each document's bigram
+    * INSTANCES against them on the bigram/context equi-keys. Per-doc sums
+    * run over DECIMAL(28,12)-cast ln terms, so the aggregation is
+    * order-free and the score reproduces bit-for-bit cross-engine.
+    */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val bigrams = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bgCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ctxCounts = bigrams.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocab = docs(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("v"))
+    bigrams
+      .join(bgCounts.hint("broadcast"), Seq("a", "b"))
+      .join(ctxCounts.hint("broadcast"), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        -log((col("c_ab") + 1.0) / (col("c_a") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** §2.3 #124 — per-document KEYWORD extraction: the top-`k` tokens by
     * tf-idf (idf = ln((N+1)/(df+1)), the smoothed form that never divides by
     * zero). Keywords are the cheap per-doc topic signal a curation pipeline

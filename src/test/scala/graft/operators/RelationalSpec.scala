@@ -387,6 +387,30 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winsorize bounds are exact percentiles and the clipped mean is outlier-insensitive") {
+    val rows = Relational.winsorize(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    rows.foreach { r =>
+      val vs = ev.filter(_._1 == r.getAs[String]("event_type")).map(_._2).sorted
+      def pct(p: Double) = vs((math.ceil(vs.length * p) - 1).toInt)
+      assert(r.getAs[Double]("p05") == pct(0.05).toDouble)
+      assert(r.getAs[Double]("p95") == pct(0.95).toDouble)
+      val p05 = pct(0.05); val p95 = pct(0.95)
+      assert(r.getAs[Long]("n_clip_low") == vs.count(_ < p05))
+      assert(r.getAs[Long]("n_clip_high") == vs.count(_ > p95))
+      val winsor = vs.map(v => v.max(p05).min(p95))
+      def mean(xs: Seq[BigDecimal]) =
+        BigDecimal(xs.sum.toDouble / xs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("mean_winsor") - mean(winsor)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_raw") - mean(vs)) < 1e-9)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("locfFill builds a dense user×day grid where fills equal the last observed close") {
     val rows = Relational.locfFill(spark, sf).collect()
     val ev = Tables.load(spark, sf, "events")

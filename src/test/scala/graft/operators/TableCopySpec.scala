@@ -600,6 +600,27 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("skewProfile reports exact key counts, heaviest key, and skew factor") {
+    val rows = TableCopy.skewProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("key_col") -> r).toMap
+    assert(rows.keySet ==
+      Set("orders.o_custkey", "lineitem.l_orderkey", "lineitem.l_partkey"))
+    val counts = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = rows("lineitem.l_orderkey")
+    assert(r.getAs[Long]("n_rows") == counts.values.sum)
+    assert(r.getAs[Long]("n_keys") == counts.size)
+    val maxCnt = counts.values.max
+    assert(r.getAs[Long]("max_cnt") == maxCnt)
+    // Tie-break: heaviest count, then LARGEST key (the max-struct order).
+    assert(r.getAs[Long]("top_key") ==
+      counts.filter(_._2 == maxCnt).keys.max)
+    val avg = counts.values.sum.toDouble / counts.size
+    assert(math.abs(r.getAs[Double]("skew_factor") -
+      BigDecimal(maxCnt / avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("cdcCollapse keeps the last writer per key and tombstones deletes") {
     val rows = TableCopy.cdcCollapse(spark, sf).collect()
     val ev = Tables.load(spark, sf, "events")

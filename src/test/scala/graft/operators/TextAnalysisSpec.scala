@@ -110,6 +110,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ngramLm surprisal matches a local add-one bigram model fit on the corpus") {
+    val rows = TextAnalysis.ngramLm(spark, sf).collect()
+    val toks = docs.map { case (id, t) => id -> t.trim.split(" ").toSeq }
+    val allBigrams = toks.values.filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).map(p => (p(0), p(1)))).toSeq
+    val cab = allBigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val ca = allBigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    val v = toks.values.flatten.toSet.size.toDouble
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    toks.filter(_._2.length >= 2).foreach { case (id, w) =>
+      val bgs = w.sliding(2).map(p => (p(0), p(1))).toSeq
+      val want = bgs.map { bg =>
+        BigDecimal(-math.log((cab(bg) + 1.0) / (ca(bg._1) + v)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / bgs.length
+      val r = byDoc(id)
+      assert(r.getAs[Long]("n_bigrams") == bgs.length)
+      assert(math.abs(r.getAs[Double]("avg_surprisal") -
+        BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"doc $id")
+    }
+    // Surprisal is positive under add-one smoothing on a finite corpus.
+    rows.foreach(r => assert(r.getAs[Double]("avg_surprisal") > 0.0))
+  }
+
   test("keywords ranks per-doc tf-idf top-3 matching an independent computation") {
     val rows = TextAnalysis.keywords(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
