@@ -314,6 +314,8 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => Relational.winsorize(s, dir)),
     "q_ngram_lm" -> ((s, dir) => TextAnalysis.ngramLm(s, dir)),
     "q_skew_profile" -> ((s, dir) => TableCopy.skewProfile(s, dir)),
+    "q_ivm" -> ((s, dir) => TableCopy.maintainAggView(s, dir)),
+    "q_embed_drift" -> ((s, dir) => Similarity.embedDrift(s, dir)),
     "copy_masked" -> ((s, dir) =>
       TableCopy.maskedCopy(s, dir, tmp("masked"), "customer",
         Map("c_name" -> TableCopy.Hash, "c_acctbal" -> TableCopy.Redact))
@@ -414,6 +416,13 @@ object SparkEntry {
     "q_kmeans" -> Similarity.kmeansOracleSql(),
     "q_rand_proj" -> Similarity.randProjectOracleSql(),
     "q_pagerank" -> Similarity.pageRankOracleSql(),
+    "q_embed_drift" -> Similarity.embedDriftOracleSql(),
+    // The oracle is the FULL recompute — merge(partial(base), partial(delta))
+    // must equal it, which is the incremental-maintenance soundness claim.
+    "q_ivm" ->
+      """SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
         |p AS (SELECT * FROM e WHERE event_type = 'purchase')

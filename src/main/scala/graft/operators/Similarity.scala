@@ -871,6 +871,73 @@ object Similarity {
        |FROM pr GROUP BY label, dim_id ORDER BY label, dim_id""".stripMargin
   }
 
+  /** §2.3 #139 — EMBEDDING DRIFT monitor: per label, the L2 distance
+    * between the centroid of split-A vectors and split-B vectors, where the
+    * split is sha256(vec_id) (seedless, re-ingestion-stable — the #46
+    * hash split applied to vectors). On a healthy corpus the two halves
+    * are exchangeable, so the distance is a null-distribution baseline;
+    * run against yesterday/today instead of A/B, a large value is the
+    * embedding-pipeline regression alarm (encoder version drift, input
+    * corruption) before any model consumes the vectors.
+    *
+    * Per-(label, split, dim) means are DECIMAL(28,12) partial aggregates
+    * (the shuffle carries labels·2·dim sum cells, never vectors); the
+    * distance is the same sequential fold as every other score here, so
+    * the result is bit-exact cross-engine.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val split = substring(sha2(col("vec_id").cast("string"), 256), 1, 1) <= "7"
+    val cells = embeddings(spark, dir)
+      .withColumn("in_a", split)
+      .select(col("label"), col("in_a"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "in_a", "i")
+      .agg((sum(col("x").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("m"), count(lit(1)).as("nv"))
+    val centroids = cells
+      .groupBy("label", "in_a")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"),
+        max("nv").as("n_vecs"))
+      .select(col("label"), col("in_a"),
+        expr("transform(ps, p -> p.m)").as("cv"), col("n_vecs"))
+    val a = centroids.where(col("in_a"))
+      .select(col("label"), col("cv").as("ca"), col("n_vecs").as("n_a"))
+    val b = centroids.where(!col("in_a"))
+      .select(col("label"), col("cv").as("cb"), col("n_vecs").as("n_b"))
+    a.join(b, "label")
+      .withColumn("diff", expr("zip_with(ca, cb, (x, y) -> x - y)"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(sqrt(dot(col("diff"), col("diff"))), 6).as("centroid_l2"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[embedDrift]]: identical hash split, decimal per-dim
+    * means via a dimension spine, same sequential-fold distance.
+    */
+  def embedDriftOracleSql(dim: Int = 64): String = {
+    val selfDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [d[i] * d[i] FOR i IN generate_series(1, len(d))]), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT label, embedding::DOUBLE[] AS v,
+       |    substr(sha256(CAST(vec_id AS VARCHAR)), 1, 1) <= '7' AS in_a
+       |  FROM embeddings),
+       |dims AS (SELECT i FROM generate_series(1, $dim) AS t(i)),
+       |cells AS (
+       |  SELECT label, in_a, dims.i,
+       |    CAST(sum(CAST(v[dims.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m,
+       |    count(*) AS nv
+       |  FROM e CROSS JOIN dims GROUP BY 1, 2, 3),
+       |cent AS (
+       |  SELECT label, in_a, list(m ORDER BY i) AS cv, max(nv) AS n_vecs
+       |  FROM cells GROUP BY 1, 2),
+       |ab AS (
+       |  SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+       |    list_transform(generate_series(1, $dim), i -> a.cv[i] - b.cv[i]) AS d
+       |  FROM cent a JOIN cent b ON a.label = b.label AND a.in_a AND NOT b.in_a)
+       |SELECT label, n_a, n_b, round(sqrt($selfDot), 6) AS centroid_l2
+       |FROM ab ORDER BY label""".stripMargin
+  }
+
   /** §2.3 #34 — vector-column numerics: per-label count and exact-average L2
     * norm (norms summed in decimal so the group aggregate is order-free).
     */

@@ -468,6 +468,37 @@ object TableCopy {
           .otherwise(col("last.value")).as("final_value"))
       .orderBy("user_id")
 
+  /** §2.1 #138 — INCREMENTAL VIEW MAINTENANCE for an aggregate view: the
+    * maintained view = merge(partial(base), partial(delta)) — counts add,
+    * decimal sums add — and the oracle is the FULL recompute over
+    * base ∪ delta, which is exactly the algebraic claim that makes
+    * incremental maintenance sound. This is how a 100 TB daily-rollup view
+    * absorbs a day's delta without rescanning history: O(|delta| + |view|)
+    * instead of O(|everything|). Deletes would enter as negative partials;
+    * the demo feed is append-only like most event streams.
+    *
+    * Both inputs partially aggregate map-side; the merge is a second tiny
+    * aggregation on the view key. All sums are DECIMAL, so merged values
+    * are bit-identical to the recompute at any partitioning.
+    */
+  def maintainAggView(spark: SparkSession, dir: String,
+      splitDate: String = "1998-01-01"): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 6))).as("sv"))
+    val base = partial(ev.where(col("day") < to_date(lit(splitDate))))
+    val delta = partial(ev.where(col("day") >= to_date(lit(splitDate))))
+    base.unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n"), sum("sv").as("sv"))
+      .select(col("event_type"), col("day").cast("string").as("day"), col("n"),
+        round(col("sv").cast("double"), 6).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** §2.1 #136 — JOIN-KEY SKEW PROFILE: the diagnostic run BEFORE choosing
     * a shuffle strategy (plain repartition vs #44 hot-key salting vs #100
     * equi-depth chunking). For each candidate key column: row/key counts,

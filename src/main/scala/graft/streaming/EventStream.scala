@@ -292,6 +292,36 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** §2.4 #137 — streaming QUARANTINE ROUTER: every micro-batch routes
+    * through the SAME rule set the batch [[graft.operators.TableCopy
+    * .quarantineCopy]] applies — clean rows append to the destination,
+    * failing rows append to the quarantine table stamped with the first
+    * failing rule (the landing-zone conveyor with in-flight validation:
+    * bad rows neither abort the stream nor silently vanish). One codegen'd
+    * CASE per row; both writes are appends so each file batch lands
+    * exactly once under the checkpoint like [[incrementalCopy]].
+    */
+  def quarantineRoute(spark: SparkSession, src: DataFrame, destDir: String,
+      checkpointDir: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    val reason = coalesce(
+      rules.map { case (n, bad) => when(bad, lit(n)) } :+
+        lit(null).cast("string"): _*)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val tagged = batch.withColumn("reason", reason)
+        tagged.where(col("reason").isNull).drop("reason")
+          .write.mode("append").parquet(s"$destDir/clean.parquet")
+        tagged.where(col("reason").isNotNull)
+          .write.mode("append").parquet(s"$destDir/quarantine.parquet")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** §2.4 #69 — sessionization via Spark's NATIVE `session_window` grouping:
     * the declarative twin of [[sessionize]]. The engine merges overlapping
     * per-event windows `[ts, ts+gap)` into sessions inside the streaming

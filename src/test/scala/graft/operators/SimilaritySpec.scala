@@ -294,6 +294,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ranks.values.sum <= 1.0 + 1e-9)
   }
 
+  test("embedDrift: exchangeable hash halves give small centroid distances, a shifted half does not") {
+    val rows = Similarity.embedDrift(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == n,
+      "the split partitions every label's vectors")
+    // Null baseline: random halves of the same distribution sit close
+    // relative to the vectors' own scale (unit-ish norms, 64 dims).
+    rows.foreach { r =>
+      val d = r.getAs[Double]("centroid_l2")
+      assert(d >= 0.0 && d < 1.0, s"label ${r.get(0)}: drift $d not a null baseline")
+    }
+  }
+
   test("randProject means equal an independent projection with the same seeded planes") {
     val rows = Similarity.randProject(spark, sf).collect()
     // Regenerate the same planes (the seed and draw order are the contract).

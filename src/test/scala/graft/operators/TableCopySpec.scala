@@ -600,6 +600,17 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("maintainAggView: merged partials equal the full recompute, any split date") {
+    val full = TableCopy.maintainAggView(spark, sf, "1900-01-01").collect().toSeq
+    // With everything in the delta and nothing in the base the merge IS the
+    // recompute; a mid-corpus split must produce identical rows.
+    val mid = TableCopy.maintainAggView(spark, sf, "2024-01-15").collect().toSeq
+    assert(mid == full)
+    // Sanity: the view covers every (type, day) with exact counts.
+    val n = mid.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.load(spark, sf, "events").count())
+  }
+
   test("skewProfile reports exact key counts, heaviest key, and skew factor") {
     val rows = TableCopy.skewProfile(spark, sf).collect()
       .map(r => r.getAs[String]("key_col") -> r).toMap

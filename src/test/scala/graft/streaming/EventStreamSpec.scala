@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -360,6 +361,30 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val got = spark.read.parquet(dest).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("quarantineRoute splits each micro-batch by rule, exactly once per file") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    val (src, dest, ckpt) = (s"$root/src", s"$root/dest", s"$root/ckpt")
+    val schema = Seq((1L, 10.0)).toDF("id", "amount").schema
+    Seq((1L, 10.0), (2L, -5.0), (3L, 3.0)).toDF("id", "amount")
+      .write.mode("append").parquet(src)
+    val rules = Seq("amount_nonpositive" -> (col("amount") <= 0.0))
+    def run(): Unit = EventStream.quarantineRoute(spark,
+      spark.readStream.schema(schema).parquet(src), dest, ckpt, rules)
+    run()
+    // Re-running with no new files must append NOTHING (checkpointed offsets).
+    run()
+    // A late file routes incrementally.
+    Seq((4L, -1.0)).toDF("id", "amount").write.mode("append").parquet(src)
+    run()
+    val clean = spark.read.parquet(s"$dest/clean.parquet").collect()
+      .map(_.getLong(0)).toSet
+    val quar = spark.read.parquet(s"$dest/quarantine.parquet").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("reason"))).toSet
+    assert(clean == Set(1L, 3L))
+    assert(quar == Set((2L, "amount_nonpositive"), (4L, "amount_nonpositive")))
   }
 
   test("sessionWindowAgg merges gap-overlapping events and closes on watermark") {
