@@ -72,6 +72,12 @@ object PlanAudit {
         failures += "q_antijoin: build side must pre-aggregate to distinct join keys"
       if (name == "q_join_bloom" && !has("bloom_might_contain"))
         failures += "q_join_bloom: runtime-filter probe missing from the physical plan"
+      if (name == "q_interval_join_rule" && !has("Generate explode"))
+        failures += "q_interval_join_rule: RangeJoinRewrite did not fire (no bucket explode)"
+      // Design claims of the iterative/robust operators: no window over the
+      // raw corpus — argmax and last-writer selection are groupBy max(struct).
+      if ((name == "q_kmeans" || name == "q_cdc_collapse") && plan.contains("WindowExec"))
+        failures += s"$name: expected a window-free plan (max-struct argmax)"
       if (name == "q_join_broadcast" && !has("BroadcastHashJoin"))
         failures += "q_join_broadcast: expected BroadcastHashJoin"
       if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))

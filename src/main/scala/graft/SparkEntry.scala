@@ -154,6 +154,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Relational.asofJoin(s, dir)),
     "q_date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)),
     "q_interval_join" -> ((s, dir) => Relational.intervalJoin(s, dir)),
+    "q_interval_join_rule" -> ((s, dir) => Relational.intervalJoinViaRule(s, dir)),
     "q_sliding_window" -> ((s, dir) => Relational.slidingWindow(s, dir)),
     "q_percentile_cont" -> ((s, dir) => Relational.percentileCont(s, dir)),
     // The stored file carries the mapped DECIMAL type (SparkEntrySpec pins
@@ -1488,6 +1489,25 @@ object SparkEntry {
         |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
         |FROM customer ORDER BY customer_id""".stripMargin,
     "q_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us, value AS v_value
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.click_id, count(*) AS n_views,
+        |    CAST(sum(CAST(v_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_view_value
+        |  FROM c JOIN v ON v.user_id = c.user_id
+        |    AND v.v_us >= c.c_us - 3600000000 AND v.v_us < c.c_us
+        |  GROUP BY 1)
+        |SELECT c.click_id, c.user_id,
+        |  coalesce(j.n_views, 0) AS n_views,
+        |  coalesce(j.sum_view_value, 0.0) AS sum_view_value
+        |FROM c LEFT JOIN j USING (click_id) ORDER BY click_id""".stripMargin,
+    // The rule-rewritten naive join answers the SAME query - one oracle
+    // serves the hand-bucketed and optimizer-rewritten formulations.
+    "q_interval_join_rule" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
         |  FROM events WHERE event_type = 'click'),

@@ -804,6 +804,40 @@ object Relational {
       .orderBy("click_id")
   }
 
+  /** §2.2 #140 — the #96 interval join written NAIVELY (plain BETWEEN
+    * condition, no hand bucketing) and handed to the
+    * [[graft.plans.RangeJoinRewrite]] OPTIMIZER RULE, which rebuilds the
+    * bucketized equi-join plan automatically — the library-as-extension
+    * story: users write the obvious query, the rule supplies the 100 TB
+    * plan. Runs in a child session (`newSession`) so the rule is scoped to
+    * this query and can never perturb another query's plan; results are
+    * checked against the SAME oracle as the hand-bucketed #96.
+    */
+  def intervalJoinViaRule(spark: SparkSession, dir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    val us = windowMinutes * 60L * 1000000L
+    val ev = Tables.load(s2, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("c_us"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("t_us").as("v_us"),
+        col("value").as("v_value"))
+    val matched = clicks
+      .join(views, col("user_id") === col("v_user") &&
+        col("v_us") >= col("c_us") - us && col("v_us") < col("c_us"))
+      .groupBy("click_id")
+      .agg(count(lit(1)).as("n_views"), dsum(col("v_value")).as("sum_view_value"))
+    clicks.join(matched, Seq("click_id"), "left_outer")
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
+      .orderBy("click_id")
+  }
+
   /** §2.2 #94 — calendar-spine gap fill: a month dimension generated from
     * the data's own [min, max] bounds, left-joined to the monthly aggregate
     * so months with NO qualifying rows still surface (as zeros) — the
