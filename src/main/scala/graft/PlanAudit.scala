@@ -63,7 +63,8 @@ object PlanAudit {
       // dense-grid fan-out.
       val bnljOk = Set("q_ann_brute", "q_ann_sq", "q_having", "q_source_mix",
         "q_constraints", "q_bm25", "q_keywords", "q_kmeans", "q_locf",
-        "q_ngram_lm") // ngram_lm: 1-row vocab-size frame
+        // ngram_lm / window_distinct: 1-row vocab-size / date-bound frames
+        "q_ngram_lm", "q_window_distinct")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -155,6 +155,8 @@ object SparkEntry {
     "q_date_spine" -> ((s, dir) => Relational.dateSpine(s, dir)),
     "q_interval_join" -> ((s, dir) => Relational.intervalJoin(s, dir)),
     "q_interval_join_rule" -> ((s, dir) => Relational.intervalJoinViaRule(s, dir)),
+    "q_window_distinct" -> ((s, dir) => Relational.windowDistinct(s, dir)),
+    "q_tpch_q3" -> ((s, dir) => Relational.tpchQ3(s, dir)),
     "q_sliding_window" -> ((s, dir) => Relational.slidingWindow(s, dir)),
     "q_percentile_cont" -> ((s, dir) => Relational.percentileCont(s, dir)),
     // The stored file carries the mapped DECIMAL type (SparkEntrySpec pins
@@ -1524,6 +1526,28 @@ object SparkEntry {
         |  coalesce(j.n_views, 0) AS n_views,
         |  coalesce(j.sum_view_value, 0.0) AS sum_view_value
         |FROM c LEFT JOIN j USING (click_id) ORDER BY click_id""".stripMargin,
+    "q_window_distinct" ->
+      """WITH p AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |b AS (SELECT max(day) AS d1 FROM p),
+        |x AS (
+        |  SELECT user_id, unnest(generate_series(day::TIMESTAMP, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS win_end
+        |  FROM p)
+        |SELECT strftime(win_end, '%Y-%m-%d') AS win_end,
+        |  count(DISTINCT user_id) AS n_active, count(*) AS n_presence
+        |FROM x, b WHERE win_end <= b.d1
+        |GROUP BY x.win_end ORDER BY win_end""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q_date_spine" ->
       """WITH f AS (SELECT * FROM orders WHERE o_totalprice > 490000.0),
         |b AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,

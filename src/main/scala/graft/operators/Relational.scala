@@ -838,6 +838,61 @@ object Relational {
       .orderBy("click_id")
   }
 
+  /** §2.2 #141 — trailing-window DISTINCT users per day (7-day active
+    * users): count-distinct over a sliding window is NOT decomposable the
+    * way sums are, so the naive per-day `COUNT(DISTINCT ...)` re-scans the
+    * window every day. The scalable decomposition: dedupe to (user, day)
+    * PRESENCE first (billions of events → users×days rows, one
+    * partial-agg shuffle), then EXPLODE each presence row into the ≤7
+    * window-end days it contributes to (an Expand in the scan stage — the
+    * same trick as the #97 hopping window) and count distinct users per
+    * window end. Work is presence×window, independent of raw event volume.
+    */
+  def windowDistinct(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val presence = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = presence.agg(min("day").as("d0"), max("day").as("d1"))
+    presence
+      .select(col("user_id"), col("day"),
+        explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("win_end"))
+      .join(broadcast(bounds), col("win_end") <= col("d1"))
+      .groupBy("win_end")
+      .agg(countDistinct("user_id").as("n_active"),
+        count(lit(1)).as("n_presence"))
+      .select(col("win_end").cast("string").as("win_end"), col("n_active"),
+        col("n_presence"))
+      .orderBy("win_end")
+  }
+
+  /** §2.2 #142 — the TPC-H Q3 "shipping priority" shape: top unshipped
+    * order revenues for one customer segment before a cutoff date — the
+    * canonical selective-dim ⋈ fact ⋈ fact composite. Segment-filtered
+    * customers broadcast into orders; the order slice joins lineitem on the
+    * shuffle key; revenue aggregates partial/final; the top-10 compiles to
+    * TakeOrderedAndProject. Both date filters push to the parquet scans.
+    */
+  def tpchQ3(spark: SparkSession, dir: String, segment: String = "BUILDING",
+      cutoff: String = "1995-03-15", topK: Int = 10): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .where(col("c_mktsegment") === segment).select("c_custkey")
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") < to_date(lit(cutoff)))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") > to_date(lit(cutoff)))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).cast("string").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(topK)
+  }
+
   /** §2.2 #94 — calendar-spine gap fill: a month dimension generated from
     * the data's own [min, max] bounds, left-joined to the monthly aggregate
     * so months with NO qualifying rows still surface (as zeros) — the

@@ -17,10 +17,17 @@ import graft.functions.{DotProduct, Simhash64, TokenSimhash}
   * [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // The library's optimizer rules ride the same hook: one
+    // `spark.sql.extensions=graft.plans.GraftExtensions` conf brings the
+    // SQL functions AND the range-join rewrite to every session. The rule
+    // is conservative (exact-shape match, never fires twice), so
+    // installing it session-wide is safe.
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -387,6 +387,47 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("windowDistinct equals a naive per-day trailing count-distinct") {
+    val rows = Relational.windowDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("win_end") -> r.getAs[Long]("n_active")).toMap
+    val pres = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = pres.map(_._2).distinct.sorted((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+    days.foreach { d =>
+      val lo = d.minusDays(6)
+      val want = pres.filter { case (_, pd) =>
+        !pd.isBefore(lo) && !pd.isAfter(d)
+      }.map(_._1).distinct.length
+      assert(rows(d.toString) == want, s"window ending $d")
+    }
+    // Every window end that has any presence appears.
+    assert(days.map(_.toString).toSet.subsetOf(rows.keySet))
+  }
+
+  test("tpchQ3 matches an independent composite computation with exact revenue") {
+    val rows = Relational.tpchQ3(spark, sf).collect()
+    assert(rows.length == 10)
+    val cust = Tables.load(spark, sf, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val ord = Tables.load(spark, sf, "orders")
+      .where(col("o_orderdate") < to_date(lit("1995-03-15"))).collect()
+      .filter(r => cust(r.getAs[Long]("o_custkey")))
+      .map(r => r.getAs[Long]("o_orderkey")).toSet
+    val rev = Tables.load(spark, sf, "lineitem")
+      .where(col("l_shipdate") > to_date(lit("1995-03-15"))).collect()
+      .filter(r => ord(r.getAs[Long]("l_orderkey")))
+      .groupBy(_.getAs[Long]("l_orderkey")).view.mapValues { ls =>
+        ls.map(l => BigDecimal(l.getAs[Double]("l_extendedprice") *
+          (1.0 - l.getAs[Double]("l_discount")))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      }.toMap
+    val want = rev.toSeq.sortBy { case (k, v) => (-v, k) }.take(10)
+    assert(rows.map(r => (r.getAs[Long]("o_orderkey"),
+      r.getAs[Double]("revenue"))).toSeq == want)
+  }
+
   test("winsorize bounds are exact percentiles and the clipped mean is outlier-insensitive") {
     val rows = Relational.winsorize(spark, sf).collect()
     val ev = Tables.load(spark, sf, "events")

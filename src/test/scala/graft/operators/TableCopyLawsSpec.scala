@@ -70,6 +70,17 @@ object TableCopyLawsSpec extends Properties("TableCopyLaws") {
       rowSet(TableCopy.upsert(df(src), df(dst), Seq("k"))) == expected
     }
 
+  property("incremental view maintenance is split-invariant (merge == full recompute)") =
+    Prop.forAll(Gen.choose(1, 28)) { splitDay =>
+      // The maintained view must not depend on WHERE history was cut.
+      val at = f"2024-01-$splitDay%02d"
+      val got = TableCopy.maintainAggView(spark, "/root/testdata/sf0.001", at)
+        .collect().map(_.toSeq).toSeq
+      val full = TableCopy.maintainAggView(spark, "/root/testdata/sf0.001", "1900-01-01")
+        .collect().map(_.toSeq).toSeq
+      got == full
+    }
+
   property("diff statuses partition the key universe") =
     Prop.forAll(genTable, genTable) { (src, dst) =>
       val d = TableCopy.diffTables(df(src), df(dst), Seq("k")).collect()

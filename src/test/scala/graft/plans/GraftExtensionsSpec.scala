@@ -6,6 +6,24 @@ import graft.SparkFixture
 
 class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
 
+  test("the extensions hook injects the range-join rewrite alongside the SQL functions") {
+    // A fresh extensions instance applied to a collector must register the
+    // optimizer rule (session-build path; the running-session path is
+    // covered by RangeJoinRewriteSpec via extraOptimizations).
+    var injectedRule = false
+    val probe = new org.apache.spark.sql.SparkSessionExtensions {
+      override def injectOptimizerRule(
+          builder: org.apache.spark.sql.SparkSession =>
+            org.apache.spark.sql.catalyst.rules.Rule[
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+        injectedRule = builder(spark) eq RangeJoinRewrite
+        super.injectOptimizerRule(builder)
+      }
+    }
+    new GraftExtensions().apply(probe)
+    assert(injectedRule, "GraftExtensions must inject RangeJoinRewrite")
+  }
+
   test("registered SQL functions compute the same values as the kernels") {
     GraftExtensions.register(spark)
     val dot = spark.sql(
