@@ -156,6 +156,9 @@ object SparkEntry {
     "q_interval_join" -> ((s, dir) => Relational.intervalJoin(s, dir)),
     "q_interval_join_rule" -> ((s, dir) => Relational.intervalJoinViaRule(s, dir)),
     "q_window_distinct" -> ((s, dir) => Relational.windowDistinct(s, dir)),
+    "q_session_path" -> ((s, dir) => Relational.sessionPaths(s, dir)),
+    "q_zipf" -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
+    "q_sql_kernel" -> ((s, dir) => Dedup.simhashViaSql(s, dir)),
     "q_tpch_q3" -> ((s, dir) => Relational.tpchQ3(s, dir)),
     "q_sliding_window" -> ((s, dir) => Relational.slidingWindow(s, dir)),
     "q_percentile_cont" -> ((s, dir) => Relational.percentileCont(s, dir)),
@@ -1528,6 +1531,76 @@ object SparkEntry {
         |  coalesce(j.n_views, 0) AS n_views,
         |  coalesce(j.sum_view_value, 0.0) AS sum_view_value
         |FROM c LEFT JOIN j USING (click_id) ORDER BY click_id""".stripMargin,
+    "q_session_path" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, t_us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM x
+        |), r AS (
+        |  SELECT user_id, sess_seq, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess_seq
+        |      ORDER BY t_us, event_id) AS rn
+        |  FROM s
+        |), p AS (
+        |  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, sess_seq
+        |)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path ASC LIMIT 10""".stripMargin,
+    // Moments computed over DECIMAL casts; the closed-form slope/intercept/
+    // r2 use the SAME double arithmetic shape as the Spark expressions.
+    "q_zipf" ->
+      """WITH tf AS (
+        |  SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t
+        |  GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100
+        |), rk AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank FROM tf
+        |), pt AS (
+        |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM rk
+        |), mo AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nn,
+        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |  FROM pt
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n_fit,
+        |  round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn, 6) AS intercept,
+        |  round(((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) /
+        |    ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6) AS r2
+        |FROM mo""".stripMargin,
+    // Same fingerprint family as q_neardup_simhash's oracle CTEs.
+    "q_sql_kernel" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+        |         (a, c) -> (a * 131 + c) % 2147483647) << 31)
+        |      | list_reduce(list_prepend(CAST(11 AS BIGINT),
+        |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+        |         (a, c) -> (a * 137 + c) % 2147483629)
+        |    ) AS hs
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CASE WHEN 2 * len(list_filter(hs, x -> (x >> k) & 1 = 1)) > len(hs)
+        |          THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+        |     FOR k IN generate_series(0, 61)]), (a, b) -> a | b) AS fp
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_window_distinct" ->
       """WITH p AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |b AS (SELECT max(day) AS d1 FROM p),

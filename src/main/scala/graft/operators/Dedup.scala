@@ -317,6 +317,21 @@ object Dedup {
       .select("doc_id", "fp")
   }
 
+  /** §2.3 #146 — the SimHash kernel through the SQL SURFACE: the same
+    * fingerprints as [[simhashFingerprints]], but computed by
+    * `spark.sql("... token_simhash64(...)")` against the function the
+    * [[graft.plans.GraftExtensions]] hook registers — proving a SQL-only
+    * user (JDBC/Thrift, notebooks) reaches the native codegen kernels with
+    * no Scala API, gated by the same DuckDB oracle as the DataFrame path.
+    */
+  def simhashViaSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """SELECT doc_id, token_simhash64(split(trim(text), ' ')) AS fp
+        |FROM graft_documents ORDER BY doc_id""".stripMargin)
+  }
+
   /** 6 blocks covering the 64-bit fingerprint: (shift, width). */
   private val SimhashBlocks: Seq[(Int, Int)] =
     Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))

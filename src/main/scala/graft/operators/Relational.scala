@@ -838,6 +838,39 @@ object Relational {
       .orderBy("click_id")
   }
 
+  /** §2.2 #144 — SESSION PATH MINING: the most common first-`pathLen`
+    * event-type sequences across sessions (the "how do users start"
+    * product-analytics staple). Sessions are the #65 gap>30min
+    * assignment; each session's prefix is bounded BEFORE any collection
+    * (a row_number filter keeps ≤ pathLen rows per session, so the
+    * collect_list state is O(pathLen), never a whole session); the final
+    * top-k is a TakeOrderedAndProject over path counts.
+    */
+  def sessionPaths(spark: SparkSession, dir: String, gapMinutes: Int = 30,
+      pathLen: Int = 5, topK: Int = 10): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val wOrd = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_us", lag(col("t_us"), 1).over(wOrd))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("t_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_seq", sum("new_s").over(wCum))
+    val wSess = Window.partitionBy("user_id", "sess_seq").orderBy("t_us", "event_id")
+    ev.withColumn("rn", row_number().over(wSess))
+      .where(col("rn") <= pathLen)
+      .groupBy("user_id", "sess_seq")
+      .agg(array_sort(collect_list(struct(col("rn"), col("event_type")))).as("ps"))
+      .select(concat_ws(">", expr("transform(ps, p -> p.event_type)")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** §2.2 #141 — trailing-window DISTINCT users per day (7-day active
     * users): count-distinct over a sliding window is NOT decomposable the
     * way sums are, so the naive per-day `COUNT(DISTINCT ...)` re-scans the

@@ -202,6 +202,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** §2.3 #145 — ZIPF FIT of the corpus vocabulary: least-squares slope of
+    * ln(freq) vs ln(rank) over the top-`topV` tokens. Natural corpora run
+    * near slope −1; a corpus whose slope drifts far from its baseline has a
+    * vocabulary anomaly (template flood, boilerplate injection, language
+    * shift) — a one-row corpus health check next to the per-doc filters.
+    *
+    * Token counts partially aggregate; the top-V cut is a
+    * TakeOrderedAndProject; the regression runs over topV points with
+    * DECIMAL-cast moment sums (Σx, Σy, Σxy, Σxx, Σyy — order-free), and
+    * slope/intercept/R² are the same closed-form double arithmetic on both
+    * engines.
+    */
+  def zipfFit(spark: SparkSession, dir: String, topV: Int = 100): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def m(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+    val top = docs(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(topV)
+    // Ranks over the already-cut topV rows: a tiny global window.
+    val ranked = top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok").asc)))
+    ranked
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+      .agg(count(lit(1)).cast("double").as("nn"),
+        m(col("x")).as("sx"), m(col("y")).as("sy"),
+        m(col("x") * col("y")).as("sxy"),
+        m(col("x") * col("x")).as("sxx"),
+        m(col("y") * col("y")).as("syy"))
+      .select(
+        col("nn").cast("long").as("n_fit"),
+        round((col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("nn"), 6)
+          .as("intercept"),
+        round(
+          ((col("nn") * col("sxy") - col("sx") * col("sy")) *
+           (col("nn") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("nn") * col("sxx") - col("sx") * col("sx")) *
+           (col("nn") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   /** §2.3 #134 — bigram language-model scoring (the CCNet/Gopher-style LM
     * quality filter, with the corpus itself as the reference model): each
     * document's average token surprisal −ln P(cur|prev) under an add-one-

@@ -179,4 +179,12 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val b = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("the SQL-surface token_simhash64 equals the DataFrame kernel fingerprints") {
+    val viaSql = Dedup.simhashViaSql(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDf = Dedup.simhashFingerprints(spark, sf).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDf)
+  }
 }

@@ -387,6 +387,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sessionPaths mines bounded prefixes whose counts cover the session universe") {
+    val rows = Relational.sessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // Paths are >-joined event types, at most 5 segments.
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val segs = r.getAs[String]("path").split(">")
+      assert(segs.length <= 5 && segs.forall(types))
+    }
+    // Counts are non-increasing (top-k order) and bounded by total sessions.
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val nSessions = Relational.sessionizeBatch(spark, sf).count()
+    assert(counts.sum <= nSessions)
+  }
+
   test("windowDistinct equals a naive per-day trailing count-distinct") {
     val rows = Relational.windowDistinct(spark, sf).collect()
       .map(r => r.getAs[String]("win_end") -> r.getAs[Long]("n_active")).toMap

@@ -110,6 +110,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("zipfFit recovers the least-squares line of a local log-log regression") {
+    val r = TextAnalysis.zipfFit(spark, sf).collect().head
+    val freqs = docs.values.flatMap(_.trim.split(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (tok, n) => (-n, tok) }.take(100).map(_._2)
+    val pts = freqs.zipWithIndex.map { case (n, i) =>
+      (math.log((i + 1).toDouble), math.log(n.toDouble)) }
+    def dsum(xs: Seq[Double]) = xs.map(BigDecimal(_)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val nn = pts.length.toDouble
+    val (sx, sy) = (dsum(pts.map(_._1)), dsum(pts.map(_._2)))
+    val sxy = dsum(pts.map(p => p._1 * p._2))
+    val sxx = dsum(pts.map(p => p._1 * p._1))
+    val slope = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(r.getAs[Long]("n_fit") == freqs.length.toLong,
+      "fit covers min(topV, vocabulary) points")
+    assert(math.abs(r.getAs[Double]("slope") - BigDecimal(slope)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r.getAs[Double]("slope") < 0.0, "frequency decays with rank")
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
   test("ngramLm surprisal matches a local add-one bigram model fit on the corpus") {
     val rows = TextAnalysis.ngramLm(spark, sf).collect()
     val toks = docs.map { case (id, t) => id -> t.trim.split(" ").toSeq }
