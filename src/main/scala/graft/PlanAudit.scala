@@ -63,8 +63,9 @@ object PlanAudit {
       // dense-grid fan-out.
       val bnljOk = Set("q_ann_brute", "q_ann_sq", "q_having", "q_source_mix",
         "q_constraints", "q_bm25", "q_keywords", "q_kmeans", "q_locf",
-        // ngram_lm / window_distinct: 1-row vocab-size / date-bound frames
-        "q_ngram_lm", "q_window_distinct")
+        // ngram_lm / window_distinct / dau_mau: 1-row vocab-size or
+        // date-bound frames
+        "q_ngram_lm", "q_window_distinct", "q_dau_mau")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

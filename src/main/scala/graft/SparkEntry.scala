@@ -157,6 +157,8 @@ object SparkEntry {
     "q_interval_join_rule" -> ((s, dir) => Relational.intervalJoinViaRule(s, dir)),
     "q_window_distinct" -> ((s, dir) => Relational.windowDistinct(s, dir)),
     "q_session_path" -> ((s, dir) => Relational.sessionPaths(s, dir)),
+    "q_mom" -> ((s, dir) => Relational.momRevenue(s, dir)),
+    "q_dau_mau" -> ((s, dir) => Relational.dauMau(s, dir)),
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
     "q_sql_kernel" -> ((s, dir) => Dedup.simhashViaSql(s, dir)),
     "q_tpch_q3" -> ((s, dir) => Relational.tpchQ3(s, dir)),
@@ -1531,6 +1533,31 @@ object SparkEntry {
         |  coalesce(j.n_views, 0) AS n_views,
         |  coalesce(j.sum_view_value, 0.0) AS sum_view_value
         |FROM c LEFT JOIN j USING (click_id) ORDER BY click_id""".stripMargin,
+    "q_mom" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT o_month, n_orders, revenue,
+        |  lag(revenue) OVER (ORDER BY o_month) AS prev_revenue,
+        |  round((revenue - lag(revenue) OVER (ORDER BY o_month))
+        |    / lag(revenue) OVER (ORDER BY o_month) * 100.0, 6) AS mom_pct
+        |FROM m ORDER BY o_month""".stripMargin,
+    "q_dau_mau" ->
+      """WITH p AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |b AS (SELECT max(day) AS d1 FROM p),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),
+        |x AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(day::TIMESTAMP, day + INTERVAL 29 DAY, INTERVAL 1 DAY))::DATE AS day
+        |  FROM p),
+        |mau AS (
+        |  SELECT x.day, count(DISTINCT user_id) AS mau
+        |  FROM x, b WHERE x.day <= b.d1 GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, mau,
+        |  round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY day""".stripMargin,
     "q_session_path" ->
       """WITH x AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,

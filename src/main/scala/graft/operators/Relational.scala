@@ -838,6 +838,52 @@ object Relational {
       .orderBy("click_id")
   }
 
+  /** §2.2 #147 — period-over-period: monthly revenue with month-over-month
+    * absolute and percentage deltas. The heavy work is one partial-agg
+    * rollup to months; the lag window then runs over a CALENDAR-BOUNDED
+    * frame (#months rows — a global window is fine when the domain is time,
+    * not data). Exact decimal revenue; the pct delta is one rounded double
+    * division stated identically in the oracle.
+    */
+  def momRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val w = Window.orderBy("o_month")
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .select(col("o_month"), col("n_orders"), col("revenue"),
+        col("prev_revenue"),
+        round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0, 6)
+          .as("mom_pct"))
+      .orderBy("o_month")
+  }
+
+  /** §2.2 #148 — DAU/MAU stickiness per day: daily active users over
+    * trailing-30-day active users — the engagement ratio every consumer
+    * product reports. Both distinct counts ride the #141 decomposition:
+    * presence dedupes once, DAU is a per-day distinct count, MAU expands
+    * each presence row to its ≤30 window ends in the scan stage. No
+    * count-distinct ever re-scans raw events.
+    */
+  def dauMau(spark: SparkSession, dir: String, mauDays: Int = 30): DataFrame = {
+    val presence = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = presence.agg(max("day").as("d1"))
+    val dau = presence.groupBy("day")
+      .agg(countDistinct("user_id").as("dau"))
+    val mau = presence
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${mauDays - 1}))")).as("day"))
+      .join(broadcast(bounds), col("day") <= col("d1"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, "day")
+      .select(col("day").cast("string").as("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** §2.2 #144 — SESSION PATH MINING: the most common first-`pathLen`
     * event-type sequences across sessions (the "how do users start"
     * product-analytics staple). Sessions are the #65 gap>30min

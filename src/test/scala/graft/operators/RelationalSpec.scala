@@ -387,6 +387,43 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("momRevenue deltas agree with consecutive months' exact revenues") {
+    val rows = Relational.momRevenue(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val months = rows.map(_.getAs[String]("o_month"))
+    assert(months.sorted.toSeq == months.toSeq)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_revenue")))
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        assert(cur.getAs[Double]("prev_revenue") == prev.getAs[Double]("revenue"))
+        val want = (cur.getAs[Double]("revenue") - prev.getAs[Double]("revenue")) /
+          prev.getAs[Double]("revenue") * 100.0
+        assert(math.abs(cur.getAs[Double]("mom_pct") - BigDecimal(want)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      case _ => ()
+    }
+    // Revenue rollup is exhaustive: per-month order counts sum to the table.
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.load(spark, sf, "orders").count())
+  }
+
+  test("dauMau stickiness is DAU over trailing-30-day actives, bounded by 1") {
+    val rows = Relational.dauMau(spark, sf).collect()
+    val pres = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { r =>
+      val day = r.getAs[String]("day")
+      val dau = pres.filter(_._2 == day).map(_._1).distinct.length
+      val lo = java.time.LocalDate.parse(day).minusDays(29).toString
+      val mau = pres.filter(p => p._2 >= lo && p._2 <= day).map(_._1).distinct.length
+      assert(r.getAs[Long]("dau") == dau, s"dau $day")
+      assert(r.getAs[Long]("mau") == mau, s"mau $day")
+      assert(r.getAs[Double]("stickiness") <= 1.0 + 1e-9)
+    }
+    assert(rows.map(_.getAs[String]("day")).toSet == pres.map(_._2).toSet)
+  }
+
   test("sessionPaths mines bounded prefixes whose counts cover the session universe") {
     val rows = Relational.sessionPaths(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 10)
