@@ -65,7 +65,8 @@ object PlanAudit {
         "q_constraints", "q_bm25", "q_keywords", "q_kmeans", "q_locf",
         // ngram_lm / window_distinct / dau_mau: 1-row vocab-size or
         // date-bound frames
-        "q_ngram_lm", "q_window_distinct", "q_dau_mau")
+        "q_ngram_lm", "q_window_distinct", "q_dau_mau",
+        "copy_verified") // copy_verified: 1-row x 1-row checksum verdict
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

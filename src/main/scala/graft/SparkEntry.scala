@@ -158,6 +158,8 @@ object SparkEntry {
     "q_window_distinct" -> ((s, dir) => Relational.windowDistinct(s, dir)),
     "q_session_path" -> ((s, dir) => Relational.sessionPaths(s, dir)),
     "q_mom" -> ((s, dir) => Relational.momRevenue(s, dir)),
+    "copy_verified" -> ((s, dir) =>
+      TableCopy.copyVerified(s, dir, tmp("verified"), "nation")),
     "q_dau_mau" -> ((s, dir) => Relational.dauMau(s, dir)),
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
     "q_sql_kernel" -> ((s, dir) => Dedup.simhashViaSql(s, dir)),
@@ -1533,6 +1535,18 @@ object SparkEntry {
         |  coalesce(j.n_views, 0) AS n_views,
         |  coalesce(j.sum_view_value, 0.0) AS sum_view_value
         |FROM c LEFT JOIN j USING (click_id) ORDER BY click_id""".stripMargin,
+    "copy_verified" -> {
+      val nationCanon =
+        """concat_ws('|', coalesce(CAST(n_nationkey AS VARCHAR), chr(1)),
+          |  coalesce(n_name, chr(1)),
+          |  coalesce(CAST(n_regionkey AS VARCHAR), chr(1)))""".stripMargin
+      s"""WITH s AS (
+         |${checksumOracle("nation", "nation", nationCanon)}
+         |)
+         |SELECT 'nation' AS table_name, n_rows AS src_rows, n_rows AS dst_rows,
+         |  checksum AS src_checksum, checksum AS dst_checksum, TRUE AS verified
+         |FROM s""".stripMargin
+    },
     "q_mom" ->
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,

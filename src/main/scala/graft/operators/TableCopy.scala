@@ -973,6 +973,27 @@ object TableCopy {
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).cast("string").as("checksum"))
   }
 
+  /** §2.1 #149 — checksum-VERIFIED copy: the copy and its acceptance test
+    * fused into one operator — replicate the table, checksum BOTH sides
+    * (one scan each, 16 bytes shipped), emit a single verdict row. The
+    * "did it arrive intact" answer the reference's users compute by hand;
+    * at 100 TB the two checksums can come from different clusters and the
+    * verdict is still exact.
+    */
+  def copyVerified(spark: SparkSession, srcDir: String, destDir: String,
+      table: String, mode: Mode = Truncate): DataFrame = {
+    copyTable(spark, srcDir, destDir, table, mode)
+    val src = checksum(Tables.load(spark, srcDir, table))
+      .select(col("n_rows").as("src_rows"), col("checksum").as("src_checksum"))
+    val dst = checksum(spark.read.parquet(Tables.path(destDir, table)))
+      .select(col("n_rows").as("dst_rows"), col("checksum").as("dst_checksum"))
+    src.crossJoin(dst) // two 1-row frames
+      .select(lit(table).as("table_name"), col("src_rows"), col("dst_rows"),
+        col("src_checksum"), col("dst_checksum"),
+        (col("src_rows") === col("dst_rows") &&
+          col("src_checksum") === col("dst_checksum")).as("verified"))
+  }
+
   /** Per-table checksum manifest over a catalog — the post-copy verification
     * record (table_name, n_rows, checksum). One distributed scan per table,
     * one 3-column row out.

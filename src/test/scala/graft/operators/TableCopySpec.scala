@@ -600,6 +600,18 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("copyVerified emits a passing verdict whose checksums match an independent recompute") {
+    val dest = tmpDir()
+    val r = TableCopy.copyVerified(spark, sf, dest, "nation").collect().head
+    assert(r.getAs[Boolean]("verified"))
+    assert(r.getAs[Long]("src_rows") == Tables.load(spark, sf, "nation").count())
+    assert(r.getAs[String]("src_checksum") == r.getAs[String]("dst_checksum"))
+    // The verdict uses the same checksum as the standalone operator.
+    val want = TableCopy.checksum(Tables.load(spark, sf, "nation"))
+      .collect().head.getAs[String]("checksum")
+    assert(r.getAs[String]("src_checksum") == want)
+  }
+
   test("maintainAggView: merged partials equal the full recompute, any split date") {
     val full = TableCopy.maintainAggView(spark, sf, "1900-01-01").collect().toSeq
     // With everything in the delta and nothing in the base the merge IS the
