@@ -66,7 +66,11 @@ object PlanAudit {
         // ngram_lm / window_distinct / dau_mau: 1-row vocab-size or
         // date-bound frames
         "q_ngram_lm", "q_window_distinct", "q_dau_mau",
-        "copy_verified") // copy_verified: 1-row x 1-row checksum verdict
+        "copy_verified", // copy_verified: 1-row x 1-row checksum verdict
+        // ann_ivf large-k regime broadcasts the centroid RELATION over one
+        // corpus scan (the kmeans assignment pattern) instead of inlining
+        // √N literal vectors into the projection.
+        "q_ann_ivf", "q_ann_ivf_indexed")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

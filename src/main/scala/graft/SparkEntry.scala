@@ -332,7 +332,9 @@ object SparkEntry {
         Map("c_name" -> TableCopy.Hash, "c_acctbal" -> TableCopy.Redact))
         .orderBy("c_custkey")),
     "q_doc_chunks" -> ((s, dir) => Curation.docChunks(s, dir)),
-    "q_pagerank" -> ((s, dir) => Similarity.pageRank(s, dir)),
+    // maxBits pinned to 12 where the oracle's embedded planes end, as for
+    // the other LSH-backed entries (q_ann_lsh, q_knn_graph, q_semantic_cluster).
+    "q_pagerank" -> ((s, dir) => Similarity.pageRank(s, dir, maxBits = 12)),
     "q_keywords" -> ((s, dir) => TextAnalysis.keywords(s, dir)),
     "q_kmeans" -> ((s, dir) => Similarity.kmeans(s, dir)),
     "q_rand_proj" -> ((s, dir) => Similarity.randProject(s, dir)),
@@ -448,7 +450,7 @@ object SparkEntry {
         |ORDER BY p.event_id""".stripMargin,
     "q_variant" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k,
         |  count(json_extract(props, '$.absent')) AS n_absent_hits
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

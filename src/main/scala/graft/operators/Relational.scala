@@ -817,6 +817,7 @@ object Relational {
       windowMinutes: Int = 60): DataFrame = {
     val s2 = spark.newSession()
     s2.experimental.extraOptimizations = Seq(graft.plans.RangeJoinRewrite)
+    s2.conf.set(graft.plans.RangeJoinRewrite.EnabledFlag, "true")
     val us = windowMinutes * 60L * 1000000L
     val ev = Tables.load(s2, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),

@@ -240,16 +240,29 @@ object Similarity {
     * the approximate result value-exact cross-engine.
     */
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 10,
-              nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
-    val (assigned, probes) = ivfCore(spark, dir, nCentroids, nQueries, nProbe)
+              nCentroids: Int = 0, nProbe: Int = 4,
+              litMaxCentroids: Int = LitMaxCentroids): DataFrame = {
+    val (assigned, probes) =
+      ivfCore(spark, dir, nCentroids, nQueries, nProbe, litMaxCentroids)
     ivfScore(assigned, probes, k)
   }
+
+  /** Above this centroid count the assignment switches from plan-literal
+    * centroids to a broadcast centroid RELATION: at kCent ≈ √N with N = 1B
+    * vectors, ~32k literal 64-dim array expressions in one projection blow
+    * past JVM method-size limits (whole-stage codegen falls back to
+    * interpreted) and make the plan itself tens of MB. The broadcast +
+    * max(struct) argmax (the [[kmeans]] pattern) is the scale-safe form;
+    * the literal path stays for small k where it wins locally.
+    */
+  val LitMaxCentroids = 256
 
   /** (assigned corpus with `cid`, probe set with per-query `cid`s) — the
     * shared core of the inline and index-materialized IVF variants.
     */
   private def ivfCore(spark: SparkSession, dir: String, nCentroids: Int,
-                      nQueries: Int, nProbe: Int): (DataFrame, DataFrame) = {
+                      nQueries: Int, nProbe: Int,
+                      litMaxCentroids: Int = LitMaxCentroids): (DataFrame, DataFrame) = {
     val emb = embeddings(spark, dir)
     val kCent =
       if (nCentroids > 0) nCentroids
@@ -259,30 +272,53 @@ object Similarity {
         1 << ((bitsN + 1) / 2)
       }
     val np = math.min(nProbe, kCent)
-    // Centroid vectors ride into the plan as literals (a few KB); their norms
-    // use the same sequential left fold as the kernel so quotients match the
-    // oracle bit-for-bit.
-    val cents: Seq[(Long, Array[Double])] = emb.where(col("vec_id") < kCent)
-      .select("vec_id", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-    def foldNorm(a: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }
-      math.sqrt(s)
+    if (kCent <= litMaxCentroids) {
+      // Centroid vectors ride into the plan as literals (a few KB); their norms
+      // use the same sequential left fold as the kernel so quotients match the
+      // oracle bit-for-bit.
+      val cents: Seq[(Long, Array[Double])] = emb.where(col("vec_id") < kCent)
+        .select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+      def foldNorm(a: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        math.sqrt(s)
+      }
+      val cosArr = array(cents.map { case (_, cv) =>
+        dot(col("v"), typedlit(cv.toSeq)) / (col("nrm") * lit(foldNorm(cv)))
+      }: _*)
+      val assigned = emb
+        .withColumn("cid", array_position(cosArr, array_max(cosArr)) - 1)
+      val probes = emb.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          posexplode(cosArr).as(Seq("cid", "cc")))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cc").desc, col("cid").asc)))
+        .where(col("prank") <= np)
+        .select(col("q_id"), col("qv"), col("qn"), col("cid").cast("long").as("cid"))
+      (assigned, probes)
+    } else {
+      // Large-k path: centroids as a broadcast RELATION, assignment via the
+      // map-side-combinable max(struct) argmax with the SAME (cc DESC, cid
+      // ASC) tie-break — value-identical to the literal path (same fold
+      // order, same norms), so one oracle serves both.
+      val cents = emb.where(col("vec_id") < kCent)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .withColumn("cc", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id"), col("v"), col("nrm"))
+        .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+        .select(col("vec_id"), col("v"), col("nrm"), (-col("best.ncid")).as("cid"))
+      val probes = emb.where(col("vec_id") < nQueries)
+        .crossJoin(broadcast(cents))
+        .withColumn("cc", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cid").asc)))
+        .where(col("prank") <= np)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("cid").cast("long").as("cid"))
+      (assigned, probes)
     }
-    val cosArr = array(cents.map { case (_, cv) =>
-      dot(col("v"), typedlit(cv.toSeq)) / (col("nrm") * lit(foldNorm(cv)))
-    }: _*)
-    val assigned = emb
-      .withColumn("cid", array_position(cosArr, array_max(cosArr)) - 1)
-    val probes = emb.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        posexplode(cosArr).as(Seq("cid", "cc")))
-      .withColumn("prank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cc").desc, col("cid").asc)))
-      .where(col("prank") <= np)
-      .select(col("q_id"), col("qv"), col("qn"), col("cid").cast("long").as("cid"))
-    (assigned, probes)
   }
 
   /** Score bucket-joined candidates and keep the per-query top-k. */
@@ -310,8 +346,10 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: SparkSession, dir: String, indexDir: String,
                      nQueries: Int = 10, k: Int = 10, nCentroids: Int = 0,
-                     nProbe: Int = 4): DataFrame = {
-    val (assigned, probes) = ivfCore(spark, dir, nCentroids, nQueries, nProbe)
+                     nProbe: Int = 4,
+                     litMaxCentroids: Int = LitMaxCentroids): DataFrame = {
+    val (assigned, probes) =
+      ivfCore(spark, dir, nCentroids, nQueries, nProbe, litMaxCentroids)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(indexDir)
     val probeCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted

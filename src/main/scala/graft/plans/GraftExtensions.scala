@@ -24,8 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // The library's optimizer rules ride the same hook: one
     // `spark.sql.extensions=graft.plans.GraftExtensions` conf brings the
     // SQL functions AND the range-join rewrite to every session. The rule
-    // is conservative (exact-shape match, never fires twice), so
-    // installing it session-wide is safe.
+    // itself is gated on `spark.graft.rangeJoinRewrite.enabled` (default
+    // false), so sessions that want only the SQL functions never get plan
+    // rewrites — the rewrite's explode doubles probe-side rows, which is
+    // only a win when the original plan was nested-loop/cartesian.
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

@@ -31,21 +31,33 @@ import org.apache.spark.sql.types.LongType
   * instead of the size of the whole key group. Bucket ids use integral
   * division, so bucketing is exact at any epoch magnitude.
   *
-  * Activate per session (the standard hook for library rules):
+  * Activate per session: install the rule (via
   * {{{spark.experimental.extraOptimizations ++= Seq(RangeJoinRewrite)}}}
-  * The rule is conservative: anything but the exact shape above is left
-  * untouched, and it never fires twice (the rewritten join carries the
-  * internal bucket-column name as a marker).
+  * or the [[GraftExtensions]] hook) AND set
+  * `spark.graft.rangeJoinRewrite.enabled=true`. The conf gate makes the
+  * rewrite opt-in: sessions that adopt `spark.sql.extensions=
+  * graft.plans.GraftExtensions` for the SQL functions alone never get
+  * their join plans rewritten (the rewrite doubles probe-side rows via
+  * explode, which can regress a query whose original plan — e.g. a small
+  * broadcast build side — was already fine). The rule is conservative:
+  * anything but the exact shape above is left untouched, and it never
+  * fires twice (the rewritten join carries the internal bucket-column
+  * name as a marker).
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Session conf gating the rewrite; the rule is a no-op unless "true". */
+  val EnabledFlag = "spark.graft.rangeJoinRewrite.enabled"
+
   private val BucketCol = "__graft_range_bkt"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint)
-        if !j.output.exists(_.name.startsWith(BucketCol)) =>
-      rewrite(j, left, right, cond, hint).getOrElse(j)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledFlag, "false").toBoolean) plan
+    else plan transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !j.output.exists(_.name.startsWith(BucketCol)) =>
+        rewrite(j, left, right, cond, hint).getOrElse(j)
+    }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint): Option[LogicalPlan] = {

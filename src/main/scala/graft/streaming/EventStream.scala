@@ -298,8 +298,12 @@ object EventStream {
     * failing rows append to the quarantine table stamped with the first
     * failing rule (the landing-zone conveyor with in-flight validation:
     * bad rows neither abort the stream nor silently vanish). One codegen'd
-    * CASE per row; both writes are appends so each file batch lands
-    * exactly once under the checkpoint like [[incrementalCopy]].
+    * CASE per row. foreachBatch alone is at-least-once on crash replay —
+    * so each write is keyed on the micro-batch id (`_batch_id` partition,
+    * dynamic partition overwrite): a replayed batch OVERWRITES its own
+    * partition instead of double-appending, making the sink idempotent and
+    * the route exactly-once in effect, like [[incrementalCopy]]'s file-sink
+    * commit log. Both outputs derive from one persisted evaluation.
     */
   def quarantineRoute(spark: SparkSession, src: DataFrame, destDir: String,
       checkpointDir: String,
@@ -309,12 +313,21 @@ object EventStream {
         lit(null).cast("string"): _*)
     val q = src.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val tagged = batch.withColumn("reason", reason)
-        tagged.where(col("reason").isNull).drop("reason")
-          .write.mode("append").parquet(s"$destDir/clean.parquet")
-        tagged.where(col("reason").isNotNull)
-          .write.mode("append").parquet(s"$destDir/quarantine.parquet")
+          .withColumn("_batch_id", lit(batchId)).persist()
+        try {
+          tagged.where(col("reason").isNull).drop("reason")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(s"$destDir/clean.parquet")
+          tagged.where(col("reason").isNotNull)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(s"$destDir/quarantine.parquet")
+        } finally tagged.unpersist()
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

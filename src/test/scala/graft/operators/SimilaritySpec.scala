@@ -149,6 +149,24 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(kCent > 4, s"auto centroid count $kCent should exceed nProbe")
   }
 
+  test("large-kCent IVF broadcasts a centroid relation (no √N-literal projection), results identical") {
+    // Force the relation path (litMaxCentroids = 0) and compare to the
+    // default literal path at the same auto kCent: the two argmax forms
+    // share fold order, norms, and the (cc DESC, cid ASC) tie-break, so
+    // results must be row-identical — the 100×-scale plan is free.
+    val lit = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 10)
+    val rel = Similarity.ivfTopK(spark, sf, nQueries = 5, k = 10, litMaxCentroids = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(rel) == rows(lit))
+    val plan = rel.queryExecution.executedPlan.toString
+    // The centroid set must arrive via a broadcast join of a RELATION —
+    // never as inline array literals in the projection.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(800))
+    assert(!plan.contains("array_position"), "literal-array argmax leaked into the relation path")
+  }
+
   test("indexed IVF equals inline IVF and prunes unprobed list directories") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
     val indexed = Similarity.ivfTopKIndexed(spark, sf, indexDir, nQueries = 5, k = 10)

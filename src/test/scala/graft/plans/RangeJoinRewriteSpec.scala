@@ -25,6 +25,18 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkFixture {
   private def withRule[A](body: => A): A = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ RangeJoinRewrite
+    spark.conf.set(RangeJoinRewrite.EnabledFlag, "true")
+    try body
+    finally {
+      spark.conf.unset(RangeJoinRewrite.EnabledFlag)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq RangeJoinRewrite)
+    }
+  }
+
+  private def withRuleNoFlag[A](body: => A): A = {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RangeJoinRewrite
     try body
     finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations.filterNot(_ eq RangeJoinRewrite)
@@ -66,6 +78,22 @@ class RangeJoinRewriteSpec extends AnyFunSuite with SparkFixture {
       assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("Generate explode"), plan.take(1200))
+    }
+  }
+
+  test("the rule is a no-op when spark.graft.rangeJoinRewrite.enabled is unset") {
+    def q(): DataFrame = {
+      val (c, v) = parts()
+      c.join(v, col("v_us") >= col("c_us") - 3600000000L && col("v_us") < col("c_us"))
+        .select("click_id", "view_id")
+    }
+    withRuleNoFlag {
+      // Installed via extraOptimizations but NOT enabled: the naive
+      // nested-loop plan must survive untouched (conf-gated opt-in).
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("CartesianProduct"), plan.take(600))
+      assert(!plan.contains("Generate explode"), plan.take(600))
     }
   }
 

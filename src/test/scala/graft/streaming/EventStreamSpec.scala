@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -385,6 +385,16 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getAs[String]("reason"))).toSet
     assert(clean == Set(1L, 3L))
     assert(quar == Set((2L, "amount_nonpositive"), (4L, "amount_nonpositive")))
+    // Crash-replay simulation: re-deliver batch 0's rows through the same
+    // batch-id-keyed dynamic-partition-overwrite write. Idempotent sink =>
+    // the replayed partition is overwritten in place, never double-appended.
+    Seq((1L, 10.0), (3L, 3.0)).toDF("id", "amount")
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id").parquet(s"$dest/clean.parquet")
+    val replayed = spark.read.parquet(s"$dest/clean.parquet").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(replayed == Seq(1L, 3L), "replay of a committed batch must not duplicate rows")
   }
 
   test("sessionWindowAgg merges gap-overlapping events and closes on watermark") {

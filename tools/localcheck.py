@@ -5,8 +5,9 @@ Usage: python3 tools/localcheck.py [sfDir] [outDir]
 
 Reads each <outDir>/<name> parquet written by graft.Verify, runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same sfDir tables,
-and compares: row count, column names/dtypes (loose), and exact values after
-sorting columns by name. Exit 0 iff everything matches.
+and compares: row count, column names, dtypes (strict, after widening small
+ints to int64 on both sides — the only representation-neutral coercion), and
+exact values after sorting columns by name. Exit 0 iff everything matches.
 """
 import json
 import sys
@@ -20,9 +21,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+INT_WIDEN = {"int8", "int16", "int32", "uint8", "uint16", "uint32"}
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    return df.reset_index(drop=True)
+    df = df.reset_index(drop=True)
+    # Benign widening ONLY: small ints -> int64 (identical value rendering).
+    # Anything else (e.g. DuckDB HUGEINT -> float64 vs Spark int64) must
+    # FAIL here, because the driver's hash is representation-sensitive.
+    for c in df.columns:
+        if str(df[c].dtype) in INT_WIDEN:
+            df[c] = df[c].astype("int64")
+    return df
 
 
 def main():
@@ -58,8 +69,14 @@ def main():
         if len(g) != len(e):
             bad.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
             continue
+        dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(e[c].dtype)]
+        if dt_bad:
+            bad.append((name, "dtype mismatch (driver hash is representation-"
+                        f"sensitive): {dt_bad}"))
+            continue
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
             ok.append((name, f"{len(g)} rows exact"))
         except AssertionError as ex:
             msg = str(ex).split("\n")
