@@ -16,6 +16,19 @@ import org.apache.spark.sql.SparkSession
   * single pass was ±30% noisy, which made regressions unattributable. If a
   * BENCH_r02.json sits next to the repo the per-query delta vs that baseline
   * is printed to stderr so drift is visible at a glance.
+  *
+  * Isolation rules (VERDICT r4): a 139-query sweep in ONE JVM inflates
+  * same-query medians ~1.3× through accumulated GC/code-cache pressure,
+  * making sweep-vs-sweep deltas unattributable to code. So after the sweep
+  * the slowest SPARK_GRAFT_SOLO_N queries (default 10) are re-timed SOLO —
+  * one fresh child JVM each (same classpath/flags, same warmup+passes
+  * protocol, cores freed by stopping the sweep session first) — and the
+  * JSON line carries BOTH columns: `queries` (sweep: the capacity/total
+  * picture) and `solo` (isolation: the regression-attribution column).
+  * Cache and local-checkpoint blocks are also dropped between sweep
+  * queries so one query's leftover blocks can't tax the next. Derby-backed
+  * queries are excluded from solo (embedded Derby binds its database
+  * directory to the first JVM that boots it, for that JVM's lifetime).
   */
 object Bench {
 
@@ -58,6 +71,10 @@ object Bench {
             None
         }
       }
+      // Leftover cache / localCheckpoint blocks from this query must not
+      // tax the next one's GC: drop them eagerly between queries.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       // Any failed pass marks the query failed: a median over survivors
       // would hide flakiness.
       name -> (if (times.size == passes) Some(median(times)) else None)
@@ -79,14 +96,82 @@ object Bench {
         }
       }
     }
+    // ---- solo isolation pass -------------------------------------------
+    // Re-time the slowest queries in fresh single-query child JVMs so a
+    // delta vs last round is attributable to code, not to where the query
+    // sat in a 139-query sweep. Children inherit this JVM's flags and
+    // classpath and run the same warmup+median protocol; the sweep session
+    // is stopped first so the children own the cores (never two Spark JVMs
+    // competing). SPARK_GRAFT_SOLO=0 disables (and marks a child).
+    val soloEnabled = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SOLO", "1") != "0"
+    val soloN = sys.env.getOrElse("SPARK_GRAFT_SOLO_N", "10").toInt
+    val soloBudgetSec = sys.env.getOrElse("SPARK_GRAFT_SOLO_BUDGET", "900").toLong
+    val solo: Seq[(String, Option[Double])] =
+      if (!soloEnabled || soloN <= 0) Seq.empty
+      else {
+        spark.stop()
+        val candidates = results.toSeq
+          .filter { case (n, t) =>
+            // Embedded Derby binds a db directory to this (parent) JVM for
+            // its lifetime — a child JVM cannot boot the same db.
+            t.isDefined && !n.startsWith("copy_jdbc") && n != "copy_fk_ordered"
+          }
+          .sortBy(-_._2.get).take(soloN).map(_._1)
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        import scala.jdk.CollectionConverters._
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-agentlib"))
+        val cp = System.getProperty("java.class.path")
+        val deadline = System.nanoTime() + soloBudgetSec * 1000000000L
+        candidates.map { name =>
+          name -> (if (System.nanoTime() > deadline) {
+            System.err.println(s"[bench] solo $name skipped: budget exhausted")
+            None
+          } else try {
+            val outFile = java.io.File.createTempFile("graft-solo-", ".out")
+            val pb = new ProcessBuilder(
+              (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+            pb.redirectOutput(outFile)
+            pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+            val env = pb.environment()
+            env.put("SPARK_GRAFT_ONLY", name)
+            env.put("SPARK_GRAFT_SOLO", "0")
+            env.put("SPARK_GRAFT_SF_DIR", sfDir)
+            env.put("SPARK_GRAFT_CPUS", cpus)
+            env.put("SPARK_GRAFT_PASSES", passes.toString)
+            val p = pb.start()
+            val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+            if (!finished) { p.destroyForcibly(); p.waitFor(); None }
+            else {
+              val txt = scala.io.Source.fromFile(outFile).mkString
+              outFile.delete()
+              ("\"" + name + "\":([0-9.]+)").r
+                .findFirstMatchIn(txt).map(_.group(1).toDouble)
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] solo $name: ${e.getMessage}")
+            None
+          })
+        }
+      }
+    solo.foreach { case (n, t) =>
+      val sweep = results.get(n).flatten
+      System.err.println(f"[bench-solo] $n%-22s solo=${t.map(v => f"$v%.2f").getOrElse("null")}%7s  sweep=${sweep.map(v => f"$v%.2f").getOrElse("null")}%7s")
+    }
+
     val total = results.values.flatten.sum
     val nFailed = results.values.count(_.isEmpty)
+    val soloJson =
+      if (solo.isEmpty) ""
+      else solo.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + v.map(s => f"$s%.2f").getOrElse("null")
+      }.mkString(""","solo":{""", ",", "}")
     def line(qmap: Seq[(String, Option[Double])], omitted: Int): String = {
       val qs = qmap.map { case (k, v) =>
         "\"" + k + "\":" + v.map(s => f"$s%.2f").getOrElse("null")
       }.mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$nFailed,"passes":$passes,"nq":${results.size}$omit,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$soloJson,"failed":$nFailed,"passes":$passes,"nq":${results.size}$omit,"sf":"$sfDir"}"""
     }
     // The driver captures only the LAST ~2000 chars of output (BENCH_r03:
     // the 95-query line outgrew that window, its head was clipped, and the
@@ -96,7 +181,8 @@ object Bench {
     // with room for sbt's trailing "[success]" line.
     val fullSorted = results.toSeq.sortBy(_._1)
     val fullLine = line(fullSorted, 0)
-    try {
+    // Children (SPARK_GRAFT_ONLY set) must not clobber the sweep's full map.
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json: ${e.getMessage}") }

@@ -113,6 +113,52 @@ object SparkEntry {
       TableCopy.jdbcUpsert(s, db, fresh, "customer", Seq("c_custkey"))
       db.read(s, "customer").orderBy("c_custkey")
     }),
+    // Full schema replication onto a live JDBC destination: PK + secondary
+    // index + identity column ride with the copy (identity is BY DEFAULT,
+    // so source key values are PRESERVED — the KeepIdentity semantics; the
+    // % 3 filter makes preserved values distinguishable from a regenerated
+    // 1..N sequence). The result row reports the DESTINATION's live
+    // metadata alongside content aggregates, so the oracle's literals fail
+    // if any schema fact failed to replicate.
+    "copy_jdbc_schema" -> ((s, dir) => {
+      val db = TableCopy.JdbcStore(
+        s"jdbc:derby:${tmp("jdbcschema")}/db;create=true",
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val m = TableCopy.TableMeta(
+        primaryKey = Seq("c_custkey"),
+        indexes = Seq("customer_nkey_idx" -> Seq("c_nationkey")),
+        identity = Seq("c_custkey"))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), db, "customer",
+        TableCopy.Recreate, predicate = Some("c_custkey % 3 = 0"),
+        replicateMeta = true, metaOverride = Some(m))
+      val back = db.meta(s, "customer")
+      db.read(s, "customer")
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("sum_custkey"))
+        .select(col("n_rows"), col("sum_custkey"),
+          lit(back.primaryKey.mkString(",")).as("pk_cols"),
+          lit(back.indexes.map { case (n, cs) => s"$n(${cs.mkString(",")})" }
+            .mkString(";")).as("dest_indexes"),
+          lit(back.identity.mkString(",")).as("identity_cols"))
+    }),
+    // FK-aware multi-table copy into a Derby destination with ENFORCED
+    // foreign keys: the copy order is derived topologically from the FK
+    // metadata (region before nation before customer) — the alphabetical /
+    // catalog order copyTables uses would fail the child-first load. The
+    // manifest's seq column IS the copy order, and the destination's
+    // enforced constraints prove every parent was there first.
+    "copy_fk_ordered" -> ((s, dir) => {
+      val db = TableCopy.JdbcStore(
+        s"jdbc:derby:${tmp("fkorder")}/db;create=true",
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val metas = Map(
+        "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
+        "nation" -> TableCopy.TableMeta(primaryKey = Seq("n_nationkey"),
+          foreignKeys = Seq(("n_regionkey", "region", "r_regionkey"))),
+        "customer" -> TableCopy.TableMeta(primaryKey = Seq("c_custkey"),
+          foreignKeys = Seq(("c_nationkey", "nation", "n_nationkey"))))
+      TableCopy.copyTablesWithSchema(s, TableCopy.ParquetStore(dir), db,
+        metas, include = Seq("customer", "nation", "region"))
+    }),
     // §2.2 relational surface
     "q_filter_pushdown" -> ((s, dir) => Relational.filterPushdown(s, dir)),
     "q_agg_q1" -> ((s, dir) => Relational.aggQ1(s, dir)),
@@ -158,6 +204,13 @@ object SparkEntry {
     "q_window_distinct" -> ((s, dir) => Relational.windowDistinct(s, dir)),
     "q_session_path" -> ((s, dir) => Relational.sessionPaths(s, dir)),
     "q_mom" -> ((s, dir) => Relational.momRevenue(s, dir)),
+    "q_gini" -> ((s, dir) => Relational.giniRevenue(s, dir)),
+    "q_benford" -> ((s, dir) => Relational.benfordDigits(s, dir)),
+    "q_autocorr" -> ((s, dir) => Relational.autocorrDaily(s, dir)),
+    "q_churn" -> ((s, dir) => Relational.churnWeekly(s, dir)),
+    "q_rfm" -> ((s, dir) => Relational.rfmSegments(s, dir)),
+    "q_doc_rarity" -> ((s, dir) => TextAnalysis.docRarity(s, dir)),
+    "q_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
     "copy_verified" -> ((s, dir) =>
       TableCopy.copyVerified(s, dir, tmp("verified"), "nation")),
     "q_dau_mau" -> ((s, dir) => Relational.dauMau(s, dir)),
@@ -827,6 +880,25 @@ object SparkEntry {
     "copy_jdbc_upsert" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // The schema-fact literals are the CLAIM: the Spark side reads them
+    // from the live destination catalog after the copy, so a PK/index/
+    // identity that failed to replicate breaks the compare. Index names
+    // land upper-cased (unquoted DDL identifier); columns were created
+    // quoted, so they keep their exact case.
+    "copy_jdbc_schema" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
+        |  'c_custkey' AS pk_cols,
+        |  'CUSTOMER_NKEY_IDX(c_nationkey)' AS dest_indexes,
+        |  'c_custkey' AS identity_cols
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
+    "copy_fk_ordered" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS seq, 'region' AS table_name,
+        |    (SELECT count(*) FROM region) AS n_rows, 'ok' AS status
+        |  UNION ALL SELECT 2, 'nation', (SELECT count(*) FROM nation), 'ok'
+        |  UNION ALL SELECT 3, 'customer', (SELECT count(*) FROM customer), 'ok'
+        |) ORDER BY seq""".stripMargin,
     "q_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -1559,6 +1631,94 @@ object SparkEntry {
         |  round((revenue - lag(revenue) OVER (ORDER BY o_month))
         |    / lag(revenue) OVER (ORDER BY o_month) * 100.0, 6) AS mom_pct
         |FROM m ORDER BY o_month""".stripMargin,
+    "q_gini" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i FROM rev)
+        |SELECT count(*) AS n_customers,
+        |  round(2.0 * CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE)
+        |      / (count(*) * CAST(sum(x) AS DOUBLE))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |    AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |s AS (SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
+        |    round(log10(1.0 + 1.0 / digit), 6) AS benford
+        |  FROM g)
+        |SELECT digit, n, share, benford, round(abs(share - benford), 6) AS abs_dev
+        |FROM s ORDER BY digit""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT a.r AS x, b.r AS y FROM daily a
+        |  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY)
+        |SELECT count(*) AS n_pairs,
+        |  round((count(*) * CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)
+        |      - CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE))
+        |    / (sqrt(count(*) * CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+        |        - CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE))
+        |     * sqrt(count(*) * CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE)
+        |        - CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE))), 6)
+        |    AS autocorr_lag1
+        |FROM j""".stripMargin,
+    "q_churn" ->
+      """WITH p AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+        |nx AS (SELECT user_id, wk - 7 AS wk FROM p),
+        |ch AS (SELECT p.user_id, p.wk FROM p ANTI JOIN nx ON p.user_id = nx.user_id AND p.wk = nx.wk),
+        |a AS (SELECT wk, count(*) AS n_active FROM p GROUP BY 1),
+        |c AS (SELECT wk, count(*) AS n_churned FROM ch GROUP BY 1)
+        |SELECT strftime(a.wk, '%Y-%m-%d') AS week, n_active, coalesce(n_churned, 0) AS n_churned,
+        |  round(coalesce(n_churned, 0) / CAST(n_active AS DOUBLE), 6) AS churn_rate
+        |FROM a LEFT JOIN c ON a.wk = c.wk ORDER BY week""".stripMargin,
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate::DATE) AS last_day, count(*) AS freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS d1 FROM per),
+        |s AS (
+        |  SELECT o_custkey, freq, monetary, datediff('day', last_day, d1) AS recency
+        |  FROM per, a),
+        |q AS (
+        |  SELECT monetary,
+        |    ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS r_q,
+        |    ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_q
+        |  FROM s)
+        |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+        |  count(*) AS n_customers,
+        |  round(CAST(sum(monetary) AS DOUBLE), 2) AS revenue
+        |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
+    "q_doc_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        |j AS (
+        |  SELECT t.doc_id, ln((nd.n + 1.0) / (df.df + 1.0)) AS idf
+        |  FROM t JOIN df USING (tok) CROSS JOIN nd)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(idf AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS rarity
+        |FROM j GROUP BY 1 ORDER BY rarity DESC, doc_id ASC LIMIT 25""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INTEGER) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_dau_mau" ->
       """WITH p AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |b AS (SELECT max(day) AS d1 FROM p),

@@ -1279,4 +1279,136 @@ object Relational {
       .agg(count(lit(1)).as("n_nations"),
         array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
       .orderBy("r_name")
+
+  /** §2.2 #152 — Gini coefficient of per-customer revenue: the standard
+    * inequality summary (G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n over ascending
+    * xᵢ) a marketplace reports for revenue concentration. Revenue per
+    * customer is one partial-aggregated shuffle over orders; the rank is a
+    * window over CUSTOMERS (dimension-bounded, not fact-bounded). Ties in
+    * revenue are permutation-invariant in Σ i·xᵢ (equal x across a tied
+    * rank block), so the result is deterministic without a tie-break.
+    * Decimal rank-weighted sums make the quotient exact cross-engine.
+    */
+  def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+    val ranked = rev.withColumn("i",
+      row_number().over(Window.orderBy(col("x").asc, col("o_custkey").asc)))
+    ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("x")).cast("double").as("sx"),
+        sum((col("i") * col("x")).cast(DecimalType(38, 2))).cast("double").as("six"))
+      .select(col("n_customers"),
+        round(lit(2.0) * col("six") / (col("n_customers") * col("sx")) -
+          (col("n_customers") + lit(1.0)) / col("n_customers"), 6).as("gini"))
+  }
+
+  /** §2.2 #153 — Benford first-digit audit over order totals: observed
+    * first-significant-digit shares vs Benford's log10(1 + 1/d) — the
+    * classic fabricated-data / corrupted-load screen a DBA runs on a
+    * copied fact table. The digit is taken from the DECIMAL(18,2) string
+    * form (exact, no float log10 at the boundary); one scan, one 9-row
+    * aggregate, everything map-side combined.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .where(col("o_totalprice") >= 1.0)
+      .select(substring(col("o_totalprice").cast(DecimalType(18, 2))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
+      .withColumn("benford", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("abs_dev", round(abs(col("share") - col("benford")), 6))
+      .orderBy("digit")
+
+  /** §2.2 #154 — lag-1 autocorrelation of daily revenue: does today's
+    * revenue predict tomorrow's (seasonality/trend screen before
+    * forecasting)? The lag pairing is a SHIFTED EQUI-JOIN of the daily
+    * rollup with itself (day ↔ day+1) — never a window over raw orders —
+    * so the join input is calendar-bounded. Pearson moments ride the exact
+    * decimal-sum pattern of [[corrAgg]].
+    */
+  def autocorrDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      // Re-narrow the sum to (18,2) so the cross-moment products type
+      // identically in Spark and the DuckDB oracle (a (38,2)x(38,2)
+      // multiply would overflow DuckDB's decimal width).
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("r"))
+    val nxt = daily.select(date_add(col("day"), -1).as("day"), col("r").as("r_next"))
+    def d(c: Column) = sum(c.cast(DecimalType(38, 6))).cast("double")
+    daily.join(nxt, "day")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        d(col("r")).as("sx"), d(col("r_next")).as("sy"),
+        d(col("r") * col("r_next")).as("sxy"),
+        d(col("r") * col("r")).as("sxx"),
+        d(col("r_next") * col("r_next")).as("syy"))
+      .select(col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("autocorr_lag1"))
+  }
+
+  /** §2.2 #155 — weekly churn: users active in ISO week w with NO activity
+    * in week w+1 (the subscription-business health metric, at the weekly
+    * grain the events table's span supports). Presence dedupes events to
+    * one (user, week) row FIRST — the #141 decomposition — so the
+    * anti-join ships presence rows, never raw events; both sides of the
+    * join are presence-bounded. The final week reports churn against an
+    * empty successor (standard right-censoring caveat, kept explicit).
+    */
+  def churnWeekly(spark: SparkSession, dir: String): DataFrame = {
+    val presence = t(spark, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    // A user active in week w+1 cancels churn for week w: shift activity
+    // back one week and anti-join.
+    val nextActive = presence.select(col("user_id"), date_sub(col("wk"), 7).as("wk"))
+    val churned = presence.join(nextActive, Seq("user_id", "wk"), "left_anti")
+    presence.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      .join(churned.groupBy("wk").agg(count(lit(1)).as("n_churned")), Seq("wk"), "left_outer")
+      .select(date_format(col("wk"), "yyyy-MM-dd").as("week"), col("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        round(coalesce(col("n_churned"), lit(0L)) / col("n_active").cast("double"), 6)
+          .as("churn_rate"))
+      .orderBy("week")
+  }
+
+  /** §2.2 #156 — RFM segmentation: per customer, Recency (days since last
+    * order), Frequency (order count), Monetary (exact decimal revenue),
+    * each cut into quartiles; customers report as one of ≤64 R·F·M
+    * segments. The per-customer rollup is the only fact-scale shuffle;
+    * ntile windows run over CUSTOMERS (dimension-bounded) with full
+    * (metric, custkey) tie-breaks so quartile assignment is deterministic
+    * cross-engine.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
+    val anchor = per.agg(max("last_day").as("d1"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("recency", datediff(col("d1"), col("last_day")))
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("recency").asc, col("o_custkey").asc)))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("freq").desc, col("o_custkey").asc)))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
+    scored
+      .groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+        .cast("long").as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("revenue"))
+      .withColumn("revenue", round(col("revenue"), 2))
+      .orderBy("segment")
+  }
 }

@@ -324,4 +324,59 @@ object TextAnalysis {
         col("score"))
       .orderBy("doc_id", "rank")
   }
+
+  /** §2.3 #157 — document RARITY score: mean smoothed IDF
+    * (ln((N+1)/(df+1)), the [[keywords]] convention) over a document's
+    * token OCCURRENCES — high = mostly rare vocabulary. Curation pipelines
+    * rank by this to surface specialist / long-tail documents (or, at the
+    * low end, boilerplate) before sampling decisions.
+    *
+    * Plan shape at 100 TB: df derives from the (doc, token) presence
+    * aggregate, never re-scans the corpus; the vocabulary-bounded IDF
+    * table broadcasts back onto the token stream; per-doc means are one
+    * partial-aggregated shuffle with DECIMAL sums (fp-order-proof); the
+    * top-k cut compiles to TakeOrderedAndProject on the ROUNDED score with
+    * a doc_id tie-break (cross-engine reproducible ranking).
+    */
+  def docRarity(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("tok"))
+    val df = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    toks
+      .join(df.hint("broadcast"), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("idf").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("rarity"))
+      .orderBy(col("rarity").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** §2.3 #158 — readability scoring (Flesch reading-ease with a
+    * vowel-group syllable heuristic): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). The standard cheap complexity filter a
+    * curation pipeline runs next to [[qualityScore]] — too-low scores are
+    * jargon/run-on walls, absurdly high ones are fragment spam. Sentence
+    * count = terminal-punctuation runs (min 1); syllables = [aeiouy]+
+    * groups. All three counts are integer-exact regexp counts at scan
+    * speed; only the final formula is floating point (deterministic: one
+    * expression, fixed operand order, rounded).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(tokensCol).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .as("n_syllables"))
+      .withColumn("flesch",
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables") / col("n_words")), 4))
+      .orderBy("doc_id")
 }

@@ -556,6 +556,69 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == ev.map(_.getString(0)).distinct.length)
   }
 
+  test("giniRevenue matches a local Gini computation and lands in [0, 1)") {
+    val r = Relational.giniRevenue(spark, sf).collect()(0)
+    val xs = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey").agg(sum(col("o_totalprice")).as("x"))
+      .collect().map(_.getDouble(1)).sorted
+    val n = xs.length
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val local = 2.0 * six / (n * xs.sum) - (n + 1.0) / n
+    assert(r.getAs[Long]("n_customers") == n)
+    assert(math.abs(r.getAs[Double]("gini") - local) < 1e-4)
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+  }
+
+  test("benfordDigits covers digits 1-9 with shares summing to 1") {
+    val rows = Relational.benfordDigits(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.load(spark, sf, "orders").count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val benford = rows.map(_.getAs[Double]("benford")).sum
+    assert(math.abs(benford - 1.0) < 1e-4) // log10 masses sum to 1 exactly
+  }
+
+  test("autocorrDaily pairs every consecutive-day revenue and stays in [-1, 1]") {
+    val r = Relational.autocorrDaily(spark, sf).collect()(0)
+    val days = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    val expectPairs = days.sliding(2).count {
+      case Array(a, b) => a.plusDays(1) == b
+      case _ => false
+    }
+    assert(r.getAs[Long]("n_pairs") == expectPairs)
+    val ac = r.getAs[Double]("autocorr_lag1")
+    assert(ac >= -1.0 && ac <= 1.0)
+  }
+
+  test("churnWeekly: churned <= active, rates in [0,1], last week fully right-censored") {
+    val rows = Relational.churnWeekly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("n_active"), r.getAs[Long]("n_churned"))
+      assert(c >= 0 && c <= a)
+      val rate = r.getAs[Double]("churn_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // No week-after data exists for the last week: everyone "churns".
+    assert(rows.last.getAs[Double]("churn_rate") == 1.0)
+  }
+
+  test("rfmSegments partitions all customers into valid RFM codes") {
+    val rows = Relational.rfmSegments(spark, sf).collect()
+    val nCust = Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      val seg = r.getAs[Long]("segment")
+      val (rq, fq, mq) = ((seg / 100).toInt, ((seg / 10) % 10).toInt, (seg % 10).toInt)
+      assert(Seq(rq, fq, mq).forall(q => q >= 1 && q <= 4), s"segment $seg")
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)

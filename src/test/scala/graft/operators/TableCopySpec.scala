@@ -467,6 +467,89 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(!db.list(spark).exists(_.equalsIgnoreCase("customer_stage")))
   }
 
+  test("schema replication: PK, secondary index, and identity survive a JDBC-to-JDBC copy") {
+    val src = derbyStore()
+    val dst = derbyStore()
+    // A real catalog source: PK + user index + identity created via SQL —
+    // the metadata is DISCOVERED from the live catalog, not supplied.
+    val conn = java.sql.DriverManager.getConnection(src.url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE items ("item_id" BIGINT NOT NULL GENERATED BY DEFAULT AS IDENTITY,
+          |"grp" INTEGER NOT NULL, "label" VARCHAR(20), PRIMARY KEY ("item_id"))""".stripMargin)
+      st.executeUpdate("CREATE INDEX items_grp_idx ON items (\"grp\")")
+      st.executeUpdate("INSERT INTO items VALUES (10, 1, 'a'), (20, 1, 'b'), (35, 2, 'c')")
+    } finally conn.close()
+    val m = src.meta(spark, "items")
+    assert(m.primaryKey == Seq("item_id"))
+    assert(m.identity == Seq("item_id"))
+    assert(m.indexes == Seq(("ITEMS_GRP_IDX", Seq("grp"))))
+    TableCopy.copy(spark, src, dst, "items", TableCopy.Recreate, replicateMeta = true)
+    val back = dst.meta(spark, "items")
+    assert(back.primaryKey == Seq("item_id"))
+    assert(back.identity == Seq("item_id"))
+    assert(back.indexes == Seq(("ITEMS_GRP_IDX", Seq("grp"))))
+    // KeepIdentity semantics: the DESTINATION holds the source's identity
+    // VALUES (10, 20, 35), not a regenerated 1, 2, 3 sequence.
+    val ids = dst.read(spark, "items").collect()
+      .map(_.getAs[Long]("item_id")).sorted.toSeq
+    assert(ids == Seq(10L, 20L, 35L))
+    // The destination PK actually enforces: a duplicate key must fail.
+    val dconn = java.sql.DriverManager.getConnection(dst.url)
+    try intercept[java.sql.SQLException] {
+      dconn.createStatement().executeUpdate("INSERT INTO items VALUES (10, 9, 'dup')")
+    } finally dconn.close()
+  }
+
+  test("copyTablesWithSchema orders parents before children; cycles defer FKs with a warning") {
+    val db = derbyStore()
+    val metas = Map(
+      "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
+      "nation" -> TableCopy.TableMeta(primaryKey = Seq("n_nationkey"),
+        foreignKeys = Seq(("n_regionkey", "region", "r_regionkey"))))
+    val man = TableCopy.copyTablesWithSchema(spark, TableCopy.ParquetStore(sf), db,
+      metas, include = Seq("nation", "region"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    // Alphabetical order (nation first) would fail the enforced FK load;
+    // the manifest's seq records parent-first.
+    assert(man == Seq((1L, "region", 5L, "ok"), (2L, "nation", 25L, "ok")))
+    // The destination FK is real: an orphan child row must be rejected.
+    val conn = java.sql.DriverManager.getConnection(db.url)
+    try intercept[java.sql.SQLException] {
+      conn.createStatement().executeUpdate(
+        "INSERT INTO nation VALUES (99, 'nowhere', 42, 'no such region')")
+    } finally conn.close()
+    // A true FK cycle cannot be topologically ordered: both tables copy in
+    // name order with their FK clauses deferred, flagged in the manifest.
+    val cyc = Map(
+      "customer" -> TableCopy.TableMeta(
+        foreignKeys = Seq(("c_nationkey", "supplier", "s_suppkey"))),
+      "supplier" -> TableCopy.TableMeta(
+        foreignKeys = Seq(("s_nationkey", "customer", "c_custkey"))))
+    val man2 = TableCopy.copyTablesWithSchema(spark, TableCopy.ParquetStore(sf), db,
+      cyc, include = Seq("customer", "supplier"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(man2.map(_._1) == Seq("customer", "supplier"))
+    assert(man2.forall(_._3.startsWith("warning: fk cycle")))
+    assert(man2.forall(_._2 > 0L))
+  }
+
+  test("copyTablesWithSchema re-runs cleanly over its own FK constraints") {
+    val db = derbyStore()
+    val metas = Map(
+      "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
+      "nation" -> TableCopy.TableMeta(primaryKey = Seq("n_nationkey"),
+        foreignKeys = Seq(("n_regionkey", "region", "r_regionkey"))))
+    def run() = TableCopy.copyTablesWithSchema(spark, TableCopy.ParquetStore(sf),
+      db, metas, include = Seq("nation", "region"))
+      .collect().map(r => (r.getString(1), r.getString(3))).toSeq
+    // Second run must drop children before parents (reverse topological
+    // order) or region's DROP would be blocked by nation's live FK.
+    assert(run() == Seq(("region", "ok"), ("nation", "ok")))
+    assert(run() == Seq(("region", "ok"), ("nation", "ok")))
+  }
+
   test("copyMapped renames and re-types columns in the stored file") {
     val dest = tmpDir()
     val n = TableCopy.copyMapped(spark, sf, dest, "customer", Seq(

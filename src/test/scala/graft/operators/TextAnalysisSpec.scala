@@ -181,4 +181,46 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
     assert(byDoc.size == docs.size, "every doc gets keywords")
   }
+
+  test("docRarity matches a local mean-IDF computation on the top documents") {
+    val rows = TextAnalysis.docRarity(spark, sf, k = 10).collect()
+    assert(rows.length == 10)
+    val corpus = docs.map { case (id, t) => id -> t.trim.split(" ", -1).toSeq }
+    val nDocs = corpus.size
+    val dfm = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def localRarity(id: Long): Double = {
+      val toks = corpus(id)
+      val s = toks.map(t => BigDecimal(math.log((nDocs + 1.0) / (dfm(t) + 1.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      (s / toks.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_tokens") == corpus(id).length)
+      assert(math.abs(r.getAs[Double]("rarity") - localRarity(id)) < 1e-5, s"doc $id")
+    }
+    // Descending by rarity with doc_id tie-break.
+    val scores = rows.map(r => (-r.getAs[Double]("rarity"), r.getAs[Long]("doc_id")))
+    assert(scores.sortBy(identity).toSeq == scores.toSeq)
+  }
+
+  test("readability counts words/sentences/syllables exactly and scores every doc") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = docs(id)
+      val words = text.trim.split(" ", -1).length
+      val sentences = math.max("[.!?]+".r.findAllIn(text).size, 1)
+      val syllables = "[aeiouy]+".r.findAllIn(text.toLowerCase).size
+      assert(r.getAs[Int]("n_words") == words, s"doc $id words")
+      assert(r.getAs[Int]("n_sentences") == sentences, s"doc $id sentences")
+      assert(r.getAs[Int]("n_syllables") == syllables, s"doc $id syllables")
+      val local = BigDecimal(206.835 - 1.015 * (words.toDouble / sentences) -
+        84.6 * (syllables.toDouble / words))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("flesch") - local) < 1e-9, s"doc $id flesch")
+    }
+  }
 }
