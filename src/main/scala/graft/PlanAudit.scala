@@ -66,6 +66,10 @@ object PlanAudit {
         // ngram_lm / window_distinct / dau_mau: 1-row vocab-size or
         // date-bound frames
         "q_ngram_lm", "q_window_distinct", "q_dau_mau",
+        // doc_rarity: 1-row corpus-count frame (the keywords pattern);
+        // rfm: 1-row anchor-date frame (the locf pattern);
+        // user_overlap: |event types|² all-pairs frame (≤25 rows)
+        "q_doc_rarity", "q_rfm", "q_user_overlap",
         "copy_verified", // copy_verified: 1-row x 1-row checksum verdict
         // ann_ivf large-k regime broadcasts the centroid RELATION over one
         // corpus scan (the kmeans assignment pattern) instead of inlining

@@ -211,6 +211,10 @@ object SparkEntry {
     "q_rfm" -> ((s, dir) => Relational.rfmSegments(s, dir)),
     "q_doc_rarity" -> ((s, dir) => TextAnalysis.docRarity(s, dir)),
     "q_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
+    "q_tpch_q5" -> ((s, dir) => Relational.tpchQ5(s, dir)),
+    "q_user_overlap" -> ((s, dir) => Relational.userOverlap(s, dir)),
+    "q_dup_source" -> ((s, dir) => Dedup.dupRateBySource(s, dir)),
+    "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "copy_verified" -> ((s, dir) =>
       TableCopy.copyVerified(s, dir, tmp("verified"), "nation")),
     "q_dau_mau" -> ((s, dir) => Relational.dauMau(s, dir)),
@@ -1656,7 +1660,11 @@ object SparkEntry {
     "q_autocorr" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS r
+        |    -- (19,2), not (18,2): same values, but precision 19 forces
+        |    -- DuckDB onto int128 storage so the x*y multiply cannot
+        |    -- overflow int64 at large SFs (Spark's (18,2)*(18,2)->(37,4)
+        |    -- is already exact).
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS r
         |  FROM orders GROUP BY 1),
         |j AS (
         |  SELECT a.r AS x, b.r AS y FROM daily a
@@ -1719,6 +1727,58 @@ object SparkEntry {
         |  round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4) AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_user_overlap" ->
+      """WITH p AS (SELECT DISTINCT event_type AS et, user_id FROM events),
+        |s AS (SELECT et, count(*) AS n FROM p GROUP BY 1),
+        |i AS (
+        |  SELECT a.et AS ta, b.et AS tb, count(*) AS n_both
+        |  FROM p a JOIN p b ON a.user_id = b.user_id AND a.et < b.et GROUP BY 1, 2)
+        |SELECT sa.et AS type_a, sb.et AS type_b, sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_both, 0) AS n_both,
+        |  round(coalesce(i.n_both, 0)
+        |    / CAST(sa.n + sb.n - coalesce(i.n_both, 0) AS DOUBLE), 6) AS jaccard
+        |FROM s sa JOIN s sb ON sa.et < sb.et
+        |LEFT JOIN i ON i.ta = sa.et AND i.tb = sb.et
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_dup_source" ->
+      """WITH g AS (
+        |  SELECT source, lower(trim(text)) AS k, count(*) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_unique,
+        |  CAST(sum(n - 1) AS BIGINT) AS n_redundant,
+        |  round(CAST(sum(n - 1) AS BIGINT) / CAST(sum(n) AS DOUBLE), 6) AS dup_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), rare AS (
+        |  SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY 1) WHERE df <= 100
+        |), cs AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM cs a JOIN cs b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, inter,
+        |  round(inter::DOUBLE / least(sa.n, sb.n), 6) AS containment,
+        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dau_mau" ->
       """WITH p AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
         |b AS (SELECT max(day) AS d1 FROM p),

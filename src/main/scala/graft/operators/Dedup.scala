@@ -398,4 +398,61 @@ object Dedup {
         lit(0).as("hamming"))
     cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
+
+  /** §2.3 #160 — within-source duplication rate: the per-source exact-dup
+    * diagnostic a curation pipeline reads BEFORE deciding source weights
+    * (a source that is 40% self-copies contributes less unique signal than
+    * its row count suggests). Two partial-aggregated stages: (source,
+    * content-hash) groups — the exchange ships 32-byte hashes, never
+    * documents — then a source rollup. Duplication is counted WITHIN each
+    * source; cross-source copies are [[exact]]'s global view.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), sha2(lower(trim(col("text"))), 256).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("n") - 1).as("n_redundant"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_redundant"),
+        round(col("n_redundant") / col("n_docs").cast("double"), 6).as("dup_rate"))
+      .orderBy("source")
+
+  /** §2.3 #162 — CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * over word-3-gram shingle sets, the asymmetric metric that catches a
+    * short document embedded inside a long one — exactly the pairs Jaccard
+    * structurally misses (a 10-shingle doc inside a 1000-shingle doc tops
+    * out at J ≈ 0.01 but C = 1.0). MinHash-LSH banding can't generate
+    * these candidates either (collision probability tracks Jaccard), so
+    * candidates come from an INVERTED SHINGLE INDEX restricted to shingles
+    * with document frequency ≤ `dfCap`: join work is bounded by Σ df² ≤
+    * dfCap·(corpus shingle count) — linear with the cap — and the metric
+    * is computed over that same df-capped vocabulary in BOTH engines, so
+    * the result is exact by definition, at any scale. Boilerplate-only
+    * overlap (shingles above the cap) is excluded by design: those are the
+    * pairs a curation pass does NOT want merged.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, dfCap: Int = 100): DataFrame = {
+    val sh = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("g"))
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("g")
+    val capped = sh.join(rare, "g")
+    val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("craw", col("inter") / least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("craw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+        round(col("craw"), 6).as("containment"),
+        round(col("inter") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

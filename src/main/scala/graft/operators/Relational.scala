@@ -1411,4 +1411,68 @@ object Relational {
       .withColumn("revenue", round(col("revenue"), 2))
       .orderBy("segment")
   }
+
+  /** §2.2 #159 — TPC-H Q5 (local supplier volume): the 6-table snowflake
+    * join with the same-nation customer/supplier constraint. Plan shape at
+    * 100 TB: region filter prunes nation, nation prunes supplier — the
+    * whole dim chain folds into ONE broadcast against the lineitem scan;
+    * orders (date-filtered at the scan) joins lineitem on the shuffle key
+    * both tables would bucket on; customer is fact-scale so it joins by
+    * shuffle too, NEVER broadcast. The c_nationkey = s_nationkey residual
+    * rides the customer join. Exact decimal revenue, (revenue DESC, name)
+    * deterministic ordering.
+    */
+  def tpchQ5(spark: SparkSession, dir: String, region: String = "ASIA",
+      year: Int = 1996): DataFrame = {
+    val nat = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").where(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= to_date(lit(f"$year%04d-01-01")) &&
+        col("o_orderdate") < to_date(lit(f"${year + 1}%04d-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** §2.2 #161 — audience overlap: pairwise Jaccard between the USER SETS
+    * of every two event types (does the purchase audience overlap the
+    * error audience?). Presence dedup first, then a user-keyed self-join —
+    * each user carries ≤|types| presence rows, so the join fans out ≤
+    * |types|² per user (bounded, never quadratic in events). All-pairs
+    * frame is |types|²-bounded; zero-overlap pairs still report.
+    */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events")
+      .select(col("event_type").as("et"), col("user_id")).distinct()
+    val sizes = p.groupBy("et").agg(count(lit(1)).as("n"))
+    val inter = p.select(col("et").as("type_a"), col("user_id"))
+      .join(p.select(col("et").as("type_b"), col("user_id")), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    val pairs = sizes.select(col("et").as("type_a"), col("n").as("n_a"))
+      .crossJoin(sizes.select(col("et").as("type_b"), col("n").as("n_b")))
+      .where(col("type_a") < col("type_b"))
+    pairs.join(inter, Seq("type_a", "type_b"), "left_outer")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        round(coalesce(col("n_both"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L))).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
 }

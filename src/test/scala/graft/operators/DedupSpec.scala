@@ -187,4 +187,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaSql == viaDf)
   }
+
+  test("dupRateBySource: totals reconcile and rates are exact per source") {
+    val rows = Dedup.dupRateBySource(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.toLowerCase))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val texts = bySource(src).map(_._2)
+      assert(r.getAs[Long]("n_docs") == texts.length)
+      assert(r.getAs[Long]("n_unique") == texts.distinct.length)
+      assert(r.getAs[Long]("n_redundant") == texts.length - texts.distinct.length)
+    }
+  }
+
+  test("containmentPairs finds subset-shaped near-dups Jaccard banding misses") {
+    val rows = Dedup.containmentPairs(spark, sf, threshold = 0.9).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, inter) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("inter"))
+      assert(inter <= math.min(na, nb))
+      val c = r.getAs[Double]("containment")
+      val j = r.getAs[Double]("jaccard")
+      assert(c >= 0.9 && c <= 1.0)
+      assert(j <= c + 1e-9, "containment dominates jaccard")
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
 }

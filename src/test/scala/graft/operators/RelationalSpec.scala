@@ -619,6 +619,50 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tpchQ5 matches a local recomputation of the 6-table join") {
+    val rows = Relational.tpchQ5(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // Independent computation via one flat SQL join in a fresh local plan.
+    Seq("nation", "region", "supplier", "customer", "orders", "lineitem")
+      .foreach(n => Tables.load(spark, sf, n).createOrReplaceTempView(n))
+    val local = spark.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.toSeq == local.toSeq)
+    assert(rows.nonEmpty)
+    // Revenue strictly ordered descending (with name tie-break).
+    assert(rows.map(-_._2).toSeq == rows.map(-_._2).sorted.toSeq)
+  }
+
+  test("userOverlap reports every type pair with set-exact Jaccard") {
+    val rows = Relational.userOverlap(spark, sf).collect()
+    val sets = Tables.load(spark, sf, "events")
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    assert(rows.length == types.combinations(2).size)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (sa, sb) = (sets(a), sets(b))
+      assert(r.getAs[Long]("n_a") == sa.size && r.getAs[Long]("n_b") == sb.size)
+      val both = (sa & sb).size
+      assert(r.getAs[Long]("n_both") == both)
+      val j = BigDecimal(both.toDouble / (sa.size + sb.size - both))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("jaccard") == j)
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)
