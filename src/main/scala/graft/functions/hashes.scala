@@ -225,3 +225,44 @@ object DotProduct {
     acc
   }
 }
+
+/** word_ngrams(array<string> words, n) -> array<string>: DISTINCT
+  * space-joined word n-grams in first-occurrence order — value-identical to
+  * `array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ',
+  * w[i-1], w[i], w[i+1])))` for n=3, but one codegen'd loop instead of
+  * interpreted lambda dispatch per shingle (which dominated the shingle
+  * family's runtime the way the signature lambdas did before [[Simhash64]]).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val cnt = words.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var k = 0
+      while (k < n) { parts(k) = words.getUTF8String(i + k); k += 1 }
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}

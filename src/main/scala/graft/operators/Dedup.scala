@@ -42,18 +42,33 @@ object Dedup {
       .select("keep_id", "n_copies")
       .orderBy("keep_id")
 
+  /** Parallelism guard for per-doc CPU-bound stages: a small local file
+    * arrives as ONE scan split, which serializes shingling on a single
+    * core (measured 4+ s for a 5k-doc corpus that shingles in <1 s spread
+    * over 32). At real scale the scan's own splits already provide
+    * parallelism and this is a no-op — the repartition only fires when the
+    * scan has fewer partitions than the cluster has slots.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Word 3-gram shingle set per document (distinct, order-preserving input).
     * Documents with fewer than 3 tokens have no shingles and drop out of
     * near-dup detection (they cannot exceed any Jaccard threshold anyway).
+    * Shingle construction is the codegen'd [[graft.functions.WordNgrams]]
+    * kernel — value-identical to the transform/concat_ws lambda form it
+    * replaces, without the per-shingle interpreted dispatch.
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftglue._
+    spread(Tables.load(spark, dir, "documents"))
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"),
-        array_distinct(expr(
-          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
-          .as("sh"))
+        exprColumn(graft.functions.WordNgrams(columnExpr(col("w")), 3)).as("sh"))
       .where(size(col("w")) >= 3)
+  }
 
   /** MinHash parameters: 64 hash functions = 32 bands x 2 rows. With
     * r=2, b=32 a pair at Jaccard s collides in >=1 band with probability
@@ -434,10 +449,15 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.9, dfCap: Int = 100): DataFrame = {
+    // sh feeds the df histogram AND the capped join; capped then feeds
+    // three consumers (sizes + both self-join sides). Checkpoint both so
+    // the shingle explode evaluates ONCE and the capped rows once (the
+    // dedup-cluster convention for reused intermediate edges).
     val sh = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("g"))
+      .localCheckpoint(true)
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") <= dfCap).select("g")
-    val capped = sh.join(rare, "g")
+    val capped = sh.join(rare, "g").localCheckpoint(true)
     val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = capped.as("a")
       .join(capped.as("b"),

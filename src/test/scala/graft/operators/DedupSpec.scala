@@ -188,6 +188,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(viaSql == viaDf)
   }
 
+  test("WordNgrams kernel equals the transform/concat_ws lambda formulation") {
+    import org.apache.spark.sql.graftglue._
+    val base = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+      .where(size(col("w")) >= 3)
+    val kernel = base.select(col("doc_id"),
+      exprColumn(graft.functions.WordNgrams(columnExpr(col("w")), 3)).as("sh"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+    val lambda = base.select(col("doc_id"),
+      array_distinct(expr(
+        "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"))
+        .as("sh"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+    assert(kernel.toSeq == lambda.toSeq)
+    // And the codegen path is actually exercised: sub-n-gram inputs yield [].
+    assert(graft.functions.WordNgrams
+      .compute(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("one"))), 3)
+      .numElements() == 0)
+  }
+
   test("dupRateBySource: totals reconcile and rates are exact per source") {
     val rows = Dedup.dupRateBySource(spark, sf).collect()
     val docs = Tables.load(spark, sf, "documents")
