@@ -86,6 +86,15 @@ object SparkEntry {
       js.read(s, "nation")
         .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
     }),
+    // ORC is self-describing (like parquet), so no schema injection needed:
+    // the FileStore's format string is the only change — one Store
+    // abstraction covers the whole columnar/text format family.
+    "copy_orc_roundtrip" -> ((s, dir) => {
+      val orc = TableCopy.FileStore(tmp("orcrt"), "orc")
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), orc, "nation", TableCopy.Truncate)
+      orc.read(s, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey")
+    }),
     "q_partitioned_read" -> ((s, dir) =>
       TableCopy.partitionedRead(s, dir, "orders", "o_orderkey", 8)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -212,6 +221,8 @@ object SparkEntry {
     "q_doc_rarity" -> ((s, dir) => TextAnalysis.docRarity(s, dir)),
     "q_readability" -> ((s, dir) => TextAnalysis.readability(s, dir)),
     "q_tpch_q5" -> ((s, dir) => Relational.tpchQ5(s, dir)),
+    "q_hour_profile" -> ((s, dir) => Relational.hourProfile(s, dir)),
+    "q_lag_features" -> ((s, dir) => Relational.lagFeatures(s, dir)),
     "q_user_overlap" -> ((s, dir) => Relational.userOverlap(s, dir)),
     "q_dup_source" -> ((s, dir) => Dedup.dupRateBySource(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
@@ -759,6 +770,8 @@ object SparkEntry {
     "copy_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "copy_json_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "copy_orc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_scd2" ->
       """WITH drift AS (
@@ -1738,6 +1751,25 @@ object SparkEntry {
         |  AND r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_hour_profile" ->
+      """WITH h AS (
+        |  SELECT CAST(hour(ts) AS INTEGER) AS hour, event_type,
+        |    count(*) AS n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n_events, total_value,
+        |  round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (PARTITION BY event_type), 6)
+        |    AS share_of_type
+        |FROM h ORDER BY event_type, hour""".stripMargin,
+    "q_lag_features" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events)
+        |SELECT user_id, event_id, value,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_prior,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag1,
+        |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag2,
+        |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag3
+        |FROM x ORDER BY user_id, event_id""".stripMargin,
     "q_user_overlap" ->
       """WITH p AS (SELECT DISTINCT event_type AS et, user_id FROM events),
         |s AS (SELECT et, count(*) AS n FROM p GROUP BY 1),

@@ -1412,6 +1412,48 @@ object Relational {
       .orderBy("segment")
   }
 
+  /** §2.2 #164 — hour-of-day load profile: events and value per
+    * (hour, event_type) with each type's within-type share — the capacity /
+    * seasonality picture an operations dashboard opens with. One map-side-
+    * combined aggregate to a 24×|types| frame; the share window runs over
+    * that bounded frame, never raw events. Exact decimal value sums.
+    */
+  def hourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = t(spark, dir, "events")
+      .groupBy(hour(col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("total_value"))
+    byHour
+      .withColumn("share_of_type", round(col("n_events") /
+        sum(col("n_events")).over(Window.partitionBy("event_type")), 6))
+      .withColumn("total_value", round(col("total_value"), 6))
+      .orderBy("event_type", "hour")
+  }
+
+  /** §2.2 #165 — per-event LAG FEATURES: each event annotated with its
+    * user's previous `k` event values (the feature-engineering shape an ML
+    * training pipeline materializes before model fit). One window per lag
+    * over the SAME (user, time) sort — Spark evaluates all lags in a
+    * single WindowExec pass, so the cost is one user-keyed shuffle + sort
+    * regardless of k. Values are carried raw (no arithmetic), so the
+    * feature columns are bit-exact across engines.
+    */
+  def lagFeatures(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us").asc, col("event_id").asc)
+    val base = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("value"))
+    val withLags = (1 to k).foldLeft(base) { (df, i) =>
+      df.withColumn(s"v_lag$i", lag(col("value"), i).over(w))
+    }
+    withLags
+      .withColumn("n_prior", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .select(Seq(col("user_id"), col("event_id"), col("value"), col("n_prior")) ++
+        (1 to k).map(i => col(s"v_lag$i")): _*)
+      .orderBy("user_id", "event_id")
+  }
+
   /** §2.2 #159 — TPC-H Q5 (local supplier volume): the 6-table snowflake
     * join with the same-nation customer/supplier constraint. Plan shape at
     * 100 TB: region filter prunes nation, nation prunes supplier — the

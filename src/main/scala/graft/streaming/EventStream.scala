@@ -15,6 +15,49 @@ case class SessionState(nEvents: Int, firstTs: Long, lastTs: Long, totalValue: D
 /** Running per-user profile state for [[EventStream.userProfile]]. */
 case class ProfileState(nEvents: Long, totalValue: Double, lastTsUs: Long)
 
+/** Per-shard Misra-Gries counter state for [[EventStream.heavyUsers]]. */
+case class MgState(users: Seq[Long], counts: Seq[Long])
+
+/** One emitted heavy-hitter counter (Update-mode output row): the MG lower
+  * bound for `user_id` within `shard` as of the latest micro-batch.
+  */
+case class ShardHeavyUser(shard: Long, user_id: Long, mg_count: Long)
+
+/** StatefulProcessor for [[EventStream.heavyUsers]]: the classic Misra-Gries
+  * update — increment a tracked counter, adopt an empty slot, or decrement
+  * ALL counters when full — folded over each micro-batch's rows for one
+  * shard, persisted as a single ≤m-entry ValueState, re-emitted per batch.
+  */
+class HeavyUsersProcessor(m: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, ShardHeavyUser] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[MgState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[MgState]("mg",
+      org.apache.spark.sql.Encoders.product[MgState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventStream.Event],
+      timerValues: TimerValues): Iterator[ShardHeavyUser] = {
+    val init = if (state.exists()) state.get() else MgState(Seq.empty, Seq.empty)
+    var counters = scala.collection.mutable.LinkedHashMap.from(
+      init.users.zip(init.counts))
+    rows.foreach { e =>
+      val u = e.user_id
+      if (counters.contains(u)) counters(u) += 1L
+      else if (counters.size < m) counters(u) = 1L
+      else {
+        counters.mapValuesInPlace((_, c) => c - 1L)
+        counters = counters.filter(_._2 > 0L)
+      }
+    }
+    state.update(MgState(counters.keys.toSeq, counters.values.toSeq))
+    counters.iterator.map { case (u, c) => ShardHeavyUser(key, u, c) }
+  }
+}
+
 /** One emitted profile update (Update-mode output row). */
 case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
                        last_ts_us: Long)
@@ -159,6 +202,30 @@ object EventStream {
     events
       .groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** §2.4 #166 — streaming HEAVY HITTERS (who generates the traffic, live):
+    * sharded Misra-Gries over the event stream. Keying by `user_id % shards`
+    * spreads sketch maintenance across the cluster — per-shard state is a
+    * bounded ≤m-counter map (constant memory regardless of user cardinality
+    * or stream length), the update is O(1) amortized per event, and shards
+    * never coordinate. Each micro-batch re-emits the shard's counters
+    * (Update mode); a reader unions shards and takes the global top-k —
+    * MG's guarantee composes across shards because every user lives in
+    * EXACTLY one shard: a user with shard-local count > n_shard/(m+1) is
+    * always tracked, and emitted counts are lower bounds no more than
+    * n_shard/(m+1) under truth (the same contract the batch
+    * [[graft.operators.Curation.heavyHitters]] sketch-then-rescore uses —
+    * this is its always-on micro-batch twin).
+    */
+  def heavyUsers(events: Dataset[Event], shards: Int = 8,
+      m: Int = 16): Dataset[ShardHeavyUser] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id % shards)
+      .transformWithState(new HeavyUsersProcessor(m),
         TimeMode.None(), OutputMode.Update())
   }
 

@@ -663,6 +663,40 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hourProfile covers every event once and shares sum to 1 per type") {
+    val rows = Relational.hourProfile(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.load(spark, sf, "events").count())
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      val s = rs.map(_.getAs[Double]("share_of_type")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"type $et shares sum to $s")
+      assert(rs.map(_.getAs[Int]("hour")).forall(h => h >= 0 && h <= 23))
+    }
+  }
+
+  test("lagFeatures carries each user's prior values in event-time order") {
+    val rows = Relational.lagFeatures(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "events").count())
+    val byUser = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(e => (e._3, e._2)).map(e => (e._2, e._4)).toSeq).toMap
+    rows.foreach { r =>
+      val (u, e) = (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))
+      val seq = byUser(u)
+      val i = seq.indexWhere(_._1 == e)
+      assert(r.getAs[Long]("n_prior") == i)
+      def lagAt(k: Int): Option[Double] = if (i - k >= 0) Some(seq(i - k)._2) else None
+      Seq(1, 2, 3).foreach { k =>
+        val got = Option(r.getAs[java.lang.Double](s"v_lag$k")).map(_.doubleValue())
+        assert(got == lagAt(k), s"user $u event $e lag $k")
+      }
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)

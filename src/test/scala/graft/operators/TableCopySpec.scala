@@ -79,6 +79,11 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       assert(norm(store.read(spark, "nation")) == expected, fmt)
       assert(store.list(spark) == Seq("nation"), fmt)
     }
+    // ORC is self-describing: no schema injection, same Store surface.
+    val orc = TableCopy.FileStore(tmpDir(), "orc")
+    assert(TableCopy.copy(spark, src, orc, "nation", TableCopy.Truncate) == 25)
+    assert(norm(orc.read(spark, "nation")) == expected, "orc")
+    assert(orc.read(spark, "nation").schema == schema, "orc schema")
   }
 
   // --- Real JDBC destination/source: embedded Derby (the JDBC driver that

@@ -148,6 +148,57 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("heavyUsers tracks dominant users per shard with MG lower bounds across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.Event]
+    // Skewed stream: user 1 dominates shard 1, user 4 dominates shard 0
+    // (shards = 2). Many singleton users pressure the m=3 counter budget.
+    val heavy1 = (1 to 30).map(i => Event(100 + i, ts(i), 1, "click", 1.0))
+    val heavy4 = (1 to 20).map(i => Event(200 + i, ts(i), 4, "view", 1.0))
+    val noise = (1 to 8).map(i => Event(300 + i, ts(i), 5 + i * 2, "click", 1.0))
+    input.addData(heavy1 ++ heavy4 ++ noise: _*)
+    val q = EventStream.heavyUsers(input.toDS(), shards = 2, m = 3)
+      .writeStream.format("memory").queryName("heavy")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      input.addData((1 to 10).map(i => Event(400 + i, ts(40 + i), 1, "click", 1.0)): _*)
+      q.processAllAvailable()
+      // Update mode re-emits a shard's counters each batch: keep the last
+      // emission per (shard, user).
+      val rows = spark.table("heavy").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val latest = rows.zipWithIndex
+        .groupBy { case ((s, u, _), _) => (s, u) }
+        .map { case ((s, u), rs) => (s, u) -> rs.maxBy(_._2)._1._3 }
+      // The true heavies survive counter pressure (MG guarantee: count >
+      // n_shard/(m+1) is always tracked) and counts are lower bounds no
+      // more than n_shard/(m+1) under truth.
+      val trueCount1 = 40L // 30 + 10 across both batches
+      val shard1Total = 40L + noise.count(e => e.user_id % 2 == 1)
+      assert(latest.contains((1L, 1L)), s"user 1 missing: $latest")
+      val c1 = latest((1L, 1L))
+      assert(c1 <= trueCount1 && c1 >= trueCount1 - shard1Total / 4, s"c1=$c1")
+      assert(latest.contains((0L, 4L)), s"user 4 missing: $latest")
+      assert(latest((0L, 4L)) <= 20L)
+      // State stays bounded: never more than m counters per shard emitted
+      // in one batch.
+      rows.groupBy(_._1).foreach { case (shard, rs) =>
+        assert(rs.map(_._2).distinct.length <= 2 * 3, s"shard $shard counters")
+      }
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState accumulates per-user profiles across micro-batches (RocksDB store)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
