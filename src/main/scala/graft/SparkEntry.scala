@@ -223,6 +223,9 @@ object SparkEntry {
     "q_tpch_q5" -> ((s, dir) => Relational.tpchQ5(s, dir)),
     "q_hour_profile" -> ((s, dir) => Relational.hourProfile(s, dir)),
     "q_lag_features" -> ((s, dir) => Relational.lagFeatures(s, dir)),
+    "q_tpch_q18" -> ((s, dir) => Relational.tpchQ18(s, dir)),
+    "q_active_span" -> ((s, dir) => Relational.activitySpan(s, dir)),
+    "q_abandon" -> ((s, dir) => Relational.intervalAntiJoin(s, dir)),
     "q_user_overlap" -> ((s, dir) => Relational.userOverlap(s, dir)),
     "q_dup_source" -> ((s, dir) => Dedup.dupRateBySource(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
@@ -1770,6 +1773,45 @@ object SparkEntry {
         |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag2,
         |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag3
         |FROM x ORDER BY user_id, event_id""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_active_span" ->
+      """WITH base AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    min(ts::DATE) AS fd, max(ts::DATE) AS ld
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT user_id, count(*) AS n_active_days
+        |  FROM (SELECT DISTINCT user_id, ts::DATE AS day FROM events) GROUP BY 1)
+        |SELECT base.user_id, n_events, n_active_days,
+        |  strftime(fd, '%Y-%m-%d') AS first_day, strftime(ld, '%Y-%m-%d') AS last_day,
+        |  CAST(datediff('day', fd, ld) + 1 AS BIGINT) AS span_days
+        |FROM base JOIN d ON base.user_id = d.user_id
+        |ORDER BY base.user_id""".stripMargin,
+    "q_abandon" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type FROM events),
+        |v AS (SELECT user_id, event_id, t_us FROM e WHERE event_type = 'view'),
+        |ab AS (
+        |  SELECT v.user_id, v.event_id FROM v
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e p
+        |    WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |      AND p.t_us >= v.t_us AND p.t_us < v.t_us + 3600000000))
+        |SELECT a.user_id, n_views, coalesce(n_abandoned, 0) AS n_abandoned,
+        |  round(coalesce(n_abandoned, 0) / CAST(n_views AS DOUBLE), 6) AS abandon_rate
+        |FROM (SELECT user_id, count(*) AS n_views FROM v GROUP BY 1) a
+        |LEFT JOIN (SELECT user_id, count(*) AS n_abandoned FROM ab GROUP BY 1) b
+        |  ON a.user_id = b.user_id
+        |ORDER BY a.user_id""".stripMargin,
     "q_user_overlap" ->
       """WITH p AS (SELECT DISTINCT event_type AS et, user_id FROM events),
         |s AS (SELECT et, count(*) AS n FROM p GROUP BY 1),

@@ -1454,6 +1454,88 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.2 #167 — TPC-H Q18 (large-volume orders): orders whose total line
+    * quantity exceeds a threshold, with their customers. The qualifying
+    * set derives from ONE partial-aggregated rollup of lineitem; it
+    * rejoins lineitem as a semi-filter and orders/customer by key — the
+    * aggregate-then-semijoin decomposition that never re-scans the fact
+    * for the HAVING. Exact decimal quantities; top-100 via
+    * TakeOrderedAndProject with full tie-breaks.
+    */
+  def tpchQ18(spark: SparkSession, dir: String, minQty: Double = 300.0,
+      topK: Int = 100): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .where(col("sum_qty") > minQty)
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).cast("string").as("o_orderdate"),
+        col("o_totalprice"))
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(topK)
+  }
+
+  /** §2.2 #168 — per-user ACTIVITY SPAN (the user-dimension build every
+    * event warehouse materializes): first/last seen, lifetime events,
+    * distinct active days, calendar span. One partial-aggregated pass for
+    * the min/max/count; the distinct-day count rides the presence-dedup
+    * decomposition (events → user×day FIRST), so no count-distinct
+    * re-scans raw events.
+    */
+  def activitySpan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val base = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+    val days = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("n_active_days"))
+    base.join(days, "user_id")
+      .select(col("user_id"), col("n_events"), col("n_active_days"),
+        date_format(col("first_day"), "yyyy-MM-dd").as("first_day"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long").as("span_days"))
+      .orderBy("user_id")
+  }
+
+  /** §2.2 #169 — interval ANTI-join (abandonment): views with NO purchase
+    * by the same user within the following `windowMinutes` — the inverse
+    * of #128's attribution join, and the shape behind every
+    * "started-but-never-finished" funnel metric. The anti-join keeps the
+    * user equi-key (hash-joinable) with the time window as the residual
+    * condition, so it plans as a sort-merge LEFT ANTI on user — candidates
+    * per view are bounded by that user's purchases, never by the corpus.
+    * Reported per user so the result is compact at any scale.
+    */
+  def intervalAntiJoin(spark: SparkSession, dir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    val us = windowMinutes * 60L * 1000000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type"))
+    val views = ev.where(col("event_type") === "view")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("t_us").as("p_us"))
+    val abandoned = views.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("p_us") >= col("t_us") && col("p_us") < col("t_us") + us,
+        "left_anti")
+    views.groupBy("user_id").agg(count(lit(1)).as("n_views"))
+      .join(abandoned.groupBy("user_id").agg(count(lit(1)).as("n_abandoned")),
+        Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
+        round(coalesce(col("n_abandoned"), lit(0L)) /
+          col("n_views").cast("double"), 6).as("abandon_rate"))
+      .orderBy("user_id")
+  }
+
   /** §2.2 #159 — TPC-H Q5 (local supplier volume): the 6-table snowflake
     * join with the same-nation customer/supplier constraint. Plan shape at
     * 100 TB: region filter prunes nation, nation prunes supplier — the

@@ -697,6 +697,53 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tpchQ18 returns exactly the orders above the quantity threshold") {
+    val rows = Relational.tpchQ18(spark, sf, minQty = 300.0).collect()
+    val truth = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+      .where(col("s") > 300.0).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.length == math.min(truth.size, 100))
+    rows.foreach { r =>
+      val ok = r.getAs[Long]("o_orderkey")
+      assert(truth.contains(ok))
+      assert(math.abs(r.getAs[Double]("sum_qty") - truth(ok)) < 1e-9)
+    }
+    val qtys = rows.map(-_.getAs[Double]("sum_qty"))
+    assert(qtys.toSeq == qtys.sorted.toSeq, "descending by sum_qty")
+  }
+
+  test("activitySpan: active days never exceed span, span brackets all events") {
+    val rows = Relational.activitySpan(spark, sf).collect()
+    assert(rows.length == Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count())
+    rows.foreach { r =>
+      val (days, span) = (r.getAs[Long]("n_active_days"), r.getAs[Long]("span_days"))
+      assert(days >= 1 && days <= span)
+      assert(r.getAs[Long]("n_events") >= days)
+      assert(r.getAs[String]("first_day") <= r.getAs[String]("last_day"))
+    }
+  }
+
+  test("intervalAntiJoin flags exactly the views with no purchase in-window") {
+    val rows = Relational.intervalAntiJoin(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val purchases = ev.filter(_._3 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val views = ev.filter(_._3 == "view")
+    val localAbandoned = views.count { case (u, t, _) =>
+      !purchases.getOrElse(u, Array.empty[Long])
+        .exists(p => p >= t && p < t + 3600000000L)
+    }
+    assert(rows.map(_.getAs[Long]("n_views")).sum == views.length)
+    assert(rows.map(_.getAs[Long]("n_abandoned")).sum == localAbandoned)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_abandoned") <= r.getAs[Long]("n_views"))
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)

@@ -81,6 +81,32 @@ object TableCopyLawsSpec extends Properties("TableCopyLaws") {
       got == full
     }
 
+  private val genTables: Gen[List[String]] =
+    Gen.choose(1, 8).map(n => (1 to n).map(i => s"t$i").toList)
+
+  private def genRels(tables: List[String]): Gen[List[(String, String)]] =
+    Gen.listOfN(tables.length * 2, for {
+      c <- Gen.oneOf(tables)
+      p <- Gen.oneOf(tables)
+    } yield (c, p))
+
+  property("fkTopoOrder emits every table exactly once; acyclic prefixes respect parent-first") =
+    Prop.forAll(genTables.flatMap(ts => genRels(ts).map(ts -> _))) { case (tables, rels) =>
+      val (order, cyclic) = TableCopy.fkTopoOrder(tables, rels)
+      val pos = order.zipWithIndex.toMap
+      val cyc = cyclic.toSet
+      // Permutation: all tables, exactly once, cyclic ⊆ tables.
+      val permutation = order.sorted == tables.sorted && cyclic.forall(tables.contains)
+      // Every FK edge between two ACYCLIC tables loads parent first (edges
+      // touching the cyclic fallback group are deferred by the caller).
+      val parentFirst = rels.forall { case (c, p) =>
+        c == p || cyc(c) || cyc(p) || pos(p) < pos(c)
+      }
+      // Deterministic: same inputs, same order.
+      val stable = TableCopy.fkTopoOrder(tables, rels)._1 == order
+      permutation && parentFirst && stable
+    }
+
   property("diff statuses partition the key universe") =
     Prop.forAll(genTable, genTable) { (src, dst) =>
       val d = TableCopy.diffTables(df(src), df(dst), Seq("k")).collect()
