@@ -228,6 +228,7 @@ object SparkEntry {
     "q_abandon" -> ((s, dir) => Relational.intervalAntiJoin(s, dir)),
     "q_user_overlap" -> ((s, dir) => Relational.userOverlap(s, dir)),
     "q_dup_source" -> ((s, dir) => Dedup.dupRateBySource(s, dir)),
+    "q_dup_matrix" -> ((s, dir) => Dedup.dupMatrix(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "copy_verified" -> ((s, dir) =>
       TableCopy.copyVerified(s, dir, tmp("verified"), "nation")),
@@ -490,6 +491,32 @@ object SparkEntry {
     * and q_neardup_simhash's token-hash family is a char polynomial both
     * engines compute identically.
     */
+  /** Exact all-pairs Jaccard over word-3-gram shingles — shared by the
+    * q_neardup_jaccard oracle and the q_dup_matrix rollup (LSH recall is
+    * total at the 0.6 threshold, so the banded operator equals this exact
+    * computation; see the MinHash parameter note in operators.Dedup).
+    */
+  private val neardupJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |), idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |  FROM toks WHERE len(w) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM pairs
+      |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> Similarity.lshOracleSql(),
     "q_neardup_embed" -> Similarity.embeddingNearDupOracleSql(),
@@ -1118,26 +1145,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY lower(trim(text)) ORDER BY keep_id""".stripMargin,
-    "q_neardup_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-        |), idx AS (
-        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |  FROM toks WHERE len(w) >= 3
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
-        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
-        |FROM pairs
-        |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_neardup_jaccard" -> neardupJaccardOracle,
+    // The matrix oracle wraps the SAME exact all-pairs derivation and rolls
+    // it up by unordered source pair — one oracle family, two views.
+    "q_dup_matrix" ->
+      s"""WITH nd AS (
+         |$neardupJaccardOracle
+         |)
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b, count(*) AS n_pairs
+         |FROM nd
+         |JOIN documents da ON da.doc_id = nd.doc_a
+         |JOIN documents db ON db.doc_id = nd.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // End-to-end curation verdict: composes the exact-dedup, Jaccard
     // near-dup, and quality-score oracles with reason precedence.
     "q_curate" ->

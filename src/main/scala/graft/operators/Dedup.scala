@@ -414,6 +414,27 @@ object Dedup {
     cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
+  /** §2.3 #170 — cross-source DUPLICATION MATRIX: verified near-dup pairs
+    * rolled up by unordered source pair — which sources copy from which
+    * (mirrors, scrapes of scrapes, syndication) vs which merely self-copy.
+    * With [[dupRateBySource]] this is the two-view duplication dashboard a
+    * mixing decision reads. Reuses [[nearDupJaccard]]'s verified pairs
+    * (banded candidates + exact Jaccard) — the matrix adds two id-keyed
+    * broadcast-able dimension joins and a ≤|sources|² rollup, nothing
+    * corpus-scale.
+    */
+  def dupMatrix(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val srcs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** §2.3 #160 — within-source duplication rate: the per-source exact-dup
     * diagnostic a curation pipeline reads BEFORE deciding source weights
     * (a source that is 40% self-copies contributes less unique signal than

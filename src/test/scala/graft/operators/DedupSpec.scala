@@ -227,6 +227,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dupMatrix totals equal the near-dup pair count, keys are unordered source pairs") {
+    val pairs = Dedup.nearDupJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Dedup.dupMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == pairs.length)
+    rows.foreach { case (a, b, n) => assert(a <= b && n > 0) }
+    // Cross-check one cell against a local join of pairs x sources.
+    val src = Tables.load(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val local = pairs.map { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    rows.foreach { case (a, b, n) => assert(local((a, b)) == n, s"($a,$b)") }
+  }
+
   test("containmentPairs finds subset-shaped near-dups Jaccard banding misses") {
     val rows = Dedup.containmentPairs(spark, sf, threshold = 0.9).collect()
     assert(rows.nonEmpty)

@@ -540,6 +540,31 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(man2.forall(_._2 > 0L))
   }
 
+  test("copyTablesWithSchema wave-parallelism preserves FK order and the manifest") {
+    val db = derbyStore()
+    // region <- nation <- {customer, supplier}: customer and supplier share
+    // a wave and may copy concurrently; their parents must land first.
+    val metas = Map(
+      "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
+      "nation" -> TableCopy.TableMeta(primaryKey = Seq("n_nationkey"),
+        foreignKeys = Seq(("n_regionkey", "region", "r_regionkey"))),
+      "customer" -> TableCopy.TableMeta(primaryKey = Seq("c_custkey"),
+        foreignKeys = Seq(("c_nationkey", "nation", "n_nationkey"))),
+      "supplier" -> TableCopy.TableMeta(primaryKey = Seq("s_suppkey"),
+        foreignKeys = Seq(("s_nationkey", "nation", "n_nationkey"))))
+    val man = TableCopy.copyTablesWithSchema(spark, TableCopy.ParquetStore(sf), db,
+      metas, include = Seq("customer", "nation", "region", "supplier"),
+      parallelism = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSeq
+    assert(man.map(_._2) == Seq("region", "nation", "customer", "supplier"))
+    assert(man.forall(_._3 == "ok"), man.toString)
+    // Both leaf tables really landed under enforced FKs.
+    assert(db.read(spark, "customer").count() ==
+      Tables.load(spark, sf, "customer").count())
+    assert(db.read(spark, "supplier").count() ==
+      Tables.load(spark, sf, "supplier").count())
+  }
+
   test("copyTablesWithSchema re-runs cleanly over its own FK constraints") {
     val db = derbyStore()
     val metas = Map(
