@@ -224,6 +224,8 @@ object SparkEntry {
     "q_hour_profile" -> ((s, dir) => Relational.hourProfile(s, dir)),
     "q_lag_features" -> ((s, dir) => Relational.lagFeatures(s, dir)),
     "q_tpch_q18" -> ((s, dir) => Relational.tpchQ18(s, dir)),
+    "q_order_cadence" -> ((s, dir) => Relational.orderCadence(s, dir)),
+    "q_source_lang_mix" -> ((s, dir) => Curation.sourceLangMix(s, dir)),
     "q_active_span" -> ((s, dir) => Relational.activitySpan(s, dir)),
     "q_abandon" -> ((s, dir) => Relational.intervalAntiJoin(s, dir)),
     "q_user_overlap" -> ((s, dir) => Relational.userOverlap(s, dir)),
@@ -292,6 +294,8 @@ object SparkEntry {
     "q_entropy" -> ((s, dir) => TextAnalysis.entropy(s, dir)),
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
+    "q_resize_plan" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
+    "q_byte_features" -> ((s, dir) => Multimodal.byteFeatures(s, dir)),
     "q_split_hash" -> ((s, dir) => TextAnalysis.splitHash(s, dir)),
     "q_curate" -> ((s, dir) => Dedup.curate(s, dir)),
     "q_dedup_cluster" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
@@ -1793,6 +1797,30 @@ object SparkEntry {
         |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag2,
         |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag3
         |FROM x ORDER BY user_id, event_id""".stripMargin,
+    "q_order_cadence" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    datediff('day',
+        |      lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate::DATE, o_orderkey),
+        |      o_orderdate::DATE) AS gap
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_gaps,
+        |  round(CAST(sum(CAST(gap AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6)
+        |    AS avg_gap_days,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_source_lang_mix" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source), 6)
+        |    AS doc_share_of_source
+        |FROM c ORDER BY source, lang""".stripMargin,
     "q_tpch_q18" ->
       """WITH big AS (
         |  SELECT l_orderkey,
@@ -2145,6 +2173,45 @@ object SparkEntry {
         |FROM sc ORDER BY doc_id""".stripMargin,
     // Text payloads never parse as PNG/JPEG, so the oracle pins the fallback
     // branch; the real header parsers are covered by MultimodalSpec.
+    // Text payloads all decode through the deterministic fallback, so the
+    // oracle recomputes the same integer plan relationally; the real
+    // header-decode path is exercised by MultimodalSpec on synthetic bytes.
+    "q_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id, 'unknown' AS format,
+        |    greatest(octet_length(encode(text)) % 640, 1) AS w,
+        |    greatest(octet_length(encode(text)) % 480, 1) AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, format, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+        |    CAST(CASE WHEN greatest(w, h) <= 256 THEN w
+        |         ELSE greatest((w * 256) // greatest(w, h), 1) END AS INTEGER) AS out_w,
+        |    CAST(CASE WHEN greatest(w, h) <= 256 THEN h
+        |         ELSE greatest((h * 256) // greatest(w, h), 1) END AS INTEGER) AS out_h
+        |  FROM m),
+        |q AS (SELECT doc_id, format, w, h, out_w, out_h,
+        |  CAST(out_w * out_h AS BIGINT) AS out_pixels FROM p)
+        |SELECT doc_id, format, w, h, out_w, out_h, out_pixels,
+        |  CAST(coalesce(sum(out_pixels) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1048576 AS BIGINT)
+        |    AS batch_id
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_byte_features" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |e AS (SELECT doc_id, text, unnest(generate_series(1, n)) AS i FROM d),
+        |b AS (SELECT doc_id, i, ascii(substr(text, CAST(i AS INTEGER), 1)) AS v FROM e),
+        |f AS (
+        |  SELECT doc_id, count(*) AS n_bytes,
+        |    CAST(count(DISTINCT v) AS INTEGER) AS n_distinct_bytes,
+        |    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
+        |    round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms_byte
+        |  FROM b GROUP BY 1),
+        |wn AS (SELECT doc_id, (i - 1) // 64 AS win, sum(v * v) AS s2, count(*) AS c
+        |  FROM b GROUP BY 1, 2),
+        |pk AS (SELECT doc_id, round(max(sqrt(CAST(s2 AS DOUBLE) / c)), 6) AS peak_win_rms
+        |  FROM wn GROUP BY 1)
+        |SELECT f.doc_id, n_bytes, n_distinct_bytes, mean_byte, rms_byte, peak_win_rms
+        |FROM f JOIN pk ON f.doc_id = pk.doc_id ORDER BY f.doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::BIGINT AS byte_len,

@@ -83,6 +83,22 @@ object Curation {
       .orderBy("source")
   }
 
+  /** §2.3 #171 — source × language COMPOSITION matrix: doc/token counts
+    * per (source, declared lang) cell with within-source doc shares — the
+    * mixing table a multilingual-corpus decision reads next to
+    * [[sourceMix]] (sources only) and langid (which INFERS what this table
+    * declares). One map-side-combined aggregate to a |sources|×|langs|
+    * frame; the share window runs over that bounded frame, never raw docs.
+    */
+  def sourceLangMix(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokensCol).cast("bigint")).as("n_tokens"))
+      .withColumn("doc_share_of_source", round(col("n_docs") /
+        sum(col("n_docs")).over(Window.partitionBy("source")), 6))
+      .orderBy("source", "lang")
+
   /** §2.3 #57 — training-sequence packing: documents are concatenated in
     * (source, doc_id) order and chunked into fixed `seqLen`-token sequences
     * (documents may straddle a boundary — exactly how LLM pretraining packs

@@ -136,6 +136,101 @@ object Multimodal {
     blobs.mapPartitions(_.map(decode)).toDF().orderBy("doc_id")
   }
 
+  /** §2.3 #173 — RESIZE planning (the batch-shape half of an image-resize
+    * stage): per payload, the aspect-preserving target dimensions inside a
+    * `maxSide`×`maxSide` box (integer arithmetic on DECODED dims — real
+    * for recognized containers, deterministic fallback otherwise), the
+    * output pixel count, and the PIXEL-BUDGETED batch id — a running
+    * pixel-sum cut every `pixelBudget`, which is exactly how a
+    * pandas-UDF/mapPartitions resize kernel batches its GPU/BLAS calls
+    * (uniform-row batches OOM on mixed image sizes; pixel budgets don't).
+    * The pixel transform itself is the stub; everything Spark owns —
+    * decode, plan, batching — is real and oracle-checked.
+    */
+  def resizePlan(spark: SparkSession, dir: String, maxSide: Int = 256,
+      pixelBudget: Long = 1L << 20): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[MediaBlob]
+    val metas = blobs.mapPartitions(_.map(decode)).toDF()
+    val planned = metas
+      .withColumn("w", greatest(col("width"), lit(1)))
+      .withColumn("h", greatest(col("height"), lit(1)))
+      .withColumn("long_side", greatest(col("w"), col("h")))
+      .withColumn("out_w",
+        when(col("long_side") <= maxSide, col("w"))
+          .otherwise(greatest(
+            expr(s"(CAST(w AS BIGINT) * $maxSide) div long_side"), lit(1L)))
+          .cast("int"))
+      .withColumn("out_h",
+        when(col("long_side") <= maxSide, col("h"))
+          .otherwise(greatest(
+            expr(s"(CAST(h AS BIGINT) * $maxSide) div long_side"), lit(1L)))
+          .cast("int"))
+      .withColumn("out_pixels", (col("out_w") * col("out_h")).cast("long"))
+    // Batch id = how many full pixel budgets precede this row in doc order.
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned
+      .withColumn("pix_before", coalesce(sum(col("out_pixels")).over(w), lit(0L)))
+      .withColumn("batch_id", expr(s"pix_before div ${pixelBudget}L"))
+      .select("doc_id", "format", "w", "h", "out_w", "out_h", "out_pixels", "batch_id")
+      .orderBy("doc_id")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  /** Per-payload byte-level features for [[byteFeatures]]. */
+  case class ByteFeatures(doc_id: Long, n_bytes: Long, n_distinct_bytes: Int,
+      mean_byte: Double, rms_byte: Double, peak_win_rms: Double)
+
+  /** §2.3 #174 — FEATURE EXTRACTION over raw payload bytes: per blob, byte
+    * count, distinct-byte alphabet size, mean and RMS byte value, and the
+    * PEAK windowed RMS (64-byte windows — for PCM audio this IS short-time
+    * energy; for any payload it is a cheap structure/entropy proxy). Runs
+    * in `mapPartitions` with per-task scratch buffers (the codec batch
+    * shape — a real extractor amortizes FFT plans/model handles the same
+    * way); integer sums inside, one double division + sqrt at the edges,
+    * so every feature is oracle-exact.
+    */
+  def byteFeatures(spark: SparkSession, dir: String, winBytes: Int = 64): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("data"))
+      .as[MediaBlob]
+    blobs.mapPartitions { it =>
+      val seen = new Array[Boolean](256) // per-task scratch, reused per row
+      it.map { b =>
+        val d = b.data; val n = d.length
+        java.util.Arrays.fill(seen, false)
+        var sum = 0L; var sumSq = 0L
+        var i = 0
+        while (i < n) {
+          val v = d(i) & 0xff
+          sum += v; sumSq += v.toLong * v; seen(v) = true
+          i += 1
+        }
+        var peak = 0.0; var off = 0
+        while (off < n) {
+          val end = math.min(off + winBytes, n)
+          var s2 = 0L; var j = off
+          while (j < end) { val v = d(j) & 0xff; s2 += v.toLong * v; j += 1 }
+          val rms = math.sqrt(s2.toDouble / (end - off))
+          if (rms > peak) peak = rms
+          off += winBytes
+        }
+        ByteFeatures(b.doc_id, n.toLong, seen.count(identity),
+          sum.toDouble / n, math.sqrt(sumSq.toDouble / n), peak)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        round(col("rms_byte"), 6).as("rms_byte"),
+        round(col("peak_win_rms"), 6).as("peak_win_rms"))
+      .orderBy("doc_id")
+  }
+
   /** One sampled frame: position + content hash of the frame bytes. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_off: Int, frame_md5: String)
 

@@ -1454,6 +1454,29 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.2 #172 — repeat-purchase CADENCE: per customer with ≥2 orders, the
+    * count, exact-decimal mean gap in days between consecutive orders, and
+    * min/max gap — the replenishment-cycle metric behind every
+    * "time-to-next-order" model. Consecutive gaps come from ONE lag window
+    * per customer (N window keys, no hot partition); the mean is a decimal
+    * quotient so it is partition- and order-independent.
+    */
+  def orderCadence(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("d").asc, col("o_orderkey").asc)
+    val gaps = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("gap", datediff(col("d"), lag(col("d"), 1).over(w)))
+      .where(col("gap").isNotNull)
+    gaps.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap").cast(DecimalType(18, 0))).cast("double") /
+          count(lit(1)), 6).as("avg_gap_days"),
+        min("gap").cast("long").as("min_gap_days"),
+        max("gap").cast("long").as("max_gap_days"))
+      .orderBy("o_custkey")
+  }
+
   /** §2.2 #167 — TPC-H Q18 (large-volume orders): orders whose total line
     * quantity exceeds a threshold, with their customers. The qualifying
     * set derives from ONE partial-aggregated rollup of lineitem; it

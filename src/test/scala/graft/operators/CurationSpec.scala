@@ -43,6 +43,16 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(share - 1.0) < 1e-3)
   }
 
+  test("sourceLangMix cells cover every document and shares sum to 1 per source") {
+    val rows = Curation.sourceLangMix(spark, sf).collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val s = rs.map(_.getAs[Double]("doc_share_of_source")).sum
+      assert(math.abs(s - 1.0) < 1e-3, s"source $src shares sum to $s")
+    }
+  }
+
   test("tokenPack offsets are per-source cumulative sums and seq ids are consistent") {
     val got = Curation.tokenPack(spark, sf, 512).collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getLong(3),

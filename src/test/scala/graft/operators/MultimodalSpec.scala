@@ -87,6 +87,54 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(decoded == Seq(("png", 800, 600), ("jpeg", 320, 240), ("unknown", 5, 5)))
   }
 
+  test("resizePlan computes aspect-preserving targets and pixel-budget batches") {
+    val rows = Multimodal.resizePlan(spark, sf, maxSide = 256,
+      pixelBudget = 50000L).collect()
+    var pixBefore = 0L
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      val ls = math.max(w, h)
+      if (ls <= 256) assert(ow == w && oh == h)
+      else {
+        assert(math.max(ow, oh) <= 256 && ow >= 1 && oh >= 1)
+        assert(ow == math.max(w.toLong * 256 / ls, 1L).toInt)
+        assert(oh == math.max(h.toLong * 256 / ls, 1L).toInt)
+      }
+      assert(r.getAs[Long]("out_pixels") == ow.toLong * oh)
+      assert(r.getAs[Long]("batch_id") == pixBefore / 50000L)
+      pixBefore += r.getAs[Long]("out_pixels")
+    }
+    // Real decode feeds the same plan arithmetic: a 4000x1000 PNG plans to
+    // a 256-long-side target.
+    val big = Multimodal.decode(Multimodal.MediaBlob(1L, pngBytes(4000, 1000)))
+    assert((big.width, big.height) == ((4000, 1000)))
+    val ls = math.max(big.width, big.height)
+    assert(big.width.toLong * 256 / ls == 256L)
+    assert(big.height.toLong * 256 / ls == 64L)
+  }
+
+  test("byteFeatures matches a local byte-level computation") {
+    val rows = Multimodal.byteFeatures(spark, sf).collect()
+    val texts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val d = texts(r.getAs[Long]("doc_id")).map(_ & 0xff)
+      assert(r.getAs[Long]("n_bytes") == d.length)
+      assert(r.getAs[Int]("n_distinct_bytes") == d.distinct.length)
+      val mean = BigDecimal(d.map(_.toLong).sum.toDouble / d.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("mean_byte") - mean) < 1e-9)
+      val peak = d.grouped(64).map { wBytes =>
+        math.sqrt(wBytes.map(v => v.toLong * v).sum.toDouble / wBytes.length)
+      }.max
+      assert(math.abs(r.getAs[Double]("peak_win_rms") -
+        BigDecimal(peak).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("frameSample emits every k-th full frame with the exact content digest") {
     val texts = graft.sources.Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()

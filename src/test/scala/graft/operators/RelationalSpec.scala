@@ -744,6 +744,29 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("orderCadence gaps match a local per-customer computation") {
+    val rows = Relational.orderCadence(spark, sf).collect()
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val byCust = orders.groupBy(_._1).view.mapValues { os =>
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._2))
+      sorted.sliding(2).collect {
+        case Array(a, b) => b._3.toEpochDay - a._3.toEpochDay
+      }.toSeq
+    }.toMap
+    assert(rows.length == byCust.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val gaps = byCust(r.getAs[Long]("o_custkey"))
+      assert(r.getAs[Long]("n_gaps") == gaps.length)
+      assert(r.getAs[Long]("min_gap_days") == gaps.min)
+      assert(r.getAs[Long]("max_gap_days") == gaps.max)
+      val mean = BigDecimal(gaps.sum) / gaps.length
+      assert(math.abs(r.getAs[Double]("avg_gap_days") -
+        mean.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)
