@@ -226,6 +226,10 @@ object SparkEntry {
     "q_tpch_q18" -> ((s, dir) => Relational.tpchQ18(s, dir)),
     "q_order_cadence" -> ((s, dir) => Relational.orderCadence(s, dir)),
     "q_source_lang_mix" -> ((s, dir) => Curation.sourceLangMix(s, dir)),
+    "q_tpch_q6" -> ((s, dir) => Relational.tpchQ6(s, dir)),
+    "q_growth" -> ((s, dir) => Relational.growthAccounting(s, dir)),
+    "q_lang_confusion" -> ((s, dir) => TextAnalysis.langConfusion(s, dir)),
+    "q_dedup_stats" -> ((s, dir) => Dedup.curateStats(s, dir)),
     "q_active_span" -> ((s, dir) => Relational.activitySpan(s, dir)),
     "q_abandon" -> ((s, dir) => Relational.intervalAntiJoin(s, dir)),
     "q_user_overlap" -> ((s, dir) => Relational.userOverlap(s, dir)),
@@ -520,6 +524,78 @@ object SparkEntry {
       |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Stopword-profile language ID — shared by the q_langid oracle and the
+    * q_lang_confusion rollup.
+    */
+  private val langIdOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    len(list_filter(toks, t -> t IN ('the','a','of','and','is')))::INTEGER AS en_hits,
+      |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))::INTEGER AS de_hits,
+      |    len(list_filter(toks, t -> t IN ('el','la','los','de','es')))::INTEGER AS es_hits
+      |  FROM d
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN en_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'unknown'
+      |       WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+      |       WHEN de_hits >= es_hits THEN 'de'
+      |       ELSE 'es' END AS lang_detected,
+      |  en_hits, de_hits, es_hits
+      |FROM h ORDER BY doc_id""".stripMargin
+
+  /** End-to-end curation verdict oracle — shared by q_curate and the
+    * q_dedup_stats funnel rollup.
+    */
+  private val curateOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      |idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |  FROM toks WHERE len(w) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |near AS (
+      |  SELECT DISTINCT prs.doc_b AS doc_id FROM prs
+      |  JOIN sz sa ON sa.doc_id = prs.doc_a JOIN sz sb ON sb.doc_id = prs.doc_b
+      |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+      |),
+      |ex AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(trim(text))) AS keep_id
+      |    FROM documents) t
+      |  WHERE doc_id <> keep_id
+      |),
+      |qm AS (
+      |  SELECT doc_id,
+      |    len(string_split(trim(text), ' '))::INTEGER AS n_tokens,
+      |    len(list_filter(string_split(trim(text), ' '), t -> t IN ('the','a','of','and','is')))::INTEGER AS stop_hits,
+      |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+      |  FROM documents
+      |),
+      |lowq AS (
+      |  SELECT doc_id FROM qm
+      |  WHERE least(1.0::DOUBLE, n_tokens::DOUBLE / 80.0::DOUBLE) * 0.4::DOUBLE
+      |      + (1.0::DOUBLE - punct_ratio) * 0.4::DOUBLE
+      |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE < 0.5::DOUBLE
+      |)
+      |SELECT d.doc_id,
+      |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+      |       WHEN lowq.doc_id IS NOT NULL THEN 'low_quality'
+      |       ELSE 'kept' END AS reason,
+      |  (ex.doc_id IS NULL AND near.doc_id IS NULL AND lowq.doc_id IS NULL) AS kept
+      |FROM documents d
+      |LEFT JOIN ex ON ex.doc_id = d.doc_id
+      |LEFT JOIN near ON near.doc_id = d.doc_id
+      |LEFT JOIN lowq ON lowq.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> Similarity.lshOracleSql(),
@@ -1164,54 +1240,16 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // End-to-end curation verdict: composes the exact-dedup, Jaccard
     // near-dup, and quality-score oracles with reason precedence.
-    "q_curate" ->
-      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
-        |idx AS (
-        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |  FROM toks WHERE len(w) >= 3
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
-        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |prs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |),
-        |near AS (
-        |  SELECT DISTINCT prs.doc_b AS doc_id FROM prs
-        |  JOIN sz sa ON sa.doc_id = prs.doc_a JOIN sz sb ON sb.doc_id = prs.doc_b
-        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
-        |),
-        |ex AS (
-        |  SELECT doc_id FROM (
-        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(trim(text))) AS keep_id
-        |    FROM documents) t
-        |  WHERE doc_id <> keep_id
-        |),
-        |qm AS (
-        |  SELECT doc_id,
-        |    len(string_split(trim(text), ' '))::INTEGER AS n_tokens,
-        |    len(list_filter(string_split(trim(text), ' '), t -> t IN ('the','a','of','and','is')))::INTEGER AS stop_hits,
-        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
-        |  FROM documents
-        |),
-        |lowq AS (
-        |  SELECT doc_id FROM qm
-        |  WHERE least(1.0::DOUBLE, n_tokens::DOUBLE / 80.0::DOUBLE) * 0.4::DOUBLE
-        |      + (1.0::DOUBLE - punct_ratio) * 0.4::DOUBLE
-        |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE < 0.5::DOUBLE
-        |)
-        |SELECT d.doc_id,
-        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
-        |       WHEN near.doc_id IS NOT NULL THEN 'near_dup'
-        |       WHEN lowq.doc_id IS NOT NULL THEN 'low_quality'
-        |       ELSE 'kept' END AS reason,
-        |  (ex.doc_id IS NULL AND near.doc_id IS NULL AND lowq.doc_id IS NULL) AS kept
-        |FROM documents d
-        |LEFT JOIN ex ON ex.doc_id = d.doc_id
-        |LEFT JOIN near ON near.doc_id = d.doc_id
-        |LEFT JOIN lowq ON lowq.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_curate" -> curateOracle,
+    // Corpus-level funnel rollup of the same verdicts (one derivation,
+    // two views).
+    "q_dedup_stats" ->
+      s"""WITH cu AS (
+         |$curateOracle
+         |)
+         |SELECT reason, count(*) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+         |FROM cu GROUP BY reason ORDER BY reason""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS t_us,
@@ -1797,6 +1835,38 @@ object SparkEntry {
         |  lag(value, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag2,
         |  lag(value, 3) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS v_lag3
         |FROM x ORDER BY user_id, event_id""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "q_growth" ->
+      """WITH p AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS first_wk FROM p GROUP BY 1),
+        |pv AS (SELECT user_id, wk + 7 AS wk, TRUE AS was_prev FROM p),
+        |st AS (
+        |  SELECT p.user_id, p.wk,
+        |    CASE WHEN p.wk = f.first_wk THEN 'new'
+        |         WHEN pv.was_prev IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM p JOIN f ON p.user_id = f.user_id
+        |  LEFT JOIN pv ON pv.user_id = p.user_id AND pv.wk = p.wk),
+        |c AS (
+        |  SELECT strftime(wk, '%Y-%m-%d') AS week,
+        |    CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM st GROUP BY 1),
+        |ch AS (
+        |  SELECT strftime(a.wk, '%Y-%m-%d') AS week, count(*) AS n_churned
+        |  FROM (SELECT user_id, wk + 7 AS wk FROM p) a
+        |  ANTI JOIN p ON p.user_id = a.user_id AND p.wk = a.wk
+        |  GROUP BY 1)
+        |SELECT c.week, n_new, n_retained, n_resurrected,
+        |  coalesce(n_churned, 0) AS n_churned
+        |FROM c LEFT JOIN ch ON c.week = ch.week ORDER BY c.week""".stripMargin,
     "q_order_cadence" ->
       """WITH g AS (
         |  SELECT o_custkey,
@@ -2111,22 +2181,18 @@ object SparkEntry {
         |  length(replace(text, ' ', ''))::DOUBLE / len(string_split(trim(text), ' ')) AS avg_token_len,
         |  length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_langid" ->
-      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is')))::INTEGER AS en_hits,
-        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist')))::INTEGER AS de_hits,
-        |    len(list_filter(toks, t -> t IN ('el','la','los','de','es')))::INTEGER AS es_hits
-        |  FROM d
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN en_hits = 0 AND de_hits = 0 AND es_hits = 0 THEN 'unknown'
-        |       WHEN en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
-        |       WHEN de_hits >= es_hits THEN 'de'
-        |       ELSE 'es' END AS lang_detected,
-        |  en_hits, de_hits, es_hits
-        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_langid" -> langIdOracle,
+    // Declared-vs-inferred language confusion matrix: wraps the langid
+    // oracle (one derivation, two views) and joins the declared column.
+    "q_lang_confusion" ->
+      s"""WITH li AS (
+         |$langIdOracle
+         |)
+         |SELECT d.lang, li.lang_detected, count(*) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS share_of_lang
+         |FROM li JOIN documents d ON d.doc_id = li.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(trim(text), ' '))::INTEGER AS ws_tokens,

@@ -414,6 +414,20 @@ object Dedup {
     cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
+  /** §2.3 #176 — curation FUNNEL summary: the corpus-level rollup of
+    * [[curate]]'s per-document verdicts — how much of the corpus each
+    * rejection reason consumes and what share survives. The one-row-per-
+    * reason health panel a curation run reports first; same derivation as
+    * the per-doc verdicts, so the funnel always reconciles with them.
+    */
+  def curateStats(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    curate(spark, dir, threshold)
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs") /
+        sum(col("n_docs")).over(Window.partitionBy()), 6))
+      .orderBy("reason")
+
   /** §2.3 #170 — cross-source DUPLICATION MATRIX: verified near-dup pairs
     * rolled up by unordered source pair — which sources copy from which
     * (mirrors, scrapes of scrapes, syndication) vs which merely self-copy.

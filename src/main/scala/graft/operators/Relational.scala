@@ -1454,6 +1454,59 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** §2.2 #177 — TPC-H Q6 (forecast revenue change): the canonical
+    * single-table filtered aggregate — date-range + discount-band +
+    * quantity predicates ALL push to the parquet scan (PushedFilters), and
+    * the whole query is one map-side-combined 1-row aggregate: the minimal
+    * "scan efficiency" benchmark shape. Exact decimal revenue.
+    */
+  def tpchQ6(spark: SparkSession, dir: String, year: Int = 1996): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit(f"$year%04d-01-01")) &&
+        col("l_shipdate") < to_date(lit(f"${year + 1}%04d-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** §2.2 #178 — weekly GROWTH ACCOUNTING: every active (user, week)
+    * classified as new (first week ever), retained (also active the prior
+    * week), or resurrected (active before, absent the prior week), plus
+    * churned (active prior week, absent this one) — the canonical
+    * new/retained/resurrected/churned decomposition behind every growth
+    * dashboard. Everything derives from ONE presence dedup: first-week is
+    * a per-user min, prior-week membership is a shifted self-join, churn a
+    * shifted anti-join — presence-bounded throughout, raw events never
+    * join. active(w) = new + retained + resurrected by construction.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val first = p.groupBy("user_id").agg(min("wk").as("first_wk"))
+    val prevActive = p.select(col("user_id"), date_add(col("wk"), 7).as("wk"))
+      .withColumn("was_prev", lit(true))
+    val status = p.join(first, "user_id")
+      .join(prevActive, Seq("user_id", "wk"), "left_outer")
+      .withColumn("status",
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected"))
+    val counts = status
+      .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
+      .agg(sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churned = p.select(col("user_id"), date_add(col("wk"), 7).as("wk"))
+      .join(p, Seq("user_id", "wk"), "left_anti")
+      .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    counts.join(churned, Seq("week"), "left_outer")
+      .select(col("week"), col("n_new"), col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("week")
+  }
+
   /** §2.2 #172 — repeat-purchase CADENCE: per customer with ≥2 orders, the
     * count, exact-decimal mean gap in days between consecutive orders, and
     * min/max gap — the replenishment-cycle metric behind every

@@ -325,6 +325,23 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** §2.3 #175 — declared-vs-inferred LANGUAGE CONFUSION matrix: the
+    * [[langId]] heuristic's verdict against the corpus's declared `lang`
+    * column, with within-declared-language shares — the calibration table
+    * that says where the cheap n-gram filter can be trusted before it
+    * gates a 100 TB corpus. One per-row classification (scan-stage
+    * expressions), one \|langs\|² bounded rollup.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir).select("doc_id", "lang_detected")
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_detected")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_lang", round(col("n_docs") /
+        sum(col("n_docs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")), 6))
+      .orderBy("lang", "lang_detected")
+
   /** §2.3 #157 — document RARITY score: mean smoothed IDF
     * (ln((N+1)/(df+1)), the [[keywords]] convention) over a document's
     * token OCCURRENCES — high = mostly rare vocabulary. Curation pipelines

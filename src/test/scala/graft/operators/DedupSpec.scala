@@ -227,6 +227,16 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("curateStats reconciles exactly with the per-document curate verdicts") {
+    val perDoc = Dedup.curate(spark, sf).collect()
+      .map(_.getAs[String]("reason"))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Dedup.curateStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("share")))
+    assert(rows.map(r => r._1 -> r._2).toMap == perDoc)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3)
+  }
+
   test("dupMatrix totals equal the near-dup pair count, keys are unordered source pairs") {
     val pairs = Dedup.nearDupJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -767,6 +767,50 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tpchQ6 equals the unfiltered-aggregate recomputation of its slice") {
+    val r = Relational.tpchQ6(spark, sf).collect()(0)
+    val slice = Tables.load(spark, sf, "lineitem").collect().filter { row =>
+      val sd = row.getAs[Any]("l_shipdate") match {
+        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        case t: java.time.LocalDateTime => t.toLocalDate
+        case t: java.time.Instant =>
+          t.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      }
+      val d = row.getAs[Double]("l_discount")
+      !sd.isBefore(java.time.LocalDate.of(1996, 1, 1)) &&
+        sd.isBefore(java.time.LocalDate.of(1997, 1, 1)) &&
+        d >= 0.05 && d <= 0.07 && row.getAs[Double]("l_quantity") < 24.0
+    }
+    assert(r.getAs[Long]("n_lines") == slice.length)
+    val local = slice.map(row => BigDecimal(
+        row.getAs[Double]("l_extendedprice") * row.getAs[Double]("l_discount"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    assert(math.abs(r.getAs[Double]("revenue") - local) < 1e-6)
+  }
+
+  test("growthAccounting: statuses partition weekly actives and churn reconciles") {
+    val rows = Relational.growthAccounting(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val active = rows.map { case (w, n, r2, rs, _) => w -> (n + r2 + rs) }.toMap
+    // Weekly actives from an independent presence count.
+    val presence = Tables.load(spark, sf, "events")
+      .select(col("user_id"), date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val localActive = presence.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(active == localActive)
+    // First week has no retained/resurrected/churned; churn(w) =
+    // active(w-7) - retained(w) for every later week.
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.head._3 == 0L && sorted.head._4 == 0L && sorted.head._5 == 0L)
+    sorted.sliding(2).foreach {
+      case Array((_, _, _, _, _), (w, _, ret, _, ch)) =>
+        val prevW = java.time.LocalDate.parse(w).minusDays(7).toString
+        assert(ch == localActive(prevW) - ret, s"week $w")
+      case _ => ()
+    }
+  }
+
   test("listAgg emits each region's nations sorted, comma-joined, with exact counts") {
     val rows = Relational.listAgg(spark, sf).collect()
     assert(rows.length == 5)

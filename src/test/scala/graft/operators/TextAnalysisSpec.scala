@@ -182,6 +182,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(byDoc.size == docs.size, "every doc gets keywords")
   }
 
+  test("langConfusion cells cover every document and agree with langId row-by-row") {
+    val rows = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows.values.sum == docs.size)
+    val local = TextAnalysis.langId(spark, sf).select("doc_id", "lang_detected")
+      .join(Tables.load(spark, sf, "documents").select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_detected")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows == local)
+  }
+
   test("docRarity matches a local mean-IDF computation on the top documents") {
     val rows = TextAnalysis.docRarity(spark, sf, k = 10).collect()
     assert(rows.length == 10)
