@@ -242,6 +242,15 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) => TextAnalysis.zipfFit(s, dir)),
     "q_sql_kernel" -> ((s, dir) => Dedup.simhashViaSql(s, dir)),
     "q_tpch_q3" -> ((s, dir) => Relational.tpchQ3(s, dir)),
+    "q_tpch_q7" -> ((s, dir) => Relational.tpchQ7(s, dir)),
+    "q_tpch_q8" -> ((s, dir) => Relational.tpchQ8(s, dir)),
+    "q_tpch_q10" -> ((s, dir) => Relational.tpchQ10(s, dir)),
+    "q_tpch_q13" -> ((s, dir) => Relational.tpchQ13(s, dir)),
+    "q_tpch_q14" -> ((s, dir) => Relational.tpchQ14(s, dir)),
+    "q_tpch_q15" -> ((s, dir) => Relational.tpchQ15(s, dir)),
+    "q_tpch_q4" -> ((s, dir) => Relational.tpchQ4(s, dir)),
+    "q_tpch_q17" -> ((s, dir) => Relational.tpchQ17(s, dir)),
+    "q_tpch_q22" -> ((s, dir) => Relational.tpchQ22(s, dir)),
     "q_sliding_window" -> ((s, dir) => Relational.slidingWindow(s, dir)),
     "q_percentile_cont" -> ((s, dir) => Relational.percentileCont(s, dir)),
     // The stored file carries the mapped DECIMAL type (SparkEntrySpec pins
@@ -1902,6 +1911,119 @@ object SparkEntry {
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q8" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)) AS vol,
+        |    n1.n_name AS supp_nation
+        |  FROM lineitem, part, supplier, orders, customer, nation n1, nation n2, region
+        |  WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+        |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        |    AND r_name = 'AMERICA'
+        |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
+        |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
+        |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_tpch_q13" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+        |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+        |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |    AS promo_share,
+        |  count(*) AS n_lines
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |a AS (
+        |  SELECT l_partkey AS a_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS n_li
+        |  FROM li GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
+        |  count(*) AS n_lines
+        |FROM li JOIN a ON l_partkey = a_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+        |a AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, count(*) AS n_pos
+        |  FROM c WHERE c_acctbal > 0.0),
+        |idle AS (
+        |  SELECT c.* FROM c, a
+        |  WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_bal
+        |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= DATE '1999-01-01'))
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM idle JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_active_span" ->
       """WITH base AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -1675,4 +1675,279 @@ object Relational {
           .as("jaccard"))
       .orderBy("type_a", "type_b")
   }
+
+  /** §2.2 #179 — TPC-H Q7 (volume shipping): bilateral trade between two
+    * nations — revenue where the SUPPLIER sits in one and the CUSTOMER in
+    * the other, by direction and ship year. Plan shape at 100 TB: nation
+    * (25 rows) broadcasts onto supplier and customer; the pair predicate
+    * prunes BOTH dims before they meet the facts, so the supplier join
+    * carries only the two nations' suppliers (broadcastable after
+    * pruning — Catalyst sees the filtered size, AQE re-plans if stats
+    * mislead); lineitem⋈orders shuffles on orderkey, orders⋈customer on
+    * custkey — the two shuffle keys a bucketed layout would co-locate.
+    * The OR-of-two-directions predicate needs both sides attached, so it
+    * rides the LAST join as a residual, never a cartesian.
+    */
+  def tpchQ7(spark: SparkSession, dir: String, nationA: String = "NATION_1",
+      nationB: String = "NATION_2"): DataFrame = {
+    val nat = t(spark, dir, "nation")
+      .where(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate") < to_date(lit("1998-01-01")))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        ((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+         (col("supp_nation") === nationB && col("cust_nation") === nationA)))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** §2.2 #180 — TPC-H Q8 (national market share): one nation's share of a
+    * region's imports of one part type, by order year. The share is a
+    * ratio of two sums over the SAME joined frame — computed as
+    * conditional aggregation in one pass (never two scans), both sums
+    * exact decimals so the double quotient is bit-identical cross-engine.
+    * Part (type-filtered) and the region-pruned customer-nation dim
+    * broadcast; lineitem⋈orders⋈customer shuffle on their natural keys;
+    * supplier-nation attaches by broadcast to label the numerator.
+    */
+  def tpchQ8(spark: SparkSession, dir: String, region: String = "AMERICA",
+      shareNation: String = "NATION_6", partType: String = "PROMO"): DataFrame = {
+    val part = t(spark, dir, "part").where(col("p_type") === partType)
+      .select("p_partkey")
+    val regionNations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region").where(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supNation = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= to_date(lit("1996-01-01")) &&
+        col("o_orderdate") < to_date(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum6(when(col("supp_nation") === shareNation, vol).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        dsum6(vol).as("total_volume"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("mkt_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+      .select("o_year", "nation_volume", "total_volume", "mkt_share", "n_lines")
+      .orderBy("o_year")
+  }
+
+  /** §2.2 #181 — TPC-H Q10 (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one quarter. The date filter prunes
+    * orders AT THE SCAN and the returnflag filter prunes lineitem at the
+    * scan (PushedFilters both); the quarter-bounded orders side is small
+    * enough to broadcast onto lineitem at any corpus scale where a
+    * quarter ≪ history, customer attaches by shuffle on custkey, nation
+    * broadcasts. Top-20 is TakeOrderedAndProject (never a global sort)
+    * with custkey tie-break.
+    */
+  def tpchQ10(spark: SparkSession, dir: String, quarterStart: String = "1996-01-01",
+      quarterEnd: String = "1996-04-01", topK: Int = 20): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .where(col("o_orderdate") >= to_date(lit(quarterStart)) &&
+        col("o_orderdate") < to_date(lit(quarterEnd)))
+      .select("o_orderkey", "o_custkey")
+    val rev = t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+    val nat = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    t(spark, dir, "customer")
+      .join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(topK)
+  }
+
+  /** §2.2 #182 — TPC-H Q13 (customer order-count distribution): how many
+    * customers placed exactly k orders, INCLUDING k=0 — the left outer
+    * join that survives the aggregate (count(o_orderkey) counts non-null
+    * only). Two partial-agg shuffles (custkey, then the ≤|max-k| count
+    * key); the second groupBy input is one row per customer, so the
+    * distribution frame is customer-bounded, never order-bounded.
+    */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = t(spark, dir, "customer").select("c_custkey")
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** §2.2 #184 — TPC-H Q15 (top supplier, ties included): suppliers whose
+    * quarter revenue equals the maximum — the classic view-then-max. The
+    * per-supplier rollup is ONE partial-agg shuffle; the max re-enters as
+    * a broadcast single-row frame (never a window over all suppliers, and
+    * never a second scan of lineitem — the rollup is reused for both the
+    * max and the filter via one cached-in-plan subtree Catalyst shares).
+    */
+  def tpchQ15(spark: SparkSession, dir: String, quarterStart: String = "1996-01-01",
+      quarterEnd: String = "1996-04-01"): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit(quarterStart)) &&
+        col("l_shipdate") < to_date(lit(quarterEnd)))
+      .groupBy("l_suppkey")
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("max_rev"))
+    t(spark, dir, "supplier").select("s_suppkey", "s_name")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** §2.2 #185 — TPC-H Q4 shape (order-priority check): orders in a
+    * quarter counted by priority where at least ONE line was returned —
+    * the EXISTS that plans as a LEFT SEMI join (each order tests
+    * membership once; the semi probe never multiplies rows, so the count
+    * is per-order no matter how many lines matched). The reduced schema
+    * has no commit/receipt dates, so "late line" becomes "returned line"
+    * (`l_returnflag = 'R'`) — identical plan shape, same semi-join
+    * physics.
+    */
+  def tpchQ4(spark: SparkSession, dir: String, quarterStart: String = "1996-01-01",
+      quarterEnd: String = "1996-04-01"): DataFrame = {
+    val returned = t(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R").select("l_orderkey")
+    t(spark, dir, "orders")
+      .where(col("o_orderdate") >= to_date(lit(quarterStart)) &&
+        col("o_orderdate") < to_date(lit(quarterEnd)))
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** §2.2 #186 — TPC-H Q17 shape (small-lot revenue): revenue from lines
+    * whose quantity is below 20% of their part's average — the
+    * aggregate-then-rejoin on partkey (the correlated scalar subquery
+    * de-correlated by hand into one partial-agg rollup + an equi-join).
+    * The per-part average frame is part-bounded so it broadcasts; brand
+    * filter prunes BOTH the rollup and the probe at their scans. The
+    * reduced schema has no p_container, so the cut is brand-only. Exact
+    * decimal average (decimal quotient, not double) so the threshold
+    * comparison is deterministic cross-engine.
+    */
+  def tpchQ17(spark: SparkSession, dir: String, brand: String = "Brand#1"): DataFrame = {
+    val part = t(spark, dir, "part").where(col("p_brand") === brand)
+      .select("p_partkey")
+    val lines = t(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+    // qty < 0.2 * (sum/n)  ⟺  5 * qty * n < sum — division-free, so the
+    // threshold is exact decimal/integer arithmetic on BOTH engines
+    // (decimal-division rounding rules differ cross-engine; multiplying
+    // through by 5n removes the quotient entirely).
+    val avgQty = lines.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"),
+        count(lit(1)).as("n_li"))
+    lines.join(broadcast(avgQty), col("l_partkey") === col("a_partkey"))
+      .where(col("l_quantity").cast(DecimalType(18, 2)) * lit(5) * col("n_li") <
+        col("sum_qty"))
+      .agg(dsum(col("l_extendedprice")).as("small_lot_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** §2.2 #187 — TPC-H Q22 shape (idle wealthy customers): customers with
+    * above-average positive balance and NO orders since a cutoff, counted
+    * per nation — the global-average scalar (one-row broadcast cross
+    * join, computed once, never a correlated re-scan) plus the anti-join
+    * that proves absence. The reduced schema has no c_phone country
+    * codes, so the cut is nation instead; and this synthetic data gives
+    * every customer SOME order, so absence is time-windowed ("no orders
+    * since") — the real churn formulation, and the date filter prunes
+    * the anti side at its scan. Candidates are balance-pruned BEFORE the
+    * probe, so the anti side ships only the qualifying slice.
+    */
+  def tpchQ22(spark: SparkSession, dir: String,
+      idleSince: String = "1999-01-01"): DataFrame = {
+    val cust = t(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    // bal > sum/n  ⟺  bal * n > sum — division-free (see tpchQ17): the
+    // global-average threshold stays exact decimal arithmetic cross-engine.
+    val avgBal = cust.where(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("sum_bal"),
+        count(lit(1)).as("n_pos"))
+    val idle = cust
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal").cast(DecimalType(18, 2)) * col("n_pos") >
+        col("sum_bal"))
+      .join(t(spark, dir, "orders")
+          .where(col("o_orderdate") >= to_date(lit(idleSince)))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+    val nat = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    idle.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  /** §2.2 #183 — TPC-H Q14 (promotion effect): promo revenue share in one
+    * month — conditional aggregation over ONE pass of the month's lines,
+    * part type attached by broadcast; the month filter reaches the
+    * lineitem scan. Single-row result; numerator and denominator are
+    * exact decimal sums so the percentage is deterministic.
+    */
+  def tpchQ14(spark: SparkSession, dir: String, monthStart: String = "1996-03-01",
+      monthEnd: String = "1996-04-01"): DataFrame = {
+    val part = t(spark, dir, "part").select("p_partkey", "p_type")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit(monthStart)) &&
+        col("l_shipdate") < to_date(lit(monthEnd)))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum6(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum6(vol).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_share",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .select("promo_revenue", "total_revenue", "promo_share", "n_lines")
+  }
 }
