@@ -74,7 +74,11 @@ object PlanAudit {
         // ann_ivf large-k regime broadcasts the centroid RELATION over one
         // corpus scan (the kmeans assignment pattern) instead of inlining
         // √N literal vectors into the projection.
-        "q_ann_ivf", "q_ann_ivf_indexed")
+        "q_ann_ivf", "q_ann_ivf_indexed",
+        // pareto / market_basket / vocab_growth: one-row totals frames
+        // (n_cust+total_rev / n_orders / max doc id) broadcast over a
+        // bounded aggregate — the scalar-subquery pattern.
+        "q_pareto", "q_market_basket", "q_vocab_growth")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -251,6 +251,12 @@ object SparkEntry {
     "q_tpch_q4" -> ((s, dir) => Relational.tpchQ4(s, dir)),
     "q_tpch_q17" -> ((s, dir) => Relational.tpchQ17(s, dir)),
     "q_tpch_q22" -> ((s, dir) => Relational.tpchQ22(s, dir)),
+    "q_pareto" -> ((s, dir) => Relational.paretoRevenue(s, dir)),
+    "q_market_basket" -> ((s, dir) => Relational.marketBasket(s, dir)),
+    "q_new_vs_repeat" -> ((s, dir) => Relational.newVsRepeat(s, dir)),
+    "q_prefix_dup" -> ((s, dir) => Dedup.prefixDup(s, dir)),
+    "q_template_dup" -> ((s, dir) => Dedup.templateDup(s, dir)),
+    "q_vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(s, dir)),
     "q_sliding_window" -> ((s, dir) => Relational.slidingWindow(s, dir)),
     "q_percentile_cont" -> ((s, dir) => Relational.percentileCont(s, dir)),
     // The stored file carries the mapped DECIMAL type (SparkEntrySpec pins
@@ -2024,6 +2030,98 @@ object SparkEntry {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM idle JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_cust, sum(rev) AS total_rev FROM rev),
+        |r AS (
+        |  SELECT rev, total_rev, n_cust,
+        |    row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn
+        |  FROM rev, t),
+        |g AS (
+        |  SELECT CAST((rn - 1) * 10 // n_cust AS INTEGER) + 1 AS decile,
+        |    count(*) AS n_cust, sum(rev) AS rev_d, max(total_rev) AS total_rev
+        |  FROM r GROUP BY 1)
+        |SELECT decile, n_cust, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(sum(rev_d) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+        |  round(CAST(sum(rev_d) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(total_rev AS DOUBLE), 6) AS cum_share
+        |FROM g ORDER BY decile""".stripMargin,
+    "q_market_basket" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM d),
+        |f AS (SELECT l_partkey, count(*) AS cnt FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_count
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, pair_count, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
+        |  round(CAST(pair_count * n_orders AS DOUBLE)
+        |    / CAST(fa.cnt * fb.cnt AS DOUBLE), 6) AS lift
+        |FROM p, n
+        |JOIN f fa ON part_a = fa.l_partkey
+        |JOIN f fb ON part_b = fb.l_partkey
+        |ORDER BY pair_count DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "q_new_vs_repeat" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS d, o_totalprice FROM orders),
+        |fst AS (SELECT o_custkey, min(d) AS first_d FROM o GROUP BY 1)
+        |SELECT strftime(CAST(date_trunc('month', d) AS DATE), '%Y-%m-%d') AS month,
+        |  CAST(sum(CASE WHEN d = first_d
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |    ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS new_revenue,
+        |  CAST(sum(CASE WHEN d = first_d THEN CAST(0.0 AS DECIMAL(18,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS repeat_revenue,
+        |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new_orders,
+        |  CAST(sum(CASE WHEN d = first_d THEN 0 ELSE 1 END) AS BIGINT) AS n_repeat_orders
+        |FROM o JOIN fst ON o.o_custkey = fst.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_prefix_dup" ->
+      """SELECT array_to_string(list_slice(string_split(trim(text), ' '), 1, 8), ' ')
+        |    AS prefix,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix""".stripMargin,
+    "q_template_dup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[0-9]+', '0', 'g'))) AS norm
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  min(substring(norm, 1, 60)) AS template
+        |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH m AS (SELECT max(doc_id) AS max_id FROM documents),
+        |dd AS (
+        |  SELECT CAST(doc_id * 10 // (max_id + 1) AS INTEGER) + 1 AS decile,
+        |    len(string_split(trim(text), ' ')) AS n_toks
+        |  FROM documents, m),
+        |g AS (
+        |  SELECT decile, count(*) AS n_docs_d,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens_d
+        |  FROM dd GROUP BY 1),
+        |tok AS (
+        |  SELECT token, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY 1),
+        |td AS (
+        |  SELECT CAST(first_doc * 10 // (max_id + 1) AS INTEGER) + 1 AS decile,
+        |    count(*) AS new_vocab
+        |  FROM tok, m GROUP BY 1)
+        |SELECT g.decile,
+        |  CAST(sum(n_docs_d) OVER w AS BIGINT) AS n_docs_cum,
+        |  CAST(sum(n_tokens_d) OVER w AS BIGINT) AS n_tokens_cum,
+        |  CAST(sum(coalesce(new_vocab, 0)) OVER w AS BIGINT) AS vocab_cum,
+        |  CAST(coalesce(new_vocab, 0) AS BIGINT) AS new_vocab
+        |FROM g LEFT JOIN td ON g.decile = td.decile
+        |WINDOW w AS (ORDER BY g.decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY g.decile""".stripMargin,
     "q_active_span" ->
       """WITH base AS (
         |  SELECT user_id, count(*) AS n_events,

@@ -510,4 +510,41 @@ object Dedup {
           (col("n_a") + col("n_b") - col("inter")).cast("double"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** §2.3 #191 — boilerplate PREFIX detection: documents sharing their
+    * first k tokens (scraped headers, license banners, nav chrome — the
+    * duplication mode that hits document STARTS while bodies differ, so
+    * whole-doc hashing misses it). The group key is a ≤k-token string —
+    * bounded bytes per row at any corpus size; groups with ≥2 docs
+    * surface with a representative. One shuffle, linear, the prefix
+    * extraction is a scan-stage expression.
+    */
+  def prefixDup(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), " "), 1, k)).as("prefix"))
+      .groupBy("prefix")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("prefix", "keep_id", "n_docs")
+      .orderBy(col("n_docs").desc, col("prefix").asc)
+
+  /** §2.3 #192 — TEMPLATE dedup: exact dedup after digit normalization
+    * ("Page 3 of 17" ≡ "Page 9 of 40") — catches machine-generated
+    * near-copies that differ only in numbers, which token-level Jaccard
+    * scores as highly similar but never identical and exact dedup misses
+    * entirely. Groups by sha256(normalized) — a 32-byte shuffle key like
+    * [[exact]] — and surfaces a truncated template exemplar per group, so
+    * the oracle compare pins the normalization BYTE-EXACTLY even when
+    * every group is a singleton at small SF.
+    */
+  def templateDup(spark: SparkSession, dir: String, exemplarLen: Int = 60): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "[0-9]+", "0"))).as("norm"))
+      .groupBy(sha2(col("norm"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+        min(substring(col("norm"), 1, exemplarLen)).as("template"))
+      .select("keep_id", "n_copies", "template")
+      .orderBy("keep_id")
 }

@@ -1815,6 +1815,101 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** §2.2 #188 — Pareto revenue concentration (the 80/20 readout): customers
+    * ranked by lifetime revenue, bucketed into rank deciles, cumulative
+    * revenue share per decile. The per-customer rollup is fact→dim
+    * reduction (one partial-agg shuffle); the global row_number runs over
+    * the CUSTOMER-bounded frame — the standard warehouse pattern for a
+    * concentration curve (ranking a dim table, never the fact), and the
+    * cumulative window is 10 rows. Totals enter as a one-row broadcast
+    * (computed once, never a correlated re-scan); decile assignment is
+    * integer arithmetic (DIV), share the only division — over exact
+    * decimal sums, rounded for presentation.
+    */
+  def paretoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val totals = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("total_rev"))
+    val ranked = rev.crossJoin(broadcast(totals))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rev").desc, col("o_custkey").asc)))
+      .withColumn("decile", expr("CAST((rn - 1) * 10 DIV n_cust AS INT) + 1"))
+    val byDec = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("rev_d"),
+        max(col("total_rev")).as("total_rev"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec
+      .withColumn("cum_rev", sum(col("rev_d")).over(w))
+      .select(col("decile"), col("n_cust"),
+        col("rev_d").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        round(col("cum_rev").cast("double") / col("total_rev").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** §2.2 #189 — market-basket pair mining: co-ordered part pairs with
+    * support and lift. Candidates come from a within-order self-join of
+    * the DISTINCT (order, part) frame — pair fan-out is C(parts-per-
+    * order, 2), bounded by basket size, never corpus-quadratic (the same
+    * bound as co-occurrence PMI's window). Part frequencies are
+    * part-bounded so they attach by broadcast; the order count enters as
+    * a one-row broadcast. Lift = count·N / (cnt_a·cnt_b): integer
+    * products below 2^53 are exact doubles, so the quotient is identical
+    * cross-engine. Top-k via TakeOrderedAndProject with full tie-breaks.
+    */
+  def marketBasket(spark: SparkSession, dir: String, minSupport: Int = 2,
+      topK: Int = 50): DataFrame = {
+    val d = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val nOrders = d.agg(count_distinct(col("l_orderkey")).as("n_orders"))
+    val freq = d.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val pairs = d.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(d.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        "l_orderkey")
+      .where(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_count"))
+      .where(col("pair_count") >= minSupport)
+    pairs
+      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+        col("cnt").as("cnt_a"))), "part_a")
+      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+        col("cnt").as("cnt_b"))), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_count"),
+        col("cnt_a"), col("cnt_b"),
+        round((col("pair_count") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("pair_count").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+  }
+
+  /** §2.2 #190 — new-vs-repeat revenue split by month: each order labeled
+    * by whether it falls on its customer's FIRST order date — the
+    * aggregate-then-rejoin on custkey (customer-bounded first-date frame,
+    * one equi-join back to orders on the key both would bucket on), then
+    * one conditional aggregation to a month-bounded frame. The classic
+    * acquisition-vs-retention revenue decomposition.
+    */
+  def newVsRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice"))
+    val first = o.groupBy("o_custkey").agg(min("d").as("first_d"))
+    o.join(first, "o_custkey")
+      .withColumn("is_new", col("d") === col("first_d"))
+      .groupBy(date_format(date_trunc("month", col("d")), "yyyy-MM-dd").as("month"))
+      .agg(
+        dsum(when(col("is_new"), col("o_totalprice")).otherwise(lit(0.0)))
+          .as("new_revenue"),
+        dsum(when(!col("is_new"), col("o_totalprice")).otherwise(lit(0.0)))
+          .as("repeat_revenue"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_orders"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_repeat_orders"))
+      .orderBy("month")
+  }
+
   /** §2.2 #184 — TPC-H Q15 (top supplier, ties included): suppliers whose
     * quarter revenue equals the maximum — the classic view-then-max. The
     * per-supplier rollup is ONE partial-agg shuffle; the max re-enters as

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -396,4 +397,39 @@ object TextAnalysis {
           lit(1.015) * (col("n_words") / col("n_sentences")) -
           lit(84.6) * (col("n_syllables") / col("n_words")), 4))
       .orderBy("doc_id")
+
+  /** §2.3 #193 — vocabulary GROWTH curve (Heaps'-law readout: is the
+    * corpus still contributing new vocabulary, or scraping the same
+    * text?): cumulative distinct tokens vs cumulative tokens over doc-id
+    * deciles. Cumulative-distinct never runs as such — each token
+    * contributes at its FIRST document (one token→min(doc_id) partial
+    * agg), so vocab-at-cut is a cumulative sum of per-decile counts: two
+    * linear aggregations + a 10-row window, where the naive formulation
+    * re-counts distinct per cut (10 corpus scans). Decile assignment is
+    * integer DIV; the max doc id enters as a one-row broadcast.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val maxId = d.agg(max("doc_id").as("max_id"))
+    val docDec = d.select(col("doc_id"), size(tokensCol).as("n_toks"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("decile", expr("CAST(doc_id * 10 DIV (max_id + 1) AS INT) + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs_d"), sum(col("n_toks").cast("long")).as("n_tokens_d"))
+    val tokDec = d.select(col("doc_id"), explode(tokensCol).as("token"))
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(maxId))
+      .withColumn("decile", expr("CAST(first_doc * 10 DIV (max_id + 1) AS INT) + 1"))
+      .groupBy("decile").agg(count(lit(1)).as("new_vocab"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docDec.join(tokDec, Seq("decile"), "left_outer")
+      .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
+      .select(col("decile"),
+        sum(col("n_docs_d")).over(w).as("n_docs_cum"),
+        sum(col("n_tokens_d")).over(w).as("n_tokens_cum"),
+        sum(col("new_vocab")).over(w).as("vocab_cum"),
+        col("new_vocab"))
+      .orderBy("decile")
+  }
 }
