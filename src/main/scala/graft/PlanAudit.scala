@@ -75,10 +75,11 @@ object PlanAudit {
         // corpus scan (the kmeans assignment pattern) instead of inlining
         // √N literal vectors into the projection.
         "q_ann_ivf", "q_ann_ivf_indexed",
-        // pareto / market_basket / vocab_growth: one-row totals frames
-        // (n_cust+total_rev / n_orders / max doc id) broadcast over a
-        // bounded aggregate — the scalar-subquery pattern.
-        "q_pareto", "q_market_basket", "q_vocab_growth")
+        // pareto / market_basket / vocab_growth / tpch_q22: one-row totals
+        // frames (n_cust+total_rev / n_orders / max doc id / global avg
+        // balance) broadcast over a bounded frame — the scalar-subquery
+        // pattern.
+        "q_pareto", "q_market_basket", "q_vocab_growth", "q_tpch_q22")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

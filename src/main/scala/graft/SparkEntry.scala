@@ -295,6 +295,8 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
     "q_neardup_simhash" -> ((s, dir) => Dedup.nearDupSimhash(s, dir)),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    "q_data_recipe" -> ((s, dir) => Curation.dataRecipe(s, dir)),
     // maxBits=12 caps auto-nBits where the oracle's embedded planes end —
     // exact up to 2^14 vectors; the library default (24) scales further.
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, maxBits = 12)),
@@ -519,6 +521,28 @@ object SparkEntry {
     * total at the 0.6 threshold, so the banded operator equals this exact
     * computation; see the MinHash parameter note in operators.Dedup).
     */
+  /** Brute-force cosine top-10 ground truth — shared by the q_ann_brute
+    * oracle and the q_ann_recall wrapper (which joins it against the LSH
+    * oracle: one derivation, two views).
+    */
+  private lazy val bruteAnnOracle: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e
+      |), q AS (
+      |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+      |), s AS (
+      |  SELECT q.q_id, n.vec_id, ${dot("n.v", "q.qv")} / (n.nrm * q.qn) AS cos
+      |  FROM n, q WHERE n.vec_id <> q.q_id
+      |), r AS (
+      |  SELECT q_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+      |  FROM s
+      |)
+      |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   private val neardupJaccardOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
@@ -2378,23 +2402,26 @@ object SparkEntry {
         |)
         |SELECT doc_id, min(r) AS cluster_id, (doc_id = min(r)) AS is_canonical
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_ann_brute" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e
-        |), q AS (
-        |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
-        |), s AS (
-        |  SELECT q.q_id, n.vec_id, ${dot("n.v", "q.qv")} / (n.nrm * q.qn) AS cos
-        |  FROM n, q WHERE n.vec_id <> q.q_id
-        |), r AS (
-        |  SELECT q_id, vec_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
-        |  FROM s
-        |)
-        |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
-        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_brute" -> bruteAnnOracle,
+    "q_ann_recall" ->
+      s"""SELECT b.q_id, count(l.vec_id) AS n_hits,
+        |  round(count(l.vec_id) / 10.0, 6) AS recall
+        |FROM ($bruteAnnOracle) b
+        |LEFT JOIN (${Similarity.lshOracleSql()}) l
+        |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+    "q_data_recipe" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |x AS (SELECT *, CAST(substring(source, 4) AS INTEGER) AS idx FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round((idx + 1) / 210.0, 6) AS weight,
+        |  round(100000 * (idx + 1) / 210.0, 6) AS target_tokens,
+        |  round(100000 * (idx + 1) / 210.0 / n_tokens, 6) AS epochs,
+        |  least(1.0, round(100000 * (idx + 1) / 210.0 / n_tokens, 6)) AS sample_rate
+        |FROM x ORDER BY source""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split(trim(text), ' '))::INTEGER AS n_tokens,

@@ -559,4 +559,35 @@ object Curation {
         size(col("cw")).as("chunk_tokens"),
         concat_ws(" ", col("cw")).as("chunk_text"))
       .orderBy("doc_id", "chunk_id")
+
+  /** §2.3 #195 — DATA RECIPE planning: given target mixture weights and a
+    * token budget, the per-source sampling rate and epoch count — the
+    * "data recipe" table a training run is configured from (up-weighted
+    * sources show epochs > 1, i.e. repetition; down-weighted ones a
+    * sample rate < 1). One aggregation to a |sources|-bounded frame; the
+    * weight here is a deterministic function of the source index
+    * (w ∝ idx+1, normalized), standing in for a configured weight table —
+    * at scale that table joins in as a broadcast dim exactly like this
+    * expression evaluates. All ratios are deterministic IEEE double
+    * chains, rounded for presentation.
+    */
+  def dataRecipe(spark: SparkSession, dir: String,
+      tokenBudget: Long = 100000L): DataFrame = {
+    val bySource = Tables.load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), " ")).cast("long")).as("n_tokens"))
+    // weight_i = (idx+1) / sum(1..20) = (idx+1)/210 for the 20 sources
+    val idx = substring(col("source"), 4, 10).cast("int")
+    bySource
+      .withColumn("weight", round((idx + 1) / lit(210.0), 6))
+      .withColumn("target_tokens",
+        round(lit(tokenBudget) * (idx + 1) / lit(210.0), 6))
+      .withColumn("epochs",
+        round(lit(tokenBudget) * (idx + 1) / lit(210.0) / col("n_tokens"), 6))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "epochs", "sample_rate")
+      .orderBy("source")
+  }
 }

@@ -1110,4 +1110,29 @@ object Similarity {
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy("label")
+
+  /** §2.3 #194 — ANN RECALL report: per-query recall@k of the LSH index
+    * against the brute-force ground truth — the acceptance test every
+    * approximate index ships with (is 16-table/12-bit LSH good enough to
+    * replace the O(N·Q) scan?). Both sides are this library's own
+    * operators; the join is on (query, neighbor) over two k-bounded
+    * frames, so the comparison costs nothing next to either search.
+    * maxBits pins to 12 where the oracle's embedded planes end (the same
+    * pin as q_ann_lsh).
+    */
+  def annRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, maxBits: Int = 12): DataFrame = {
+    val truth = bruteTopK(spark, dir, nQueries, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = lshTopK(spark, dir, nQueries, k, maxBits = maxBits)
+      .select(col("q_id").as("l_q"), col("vec_id").as("l_v"), lit(1).as("hit"))
+    truth.join(approx,
+        col("q_id") === col("l_q") && col("vec_id") === col("l_v"),
+        "left_outer")
+      .groupBy("q_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits") / lit(k).cast("double"), 6).as("recall"))
+      .orderBy("q_id")
+  }
 }
