@@ -324,4 +324,20 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
         sorted.indices.map(_ * stride))
     }
   }
+
+  test("dataRecipe weights sum to 1 and epochs/rate are consistent") {
+    val rows = Curation.dataRecipe(spark, sf).collect()
+    assert(rows.length == 20)
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4) // rounded weights, 20 * 5e-7 slack
+    rows.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate == math.min(1.0, epochs))
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // the weight formula up-weights later sources
+    val bySrc = rows.map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    assert(bySrc("src19") > bySrc("src0"))
+  }
 }

@@ -268,4 +268,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
     }
   }
+
+  test("prefixDup groups all exceed 1 doc and keep_id is a group member") {
+    val rows = Dedup.prefixDup(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
+    // spot-check: a reported prefix really is shared by n_docs documents
+    if (rows.nonEmpty) {
+      val r0 = rows.head
+      val n = Tables.load(spark, sf, "documents")
+        .where(concat_ws(" ", slice(split(trim(col("text")), " "), 1, 8)) ===
+          r0.getAs[String]("prefix"))
+        .count()
+      assert(n == r0.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("templateDup partitions the corpus and digit-variants collapse") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = Dedup.templateDup(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == docs.count())
+    // injected check on real text: normalizing digits of any document maps
+    // it into exactly one group whose exemplar matches its own normal form
+    val sample = docs.select(lower(trim(regexp_replace(col("text"),
+      "[0-9]+", "0"))).as("norm")).head().getAs[String]("norm")
+    val tmpl = sample.substring(0, math.min(60, sample.length))
+    assert(rows.count(_.getAs[String]("template") == tmpl) >= 1)
+  }
 }

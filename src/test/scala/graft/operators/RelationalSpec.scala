@@ -825,4 +825,79 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[String]("nations") == expect.mkString(","))
     }
   }
+
+  test("tpchQ15 winners all carry the identical maximum revenue") {
+    val rows = Relational.tpchQ15(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length == 1, "every returned supplier ties at the max")
+  }
+
+  test("tpchQ13 distribution covers every customer exactly once") {
+    val rows = Relational.tpchQ13(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total == Tables.load(spark, sf, "customer").count())
+    // zero-order customers appear iff some customer has no orders
+    val nOrderedCust = Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    val zeroRow = rows.find(_.getAs[Long]("c_count") == 0L)
+    val nZero = zeroRow.map(_.getAs[Long]("custdist")).getOrElse(0L)
+    assert(nZero == Tables.load(spark, sf, "customer").count() - nOrderedCust)
+  }
+
+  test("paretoRevenue deciles partition all customers and cum_share ends at 1") {
+    val rows = Relational.paretoRevenue(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val nCust = rows.map(_.getAs[Long]("n_cust")).sum
+    assert(nCust == Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count())
+    assert(rows.last.getAs[Double]("cum_share") == 1.0)
+    // concentration: the top decile out-earns the bottom decile
+    assert(rows.head.getAs[Double]("revenue") > rows.last.getAs[Double]("revenue"))
+    // cumulative share is non-decreasing
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("marketBasket pairs are ordered, above support, and lift-consistent") {
+    val rows = Relational.marketBasket(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val nOrders = d.select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      val pc = r.getAs[Long]("pair_count")
+      assert(pc >= 2)
+      val lift = r.getAs[Double]("lift")
+      val expect = BigDecimal((pc * nOrders).toDouble /
+          (r.getAs[Long]("cnt_a") * r.getAs[Long]("cnt_b")).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(lift == expect)
+    }
+  }
+
+  test("newVsRepeat reconciles to total order count and revenue") {
+    val rows = Relational.newVsRepeat(spark, sf).collect()
+    val orders = Tables.load(spark, sf, "orders")
+    val nOrders = rows.map(r =>
+      r.getAs[Long]("n_new_orders") + r.getAs[Long]("n_repeat_orders")).sum
+    assert(nOrders == orders.count())
+    // every customer contributes at least one "new" order (their first date)
+    val nNew = rows.map(_.getAs[Long]("n_new_orders")).sum
+    assert(nNew >= orders.select("o_custkey").distinct().count())
+  }
+
+  test("tpchQ4 semi-join counts orders once regardless of matching line count") {
+    val rows = Relational.tpchQ4(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("order_count")).sum
+    // recompute independently: quarter orders with >=1 returned line
+    val o = Tables.load(spark, sf, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+    val r = Tables.load(spark, sf, "lineitem")
+      .where(col("l_returnflag") === "R").select("l_orderkey").distinct()
+    val expect = o.join(r, col("o_orderkey") === col("l_orderkey")).count()
+    assert(total == expect)
+  }
 }

@@ -373,4 +373,16 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("annRecall reports one row per query with recall = hits/k in [0,1]") {
+    val rows = Similarity.annRecall(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 10)
+      assert(r.getAs[Double]("recall") == hits / 10.0)
+    }
+    // LSH at these settings finds at least something for most queries
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
+  }
 }

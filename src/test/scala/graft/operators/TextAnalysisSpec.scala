@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkFixture
@@ -233,5 +234,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(r.getAs[Double]("flesch") - local) < 1e-9, s"doc $id flesch")
     }
+  }
+
+  test("vocabGrowth cumulatives are monotone and close at corpus totals") {
+    val rows = TextAnalysis.vocabGrowth(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.last.getAs[Long]("n_docs_cum") == docs.count())
+    val vocabTotal = docs
+      .select(explode(split(trim(col("text")), " ")).as("t"))
+      .distinct().count()
+    assert(rows.last.getAs[Long]("vocab_cum") == vocabTotal)
+    // vocab can only grow, and new_vocab must reconcile with the deltas
+    val cums = rows.map(_.getAs[Long]("vocab_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val news = rows.map(_.getAs[Long]("new_vocab"))
+    assert(cums.head == news.head)
+    assert(news.sum == vocabTotal)
   }
 }
