@@ -79,7 +79,9 @@ object PlanAudit {
         // frames (n_cust+total_rev / n_orders / max doc id / global avg
         // balance) broadcast over a bounded frame — the scalar-subquery
         // pattern.
-        "q_pareto", "q_market_basket", "q_vocab_growth", "q_tpch_q22")
+        "q_pareto", "q_market_basket", "q_vocab_growth", "q_tpch_q22",
+        // incremental_dedup: one-row max-doc-id cutoff frame
+        "q_incremental_dedup")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -314,6 +314,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_entropy" -> ((s, dir) => TextAnalysis.entropy(s, dir)),
     "q_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "q_quality_by_source" -> ((s, dir) => TextAnalysis.qualityBySource(s, dir)),
+    "q_incremental_dedup" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     "q_multimodal_meta" -> ((s, dir) => Multimodal.decodeMeta(s, dir)),
     "q_resize_plan" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
     "q_byte_features" -> ((s, dir) => Multimodal.byteFeatures(s, dir)),
@@ -521,6 +523,27 @@ object SparkEntry {
     * total at the 0.6 threshold, so the banded operator equals this exact
     * computation; see the MinHash parameter note in operators.Dedup).
     */
+  /** Per-doc quality score — shared by the q_quality_score oracle and the
+    * q_quality_by_source rollup (one derivation, two views).
+    */
+  private val qualityScoreOracle: String =
+    """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(toks)::INTEGER AS n_tokens,
+      |    len(list_filter(toks, t -> t IN ('the','a','of','and','is')))::INTEGER AS stop_hits,
+      |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+      |  FROM d
+      |), sc AS (
+      |  SELECT doc_id,
+      |    least(1.0::DOUBLE, n_tokens::DOUBLE / 80.0::DOUBLE) * 0.4::DOUBLE
+      |      + (1.0::DOUBLE - punct_ratio) * 0.4::DOUBLE
+      |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE AS score
+      |  FROM m
+      |)
+      |SELECT doc_id, round(score, 6) AS quality, (score >= 0.5::DOUBLE) AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Brute-force cosine top-10 ground truth — shared by the q_ann_brute
     * oracle and the q_ann_recall wrapper (which joins it against the LSH
     * oracle: one derivation, two views).
@@ -1950,8 +1973,8 @@ object SparkEntry {
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND l_suppkey = s_suppkey
         |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
         |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_tpch_q8" ->
@@ -2467,23 +2490,33 @@ object SparkEntry {
         |  round(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE), 6) AS eff_vocab,
         |  round(log2(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE)), 6) AS h2_bits
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_quality_score" ->
-      """WITH d AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
-        |m AS (
+    "q_quality_score" -> qualityScoreOracle,
+    "q_quality_by_source" ->
+      s"""WITH qs AS ($qualityScoreOracle),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS mean_quality
+        |FROM qs JOIN src ON qs.doc_id = src.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH d AS (
         |  SELECT doc_id,
-        |    len(toks)::INTEGER AS n_tokens,
-        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is')))::INTEGER AS stop_hits,
-        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
-        |  FROM d
-        |), sc AS (
-        |  SELECT doc_id,
-        |    least(1.0::DOUBLE, n_tokens::DOUBLE / 80.0::DOUBLE) * 0.4::DOUBLE
-        |      + (1.0::DOUBLE - punct_ratio) * 0.4::DOUBLE
-        |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE AS score
-        |  FROM m
-        |)
-        |SELECT doc_id, round(score, 6) AS quality, (score >= 0.5::DOUBLE) AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin,
+        |    array_to_string(list_slice(string_split(trim(text), ' '), 1, 8), ' ') AS k
+        |  FROM documents),
+        |m AS (SELECT max(doc_id) AS max_id FROM d),
+        |h AS (SELECT DISTINCT k FROM d, m WHERE doc_id <= max_id // 2),
+        |nw AS (SELECT doc_id, k FROM d, m WHERE doc_id > max_id // 2),
+        |f AS (SELECT k, min(doc_id) AS first_id FROM nw GROUP BY 1)
+        |SELECT nw.doc_id,
+        |  CASE WHEN h.k IS NOT NULL THEN 'dup_of_history'
+        |       WHEN nw.doc_id > f.first_id THEN 'dup_in_batch'
+        |       ELSE 'keep' END AS verdict
+        |FROM nw LEFT JOIN h ON nw.k = h.k JOIN f ON nw.k = f.k
+        |ORDER BY nw.doc_id""".stripMargin,
     // Text payloads never parse as PNG/JPEG, so the oracle pins the fallback
     // branch; the real header parsers are covered by MultimodalSpec.
     // Text payloads all decode through the deterministic fallback, so the

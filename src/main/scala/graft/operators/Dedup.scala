@@ -529,6 +529,43 @@ object Dedup {
       .select("prefix", "keep_id", "n_docs")
       .orderBy(col("n_docs").desc, col("prefix").asc)
 
+  /** §2.3 #196 — INCREMENTAL ingestion dedup: a new batch checked against
+    * the historical corpus — the shape every production pipeline actually
+    * runs (full-corpus re-dedup per ingest is unpayable at 100 TB; the
+    * history is a content-key index you probe). Here history = doc_id ≤
+    * max/2 and the batch = the rest (the cutoff enters as a one-row
+    * broadcast); the content key is the first-k-token prefix fingerprint
+    * (any content-derived key — full-text sha256, simhash band — rides
+    * the identical plan; prefixes give this synthetic corpus real
+    * collisions to exercise all three verdicts). Verdict per new doc:
+    * dup_of_history (key seen before the cutoff — one hash join on
+    * 32-byte keys), dup_in_batch (an earlier batch doc claimed the key —
+    * min-per-key window inside the batch only), else keep.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        sha2(concat_ws(" ", slice(split(trim(col("text")), " "), 1, k)), 256)
+          .as("key"))
+    val cutoff = d.agg(max("doc_id").as("max_id"))
+    val keyed = d.crossJoin(broadcast(cutoff))
+      .withColumn("cut", expr("max_id DIV 2"))
+    val hist = keyed.where(col("doc_id") <= col("cut"))
+      .select(col("key").as("h_key")).distinct()
+      .withColumn("in_hist", lit(true))
+    val batch = keyed.where(col("doc_id") > col("cut"))
+    val firstInBatch = min(col("doc_id"))
+      .over(Window.partitionBy(col("key")))
+    batch
+      .join(hist, col("key") === col("h_key"), "left_outer")
+      .withColumn("first_id", firstInBatch)
+      .select(col("doc_id"),
+        when(col("in_hist").isNotNull, "dup_of_history")
+          .when(col("doc_id") > col("first_id"), "dup_in_batch")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** §2.3 #192 — TEMPLATE dedup: exact dedup after digit normalization
     * ("Page 3 of 17" ≡ "Page 9 of 40") — catches machine-generated
     * near-copies that differ only in numbers, which token-level Jaccard

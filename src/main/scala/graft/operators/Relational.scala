@@ -1688,8 +1688,8 @@ object Relational {
     * The OR-of-two-directions predicate needs both sides attached, so it
     * rides the LAST join as a residual, never a cartesian.
     */
-  def tpchQ7(spark: SparkSession, dir: String, nationA: String = "NATION_1",
-      nationB: String = "NATION_2"): DataFrame = {
+  def tpchQ7(spark: SparkSession, dir: String, nationA: String = "NATION_13",
+      nationB: String = "NATION_19"): DataFrame = {
     val nat = t(spark, dir, "nation")
       .where(col("n_name").isin(nationA, nationB))
       .select(col("n_nationkey"), col("n_name"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -408,6 +409,29 @@ object TextAnalysis {
     * re-counts distinct per cut (10 corpus scans). Decile assignment is
     * integer DIV; the max doc id enters as a one-row broadcast.
     */
+  /** §2.3 #197 — per-source QUALITY rollup (which sources are dragging
+    * the corpus): doc counts, keep counts/rate, and mean quality score by
+    * source — the table a mixture re-weighting decision reads. Reuses
+    * [[qualityScore]] verbatim (one derivation, two views — the oracle
+    * wraps the quality oracle), joins source by doc_id, and means the
+    * ROUNDED per-doc score through an exact decimal sum so the rollup is
+    * order-independent.
+    */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir)
+    val src = docs(spark, dir).select("doc_id", "source")
+    q.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("mean_quality"))
+      .withColumn("keep_rate",
+        round(col("n_keep") / col("n_docs").cast("double"), 6))
+      .select("source", "n_docs", "n_keep", "keep_rate", "mean_quality")
+      .orderBy("source")
+  }
+
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val maxId = d.agg(max("doc_id").as("max_id"))

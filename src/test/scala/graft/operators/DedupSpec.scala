@@ -283,6 +283,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("incrementalDedup covers the batch once with consistent verdicts") {
+    val docs = Tables.load(spark, sf, "documents")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val rows = Dedup.incrementalDedup(spark, sf).collect()
+    // exactly the post-cutoff batch, each doc once
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      docs.where(col("doc_id") > maxId / 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+    val verdicts = rows.map(_.getAs[String]("verdict")).toSet
+    assert(verdicts.subsetOf(Set("keep", "dup_of_history", "dup_in_batch")))
+    // a keep verdict means its prefix key is absent from history: spot-check
+    // by recomputing one doc's key membership
+    val keyOf = concat_ws(" ", slice(split(trim(col("text")), " "), 1, 8))
+    val histKeys = docs.where(col("doc_id") <= maxId / 2)
+      .select(keyOf.as("k")).distinct().collect().map(_.getString(0)).toSet
+    val textById = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val words = textById(r.getAs[Long]("doc_id")).trim.split(" ", -1).take(8)
+      val inHist = histKeys.contains(words.mkString(" "))
+      val v = r.getAs[String]("verdict")
+      if (v == "dup_of_history") assert(inHist)
+      if (v == "keep") assert(!inHist)
+    }
+  }
+
   test("templateDup partitions the corpus and digit-variants collapse") {
     val docs = Tables.load(spark, sf, "documents")
     val rows = Dedup.templateDup(spark, sf).collect()

@@ -236,6 +236,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("qualityBySource reconciles with per-doc quality verdicts") {
+    val perDoc = TextAnalysis.qualityScore(spark, sf).collect()
+    val rows = TextAnalysis.qualityBySource(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == perDoc.length)
+    assert(rows.map(_.getAs[Long]("n_keep")).sum ==
+      perDoc.count(_.getAs[Boolean]("keep")))
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("keep_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq >= 0.0 && mq <= 1.0)
+    }
+  }
+
   test("vocabGrowth cumulatives are monotone and close at corpus totals") {
     val rows = TextAnalysis.vocabGrowth(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
