@@ -81,7 +81,10 @@ object PlanAudit {
         // pattern.
         "q_pareto", "q_market_basket", "q_vocab_growth", "q_tpch_q22",
         // incremental_dedup: one-row max-doc-id cutoff frame
-        "q_incremental_dedup")
+        "q_incremental_dedup",
+        // ann_recall embeds the brute-force ground truth, inheriting
+        // q_ann_brute's intended broadcast-query linear scan
+        "q_ann_recall")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Simhash64, TokenSimhash}
+import graft.functions.{DotProduct, Simhash64, TokenSimhash, WordNgrams}
 
 /** SparkSessionExtensions hook exposing graft's native kernels as SQL
   * functions, so `spark.sql("SELECT simhash64(...)")` works anywhere — the
@@ -46,6 +46,22 @@ object GraftExtensions {
     ("dot_product",
       info("dot_product", "dot_product(array<double>, array<double>) - sequential-fold dot product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("word_ngrams",
+      info("word_ngrams",
+        "word_ngrams(array<string>, n) - distinct order-preserving word n-gram shingles; n must be a literal"),
+      (args: Seq[Expression]) => {
+        val n = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams: n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: n must be a literal (the shingle width compiles into the kernel)")
+        }
+        WordNgrams(args.head, n)
+      }),
   )
 
   /** Register the functions on an existing session (extensions configured at

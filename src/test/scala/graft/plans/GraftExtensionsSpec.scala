@@ -42,6 +42,25 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     assert(tie == 0L)
   }
 
+  test("SQL word_ngrams matches the kernel: distinct, ordered, literal-n only") {
+    GraftExtensions.register(spark)
+    val grams = spark.sql(
+      "SELECT word_ngrams(array('a', 'b', 'a', 'b', 'c'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    // 'a b' appears twice but is emitted once, in first-seen order
+    assert(grams == Seq("a b", "b a", "b c"))
+    // shorter than n -> empty, never null
+    val short = spark.sql("SELECT word_ngrams(array('a'), 3) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+    // non-literal n is rejected at analysis (the width compiles into codegen)
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(array('a','b'), CAST(rand()*2 AS INT)) AS g")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("SQL token_simhash64 over the documents pipeline matches the operator") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_v")
