@@ -101,6 +101,11 @@ object PlanAudit {
         failures += s"$name: expected a window-free plan (max-struct argmax)"
       if (name == "q_join_broadcast" && !has("BroadcastHashJoin"))
         failures += "q_join_broadcast: expected BroadcastHashJoin"
+      // Q19's whole point: each scan keeps the union of its OWN columns'
+      // disjunct bounds (lineitem: quantity; part: brand+size).
+      if (name == "q_tpch_q19" &&
+          !(plan.contains("l_quantity") && plan.contains("p_size")))
+        failures += "q_tpch_q19: disjunct bounds not pushed to both scans"
       if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))
         failures += "q_filter_pushdown: no pushed filters at scan"
       if (name == "q_copy_partitioned" && !plan.contains("PartitionFilters: [isnotnull(o_year"))

@@ -251,6 +251,9 @@ object SparkEntry {
     "q_tpch_q4" -> ((s, dir) => Relational.tpchQ4(s, dir)),
     "q_tpch_q17" -> ((s, dir) => Relational.tpchQ17(s, dir)),
     "q_tpch_q22" -> ((s, dir) => Relational.tpchQ22(s, dir)),
+    "q_tpch_q19" -> ((s, dir) => Relational.tpchQ19(s, dir)),
+    "q_tpch_q21" -> ((s, dir) => Relational.tpchQ21(s, dir)),
+    "q_tpch_q9" -> ((s, dir) => Relational.tpchQ9(s, dir)),
     "q_pareto" -> ((s, dir) => Relational.paretoRevenue(s, dir)),
     "q_market_basket" -> ((s, dir) => Relational.marketBasket(s, dir)),
     "q_new_vs_repeat" -> ((s, dir) => Relational.newVsRepeat(s, dir)),
@@ -2077,6 +2080,38 @@ object SparkEntry {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM idle JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH fin AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+        |po AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret_supp,
+        |    max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS culprit
+        |  FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM fin)
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON culprit = s_suppkey
+        |WHERE n_supp >= 2 AND n_ret_supp = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - l_quantity * p_retailprice * 0.8 AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q_pareto" ->
       """WITH rev AS (
         |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

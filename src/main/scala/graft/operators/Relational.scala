@@ -2021,6 +2021,94 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** §2.2 #198 — TPC-H Q19 (discounted revenue, disjunctive predicate):
+    * revenue over an OR of three (brand, size-range, quantity-range)
+    * conjunctions — the pushdown stress test: Catalyst must push the
+    * part-only disjuncts (brand OR-tree, size bounds) to the part scan
+    * and the quantity bounds to the lineitem scan (each side keeps the
+    * union of its own columns' bounds), with the cross-table residual
+    * evaluated on the joined row. Part is dim-bounded and broadcasts;
+    * one pass, exact decimal revenue.
+    */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40))
+    t(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(cond)
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** §2.2 #199 — TPC-H Q21 shape (suppliers who kept waiting): finished
+    * multi-supplier orders where EXACTLY ONE supplier had returned lines —
+    * that supplier failed while the others delivered. The reference
+    * formulation is EXISTS + NOT EXISTS correlated on the same fact;
+    * de-correlated here into ONE per-order aggregate (distinct suppliers
+    * overall, distinct suppliers among returns, max = the culprit when
+    * unique) — one shuffle on orderkey instead of two correlated fact
+    * re-probes, the form that survives 100 TB. Counted per supplier,
+    * top-k with full tie-breaks.
+    */
+  def tpchQ21(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val fin = t(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F").select("o_orderkey")
+    val perOrder = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .join(fin, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_ret_supp"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("culprit"))
+      .where(col("n_supp") >= 2 && col("n_ret_supp") === 1)
+    perOrder
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("culprit") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(topK)
+  }
+
+  /** §2.2 #200 — TPC-H Q9 shape (product-type profit by nation and year):
+    * profit = revenue − quantity·(0.8·retail) with the supply cost
+    * derived from part's retail price (the reduced schema has no
+    * partsupp); the plan is the real Q9 tree — part (name-filtered) and
+    * the supplier→nation dim chain broadcast onto lineitem, orders
+    * attaches by the orderkey shuffle, group by (nation, year). Profit
+    * terms are cast to decimal per-row so the aggregate is
+    * order-independent.
+    */
+  def tpchQ9(spark: SparkSession, dir: String, partType: String = "STANDARD"): DataFrame = {
+    val part = t(spark, dir, "part").where(col("p_type") === partType)
+      .select("p_partkey", "p_retailprice")
+    val nat = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val ord = t(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("l_quantity") * col("p_retailprice") * lit(0.8)
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum6(profit).as("sum_profit"), count(lit(1)).as("n_lines"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
   /** §2.2 #183 — TPC-H Q14 (promotion effect): promo revenue share in one
     * month — conditional aggregation over ONE pass of the month's lines,
     * part type attached by broadcast; the month filter reaches the

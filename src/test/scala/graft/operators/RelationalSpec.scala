@@ -888,6 +888,26 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(nNew >= orders.select("o_custkey").distinct().count())
   }
 
+  test("tpchQ21 culprits are the unique returning supplier of multi-supplier orders") {
+    val rows = Relational.tpchQ21(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation of one culprit's wait count
+    val li = Tables.load(spark, sf, "lineitem")
+    val fin = Tables.load(spark, sf, "orders")
+      .where(col("o_orderstatus") === "F").select("o_orderkey")
+    val perOrder = li.join(fin, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nr"),
+        max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("culprit"))
+      .where(col("ns") >= 2 && col("nr") === 1)
+      .groupBy("culprit").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(perOrder(r.getAs[Long]("s_suppkey")) == r.getAs[Long]("numwait"))
+    }
+  }
+
   test("tpchQ4 semi-join counts orders once regardless of matching line count") {
     val rows = Relational.tpchQ4(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("order_count")).sum
