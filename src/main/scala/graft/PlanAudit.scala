@@ -24,6 +24,10 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Plan strings truncate scan metadata (PushedFilters, ReadSchema) at
+      // 100 chars by default — the pushdown assertions below grep inside
+      // those sections, so they need the full text.
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,10 +106,19 @@ object PlanAudit {
       if (name == "q_join_broadcast" && !has("BroadcastHashJoin"))
         failures += "q_join_broadcast: expected BroadcastHashJoin"
       // Q19's whole point: each scan keeps the union of its OWN columns'
-      // disjunct bounds (lineitem: quantity; part: brand+size).
-      if (name == "q_tpch_q19" &&
-          !(plan.contains("l_quantity") && plan.contains("p_size")))
-        failures += "q_tpch_q19: disjunct bounds not pushed to both scans"
+      // disjunct bounds (lineitem: quantity; part: brand+size). Those
+      // column names appear in the residual join/filter of ANY plan, so
+      // the assertion must look inside the scans' PushedFilters sections
+      // specifically (ADVICE r5): one scan must push quantity bounds, the
+      // other brand+size bounds.
+      if (name == "q_tpch_q19") {
+        val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+        val liPushed = pushed.exists(_.contains("l_quantity"))
+        val pPushed = pushed.exists(s => s.contains("p_size") && s.contains("p_brand"))
+        if (!(liPushed && pPushed))
+          failures += "q_tpch_q19: disjunct bounds missing from PushedFilters " +
+            s"(lineitem quantity pushed: $liPushed, part brand+size pushed: $pPushed)"
+      }
       if (name == "q_filter_pushdown" && !has("PushedFilters: [IsNotNull"))
         failures += "q_filter_pushdown: no pushed filters at scan"
       if (name == "q_copy_partitioned" && !plan.contains("PartitionFilters: [isnotnull(o_year"))

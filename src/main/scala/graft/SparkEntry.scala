@@ -62,6 +62,18 @@ object SparkEntry {
       TableCopy.copyTables(s, dir, tmp("manifest"),
         include = Seq("customer", "nation", "part", "supplier"),
         exclude = Seq("supplier"))),
+    // §2.1 #201 — resume-from-manifest: run 1 copies nation+region ok and
+    // isolates the failure of a table with no source files; run 2 is the
+    // "fix the broken table and rerun" pass — it resumes from run 1's
+    // manifest, so the ok tables re-emit as `skipped` (prior counts
+    // carried, no recopy) and only the fixed table actually copies.
+    "copy_resume" -> ((s, dir) => {
+      val first = TableCopy.copyTables(s, dir, tmp("resume"),
+        include = Seq("nation", "region", "missing_table"))
+      TableCopy.copyTables(s, dir, tmp("resume"),
+        include = Seq("nation", "region", "supplier"),
+        resumeFrom = Some(first))
+    }),
     "copy_schema" -> ((s, dir) =>
       TableCopy.schemaManifest(s, dir, Seq("nation", "customer", "part"))),
     "copy_append" -> ((s, dir) => {
@@ -1033,6 +1045,12 @@ object SparkEntry {
         |UNION ALL SELECT 'nation', count(*), 'ok' FROM nation
         |UNION ALL SELECT 'part', count(*), 'ok' FROM part
         |ORDER BY table_name""".stripMargin,
+    "copy_resume" ->
+      """SELECT 'nation' AS table_name, (SELECT count(*) FROM nation) AS n_rows,
+        |  'skipped' AS status
+        |UNION ALL SELECT 'region', (SELECT count(*) FROM region), 'skipped'
+        |UNION ALL SELECT 'supplier', (SELECT count(*) FROM supplier), 'ok'
+        |ORDER BY table_name""".stripMargin,
     "copy_schema" ->
       """SELECT * FROM (VALUES
         |  ('customer', 1, 'c_custkey', 'bigint', true, 'BIGINT'),
@@ -1929,9 +1947,12 @@ object SparkEntry {
         |  FROM (SELECT user_id, wk + 7 AS wk FROM p) a
         |  ANTI JOIN p ON p.user_id = a.user_id AND p.wk = a.wk
         |  GROUP BY 1)
-        |SELECT c.week, n_new, n_retained, n_resurrected,
+        |SELECT coalesce(c.week, ch.week) AS week,
+        |  coalesce(n_new, 0) AS n_new,
+        |  coalesce(n_retained, 0) AS n_retained,
+        |  coalesce(n_resurrected, 0) AS n_resurrected,
         |  coalesce(n_churned, 0) AS n_churned
-        |FROM c LEFT JOIN ch ON c.week = ch.week ORDER BY c.week""".stripMargin,
+        |FROM c FULL JOIN ch ON c.week = ch.week ORDER BY week""".stripMargin,
     "q_order_cadence" ->
       """WITH g AS (
         |  SELECT o_custkey,

@@ -1478,6 +1478,12 @@ object Relational {
     * a per-user min, prior-week membership is a shifted self-join, churn a
     * shifted anti-join — presence-bounded throughout, raw events never
     * join. active(w) = new + retained + resurrected by construction.
+    *
+    * Churn attaches by FULL OUTER join (ADVICE r5): a calendar week with
+    * zero active users still owns the churn of the prior week's actives —
+    * a left join from the active-week counts would silently drop exactly
+    * the weeks where churn is total (gap weeks, and the week after the
+    * final active week). All four counts coalesce to 0 on either side.
     */
   def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "events")
@@ -1501,8 +1507,11 @@ object Relational {
       .join(p, Seq("user_id", "wk"), "left_anti")
       .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("week"))
       .agg(count(lit(1)).as("n_churned"))
-    counts.join(churned, Seq("week"), "left_outer")
-      .select(col("week"), col("n_new"), col("n_retained"), col("n_resurrected"),
+    counts.join(churned, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
       .orderBy("week")
   }
@@ -1859,12 +1868,21 @@ object Relational {
     * a one-row broadcast. Lift = count·N / (cnt_a·cnt_b): integer
     * products below 2^53 are exact doubles, so the quotient is identical
     * cross-engine. Top-k via TakeOrderedAndProject with full tie-breaks.
+    *
+    * The part-frequency frame is FACT-derived (distinct partkeys seen in
+    * lineitem), so its broadcast hint is gated (VERDICT r5 #8): |distinct
+    * parts| ≤ |part|, and the dimension's row count is one footer-stats
+    * count, so the hint applies only below `maxBroadcastParts` — above
+    * that the frequency attach degrades to a plain shuffle join on the
+    * part key rather than OOMing every executor with the build side.
     */
   def marketBasket(spark: SparkSession, dir: String, minSupport: Int = 2,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50, maxBroadcastParts: Long = 10000000L): DataFrame = {
     val d = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     val nOrders = d.agg(count_distinct(col("l_orderkey")).as("n_orders"))
     val freq = d.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val hint: DataFrame => DataFrame =
+      if (t(spark, dir, "part").count() <= maxBroadcastParts) broadcast else identity
     val pairs = d.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       .join(d.select(col("l_orderkey"), col("l_partkey").as("part_b")),
         "l_orderkey")
@@ -1872,9 +1890,9 @@ object Relational {
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_count"))
       .where(col("pair_count") >= minSupport)
     pairs
-      .join(broadcast(freq.select(col("l_partkey").as("part_a"),
+      .join(hint(freq.select(col("l_partkey").as("part_a"),
         col("cnt").as("cnt_a"))), "part_a")
-      .join(broadcast(freq.select(col("l_partkey").as("part_b"),
+      .join(hint(freq.select(col("l_partkey").as("part_b"),
         col("cnt").as("cnt_b"))), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("pair_count"),

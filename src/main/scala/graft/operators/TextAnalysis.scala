@@ -399,16 +399,6 @@ object TextAnalysis {
           lit(84.6) * (col("n_syllables") / col("n_words")), 4))
       .orderBy("doc_id")
 
-  /** §2.3 #193 — vocabulary GROWTH curve (Heaps'-law readout: is the
-    * corpus still contributing new vocabulary, or scraping the same
-    * text?): cumulative distinct tokens vs cumulative tokens over doc-id
-    * deciles. Cumulative-distinct never runs as such — each token
-    * contributes at its FIRST document (one token→min(doc_id) partial
-    * agg), so vocab-at-cut is a cumulative sum of per-decile counts: two
-    * linear aggregations + a 10-row window, where the naive formulation
-    * re-counts distinct per cut (10 corpus scans). Decile assignment is
-    * integer DIV; the max doc id enters as a one-row broadcast.
-    */
   /** §2.3 #197 — per-source QUALITY rollup (which sources are dragging
     * the corpus): doc counts, keep counts/rate, and mean quality score by
     * source — the table a mixture re-weighting decision reads. Reuses
@@ -432,6 +422,16 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** §2.3 #193 — vocabulary GROWTH curve (Heaps'-law readout: is the
+    * corpus still contributing new vocabulary, or scraping the same
+    * text?): cumulative distinct tokens vs cumulative tokens over doc-id
+    * deciles. Cumulative-distinct never runs as such — each token
+    * contributes at its FIRST document (one token→min(doc_id) partial
+    * agg), so vocab-at-cut is a cumulative sum of per-decile counts: two
+    * linear aggregations + a 10-row window, where the naive formulation
+    * re-counts distinct per cut (10 corpus scans). Decile assignment is
+    * integer DIV; the max doc id enters as a one-row broadcast.
+    */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val maxId = d.agg(max("doc_id").as("max_id"))

@@ -798,7 +798,15 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .select(col("user_id"), date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("w"))
       .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
     val localActive = presence.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    assert(active == localActive)
+    // Weeks with activity match the independent presence count exactly; the
+    // FULL OUTER churn attach (ADVICE r5) also emits churn-only weeks (gap
+    // weeks and the week after the final active one) — those must carry
+    // zero active mass and strictly positive churn.
+    assert(active.filter(_._2 > 0) == localActive)
+    rows.filter { case (_, n, r2, rs, _) => n + r2 + rs == 0 }.foreach {
+      case (w, _, _, _, ch) =>
+        assert(!localActive.contains(w) && ch > 0, s"churn-only week $w")
+    }
     // First week has no retained/resurrected/churned; churn(w) =
     // active(w-7) - retained(w) for every later week.
     val sorted = rows.sortBy(_._1)

@@ -55,6 +55,73 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(s"$dest/nation.parquet").count() == 25)
   }
 
+  test("copyTables resumeFrom skips manifest-ok tables and copies only the rest") {
+    val dest = tmpDir()
+    // Run 1: two tables land ok, one has no source files and fails.
+    val first = TableCopy.copyTables(spark, sf, dest,
+      include = Seq("region", "nation", "missing_table"))
+    val firstRows = first.collect().map(r => (r.getString(0), r.getString(2)))
+    assert(firstRows.count(_._2 == "ok") == 2)
+    assert(firstRows.find(_._1 == "missing_table").get._2.startsWith("error:"))
+    // Prove the resume does NOT recopy ok tables: remove region's landed
+    // files — a recopy would re-create them, a skip leaves them absent.
+    val regionPath = new java.io.File(s"$dest/region.parquet")
+    regionPath.listFiles().foreach(_.delete()); regionPath.delete()
+    // Run 2: the "fixed" set (supplier stands in for the repaired table).
+    val resumed = TableCopy.copyTables(spark, sf, dest,
+      include = Seq("region", "nation", "supplier"), resumeFrom = Some(first))
+    val rows = resumed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows.filter(_._3 == "skipped").map(t => t._1 -> t._2).toMap ==
+      Map("region" -> 5L, "nation" -> 25L))
+    assert(rows.find(_._1 == "supplier").get._3 == "ok")
+    assert(!regionPath.exists(), "skipped table must not be recopied")
+    assert(spark.read.parquet(s"$dest/supplier.parquet").count() > 0)
+  }
+
+  test("SqlDialect: URL dispatch, per-dialect upsert SQL, and benign states") {
+    import TableCopy.SqlDialect
+    assert(SqlDialect.forUrl("jdbc:derby:memory:x") == SqlDialect.Derby)
+    assert(SqlDialect.forUrl("jdbc:sqlserver://h:1433;db=x") == SqlDialect.SqlServer)
+    assert(SqlDialect.forUrl("jdbc:postgresql://h/x") == SqlDialect.Postgres)
+    assert(SqlDialect.forUrl("jdbc:mysql://h/x") == SqlDialect.Ansi)
+
+    val keys = Seq("id"); val cols = Seq("id", "v", "w")
+    val derby = SqlDialect.Derby.mergeSql("t", "t_stage", keys, cols)
+    assert(derby.startsWith("MERGE INTO t d USING t_stage s ON d.\"id\" = s.\"id\""))
+    assert(derby.contains("WHEN MATCHED THEN UPDATE SET \"v\" = s.\"v\", \"w\" = s.\"w\""))
+    assert(derby.contains(
+      "WHEN NOT MATCHED THEN INSERT (\"id\", \"v\", \"w\")"))
+    assert(!derby.endsWith(";"))
+
+    // SQL Server: same ANSI MERGE, terminated (T-SQL requires it).
+    val mssql = SqlDialect.SqlServer.mergeSql("t", "t_stage", keys, cols)
+    assert(mssql.endsWith(";") && mssql.stripSuffix(";") == derby)
+
+    // Postgres: INSERT .. ON CONFLICT with EXCLUDED pseudo-row, and the
+    // key index must be UNIQUE (ON CONFLICT needs a unique arbiter).
+    val pg = SqlDialect.Postgres.mergeSql("t", "t_stage", keys, cols)
+    assert(pg.startsWith("INSERT INTO t (\"id\", \"v\", \"w\")"))
+    assert(pg.contains("ON CONFLICT (\"id\") DO UPDATE SET " +
+      "\"v\" = EXCLUDED.\"v\", \"w\" = EXCLUDED.\"w\""))
+    assert(SqlDialect.Postgres.keyIndexSql("t", "t_kidx", keys)
+      .startsWith("CREATE UNIQUE INDEX"))
+    assert(SqlDialect.Derby.keyIndexSql("t", "t_kidx", keys)
+      .startsWith("CREATE INDEX"))
+
+    // Benign-state vocabulary is per-backend, not Derby's everywhere.
+    assert(SqlDialect.Derby.missingTableStates("42Y55") &&
+      SqlDialect.Derby.indexExistsStates("X0Y32"))
+    assert(SqlDialect.Postgres.missingTableStates("42P01") &&
+      SqlDialect.Postgres.indexExistsStates("42P07"))
+    assert(SqlDialect.SqlServer.missingTableStates("S0002"))
+    assert(SqlDialect.Ansi.missingTableStates.isEmpty)
+
+    // A Derby-URL store resolves its dialect without an override.
+    assert(TableCopy.JdbcStore("jdbc:derby:memory:d;create=true").dialect ==
+      SqlDialect.Derby)
+  }
+
   test("schemaManifest lists ordinal, canonical type, nullability, and JDBC DDL type") {
     val m = TableCopy.schemaManifest(spark, sf, Seq("nation")).collect()
     assert(m.map(r => (r.getInt(1), r.getString(2), r.getString(3),
