@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 STRESS data generator (VERDICT r5 #6): builds a ~10× replica of an
+  * existing SF directory so the most expensive operators can be driven one
+  * decade past the correctness gate (sf0.1 → sf1-scale) and scale cliffs
+  * that local[32] can still reach show up before a cluster does.
+  *
+  * This is STRESS data, not correctness data: the DuckDB oracle never runs
+  * against it (the driver's gate SFs stay sf0.01/sf0.001), so the generator
+  * optimizes for preserving each operator's WORKLOAD SHAPE, not for TPC-H
+  * semantics:
+  *
+  *   - Dimensions (region/nation/customer/supplier/part) copy UNCHANGED —
+  *     at 100 TB the dims don't grow with the fact tables either; the
+  *     broadcast-vs-shuffle decisions under test depend on exactly that.
+  *   - Facts replicate `factor`× with PRIMARY keys shifted per replica
+  *     (orderkey, doc_id, event id via user shift) so FK integrity holds
+  *     (lineitem's orderkey shifts in lockstep with orders) and grouping
+  *     keys stay unique across replicas.
+  *   - events shift user_id per replica: 10× users with the same per-user
+  *     series — window partitions multiply in COUNT (the scale axis a
+  *     cluster sees), not in per-partition size.
+  *   - documents/embeddings keep content byte-identical across replicas —
+  *     deliberately. A 90%-exact-duplicate corpus is the textbook worst
+  *     case for the dedup/similarity family, and this library's explicit
+  *     contract is that exact-dup collapse happens BEFORE banding/probing
+  *     (DedupSpec: "candidates stay near-linear"). If that contract holds,
+  *     sf1 dedup cost grows ~linearly; if it is wrong anywhere, this is
+  *     the run that shows it.
+  *
+  * Usage: runMain graft.StressGen <srcSfDir> <destDir> [factor]
+  * The destination is a normal SF directory: Bench/Verify run against it
+  * via SPARK_GRAFT_SF_DIR with no code changes.
+  */
+object StressGen {
+
+  /** Key offset: one decimal order of magnitude above the max key so
+    * shifted ids are collision-free AND visually attributable to a replica.
+    */
+  private def offsetFor(df: DataFrame, col0: String): Long = {
+    val mx = df.agg(max(col(col0)).cast("long")).collect()(0).getLong(0)
+    var off = 1L
+    while (off <= mx) off *= 10
+    off
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dest = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dims = Seq("region", "nation", "customer", "supplier", "part")
+    dims.foreach { t =>
+      sources.Tables.load(spark, src, t)
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[stressgen] $t: copied unchanged")
+    }
+
+    // Replicate a fact `factor`×, shifting the named key columns by
+    // replica*offset. The replica frame is a tiny broadcast; the transform
+    // is scan→project→write, shuffle-free. Returns the offset used so that
+    // FK pairs (orders/lineitem, documents/embeddings) shift in LOCKSTEP —
+    // each child must reuse its parent's offset, not derive one from its
+    // own max (a subset's max can round to a smaller power of 10).
+    def replicate(t: String, shiftCols: Seq[String],
+        fixedOff: Option[Long] = None): Long = {
+      val df = sources.Tables.load(spark, src, t)
+      val off = fixedOff.getOrElse(offsetFor(df, shiftCols.head))
+      val reps = broadcast(spark.range(factor).toDF("replica"))
+      val out0 = df.crossJoin(reps)
+      val out = shiftCols.foldLeft(out0) { (d, c) =>
+        d.withColumn(c, col(c) + col("replica") * off)
+      }.drop("replica")
+      out.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[stressgen] $t: x$factor, shifted ${shiftCols.mkString("+")} by k*$off")
+      off
+    }
+
+    val okOff = replicate("orders", Seq("o_orderkey"))
+    replicate("lineitem", Seq("l_orderkey"), Some(okOff))
+    replicate("events", Seq("user_id"))
+    val docOff = replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("doc_id"), Some(docOff))
+
+    println(s"[stressgen] done: $dest at ${factor}x ${src}")
+    spark.stop()
+  }
+}

@@ -885,6 +885,35 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("marketBasket freq broadcast degrades to a shuffle join above the part threshold") {
+    // Pin the conf so BroadcastHashJoin in the plan can ONLY come from the
+    // operator's own hints (no stats/AQE auto-broadcast), then assert the
+    // gate: default = both freq attaches broadcast; forced-large |part|
+    // (threshold 0) = both degrade to shuffle joins, values identical.
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevThresh = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val default = Relational.marketBasket(spark, sf)
+      val forced = Relational.marketBasket(spark, sf, maxBroadcastParts = 0L)
+      val d = default.queryExecution.executedPlan.toString
+      val f = forced.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(d).size >= 2,
+        "default plan must broadcast both freq attaches")
+      assert(!f.contains("BroadcastHashJoin"),
+        "gated plan must not broadcast the fact-derived freq frame")
+      assert(f.contains("SortMergeJoin") || f.contains("ShuffledHashJoin"),
+        "gated plan must shuffle-join the freq attaches")
+      assert(forced.collect().map(_.toString).toSeq ==
+        default.collect().map(_.toString).toSeq)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("newVsRepeat reconciles to total order count and revenue") {
     val rows = Relational.newVsRepeat(spark, sf).collect()
     val orders = Tables.load(spark, sf, "orders")
