@@ -89,8 +89,10 @@ object StressGen {
     val okOff = replicate("orders", Seq("o_orderkey"))
     replicate("lineitem", Seq("l_orderkey"), Some(okOff))
     replicate("events", Seq("user_id"))
-    val docOff = replicate("documents", Seq("doc_id"))
-    replicate("embeddings", Seq("doc_id"), Some(docOff))
+    replicate("documents", Seq("doc_id"))
+    // embeddings key on vec_id (no doc_id FK in the reduced schema), so
+    // the shift is independent of documents'.
+    replicate("embeddings", Seq("vec_id"))
 
     println(s"[stressgen] done: $dest at ${factor}x ${src}")
     spark.stop()

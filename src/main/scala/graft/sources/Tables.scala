@@ -21,11 +21,16 @@ object Tables {
 
   /** Load one table as a DataFrame (lazy — no job runs until an action).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright; `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw
-    * nanos-since-epoch long, which we convert to a microsecond TIMESTAMP
-    * (floor division — the same truncation DuckDB applies reading the file,
-    * so cross-engine timestamps agree exactly).
+    * `events.ts` has shipped in two physical shapes across driver testdata
+    * generations, and both normalize to a session-TZ (UTC) TIMESTAMP here so
+    * every operator sees one type:
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright;
+    *     `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw
+    *     nanos-since-epoch long, converted via floor division to micros —
+    *     the same truncation DuckDB applies reading the file.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *     TIMESTAMP_NTZ; under the UTC session timezone a cast to TIMESTAMP
+    *     preserves the instant bit-for-bit, matching DuckDB's naive read.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -35,6 +40,9 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", org.apache.spark.sql.functions.expr(
             "timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else spark.read.parquet(path(dir, name))
