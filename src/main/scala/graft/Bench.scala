@@ -42,8 +42,10 @@ import org.apache.spark.sql.SparkSession
   * cross-round regression gate that does not drift as the sweep grows; the
   * JSON records the canary names and the child heap (solo numbers are only
   * comparable at matched JVM flags — 32g vs 8g GC ergonomics moved
-  * q_dedup_cluster 3×, SURVEY §bench). Children inherit this JVM's exact
-  * flags, and the solo pass aborts with a loud error if java.class.path
+  * q_dedup_cluster 3×, SURVEY §bench). Children run at a PINNED heap
+  * (SPARK_GRAFT_SOLO_HEAP, default 8g) regardless of the parent's -Xmx so
+  * the canary column is invariant to driver launch flags; other flags are
+  * inherited. The solo pass aborts with a loud error if java.class.path
   * cannot resolve graft classes (a non-forked sbt run exposes only the sbt
   * launcher jar — children would all die with ClassNotFoundException).
   */
@@ -146,13 +148,12 @@ object Bench {
     // max/min across the first two exceeds this ratio (median-of-3 then
     // discards the outlier launch entirely).
     val agreeRatio = sys.env.getOrElse("SPARK_GRAFT_SOLO_AGREE", "1.3").toDouble
-    val jvmXmx = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getRuntimeMXBean
-        .getInputArguments.asScala.reverse.collectFirst {
-          case a if a.startsWith("-Xmx") => a.stripPrefix("-Xmx")
-        }.getOrElse(s"${Runtime.getRuntime.maxMemory() >> 30}g")
-    }
+    // Solo children run at a FIXED heap, never the parent's (VERDICT r6 #2:
+    // inheriting -Xmx89g from the driver's launch flags skewed the canary —
+    // 32g-vs-8g GC ergonomics alone moved q_dedup_cluster 3×, so the canary
+    // column is only a cross-round gate if the child heap is invariant to
+    // how the parent was launched).
+    val soloHeap = sys.env.getOrElse("SPARK_GRAFT_SOLO_HEAP", "8g")
     var soloError: Option[String] = None
     val soloLog = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     val solo: Seq[(String, Option[Double])] =
@@ -176,7 +177,10 @@ object Bench {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         import scala.jdk.CollectionConverters._
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.toSeq.filterNot(_.startsWith("-agentlib"))
+          .getInputArguments.asScala.toSeq
+          .filterNot(_.startsWith("-agentlib"))
+          .filterNot(a => a.startsWith("-Xmx") || a.startsWith("-Xms")) ++
+          Seq(s"-Xmx$soloHeap")
         val cp = System.getProperty("java.class.path")
         // A non-forked sbt `run` exposes only the sbt launcher jar as
         // java.class.path; every child would die with ClassNotFoundException
@@ -257,7 +261,7 @@ object Bench {
       else solo.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + v.map(s => f"$s%.2f").getOrElse("null")
       }.mkString(""","solo":{""", ",",
-        s"""},"solo_jvm":"$jvmXmx","solo_protocol":"median-of-2to3-launches"""") + err
+        s"""},"solo_jvm":"$soloHeap","solo_protocol":"median-of-2to3-launches"""") + err
     }
     def line(qmap: Seq[(String, Option[Double])], omitted: Int): String = {
       val qs = qmap.map { case (k, v) =>

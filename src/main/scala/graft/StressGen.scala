@@ -69,9 +69,10 @@ object StressGen {
     // Replicate a fact `factor`×, shifting the named key columns by
     // replica*offset. The replica frame is a tiny broadcast; the transform
     // is scan→project→write, shuffle-free. Returns the offset used so that
-    // FK pairs (orders/lineitem, documents/embeddings) shift in LOCKSTEP —
-    // each child must reuse its parent's offset, not derive one from its
-    // own max (a subset's max can round to a smaller power of 10).
+    // the FK pair orders/lineitem shifts in LOCKSTEP — the child must reuse
+    // its parent's offset, not derive one from its own max (a subset's max
+    // can round to a smaller power of 10). embeddings has no doc_id FK, so
+    // it shifts independently of documents.
     def replicate(t: String, shiftCols: Seq[String],
         fixedOff: Option[Long] = None): Long = {
       val df = sources.Tables.load(spark, src, t)

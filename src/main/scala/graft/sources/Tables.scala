@@ -34,6 +34,14 @@ object Tables {
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      // The NTZ->TIMESTAMP cast below is instant-preserving ONLY under a UTC
+      // session timezone; a non-UTC session would silently shift events.ts
+      // relative to the DuckDB oracle. Every graft entrypoint sets UTC in its
+      // builder — enforce the invariant here instead of assuming it.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC" || tz == "Etc/UTC" || tz == "GMT",
+        s"Tables.load(events) requires spark.sql.session.timeZone=UTC (got $tz): " +
+          "the TIMESTAMP_NTZ->TIMESTAMP normalization is only instant-preserving under UTC")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path(dir, name))
       df.schema("ts").dataType match {

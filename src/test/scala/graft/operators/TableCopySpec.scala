@@ -79,6 +79,31 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.parquet(s"$dest/supplier.parquet").count() > 0)
   }
 
+  test("copyTables resumeFrom with parallelism > 1 skips ok tables across concurrent copies") {
+    val dest = tmpDir()
+    // Run 1 (sequential): two tables land ok, one fails.
+    val first = TableCopy.copyTables(spark, sf, dest,
+      include = Seq("region", "nation", "missing_table"))
+    assert(first.collect().count(_.getString(2) == "ok") == 2)
+    // Remove region's landed files: a recopy would re-create them, a
+    // skip leaves them absent — same proof as the sequential resume test,
+    // now under a thread pool where skips and copies interleave.
+    val regionPath = new java.io.File(s"$dest/region.parquet")
+    regionPath.listFiles().foreach(_.delete()); regionPath.delete()
+    val resumed = TableCopy.copyTables(spark, sf, dest,
+      include = Seq("region", "nation", "supplier", "customer"),
+      parallelism = 3, resumeFrom = Some(first))
+    val rows = resumed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows.filter(_._3 == "skipped").map(t => t._1 -> t._2).toMap ==
+      Map("region" -> 5L, "nation" -> 25L))
+    assert(rows.filter(_._3 == "ok").map(_._1).toSet ==
+      Set("supplier", "customer"))
+    assert(!regionPath.exists(), "skipped table must not be recopied")
+    assert(spark.read.parquet(s"$dest/supplier.parquet").count() > 0)
+    assert(spark.read.parquet(s"$dest/customer.parquet").count() > 0)
+  }
+
   test("SqlDialect: URL dispatch, per-dialect upsert SQL, and benign states") {
     import TableCopy.SqlDialect
     assert(SqlDialect.forUrl("jdbc:derby:memory:x") == SqlDialect.Derby)
@@ -120,6 +145,32 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     // A Derby-URL store resolves its dialect without an override.
     assert(TableCopy.JdbcStore("jdbc:derby:memory:d;create=true").dialect ==
       SqlDialect.Derby)
+  }
+
+  test("SqlDialect golden SQL: mixed-case + spaced identifiers survive every dialect verbatim") {
+    import TableCopy.SqlDialect
+    // Identifiers that break every unquoted code path: mixed case AND a
+    // space. The generated SQL must quote each one verbatim — a backend
+    // that received them unquoted would case-fold or reject them.
+    val keys = Seq("Order Id"); val cols = Seq("Order Id", "netValue", "Status")
+    val derby = SqlDialect.Derby.mergeSql("\"Orders\"", "\"Orders_stage\"", keys, cols)
+    assert(derby ==
+      """MERGE INTO "Orders" d USING "Orders_stage" s ON d."Order Id" = s."Order Id"
+        |WHEN MATCHED THEN UPDATE SET "netValue" = s."netValue", "Status" = s."Status"
+        |WHEN NOT MATCHED THEN INSERT ("Order Id", "netValue", "Status")
+        |VALUES (s."Order Id", s."netValue", s."Status")""".stripMargin)
+    assert(SqlDialect.SqlServer.mergeSql("\"Orders\"", "\"Orders_stage\"", keys, cols)
+      == derby + ";")
+    assert(SqlDialect.Ansi.mergeSql("\"Orders\"", "\"Orders_stage\"", keys, cols)
+      == derby)
+    assert(SqlDialect.Postgres.mergeSql("\"Orders\"", "\"Orders_stage\"", keys, cols) ==
+      """INSERT INTO "Orders" ("Order Id", "netValue", "Status")
+        |SELECT "Order Id", "netValue", "Status" FROM "Orders_stage"
+        |ON CONFLICT ("Order Id") DO UPDATE SET "netValue" = EXCLUDED."netValue", "Status" = EXCLUDED."Status"""".stripMargin)
+    assert(SqlDialect.Derby.keyIndexSql("\"Orders\"", "oidx", keys) ==
+      """CREATE INDEX oidx ON "Orders" ("Order Id")""")
+    assert(SqlDialect.Postgres.keyIndexSql("\"Orders\"", "oidx", keys) ==
+      """CREATE UNIQUE INDEX oidx ON "Orders" ("Order Id")""")
   }
 
   test("schemaManifest lists ordinal, canonical type, nullability, and JDBC DDL type") {
@@ -572,6 +623,24 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     try intercept[java.sql.SQLException] {
       dconn.createStatement().executeUpdate("INSERT INTO items VALUES (10, 9, 'dup')")
     } finally dconn.close()
+  }
+
+  test("JdbcStore.meta resolves identifier case from the live catalog, not a hard-coded fold") {
+    val store = derbyStore()
+    val conn = java.sql.DriverManager.getConnection(store.url)
+    try {
+      // Unquoted DDL: Derby stores the table name upper-cased in its
+      // catalog — exactly the storesUpperCaseIdentifiers fact meta must
+      // read from the connection instead of assuming.
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE widgets ("wid" INT NOT NULL, "v" INT, PRIMARY KEY ("wid"))""")
+      assert(conn.getMetaData.storesUpperCaseIdentifiers)
+    } finally conn.close()
+    // meta called with the caller's lower-case name must fold to the
+    // catalog's stored case (metadata-driven) and find the PK; the quoted
+    // lower-case COLUMN name must come back verbatim, unfolded.
+    val m = store.meta(spark, "widgets")
+    assert(m.primaryKey == Seq("wid"))
   }
 
   test("copyTablesWithSchema orders parents before children; cycles defer FKs with a warning") {

@@ -44,9 +44,19 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val dir = Files.createTempDirectory("graft-stream").toString
     Files.copy(Paths.get(s"$sf/events.parquet"), Paths.get(s"$dir/events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(dir).schema // ts surfaces as nanos long
-    val stream = spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // Testdata has shipped events.ts in two physical shapes; normalize the
+    // stream exactly as Tables.load normalizes the batch side (dual-shape).
+    val rawSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(rawSchema).parquet(dir)
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => // MICROS, not UTC-adjusted
+        raw.withColumn("ts", col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
     val q = EventStream.windowedCounts(stream)
       .writeStream.format("memory").queryName("wcfile")
       .outputMode(OutputMode.Complete()).start()
