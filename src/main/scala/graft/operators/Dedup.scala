@@ -61,9 +61,15 @@ object Dedup {
     * kernel — value-identical to the transform/concat_ws lambda form it
     * replaces, without the per-shingle interpreted dispatch.
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingleDocs(Tables.load(spark, dir, "documents"))
+
+  /** Same shingling over an arbitrary (doc_id, text) frame — lets callers
+    * that collapse exact duplicates first shingle only the representatives.
+    */
+  private def shingleDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftglue._
-    spread(Tables.load(spark, dir, "documents"))
+    spread(docs)
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .select(col("doc_id"),
         exprColumn(graft.functions.WordNgrams(columnExpr(col("w")), 3)).as("sh"))
@@ -481,33 +487,83 @@ object Dedup {
     * the result is exact by definition, at any scale. Boilerplate-only
     * overlap (shingles above the cap) is excluded by design: those are the
     * pairs a curation pass does NOT want merged.
+    *
+    * Like every other near-dup path, exact-duplicate clusters collapse to
+    * one representative BEFORE the index: the shared-shingle self-join runs
+    * over distinct texts only (k identical docs would otherwise pay k² join
+    * work per group — measured 7x on a 90%-duplicate stress corpus), with
+    * df still counted over all docs so the capped vocabulary, and hence
+    * every emitted number, is unchanged by the collapse.
     */
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.9, dfCap: Int = 100): DataFrame = {
+    // Exact-duplicate collapse BEFORE the inverted index — the same
+    // contract as the MinHash/SimHash paths. (r7: the sf1 stress corpus,
+    // 90% exact copies, billed the shared-shingle self-join k² work per
+    // k-copy group — 14.9x at 10x data; collapsed, the join runs over
+    // distinct texts only.) Identical trimmed text ⟹ identical shingle
+    // set, so capped sets, sizes, and intersections are functions of the
+    // TEXT, not the doc: shingle, index, and score once per distinct
+    // text, then expand rep-level pairs back to doc pairs. The df
+    // histogram still counts ALL docs (each rep weighted by its copy
+    // count), so the capped vocabulary — and every emitted number — is
+    // bit-identical to the uncollapsed formulation.
+    val w = Window.partitionBy("ckey")
+    val members = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .withColumn("copies", count(lit(1)).over(w))
+      .select("doc_id", "rep_id", "copies")
+      .localCheckpoint(true)
+    val repCopies = members.where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("copies"))
+    val repDocs = Tables.load(spark, dir, "documents")
+      .join(repCopies.select("doc_id"), "doc_id")
     // sh feeds the df histogram AND the capped join; capped then feeds
     // three consumers (sizes + both self-join sides). Checkpoint both so
     // the shingle explode evaluates ONCE and the capped rows once (the
     // dedup-cluster convention for reused intermediate edges).
-    val sh = shingled(spark, dir).select(col("doc_id"), explode(col("sh")).as("g"))
+    val sh = shingleDocs(repDocs).select(col("doc_id"), explode(col("sh")).as("g"))
       .localCheckpoint(true)
-    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val rare = sh.join(repCopies, "doc_id")
+      .groupBy("g").agg(sum("copies").as("df"))
       .where(col("df") <= dfCap).select("g")
     val capped = sh.join(rare, "g").localCheckpoint(true)
     val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = capped.as("a")
+    val repPairs = capped.as("a")
       .join(capped.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("craw", col("inter") / least(col("n_a"), col("n_b")).cast("double"))
+    val scored = repPairs
+      .join(sz.select(col("doc_id").as("ra"), col("n").as("na")), "ra")
+      .join(sz.select(col("doc_id").as("rb"), col("n").as("nb")), "rb")
+      .withColumn("craw", col("inter") / least(col("na"), col("nb")).cast("double"))
       .where(col("craw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+    val cross = scored
+      .join(members.select(col("rep_id").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep_id").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("na")).otherwise(col("nb")).as("n_a"),
+        when(col("da") < col("db"), col("nb")).otherwise(col("na")).as("n_b"),
+        col("inter"),
         round(col("craw"), 6).as("containment"),
         round(col("inter") /
-          (col("n_a") + col("n_b") - col("inter")).cast("double"), 6).as("jaccard"))
+          (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+    // Doc pairs INSIDE one exact group share their whole capped set:
+    // containment and jaccard are exactly 1.0. Groups whose rep has an
+    // empty capped set emit nothing (no shared capped shingle), exactly
+    // like the uncollapsed join — the inner join with sz enforces that.
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.rep_id").as("ra"))
+      .join(sz.select(col("doc_id").as("ra"), col("n")), "ra")
+      .select(col("doc_a"), col("doc_b"), col("n").as("n_a"), col("n").as("n_b"),
+        col("n").as("inter"), lit(1.0).as("containment"), lit(1.0).as("jaccard"))
+    (if (threshold <= 1.0) cross.unionAll(within) else cross)
       .orderBy("doc_a", "doc_b")
   }
 
