@@ -124,6 +124,28 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** §2.4 #202 — windowed APPROXIMATE user cardinality: distinct users per
+    * tumbling window × event type via HyperLogLog++ sketches
+    * (`approx_count_distinct`, default rsd 5%). Exact windowed
+    * count-distinct on an unbounded stream needs per-window state linear in
+    * the number of distinct users; the HLL register array is a few KB per
+    * (window, type) group REGARDLESS of cardinality — the only shape that
+    * survives billions of users per window. Sketch merge is commutative and
+    * associative and the estimate is a pure function of the merged
+    * registers, so the micro-batched stream result is BIT-IDENTICAL to the
+    * batch computation over the same input (spec-asserted) — approximate in
+    * value, deterministic in execution.
+    */
+  def windowedApproxUsers(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("approx_users"), col("n_events"))
+
   /** §2.4 #43 — streaming exact dedup: drop events whose `event_id` was
     * already seen, keeping state only within the watermark horizon.
     * `dropDuplicatesWithinWatermark` evicts seen-keys once the watermark

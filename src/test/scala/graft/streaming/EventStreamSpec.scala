@@ -73,6 +73,47 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowedApproxUsers: stream equals batch bit-for-bit, estimate near exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 windows x 2 types with known distinct-user counts; users overlap
+    // across windows so per-window distinct != global distinct.
+    val events = (0 until 600).map { i =>
+      Event(i, ts(i % 25 + (i % 3) * 10), i % (40 + (i % 3) * 25),
+        if (i % 2 == 0) "click" else "view", 1.0)
+    }
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStream.windowedApproxUsers(input.toDF())
+      .writeStream.format("memory").queryName("wau")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(9999, ts(120), 1, "click", 1.0)) // close all windows
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val streamed = norm(spark.table("wau").collect())
+      // HLL merge is commutative/associative, so micro-batched execution
+      // must reproduce the batch estimate EXACTLY, not approximately.
+      val batch = norm(EventStream.windowedApproxUsers(events.toDF())
+        .collect().map(identity))
+      assert(streamed.nonEmpty && streamed.subsetOf(batch),
+        s"stream=$streamed vs batch=$batch")
+      // And the estimate itself is close to truth: within 3x the 5% rsd.
+      import org.apache.spark.sql.functions.{countDistinct, window}
+      val exact = events.toDF()
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(countDistinct("user_id").as("n")).collect()
+        .map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getString(1)) ->
+          r.getLong(2)).toMap
+      streamed.foreach { case (w, t, approx, _) =>
+        val truth = exact((w, t)).toDouble
+        assert(math.abs(approx - truth) / truth <= 0.15,
+          s"window=$w type=$t approx=$approx exact=$truth")
+      }
+    } finally q.stop()
+  }
+
   test("windowedCounts runs on a rate-micro-batch source (kafka-shaped unbounded input)") {
     // rate-micro-batch emits deterministic batches: 100 rows per batch, all
     // stamped with the batch's timestamp, advancing 10 minutes per batch —
