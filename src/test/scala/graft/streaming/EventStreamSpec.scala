@@ -94,10 +94,12 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))).toSet
       val streamed = norm(spark.table("wau").collect())
       // HLL merge is commutative/associative, so micro-batched execution
-      // must reproduce the batch estimate EXACTLY, not approximately.
+      // must reproduce the batch estimate EXACTLY, not approximately —
+      // and the watermark driver closed every data window, so the two
+      // sets must be EQUAL, not merely consistent.
       val batch = norm(EventStream.windowedApproxUsers(events.toDF())
         .collect().map(identity))
-      assert(streamed.nonEmpty && streamed.subsetOf(batch),
+      assert(streamed.nonEmpty && streamed == batch,
         s"stream=$streamed vs batch=$batch")
       // And the estimate itself is close to truth: within 3x the 5% rsd.
       import org.apache.spark.sql.functions.{countDistinct, window}
