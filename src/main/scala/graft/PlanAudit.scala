@@ -88,7 +88,10 @@ object PlanAudit {
         "q_incremental_dedup",
         // ann_recall embeds the brute-force ground truth, inheriting
         // q_ann_brute's intended broadcast-query linear scan
-        "q_ann_recall")
+        "q_ann_recall",
+        // rrf_fusion: 1-row corpus-stats frame (the bm25 pattern);
+        // bootstrap_ci: 1-row CI frame x 1-row full-mean frame
+        "q_rrf_fusion", "q_bootstrap_ci")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

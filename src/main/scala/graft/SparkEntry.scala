@@ -499,6 +499,14 @@ object SparkEntry {
           "o_orderpriority")
         .orderBy("o_orderkey")
     }),
+    // r7 additions (§2 #203-#209)
+    "q_funnel_time" -> ((s, dir) => Relational.funnelTime(s, dir)),
+    "q_concurrency" -> ((s, dir) => Relational.concurrency(s, dir)),
+    "q_skyline" -> ((s, dir) => Relational.skyline(s, dir)),
+    "q_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir)),
+    "q_triangle_count" -> ((s, dir) => Similarity.triangleCount(s, dir, maxBits = 12)),
+    "q_rrf_fusion" -> ((s, dir) => TextAnalysis.rrfFusion(s, dir)),
+    "copy_zorder" -> ((s, dir) => TableCopy.zorderCopy(s, dir, tmp("zorder"))),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -2695,5 +2703,117 @@ object SparkEntry {
     "copy_incremental" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_funnel_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+        |s1 AS (SELECT user_id, min(t_us) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t_us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t_us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t_us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t_us > s2.t2 GROUP BY 1),
+        |d AS (
+        |  SELECT 'signup->click' AS step, s2.t2 - s1.t1 AS delta_us
+        |  FROM s2 JOIN s1 USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click->purchase' AS step, s3.t3 - s2.t2
+        |  FROM s3 JOIN s2 USING (user_id)),
+        |h AS (SELECT step, delta_us, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |c AS (SELECT step, delta_us,
+        |  sum(cnt) OVER (PARTITION BY step ORDER BY delta_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY step) AS n FROM h),
+        |m AS (SELECT step,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN delta_us END) AS med_us
+        |  FROM c GROUP BY 1)
+        |SELECT d.step, count(*) AS n_users, min(delta_us) AS min_us, m.med_us,
+        |  max(delta_us) AS max_us,
+        |  round(CAST(sum(CAST(delta_us AS DECIMAL(28,0))) AS DOUBLE) / count(*), 6) AS avg_us
+        |FROM d JOIN m USING (step) GROUP BY d.step, m.med_us ORDER BY step""".stripMargin,
+    "q_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, t_us,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR t_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM x),
+        |sess AS (SELECT user_id, sess_seq, min(t_us) AS first_us, max(t_us) AS last_us
+        |         FROM s GROUP BY 1, 2),
+        |b AS (
+        |  SELECT first_us AS t_us, CAST(1 AS BIGINT) AS delta, user_id, sess_seq FROM sess
+        |  UNION ALL
+        |  SELECT last_us, CAST(-1 AS BIGINT), user_id, sess_seq FROM sess),
+        |r AS (SELECT t_us, delta,
+        |  CAST(sum(delta) OVER (ORDER BY t_us, delta DESC, user_id, sess_seq
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running
+        |  FROM b)
+        |SELECT strftime(make_timestamp(t_us), '%Y-%m-%d') AS day,
+        |  count(*) AS n_starts, max(running) AS peak_concurrent
+        |FROM r WHERE delta = 1 GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_skyline" ->
+      """WITH pm AS (SELECT p_retailprice, max(p_size) AS pmax FROM part GROUP BY 1),
+        |r AS (SELECT p_retailprice, pmax,
+        |  max(pmax) OVER (ORDER BY p_retailprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+        |  FROM pm)
+        |SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+        |FROM part p JOIN r USING (p_retailprice)
+        |WHERE p.p_size = r.pmax AND (r.m_lt IS NULL OR r.pmax > r.m_lt)
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+        |    unnest(generate_series(1, 100)) AS rep
+        |  FROM orders),
+        |w AS (
+        |  SELECT x, rep,
+        |    CASE WHEN h8 < '5e2d58d8' THEN 0 WHEN h8 < 'bc5ab1b1' THEN 1
+        |         WHEN h8 < 'eb715e1d' THEN 2 WHEN h8 < 'fb239797' THEN 3
+        |         WHEN h8 < 'ff1025f5' THEN 4 WHEN h8 < 'ffd90f3b' THEN 5
+        |         ELSE 6 END AS w
+        |  FROM (SELECT x, rep,
+        |        substr(sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
+        |          CAST(rep AS VARCHAR))), 1, 8) AS h8
+        |        FROM reps)),
+        |m AS (SELECT rep, CAST(sum(x * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+        |      FROM w GROUP BY 1),
+        |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, rep) AS rk FROM m),
+        |ci AS (SELECT round(min(CASE WHEN rk = 3 THEN mean_b END), 6) AS ci_lo,
+        |              round(min(CASE WHEN rk = 98 THEN mean_b END), 6) AS ci_hi FROM r),
+        |f AS (SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_full
+        |  FROM orders)
+        |SELECT CAST(100 AS BIGINT) AS n_boot, f.n_rows, f.mean_full, ci.ci_lo, ci.ci_hi
+        |FROM f CROSS JOIN ci""".stripMargin,
+    "q_triangle_count" -> Similarity.triangleCountOracleSql(),
+    "q_rrf_fusion" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok FROM d),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tk
+        |       WHERE tok IN ('query', 'vector', 'merge') GROUP BY 1, 2, 3),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |              CAST(sum(len(w)) AS DOUBLE) AS sdl FROM d),
+        |tw AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * (tf * (1.2 + 1.0))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n_docs))) AS tw_bm25,
+        |    tf * ln((n_docs + 1.0) / (dfq + 1.0)) AS tw_tfidf
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(sum(CAST(tw_bm25 AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25,
+        |  round(CAST(sum(CAST(tw_tfidf AS DECIMAL(28,10))) AS DOUBLE), 6) AS tfidf
+        |  FROM tw GROUP BY doc_id),
+        |rk AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_bm25,
+        |  CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id) AS INTEGER) AS rank_tfidf
+        |  FROM sc)
+        |SELECT doc_id, rank_bm25, rank_tfidf,
+        |  round(1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_tfidf), 6) AS rrf
+        |FROM rk ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "copy_zorder" -> TableCopy.zorderOracleSql(),
   )
 }

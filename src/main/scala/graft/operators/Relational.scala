@@ -2151,4 +2151,169 @@ object Relational {
         round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
       .select("promo_revenue", "total_revenue", "promo_share", "n_lines")
   }
+
+  /** §2.2 #203 — funnel TIME-TO-CONVERT: for each adjacent stage pair of
+    * [[funnel]]'s qualified completion chain, the latency distribution
+    * (count / min / exact lower median / max / mean, µs) between completing
+    * stage i and stage i+1. The companion to the stage-count funnel: counts
+    * say WHERE users drop, latencies say how long the survivors took.
+    *
+    * Exactness: deltas are integer microseconds; the median is the #48
+    * VALUE-HISTOGRAM lower median (cumulative counts over distinct deltas,
+    * partitioned by step — never a per-group row sort), the mean is an
+    * exact integer sum divided once in double and rounded. Scale shape:
+    * the per-stage completion frames are user-keyed aggregates (the same
+    * plan as [[funnel]]); each stage pair is ONE user-keyed join of
+    * |users|-row frames, and the final stats collapse to |stages|−1 rows.
+    */
+  def funnelTime(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val reached = stages.scanLeft(Option.empty[DataFrame]) {
+      case (prev, stage) =>
+        val mine = ev.where(col("event_type") === stage)
+        val qualified = prev match {
+          case None => mine
+          case Some(p) => mine.join(p.select(col("user_id"), col("t_done")), "user_id")
+            .where(col("t_us") > col("t_done"))
+        }
+        Some(qualified.groupBy("user_id").agg(min("t_us").as("t_done")))
+    }.flatten
+    val deltas = reached.zip(reached.tail).zip(stages.zip(stages.tail)).map {
+      case ((a, b), (sa, sb)) =>
+        b.select(col("user_id"), col("t_done").as("t_b"))
+          .join(a.select(col("user_id"), col("t_done").as("t_a")), "user_id")
+          .select(lit(s"$sa->$sb").as("step"), (col("t_b") - col("t_a")).as("delta_us"))
+    }.reduce(_ unionAll _)
+    val wCum = Window.partitionBy("step").orderBy("delta_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("step")
+    val med = deltas.groupBy(col("step"), col("delta_us"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("step"), col("delta_us"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+      .groupBy("step")
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"),
+        col("delta_us"))).as("med_us"))
+    deltas.groupBy("step")
+      .agg(count(lit(1)).as("n_users"),
+        min("delta_us").as("min_us"), max("delta_us").as("max_us"),
+        round(sum(col("delta_us").cast(DecimalType(28, 0))).cast("double") /
+          count(lit(1)), 6).as("avg_us"))
+      .join(broadcast(med), "step")
+      .select("step", "n_users", "min_us", "med_us", "max_us", "avg_us")
+      .orderBy("step")
+  }
+
+  /** §2.2 #204 — PEAK CONCURRENCY: per day, the maximum number of
+    * simultaneously-open sessions ([[sessionizeBatch]] sessions, 30-min
+    * gap) — the capacity-planning number behind "how many live sessions
+    * must the serving tier hold". Classic interval-stacking sweep: each
+    * session contributes a +1 boundary at its start and a −1 at its end;
+    * the running sum over time-ordered boundaries IS the concurrency
+    * curve, and its per-day max is read at start boundaries only (the
+    * curve rises only at starts; ends at instant t keep counting at t, so
+    * +1 sorts before −1 on ties).
+    *
+    * Scale shape: sessions are already a user-keyed aggregate; boundaries
+    * are 2 rows/session. The global time-ordered prefix sum is the same
+    * range-partitioned-sort + per-partition-offset pattern as
+    * `Curation.tokenPack`'s distributed prefix sum — Spark's window over a
+    * global ORDER BY executes exactly that (range exchange, in-partition
+    * running sum); nothing is collected to the driver. The per-row max is
+    * order-independent across equal timestamps (the max lands after ALL
+    * +1s at t), so the result is engine- and partition-count-invariant.
+    */
+  def concurrency(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val sess = sessionizeBatch(spark, dir, gapMinutes)
+      .select("user_id", "sess_seq", "first_us", "last_us")
+    val bounds = sess.select(col("first_us").as("t_us"), lit(1L).as("delta"),
+        col("user_id"), col("sess_seq"))
+      .unionAll(sess.select(col("last_us").as("t_us"), lit(-1L).as("delta"),
+        col("user_id"), col("sess_seq")))
+    val w = Window.orderBy(col("t_us"), col("delta").desc, col("user_id"), col("sess_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.withColumn("running", sum("delta").over(w))
+      .where(col("delta") === 1L)
+      .groupBy(date_format(timestamp_micros(col("t_us")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_starts"), max("running").as("peak_concurrent"))
+      .orderBy("day")
+  }
+
+  /** §2.2 #205 — 2-D PARETO SKYLINE of `part` (minimize price, maximize
+    * size): the rows no other row strictly dominates — the
+    * multi-objective shortlist query ("no part is both cheaper and
+    * bigger"). NOT the O(n²) dominance anti-join: for 2-D the skyline is a
+    * running max over the price-sorted DISTINCT-price profile — a part is
+    * dominated iff a strictly cheaper price reached its size, or its own
+    * price has a strictly larger size. One |distinct prices|-row window
+    * (tiny vs the table), one shuffle join back on price; at 100 TB the
+    * dominance test never touches row pairs.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    val wLt = Window.orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val profile = p.groupBy("p_retailprice").agg(max("p_size").as("pmax"))
+      .withColumn("m_lt", max("pmax").over(wLt))
+    p.join(profile, "p_retailprice")
+      .where(col("p_size") === col("pmax") &&
+        (col("m_lt").isNull || col("pmax") > col("m_lt")))
+      .select("p_partkey", "p_name", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  /** §2.2 #206 — POISSON-BOOTSTRAP confidence interval for mean order
+    * price: `nBoot` deterministic resamples, each weighting every row by a
+    * Poisson(1) draw derived from sha256(orderkey|replicate) — the
+    * streaming-friendly bootstrap (per-row independent weights, no global
+    * resampling pass) that scales to massive data because each replicate
+    * is just a weighted aggregate. The 95% CI is the empirical
+    * 2.5%/97.5% order statistics of the replicate means.
+    *
+    * Determinism: the uniform draw is the hash's first 8 hex chars
+    * compared LEXICOGRAPHICALLY against fixed hex thresholds (floor of the
+    * cumulative Poisson(1) pmf × 2³²) — string compares both engines
+    * execute identically, no float RNG anywhere. Replicate means are
+    * exact decimal/integer sums divided once in double. Scale shape: the
+    * explode-by-replicate multiplies scan-side work by `nBoot` but
+    * map-side partial aggregation collapses the shuffle to
+    * nBoot × partitions rows; the order-statistics window runs over
+    * `nBoot` rows.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String, nBoot: Int = 100): DataFrame = {
+    // floor(cumsum(Poisson(1) pmf at k=0..5) * 2^32) in hex; weight 6 beyond.
+    val thresholds = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+      "ff1025f5", "ffd90f3b")
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+    val h8 = substring(sha2(concat(col("o_orderkey").cast("string"), lit("|"),
+      col("rep").cast("string")), 256), 1, 8)
+    val wgt = thresholds.zipWithIndex.foldRight(lit(6): Column) {
+      case ((thr, k), rest) => when(h8 < lit(thr), k).otherwise(rest)
+    }
+    val means = o
+      .select(col("o_orderkey"), col("x"),
+        explode(sequence(lit(1), lit(nBoot))).as("rep"))
+      .withColumn("w", wgt)
+      .groupBy("rep")
+      .agg((sum(col("x") * col("w")).cast("double") /
+        sum(col("w")).cast("double")).as("mean_b"))
+    val loRk = math.max(1, math.floor(0.025 * nBoot).toInt + 1)
+    val hiRk = math.min(nBoot, math.ceil(0.975 * nBoot).toInt)
+    val ci = means
+      .withColumn("rk", row_number().over(Window.orderBy("mean_b", "rep")))
+      .agg(min(when(col("rk") === loRk, col("mean_b"))).as("ci_lo"),
+        min(when(col("rk") === hiRk, col("mean_b"))).as("ci_hi"))
+    t(spark, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1)), 6).as("mean_full"))
+      .crossJoin(ci)
+      .select(lit(nBoot).cast("long").as("n_boot"), col("n_rows"),
+        col("mean_full"), round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"))
+  }
 }

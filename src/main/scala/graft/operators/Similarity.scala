@@ -1135,4 +1135,50 @@ object Similarity {
         round(col("n_hits") / lit(k).cast("double"), 6).as("recall"))
       .orderBy("q_id")
   }
+
+  /** §2.3 #207 — per-node TRIANGLE COUNT over the [[knnGraph]] edge set:
+    * how many triangles (mutually-near triples) each vector participates
+    * in — the local-density signal that separates tight duplicate/template
+    * clusters (triangle-rich) from chance LSH neighbors (triangle-free),
+    * and the building block of clustering coefficients.
+    *
+    * The scalable formulation: edges are ORIENTED low-id → high-id first,
+    * so every triangle {a<b<c} is generated exactly ONCE as wedge
+    * (a→b, b→c) closed by edge (a→c) — no 3! duplicate discovery, no
+    * symmetric-join blowup. Work is one self-join on the shared vertex
+    * (Σ out-deg², bounded by the kNN fan-in) plus one semi-join back to
+    * the edge set; counts are exact integers. The edge list is
+    * localCheckpointed once so the LSH candidate join never re-runs per
+    * use.
+    */
+  def triangleCount(spark: SparkSession, dir: String, k: Int = 3,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedge = e.as("x").join(e.as("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    val tri = wedge.join(e.as("z"),
+      col("a") === col("z.u") && col("c") === col("z.v"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle SQL for [[triangleCount]] — the same oriented-wedge
+    * closure over the [[knnGraphOracleSql]] edge set.
+    */
+  def triangleCountOracleSql(k: Int = 3, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+       |  FROM (${knnGraphOracleSql(k, nTables, maxBits)}) g
+       |),
+       |w AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e x JOIN e y ON x.v = y.u),
+       |tri AS (SELECT a, b, c FROM w
+       |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
+       |n AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
+       |SELECT vec_id, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY vec_id""".stripMargin
 }

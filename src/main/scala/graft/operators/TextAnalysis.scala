@@ -456,4 +456,61 @@ object TextAnalysis {
         col("new_vocab"))
       .orderBy("decile")
   }
+
+  /** §2.3 #208 — HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION: the
+    * RAG-standard way to combine two rankers without score calibration —
+    * each ranker contributes 1/(60+rank), so agreement near the top
+    * dominates and scale differences between scoring functions cancel.
+    * Here the lexical pair every retrieval stack starts from: [[bm25]]
+    * and plain tf·idf over the same query terms.
+    *
+    * Determinism: ranks are assigned over 6-decimal-ROUNDED scores (the
+    * cross-engine-stable values the oracles already pin) with doc_id
+    * tie-break, so rank assignment can never flip on an ulp; the fused
+    * score is a fixed-order sum of two exact-rational doubles, rounded.
+    * Scale shape: identical to [[bm25]] — candidate set bounded by the
+    * query terms' document frequency, stats and df broadcast; the rank
+    * windows run over the candidate set only, and the final top-K is a
+    * TakeOrderedAndProject.
+    */
+  def rrfFusion(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("query", "vector", "merge"),
+      k1: Double = 1.2, b: Double = 0.75, kRrf: Int = 60,
+      topK: Int = 20): DataFrame = {
+    val dec = DecimalType(28, 10)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("dl"),
+        explode(col("w")).as("tok"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val stats = docs(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(size(tokensCol).cast("bigint")).cast("double").as("sdl"))
+    val scored = tf.join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("tw_bm25",
+        log(lit(1.0) + (col("n_docs") - col("dfq") + 0.5) / (col("dfq") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n_docs")))))
+      .withColumn("tw_tfidf",
+        col("tf") * log((col("n_docs") + 1.0) / (col("dfq") + 1.0)))
+      .groupBy("doc_id")
+      .agg(round(sum(col("tw_bm25").cast(dec)).cast("double"), 6).as("bm25"),
+        round(sum(col("tw_tfidf").cast(dec)).cast("double"), 6).as("tfidf"))
+    val ranked = scored
+      .withColumn("rank_bm25", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .withColumn("rank_tfidf", row_number().over(
+        Window.orderBy(col("tfidf").desc, col("doc_id").asc)))
+    ranked
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(kRrf) + col("rank_bm25")) +
+        lit(1.0) / (lit(kRrf) + col("rank_tfidf")), 6))
+      .select("doc_id", "rank_bm25", "rank_tfidf", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

@@ -957,4 +957,65 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val expect = o.join(r, col("o_orderkey") === col("l_orderkey")).count()
     assert(total == expect)
   }
+
+  test("funnelTime pair counts equal funnel stage counts; min <= med <= max bound avg") {
+    val ft = Relational.funnelTime(spark, sf).collect()
+    assert(ft.length == 2)
+    val f = Relational.funnel(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    val byStep = ft.map(r => r.getAs[String]("step") -> r).toMap
+    assert(byStep("signup->click").getAs[Long]("n_users") == f(2))
+    assert(byStep("click->purchase").getAs[Long]("n_users") == f(3))
+    ft.foreach { r =>
+      val mn = r.getAs[Long]("min_us"); val md = r.getAs[Long]("med_us")
+      val mx = r.getAs[Long]("max_us"); val av = r.getAs[Double]("avg_us")
+      assert(mn > 0 && mn <= md && md <= mx)
+      assert(av >= mn && av <= mx)
+    }
+  }
+
+  test("concurrency equals a brute-force interval sweep per day") {
+    val sess = Relational.sessionizeBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("first_us"), r.getAs[Long]("last_us")))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val byDay = sess.groupBy { case (s, _) =>
+      fmt.format(java.time.Instant.ofEpochSecond(s / 1000000L, (s % 1000000L) * 1000)) }
+    val got = Relational.concurrency(spark, sf).collect()
+    assert(got.map(_.getAs[String]("day")).toSet == byDay.keySet)
+    got.foreach { r =>
+      val day = r.getAs[String]("day")
+      val starts = byDay(day)
+      assert(r.getAs[Long]("n_starts") == starts.length.toLong)
+      val brute = starts.map { case (t, _) =>
+        sess.count { case (a, b) => a <= t && t <= b } }.max
+      assert(r.getAs[Long]("peak_concurrent") == brute.toLong)
+    }
+  }
+
+  test("skyline is exactly the non-dominated set (brute-force dominance)") {
+    val parts = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Double]("p_retailprice"),
+        r.getAs[Int]("p_size")))
+    def dominated(x: (Long, Double, Int)): Boolean = parts.exists { o =>
+      o._2 <= x._2 && o._3 >= x._3 && (o._2 < x._2 || o._3 > x._3) }
+    val sky = Relational.skyline(spark, sf).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(sky == parts.filterNot(dominated).map(_._1).toSet)
+  }
+
+  test("bootstrapCi brackets the full mean and the hash draw carries Poisson(1) zero-mass") {
+    val r = Relational.bootstrapCi(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_boot") == 100L)
+    assert(r.getAs[Long]("n_rows") == Tables.load(spark, sf, "orders").count())
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    val m = r.getAs[Double]("mean_full")
+    assert(lo < hi && lo <= m && m <= hi)
+    val o = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
+    val z = o.withColumn("h8",
+        substring(sha2(concat(col("o_orderkey").cast("string"), lit("|1")), 256), 1, 8))
+      .where(col("h8") < "5e2d58d8").count()
+    assert(math.abs(z.toDouble / o.count() - 0.3679) < 0.05)
+  }
 }

@@ -385,4 +385,23 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // LSH at these settings finds at least something for most queries
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0)
   }
+
+  test("triangleCount matches a brute-force wedge closure over the engine's own kNN edges") {
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map { r =>
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("nbr_id")
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+    val eset = edges.toSet
+    val byU = edges.groupBy(_._1)
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; (_, c) <- byU.getOrElse(b, Array.empty[(Long, Long)])
+         if eset.contains((a, c))) {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    val got = Similarity.triangleCount(spark, sf, maxBits = 12).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_tri")).toMap
+    assert(got == tri.toMap)
+    assert(got.nonEmpty)
+  }
 }

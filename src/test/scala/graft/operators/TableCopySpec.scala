@@ -910,4 +910,36 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       else assert(r.getAs[Double]("final_value") == last.getAs[Double]("value"))
     }
   }
+
+  test("zorderCopy writes disjoint zval file ranges that narrow BOTH clustered dimensions") {
+    val dest = tmpDir()
+    val mapping = TableCopy.zorderCopy(spark, sf, dest)
+    assert(mapping.count() == Tables.load(spark, sf, "orders").count())
+    val c16 = col("o_custkey").bitwiseAND(lit(65535L))
+    val p16 = floor(col("o_totalprice")).cast("long").bitwiseAND(lit(65535L))
+    val files = spark.read.parquet(dest)
+      .select(col("zval"), c16.as("c"), p16.as("p"), input_file_name().as("f"))
+      .groupBy("f").agg(min("zval").as("zmin"), max("zval").as("zmax"),
+        (max("c") - min("c")).as("cspan"), (max("p") - min("p")).as("pspan"))
+      .collect()
+    assert(files.length == 8)
+    val ranges = files.map(r => (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))).sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) => assert(hi <= lo2) }
+    val g = Tables.load(spark, sf, "orders")
+      .agg((max(c16) - min(c16)).as("c"), (max(p16) - min(p16)).as("p")).collect()(0)
+    assert(files.map(_.getAs[Long]("cspan")).sum / files.length < g.getAs[Long]("c"))
+    assert(files.map(_.getAs[Long]("pspan")).sum / files.length < g.getAs[Long]("p"))
+    // interleave arithmetic spot-check against an independent Scala computation
+    spark.read.parquet(dest).select("o_custkey", "o_totalprice", "zval")
+      .limit(5).collect().foreach { r =>
+        val c = r.getAs[Long]("o_custkey") & 0xFFFFL
+        val p = math.floor(r.getAs[Double]("o_totalprice")).toLong & 0xFFFFL
+        var z = 0L
+        for (i <- 0 until 16) {
+          z |= ((c >> i) & 1L) << (2 * i)
+          z |= ((p >> i) & 1L) << (2 * i + 1)
+        }
+        assert(r.getAs[Long]("zval") == z)
+      }
+  }
 }

@@ -266,4 +266,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(cums.head == news.head)
     assert(news.sum == vocabTotal)
   }
+
+  test("rrfFusion fuses the two rank lists with exact reciprocal weights, sorted") {
+    val rows = TextAnalysis.rrfFusion(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val ra = r.getAs[Int]("rank_bm25"); val rb = r.getAs[Int]("rank_tfidf")
+      assert(ra >= 1 && rb >= 1)
+      val expect = BigDecimal(1.0 / (60 + ra) + 1.0 / (60 + rb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (x, y) => x >= y })
+    val top = TextAnalysis.bm25(spark, sf).collect().head.getAs[Long]("doc_id")
+    assert(rows.map(_.getAs[Long]("doc_id")).contains(top))
+  }
 }
