@@ -90,8 +90,9 @@ object PlanAudit {
         // q_ann_brute's intended broadcast-query linear scan
         "q_ann_recall",
         // rrf_fusion: 1-row corpus-stats frame (the bm25 pattern);
-        // bootstrap_ci: 1-row CI frame x 1-row full-mean frame
-        "q_rrf_fusion", "q_bootstrap_ci")
+        // bootstrap_ci: 1-row CI frame x 1-row full-mean frame;
+        // mutual_info: 1-row total/MI/entropy frames chained
+        "q_rrf_fusion", "q_bootstrap_ci", "q_mutual_info")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

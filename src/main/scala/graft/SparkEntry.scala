@@ -507,6 +507,10 @@ object SparkEntry {
     "q_triangle_count" -> ((s, dir) => Similarity.triangleCount(s, dir, maxBits = 12)),
     "q_rrf_fusion" -> ((s, dir) => TextAnalysis.rrfFusion(s, dir)),
     "copy_zorder" -> ((s, dir) => TableCopy.zorderCopy(s, dir, tmp("zorder"))),
+    "q_quartiles" -> ((s, dir) => Relational.quartiles(s, dir)),
+    "q_mutual_info" -> ((s, dir) => Curation.mutualInfo(s, dir)),
+    "q_cluster_purity" -> ((s, dir) => Similarity.clusterPurity(s, dir, maxBits = 12)),
+    "q_cov_matrix" -> ((s, dir) => Similarity.covMatrix(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -2815,5 +2819,52 @@ object SparkEntry {
         |  round(1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_tfidf), 6) AS rrf
         |FROM rk ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "copy_zorder" -> TableCopy.zorderOracleSql(),
+    "q_quartiles" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(12,2)) AS v
+        |           FROM customer),
+        |h AS (SELECT seg, v, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |w AS (SELECT seg, v,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY seg) AS n FROM h)
+        |SELECT seg, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT) THEN v END) AS DOUBLE) AS p25,
+        |  CAST(min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS DOUBLE) AS p50,
+        |  CAST(min(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT) THEN v END) AS DOUBLE) AS p75
+        |FROM w GROUP BY seg ORDER BY seg""".stripMargin,
+    "q_mutual_info" ->
+      """WITH t AS (SELECT count(*) AS n_docs FROM documents),
+        |cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |lm AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+        |sm AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |mi AS (SELECT round(CAST(sum(CAST(
+        |    (n / n_docs) * ln((n * n_docs) / (nl * ns)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats
+        |  FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN t),
+        |hl AS (SELECT round(CAST(sum(CAST(
+        |    -(nl / n_docs) * ln(nl / n_docs) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_lang
+        |  FROM lm CROSS JOIN t),
+        |hs AS (SELECT round(CAST(sum(CAST(
+        |    -(ns / n_docs) * ln(ns / n_docs) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_source
+        |  FROM sm CROSS JOIN t)
+        |SELECT t.n_docs, mi.mi_nats, hl.h_lang, hs.h_source,
+        |  round(mi.mi_nats / least(hl.h_lang, hs.h_source), 6) AS nmi
+        |FROM t, mi, hl, hs""".stripMargin,
+    "q_cluster_purity" -> Similarity.clusterPurityOracleSql(),
+    "q_cov_matrix" ->
+      """WITH ve AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        |            FROM embeddings),
+        |e AS (SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(v))) AS INTEGER) - 1 AS i,
+        |  unnest(v) AS x FROM ve),
+        |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
+        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
+        |d AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |      count(*) AS n_dim FROM e GROUP BY 1),
+        |c AS (SELECT i, j, CAST(sum(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |      count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT c.i, c.j, c.n,
+        |  round(c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim), 6) AS cov
+        |FROM c JOIN d da ON da.i = c.i JOIN d db ON db.i = c.j
+        |ORDER BY c.i, c.j""".stripMargin,
   )
 }

@@ -590,4 +590,45 @@ object Curation {
         "epochs", "sample_rate")
       .orderBy("source")
   }
+
+  /** §2.3 #211 — MUTUAL INFORMATION between the corpus's `lang` and
+    * `source` columns (plus both marginal entropies and normalized MI):
+    * the data-audit number that says how redundant two metadata axes are —
+    * NMI ≈ 1 means sources are language-siloed (stratify on one, not
+    * both), NMI ≈ 0 means independent axes that must be crossed when
+    * balancing a mixture.
+    *
+    * Why Shannon is safe HERE when `q_entropy` had to avoid it: the float
+    * log terms are per CELL of a bounded |langs|×|sources| contingency
+    * table (hundreds), not per distinct token — each term is one
+    * deterministic double expression over exact integer counts, the terms
+    * are summed EXACTLY (decimal cast first, order-independent), and one
+    * 6-decimal round absorbs ulp noise at hundreds-of-terms scale. Plan:
+    * three linear aggregations of the corpus (cells + two marginals),
+    * everything after is broadcast joins of bounded frames.
+    */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+    val d = docs(spark, dir)
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val lm = d.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val sm = d.groupBy("source").agg(count(lit(1)).as("ns"))
+    val mi = cells.join(broadcast(lm), "lang").join(broadcast(sm), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("term", (col("n") / col("n_docs")) *
+        log((col("n") * col("n_docs")) / (col("nl") * col("ns"))))
+      .agg(round(dsum(col("term")), 6).as("mi_nats"))
+    def entropy(m: DataFrame, cnt: String, out: String) =
+      m.crossJoin(broadcast(total))
+        .withColumn("term", -(col(cnt) / col("n_docs")) * log(col(cnt) / col("n_docs")))
+        .agg(round(dsum(col("term")), 6).as(out))
+    total.crossJoin(mi)
+      .crossJoin(entropy(lm, "nl", "h_lang"))
+      .crossJoin(entropy(sm, "ns", "h_source"))
+      .withColumn("nmi",
+        round(col("mi_nats") / least(col("h_lang"), col("h_source")), 6))
+      .select("n_docs", "mi_nats", "h_lang", "h_source", "nmi")
+  }
 }

@@ -2316,4 +2316,31 @@ object Relational {
         col("mean_full"), round(col("ci_lo"), 6).as("ci_lo"),
         round(col("ci_hi"), 6).as("ci_hi"))
   }
+
+  /** §2.2 #210 — EXACT grouped QUARTILES (p25/p50/p75 of customer balance
+    * per market segment) via the #48 VALUE-HISTOGRAM formulation: cumulative
+    * counts over DISTINCT values per group, quantile q = min value whose
+    * cumulative count reaches ⌈n·q⌉ — the lower order statistic, exact and
+    * engine-identical, never a per-group row sort and never an approximate
+    * sketch. The grouped generalization of the median machinery the MAD
+    * operator uses: one histogram aggregation (shuffle ∝ distinct values,
+    * not rows), one window over the histogram, one |groups|-row rollup.
+    */
+  def quartiles(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(12, 2)
+    val c = t(spark, dir, "customer")
+      .select(col("c_mktsegment").as("seg"), col("c_acctbal").cast(dec).as("v"))
+    val wCum = Window.partitionBy("seg").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("seg")
+    def q(p: Double, out: String) =
+      min(when(col("cum") >= ceil(col("n") * p).cast("long"), col("v")))
+        .cast("double").as(out)
+    c.groupBy("seg", "v").agg(count(lit(1)).as("cnt"))
+      .select(col("seg"), col("v"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+      .groupBy("seg")
+      .agg(max("n").as("n_rows"), q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"))
+      .orderBy("seg")
+  }
 }

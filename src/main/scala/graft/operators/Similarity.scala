@@ -1181,4 +1181,83 @@ object Similarity {
        |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
        |n AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
        |SELECT vec_id, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  /** §2.3 #212 — CLUSTER-vs-LABEL PURITY: for every multi-member
+    * [[semanticClusters]] component, the share of members carrying the
+    * cluster's dominant `label` — the acceptance metric that says whether
+    * unsupervised semantic grouping recovers the known taxonomy before it
+    * gates dedup/sampling decisions. Integer-exact: member and top-label
+    * counts are integers, purity is one bigint/bigint double division,
+    * rounded; the dominant label is a deterministic argmax (count desc,
+    * label asc). Plan: one join of the cluster map to the label column,
+    * one bounded (cluster × label) aggregate, windows over that bounded
+    * frame only.
+    */
+  def clusterPurity(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
+      maxRounds: Int = 25): DataFrame = {
+    val cl = semanticClusters(spark, dir, threshold, nBits, nTables, maxBits,
+      maxRounds).select("vec_id", "cluster_id")
+    val lab = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+    val g = cl.join(lab, "vec_id")
+      .groupBy("cluster_id", "label").agg(count(lit(1)).as("n"))
+    val wRk = Window.partitionBy("cluster_id").orderBy(col("n").desc, col("label").asc)
+    val wAll = Window.partitionBy("cluster_id")
+    g.withColumn("rk", row_number().over(wRk))
+      .withColumn("n_members", sum("n").over(wAll))
+      .where(col("rk") === 1 && col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"), col("label").as("top_label"),
+        col("n").as("n_top"), round(col("n") / col("n_members"), 6).as("purity"))
+      .orderBy("cluster_id")
+  }
+
+  /** DuckDB oracle SQL for [[clusterPurity]] — the same bounded argmax over
+    * the [[semanticClusterOracleSql]] component map joined to labels.
+    */
+  def clusterPurityOracleSql(threshold: Double = 0.4, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH c AS (SELECT vec_id, cluster_id
+       |  FROM (${semanticClusterOracleSql(threshold, nTables, maxBits)})),
+       |g AS (SELECT c.cluster_id, emb.label, count(*) AS n
+       |      FROM c JOIN embeddings emb USING (vec_id) GROUP BY 1, 2),
+       |r AS (SELECT cluster_id, label, n,
+       |  row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, label) AS rk,
+       |  CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members FROM g)
+       |SELECT cluster_id, n_members, label AS top_label, n AS n_top,
+       |  round(n / n_members, 6) AS purity
+       |FROM r WHERE rk = 1 AND n_members >= 2 ORDER BY cluster_id""".stripMargin
+
+  /** §2.3 #213 — embedding COVARIANCE MATRIX (upper triangle): the d×d
+    * second-moment statistics behind whitening, PCA initialization, and
+    * drift monitoring of an embedding column. ONE distributed pass: each
+    * vector explodes to its d(d+1)/2 upper-triangle products, map-side
+    * partial aggregation collapses the shuffle to d² × partitions rows
+    * (the blow-up never crosses the wire), and cov(i,j) =
+    * E[xy] − E[x]E[y] is assembled from EXACT decimal sums of
+    * deterministic per-row products — order-independent, engine-identical
+    * up to the final fixed-order double expression, rounded.
+    */
+  def covMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val base = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    val e1 = base.select(col("vec_id"), col("v"),
+      posexplode(col("v")).as(Seq("i", "xi")))
+    val pairs = e1.select(col("i"), col("xi"),
+      posexplode(col("v")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+    val dims = e1.groupBy("i")
+      .agg(sum(col("xi").cast(dec)).cast("double").as("sx"),
+        count(lit(1)).as("n_dim"))
+    val cells = pairs.groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast(dec)).cast("double").as("sxy"),
+        count(lit(1)).as("n"))
+    cells
+      .join(broadcast(dims.select(col("i"), col("sx").as("sxa"), col("n_dim").as("na"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxb"),
+        col("n_dim").as("nb"))), "j")
+      .select(col("i"), col("j"), col("n"),
+        round(col("sxy") / col("n") - (col("sxa") / col("na")) * (col("sxb") / col("nb")),
+          6).as("cov"))
+      .orderBy("i", "j")
+  }
 }

@@ -340,4 +340,24 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val bySrc = rows.map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
     assert(bySrc("src19") > bySrc("src0"))
   }
+
+  test("mutualInfo is bounded by both marginal entropies and matches a local recompute") {
+    val r = Curation.mutualInfo(spark, sf).collect()(0)
+    val mi = r.getAs[Double]("mi_nats"); val hl = r.getAs[Double]("h_lang")
+    val hs = r.getAs[Double]("h_source"); val nmi = r.getAs[Double]("nmi")
+    assert(mi >= 0.0 && mi <= math.min(hl, hs) + 1e-6)
+    assert(nmi >= 0.0 && nmi <= 1.0 + 1e-6)
+    // local recompute from raw counts
+    val pairs = graft.sources.Tables.load(spark, sf, "documents")
+      .select("lang", "source").collect().map(r2 => (r2.getString(0), r2.getString(1)))
+    val n = pairs.length.toDouble
+    val cells = pairs.groupBy(identity).view.mapValues(_.length.toDouble)
+    val lm = pairs.groupBy(_._1).view.mapValues(_.length.toDouble)
+    val sm = pairs.groupBy(_._2).view.mapValues(_.length.toDouble)
+    val miLocal = cells.map { case ((l, s), c) =>
+      (c / n) * math.log(c * n / (lm(l) * sm(s))) }.sum
+    assert(math.abs(mi - miLocal) < 1e-5)
+    val hlLocal = lm.values.map(c => -(c / n) * math.log(c / n)).sum
+    assert(math.abs(hl - hlLocal) < 1e-5)
+  }
 }

@@ -1018,4 +1018,22 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .where(col("h8") < "5e2d58d8").count()
     assert(math.abs(z.toDouble / o.count() - 0.3679) < 0.05)
   }
+
+  test("quartiles are the exact lower order statistics per segment") {
+    val rows = Relational.quartiles(spark, sf).collect()
+    val data = Tables.load(spark, sf, "customer")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    assert(rows.map(_.getAs[String]("seg")).toSet == data.keySet)
+    rows.foreach { r =>
+      val vs = data(r.getAs[String]("seg")).map(_._2).sorted
+      assert(r.getAs[Long]("n_rows") == vs.length.toLong)
+      def q(p: Double) = vs(math.ceil(vs.length * p).toInt - 1).toDouble
+      assert(r.getAs[Double]("p25") == q(0.25))
+      assert(r.getAs[Double]("p50") == q(0.5))
+      assert(r.getAs[Double]("p75") == q(0.75))
+    }
+  }
 }

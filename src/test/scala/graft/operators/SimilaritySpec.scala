@@ -404,4 +404,46 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got == tri.toMap)
     assert(got.nonEmpty)
   }
+
+  test("clusterPurity counts members exactly and purity is the dominant-label share") {
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val clusters = Similarity.semanticClusters(spark, sf, maxBits = 12)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id"))
+    val byCluster = clusters.groupBy(_._2)
+    val got = Similarity.clusterPurity(spark, sf, maxBits = 12).collect()
+    val expected = byCluster.filter(_._2.length >= 2)
+    assert(got.map(_.getAs[Long]("cluster_id")).toSet == expected.keySet)
+    got.foreach { r =>
+      val members = expected(r.getAs[Long]("cluster_id")).map(m => labels(m._1))
+      assert(r.getAs[Long]("n_members") == members.length.toLong)
+      val hist = members.groupBy(identity).view.mapValues(_.length)
+      val (topLabel, nTop) = hist.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Int]("top_label") == topLabel)
+      assert(r.getAs[Long]("n_top") == nTop.toLong)
+      val exp = BigDecimal(nTop.toDouble / members.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("purity") == exp)
+    }
+  }
+
+  test("covMatrix diagonal is non-negative and cov equals a local two-pass computation") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    val got = Similarity.covMatrix(spark, sf).collect()
+    assert(got.length == d * (d + 1) / 2)
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    got.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      assert(r.getAs[Long]("n") == n.toLong)
+      val cov = vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+      if (i == j) assert(r.getAs[Double]("cov") >= -1e-9)
+      assert(math.abs(r.getAs[Double]("cov") - cov) < 1e-6)
+    }
+  }
 }
