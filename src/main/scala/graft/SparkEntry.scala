@@ -2768,22 +2768,26 @@ object SparkEntry {
         |WHERE p.p_size = r.pmax AND (r.m_lt IS NULL OR r.pmax > r.m_lt)
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
     "q_bootstrap_ci" ->
-      """WITH reps AS (
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS x,
-        |    unnest(generate_series(1, 100)) AS rep
-        |  FROM orders),
+      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+        |           FROM orders),
+        |g AS (SELECT o_orderkey, xc, unnest(generate_series(0, 6)) AS grp FROM o),
+        |hs AS (SELECT xc, grp, sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
+        |         CAST(grp AS VARCHAR))) AS h FROM g),
+        |sl AS (SELECT xc, grp * 16 + slot + 1 AS rep, substr(h, slot * 4 + 1, 4) AS h4
+        |       FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS slot) s
+        |       WHERE grp * 16 + slot + 1 <= 100),
         |w AS (
-        |  SELECT x, rep,
-        |    CASE WHEN h8 < '5e2d58d8' THEN 0 WHEN h8 < 'bc5ab1b1' THEN 1
-        |         WHEN h8 < 'eb715e1d' THEN 2 WHEN h8 < 'fb239797' THEN 3
-        |         WHEN h8 < 'ff1025f5' THEN 4 WHEN h8 < 'ffd90f3b' THEN 5
+        |  SELECT xc, rep,
+        |    CASE WHEN h4 < '5e2d' THEN 0 WHEN h4 < 'bc5a' THEN 1
+        |         WHEN h4 < 'eb71' THEN 2 WHEN h4 < 'fb23' THEN 3
+        |         WHEN h4 < 'ff10' THEN 4 WHEN h4 < 'ffd9' THEN 5
         |         ELSE 6 END AS w
-        |  FROM (SELECT x, rep,
-        |        substr(sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
-        |          CAST(rep AS VARCHAR))), 1, 8) AS h8
-        |        FROM reps)),
-        |m AS (SELECT rep, CAST(sum(x * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
-        |      FROM w GROUP BY 1),
+        |  FROM sl),
+        |pw AS (SELECT rep, w, sum(CAST(xc AS DECIMAL(38,0))) AS sxc, count(*) AS nw
+        |       FROM w GROUP BY 1, 2),
+        |m AS (SELECT rep,
+        |      CAST(sum(sxc * w) AS DOUBLE) / (CAST(sum(w * nw) AS DOUBLE) * 100.0) AS mean_b
+        |      FROM pw GROUP BY 1),
         |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, rep) AS rk FROM m),
         |ci AS (SELECT round(min(CASE WHEN rk = 3 THEN mean_b END), 6) AS ci_lo,
         |              round(min(CASE WHEN rk = 98 THEN mean_b END), 6) AS ci_hi FROM r),
@@ -2858,9 +2862,10 @@ object SparkEntry {
         |  unnest(v) AS x FROM ve),
         |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
         |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
-        |d AS (SELECT i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |d AS (SELECT i, CAST(sum(CAST(round(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
         |      count(*) AS n_dim FROM e GROUP BY 1),
-        |c AS (SELECT i, j, CAST(sum(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |c AS (SELECT i, j,
+        |      CAST(sum(CAST(round(xy * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
         |      count(*) AS n FROM p GROUP BY 1, 2)
         |SELECT c.i, c.j, c.n,
         |  round(c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim), 6) AS cov

