@@ -91,8 +91,11 @@ object PlanAudit {
         "q_ann_recall",
         // rrf_fusion: 1-row corpus-stats frame (the bm25 pattern);
         // bootstrap_ci: 1-row CI frame x 1-row full-mean frame;
-        // mutual_info: 1-row total/MI/entropy frames chained
-        "q_rrf_fusion", "q_bootstrap_ci", "q_mutual_info")
+        // mutual_info: 1-row total/MI/entropy frames chained;
+        // ks_test / cusum: 1-row totals/max frames; psi: 9-row decile
+        // edge set + 1-row totals broadcast over bounded frames
+        "q_rrf_fusion", "q_bootstrap_ci", "q_mutual_info",
+        "q_ks_test", "q_psi", "q_cusum")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -511,6 +511,9 @@ object SparkEntry {
     "q_mutual_info" -> ((s, dir) => Curation.mutualInfo(s, dir)),
     "q_cluster_purity" -> ((s, dir) => Similarity.clusterPurity(s, dir, maxBits = 12)),
     "q_cov_matrix" -> ((s, dir) => Similarity.covMatrix(s, dir)),
+    "q_ks_test" -> ((s, dir) => Relational.ksTest(s, dir)),
+    "q_psi" -> ((s, dir) => Relational.psi(s, dir)),
+    "q_cusum" -> ((s, dir) => Relational.cusum(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -2871,5 +2874,77 @@ object SparkEntry {
         |  round(c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim), 6) AS cov
         |FROM c JOIN d da ON da.i = c.i JOIN d db ON db.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
+    "q_ks_test" ->
+      """WITH v AS (
+        |  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |h AS (SELECT v,
+        |  sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS cb
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |c AS (SELECT v,
+        |  CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        |  CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
+        |  FROM h),
+        |d AS (SELECT v, abs(cuma * nb - cumb * na) AS dnum FROM c CROSS JOIN t),
+        |m AS (SELECT max(dnum) AS max_num FROM d)
+        |SELECT t.na, t.nb,
+        |  round(CAST(m.max_num AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE), 6) AS d_stat,
+        |  CAST((SELECT min(v) FROM d WHERE d.dnum = m.max_num) AS DOUBLE) AS at_value
+        |FROM t CROSS JOIN m""".stripMargin,
+    "q_psi" ->
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'ref' ELSE 'cur' END AS period,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders),
+        |hist AS (SELECT v, count(*) AS cnt FROM o WHERE period = 'ref' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_ref FROM hist),
+        |cm AS (SELECT v,
+        |  CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM hist),
+        |edges AS (
+        |  SELECT q, min(v) AS edge
+        |  FROM cm CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS q) qs
+        |  WHERE cum >= CAST(ceil(n_ref * q / 10.0) AS BIGINT)
+        |  GROUP BY q),
+        |pv AS (SELECT period, v, count(*) AS c FROM o GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT period, v, c,
+        |    sum(CASE WHEN v > edge THEN 1 ELSE 0 END) AS gt
+        |  FROM pv CROSS JOIN edges GROUP BY 1, 2, 3),
+        |cells AS (
+        |  SELECT CAST(gt + 1 AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN period = 'ref' THEN c ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN period = 'cur' THEN c ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM binned GROUP BY 1),
+        |tots AS (SELECT CAST(sum(n_ref) AS BIGINT) AS ta, CAST(sum(n_cur) AS BIGINT) AS tb FROM cells),
+        |terms AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    (n_ref + 1) / (ta + 10) AS pa, (n_cur + 1) / (tb + 10) AS pb
+        |  FROM cells CROSS JOIN tots)
+        |SELECT bin, n_ref, n_cur, round(pa, 6) AS share_ref, round(pb, 6) AS share_cur,
+        |  round((pa - pb) * ln(pa / pb), 6) AS term,
+        |  round(CAST(sum(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS psi
+        |FROM terms ORDER BY bin""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS tot_rev, CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |cs AS (SELECT day,
+        |  sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx
+        |  FROM daily),
+        |dev AS (SELECT day, abs(n_days * pref - idx * tot_rev) AS absdev
+        |        FROM cs CROSS JOIN tot),
+        |m AS (SELECT max(absdev) AS mx FROM dev)
+        |SELECT tot.n_days,
+        |  (SELECT min(day) FROM dev WHERE dev.absdev = m.mx) AS cp_day,
+        |  round(CAST(m.mx AS DOUBLE) / CAST(tot.n_days AS DOUBLE), 6) AS max_dev
+        |FROM tot CROSS JOIN m""".stripMargin,
   )
 }

@@ -2371,4 +2371,125 @@ object Relational {
       .agg(max("n").as("n_rows"), q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"))
       .orderBy("seg")
   }
+
+  /** §2.2 #214 — two-sample KOLMOGOROV-SMIRNOV statistic between the order
+    * price distributions of two customer segments, computed EXACTLY: D =
+    * max |F_A − F_B| over the pooled value histogram, with the comparison
+    * done on the INTEGER cross product |cumA·nB − cumB·nA| — no float CDF
+    * anywhere, so the argmax (and the reported location) can never flip on
+    * an ulp; the single division happens once, on the already-maximized
+    * integer, rounded. The distribution-drift test behind "did this
+    * segment's spend profile change" at any data volume: one histogram
+    * aggregation (shuffle ∝ distinct prices), one window over the bounded
+    * histogram, bounded-frame joins after.
+    */
+  def ksTest(spark: SparkSession, dir: String, segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val v = t(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").cast(dec).as("v"))
+    val h = v.groupBy("v").agg(
+      sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = h.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val d = h.select(col("v"),
+        sum("ca").over(wCum).as("cuma"), sum("cb").over(wCum).as("cumb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+    val maxd = d.agg(max("dnum").as("max_num"))
+    d.join(broadcast(maxd), col("dnum") === col("max_num"))
+      .groupBy("na", "nb", "max_num")
+      .agg(min("v").cast("double").as("at_value"))
+      .select(col("na"), col("nb"),
+        round(col("max_num").cast("double") /
+          (col("na") * col("nb")).cast("double"), 6).as("d_stat"),
+        col("at_value"))
+  }
+
+  /** §2.2 #215 — POPULATION STABILITY INDEX of order price, pre- vs
+    * post-split-date: the production drift monitor for "did the
+    * distribution my model/pipeline was tuned on move". Reference deciles
+    * are EXACT lower order statistics from the value histogram (one window
+    * over distinct prices); both periods then bin against the broadcast
+    * 9-row edge set via per-distinct-value counting (never a per-row edge
+    * scan), and PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) over the 10
+    * bounded cells with Laplace-smoothed shares (+1/+10 — a decile of the
+    * current period CAN be empty after real drift; smoothing keeps the
+    * statistic finite without a data-dependent guard). Cell terms are
+    * deterministic doubles over exact integer counts, summed exactly via
+    * decimal cast.
+    */
+  def psi(spark: SparkSession, dir: String, split: String = "1997-01-01"): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val decT = DecimalType(28, 12)
+    val o = t(spark, dir, "orders")
+      .select(when(col("o_orderdate") < to_date(lit(split)), "ref")
+        .otherwise("cur").as("period"), col("o_totalprice").cast(dec).as("v"))
+    val hist = o.where(col("period") === "ref")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum("cnt").as("n_ref"))
+    val edges = hist.select(col("v"), sum("cnt").over(wCum).as("cum"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("cum"), col("n_ref"),
+        explode(sequence(lit(1), lit(9))).as("q"))
+      .where(col("cum") >= ceil(col("n_ref") * col("q") / 10.0).cast("long"))
+      .groupBy("q").agg(min("v").as("edge"))
+    val pv = o.groupBy("period", "v").agg(count(lit(1)).as("c"))
+    val cells = pv.crossJoin(broadcast(edges.select("edge")))
+      .groupBy("period", "v", "c")
+      .agg(sum(when(col("v") > col("edge"), 1L).otherwise(0L)).as("gt"))
+      .groupBy((col("gt") + 1).as("bin"))
+      .agg(sum(when(col("period") === "ref", col("c")).otherwise(0L)).as("n_ref"),
+        sum(when(col("period") === "cur", col("c")).otherwise(0L)).as("n_cur"))
+    val tots = cells.agg(sum("n_ref").as("ta"), sum("n_cur").as("tb"))
+    cells.crossJoin(broadcast(tots))
+      .withColumn("pa", (col("n_ref") + lit(1L)) / (col("ta") + lit(10L)))
+      .withColumn("pb", (col("n_cur") + lit(1L)) / (col("tb") + lit(10L)))
+      .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+      .withColumn("psi", round(sum(col("term").cast(decT))
+        .over(Window.partitionBy()).cast("double"), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("pa"), 6).as("share_ref"), round(col("pb"), 6).as("share_cur"),
+        round(col("term"), 6).as("term"), col("psi"))
+      .orderBy("bin")
+  }
+
+  /** §2.2 #216 — CUSUM CHANGEPOINT over daily revenue: the day where the
+    * cumulative deviation from the global mean peaks — the classic
+    * single-changepoint locator for "when did the level shift". Kept
+    * ENTIRELY in integer/decimal arithmetic by maximizing the n-SCALED
+    * deviation n·Σ_{≤d}(r−μ) = n·prefix(d) − idx(d)·total (exact decimal —
+    * no float mean subtraction per day, so the argmax is engine-exact);
+    * the one division happens after the max, for display. Day frame is
+    * calendar-bounded: the windows run over |days| rows, the daily rollup
+    * is the only corpus-sized aggregation.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    val tot = daily.agg(sum("rev").as("tot_rev"), count(lit(1)).as("n_days"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIdx = Window.orderBy("day")
+    val cs = daily.crossJoin(broadcast(tot))
+      .withColumn("pref", sum("rev").over(wCum))
+      .withColumn("idx", row_number().over(wIdx))
+      .withColumn("absdev",
+        abs(col("n_days") * col("pref") - col("idx") * col("tot_rev")))
+    val mx = cs.agg(max("absdev").as("mx"))
+    cs.join(broadcast(mx), col("absdev") === col("mx"))
+      .groupBy("n_days", "mx")
+      .agg(min("day").as("cp_day"))
+      .select(col("n_days"), col("cp_day"),
+        round(col("mx").cast("double") / col("n_days").cast("double"), 6)
+          .as("max_dev"))
+  }
 }

@@ -1037,4 +1037,71 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("p75") == q(0.75))
     }
   }
+
+  test("ksTest equals a brute-force two-sample KS computation") {
+    val r = Relational.ksTest(spark, sf).collect()(0)
+    val rows = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_mktsegment", "o_totalprice").collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+    val a = rows.filter(_._1 == "BUILDING").map(_._2).sorted
+    val b = rows.filter(_._1 == "MACHINERY").map(_._2).sorted
+    assert(r.getAs[Long]("na") == a.length.toLong)
+    assert(r.getAs[Long]("nb") == b.length.toLong)
+    val pooled = (a ++ b).distinct.sorted
+    val dnums = pooled.map { v =>
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      (math.abs(ca * b.length - cb * a.length), v)
+    }
+    val maxNum = dnums.map(_._1).max
+    val expD = BigDecimal(maxNum.toDouble / (a.length.toLong * b.length).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("d_stat") == expD)
+    assert(r.getAs[Double]("at_value") ==
+      dnums.filter(_._1 == maxNum).map(_._2).min.toDouble)
+  }
+
+  test("psi bins cover both periods exactly and terms sum to the reported psi") {
+    val rows = Relational.psi(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (1L to 10L))
+    val o = Tables.load(spark, sf, "orders").count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum == o)
+    val psis = rows.map(_.getAs[Double]("psi")).distinct
+    assert(psis.length == 1 && psis.head >= 0.0)
+    // shares are the smoothed ratios
+    val ta = rows.map(_.getAs[Long]("n_ref")).sum
+    rows.foreach { r =>
+      val exp = BigDecimal((r.getAs[Long]("n_ref") + 1.0) / (ta + 10.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("share_ref") == exp)
+    }
+  }
+
+  test("cusum changepoint equals a local scan over exact daily sums") {
+    val r = Relational.cusum(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice"))
+      .collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val n = daily.length
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    val tot = daily.map(_._2).sum
+    var pref = BigDecimal(0)
+    val devs = daily.zipWithIndex.map { case ((day, rev), i) =>
+      pref += rev
+      (day, (BigDecimal(n) * pref - BigDecimal(i + 1) * tot).abs)
+    }
+    val mx = devs.map(_._2).max
+    assert(r.getAs[String]("cp_day") == devs.filter(_._2 == mx).map(_._1).min)
+    val expDev = BigDecimal((mx / n).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getAs[Double]("max_dev") - expDev) < 1e-6)
+  }
 }
