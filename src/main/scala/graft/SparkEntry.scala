@@ -514,6 +514,13 @@ object SparkEntry {
     "q_ks_test" -> ((s, dir) => Relational.ksTest(s, dir)),
     "q_psi" -> ((s, dir) => Relational.psi(s, dir)),
     "q_cusum" -> ((s, dir) => Relational.cusum(s, dir)),
+    // r7 additions, session 3 (§2 #217-#222)
+    "q_streaks" -> ((s, dir) => Relational.streaks(s, dir)),
+    "q_linreg" -> ((s, dir) => Relational.linreg(s, dir)),
+    "q_hhi" -> ((s, dir) => Relational.hhi(s, dir)),
+    "q_seasonality" -> ((s, dir) => Relational.seasonality(s, dir)),
+    "q_ewma" -> ((s, dir) => Relational.ewma(s, dir)),
+    "q_lateness" -> ((s, dir) => Relational.latenessProfile(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -2946,5 +2953,103 @@ object SparkEntry {
         |  (SELECT min(day) FROM dev WHERE dev.absdev = m.mx) AS cp_day,
         |  round(CAST(m.mx AS DOUBLE) / CAST(tot.n_days AS DOUBLE), 6) AS max_dev
         |FROM tot CROSS JOIN m""".stripMargin,
+    "q_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |  day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        |  FROM days),
+        |st AS (SELECT user_id, island, count(*) AS len, min(day) AS start
+        |       FROM isl GROUP BY 1, 2),
+        |best AS (SELECT user_id, len AS longest_streak,
+        |  strftime(start, '%Y-%m-%d') AS longest_start,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start) AS rk
+        |  FROM st),
+        |agg AS (SELECT user_id, count(*) AS n_streaks,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days FROM st GROUP BY 1)
+        |SELECT agg.user_id, n_streaks, n_active_days, longest_streak, longest_start
+        |FROM agg JOIN best ON agg.user_id = best.user_id
+        |WHERE rk = 1 ORDER BY agg.user_id""".stripMargin,
+    "q_linreg" ->
+      """WITH s AS (
+        |  SELECT c_mktsegment AS segment, count(*) AS n,
+        |    sum(CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT)) AS sx,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS syc,
+        |    sum(CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT)
+        |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxyc,
+        |    sum(CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT)
+        |      * CAST(date_diff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT)) AS sxx
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |fit AS (SELECT segment, n,
+        |  CAST(n * sxyc - sx * syc AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_raw,
+        |  sx, syc FROM s)
+        |SELECT segment, n, round(slope_raw, 6) AS slope,
+        |  round((CAST(syc AS DOUBLE) / 100.0 - slope_raw * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM fit ORDER BY segment""".stripMargin,
+    "q_hhi" ->
+      """WITH crev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS crev
+        |  FROM orders GROUP BY 1),
+        |nat AS (
+        |  SELECT r_name, n_name,
+        |    CAST(CAST(sum(crev) AS DECIMAL(18,2)) * 100 AS HUGEINT) AS nrev_c
+        |  FROM crev JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, count(*) AS n_nations,
+        |  round(CAST(sum(nrev_c * nrev_c) AS DOUBLE)
+        |    / CAST(sum(nrev_c) * sum(nrev_c) AS DOUBLE), 6) AS hhi,
+        |  round(CAST(max(nrev_c) AS DOUBLE) / CAST(sum(nrev_c) AS DOUBLE), 6) AS top_share
+        |FROM nat GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_seasonality" ->
+      """WITH d AS (
+        |  SELECT dayofweek(o_orderdate::DATE) AS dow, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot_rev FROM d)
+        |SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev * 7 AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS seas_index,
+        |  round(CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS avg_order
+        |FROM d CROSS JOIN t ORDER BY dow""".stripMargin,
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(rev, CAST(0 AS DECIMAL(18,2))) AS rev
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |lagged AS (SELECT day, rev,
+        |  row_number() OVER (ORDER BY day) AS rn,
+        |  rev * 64 + lag(rev, 1) OVER (ORDER BY day) * 32
+        |    + lag(rev, 2) OVER (ORDER BY day) * 16
+        |    + lag(rev, 3) OVER (ORDER BY day) * 8
+        |    + lag(rev, 4) OVER (ORDER BY day) * 4
+        |    + lag(rev, 5) OVER (ORDER BY day) * 2
+        |    + lag(rev, 6) OVER (ORDER BY day) AS num
+        |  FROM full_s)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(num AS DOUBLE) / 127.0, 6) AS ewma
+        |FROM lagged WHERE rn >= 7 ORDER BY day""".stripMargin,
+    "q_lateness" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS t_us FROM events),
+        |l AS (SELECT event_id,
+        |  max(t_us) OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - t_us AS late_us FROM e),
+        |bk AS (SELECT CASE WHEN late_us = 0 THEN '0_in_order'
+        |    WHEN late_us <= 60000000 THEN '1_le_1m'
+        |    WHEN late_us <= 600000000 THEN '2_le_10m'
+        |    WHEN late_us <= 3600000000 THEN '3_le_1h'
+        |    ELSE '4_gt_1h' END AS bucket, late_us FROM l),
+        |g AS (SELECT bucket, count(*) AS n_events, max(late_us) AS max_late_us
+        |      FROM bk GROUP BY 1),
+        |t AS (SELECT sum(n_events) AS total FROM g)
+        |SELECT bucket, n_events, max_late_us,
+        |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
   )
 }

@@ -2492,4 +2492,199 @@ object Relational {
         round(col("mx").cast("double") / col("n_days").cast("double"), 6)
           .as("max_dev"))
   }
+
+  /** §2.2 #217 — GAPS-AND-ISLANDS activity streaks: per user, the runs of
+    * CONSECUTIVE active calendar days (count of streaks, total active days,
+    * longest streak + its start date). The island key is the classic
+    * `day − row_number` date: constant within a consecutive run, strictly
+    * decreasing across gaps — so streak detection is one partitioned window
+    * + one groupBy, never a self-join on adjacent days. All windows are
+    * partitioned by user over that user's bounded distinct-day list (events
+    * are presence-deduped to user×day FIRST, the same decomposition as
+    * #168), so nothing global-sorts. Longest-streak argmax is deterministic:
+    * (len DESC, start ASC) rank. Integer-exact end to end.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wU = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("island", date_sub(col("day"), row_number().over(wU)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min("day").as("start"))
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("len").desc, col("start").asc)
+    val best = islands.withColumn("rk", row_number().over(wBest))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("len").as("longest_streak"),
+        date_format(col("start"), "yyyy-MM-dd").as("longest_start"))
+    islands.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum("len").as("n_active_days"))
+      .join(best, "user_id")
+      .select("user_id", "n_streaks", "n_active_days", "longest_streak",
+        "longest_start")
+      .orderBy("user_id")
+  }
+
+  /** §2.2 #218 — per-segment OLS TREND (slope/intercept of order value vs
+    * time): the closed-form least-squares fit from five distributive sums
+    * (n, Σx, Σy, Σxy, Σx²) — ONE partial-aggregated pass over the fact
+    * join, no iteration, no centering pass. Engine-exactness: y is held in
+    * integer CENTS (decimal ×100 → long) and x in integer day offsets, so
+    * every sum and the slope numerator/denominator n·Σxy − Σx·Σy are exact
+    * integers (widened to decimal(38,0) before the products — a long×long
+    * product would silently wrap at sf≫1); the only float ops are the two
+    * final divisions. Customer is fact-scale so it joins orders by shuffle
+    * on the key both would bucket on; the per-segment rollup is 5 rows.
+    */
+  def linreg(spark: SparkSession, dir: String, anchor: String = "1995-01-01")
+      : DataFrame = {
+    val big = DecimalType(38, 0)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), to_date(lit(anchor)))
+        .cast("long").as("x"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val c = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val s = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yc").as("syc"),
+        sum(col("x") * col("yc")).as("sxyc"), sum(col("x") * col("x")).as("sxx"))
+    val num = col("n").cast(big) * col("sxyc").cast(big) -
+      col("sx").cast(big) * col("syc").cast(big)
+    val den = col("n").cast(big) * col("sxx").cast(big) -
+      col("sx").cast(big) * col("sx").cast(big)
+    val slopeC = num.cast("double") / den.cast("double")
+    s.withColumn("slope_raw", slopeC / 100.0)
+      .withColumn("intercept_raw",
+        (col("syc").cast("double") / 100.0 -
+          col("slope_raw") * col("sx").cast("double")) / col("n").cast("double"))
+      .select(col("segment"), col("n"), round(col("slope_raw"), 6).as("slope"),
+        round(col("intercept_raw"), 6).as("intercept"))
+      .orderBy("segment")
+  }
+
+  /** §2.2 #219 — HERFINDAHL–HIRSCHMAN concentration of revenue by nation
+    * within each region: Σ share² + the top-nation share — the antitrust /
+    * portfolio-concentration metric, and the skew early-warning for
+    * partition planning. Kept ratio-exact by NEVER materializing float
+    * shares: HHI = Σ nat_rev² / region_rev² with both sides exact decimals
+    * (nation totals re-narrowed to decimal(18,2) so the squares stay inside
+    * decimal(38,4) — the unnarrowed sum type would overflow the product),
+    * one double division at the end. Orders pre-aggregate by custkey before
+    * the fact-scale customer join (shuffle on the natural bucket key);
+    * nation/region fold into one broadcast.
+    */
+  def hhi(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val custRev = t(spark, dir, "orders").groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(dec)).as("crev"))
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val dims = t(spark, dir, "nation")
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+    val natRev = custRev.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("crev").cast(dec).as("nrev"))
+    natRev.groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("nrev") * col("nrev")).as("sum_sq"),
+        sum("nrev").cast(dec).as("rrev"), max("nrev").as("top_rev"))
+      .select(col("r_name"), col("n_nations"),
+        round(col("sum_sq").cast("double") /
+          (col("rrev") * col("rrev")).cast("double"), 6).as("hhi"),
+        round(col("top_rev").cast("double") / col("rrev").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("r_name")
+  }
+
+  /** §2.2 #220 — DAY-OF-WEEK SEASONALITY index of revenue: each weekday's
+    * share of revenue relative to a flat 1/7 baseline (index 1.0 = no
+    * seasonality) + order counts and average order value. One
+    * partial-aggregated pass to 7 cells; ratios computed as exact-decimal
+    * numerators (rev×7) over the exact total with a single double division
+    * per cell. Weekday numbering pinned to 0=Sunday (Spark `dayofweek`−1)
+    * so the key is engine-portable.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val byDow = t(spark, dir, "orders")
+      .groupBy((dayofweek(to_date(col("o_orderdate"))) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).as("rev"))
+    val tot = byDow.agg(sum("rev").as("tot_rev"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        round((col("rev") * 7).cast("double") / col("tot_rev").cast("double"), 6)
+          .as("seas_index"),
+        round(col("rev").cast("double") / col("n_orders").cast("double"), 6)
+          .as("avg_order"))
+      .orderBy("dow")
+  }
+
+  /** §2.2 #221 — EWMA smoothing of daily revenue with DYADIC weights: a
+    * 7-term exponentially-weighted moving average with α = 1/2, so the
+    * weights 2⁻¹…2⁻⁷ are exact binary fractions — the whole weighted sum
+    * stays in decimal (Σ rev_{d−j}·2^{6−j}, integer multipliers 64…1) and
+    * the normalization is one division by 127 at the end: bit-identical on
+    * any engine, unlike a float-recursive EWMA whose rounding drifts with
+    * evaluation order. The series runs on the CONTIGUOUS calendar spine
+    * (missing days = 0 revenue) so lag-j is always day−j; the single-
+    * partition window is calendar-bounded (|days| rows — same justification
+    * as #216), the daily rollup is the only corpus-sized aggregation.
+    * Truncated-window start-up rows (first 6 days) are dropped rather than
+    * renormalized.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("rev", coalesce(col("rev"), lit(0).cast(dec)))
+    val w = Window.orderBy("day")
+    val num = (0 to 6).map(j => lag(col("rev"), j).over(w) * (1L << (6 - j)))
+      .reduce(_ + _)
+    full.withColumn("rn", row_number().over(w))
+      .withColumn("num", num)
+      .where(col("rn") >= 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev").cast("double").as("revenue"),
+        round(col("num").cast("double") / 127.0, 6).as("ewma"))
+      .orderBy("day")
+  }
+
+  /** §2.2 #222 — event-time LATENESS profile: how far out-of-order events
+    * arrive, measured against the running max event-time in ARRIVAL order
+    * (event_id) — the empirical basis for choosing a Structured-Streaming
+    * watermark delay (`withWatermark`'s parameter IS this distribution's
+    * tail). The arrival-order prefix max is Spark's range-exchange running
+    * window — the same distributed global-prefix pattern as #57/#204,
+    * nothing collected — and the output is a fixed 5-bucket histogram with
+    * exact counts and one share division per bucket.
+    */
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev.withColumn("late_us", max("t_us").over(w) - col("t_us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0, "0_in_order")
+          .when(col("late_us") <= 60L * 1000000L, "1_le_1m")
+          .when(col("late_us") <= 600L * 1000000L, "2_le_10m")
+          .when(col("late_us") <= 3600L * 1000000L, "3_le_1h")
+          .otherwise("4_gt_1h"))
+    val buckets = late.groupBy("bucket").agg(count(lit(1)).as("n_events"),
+      max("late_us").as("max_late_us"))
+    val tot = buckets.agg(sum("n_events").as("total"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_events"), col("max_late_us"),
+        round(col("n_events").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+      .orderBy("bucket")
+  }
 }

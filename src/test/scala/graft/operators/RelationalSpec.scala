@@ -1104,4 +1104,137 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(r.getAs[Double]("max_dev") - expDev) < 1e-6)
   }
+
+  test("streaks: islands partition active days and the longest streak is a real run") {
+    val rows = Relational.streaks(spark, sf).collect()
+    val dayCount = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_active_days")).sum == dayCount)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+    }
+    // brute-force one user's streaks from their raw day list
+    val uid = rows.head.getAs[Long]("user_id")
+    val days = Tables.load(spark, sf, "events")
+      .where(col("user_id") === uid)
+      .select(to_date(col("ts")).as("day")).distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    val runs = days.foldLeft(List.empty[(java.time.LocalDate, Long)]) {
+      case (acc @ ((start, len) :: rest), d)
+          if start.plusDays(len) == d => (start, len + 1) :: rest
+      case (acc, d) => (d, 1L) :: acc
+    }.reverse
+    val r = rows.find(_.getAs[Long]("user_id") == uid).get
+    assert(r.getAs[Long]("n_streaks") == runs.length.toLong)
+    val bestLen = runs.map(_._2).max
+    assert(r.getAs[Long]("longest_streak") == bestLen)
+    assert(r.getAs[String]("longest_start") ==
+      runs.filter(_._2 == bestLen).map(_._1).min.toString)
+  }
+
+  test("linreg matches the closed-form fit recomputed from raw rows") {
+    val rows = Relational.linreg(spark, sf).collect()
+    assert(rows.length == 5)
+    val seg = rows.head.getAs[String]("segment")
+    val raw = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === seg)
+      .select(datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+        .cast("long"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val n = BigDecimal(raw.length)
+    val sx = BigDecimal(raw.map(_._1).sum)
+    val sy = raw.map(_._2).sum
+    val sxy = raw.map { case (x, y) => BigDecimal(x) * y }.sum
+    val sxx = BigDecimal(raw.map(t => t._1 * t._1).sum)
+    val slope = ((n * sxy - sx * sy) / (n * sxx - sx * sx)).toDouble
+    val r0 = rows.find(_.getAs[String]("segment") == seg).get
+    assert(r0.getAs[Long]("n") == raw.length.toLong)
+    assert(math.abs(r0.getAs[Double]("slope") - slope) < 1e-5)
+    val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    assert(math.abs(r0.getAs[Double]("intercept") - intercept) < 1e-3)
+  }
+
+  test("hhi lies in [1/n, 1], dominates top_share^2 and is bounded by top_share") {
+    val rows = Relational.hhi(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (h, top, n) = (r.getAs[Double]("hhi"), r.getAs[Double]("top_share"),
+        r.getAs[Long]("n_nations"))
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9)
+      assert(h >= top * top - 1e-9)
+      assert(h <= top + 1e-9)
+    }
+  }
+
+  test("seasonality indexes revenue-average to 1 and counts cover all orders") {
+    val rows = Relational.seasonality(spark, sf).collect()
+    assert(rows.length == 7)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.load(spark, sf, "orders").count())
+    // each index is that weekday's revenue share against the flat 1/7 baseline
+    val tot = rows.map(_.getAs[Double]("revenue")).sum
+    rows.foreach { r =>
+      val exp = r.getAs[Double]("revenue") / tot * 7
+      assert(math.abs(exp - r.getAs[Double]("seas_index")) < 1e-5)
+      assert(math.abs(r.getAs[Double]("avg_order") -
+        r.getAs[Double]("revenue") / r.getAs[Long]("n_orders")) < 1e-5)
+    }
+  }
+
+  test("ewma is the dyadic-weighted mean of the trailing 7 spine days") {
+    val out = Relational.ewma(spark, sf).collect()
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect().map(r => (r.getDate(0).toLocalDate, BigDecimal(r.getDecimal(1))))
+      .toMap
+    val allDays = daily.keys.toSeq.sorted
+    val spine = Iterator.iterate(allDays.head)(_.plusDays(1))
+      .takeWhile(!_.isAfter(allDays.last)).toVector
+    assert(out.length == spine.length - 6)
+    val checkIdx = Seq(6, spine.length / 2, spine.length - 1)
+    checkIdx.foreach { i =>
+      val day = spine(i)
+      val num = (0 to 6).map { j =>
+        daily.getOrElse(spine(i - j), BigDecimal(0)) * BigDecimal(1L << (6 - j))
+      }.sum
+      val exp = BigDecimal(num.toDouble / 127.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val got = out.find(_.getAs[String]("day") == day.toString).get
+        .getAs[Double]("ewma")
+      assert(math.abs(got - exp) < 1e-6, s"day $day")
+    }
+  }
+
+  test("latenessProfile buckets synthetic out-of-order arrivals exactly") {
+    import java.sql.Timestamp
+    val base = 1700000000000000L // us
+    // arrival order = event_id; event-times deliberately disordered:
+    // id2 arrives 30s late, id4 arrives 20min late (-> le_1h bucket),
+    // id5 arrives 2h late
+    val rows = Seq(
+      (1L, base),
+      (2L, base - 30L * 1000000L),
+      (3L, base + 60L * 1000000L),
+      (4L, base - 20L * 60L * 1000000L + 60L * 1000000L),
+      (5L, base - 2L * 3600L * 1000000L),
+      (6L, base + 120L * 1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("lateness").toString
+    val df = spark.createDataFrame(rows.map { case (id, us) =>
+      (id, new Timestamp(us / 1000L), 1L, "view", 0.0, "{}")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Relational.latenessProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_events")).toMap
+    assert(out == Map("0_in_order" -> 3L, "1_le_1m" -> 1L,
+      "3_le_1h" -> 1L, "4_gt_1h" -> 1L))
+    val shares = Relational.latenessProfile(spark, dir).collect()
+      .map(_.getAs[Double]("share")).sum
+    // shares are individually rounded to 6 decimals, so the sum is 1 ± 4 ulp-of-round
+    assert(math.abs(shares - 1.0) < 1e-5)
+  }
 }
