@@ -521,6 +521,10 @@ object SparkEntry {
     "q_seasonality" -> ((s, dir) => Relational.seasonality(s, dir)),
     "q_ewma" -> ((s, dir) => Relational.ewma(s, dir)),
     "q_lateness" -> ((s, dir) => Relational.latenessProfile(s, dir)),
+    "q_dup_lang_matrix" -> ((s, dir) => Dedup.dupLangMatrix(s, dir)),
+    "q_chi2" -> ((s, dir) => Curation.chi2(s, dir)),
+    "q_tokenizer_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(s, dir)),
+    "copy_sample" -> ((s, dir) => TableCopy.sampledCopy(s, dir, tmp("sample"))),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -3051,5 +3055,49 @@ object SparkEntry {
         |SELECT bucket, n_events, max_late_us,
         |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // Lang-pair rollup of the SAME exact all-pairs near-dup derivation the
+    // jaccard/matrix oracles share — one oracle family, three views.
+    "q_dup_lang_matrix" ->
+      s"""WITH nd AS (
+         |$neardupJaccardOracle
+         |)
+         |SELECT least(da.lang, db.lang) AS lang_a,
+         |  greatest(da.lang, db.lang) AS lang_b, count(*) AS n_pairs
+         |FROM nd
+         |JOIN documents da ON da.doc_id = nd.doc_a
+         |JOIN documents db ON db.doc_id = nd.doc_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_chi2" ->
+      """WITH t AS (SELECT count(*) AS n_docs FROM documents),
+        |cells AS (SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |lm AS (SELECT lang, count(*) AS rl FROM documents GROUP BY 1),
+        |sm AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
+        |dims AS (SELECT (SELECT count(*) FROM lm) AS n_lang,
+        |                (SELECT count(*) FROM sm) AS n_source),
+        |dev AS (SELECT round(CAST(sum(CAST(
+        |    CAST(CAST(n_docs * obs - rl * cs AS HUGEINT)
+        |         * CAST(n_docs * obs - rl * cs AS HUGEINT) AS DOUBLE)
+        |      / CAST(CAST(n_docs AS HUGEINT) * rl * cs AS DOUBLE)
+        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+        |  FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN t)
+        |SELECT t.n_docs, (n_lang - 1) * (n_source - 1) AS dof, dev.chi2,
+        |  round(sqrt(dev.chi2 / (t.n_docs * least(n_lang - 1, n_source - 1))), 6)
+        |    AS cramers_v
+        |FROM t, dev, dims""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
+        |  round(CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) * 100.0
+        |    / CAST(sum(length(text)) AS DOUBLE), 6) AS tokens_per_100_chars,
+        |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE)
+        |    / CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE), 6) AS bytes_per_token
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "copy_sample" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -631,4 +631,40 @@ object Curation {
         round(col("mi_nats") / least(col("h_lang"), col("h_source")), 6))
       .select("n_docs", "mi_nats", "h_lang", "h_source", "nmi")
   }
+
+  /** §2.3 #224 — CHI-SQUARE independence test of `lang` × `source` (+
+    * Cramér's V): the frequentist sibling of [[mutualInfo]] — "is the
+    * language mix the same across sources, or is metadata redundant". The
+    * statistic is kept ARGMAX-safe by clearing denominators: the per-cell
+    * term (obs−exp)²/exp is computed as (n·obs − rl·cs)² / (n·rl·cs) with
+    * both sides EXACT decimal(38,0) integers (n·obs wraps long past sf≈1,
+    * so the operands widen before the products), one double division per
+    * bounded cell, terms decimal-summed — the [[mutualInfo]] discipline.
+    * Three linear rollups + broadcast joins of bounded frames; nothing
+    * corpus-scale after the cell counts.
+    */
+  def chi2(spark: SparkSession, dir: String): DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val decT = org.apache.spark.sql.types.DecimalType(28, 12)
+    val d = docs(spark, dir)
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("obs"))
+    val lm = d.groupBy("lang").agg(count(lit(1)).as("rl"))
+    val sm = d.groupBy("source").agg(count(lit(1)).as("cs"))
+    val dims = lm.agg(count(lit(1)).as("n_lang"))
+      .crossJoin(sm.agg(count(lit(1)).as("n_source")))
+    val dev = cells.join(broadcast(lm), "lang").join(broadcast(sm), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("d", col("n_docs").cast(big) * col("obs").cast(big) -
+        col("rl").cast(big) * col("cs").cast(big))
+      .withColumn("term", (col("d") * col("d")).cast("double") /
+        (col("n_docs").cast(big) * col("rl").cast(big) * col("cs").cast(big))
+          .cast("double"))
+      .agg(round(sum(col("term").cast(decT)).cast("double"), 6).as("chi2"))
+    total.crossJoin(dev).crossJoin(broadcast(dims))
+      .withColumn("dof", (col("n_lang") - 1) * (col("n_source") - 1))
+      .withColumn("cramers_v", round(sqrt(col("chi2") /
+        (col("n_docs") * least(col("n_lang") - 1, col("n_source") - 1))), 6))
+      .select("n_docs", "dof", "chi2", "cramers_v")
+  }
 }

@@ -455,6 +455,26 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** §2.3 #223 — CROSS-LANGUAGE near-duplication matrix: verified Jaccard
+    * pairs rolled up by unordered language pair. The off-diagonal cells are
+    * the translation/template-contamination audit (a high en×fr cell means
+    * machine-translated copies are inflating both languages); the diagonal
+    * is within-language duplication. Same scale shape as [[dupMatrix]]: the
+    * matrix adds two id-keyed joins and a ≤|langs|² rollup on top of the
+    * already-banded pair derivation — nothing corpus-scale.
+    */
+  def dupLangMatrix(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val pairs = nearDupJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val langs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    pairs
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+      .select(least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** §2.3 #160 — within-source duplication rate: the per-source exact-dup
     * diagnostic a curation pipeline reads BEFORE deciding source weights
     * (a source that is 40% self-copies contributes less unique signal than

@@ -73,6 +73,31 @@ object TextAnalysis {
         regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("punct_tokens"))
       .orderBy("doc_id")
 
+  /** §2.3 #225 — TOKENIZER FERTILITY by language × source: tokens per 100
+    * characters and bytes per token — the compute-cost planning stat for a
+    * multilingual corpus (a language at 2× bytes/token costs 2× the
+    * training tokens per stored byte; fertility drift across sources flags
+    * encoding problems). One partial-aggregated pass: per-row token/char/
+    * byte counts (codegen'd `size`/`length`/`octet_length`, no UDF) roll up
+    * to the bounded lang×source grid; two divisions per cell at the end.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"), size(tokensCol).as("toks"),
+        length(col("text")).as("chars"), octet_length(col("text")).as("bytes"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks").cast("long")).as("tokens"),
+        sum(col("chars").cast("long")).as("chars"),
+        sum(col("bytes").cast("long")).as("bytes"))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        col("chars"), col("bytes"),
+        round(col("tokens").cast("double") * 100.0 / col("chars").cast("double"), 6)
+          .as("tokens_per_100_chars"),
+        round(col("bytes").cast("double") / col("tokens").cast("double"), 6)
+          .as("bytes_per_token"))
+      .orderBy("lang", "source")
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

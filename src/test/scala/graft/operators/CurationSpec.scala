@@ -360,4 +360,25 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     val hlLocal = lm.values.map(c => -(c / n) * math.log(c / n)).sum
     assert(math.abs(hl - hlLocal) < 1e-5)
   }
+
+  test("chi2 matches a brute-force contingency recomputation") {
+    val r = Curation.chi2(spark, sf).collect().head
+    val pairs = Tables.load(spark, sf, "documents")
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val n = pairs.length.toDouble
+    val cells = pairs.groupBy(identity).view.mapValues(_.length.toDouble)
+    val lm = pairs.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val sm = pairs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val chi2Local = cells.map { case ((l, s), obs) =>
+      val exp = lm(l) * sm(s) / n
+      (obs - exp) * (obs - exp) / exp
+    }.sum
+    assert(r.getAs[Long]("n_docs") == pairs.length.toLong)
+    assert(r.getAs[Long]("dof") == (lm.size - 1).toLong * (sm.size - 1).toLong)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2Local) < 1e-4)
+    val v = math.sqrt(r.getAs[Double]("chi2") /
+      (n * math.min(lm.size - 1, sm.size - 1)))
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-5)
+  }
 }

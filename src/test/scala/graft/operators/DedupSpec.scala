@@ -320,4 +320,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val tmpl = sample.substring(0, math.min(60, sample.length))
     assert(rows.count(_.getAs[String]("template") == tmpl) >= 1)
   }
+
+  test("dupLangMatrix accounts for every near-dup pair with ordered lang keys") {
+    val rows = Dedup.dupLangMatrix(spark, sf).collect()
+    val nPairs = Dedup.nearDupJaccard(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_a") <= r.getAs[String]("lang_b"))
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+    }
+    // cross-check one cell against a direct pair-level lang join
+    val langs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byCell = Dedup.nearDupJaccard(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map { r =>
+        val (la, lb) = (langs(r.getLong(0)), langs(r.getLong(1)))
+        if (la <= lb) (la, lb) else (lb, la)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(byCell((r.getAs[String]("lang_a"), r.getAs[String]("lang_b"))) ==
+        r.getAs[Long]("n_pairs"))
+    }
+  }
 }

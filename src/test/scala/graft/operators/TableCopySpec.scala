@@ -942,4 +942,24 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
         assert(r.getAs[Long]("zval") == z)
       }
   }
+
+  test("sampledCopy selects exactly the keys whose sha256 starts with '0'") {
+    val dest = Files.createTempDirectory("sample").toString + "/orders"
+    val got = TableCopy.sampledCopy(spark, sf, dest).collect()
+      .map(_.getAs[Long]("o_orderkey"))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val all = Tables.load(spark, sf, "orders").select("o_orderkey").collect()
+      .map(_.getLong(0))
+    val expect = all.filter { k =>
+      val h = md.digest(k.toString.getBytes("UTF-8"))
+      (h(0) & 0xf0) == 0 // first hex digit '0'
+    }.sorted
+    assert(got.toSeq == expect.toSeq)
+    // deterministic: a re-run of the copy yields the identical universe
+    val again = TableCopy.sampledCopy(spark, sf, dest).collect()
+      .map(_.getAs[Long]("o_orderkey"))
+    assert(again.toSeq == got.toSeq)
+    // and the rate is consistent with 1/16 Bernoulli on a hash
+    assert(math.abs(got.length.toDouble / all.length - 1.0 / 16) < 0.02)
+  }
 }

@@ -282,4 +282,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     val top = TextAnalysis.bm25(spark, sf).collect().head.getAs[Long]("doc_id")
     assert(rows.map(_.getAs[Long]("doc_id")).contains(top))
   }
+
+  test("tokenizerFertility cells recompute from raw docs and cover the corpus") {
+    val rows = TextAnalysis.tokenizerFertility(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val r = rows.head
+    val raw = docs.where(col("lang") === r.getAs[String]("lang") &&
+        col("source") === r.getAs[String]("source"))
+      .select("text").collect().map(_.getString(0))
+    val toks = raw.map(_.trim.split(" ", -1).length.toLong).sum
+    val chars = raw.map(_.length.toLong).sum
+    val bytes = raw.map(_.getBytes("UTF-8").length.toLong).sum
+    assert(r.getAs[Long]("tokens") == toks)
+    assert(r.getAs[Long]("chars") == chars)
+    assert(r.getAs[Long]("bytes") == bytes)
+    assert(math.abs(r.getAs[Double]("tokens_per_100_chars") -
+      toks * 100.0 / chars) < 1e-5)
+    assert(math.abs(r.getAs[Double]("bytes_per_token") -
+      bytes.toDouble / toks) < 1e-5)
+  }
 }
