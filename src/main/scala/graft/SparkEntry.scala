@@ -24,6 +24,22 @@ object SparkEntry {
   private def tmp(name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-dest/$name"
 
+  /** Derby URL over a FRESH database directory: every jdbc query rebuilds its
+    * tables from scratch, but a `db.lck` left by a killed JVM (e.g. a verify
+    * run aborted mid-boot) makes Derby refuse to start the stale database —
+    * so remove the directory before connecting instead of trusting last
+    * run's shutdown.
+    */
+  private def freshDerby(name: String): String = {
+    val dir = new java.io.File(tmp(name))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+    s"jdbc:derby:${tmp(name)}/db;create=true"
+  }
+
   /** A deterministic "stale destination copy" of orders for the diff/upsert
     * rows: every 10th key never arrived, every 7th has a drifted price.
     */
@@ -122,7 +138,7 @@ object SparkEntry {
     // plain source table).
     "copy_jdbc_upsert" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(
-        s"jdbc:derby:${tmp("jdbcups")}/db;create=true",
+        freshDerby("jdbcups"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
       val cust = graft.sources.Tables.load(s, dir, "customer")
       val stale = cust.where(col("c_custkey") % 10 =!= 0)
@@ -143,7 +159,7 @@ object SparkEntry {
     // if any schema fact failed to replicate.
     "copy_jdbc_schema" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(
-        s"jdbc:derby:${tmp("jdbcschema")}/db;create=true",
+        freshDerby("jdbcschema"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
       val m = TableCopy.TableMeta(
         primaryKey = Seq("c_custkey"),
@@ -169,7 +185,7 @@ object SparkEntry {
     // enforced constraints prove every parent was there first.
     "copy_fk_ordered" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(
-        s"jdbc:derby:${tmp("fkorder")}/db;create=true",
+        freshDerby("fkorder"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
       val metas = Map(
         "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
@@ -525,6 +541,13 @@ object SparkEntry {
     "q_chi2" -> ((s, dir) => Curation.chi2(s, dir)),
     "q_tokenizer_fertility" -> ((s, dir) => TextAnalysis.tokenizerFertility(s, dir)),
     "copy_sample" -> ((s, dir) => TableCopy.sampledCopy(s, dir, tmp("sample"))),
+    // r7 additions, session 4 (§2 #227-#232)
+    "q_welch_ttest" -> ((s, dir) => Relational.welchTtest(s, dir)),
+    "q_mannwhitney" -> ((s, dir) => Relational.mannWhitney(s, dir)),
+    "q_spearman" -> ((s, dir) => Relational.spearman(s, dir)),
+    "q_cohort_ltv" -> ((s, dir) => Relational.cohortLtv(s, dir)),
+    "q_abc_class" -> ((s, dir) => Relational.abcClass(s, dir)),
+    "q_rolling_corr" -> ((s, dir) => Relational.rollingCorr(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -3099,5 +3122,161 @@ object SparkEntry {
         |FROM orders
         |WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_welch_ttest" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |s AS (
+        |  SELECT
+        |    sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN yc ELSE 0 END)::BIGINT AS sa,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN yc ELSE 0 END)::BIGINT AS sb,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN CAST(yc AS HUGEINT) * yc ELSE 0 END) AS qa,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN CAST(yc AS HUGEINT) * yc ELSE 0 END) AS qb
+        |  FROM j),
+        |v AS (
+        |  SELECT na, nb, sa, sb,
+        |    CAST(CAST(na AS HUGEINT) * qa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE) AS sea,
+        |    CAST(CAST(nb AS HUGEINT) * qb - CAST(sb AS HUGEINT) * sb AS DOUBLE)
+        |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS seb
+        |  FROM s)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) AS mean_a,
+        |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) AS mean_b,
+        |  round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb), 6) AS t_stat,
+        |  round((sea + seb) * (sea + seb)
+        |    / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+        |     + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df
+        |FROM v""".stripMargin,
+    "q_mannwhitney" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |hist AS (
+        |  SELECT yc,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM j GROUP BY 1),
+        |terms AS (
+        |  SELECT ca, cb,
+        |    CAST(ca AS HUGEINT) * (2 * CAST(coalesce(sum(cb) OVER (ORDER BY yc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+        |      + CAST(cb AS HUGEINT)) AS u2_term,
+        |    CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+        |      - CAST(ca + cb AS HUGEINT) AS tie_term
+        |  FROM hist),
+        |agg AS (
+        |  SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |    sum(u2_term) AS u2, sum(tie_term) AS ties
+        |  FROM terms)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |  round((CAST(u2 AS DOUBLE) / 2.0
+        |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+        |        - CAST(ties AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6) AS z,
+        |  round(CAST(u2 AS DOUBLE) / 2.0
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS auc
+        |FROM agg""".stripMargin,
+    "q_spearman" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS HUGEINT) AS rx,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_discount) - 1 AS HUGEINT) AS ry
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT flag, count(*)::BIGINT AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT flag, n,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |         * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6) AS rho
+        |FROM s ORDER BY flag""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_part('year', o_orderdate::DATE) * 12
+        |      + date_part('month', o_orderdate::DATE) - 1 AS BIGINT) AS midx,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+        |  FROM orders),
+        |first_m AS (SELECT o_custkey, min(midx) AS cidx FROM o GROUP BY 1),
+        |sized AS (SELECT cidx, count(*)::BIGINT AS cohort_size FROM first_m GROUP BY 1),
+        |cells AS (
+        |  SELECT cidx, o.midx - cidx AS month_offset,
+        |    count(DISTINCT o.o_custkey)::BIGINT AS n_active, sum(rev) AS rev
+        |  FROM o JOIN first_m ON o.o_custkey = first_m.o_custkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT cidx, month_offset, n_active, rev,
+        |    sum(rev) OVER (PARTITION BY cidx ORDER BY month_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells)
+        |SELECT printf('%04d-%02d', CAST(cidx // 12 AS INTEGER),
+        |    CAST(cidx % 12 AS INTEGER) + 1) AS cohort,
+        |  month_offset, cohort_size, n_active,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(cum AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS cum_ltv
+        |FROM cum JOIN sized USING (cidx)
+        |ORDER BY cohort, month_offset""".stripMargin,
+    "q_abc_class" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM per),
+        |c AS (
+        |  SELECT rev, total,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per, t),
+        |cl AS (
+        |  SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+        |    WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS abc_class,
+        |    rev, total
+        |  FROM c)
+        |SELECT abc_class, count(*)::BIGINT AS n_parts,
+        |  CAST(sum(rev) AS DOUBLE) AS revenue,
+        |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6) AS rev_share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS xc,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS xv
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(xc, 0) AS xc, coalesce(xv, 0) AS xv
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |win AS (
+        |  SELECT day, xc, xv,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    sum(xc) OVER w AS sx, sum(xv) OVER w AS sy,
+        |    sum(xc * xv) OVER w AS sxy, sum(xc * xc) OVER w AS sxx,
+        |    sum(xv * xv) OVER w AS syy
+        |  FROM full_s
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT day, xc, xv, rn,
+        |    14.0 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    14.0 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS d1,
+        |    14.0 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS d2
+        |  FROM win)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, xc AS clicks, xv AS views,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS roll_corr
+        |FROM f WHERE rn >= 14 ORDER BY day""".stripMargin,
   )
 }

@@ -2687,4 +2687,257 @@ object Relational {
           .as("share"))
       .orderBy("bucket")
   }
+
+  /** §2.2 #227 — WELCH two-sample t-test of order value between two customer
+    * segments (unequal variances — the honest default for revenue data,
+    * whose variance differs wildly across segments). The parametric sibling
+    * of `q_ks_test`/`q_mannwhitney`: one partial-aggregated pass computes
+    * n/Σ/Σ² per side in cents (prices are 2-decimal, so cents-longs are
+    * exact; Σ of squares runs in decimal(38,0) because cents² sums wrap
+    * long past ~1e4 rows), then the t statistic and Welch–Satterthwaite df
+    * are a fixed double formula over six exact scalars — bit-identical
+    * cross-engine because every division happens once, on exact inputs, in
+    * the same written order. Scale shape: a broadcast-dim join + one
+    * map-side-combined aggregate to a single row; nothing ordered, nothing
+    * collected.
+    */
+  def welchTtest(spark: SparkSession, dir: String, segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val big = DecimalType(38, 0)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val c = t(spark, dir, "customer")
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val s = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy()
+      .agg(
+        sum(when(col("seg") === segA, 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === segB, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("seg") === segA, col("yc")).otherwise(0L)).as("sa"),
+        sum(when(col("seg") === segB, col("yc")).otherwise(0L)).as("sb"),
+        sum(when(col("seg") === segA,
+          col("yc").cast(big) * col("yc").cast(big)).otherwise(lit(0).cast(big)))
+          .as("qa"),
+        sum(when(col("seg") === segB,
+          col("yc").cast(big) * col("yc").cast(big)).otherwise(lit(0).cast(big)))
+          .as("qb"))
+    // Sample variance in cents²: (n·Σx² − (Σx)²) / (n·(n−1)), exact numerator.
+    def varC(n: Column, s1: Column, q: Column): Column =
+      (n.cast(big) * q - s1.cast(big) * s1.cast(big)).cast("double") /
+        (n.cast("double") * (n.cast("double") - 1.0))
+    val va = varC(col("na"), col("sa"), col("qa"))
+    val vb = varC(col("nb"), col("sb"), col("qb"))
+    val sea = va / col("na").cast("double")
+    val seb = vb / col("nb").cast("double")
+    val tStat = (col("sa").cast("double") / col("na").cast("double") -
+      col("sb").cast("double") / col("nb").cast("double")) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("na").cast("double") - 1.0) +
+        seb * seb / (col("nb").cast("double") - 1.0))
+    s.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(col("sa").cast("double") / col("na").cast("double") / 100.0, 6)
+        .as("mean_a"),
+      round(col("sb").cast("double") / col("nb").cast("double") / 100.0, 6)
+        .as("mean_b"),
+      round(tStat, 6).as("t_stat"), round(df, 6).as("df"))
+  }
+
+  /** §2.2 #228 — MANN-WHITNEY U (rank-sum) test of order value between two
+    * segments — the distribution-free sibling of #227 (no normality
+    * assumption; robust to revenue's heavy tail). Computed WITHOUT ranking
+    * rows: 2U = Σ_v cntA(v)·(2·cntB(<v) + cntB(v)) over the VALUE HISTOGRAM
+    * (group-by price then one window over distinct values), so the global
+    * sort touches |distinct prices| entries, not |orders| — at 100 TB the
+    * histogram is bounded by the price domain (~5e7 cent values) while a
+    * row-level rank would shuffle the fact table. Tie correction Σ(t³−t)
+    * comes from the same histogram. All counts exact decimal; z and the
+    * AUC effect size (U/nA·nB — P(A > B) + ½P(tie)) are one double formula
+    * each over exact scalars.
+    */
+  def mannWhitney(spark: SparkSession, dir: String, segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val big = DecimalType(38, 0)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val c = t(spark, dir, "customer")
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val hist = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("yc")
+      .agg(sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, -1)
+    val terms = hist
+      .withColumn("cb_less", coalesce(sum("cb").over(w), lit(0L)))
+      .select(
+        col("ca"), col("cb"),
+        (col("ca").cast(big) * (lit(2).cast(big) * col("cb_less").cast(big) +
+          col("cb").cast(big))).as("u2_term"),
+        ((col("ca") + col("cb")).cast(big) * (col("ca") + col("cb")).cast(big) *
+          (col("ca") + col("cb")).cast(big) -
+          (col("ca") + col("cb")).cast(big)).as("tie_term"))
+      .agg(sum("ca").as("na"), sum("cb").as("nb"), sum("u2_term").as("u2"),
+        sum("tie_term").as("ties"))
+    val na = col("na").cast("double")
+    val nb = col("nb").cast("double")
+    val n = na + nb
+    val u = col("u2").cast("double") / 2.0
+    val z = (u - na * nb / 2.0) /
+      sqrt(na * nb / 12.0 * ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0))))
+    terms.select(col("na").as("n_a"), col("nb").as("n_b"), u.as("u"),
+      round(z, 6).as("z"), round(u / (na * nb), 6).as("auc"))
+  }
+
+  /** §2.2 #229 — SPEARMAN rank correlation of quantity vs discount per
+    * return flag — the monotone-association check (Pearson `q_corr` only
+    * sees linear signal; rank ρ survives any monotone transform, the right
+    * tool for bounded ordinal-ish columns like discount tiers). Tie-aware:
+    * doubled average ranks 2·r̄ = 2·rank_min + tiecount − 1 stay INTEGER
+    * (window rank + tie count per group, both partitioned by flag — no
+    * global sort), so the five Pearson sums over (2r̄x, 2r̄y) run exact in
+    * decimal(38,0); the 2× scaling cancels in ρ. One double formula per
+    * bounded group at the end.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      col("l_quantity").as("x"), col("l_discount").as("y"))
+    def r2(v: String): Column =
+      lit(2) * rank().over(Window.partitionBy("flag").orderBy(v)) +
+        count(lit(1)).over(Window.partitionBy("flag", v)) - 1
+    val ranked = li
+      .withColumn("rx", r2("x").cast(big))
+      .withColumn("ry", r2("y").cast(big))
+    val s = ranked.groupBy("flag").agg(count(lit(1)).as("n"),
+      sum("rx").as("sx"), sum("ry").as("sy"),
+      sum(col("rx") * col("ry")).as("sxy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"))
+    val nB = col("n").cast(big)
+    val num = (nB * col("sxy") - col("sx") * col("sy")).cast("double")
+    val d1 = (nB * col("sxx") - col("sx") * col("sx")).cast("double")
+    val d2 = (nB * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select(col("flag"), col("n"),
+      round(num / sqrt(d1 * d2), 6).as("rho"))
+      .orderBy("flag")
+  }
+
+  /** §2.2 #230 — COHORT LTV: customers grouped by first-order month, revenue
+    * tracked by months-since-acquisition, cumulative LTV per cohort member —
+    * the canonical cohort retention/value curve ("do newer cohorts monetize
+    * faster?"). Month indices are pure integers (y·12 + m−1), the cohort
+    * assignment is a min-aggregate re-joined on the customer key (shuffle on
+    * custkey, then one bounded cohort×offset rollup ≤ |months|² cells), the
+    * cumulative sum runs per-cohort (partitioned window over a bounded
+    * frame), and revenue stays decimal until the final per-cell LTV
+    * division. 100 TB shape: two key-partitioned aggregations + a
+    * broadcast-sized grid; no global ordering anywhere.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("midx"),
+      col("o_totalprice").cast(dec).as("rev"))
+    val first = o.groupBy("o_custkey").agg(min("midx").as("cidx"))
+    val sized = first.groupBy("cidx").agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(first, "o_custkey")
+      .groupBy(col("cidx"), (col("midx") - col("cidx")).as("month_offset"))
+      .agg(countDistinct("o_custkey").as("n_active"), sum("rev").as("rev"))
+    val w = Window.partitionBy("cidx").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sized), "cidx")
+      .withColumn("cum", sum("rev").over(w))
+      .select(
+        format_string("%04d-%02d", (col("cidx") / 12).cast("int"),
+          pmod(col("cidx"), lit(12)).cast("int") + 1).as("cohort"),
+        col("month_offset"), col("cohort_size"), col("n_active"),
+        col("rev").cast("double").as("revenue"),
+        round(col("cum").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("cum_ltv"))
+      .orderBy("cohort", "month_offset")
+  }
+
+  /** §2.2 #231 — ABC inventory classification of parts by discounted
+    * lineitem revenue: class A holds the parts covering the first 80% of
+    * cumulative revenue, B to 95%, C the tail — procurement's
+    * Pareto-with-thresholds. The class boundary test is EXACT decimal
+    * (5·cum ≤ 4·total and 20·cum ≤ 19·total — integer-scaled comparisons,
+    * no float thresholds drifting a part across a class edge), over a
+    * running sum ordered by (revenue desc, partkey): Spark's range-exchange
+    * prefix-sum pattern (#204), |parts| rows not |lineitem|. Output is the
+    * 3-row class summary.
+    */
+  def abcClass(spark: SparkSession, dir: String): DataFrame = {
+    val rev6 = DecimalType(28, 6)
+    val perPart = t(spark, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(rev6)).as("rev"))
+    val tot = perPart.agg(sum("rev").as("total"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perPart
+      .withColumn("cum", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_rev"),
+        max("total").as("total"))
+      .select(col("abc_class"), col("n_parts"),
+        col("class_rev").cast("double").as("revenue"),
+        round(col("class_rev").cast("double") / col("total").cast("double"), 6)
+          .as("rev_share"))
+      .orderBy("abc_class")
+  }
+
+  /** §2.2 #232 — ROLLING 14-day correlation between daily click and view
+    * counts — the ops-dashboard "did these two signals decouple?" monitor
+    * (a correlation break flags instrumentation loss or a funnel change
+    * upstream of volume alarms). Daily counts are integers on the
+    * CONTIGUOUS calendar spine (missing days = 0, same spine discipline as
+    * #221), the five Pearson sums per window are integer window-sums over a
+    * fixed 14-row frame, and each day emits one guarded double division
+    * (NULL when either side is constant in the window — no ±inf/NaN
+    * cross-engine lottery). Calendar-bounded single-partition window, same
+    * justification as #216/#221.
+    */
+  def rollingCorr(spark: SparkSession, dir: String, winDays: Int = 14)
+      : DataFrame = {
+    val daily = t(spark, dir, "events")
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xv"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("xc", coalesce(col("xc"), lit(0L)))
+      .withColumn("xv", coalesce(col("xv"), lit(0L)))
+    val ord = Window.orderBy("day")
+    val w = ord.rowsBetween(-(winDays - 1), Window.currentRow)
+    val n = lit(winDays.toDouble)
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val d1 = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val d2 = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    full
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("sx", sum("xc").over(w))
+      .withColumn("sy", sum("xv").over(w))
+      .withColumn("sxy", sum(col("xc") * col("xv")).over(w))
+      .withColumn("sxx", sum(col("xc") * col("xc")).over(w))
+      .withColumn("syy", sum(col("xv") * col("xv")).over(w))
+      .where(col("rn") >= winDays)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("xc").as("clicks"), col("xv").as("views"),
+        when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("roll_corr"))
+      .orderBy("day")
+  }
 }

@@ -1237,4 +1237,149 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     // shares are individually rounded to 6 decimals, so the sum is 1 ± 4 ulp-of-round
     assert(math.abs(shares - 1.0) < 1e-5)
   }
+
+  private def segCents(segA: String, segB: String): (Array[Long], Array[Long]) = {
+    val rows = Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select("c_mktsegment", "o_totalprice").collect()
+      .map(x => (x.getString(0), (BigDecimal(x.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    (rows.filter(_._1 == segA).map(_._2), rows.filter(_._1 == segB).map(_._2))
+  }
+
+  test("welchTtest matches a local BigDecimal recomputation") {
+    val r = Relational.welchTtest(spark, sf).collect()(0)
+    val (a, b) = segCents("BUILDING", "MACHINERY")
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    def stats(x: Array[Long]): (Double, Double) = {
+      val n = x.length
+      val s = x.map(BigDecimal(_)).sum
+      val q = x.map(v => BigDecimal(v) * BigDecimal(v)).sum
+      val va = (BigDecimal(n) * q - s * s).toDouble / (n.toDouble * (n.toDouble - 1.0))
+      (s.toDouble / n, va)
+    }
+    val (ma, va) = stats(a); val (mb, vb) = stats(b)
+    val sea = va / a.length; val seb = vb / b.length
+    val tExp = (ma - mb) / math.sqrt(sea + seb)
+    val dfExp = (sea + seb) * (sea + seb) /
+      (sea * sea / (a.length - 1.0) + seb * seb / (b.length - 1.0))
+    assert(math.abs(r.getAs[Double]("mean_a") - ma / 100.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("t_stat") - tExp) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df") - dfExp) < 1e-3)
+  }
+
+  test("mannWhitney U equals the brute-force pairwise count") {
+    val r = Relational.mannWhitney(spark, sf).collect()(0)
+    val (a, b) = segCents("BUILDING", "MACHINERY")
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    // 2U = #{(x,y): x>y}*2 + #{ties}; brute force over all pairs
+    var u2 = 0L
+    for (x <- a; y <- b) u2 += (if (x > y) 2L else if (x == y) 1L else 0L)
+    assert(r.getAs[Double]("u") == u2.toDouble / 2.0)
+    val aucExp = BigDecimal(u2.toDouble / 2.0 / (a.length.toDouble * b.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("auc") == aucExp)
+    // z has the right sign and |z| is consistent with u vs its null mean
+    val z = r.getAs[Double]("z")
+    assert((u2.toDouble / 2.0 > a.length.toDouble * b.length / 2.0) == (z > 0))
+  }
+
+  test("spearman matches a local tie-aware rank correlation for one flag") {
+    val rows = Relational.spearman(spark, sf).collect()
+    val flag = rows.head.getAs[String]("flag")
+    val raw = Tables.load(spark, sf, "lineitem")
+      .where(col("l_returnflag") === flag)
+      .select("l_quantity", "l_discount").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    def r2(vs: Array[Double]): Array[Long] = {
+      // doubled tie-average rank per value
+      val sorted = vs.sorted
+      val minRank = sorted.zipWithIndex.reverse.toMap.map { case (v, i) => v -> (i + 1L) }
+      val cnt = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      vs.map(v => 2 * minRank(v) + cnt(v) - 1)
+    }
+    val rx = r2(raw.map(_._1)); val ry = r2(raw.map(_._2))
+    val n = raw.length
+    def bd(l: Long) = BigDecimal(l)
+    val sx = rx.map(bd).sum; val sy = ry.map(bd).sum
+    val sxy = rx.zip(ry).map { case (x, y) => bd(x) * bd(y) }.sum
+    val sxx = rx.map(x => bd(x) * bd(x)).sum
+    val syy = ry.map(y => bd(y) * bd(y)).sum
+    val rho = (BigDecimal(n) * sxy - sx * sy).toDouble /
+      math.sqrt((BigDecimal(n) * sxx - sx * sx).toDouble *
+        (BigDecimal(n) * syy - sy * sy).toDouble)
+    val got = rows.find(_.getAs[String]("flag") == flag).get
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(math.abs(got.getAs[Double]("rho") - rho) < 1e-5)
+  }
+
+  test("cohortLtv: offset-0 actives equal cohort size and LTV is cumulative") {
+    val rows = Relational.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // at offset 0 every cohort member is active (first order defines the cohort)
+    rows.filter(_.getAs[Long]("month_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+    }
+    // cum_ltv is non-decreasing within a cohort
+    rows.groupBy(_.getAs[String]("cohort")).foreach { case (_, rs) =>
+      val ltvs = rs.sortBy(_.getAs[Long]("month_offset")).map(_.getAs[Double]("cum_ltv"))
+      assert(ltvs.zip(ltvs.tail).forall { case (x, y) => y >= x - 1e-9 })
+    }
+    // total revenue across all cells equals total order revenue
+    val tot = rows.map(r => BigDecimal(r.getAs[Double]("revenue"))).sum.toDouble
+    val exp = Tables.load(spark, sf, "orders")
+      .select(sum(col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)))).collect()(0)
+      .getDecimal(0).doubleValue
+    assert(math.abs(tot - exp) < 1e-4)
+  }
+
+  test("abcClass partitions parts, shares sum to 1, and A covers <= 80% + one part") {
+    val rows = Relational.abcClass(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSeq == Seq("A", "B", "C"))
+    val nParts = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == nParts)
+    val shares = rows.map(_.getAs[Double]("rev_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-5)
+    val a = rows.find(_.getAs[String]("abc_class") == "A").get
+    // A-class revenue is at most 80% of total (boundary part goes to B)
+    assert(a.getAs[Double]("rev_share") <= 0.8 + 1e-9)
+    val b = rows.find(_.getAs[String]("abc_class") == "B").get
+    assert(a.getAs[Double]("rev_share") + b.getAs[Double]("rev_share") <= 0.95 + 1e-9)
+  }
+
+  test("rollingCorr matches a local 14-day window recomputation") {
+    val rows = Relational.rollingCorr(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.load(spark, sf, "events")
+      .where(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xv"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // contiguous spine
+    val d0 = daily.map(_._1).min; val d1 = daily.map(_._1).max
+    val byDay = daily.map(t => t._1 -> (t._2, t._3)).toMap
+    val spine = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toArray
+      .map(d => (d, byDay.getOrElse(d, (0L, 0L))))
+    val last = rows.last
+    val lastDay = java.time.LocalDate.parse(last.getAs[String]("day"))
+    val win = spine.filter { case (d, _) =>
+      !d.isAfter(lastDay) && !d.isBefore(lastDay.minusDays(13)) }
+    assert(win.length == 14)
+    val xs = win.map(_._2._1.toDouble); val ys = win.map(_._2._2.toDouble)
+    val n = 14.0
+    val num = n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum
+    val dd1 = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    val dd2 = n * ys.map(y => y * y).sum - ys.sum * ys.sum
+    if (dd1 > 0 && dd2 > 0)
+      assert(math.abs(last.getAs[Double]("roll_corr") - num / math.sqrt(dd1 * dd2)) < 1e-5)
+    else assert(last.isNullAt(last.fieldIndex("roll_corr")))
+  }
 }
