@@ -548,6 +548,9 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, dir) => Relational.cohortLtv(s, dir)),
     "q_abc_class" -> ((s, dir) => Relational.abcClass(s, dir)),
     "q_rolling_corr" -> ((s, dir) => Relational.rollingCorr(s, dir)),
+    "q_hubness" -> ((s, dir) => Similarity.hubness(s, dir, maxBits = 12)),
+    "q_burstiness" -> ((s, dir) => TextAnalysis.burstiness(s, dir)),
+    "copy_shard" -> ((s, dir) => TableCopy.shardCopy(s, dir, tmp("shard"))),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -3278,5 +3281,26 @@ object SparkEntry {
         |SELECT strftime(day, '%Y-%m-%d') AS day, xc AS clicks, xv AS views,
         |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS roll_corr
         |FROM f WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "q_hubness" -> Similarity.hubnessOracleSql(),
+    "q_burstiness" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents),
+        |pd AS (SELECT doc_id, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT term, sum(c)::BIGINT AS s, sum(CAST(c AS HUGEINT) * c) AS sq,
+        |    count(*)::BIGINT AS df
+        |  FROM pd GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |top AS (SELECT * FROM bt ORDER BY s DESC, term ASC LIMIT 20)
+        |SELECT term, s AS n_occurrences, df AS n_docs_with,
+        |  round(CAST(CAST(n_docs AS HUGEINT) * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / CAST(CAST(n_docs AS HUGEINT) * s AS DOUBLE), 6) AS fano
+        |FROM top, t ORDER BY n_occurrences DESC, term ASC""".stripMargin,
+    "copy_shard" ->
+      """SELECT substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1182,6 +1182,42 @@ object Similarity {
        |n AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
        |SELECT vec_id, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** §2.3 #233 — HUBNESS of the kNN graph: the in-degree histogram of
+    * [[knnGraph]] — how many vectors appear in k other vectors' neighbor
+    * lists. High-dimensional embeddings grow "hub" points that show up in
+    * everyone's top-k (and anti-hubs nobody retrieves); a heavy in-degree
+    * tail means ANN results over-concentrate on a few documents, the
+    * classic silent failure of embedding retrieval. Zero-degree vectors are
+    * kept via a left join to the full id set (they ARE the anti-hub
+    * signal). Integer-exact throughout: in-degree counts from the bounded
+    * O(k·N) edge list, then a histogram aggregate — two key-partitioned
+    * shuffles, nothing global.
+    */
+  def hubness(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val indeg = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .groupBy(col("nbr_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(indeg, Seq("vec_id"), "left_outer")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      .groupBy("in_deg").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("in_deg")
+  }
+
+  /** DuckDB oracle SQL for [[hubness]] — the same left-joined in-degree
+    * histogram over the [[knnGraphOracleSql]] edge set.
+    */
+  def hubnessOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12)
+      : String =
+    s"""WITH g AS (${knnGraphOracleSql(k, nTables, maxBits)}),
+       |ind AS (SELECT nbr_id AS vec_id, count(*)::BIGINT AS in_deg
+       |        FROM g GROUP BY 1),
+       |a AS (SELECT emb.vec_id, coalesce(in_deg, 0) AS in_deg
+       |      FROM embeddings emb LEFT JOIN ind USING (vec_id))
+       |SELECT in_deg, count(*)::BIGINT AS n_vectors
+       |FROM a GROUP BY 1 ORDER BY in_deg""".stripMargin
+
   /** §2.3 #212 — CLUSTER-vs-LABEL PURITY: for every multi-member
     * [[semanticClusters]] component, the share of members carrying the
     * cluster's dominant `label` — the acceptance metric that says whether

@@ -98,6 +98,39 @@ object TextAnalysis {
           .as("bytes_per_token"))
       .orderBy("lang", "source")
 
+  /** §2.3 #234 — term BURSTINESS (Fano factor) for the top-K corpus terms:
+    * variance-to-mean ratio of per-document occurrence counts, zeros
+    * included. A term whose occurrences cluster in few documents (topical /
+    * boilerplate — Fano ≫ 1) behaves completely differently for dedup and
+    * quality filters than a uniformly sprinkled function word (Fano ≈ 1,
+    * Poisson-like), so burstiness separates "content word" from "glue
+    * word" with no lexicon. Zero-count documents enter through the closed
+    * form Fano = (N·Σc² − (Σc)²) / (N·Σc): documents without the term
+    * contribute 0 to both sums, so only docs containing the term are ever
+    * aggregated — the corpus-sized pass is the token explode, partial-
+    * aggregated on (doc, term) then (term); top-K is TakeOrdered, and the
+    * Fano division is the single double op per surviving term.
+    */
+  def burstiness(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val byTerm = perDoc.groupBy("term")
+      .agg(sum("c").as("s"),
+        sum(col("c").cast(big) * col("c").cast(big)).as("sq"),
+        count(lit(1)).as("df"))
+    val top = byTerm.orderBy(col("s").desc, col("term").asc).limit(topK)
+    val tot = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    top.crossJoin(broadcast(tot))
+      .select(col("term"), col("s").as("n_occurrences"), col("df").as("n_docs_with"),
+        round((col("n_docs").cast(big) * col("sq") -
+          col("s").cast(big) * col("s").cast(big)).cast("double") /
+          (col("n_docs").cast(big) * col("s").cast(big)).cast("double"), 6)
+          .as("fano"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+  }
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

@@ -446,4 +446,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getAs[Double]("cov") - cov) < 1e-6)
     }
   }
+
+  test("hubness histogram conserves vectors and edges against the engine's own kNN graph") {
+    val hist = Similarity.hubness(spark, sf, maxBits = 12).collect()
+      .map(r => r.getAs[Long]("in_deg") -> r.getAs[Long]("n_vectors"))
+    val nVec = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(hist.map(_._2).sum == nVec)
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).count()
+    assert(hist.map { case (d, c) => d * c }.sum == edges)
+    // in-degree histogram from the raw edge list matches cell-by-cell
+    val indeg = Similarity.knnGraph(spark, sf, maxBits = 12)
+      .groupBy("nbr_id").count().collect()
+      .map(_.getAs[Long]("count"))
+    val expect = (indeg.groupBy(identity).view.mapValues(_.length.toLong).toMap +
+      (0L -> (nVec - indeg.length)))
+      .filter(_._2 > 0)
+    assert(hist.toMap == expect)
+  }
 }

@@ -962,4 +962,33 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     // and the rate is consistent with 1/16 Bernoulli on a hash
     assert(math.abs(got.length.toDouble / all.length - 1.0 / 16) < 0.02)
   }
+
+  test("shardCopy fans out into hash-named shard dirs that partition the table") {
+    val dest = Files.createTempDirectory("shard").toString + "/documents"
+    val got = TableCopy.shardCopy(spark, sf, dest).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shards partition the table
+    assert(got.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    assert(got.map(_.getAs[Long]("sum_chars")).sum == docs.map(_._2).sum)
+    // per-shard membership matches the local hash
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def shardOf(k: Long): String = {
+      val h = md.digest(k.toString.getBytes("UTF-8"))
+      "%02x".format(h(0) & 0xff).substring(0, 1)
+    }
+    val expect = docs.groupBy(t => shardOf(t._1)).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum, g.map(_._1).min,
+        g.map(_._1).max)).toMap
+    got.foreach { r =>
+      val e = expect(r.getAs[String]("shard"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars"),
+        r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc")) == e)
+    }
+    // the fan-out is physical: one directory per shard value on disk
+    val dirs = new java.io.File(dest).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == got.map(r => s"shard=${r.getAs[String]("shard")}").sorted.toSeq)
+  }
 }

@@ -302,4 +302,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("bytes_per_token") -
       bytes.toDouble / toks) < 1e-5)
   }
+
+  test("burstiness Fano factor matches a local zero-inclusive recomputation") {
+    val rows = TextAnalysis.burstiness(spark, sf).collect()
+    assert(rows.length == 20)
+    val texts = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val n = texts.length
+    // counts are ordered by total occurrences desc
+    val occs = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b })
+    rows.take(3).foreach { r =>
+      val term = r.getAs[String]("term")
+      val counts = texts.map(_.trim.split(" ", -1).count(_ == term).toLong)
+      assert(r.getAs[Long]("n_occurrences") == counts.sum)
+      assert(r.getAs[Long]("n_docs_with") == counts.count(_ > 0).toLong)
+      val s = counts.sum.toDouble
+      val sq = counts.map(c => c.toDouble * c).sum
+      val fano = (n * sq - s * s) / (n * s)
+      assert(math.abs(r.getAs[Double]("fano") - fano) < 1e-5)
+      // a real corpus content term is overdispersed vs Poisson
+      assert(r.getAs[Double]("fano") > 0.0)
+    }
+  }
 }
