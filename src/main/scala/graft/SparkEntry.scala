@@ -551,6 +551,11 @@ object SparkEntry {
     "q_hubness" -> ((s, dir) => Similarity.hubness(s, dir, maxBits = 12)),
     "q_burstiness" -> ((s, dir) => TextAnalysis.burstiness(s, dir)),
     "copy_shard" -> ((s, dir) => TableCopy.shardCopy(s, dir, tmp("shard"))),
+    "q_outlier_iqr" -> ((s, dir) => Relational.outlierIqr(s, dir)),
+    "q_trimmed_mean" -> ((s, dir) => Relational.trimmedMean(s, dir)),
+    "q_reciprocity" -> ((s, dir) => Similarity.reciprocity(s, dir, maxBits = 12)),
+    "q_assortativity" -> ((s, dir) => Similarity.assortativity(s, dir, maxBits = 12)),
+    "q_hapax" -> ((s, dir) => TextAnalysis.hapax(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -3302,5 +3307,64 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_outlier_iqr" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |h AS (SELECT seg, yc, count(*)::BIGINT AS cnt FROM v GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT seg, yc, cnt,
+        |    sum(cnt) OVER (PARTITION BY seg ORDER BY yc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY seg) AS n
+        |  FROM h),
+        |qt AS (
+        |  SELECT seg, max(n)::BIGINT AS n_orders,
+        |    min(CASE WHEN cum >= CAST(ceil(n * 0.25) AS BIGINT) THEN yc END) AS q1,
+        |    min(CASE WHEN cum >= CAST(ceil(n * 0.75) AS BIGINT) THEN yc END) AS q3
+        |  FROM cm GROUP BY 1),
+        |fl AS (
+        |  SELECT cm.seg, cm.cnt, qt.n_orders, qt.q1, qt.q3,
+        |    (cm.yc * 2 < qt.q1 * 2 - (qt.q3 - qt.q1) * 3
+        |     OR cm.yc * 2 > qt.q3 * 2 + (qt.q3 - qt.q1) * 3) AS is_out
+        |  FROM cm JOIN qt ON cm.seg = qt.seg)
+        |SELECT seg, max(n_orders) AS n_orders,
+        |  round(CAST(max(q1) AS DOUBLE) / 100.0, 2) AS q1,
+        |  round(CAST(max(q3) AS DOUBLE) / 100.0, 2) AS q3,
+        |  sum(CASE WHEN is_out THEN cnt ELSE 0 END)::BIGINT AS n_outliers,
+        |  round(CAST(sum(CASE WHEN is_out THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(max(n_orders) AS DOUBLE), 6) AS outlier_share
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT seg, yc,
+        |    row_number() OVER (PARTITION BY seg ORDER BY yc) AS rn,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM v),
+        |k AS (SELECT seg, yc, rn, n, n // 10 AS k FROM r)
+        |SELECT seg, max(n)::BIGINT AS n_orders,
+        |  max(k)::BIGINT AS n_trimmed_each_side,
+        |  round(CAST(sum(yc) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0, 6) AS mean,
+        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN yc ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / 100.0, 6) AS trimmed_mean
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_reciprocity" -> Similarity.reciprocityOracleSql(),
+    "q_assortativity" -> Similarity.assortativityOracleSql(),
+    "q_hapax" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+        |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -2940,4 +2940,80 @@ object Relational {
         when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("roll_corr"))
       .orderBy("day")
   }
+
+  /** §2.2 #236 — IQR (Tukey-fence) outlier census of order value per
+    * segment: count of orders beyond [q1 − 1.5·IQR, q3 + 1.5·IQR]. The
+    * fences are tested as INTEGER cent comparisons (2x < 2·q1 − 3·IQR,
+    * 2x > 2·q3 + 3·IQR — the 1.5 multiplier never exists as a float, so no
+    * order can drift across a fence on an ulp), with exact
+    * percentile-disc quartiles from the per-segment value histogram (the
+    * #211 convention). Scale shape: one histogram aggregation (shuffle ∝
+    * distinct prices per segment), windows over the bounded histogram, a
+    * broadcast join of 5 quartile rows back to the histogram — the fact
+    * table is touched once.
+    */
+  def outlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val h = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+      .groupBy("seg", "yc").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("seg").orderBy("yc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("seg")
+    val cum = h.select(col("seg"), col("yc"), col("cnt"),
+      sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"))
+    def q(p: Double, out: String) =
+      min(when(col("cum") >= ceil(col("n") * p).cast("long"), col("yc"))).as(out)
+    val quart = cum.groupBy("seg")
+      .agg(max("n").as("n_orders"), q(0.25, "q1"), q(0.75, "q3"))
+    cum.join(broadcast(quart), "seg")
+      .withColumn("is_out",
+        (col("yc") * 2 < col("q1") * 2 - (col("q3") - col("q1")) * 3) ||
+          (col("yc") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3))
+      .groupBy("seg")
+      .agg(max("n_orders").as("n_orders"),
+        round(max(col("q1")).cast("double") / 100.0, 2).as("q1"),
+        round(max(col("q3")).cast("double") / 100.0, 2).as("q3"),
+        sum(when(col("is_out"), col("cnt")).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        round(col("n_outliers").cast("double") / col("n_orders").cast("double"), 6))
+      .orderBy("seg")
+  }
+
+  /** §2.2 #237 — 10% TRIMMED mean of order value per segment vs the plain
+    * mean — the robust center that survives the revenue tail (the
+    * plain-vs-trimmed gap IS the tail-contamination signal). Trim count
+    * k = ⌊n/10⌋ per side by VALUE rank; ties need no tiebreak because
+    * dropping any k lowest-by-value rows removes the same value multiset —
+    * the trimmed sum is rank-resolution invariant, which is what makes an
+    * exact cross-engine oracle possible at all. Cents stay integer until
+    * the two final divisions. Per-segment sort (partitioned window, no
+    * global ordering); one pass over orders.
+    */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val v = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val w = Window.partitionBy("seg").orderBy("yc")
+    val wAll = Window.partitionBy("seg")
+    val kept = col("rn") > col("k") && col("rn") <= col("n") - col("k")
+    v.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("k", expr("n div 10"))
+      .groupBy("seg")
+      .agg(max("n").as("n_orders"), max("k").as("n_trimmed_each_side"),
+        sum("yc").as("s_all"),
+        sum(when(kept, col("yc")).otherwise(0L)).as("s_trim"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_trim"))
+      .select(col("seg"), col("n_orders"), col("n_trimmed_each_side"),
+        round(col("s_all").cast("double") / col("n_orders").cast("double")
+          / 100.0, 6).as("mean"),
+        round(col("s_trim").cast("double") / col("n_trim").cast("double")
+          / 100.0, 6).as("trimmed_mean"))
+      .orderBy("seg")
+  }
 }

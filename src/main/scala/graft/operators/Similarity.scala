@@ -1218,6 +1218,112 @@ object Similarity {
        |SELECT in_deg, count(*)::BIGINT AS n_vectors
        |FROM a GROUP BY 1 ORDER BY in_deg""".stripMargin
 
+  /** §2.3 #238 — kNN RECIPROCITY: for every vector, how many of its k
+    * out-neighbors also list it back — mutual nearest neighbors are the
+    * high-precision core of the similarity graph (a reciprocated edge is
+    * the standard strong-duplicate / same-cluster signal, an unreciprocated
+    * one is often a hub artifact, see #233). One self-join of the O(k·N)
+    * edge list on the reversed key pair (left_semi — no payload moves),
+    * then a left join back to the id universe so zero-mutual vectors
+    * surface. Integer-exact, two key-partitioned shuffles.
+    */
+  def reciprocity(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select("vec_id", "nbr_id").localCheckpoint(true)
+    val mutual = e.join(
+        e.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
+        Seq("vec_id", "nbr_id"), "left_semi")
+      .groupBy("vec_id").agg(count(lit(1)).as("n_mutual"))
+    val outdeg = e.groupBy("vec_id").agg(count(lit(1)).as("n_out"))
+    Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(outdeg, Seq("vec_id"), "left_outer")
+      .join(mutual, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle SQL for [[reciprocity]] — the same reversed self-join
+    * over the [[knnGraphOracleSql]] edge set.
+    */
+  def reciprocityOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12)
+      : String =
+    s"""WITH g AS (${knnGraphOracleSql(k, nTables, maxBits)}),
+       |e AS (SELECT vec_id, nbr_id FROM g),
+       |m AS (SELECT vec_id, count(*)::BIGINT AS n_mutual FROM e
+       |      WHERE EXISTS (SELECT 1 FROM e r
+       |                    WHERE r.vec_id = e.nbr_id AND r.nbr_id = e.vec_id)
+       |      GROUP BY 1),
+       |o AS (SELECT vec_id, count(*)::BIGINT AS n_out FROM e GROUP BY 1)
+       |SELECT emb.vec_id, coalesce(n_out, 0) AS n_out,
+       |  coalesce(n_mutual, 0) AS n_mutual
+       |FROM embeddings emb
+       |LEFT JOIN o ON o.vec_id = emb.vec_id
+       |LEFT JOIN m ON m.vec_id = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
+
+  /** §2.3 #239 — degree ASSORTATIVITY of the undirected kNN graph: Pearson
+    * correlation of endpoint degrees over all edges (both orientations, the
+    * standard Newman formulation). Negative assortativity is the hub
+    * signature (low-degree vectors attach to hubs — consistent with a heavy
+    * #233 tail); positive means a core-periphery embedding space. Degrees
+    * and the five correlation sums are exact integers/decimals over the
+    * O(k·N) distinct-edge list; the coefficient is one double formula on
+    * six exact scalars.
+    */
+  def assortativity(spark: SparkSession, dir: String, k: Int = 3,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val big = DecimalType(38, 0)
+    val und = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct().localCheckpoint(true)
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val both = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val pairs = both
+      .join(deg.select(col("id").as("u"), col("deg").as("x")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("y")), "v")
+      .select(col("x").cast(big).as("x"), col("y").cast(big).as("y"))
+    val s = pairs.agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val mB = col("m").cast(big)
+    val num = (mB * col("sxy") - col("sx") * col("sy")).cast("double")
+    val d1 = (mB * col("sxx") - col("sx") * col("sx")).cast("double")
+    val d2 = (mB * col("syy") - col("sy") * col("sy")).cast("double")
+    s.select((col("m") / 2).cast("long").as("n_edges"),
+      round(num / sqrt(d1 * d2), 6).as("assortativity"))
+  }
+
+  /** DuckDB oracle SQL for [[assortativity]] — identical degree join and
+    * exact-sum Pearson over both orientations of the undirected edge set.
+    */
+  def assortativityOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12)
+      : String =
+    s"""WITH g AS (${knnGraphOracleSql(k, nTables, maxBits)}),
+       |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS u,
+       |        greatest(vec_id, nbr_id) AS v FROM g),
+       |deg AS (SELECT id, count(*)::BIGINT AS deg FROM (
+       |  SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+       |  GROUP BY 1),
+       |both_e AS (SELECT u, v FROM und
+       |           UNION ALL SELECT v AS u, u AS v FROM und),
+       |p AS (SELECT CAST(du.deg AS HUGEINT) AS x, CAST(dv.deg AS HUGEINT) AS y
+       |      FROM both_e JOIN deg du ON du.id = both_e.u
+       |      JOIN deg dv ON dv.id = both_e.v),
+       |s AS (SELECT count(*)::BIGINT AS m, sum(x) AS sx, sum(y) AS sy,
+       |      sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM p)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       |  round(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |    / sqrt(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+       |         * CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+       |    AS assortativity
+       |FROM s""".stripMargin
+
   /** §2.3 #212 — CLUSTER-vs-LABEL PURITY: for every multi-member
     * [[semanticClusters]] component, the share of members carrying the
     * cluster's dominant `label` — the acceptance metric that says whether

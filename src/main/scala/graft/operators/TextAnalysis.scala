@@ -131,6 +131,27 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term").asc)
   }
 
+  /** §2.3 #240 — HAPAX LEGOMENA profile per source: vocabulary size, count
+    * of once-occurring terms, and the hapax share — the classic vocabulary-
+    * health curve (natural text runs ~40-60% hapax by Zipf; a source far
+    * below is template/boilerplate-heavy, far above is OCR noise or
+    * tokenizer breakage — both are curation flags that pure volume stats
+    * miss). One explode → (source, term) partial-aggregated count →
+    * bounded per-source rollup; integer-exact with one share division per
+    * source.
+    */
+  def hapax(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy("source")
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

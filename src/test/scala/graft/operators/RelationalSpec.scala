@@ -1382,4 +1382,46 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(last.getAs[Double]("roll_corr") - num / math.sqrt(dd1 * dd2)) < 1e-5)
     else assert(last.isNullAt(last.fieldIndex("roll_corr")))
   }
+
+  private def segmentCents(seg: String): Array[Long] =
+    Tables.load(spark, sf, "orders")
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === seg)
+      .select("o_totalprice").collect()
+      .map(x => (BigDecimal(x.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+
+  test("outlierIqr fences match a local percentile-disc computation") {
+    val rows = Relational.outlierIqr(spark, sf).collect()
+    assert(rows.length == 5)
+    val r = rows.head
+    val seg = r.getAs[String]("seg")
+    val v = segmentCents(seg).sorted
+    val n = v.length
+    def qd(p: Double): Long = v(math.ceil(n * p).toInt - 1)
+    val (q1, q3) = (qd(0.25), qd(0.75))
+    assert(r.getAs[Long]("n_orders") == n.toLong)
+    assert(r.getAs[Double]("q1") == q1 / 100.0)
+    assert(r.getAs[Double]("q3") == q3 / 100.0)
+    val out = v.count(x => 2 * x < 2 * q1 - 3 * (q3 - q1) ||
+      2 * x > 2 * q3 + 3 * (q3 - q1))
+    assert(r.getAs[Long]("n_outliers") == out.toLong)
+  }
+
+  test("trimmedMean drops exactly n/10 per side and matches a local recompute") {
+    val rows = Relational.trimmedMean(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val v = segmentCents(r.getAs[String]("seg")).sorted
+      val n = v.length; val k = n / 10
+      assert(r.getAs[Long]("n_orders") == n.toLong)
+      assert(r.getAs[Long]("n_trimmed_each_side") == k.toLong)
+      val mean = v.map(BigDecimal(_)).sum.toDouble / n / 100.0
+      val core = v.slice(k, n - k)
+      val tm = core.map(BigDecimal(_)).sum.toDouble / core.length / 100.0
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-5)
+      assert(math.abs(r.getAs[Double]("trimmed_mean") - tm) < 1e-5)
+    }
+  }
 }

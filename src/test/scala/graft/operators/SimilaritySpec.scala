@@ -463,4 +463,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       .filter(_._2 > 0)
     assert(hist.toMap == expect)
   }
+
+  test("reciprocity counts mutual edges of the engine's own kNN graph") {
+    val got = Similarity.reciprocity(spark, sf, maxBits = 12).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_out"), r.getAs[Long]("n_mutual"))).toMap
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nVec = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(got.size == nVec)
+    got.foreach { case (v, (out, mut)) =>
+      assert(out == edges.count(_._1 == v).toLong)
+      assert(mut == edges.count(e => e._1 == v && edges((e._2, e._1))).toLong)
+      assert(mut <= out)
+    }
+  }
+
+  test("assortativity equals a local Pearson over endpoint degrees") {
+    val r = Similarity.assortativity(spark, sf, maxBits = 12).collect()(0)
+    val und = Similarity.knnGraph(spark, sf, maxBits = 12)
+      .select("vec_id", "nbr_id").collect()
+      .map(x => (math.min(x.getLong(0), x.getLong(1)),
+        math.max(x.getLong(0), x.getLong(1)))).toSet
+    assert(r.getAs[Long]("n_edges") == und.size.toLong)
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairs = und.toSeq.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = pairs.length.toDouble
+    val sx = pairs.map(_._1.toDouble).sum; val sy = pairs.map(_._2.toDouble).sum
+    val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+    val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+    val syy = pairs.map(p => p._2.toDouble * p._2).sum
+    val rho = (m * sxy - sx * sy) /
+      math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(math.abs(r.getAs[Double]("assortativity") - rho) < 1e-5)
+  }
 }

@@ -325,4 +325,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("fano") > 0.0)
     }
   }
+
+  test("hapax profile matches a local per-source vocabulary recount") {
+    val rows = TextAnalysis.hapax(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_.getAs[String]("source")).toSet == docs.map(_._1).toSet)
+    val src = rows.head.getAs[String]("source")
+    val counts = docs.filter(_._1 == src)
+      .flatMap(_._2.trim.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val r = rows.find(_.getAs[String]("source") == src).get
+    assert(r.getAs[Long]("n_tokens") == counts.values.sum)
+    assert(r.getAs[Long]("vocab") == counts.size.toLong)
+    val hap = counts.values.count(_ == 1L).toLong
+    assert(r.getAs[Long]("n_hapax") == hap)
+    assert(math.abs(r.getAs[Double]("hapax_share") -
+      hap.toDouble / counts.size) < 1e-5)
+  }
 }
