@@ -95,7 +95,12 @@ object PlanAudit {
         // ks_test / cusum: 1-row totals/max frames; psi: 9-row decile
         // edge set + 1-row totals broadcast over bounded frames
         "q_rrf_fusion", "q_bootstrap_ci", "q_mutual_info",
-        "q_ks_test", "q_psi", "q_cusum")
+        "q_ks_test", "q_psi", "q_cusum",
+        // chi2: 1-row grand-total frame over the bounded lang×source grid;
+        // lateness / seasonality: 1-row totals frame over a fixed 5/7-cell
+        // histogram; abc_class: 1-row total-revenue frame over |parts|;
+        // burstiness: 1-row corpus-count frame over the top-K term set
+        "q_chi2", "q_lateness", "q_seasonality", "q_abc_class", "q_burstiness")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -556,6 +556,24 @@ object SparkEntry {
     "q_reciprocity" -> ((s, dir) => Similarity.reciprocity(s, dir, maxBits = 12)),
     "q_assortativity" -> ((s, dir) => Similarity.assortativity(s, dir, maxBits = 12)),
     "q_hapax" -> ((s, dir) => TextAnalysis.hapax(s, dir)),
+    "q_runs_test" -> ((s, dir) => Relational.runsTest(s, dir)),
+    "q_elasticity" -> ((s, dir) => Relational.elasticity(s, dir)),
+    // Range-partitioned PARALLEL JDBC read: the copy lands in Derby once,
+    // then comes back through 8 stride predicates on the key — the
+    // multi-connection extract pattern every JDBC source needs at scale
+    // (a single-connection read serializes the whole table through one
+    // task). The oracle proves the 8 disjoint strides reassemble the
+    // table exactly — no dropped or doubled boundary rows.
+    "copy_jdbc_partitioned" -> ((s, dir) => {
+      val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+        numPartitions = 8, partitionColumn = Some("c_custkey"))
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      db.write(cust, "customer", TableCopy.Recreate)
+      db.read(s, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -3366,5 +3384,60 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
         |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_runs_test" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT rev, count(*)::BIGINT AS cnt FROM daily GROUP BY 1),
+        |cm AS (SELECT rev,
+        |  sum(cnt) OVER (ORDER BY rev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS n FROM h),
+        |med AS (SELECT min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |  THEN rev END) AS med FROM cm),
+        |sgn AS (SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS above
+        |        FROM daily, med WHERE rev <> med),
+        |ch AS (SELECT above,
+        |  CASE WHEN lag(above) OVER (ORDER BY day) IS NULL THEN 1
+        |    WHEN above <> lag(above) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg
+        |  FROM sgn),
+        |agg AS (SELECT
+        |  sum(CASE WHEN above = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |  sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |  sum(chg)::BIGINT AS runs FROM ch)
+        |SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+        |  round(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0, 6) AS expected_runs,
+        |  round((CAST(runs AS DOUBLE)
+        |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
+        |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+        |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6) AS z
+        |FROM agg""".stripMargin,
+    "q_elasticity" ->
+      """WITH li AS (
+        |  SELECT l_partkey, ln(l_extendedprice / l_quantity) AS x,
+        |    ln(l_quantity) AS y
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |s AS (
+        |  SELECT p_brand AS brand, count(*)::BIGINT AS n,
+        |    sum(CAST(x AS DECIMAL(28,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(28,12))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(28,12))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(28,12))) AS sxx
+        |  FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1)
+        |SELECT brand, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity
+        |FROM s ORDER BY brand""".stripMargin,
+    "copy_jdbc_partitioned" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
   )
 }

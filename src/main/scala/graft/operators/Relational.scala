@@ -3016,4 +3016,82 @@ object Relational {
           / 100.0, 6).as("trimmed_mean"))
       .orderBy("seg")
   }
+
+  /** §2.2 #241 — WALD-WOLFOWITZ runs test on daily revenue vs its median:
+    * is the above/below-median sign sequence random, or does revenue
+    * trend/mean-shift (too few runs) or oscillate (too many)? The
+    * randomness check that validates i.i.d. assumptions before any of the
+    * test-family operators (#214/#227/#228) are trusted. Exact machinery:
+    * the median is percentile-disc over the daily-revenue histogram (#211),
+    * median-tied days are dropped (classic dichotomization), the run count
+    * is 1 + Σ sign-changes via lag over day order, and μ/σ/z are one double
+    * formula over the exact (n₁, n₂, R) integers. The day-ordered window is
+    * calendar-bounded (single partition over |days| rows — #216); the
+    * corpus-sized work is the daily rollup.
+    */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+    val wCum = Window.orderBy("rev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = daily.groupBy("rev").agg(count(lit(1)).as("cnt"))
+      .select(col("rev"), sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("n"))
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"), col("rev")))
+        .as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .where(col("rev") =!= col("med"))
+      .withColumn("above", (col("rev") > col("med")).cast("int"))
+    val wDay = Window.orderBy("day")
+    val r = signed
+      .withColumn("chg",
+        when(lag("above", 1).over(wDay).isNull, 1)
+          .when(col("above") =!= lag("above", 1).over(wDay), 1).otherwise(0))
+      .agg(sum(when(col("above") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("above") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(col("chg").cast("long")).as("runs"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / n + 1.0
+    val sig2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) / (n * n * (n - 1.0))
+    r.select(col("n1").as("n_above"), col("n2").as("n_below"),
+      col("runs").as("n_runs"), round(mu, 6).as("expected_runs"),
+      round((col("runs").cast("double") - mu) / sqrt(sig2), 6).as("z"))
+  }
+
+  /** §2.2 #242 — log-log PRICE ELASTICITY per brand: OLS slope of
+    * ln(quantity) on ln(unit price) over lineitem — the demand-curve
+    * exponent (β < 0 elastic, the marketing-mix primitive #219's linear
+    * fit can't express). Determinism discipline for a TRANSFORMED
+    * regression: each per-row ln/product is pure IEEE double (identical on
+    * any engine), every SUM runs over decimal(28,12)-cast terms so
+    * aggregation order can't leak in (the #210 mutual-information
+    * precedent), and the slope is one double formula over the five exact
+    * sums. One broadcast part join + one partial-aggregated pass to
+    * |brands| cells.
+    */
+  def elasticity(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val li = t(spark, dir, "lineitem")
+      .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("l_partkey"),
+        log(col("l_extendedprice") / col("l_quantity")).as("x"),
+        log(col("l_quantity")).as("y"))
+    val parts = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val s = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val nD = col("n").cast("double")
+    val slope = (nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    s.select(col("brand"), col("n"), round(slope, 6).as("elasticity"))
+      .orderBy("brand")
+  }
 }

@@ -1424,4 +1424,50 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getAs[Double]("trimmed_mean") - tm) < 1e-5)
     }
   }
+
+  test("runsTest counts sign runs over daily revenue exactly") {
+    val r = Relational.runsTest(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice"))
+      .collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val vals = daily.map(_._2).sorted
+    val med = vals(math.ceil(vals.length * 0.5).toInt - 1)
+    val signs = daily.filter(_._2 != med).map(_._2 > med)
+    val n1 = signs.count(identity); val n2 = signs.count(!_)
+    val runs = 1 + signs.zip(signs.tail).count { case (a, b) => a != b }
+    assert(r.getAs[Long]("n_above") == n1.toLong)
+    assert(r.getAs[Long]("n_below") == n2.toLong)
+    assert(r.getAs[Long]("n_runs") == runs.toLong)
+    val n = (n1 + n2).toDouble
+    val mu = 2.0 * n1 * n2 / n + 1.0
+    val sig2 = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+    assert(math.abs(r.getAs[Double]("expected_runs") - mu) < 1e-5)
+    assert(math.abs(r.getAs[Double]("z") - (runs - mu) / math.sqrt(sig2)) < 1e-5)
+  }
+
+  test("elasticity matches a local log-log OLS for one brand") {
+    val rows = Relational.elasticity(spark, sf).collect()
+    assert(rows.length == 25)
+    val brand = rows.head.getAs[String]("brand")
+    val raw = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .where(col("p_brand") === brand &&
+        col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select("l_extendedprice", "l_quantity").collect()
+      .map(x => (math.log(x.getDouble(0) / x.getDouble(1)),
+        math.log(x.getDouble(1))))
+    val n = raw.length.toDouble
+    val sx = raw.map(_._1).sum; val sy = raw.map(_._2).sum
+    val sxy = raw.map(t => t._1 * t._2).sum
+    val sxx = raw.map(t => t._1 * t._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = rows.find(_.getAs[String]("brand") == brand).get
+    assert(r.getAs[Long]("n") == raw.length.toLong)
+    assert(math.abs(r.getAs[Double]("elasticity") - slope) < 1e-4)
+  }
 }

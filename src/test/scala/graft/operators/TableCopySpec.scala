@@ -991,4 +991,20 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       .map(_.getName).filter(_.startsWith("shard=")).sorted
     assert(dirs.toSeq == got.map(r => s"shard=${r.getAs[String]("shard")}").sorted.toSeq)
   }
+
+  test("partitioned JDBC read fans into 8 stride tasks and reassembles the table") {
+    val dest = Files.createTempDirectory("jdbcpart").toString
+    val db = TableCopy.JdbcStore(s"jdbc:derby:$dest/db;create=true",
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
+      numPartitions = 8, partitionColumn = Some("c_custkey"))
+    val cust = Tables.load(spark, sf, "customer")
+    db.write(cust, "customer", TableCopy.Recreate)
+    val back = db.read(spark, "customer")
+    // the read plan is genuinely parallel: one task per stride predicate
+    assert(back.rdd.getNumPartitions == 8)
+    // and the strides are disjoint + exhaustive: exact content equality
+    assert(back.count() == cust.count())
+    assert(back.select("c_custkey").except(cust.select("c_custkey")).isEmpty)
+    assert(cust.select("c_custkey").except(back.select("c_custkey")).isEmpty)
+  }
 }
