@@ -111,6 +111,13 @@ object EventStream {
   case class UserSession(user_id: Long, n_events: Int, first_ts: Timestamp,
                          last_ts: Timestamp, total_value: Double)
 
+  /** Per-window type-count state for [[topTypesPerWindow]]. */
+  case class WindowTopState(counts: Map[String, Long])
+
+  /** One ranked row of a closed window's top-K event types. */
+  case class WindowTopType(window_start: Timestamp, event_type: String,
+                           n: Long, rank: Int)
+
   /** §2.4 #35 — watermarked tumbling-window counts per event type.
     * 10-minute windows, 20-minute watermark: late events beyond the watermark
     * are dropped and window state is evicted — bounded state at any rate.
@@ -308,6 +315,50 @@ object EventStream {
     events
       .withWatermark("ts", "0 seconds")
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** §2.4 #244 — per-window TOP-K event types (streaming "trending items"):
+    * ranking is not an aggregate, so a plain windowed `groupBy` can't emit
+    * it in append mode — this is the custom-state-plus-timer shape: state
+    * keyed by WINDOW START accumulates per-type counts (bounded:
+    * |types| entries per open window, windows evicted on close), and an
+    * EVENT-TIME timeout at window end turns the watermark into the "window
+    * closed" signal, at which point the state is sorted once (deterministic
+    * (count desc, type asc) order) and the top-K emitted. Deterministic
+    * under replay — counts are commutative and the sort happens exactly
+    * once per window — so stream = batch(rank over windowed counts) exactly,
+    * which is what the spec asserts.
+    */
+  def topTypesPerWindow(events: Dataset[Event], windowMinutes: Int = 10,
+      k: Int = 2): Dataset[WindowTopType] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winMs = windowMinutes * 60L * 1000L
+
+    def update(winStart: Long, batch: Iterator[Event],
+               state: GroupState[WindowTopState]): Iterator[WindowTopType] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return s.counts.toSeq
+          .sortBy { case (t, n) => (-n, t) }.take(k).zipWithIndex
+          .map { case ((t, n), i) =>
+            WindowTopType(new Timestamp(winStart), t, n, i + 1) }.iterator
+      }
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      state.getOption.foreach(s => m ++= s.counts)
+      batch.foreach(e => m.update(e.event_type, m.getOrElse(e.event_type, 0L) + 1L))
+      state.update(WindowTopState(m.toMap))
+      // Timeout when the watermark passes window end: that IS window close.
+      state.setTimeoutTimestamp(winStart + winMs)
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(e => e.ts.getTime - Math.floorMod(e.ts.getTime, winMs))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }

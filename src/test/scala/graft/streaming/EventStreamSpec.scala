@@ -543,4 +543,45 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(total - wantTotal) < 1e-6, s"user $uid session@$sUs value")
     }
   }
+
+  test("topTypesPerWindow emits each closed window's top-K equal to a batch rank") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 3 windows with distinct type mixes; ties broken by type name
+    val events = (0 until 300).map { i =>
+      val win = i % 3
+      val tpe = (win, i % 10) match {
+        case (0, d) if d < 5 => "click"       // w0: click 5, view 3, error 2
+        case (0, d) if d < 8 => "view"
+        case (0, _)          => "error"
+        case (1, d) if d < 4 => "view"        // w1: view 4, signup 4, click 2 (tie)
+        case (1, d) if d < 8 => "signup"
+        case (1, _)          => "click"
+        case (_, d) if d < 6 => "purchase"    // w2: purchase 6, error 4
+        case _               => "error"
+      }
+      Event(i, ts(win * 10 + (i % 7)), i % 40, tpe, 1.0)
+    }
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStream.topTypesPerWindow(input.toDS(), 10, 2)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(9999, ts(600), 1, "click", 1.0)) // close all 3 windows
+      q.processAllAvailable()
+      val got = spark.table("topk").collect().map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getInt(3))).toSet
+      // batch twin: rank over windowed counts, k=2, same tiebreak
+      val counts = events.groupBy(e =>
+          (e.ts.getTime - e.ts.getTime % 600000L, e.event_type))
+        .view.mapValues(_.size.toLong).toSeq
+      val want = counts.groupBy(_._1._1).flatMap { case (w, g) =>
+        g.sortBy { case ((_, t), n) => (-n, t) }.take(2).zipWithIndex
+          .map { case (((_, t), n), i) => (w, t, n, i + 1) }
+      }.toSet
+      assert(got == want, s"stream=$got vs batch=$want")
+      assert(got.size == 6) // 3 closed windows x k=2
+    } finally q.stop()
+  }
 }
