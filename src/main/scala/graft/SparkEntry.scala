@@ -564,6 +564,9 @@ object SparkEntry {
     // (a single-connection read serializes the whole table through one
     // task). The oracle proves the 8 disjoint strides reassemble the
     // table exactly — no dropped or doubled boundary rows.
+    "q_theil" -> ((s, dir) => Relational.theil(s, dir)),
+    "q_markov_steady" -> ((s, dir) => Relational.markovSteady(s, dir)),
+    "q_dup_inflation" -> ((s, dir) => TextAnalysis.dupInflation(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3439,5 +3442,63 @@ object SparkEntry {
     "copy_jdbc_partitioned" ->
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_theil" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |sv AS (SELECT c_mktsegment AS seg, yc
+        |       FROM rev JOIN customer ON o_custkey = c_custkey),
+        |tt AS (SELECT seg, count(*)::BIGINT AS n, sum(yc)::BIGINT AS s
+        |       FROM sv GROUP BY 1),
+        |terms AS (SELECT sv.seg, tt.n, tt.s,
+        |  CAST((CAST(yc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |    * ln(CAST(yc AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS term
+        |  FROM sv JOIN tt USING (seg))
+        |SELECT seg, max(n) AS n_customers,
+        |  round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0, 6)
+        |    AS mean_revenue,
+        |  round(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS theil_t
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_markov_steady" -> {
+      def rnd(prev: String, out: String): String =
+        s"""$out AS (SELECT st.event_type, coalesce(CAST(x.in_p AS DOUBLE), 0.0) AS p
+           |  FROM st LEFT JOIN (
+           |    SELECT tr.to_type AS event_type,
+           |      sum(CAST(pp.p * (CAST(tr.nij AS DOUBLE) / CAST(rt.ni AS DOUBLE))
+           |        AS DECIMAL(38,18))) AS in_p
+           |    FROM tr JOIN rt USING (from_type)
+           |    JOIN $prev pp ON pp.event_type = tr.from_type
+           |    GROUP BY 1) x ON x.event_type = st.event_type)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |tr AS (SELECT from_type, to_type, count(*)::BIGINT AS nij FROM s
+         |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, sum(nij)::BIGINT AS ni FROM tr GROUP BY 1),
+         |st AS (SELECT DISTINCT event_type FROM (
+         |  SELECT from_type AS event_type FROM tr
+         |  UNION ALL SELECT to_type FROM tr)),
+         |nst AS (SELECT count(*)::BIGINT AS n FROM st),
+         |p0 AS (SELECT event_type, 1.0 / n AS p FROM st, nst),
+         |${rnd("p0", "r1")},
+         |${rnd("r1", "r2")},
+         |${rnd("r2", "r3")}
+         |SELECT event_type, round(p, 9) AS pi FROM r3 ORDER BY event_type""".stripMargin
+    },
+    "q_dup_inflation" ->
+      """WITH d AS (
+        |  SELECT source, text,
+        |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |g AS (SELECT source, text, count(*)::BIGINT AS copies, max(tok) AS tok
+        |      FROM d GROUP BY 1, 2)
+        |SELECT source, sum(copies)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+        |  sum(copies * tok)::BIGINT AS total_tokens, sum(tok)::BIGINT AS distinct_tokens,
+        |  round(CAST(sum(copies * tok) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6)
+        |    AS inflation
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -3094,4 +3094,80 @@ object Relational {
     s.select(col("brand"), col("n"), round(slope, 6).as("elasticity"))
       .orderBy("brand")
   }
+
+  /** §2.2 #245 — THEIL T inequality index of customer revenue per segment:
+    * T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) — the decomposable complement to `q_gini`
+    * (Theil splits exactly into between-group + within-group terms, which
+    * a segment-level report needs; Gini does not decompose). Determinism:
+    * the per-row ratio and ln are pure IEEE doubles over exact cents and
+    * the exact segment (n, Σ) scalars, every sum runs over
+    * decimal(28,12)-cast terms (#210 discipline), one division at the end.
+    * Plan: customer-revenue rollup, a 5-row broadcast of segment totals
+    * back onto it, one partial-aggregated pass.
+    */
+  def theil(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val rev = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("yc"))
+    val totals = rev.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("yc").as("s"))
+    val r = col("yc").cast("double") * col("n").cast("double") /
+      col("s").cast("double")
+    rev.join(broadcast(totals), "seg")
+      .select(col("seg"), col("n"), col("s"),
+        (r * log(r)).cast(DecimalType(28, 12)).as("term"))
+      .groupBy("seg")
+      .agg(max("n").as("n_customers"),
+        round(max(col("s")).cast("double") / max(col("n")).cast("double")
+          / 100.0, 6).as("mean_revenue"),
+        round(sum("term").cast("double") / max(col("n")).cast("double"), 6)
+          .as("theil_t"))
+      .orderBy("seg")
+  }
+
+  /** §2.2 #246 — MARKOV STEADY-STATE of the event-type transition chain:
+    * three unrolled power-iteration rounds of π' = π·P from uniform, where
+    * P is the row-normalized transition-count matrix (`q_transition`'s
+    * estimator) — where user behavior CONVERGES, vs the transition matrix's
+    * one-step view (the #109 sibling). Exactness is the pageRank (#130)
+    * recipe: each round's contribution πᵢ·(nᵢⱼ/nᵢ) is deterministic double
+    * math, cross-row sums run in DECIMAL(38,18) (order-free), so three
+    * rounds stay bit-identical cross-engine. The matrix is |types|² —
+    * every frame after the one corpus-sized lead() pass is bounded.
+    */
+  def markovSteady(spark: SparkSession, dir: String, iters: Int = 3)
+      : DataFrame = {
+    val dec = DecimalType(38, 18)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val rowTot = trans.groupBy("from_type").agg(sum("nij").as("ni"))
+    val states = trans.select(col("from_type").as("event_type"))
+      .union(trans.select(col("to_type").as("event_type"))).distinct()
+      .localCheckpoint(true)
+    val n = states.count()
+    var pi = states.select(col("event_type"), lit(1.0 / n).as("p"))
+    for (_ <- 1 to iters) {
+      val contrib = trans.join(rowTot, "from_type")
+        .join(pi.withColumnRenamed("event_type", "from_type"), "from_type")
+        .select(col("to_type").as("event_type"),
+          (col("p") * (col("nij").cast("double") / col("ni").cast("double")))
+            .cast(dec).as("c"))
+        .groupBy("event_type").agg(sum("c").as("in_p"))
+      pi = states.join(contrib, Seq("event_type"), "left_outer")
+        .select(col("event_type"),
+          coalesce(col("in_p").cast("double"), lit(0.0)).as("p"))
+    }
+    pi.select(col("event_type"), round(col("p"), 9).as("pi"))
+      .orderBy("event_type")
+  }
 }

@@ -152,6 +152,31 @@ object TextAnalysis {
           .as("hapax_share"))
       .orderBy("source")
 
+  /** §2.3 #247 — token-weighted DUPLICATE INFLATION per source: corpus
+    * tokens vs tokens over DISTINCT texts — the compute-cost statement of
+    * duplication ("this source costs 3.2× the training tokens its unique
+    * content justifies"), which doc-count dedup stats understate because
+    * duplicated documents are often the long ones. One (source, text)
+    * rollup carries both the copy count and the (identical-per-copy) token
+    * count, so total = Σ copies·tokens and distinct = Σ tokens come from
+    * the same bounded frame; integer-exact, one division per source.
+    */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("text"),
+        size(tokensCol).cast("long").as("tok"))
+      .groupBy("source", "text")
+      .agg(count(lit(1)).as("copies"), max("tok").as("tok"))
+      .groupBy("source")
+      .agg(sum("copies").as("n_docs"), count(lit(1)).as("n_distinct"),
+        sum(col("copies") * col("tok")).as("total_tokens"),
+        sum("tok").as("distinct_tokens"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        col("total_tokens"), col("distinct_tokens"),
+        round(col("total_tokens").cast("double") /
+          col("distinct_tokens").cast("double"), 6).as("inflation"))
+      .orderBy("source")
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

@@ -1470,4 +1470,56 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("n") == raw.length.toLong)
     assert(math.abs(r.getAs[Double]("elasticity") - slope) < 1e-4)
   }
+
+  test("theil matches a local recomputation and is non-negative") {
+    val rows = Relational.theil(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Double]("theil_t") >= -1e-9))
+    val seg = rows.head.getAs[String]("seg")
+    val cents = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+      .join(Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment") === seg)
+      .select("rev").collect()
+      .map(x => (BigDecimal(x.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+    val n = cents.length
+    val s = cents.map(BigDecimal(_)).sum.toLongExact
+    val t0 = cents.map { x =>
+      val ratio = x.toDouble * n / s
+      ratio * math.log(ratio)
+    }.sum / n
+    val r = rows.find(_.getAs[String]("seg") == seg).get
+    assert(r.getAs[Long]("n_customers") == n.toLong)
+    assert(math.abs(r.getAs[Double]("theil_t") - t0) < 1e-4)
+  }
+
+  test("markovSteady follows the exact power-iteration recurrence and conserves mass") {
+    val rows = Relational.markovSteady(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("pi")).toMap
+    // local recompute of 3 rounds from the raw transitions
+    val ev = Tables.load(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val s = g.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = trans.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val states = (trans.keys.map(_._1) ++ trans.keys.map(_._2)).toSeq.distinct.sorted
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    for (_ <- 1 to 3) {
+      pi = states.map { j =>
+        j -> trans.collect { case ((f, t), nij) if t == j =>
+          BigDecimal(pi(f) * (nij.toDouble / rowTot(f)))
+            .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble
+      }.toMap
+    }
+    assert(rows.keySet == states.toSet)
+    states.foreach(s => assert(math.abs(rows(s) - pi(s)) < 1e-6, s))
+    // chain has every type outgoing at this SF: mass conserved
+    assert(math.abs(rows.values.sum - 1.0) < 1e-6)
+  }
 }

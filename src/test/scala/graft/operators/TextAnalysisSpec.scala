@@ -344,4 +344,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("hapax_share") -
       hap.toDouble / counts.size) < 1e-5)
   }
+
+  test("dupInflation weighs duplicates by tokens and is >= 1") {
+    val rows = TextAnalysis.dupInflation(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Double]("inflation") >= 1.0 - 1e-9))
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val src = rows.head.getAs[String]("source")
+    val mine = docs.filter(_._1 == src).map(_._2)
+    def tok(t: String): Long = t.trim.split(" ", -1).length.toLong
+    val r = rows.find(_.getAs[String]("source") == src).get
+    assert(r.getAs[Long]("n_docs") == mine.length.toLong)
+    assert(r.getAs[Long]("n_distinct") == mine.distinct.length.toLong)
+    assert(r.getAs[Long]("total_tokens") == mine.map(tok).sum)
+    assert(r.getAs[Long]("distinct_tokens") == mine.distinct.map(tok).sum)
+  }
 }
