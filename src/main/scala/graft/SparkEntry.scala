@@ -32,11 +32,22 @@ object SparkEntry {
     */
   private def freshDerby(name: String): String = {
     val dir = new java.io.File(tmp(name))
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
+    // A previous run in THIS JVM may still hold the database booted (bench
+    // passes re-run the same query); deleting a booted database's files
+    // makes Derby refuse the next boot. Shut it down first — Derby signals
+    // even a SUCCESSFUL shutdown via SQLException, so swallow everything.
+    if (dir.exists()) {
+      try {
+        Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        java.sql.DriverManager.getConnection(
+          s"jdbc:derby:${tmp(name)}/db;shutdown=true")
+      } catch { case _: Throwable => () }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
     }
-    if (dir.exists()) rm(dir)
     s"jdbc:derby:${tmp(name)}/db;create=true"
   }
 
@@ -567,6 +578,9 @@ object SparkEntry {
     "q_theil" -> ((s, dir) => Relational.theil(s, dir)),
     "q_markov_steady" -> ((s, dir) => Relational.markovSteady(s, dir)),
     "q_dup_inflation" -> ((s, dir) => TextAnalysis.dupInflation(s, dir)),
+    "q_drawdown" -> ((s, dir) => Relational.drawdown(s, dir)),
+    "q_rolling_z" -> ((s, dir) => Relational.rollingZ(s, dir)),
+    "q_source_vocab_overlap" -> ((s, dir) => TextAnalysis.sourceVocabOverlap(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3500,5 +3514,70 @@ object SparkEntry {
         |  round(CAST(sum(copies * tok) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6)
         |    AS inflation
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_drawdown" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT day, rev,
+        |  sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM daily),
+        |p AS (SELECT day, cum,
+        |  max(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM c),
+        |d AS (SELECT day, cum, peak, peak - cum AS dd FROM p)
+        |SELECT strftime(day, '%Y-%m-%d') AS trough_day,
+        |  CAST(peak AS DOUBLE) AS peak_cum_revenue,
+        |  CAST(cum AS DOUBLE) AS trough_cum_revenue,
+        |  CAST(dd AS DOUBLE) AS max_drawdown,
+        |  round(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6) AS drawdown_share
+        |FROM d ORDER BY dd DESC, day ASC LIMIT 1""".stripMargin,
+    "q_rolling_z" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(yc, 0) AS yc
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |win AS (
+        |  SELECT day, yc,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    sum(yc) OVER w AS sx,
+        |    sum(CAST(yc AS HUGEINT) * yc) OVER w AS sq
+        |  FROM full_s
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT day, yc, rn, sx,
+        |    CAST(28 * sq - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_num
+        |  FROM win)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  round(CAST(yc AS DOUBLE) / 100.0, 2) AS revenue,
+        |  CASE WHEN var_num > 0 THEN
+        |    round((CAST(yc AS DOUBLE) - CAST(sx AS DOUBLE) / 28.0)
+        |      / sqrt(var_num / (28.0 * (28.0 - 1.0))), 6) END AS z,
+        |  (var_num > 0 AND abs((CAST(yc AS DOUBLE) - CAST(sx AS DOUBLE) / 28.0)
+        |      / sqrt(var_num / (28.0 * (28.0 - 1.0)))) > 2.0) AS is_anomaly
+        |FROM f WHERE rn >= 28 ORDER BY day""".stripMargin,
+    "q_source_vocab_overlap" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT source, unnest(string_split(trim(text), ' ')) AS term
+        |  FROM documents),
+        |sizes AS (SELECT source, count(*)::BIGINT AS v FROM vocab GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM vocab a JOIN vocab b
+        |    ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.v AS va, sb.v AS vb, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / CAST(sa.v + sb.v - n_shared AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = inter.source_a
+        |JOIN sizes sb ON sb.source = inter.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -2801,19 +2801,35 @@ object Relational {
     */
   def spearman(spark: SparkSession, dir: String): DataFrame = {
     val big = DecimalType(38, 0)
-    val li = t(spark, dir, "lineitem").select(col("l_returnflag").as("flag"),
-      col("l_quantity").as("x"), col("l_discount").as("y"))
-    def r2(v: String): Column =
-      lit(2) * rank().over(Window.partitionBy("flag").orderBy(v)) +
-        count(lit(1)).over(Window.partitionBy("flag", v)) - 1
-    val ranked = li
-      .withColumn("rx", r2("x").cast(big))
-      .withColumn("ry", r2("y").cast(big))
-    val s = ranked.groupBy("flag").agg(count(lit(1)).as("n"),
-      sum("rx").as("sx"), sum("ry").as("sy"),
-      sum(col("rx") * col("ry")).as("sxy"),
-      sum(col("rx") * col("rx")).as("sxx"),
-      sum(col("ry") * col("ry")).as("syy"))
+    // Ranks come from the VALUE HISTOGRAM, not from row-level windows: the
+    // doubled tie-average rank 2r̄ = 2·(#smaller) + tiecount + 1 is a pure
+    // function of the per-(flag, value) marginal, so one corpus pass builds
+    // the bounded JOINT histogram and every window/join after runs on
+    // ≤ |x-domain|·|y-domain| cells per flag — the row-rank formulation
+    // sorted whole flag partitions (8× at 10× data, and a 100 TB hazard:
+    // one partition per flag).
+    val joint = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("x"),
+        col("l_discount").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    def marginal(v: String, out: String): DataFrame = {
+      val wc = Window.partitionBy("flag").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint.groupBy(col("flag"), col(v)).agg(sum("c").as("cv"))
+        .withColumn("cum_less", coalesce(sum("cv").over(wc), lit(0L)))
+        .select(col("flag"), col(v),
+          (lit(2) * col("cum_less") + col("cv") + 1).cast(big).as(out))
+    }
+    val s = joint
+      .join(marginal("x", "rx"), Seq("flag", "x"))
+      .join(marginal("y", "ry"), Seq("flag", "y"))
+      .groupBy("flag").agg(sum("c").as("n"),
+        sum(col("c").cast(big) * col("rx")).as("sx"),
+        sum(col("c").cast(big) * col("ry")).as("sy"),
+        sum(col("c").cast(big) * col("rx") * col("ry")).as("sxy"),
+        sum(col("c").cast(big) * col("rx") * col("rx")).as("sxx"),
+        sum(col("c").cast(big) * col("ry") * col("ry")).as("syy"))
     val nB = col("n").cast(big)
     val num = (nB * col("sxy") - col("sx") * col("sy")).cast("double")
     val d1 = (nB * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -3169,5 +3185,76 @@ object Relational {
     }
     pi.select(col("event_type"), round(col("p"), 9).as("pi"))
       .orderBy("event_type")
+  }
+
+  /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
+    * peak-to-trough drop of the running revenue total — finance's risk
+    * primitive applied to the business series ("how bad was the worst
+    * slump, and when"). EXACT throughout: cumulative revenue and its
+    * running max are decimal prefix aggregates (range-exchange pattern,
+    * #204), the drawdown per day is a decimal subtraction, and the argmax
+    * day is a deterministic (drawdown desc, day asc) top-1 — so peak/trough
+    * days can never flip on float noise. One daily rollup, then
+    * calendar-bounded windows.
+    */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(dec)).as("rev"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily
+      .withColumn("cum", sum("rev").over(wCum))
+      .withColumn("peak", max(col("cum")).over(wCum))
+      .withColumn("dd", col("peak") - col("cum"))
+    dd.orderBy(col("dd").desc, col("day").asc).limit(1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("trough_day"),
+        col("peak").cast("double").as("peak_cum_revenue"),
+        col("cum").cast("double").as("trough_cum_revenue"),
+        col("dd").cast("double").as("max_drawdown"),
+        round(col("dd").cast("double") / col("peak").cast("double"), 6)
+          .as("drawdown_share"))
+  }
+
+  /** §2.2 #249 — rolling 28-day Z-SCORE anomalies of daily revenue: each
+    * day scored against its own trailing window's mean/std — the
+    * local-context anomaly detector (complements the global-MAD #125 and
+    * the single-changepoint #215: a drifting series re-centers the window,
+    * so only LOCAL breaks alarm). Exact machinery: integer cent sums and
+    * sum-of-squares per fixed 28-row frame (Σx² in decimal(38,0) — cents²
+    * wraps long), z's numerator n·x−Σx stays integer, one guarded double
+    * division per day (NULL for a constant window). Calendar spine +
+    * calendar-bounded window (#216/#232 discipline).
+    */
+  def rollingZ(spark: SparkSession, dir: String, winDays: Int = 28)
+      : DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("yc", coalesce(col("yc"), lit(0L)))
+    val ord = Window.orderBy("day")
+    val w = ord.rowsBetween(-(winDays - 1), Window.currentRow)
+    val n = lit(winDays.toDouble)
+    // sample variance of the window, cents²; numerator exact decimal
+    val varNum = (lit(winDays).cast(big) * col("sq") -
+      col("sx").cast(big) * col("sx").cast(big)).cast("double")
+    val sd = sqrt(varNum / (n * (n - 1.0)))
+    val z = (col("yc").cast("double") - col("sx").cast("double") / n) / sd
+    full
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("sx", sum("yc").over(w))
+      .withColumn("sq", sum(col("yc").cast(big) * col("yc").cast(big)).over(w))
+      .where(col("rn") >= winDays)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("yc").cast("double") / 100.0, 2).as("revenue"),
+        when(varNum > 0, round(z, 6)).as("z"),
+        (varNum > 0 && abs(z) > 2.0).as("is_anomaly"))
+      .orderBy("day")
   }
 }

@@ -1393,21 +1393,35 @@ object Similarity {
     // cast, not the sum, dominated.
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = embeddings(spark, dir).select(col("vec_id"), col("v"))
-    val e1 = base.select(col("vec_id"), col("v"),
-      posexplode(col("v")).as(Seq("i", "xi")))
-    val pairs = e1.select(col("i"), col("xi"),
-      posexplode(col("v")).as(Seq("j", "xj")))
-      .where(col("j") >= col("i"))
-      .select(col("i"), col("j"),
-        expr("CAST(round(xi * xj * 1e12) AS BIGINT)").as("f"))
-    val dims = e1
+    // Upper-triangle products are generated INSIDE one row as a flat array
+    // (i ascending, j=i..d−1), then exploded ONCE: d(d+1)/2 longs per row,
+    // no second explode and no d-fold duplication of the vector payload —
+    // the double-posexplode formulation shipped N·d intermediate rows each
+    // carrying the whole array and ran 15× at 10× data (memory-bound);
+    // this shape is a pure map-side explode into a partial aggregate.
+    val tri = base.select(posexplode(expr(
+      "flatten(transform(v, (xi, i) -> " +
+        "transform(slice(v, i + 1, size(v) - i), " +
+        "xj -> CAST(round(xi * xj * 1e12) AS BIGINT))))"))
+      .as(Seq("k", "f")))
+    val d = base.select(size(col("v")).as("d")).limit(1).collect()(0).getInt(0)
+    // flat index k = i·d − i(i−1)/2 + (j − i), inverted by a d(d+1)/2-row
+    // broadcast mapping (bounded by the embedding dim, not the corpus)
+    val mapping = {
+      val rows = for (i <- 0 until d; j <- i until d)
+        yield (i * d - i * (i - 1) / 2 + (j - i), i, j)
+      import spark.implicits._
+      rows.toDF("k", "i", "j")
+    }
+    val dims = base.select(posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), expr("CAST(round(xi * 1e12) AS BIGINT)").as("fx"))
       .groupBy("i")
       .agg((sum(col("fx").cast(dec0)).cast("double") / lit(1e12)).as("sx"),
         count(lit(1)).as("n_dim"))
-    val cells = pairs.groupBy("i", "j")
+    val cells = tri.groupBy("k")
       .agg((sum(col("f").cast(dec0)).cast("double") / lit(1e12)).as("sxy"),
         count(lit(1)).as("n"))
+      .join(broadcast(mapping), "k")
     cells
       .join(broadcast(dims.select(col("i"), col("sx").as("sxa"), col("n_dim").as("na"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxb"),

@@ -177,6 +177,40 @@ object TextAnalysis {
           col("distinct_tokens").cast("double"), 6).as("inflation"))
       .orderBy("source")
 
+  /** §2.3 #250 — pairwise SOURCE VOCABULARY OVERLAP (Jaccard over term
+    * sets): which sources share a lexicon — the source-level near-duplicate
+    * detector (two feeds of the same upstream crawl overlap ~1.0 and
+    * should be deduplicated as SOURCES before any doc-level pass spends
+    * compute on them). The join is on TERM through the (term, source)
+    * vocabulary table, so each term fans out C(sources-with-term, 2) ≤
+    * |sources|²/2 pairs — bounded by the source count, never by corpus
+    * size; per-source vocab sizes broadcast back for the union term.
+    * Integer-exact, one Jaccard division per surviving pair.
+    */
+  def sourceVocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("term"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("v").as("va"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("v").as("vb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("va"), col("vb"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("va") + col("vb") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

@@ -1522,4 +1522,53 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     // chain has every type outgoing at this SF: mass conserved
     assert(math.abs(rows.values.sum - 1.0) < 1e-6)
   }
+
+  test("drawdown finds the exact worst peak-to-trough of cumulative revenue") {
+    val r = Relational.drawdown(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice"))
+      .collect()
+      .map(x => (x.getString(0), BigDecimal(x.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    var cum = BigDecimal(0); var peak = BigDecimal(0)
+    var best = (BigDecimal(-1), "", BigDecimal(0), BigDecimal(0))
+    daily.foreach { case (day, rev) =>
+      cum += rev; peak = peak.max(cum)
+      val dd = peak - cum
+      if (dd > best._1) best = (dd, day, peak, cum)
+    }
+    assert(r.getAs[String]("trough_day") == best._2)
+    assert(r.getAs[Double]("max_drawdown") == best._1.toDouble)
+    assert(r.getAs[Double]("peak_cum_revenue") == best._3.toDouble)
+  }
+
+  test("rollingZ matches a local trailing-window z computation") {
+    val rows = Relational.rollingZ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect()
+      .map(x => (x.getDate(0).toLocalDate, (BigDecimal(x.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val d0 = daily.keys.min; val d1 = daily.keys.max
+    val spine = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => (d, daily.getOrElse(d, 0L))).toArray
+    val last = rows.last
+    val lastDay = java.time.LocalDate.parse(last.getAs[String]("day"))
+    val win = spine.filter { case (d, _) =>
+      !d.isAfter(lastDay) && !d.isBefore(lastDay.minusDays(27)) }.map(_._2)
+    assert(win.length == 28)
+    val n = 28.0
+    val sx = win.sum.toDouble
+    val varNum = 28.0 * win.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble -
+      sx * sx
+    val z = (win.last - sx / n) / math.sqrt(varNum / (n * (n - 1.0)))
+    if (varNum > 0) {
+      assert(math.abs(last.getAs[Double]("z") - z) < 1e-5)
+      assert(last.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
+    } else assert(last.isNullAt(last.fieldIndex("z")))
+  }
 }

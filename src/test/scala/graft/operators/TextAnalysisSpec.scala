@@ -360,4 +360,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("total_tokens") == mine.map(tok).sum)
     assert(r.getAs[Long]("distinct_tokens") == mine.distinct.map(tok).sum)
   }
+
+  test("sourceVocabOverlap Jaccard equals a local set computation for one pair") {
+    val rows = TextAnalysis.sourceVocabOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val r = rows.head
+    val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+    assert(a < b)
+    def vocab(s: String): Set[String] =
+      docs.filter(_._1 == s).flatMap(_._2.trim.split(" ", -1)).toSet
+    val (va, vb) = (vocab(a), vocab(b))
+    assert(r.getAs[Long]("va") == va.size.toLong)
+    assert(r.getAs[Long]("vb") == vb.size.toLong)
+    val shared = (va & vb).size.toLong
+    assert(r.getAs[Long]("n_shared") == shared)
+    assert(math.abs(r.getAs[Double]("jaccard") -
+      shared.toDouble / (va.size + vb.size - shared)) < 1e-5)
+  }
 }
