@@ -581,6 +581,9 @@ object SparkEntry {
     "q_drawdown" -> ((s, dir) => Relational.drawdown(s, dir)),
     "q_rolling_z" -> ((s, dir) => Relational.rollingZ(s, dir)),
     "q_source_vocab_overlap" -> ((s, dir) => TextAnalysis.sourceVocabOverlap(s, dir)),
+    "q_ngram_novelty" -> ((s, dir) => TextAnalysis.ngramNovelty(s, dir)),
+    "q_curriculum_interleave" -> ((s, dir) => Curation.curriculumInterleave(s, dir)),
+    "copy_dedup" -> ((s, dir) => TableCopy.dedupCopy(s, dir, tmp("dedupcopy"))),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3579,5 +3582,43 @@ object SparkEntry {
         |JOIN sizes sa ON sa.source = inter.source_a
         |JOIN sizes sb ON sb.source = inter.source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+        |              FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |        FROM toks WHERE len(w) >= 2)),
+        |fd AS (SELECT bigram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_distinct_bigrams,
+        |  sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  round(CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM grams g JOIN fd USING (bigram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_curriculum_interleave" ->
+      """WITH si AS (
+        |  SELECT source,
+        |    CAST(row_number() OVER (ORDER BY source) AS INTEGER) - 1 AS src_idx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT count(*)::BIGINT AS n FROM si),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |SELECT doc_id, r.source,
+        |  CAST((rn - 1) * n + src_idx AS BIGINT) AS position
+        |FROM r JOIN si ON r.source = si.source CROSS JOIN ns
+        |ORDER BY position LIMIT 100""".stripMargin,
+    "copy_dedup" ->
+      """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |outc AS (
+        |  SELECT source, count(*)::BIGINT AS n_out
+        |  FROM documents JOIN surv USING (doc_id) GROUP BY 1),
+        |inc AS (SELECT source, count(*)::BIGINT AS n_in FROM documents GROUP BY 1)
+        |SELECT inc.source, n_in, coalesce(n_out, 0) AS n_out,
+        |  n_in - coalesce(n_out, 0) AS n_dropped
+        |FROM inc LEFT JOIN outc ON inc.source = outc.source
+        |ORDER BY inc.source""".stripMargin,
   )
 }

@@ -667,4 +667,30 @@ object Curation {
         (col("n_docs") * least(col("n_lang") - 1, col("n_source") - 1))), 6))
       .select("n_docs", "dof", "chi2", "cramers_v")
   }
+
+  /** §2.3 #252 — CURRICULUM INTERLEAVE: deterministic round-robin mixing
+    * of sources (position = (rank-within-source − 1)·|sources| +
+    * source-index) — the data-mixing primitive that turns per-source
+    * shards into one training order where every window of |sources| docs
+    * touches every source once; hash/random shuffles only achieve that in
+    * expectation. Everything is integer rank arithmetic: per-source
+    * row_number (key-partitioned window — the per-group sort a shuffle
+    * would need anyway), a broadcast of the tiny ordered source index, and
+    * a top-N by position (TakeOrderedAndProject — no global sort). The
+    * first `take` positions are returned as the inspection window.
+    */
+  def curriculumInterleave(spark: SparkSession, dir: String, take: Int = 100)
+      : DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val srcIdx = d.select("source").distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy("source")) - 1)
+    val nS = srcIdx.count()
+    d.withColumn("rn",
+        row_number().over(Window.partitionBy("source").orderBy("doc_id")))
+      .join(broadcast(srcIdx), "source")
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1) * nS + col("src_idx")).cast("long").as("position"))
+      .orderBy("position").limit(take)
+  }
 }

@@ -211,6 +211,38 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** §2.3 #251 — n-gram NOVELTY per document: the share of a document's
+    * DISTINCT bigrams first introduced by it (attribution = min doc_id per
+    * bigram over the corpus) — the marginal-diversity score a curation
+    * pipeline optimizes when it asks "does adding this document teach the
+    * model anything new?", and the per-doc view of the #193 vocabulary-
+    * growth curve. Deterministic: first-occurrence is a min-aggregate, not
+    * an ordering-dependent scan. Scale shape: explode → per-(doc, bigram)
+    * distinct → min per bigram (shuffle on the bigram key) → hash join
+    * back → per-doc rollup; everything linear in token count, one division
+    * per doc.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i]))"))
+        .as("bigram"))
+      .distinct()
+      .localCheckpoint(true)
+    val firstDoc = grams.groupBy("bigram").agg(min("doc_id").as("first_doc"))
+    grams.join(firstDoc, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_distinct_bigrams"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_distinct_bigrams").cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

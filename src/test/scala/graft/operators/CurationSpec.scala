@@ -381,4 +381,24 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       (n * math.min(lm.size - 1, sm.size - 1)))
     assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-5)
   }
+
+  test("curriculumInterleave round-robins sources deterministically") {
+    val rows = Curation.curriculumInterleave(spark, sf).collect()
+    assert(rows.length == 100)
+    // positions are the first 100 of the interleaved order
+    val positions = rows.map(_.getAs[Long]("position"))
+    assert(positions.toSeq == positions.sorted.toSeq)
+    val sources = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    val nS = sources.length
+    // every window of |sources| consecutive positions covers each source once
+    rows.grouped(nS).filter(_.length == nS).foreach { w =>
+      assert(w.map(_.getAs[String]("source")).toSet == sources.toSet)
+    }
+    // position encodes (rank-within-source, source-index) exactly
+    rows.foreach { r =>
+      val p = r.getAs[Long]("position")
+      assert(sources((p % nS).toInt) == r.getAs[String]("source"))
+    }
+  }
 }

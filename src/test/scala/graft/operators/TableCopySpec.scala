@@ -1007,4 +1007,23 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(back.select("c_custkey").except(cust.select("c_custkey")).isEmpty)
     assert(cust.select("c_custkey").except(back.select("c_custkey")).isEmpty)
   }
+
+  test("dedupCopy keeps the earliest doc per text and the ledger balances") {
+    val dest = Files.createTempDirectory("dedupcopy").toString + "/documents"
+    val ledger = TableCopy.dedupCopy(spark, sf, dest).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // ledger balances per source and in total
+    assert(ledger.map(_.getAs[Long]("n_in")).sum == docs.length.toLong)
+    ledger.foreach { r =>
+      assert(r.getAs[Long]("n_in") ==
+        r.getAs[Long]("n_out") + r.getAs[Long]("n_dropped"))
+    }
+    // the destination holds exactly the min-doc_id survivor per text
+    val survivors = docs.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    val written = spark.read.parquet(dest).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(written == survivors)
+  }
 }

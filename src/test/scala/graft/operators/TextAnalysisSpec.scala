@@ -380,4 +380,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("jaccard") -
       shared.toDouble / (va.size + vb.size - shared)) < 1e-5)
   }
+
+  test("ngramNovelty attributes each bigram to its earliest doc exactly") {
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigrams(t: String): Set[String] = {
+      val w = t.trim.split(" ", -1)
+      if (w.length < 2) Set.empty
+      else w.zip(w.tail).map { case (a, b) => s"$a $b" }.toSet
+    }
+    val all = docs.map { case (id, t) => id -> bigrams(t) }.toMap
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, t) =>
+      bigrams(t).foreach(g => if (!first.contains(g)) first(g) = id)
+    }
+    // every doc with >= 2 tokens appears; novelty matches the local recount
+    assert(rows.length == docs.count(d => bigrams(d._2).nonEmpty))
+    rows.take(5).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val g = all(id)
+      assert(r.getAs[Long]("n_distinct_bigrams") == g.size.toLong)
+      val novel = g.count(first(_) == id).toLong
+      assert(r.getAs[Long]("n_novel") == novel)
+    }
+    // the earliest doc is 100% novel
+    val firstRow = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(firstRow.getAs[Double]("novelty") == 1.0)
+  }
 }
