@@ -100,7 +100,10 @@ object PlanAudit {
         // lateness / seasonality: 1-row totals frame over a fixed 5/7-cell
         // histogram; abc_class: 1-row total-revenue frame over |parts|;
         // burstiness: 1-row corpus-count frame over the top-K term set
-        "q_chi2", "q_lateness", "q_seasonality", "q_abc_class", "q_burstiness")
+        "q_chi2", "q_lateness", "q_seasonality", "q_abc_class", "q_burstiness",
+        // runs_test: 1-row exact-median frame broadcast over the bounded
+        // daily series (the cusum/ks totals pattern)
+        "q_runs_test")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
