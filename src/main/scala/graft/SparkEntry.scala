@@ -584,6 +584,10 @@ object SparkEntry {
     "q_ngram_novelty" -> ((s, dir) => TextAnalysis.ngramNovelty(s, dir)),
     "q_curriculum_interleave" -> ((s, dir) => Curation.curriculumInterleave(s, dir)),
     "copy_dedup" -> ((s, dir) => TableCopy.dedupCopy(s, dir, tmp("dedupcopy"))),
+    "q_decay_engagement" -> ((s, dir) => Relational.decayEngagement(s, dir)),
+    "q_ab_srm" -> ((s, dir) => Relational.abSrm(s, dir)),
+    "q_bloom_fpr" -> ((s, dir) => Relational.bloomFpr(s, dir)),
+    "q_cluster_size_hist" -> ((s, dir) => Dedup.clusterSizeHist(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -614,6 +618,41 @@ object SparkEntry {
       |  coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(1)),
       |  coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(1)),
       |  coalesce(o_orderpriority, chr(1)))""".stripMargin
+
+  /** Shared CTE block of the exact near-dup connected-components oracle:
+    * 3-shingles → exact all-pairs Jaccard ≥ 0.6 → recursive reachability.
+    * `reach(doc_id, r)` is the component-membership frame both the cluster
+    * map (`q_dedup_cluster`) and its size histogram
+    * (`q_cluster_size_hist`) select from.
+    */
+  private val dedupClusterCtes: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      |), idx AS (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |  FROM toks WHERE len(w) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |prs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM prs
+      |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+      |),
+      |e AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.b, reach.r FROM e JOIN reach ON reach.doc_id = e.a
+      |)""".stripMargin
 
   /** DuckDB fold-based dot product: same sequential left fold as Spark's
     * aggregate(zip_with(...)), so scores are bit-identical.
@@ -2547,35 +2586,15 @@ object SparkEntry {
         |WHERE c.event_type = 'click'
         |ORDER BY event_id""".stripMargin,
     "q_dedup_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
-        |), idx AS (
-        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
-        |  FROM toks WHERE len(w) >= 3
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
-        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |prs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM prs
-        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
-        |),
-        |e AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs
-        |),
-        |reach(doc_id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.b, reach.r FROM e JOIN reach ON reach.doc_id = e.a
-        |)
+      s"""$dedupClusterCtes
         |SELECT doc_id, min(r) AS cluster_id, (doc_id = min(r)) AS is_canonical
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cluster_size_hist" ->
+      s"""$dedupClusterCtes,
+        |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |szs AS (SELECT cluster_id, count(*)::BIGINT AS sz FROM cl GROUP BY 1)
+        |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+        |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_brute" -> bruteAnnOracle,
     "q_ann_recall" ->
       s"""SELECT b.q_id, count(l.vec_id) AS n_hits,
@@ -3610,6 +3629,64 @@ object SparkEntry {
         |  CAST((rn - 1) * n + src_idx AS BIGINT) AS position
         |FROM r JOIN si ON r.source = si.source CROSS JOIN ns
         |ORDER BY position LIMIT 100""".stripMargin,
+    "q_decay_engagement" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::DATE AS day, value FROM events),
+        |a AS (SELECT max(day) AS d1 FROM ev),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(value AS DECIMAL(28,6))
+        |      * (CAST(1 AS BIGINT) << CAST(40 - least(datediff('day', day, d1) // 7, 40) AS INTEGER)) AS term
+        |  FROM ev, a)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  round(CAST(sum(term) AS DOUBLE) / 1099511627776.0, 6) AS score
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ab_srm" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |    THEN 'A' ELSE 'B' END AS arm FROM u),
+        |s AS (SELECT
+        |  sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
+        |  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb FROM arms)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |    * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)), 6) AS chi2,
+        |  ((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |    * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) > 3.841459) AS srm_detected
+        |FROM s""".stripMargin,
+    "q_bloom_fpr" -> {
+      def pos(h: Int): String =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"[CAST(strpos('0123456789abcdef', substr(sha256(CAST(c_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT) " +
+          s"FOR i IN generate_series(${1 + 8 * h}, ${8 + 8 * h})]), (a, v) -> a * 16 + v) % 1024"
+      s"""WITH keys AS (
+         |  SELECT c_custkey, ${pos(0)} AS p0, ${pos(1)} AS p1, ${pos(2)} AS p2
+         |  FROM customer),
+         |members AS (SELECT * FROM keys WHERE c_custkey % 2 = 0),
+         |probes AS (SELECT * FROM keys WHERE c_custkey % 2 = 1),
+         |bits AS (
+         |  SELECT DISTINCT bit FROM (
+         |    SELECT unnest([p0, p1, p2]) AS bit FROM members)),
+         |fp AS (
+         |  SELECT pb.c_custkey FROM (
+         |    SELECT c_custkey, unnest([p0, p1, p2]) AS bit FROM probes) pb
+         |  JOIN bits USING (bit)
+         |  GROUP BY 1 HAVING count(*) = 3),
+         |s AS (
+         |  SELECT (SELECT count(*)::BIGINT FROM members) AS n_members,
+         |    (SELECT count(*)::BIGINT FROM probes) AS n_probes,
+         |    (SELECT count(*)::BIGINT FROM bits) AS bits_set,
+         |    (SELECT count(*)::BIGINT FROM fp) AS n_false_pos)
+         |SELECT n_members, n_probes, bits_set, n_false_pos,
+         |  round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE), 6) AS fpr,
+         |  round((CAST(bits_set AS DOUBLE) / 1024.0) * (CAST(bits_set AS DOUBLE) / 1024.0)
+         |    * (CAST(bits_set AS DOUBLE) / 1024.0), 6) AS expected_fpr
+         |FROM s""".stripMargin
+    },
     "copy_dedup" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |outc AS (

@@ -660,4 +660,20 @@ object Dedup {
         min(substring(col("norm"), 1, exemplarLen)).as("template"))
       .select("keep_id", "n_copies", "template")
       .orderBy("keep_id")
+
+  /** §2.3 #257 — duplicate-CLUSTER SIZE histogram: how many components of
+    * each size the near-dup graph contains — the one-glance shape report
+    * of corpus duplication (a fat singleton bar with a thin tail means
+    * organic text; a few giant clusters mean template/mirror contamination
+    * that per-pair stats hide). Two bounded aggregations over the
+    * [[dedupClusters]] assignment (sizes, then the histogram); the cost IS
+    * the cluster map, shared with #60.
+    */
+  def clusterSizeHist(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame =
+    dedupClusters(spark, dir, threshold)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
 }

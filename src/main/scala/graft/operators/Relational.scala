@@ -3187,6 +3187,97 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** §2.2 #254 — exponential-DECAY engagement score per user:
+    * Σ value · 2^(−⌊age/halflife⌋) — the recency-weighted activity metric
+    * behind churn-risk ranking (yesterday's click outweighs last
+    * quarter's). Decay is PIECEWISE-DYADIC (the #221 trick generalized):
+    * the weight is an exact power of two 2^(40−k), so each term is one
+    * decimal × long multiply and the single division by 2⁴⁰ happens once
+    * at the end — no float pow drifting with evaluation order. One 1-row
+    * anchor broadcast (max event day), one partial-aggregated pass per
+    * user.
+    */
+  def decayEngagement(spark: SparkSession, dir: String, halfLifeDays: Int = 7)
+      : DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val anchor = ev.agg(max("day").as("d1"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("k",
+        least(expr(s"datediff(d1, day) div $halfLifeDays"), lit(40L)))
+      .withColumn("term",
+        col("value").cast(DecimalType(28, 6)) *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - k AS INT))"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("term").cast("double") / lit(math.pow(2, 40)), 6).as("score"))
+      .orderBy("user_id")
+  }
+
+  /** §2.2 #255 — SAMPLE-RATIO MISMATCH guardrail for the A/B assignment
+    * (#132's mandatory companion): a 1-df chi-square of the observed arm
+    * split against the designed 50/50 — an imbalanced split means the
+    * bucketing itself is broken and every downstream lift number is
+    * garbage. Counts DISTINCT USERS (assignment is per-user; event-level
+    * counts would double-weight heavy users), chi² = (n_a−n_b)²/n exact
+    * integers to one double division, flag at the 0.05 critical value.
+    */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val arms = t(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("arm",
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7", "A")
+          .otherwise("B"))
+    val s = arms.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+    val na = col("na").cast("double"); val nb = col("nb").cast("double")
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    s.select(col("na").as("n_a"), col("nb").as("n_b"),
+      round(chi2, 6).as("chi2"), (chi2 > 3.841459).as("srm_detected"))
+  }
+
+  /** §2.2 #256 — BLOOM-FILTER false-positive measurement: build a 1024-bit
+    * k=3 filter from the even customer keys IN SQL (bit positions = three
+    * 8-hex-digit slices of sha256 mod m — engine-portable, no opaque
+    * native sketch), probe with the odd keys, and report the MEASURED
+    * false-positive rate next to the (bits_set/m)^k prediction — the
+    * calibration check before trusting a Bloom-style pre-filter (#110's
+    * runtime bloom) on a new key domain. The filter is a ≤m-row DISTINCT
+    * frame (broadcast to the probe side); everything else is exact integer
+    * counting.
+    */
+  def bloomFpr(spark: SparkSession, dir: String, mBits: Int = 1024)
+      : DataFrame = {
+    def pos(h: Int): Column =
+      expr(s"CAST(conv(substr(sha2(CAST(c_custkey AS STRING), 256), " +
+        s"${1 + 8 * h}, 8), 16, 10) AS BIGINT) % $mBits")
+    val keys = t(spark, dir, "customer")
+      .select(col("c_custkey") +: (0 until 3).map(h => pos(h).as(s"p$h")): _*)
+      .localCheckpoint(true)
+    val members = keys.where(col("c_custkey") % 2 === 0)
+    val probes = keys.where(col("c_custkey") % 2 === 1)
+    val bits = members
+      .select(explode(array(col("p0"), col("p1"), col("p2"))).as("bit"))
+      .distinct().localCheckpoint(true)
+    val falsePos = probes
+      .select(col("c_custkey"),
+        explode(array(col("p0"), col("p1"), col("p2"))).as("bit"))
+      .join(broadcast(bits), "bit")
+      .groupBy("c_custkey").agg(count(lit(1)).as("nhit"))
+      .where(col("nhit") === 3)
+    val s = members.agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(probes.agg(count(lit(1)).as("n_probes"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(falsePos.agg(count(lit(1)).as("n_false_pos"))))
+    val load = col("bits_set").cast("double") / lit(mBits.toDouble)
+    s.select(col("n_members"), col("n_probes"), col("bits_set"),
+      col("n_false_pos"),
+      round(col("n_false_pos").cast("double") / col("n_probes").cast("double"), 6)
+        .as("fpr"),
+      round(load * load * load, 6).as("expected_fpr"))
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

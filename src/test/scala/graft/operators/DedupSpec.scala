@@ -345,4 +345,16 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("n_pairs"))
     }
   }
+
+  test("clusterSizeHist is the exact histogram of the engine's own cluster map") {
+    val hist = Dedup.clusterSizeHist(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    val assign = Dedup.dedupClusters(spark, sf).collect()
+      .map(_.getAs[Long]("cluster_id"))
+    val expect = assign.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hist == expect)
+    // histogram conserves documents
+    assert(hist.map { case (sz, n) => sz * n }.sum == assign.length.toLong)
+  }
 }

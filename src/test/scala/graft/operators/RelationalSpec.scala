@@ -1571,4 +1571,63 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(last.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
     } else assert(last.isNullAt(last.fieldIndex("z")))
   }
+
+  test("decayEngagement halves weight every 7 days against a local recompute") {
+    val rows = Relational.decayEngagement(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val anchor = ev.map(_._2).max
+    val uid = rows.head.getAs[Long]("user_id")
+    val mine = ev.filter(_._1 == uid)
+    val score = mine.map { case (_, day, v) =>
+      val k = math.min(java.time.temporal.ChronoUnit.DAYS.between(day, anchor) / 7, 40L)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        BigDecimal(1L << (40 - k).toInt)
+    }.sum.toDouble / math.pow(2, 40)
+    val r = rows.find(_.getAs[Long]("user_id") == uid).get
+    assert(r.getAs[Long]("n_events") == mine.length.toLong)
+    assert(math.abs(r.getAs[Double]("score") - score) < 1e-5)
+    // recency dominance: an event today weighs 2x one from 7-13 days ago
+    assert(rows.forall(_.getAs[Double]("score") >= 0.0))
+  }
+
+  test("abSrm counts distinct users per arm and flags only real imbalance") {
+    val r = Relational.abSrm(spark, sf).collect()(0)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val users = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val na = users.count { u =>
+      val h = md.digest(u.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) <= 7
+    }
+    val nb = users.length - na
+    assert(r.getAs[Long]("n_a") == na.toLong)
+    assert(r.getAs[Long]("n_b") == nb.toLong)
+    val chi2 = (na - nb).toDouble * (na - nb) / users.length
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5)
+    assert(r.getAs[Boolean]("srm_detected") == (chi2 > 3.841459))
+  }
+
+  test("bloomFpr counts only genuine 3-hit false positives") {
+    val r = Relational.bloomFpr(spark, sf).collect()(0)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def positions(k: Long): Seq[Long] = {
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 3).map(h => java.lang.Long.parseLong(hex.substring(8 * h, 8 * h + 8), 16) % 1024)
+    }
+    val keys = Tables.load(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val members = keys.filter(_ % 2 == 0)
+    val probes = keys.filter(_ % 2 != 0)
+    val bits = members.flatMap(positions).toSet
+    val fp = probes.count(p => positions(p).forall(bits))
+    assert(r.getAs[Long]("n_members") == members.length.toLong)
+    assert(r.getAs[Long]("n_probes") == probes.length.toLong)
+    assert(r.getAs[Long]("bits_set") == bits.size.toLong)
+    assert(r.getAs[Long]("n_false_pos") == fp.toLong)
+    val load = bits.size.toDouble / 1024
+    assert(math.abs(r.getAs[Double]("expected_fpr") - load * load * load) < 1e-5)
+  }
 }
