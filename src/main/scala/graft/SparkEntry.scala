@@ -588,6 +588,7 @@ object SparkEntry {
     "q_ab_srm" -> ((s, dir) => Relational.abSrm(s, dir)),
     "q_bloom_fpr" -> ((s, dir) => Relational.bloomFpr(s, dir)),
     "q_cluster_size_hist" -> ((s, dir) => Dedup.clusterSizeHist(s, dir)),
+    "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3687,6 +3688,23 @@ object SparkEntry {
          |    * (CAST(bits_set AS DOUBLE) / 1024.0), 6) AS expected_fpr
          |FROM s""".stripMargin
     },
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents),
+        |c AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+        |r AS (SELECT c,
+        |  CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS INTEGER) AS rk,
+        |  sum(c) OVER (ORDER BY c DESC, term ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c),
+        |t AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS vocab FROM c),
+        |ks AS (SELECT CAST(unnest([10, 100, 1000, 10000]) AS BIGINT) AS k,
+        |       least(CAST(unnest([10, 100, 1000, 10000]) AS BIGINT), vocab) AS k_eff
+        |       FROM t)
+        |SELECT k, vocab, total,
+        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+        |FROM r JOIN ks ON CAST(r.rk AS BIGINT) = ks.k_eff CROSS JOIN t
+        |ORDER BY k""".stripMargin,
     "copy_dedup" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |outc AS (

@@ -243,6 +243,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** §2.3 #258 — VOCABULARY COVERAGE curve: the share of corpus tokens
+    * covered by the top-K most frequent terms, at the K values a tokenizer
+    * designer actually sweeps (10 … 10⁴) — how much of the stream a
+    * vocabulary of size K explains, the empirical basis for vocab-size /
+    * byte-fallback decisions (and the integral view of `q_zipf`'s slope).
+    * Exact: term counts roll up map-side, ranks come from one window over
+    * the DISTINCT-term frame ordered (count desc, term asc) — vocabulary-
+    * sized, not corpus-sized — and each K's coverage is an exact integer
+    * prefix sum over that frame divided once.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    import spark.implicits._
+    val counts = docs(spark, dir)
+      .select(explode(tokensCol).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("term").asc)))
+      .withColumn("cum", sum("c").over(w))
+    val tot = counts.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+    // clamp k to the vocabulary size so every requested k emits a row
+    // (beyond-vocab k trivially covers 100%) at any scale factor
+    val kDf = ks.toDF("k").crossJoin(broadcast(tot))
+      .withColumn("k_eff", least(col("k").cast("long"), col("vocab")))
+    ranked.join(broadcast(kDf), col("rk").cast("long") === col("k_eff"))
+      .select(col("k").cast("long").as("k"), col("vocab"), col("total"),
+        round(col("cum").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

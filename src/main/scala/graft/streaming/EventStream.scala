@@ -363,6 +363,33 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** §2.4 #259 — streaming SAMPLE-RATIO-MISMATCH monitor: per tumbling
+    * window, the observed A/B arm split of APPROXIMATE DISTINCT users
+    * (HLL++ per arm — bounded state at any user cardinality, the #202
+    * discipline) with the 1-df chi-square against the designed 50/50 —
+    * the live guardrail that pages before a broken bucketing poisons an
+    * experiment (its batch twin is `q_ab_srm`). One stateful windowed
+    * aggregation; the chi-square and flag are stateless projections, so
+    * stream = batch by sketch-merge algebra (spec-asserted).
+    */
+  def srmMonitor(events: DataFrame): DataFrame = {
+    val arm = when(
+      substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7", "A")
+      .otherwise("B")
+    val agg = events
+      .withWatermark("ts", "20 minutes")
+      .withColumn("arm", arm)
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(approx_count_distinct(when(col("arm") === "A", col("user_id")))
+        .as("n_a"),
+        approx_count_distinct(when(col("arm") === "B", col("user_id")))
+          .as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val chi2 = (na - nb) * (na - nb) / (na + nb)
+    agg.select(col("window.start").as("window_start"), col("n_a"), col("n_b"),
+      round(chi2, 6).as("chi2"), (chi2 > 3.841459).as("srm_detected"))
+  }
+
   /** §2.4 #79 — INCREMENTAL table copy as a stream: `Trigger.AvailableNow`
     * processes everything that has landed in `srcDir` since the last run,
     * appends it to `destDir`, then stops — the modern replacement for

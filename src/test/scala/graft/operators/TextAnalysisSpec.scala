@@ -409,4 +409,23 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     val firstRow = rows.minBy(_.getAs[Long]("doc_id"))
     assert(firstRow.getAs[Double]("novelty") == 1.0)
   }
+
+  test("vocabCoverage is monotone in k and matches a local prefix sum") {
+    val rows = TextAnalysis.vocabCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val covs = rows.map(_.getAs[Double]("coverage"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => b >= a })
+    val toks = Tables.load(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).trim.split(" ", -1))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("vocab") == counts.length.toLong)
+      val cum = counts.take(k).map(_._2).sum
+      assert(math.abs(r.getAs[Double]("coverage") - cum.toDouble / total) < 1e-5)
+    }
+  }
 }

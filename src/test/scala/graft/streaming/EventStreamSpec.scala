@@ -584,4 +584,39 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(got.size == 6) // 3 closed windows x k=2
     } finally q.stop()
   }
+
+  test("srmMonitor: stream equals batch and flags a deliberately skewed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 0: many distinct users (balanced-ish); window 1: 60 distinct
+    // users ALL hashing to arm A (chi2 = 60 >> 3.84 — a certain SRM)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val armA = (0L until 2000L).filter { u =>
+      ((md.digest(u.toString.getBytes("UTF-8"))(0) >> 4) & 0xf) <= 7
+    }.take(60).toArray
+    val events = (0 until 400).map { i =>
+      if (i % 2 == 0) Event(i, ts(i % 9), i % 200, "click", 1.0)
+      else Event(i, ts(10 + i % 9), armA((i / 2) % 60), "view", 1.0)
+    }
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStream.srmMonitor(input.toDF())
+      .writeStream.format("memory").queryName("srm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(9999, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      val streamed = norm(spark.table("srm").collect())
+      val batch = norm(EventStream.srmMonitor(events.toDF()).collect())
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed vs batch=$batch")
+      // the all-arm-A window is a certain SRM (other arm empty, n >> critical)
+      val w1 = streamed.find(_._1 == ts(10).getTime).get
+      assert(w1._3 == 0L && w1._2 >= 50L)
+      assert(w1._5)
+    } finally q.stop()
+  }
 }
