@@ -589,6 +589,9 @@ object SparkEntry {
     "q_bloom_fpr" -> ((s, dir) => Relational.bloomFpr(s, dir)),
     "q_cluster_size_hist" -> ((s, dir) => Dedup.clusterSizeHist(s, dir)),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    "q_watermark_reco" -> ((s, dir) => Relational.watermarkReco(s, dir)),
+    "q_mode_price" -> ((s, dir) => Relational.modePrice(s, dir)),
+    "q_two_hop" -> ((s, dir) => Similarity.twoHop(s, dir, maxBits = 12)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3705,6 +3708,40 @@ object SparkEntry {
         |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
         |FROM r JOIN ks ON CAST(r.rk AS BIGINT) = ks.k_eff CROSS JOIN t
         |ORDER BY k""".stripMargin,
+    "q_watermark_reco" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t_us FROM events),
+        |l AS (SELECT event_id,
+        |  max(t_us) OVER (ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t_us AS late_us
+        |  FROM e),
+        |h AS (SELECT late_us, count(*)::BIGINT AS cnt FROM l GROUP BY 1),
+        |cm AS (SELECT late_us,
+        |  sum(cnt) OVER (ORDER BY late_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS n FROM h)
+        |SELECT max(n)::BIGINT AS n_events,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN late_us END) AS p50_us,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN late_us END) AS p95_us,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.99) AS BIGINT) THEN late_us END) AS p99_us,
+        |  max(late_us) AS max_us,
+        |  CAST(ceil(CAST(min(CASE WHEN cum >= CAST(ceil(n * 0.99) AS BIGINT)
+        |    THEN late_us END) AS DOUBLE) / 60000000.0) AS BIGINT) AS watermark_minutes
+        |FROM cm""".stripMargin,
+    "q_mode_price" ->
+      """WITH c AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |    count(*)::BIGINT AS cnt
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT brand, count(*)::BIGINT AS n_price_points,
+        |    max(struct_pack(cnt := cnt, npc := -pc)) AS mx
+        |  FROM c GROUP BY 1)
+        |SELECT brand, n_price_points, mx.cnt AS mode_count,
+        |  round(CAST(-mx.npc AS DOUBLE) / 100.0, 2) AS mode_price
+        |FROM m ORDER BY brand""".stripMargin,
+    "q_two_hop" -> Similarity.twoHopOracleSql(),
     "copy_dedup" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |outc AS (

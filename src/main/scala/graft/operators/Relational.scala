@@ -3278,6 +3278,60 @@ object Relational {
       round(load * load * load, 6).as("expected_fpr"))
   }
 
+  /** §2.2 #260 — WATERMARK RECOMMENDATION from the empirical lateness
+    * distribution: exact percentile-disc p50/p95/p99/max of per-event
+    * lateness (vs the running max event-time in arrival order — #222's
+    * measurement), plus the p99 rounded UP to whole minutes, which is the
+    * number a Structured-Streaming author pastes into `withWatermark` —
+    * closing the loop from measurement to policy. The arrival-order prefix
+    * max is the range-exchange running-window pattern; percentiles come
+    * from the bounded lateness-value histogram (#211 convention), one row
+    * out.
+    */
+  def watermarkReco(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = ev.withColumn("late_us", max("t_us").over(w) - col("t_us"))
+    val wCum = Window.orderBy("late_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = late.groupBy("late_us").agg(count(lit(1)).as("cnt"))
+      .select(col("late_us"), sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("n"))
+    def q(p: Double, out: String) =
+      min(when(col("cum") >= ceil(col("n") * p).cast("long"), col("late_us")))
+        .as(out)
+    hist.agg(max("n").as("n_events"), q(0.5, "p50_us"), q(0.95, "p95_us"),
+        q(0.99, "p99_us"), max("late_us").as("max_us"))
+      .withColumn("watermark_minutes",
+        ceil(col("p99_us").cast("double") / 60000000.0).cast("long"))
+  }
+
+  /** §2.2 #261 — MODAL price point per brand (the "price ladder" anchor):
+    * the most frequent extended price, ties broken to the LOWEST price —
+    * computed with the window-free max-struct argmax (the #120/#123
+    * discipline: `max(struct(cnt, −price))` per brand), so no per-brand
+    * sort exists anywhere; two partial-aggregated rollups, bounded by
+    * |brands| × |distinct prices|.
+    */
+  def modePrice(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long")
+    val counts = t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), cents.as("pc"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("brand")
+      .agg(count(lit(1)).as("n_price_points"),
+        max(struct(col("cnt"), (-col("pc")).as("npc"))).as("m"))
+      .select(col("brand"), col("n_price_points"),
+        col("m.cnt").as("mode_count"),
+        round((-col("m.npc")).cast("double") / 100.0, 2).as("mode_price"))
+      .orderBy("brand")
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

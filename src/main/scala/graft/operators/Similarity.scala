@@ -1324,6 +1324,57 @@ object Similarity {
        |    AS assortativity
        |FROM s""".stripMargin
 
+  /** §2.3 #262 — TWO-HOP neighborhood size over the undirected kNN graph:
+    * per vector, the count of distinct nodes within ≤2 hops (self
+    * excluded) — the expansion measure behind graph-based label
+    * propagation and diversity sampling (a small 2-hop ball means an
+    * isolated micro-cluster; a huge one, a hub-adjacent region that one
+    * more hop would flood). One self-join of the O(k·N) undirected edge
+    * list on the shared middle node + a distinct — bounded by k²·N pairs —
+    * then a left join to the id universe so isolated vectors report 0.
+    */
+  def twoHop(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val und = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+    val e = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val twoStep = e.as("a")
+      .join(e.as("b"), col("a.v") === col("b.u"))
+      .select(col("a.u").as("u"), col("b.v").as("w"))
+      .where(col("u") =!= col("w"))
+    val ball = e.select(col("u"), col("v").as("w")).union(twoStep)
+      .distinct()
+      .groupBy("u").agg(count(lit(1)).as("n_two_hop"))
+    Tables.load(spark, dir, "embeddings").select(col("vec_id"))
+      .join(ball.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle SQL for [[twoHop]] — the same middle-node self-join over
+    * the [[knnGraphOracleSql]] edge set.
+    */
+  def twoHopOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12)
+      : String =
+    s"""WITH g AS (${knnGraphOracleSql(k, nTables, maxBits)}),
+       |und AS (SELECT DISTINCT least(vec_id, nbr_id) AS u,
+       |        greatest(vec_id, nbr_id) AS v FROM g),
+       |e AS (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |ball AS (
+       |  SELECT DISTINCT u, w FROM (
+       |    SELECT u, v AS w FROM e
+       |    UNION ALL
+       |    SELECT a.u AS u, b.v AS w FROM e a JOIN e b ON a.v = b.u
+       |      WHERE a.u <> b.v)),
+       |cnt AS (SELECT u AS vec_id, count(*)::BIGINT AS n_two_hop
+       |        FROM ball GROUP BY 1)
+       |SELECT emb.vec_id, coalesce(n_two_hop, 0) AS n_two_hop
+       |FROM embeddings emb LEFT JOIN cnt ON cnt.vec_id = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
+
   /** §2.3 #212 — CLUSTER-vs-LABEL PURITY: for every multi-member
     * [[semanticClusters]] component, the share of members carrying the
     * cluster's dominant `label` — the acceptance metric that says whether

@@ -1630,4 +1630,42 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val load = bits.size.toDouble / 1024
     assert(math.abs(r.getAs[Double]("expected_fpr") - load * load * load) < 1e-5)
   }
+
+  test("watermarkReco percentiles match a local lateness recount") {
+    val r = Relational.watermarkReco(spark, sf).collect()(0)
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).getTime * 1000L))
+      .sortBy(_._1)
+    var runMax = Long.MinValue
+    val late = ev.map { case (_, t) => runMax = math.max(runMax, t); runMax - t }
+    val sorted = late.sorted
+    def qd(p: Double): Long = sorted(math.ceil(sorted.length * p).toInt - 1)
+    assert(r.getAs[Long]("n_events") == ev.length.toLong)
+    assert(r.getAs[Long]("p50_us") == qd(0.5))
+    assert(r.getAs[Long]("p95_us") == qd(0.95))
+    assert(r.getAs[Long]("p99_us") == qd(0.99))
+    assert(r.getAs[Long]("max_us") == sorted.last)
+    assert(r.getAs[Long]("watermark_minutes") ==
+      math.ceil(qd(0.99).toDouble / 60000000.0).toLong)
+  }
+
+  test("modePrice picks the most frequent price with lowest-price tie-break") {
+    val rows = Relational.modePrice(spark, sf).collect()
+    assert(rows.length == 25)
+    val r = rows.head
+    val brand = r.getAs[String]("brand")
+    val prices = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .where(col("p_brand") === brand)
+      .select("l_extendedprice").collect()
+      .map(x => (BigDecimal(x.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+    val counts = prices.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(r.getAs[Long]("n_price_points") == counts.size.toLong)
+    val best = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(r.getAs[Long]("mode_count") == best._2)
+    assert(r.getAs[Double]("mode_price") == best._1 / 100.0)
+  }
 }

@@ -500,4 +500,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
     assert(math.abs(r.getAs[Double]("assortativity") - rho) < 1e-5)
   }
+
+  test("twoHop counts the exact 2-ball of the engine's own kNN graph") {
+    val got = Similarity.twoHop(spark, sf, maxBits = 12).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_two_hop")).toMap
+    val und = Similarity.knnGraph(spark, sf, maxBits = 12)
+      .select("vec_id", "nbr_id").collect()
+      .flatMap(x => Seq((x.getLong(0), x.getLong(1)), (x.getLong(1), x.getLong(0))))
+      .toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nVec = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(got.size == nVec)
+    got.foreach { case (v, n) =>
+      val one = adj.getOrElse(v, Set.empty)
+      val two = one.flatMap(m => adj.getOrElse(m, Set.empty)) - v
+      assert(n == (one ++ two).size.toLong, s"vec $v")
+    }
+  }
 }
