@@ -592,6 +592,9 @@ object SparkEntry {
     "q_watermark_reco" -> ((s, dir) => Relational.watermarkReco(s, dir)),
     "q_mode_price" -> ((s, dir) => Relational.modePrice(s, dir)),
     "q_two_hop" -> ((s, dir) => Similarity.twoHop(s, dir, maxBits = 12)),
+    "q_xcorr_lags" -> ((s, dir) => Relational.xcorrLags(s, dir)),
+    "q_hill_tail" -> ((s, dir) => Relational.hillTail(s, dir)),
+    "q_effective_sample" -> ((s, dir) => Relational.effectiveSample(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3742,6 +3745,63 @@ object SparkEntry {
         |  round(CAST(-mx.npc AS DOUBLE) / 100.0, 2) AS mode_price
         |FROM m ORDER BY brand""".stripMargin,
     "q_two_hop" -> Similarity.twoHopOracleSql(),
+    "q_xcorr_lags" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS xc,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS xp
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(xc, 0) AS xc, coalesce(xp, 0) AS xp
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |lags AS (SELECT unnest(generate_series(0, 7)) AS lag),
+        |p AS (
+        |  SELECT l.lag, prev.xc, cur.xp
+        |  FROM full_s cur CROSS JOIN lags l
+        |  JOIN full_s prev ON prev.day = cur.day - CAST(l.lag AS INTEGER)),
+        |s AS (
+        |  SELECT lag, count(*)::BIGINT AS n,
+        |    sum(xc)::BIGINT AS sx, sum(xp)::BIGINT AS sy,
+        |    sum(CAST(xc AS HUGEINT) * xp) AS sxy,
+        |    sum(CAST(xc AS HUGEINT) * xc) AS sxx,
+        |    sum(CAST(xp AS HUGEINT) * xp) AS syy
+        |  FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT lag, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS d1,
+        |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d2
+        |  FROM s)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS xcorr
+        |FROM f ORDER BY lag""".stripMargin,
+    "q_hill_tail" ->
+      """WITH top AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders ORDER BY yc DESC, o_orderkey ASC LIMIT 100),
+        |r AS (SELECT min(yc) AS ref FROM top),
+        |terms AS (
+        |  SELECT CAST(ln(CAST(yc AS DOUBLE) / CAST(ref AS DOUBLE))
+        |    AS DECIMAL(28,12)) AS term, ref
+        |  FROM top, r)
+        |SELECT count(*)::BIGINT AS k,
+        |  round(CAST(max(ref) AS DOUBLE) / 100.0, 2) AS ref_value,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6) AS hill_alpha
+        |FROM terms""".stripMargin,
+    "q_effective_sample" ->
+      """WITH w AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS w
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(w)::BIGINT AS sw,
+        |      sum(CAST(w AS HUGEINT) * w) AS sww FROM w)
+        |SELECT n,
+        |  round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(sww AS DOUBLE), 6) AS ess,
+        |  round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(sww AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS ess_ratio
+        |FROM s""".stripMargin,
     "copy_dedup" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
         |outc AS (

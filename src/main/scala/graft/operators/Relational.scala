@@ -3332,6 +3332,101 @@ object Relational {
       .orderBy("brand")
   }
 
+  /** §2.2 #263 — lagged CROSS-CORRELATION between daily click and purchase
+    * counts (lags 0-7 days): the argmax lag IS the empirical conversion
+    * delay — the calibration number for attribution windows (#128) and
+    * stream-stream join bounds (#47), which lag-0 correlation (#232) is
+    * blind to. Exact: the calendar spine explodes against the 8-row lag
+    * frame, one date-shifted self-equi-join aligns (t−L, t) pairs, and the
+    * five Pearson sums per lag are integer aggregates; one guarded double
+    * division per lag row.
+    */
+  def xcorrLags(spark: SparkSession, dir: String, maxLag: Int = 7)
+      : DataFrame = {
+    import spark.implicits._
+    val big = DecimalType(38, 0)
+    val daily = t(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("xp"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("xc", coalesce(col("xc"), lit(0L)))
+      .withColumn("xp", coalesce(col("xp"), lit(0L)))
+      .localCheckpoint(true)
+    val lags = (0 to maxLag).toDF("lag")
+    val pairs = full.select(col("day"), col("xp")).crossJoin(broadcast(lags))
+      .join(full.select(col("day").as("pday"), col("xc")),
+        expr("pday = date_sub(day, lag)"))
+    val s = pairs.groupBy("lag").agg(count(lit(1)).as("n"),
+      sum("xc").as("sx"), sum("xp").as("sy"),
+      sum(col("xc").cast(big) * col("xp").cast(big)).as("sxy"),
+      sum(col("xc").cast(big) * col("xc").cast(big)).as("sxx"),
+      sum(col("xp").cast(big) * col("xp").cast(big)).as("syy"))
+    val nB = col("n").cast(big)
+    val num = (nB * col("sxy") - col("sx").cast(big) * col("sy").cast(big))
+      .cast("double")
+    val d1 = (nB * col("sxx") - col("sx").cast(big) * col("sx").cast(big))
+      .cast("double")
+    val d2 = (nB * col("syy") - col("sy").cast(big) * col("sy").cast(big))
+      .cast("double")
+    s.select(col("lag").cast("long").as("lag"), col("n"),
+      when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** §2.2 #264 — HILL tail-index estimator over the top-100 order values:
+    * α̂ = k / Σ ln(xᵢ/x₍ₖ₎) — is revenue's upper tail power-law, and how
+    * heavy (α ≤ 2 means variance-free planning numbers are fiction)? The
+    * revenue-side sibling of `q_zipf`'s text slope. The order statistics
+    * come from one TakeOrderedAndProject (per-partition heaps — no global
+    * sort of the fact table, deterministic (value desc, key asc)
+    * tie-break), the reference x₍ₖ₎ is their exact min, and the ln terms
+    * sum decimal-cast (#210); one division at the end.
+    */
+  def hillTail(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val top = t(spark, dir, "orders")
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("yc"), col("o_orderkey"))
+      .orderBy(col("yc").desc, col("o_orderkey").asc).limit(k)
+      .localCheckpoint(true)
+    val ref = top.agg(min("yc").as("ref"))
+    top.crossJoin(broadcast(ref))
+      .select((log(col("yc").cast("double") / col("ref").cast("double")))
+        .cast(dec).as("term"), col("ref"))
+      .groupBy()
+      .agg(count(lit(1)).as("k"), max("ref").as("ref_cents"),
+        sum("term").as("s"))
+      .select(col("k"),
+        round(col("ref_cents").cast("double") / 100.0, 2).as("ref_value"),
+        round(col("k").cast("double") / col("s").cast("double"), 6)
+          .as("hill_alpha"))
+  }
+
+  /** §2.2 #265 — EFFECTIVE SAMPLE SIZE under importance weights
+    * (customer revenue as the weight column): ESS = (Σw)²/Σw² and the
+    * ESS/n ratio — the one-number audit of how much a weighted sample
+    * (#107's machinery) actually carries ("n=1M at ESS ratio 0.01 is ten
+    * thousand effective customers"). Exact cent sums, Σw² in
+    * decimal(38,0), two double divisions at the end, one row.
+    */
+  def effectiveSample(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val w = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("w"))
+    val s = w.agg(count(lit(1)).as("n"), sum("w").as("sw"),
+      sum(col("w").cast(big) * col("w").cast(big)).as("sww"))
+    val ess = (col("sw").cast(big) * col("sw").cast(big)).cast("double") /
+      col("sww").cast("double")
+    s.select(col("n"), round(ess, 6).as("ess"),
+      round(ess / col("n").cast("double"), 6).as("ess_ratio"))
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

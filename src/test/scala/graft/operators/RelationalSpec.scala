@@ -1668,4 +1668,60 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("mode_count") == best._2)
     assert(r.getAs[Double]("mode_price") == best._1 / 100.0)
   }
+
+  test("xcorrLags: lag 0 equals a direct Pearson over the daily spine") {
+    val rows = Relational.xcorrLags(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (0L to 7L))
+    val daily = Tables.load(spark, sf, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("xc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("xp"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val d0 = daily.map(_._1).min; val d1 = daily.map(_._1).max
+    val m = daily.map(t => t._1 -> (t._2, t._3)).toMap
+    val spine = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => m.getOrElse(d, (0L, 0L))).toArray
+    val xs = spine.map(_._1.toDouble); val ys = spine.map(_._2.toDouble)
+    val n = xs.length.toDouble
+    val num = n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+      (n * ys.map(y => y * y).sum - ys.sum * ys.sum))
+    val r0 = rows.find(_.getAs[Long]("lag") == 0L).get
+    assert(r0.getAs[Long]("n") == spine.length.toLong)
+    assert(math.abs(r0.getAs[Double]("xcorr") - num / den) < 1e-5)
+    // higher lags correlate over n - lag pairs
+    rows.foreach(r => assert(r.getAs[Long]("n") ==
+      spine.length - r.getAs[Long]("lag")))
+  }
+
+  test("hillTail estimates alpha over exactly the top-100 order values") {
+    val r = Relational.hillTail(spark, sf).collect()(0)
+    val cents = Tables.load(spark, sf, "orders")
+      .select("o_totalprice").collect()
+      .map(x => (BigDecimal(x.getDouble(0)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      .sorted.reverse.take(100)
+    val ref = cents.min
+    assert(r.getAs[Long]("k") == 100L)
+    assert(r.getAs[Double]("ref_value") == ref / 100.0)
+    val s = cents.map(x => math.log(x.toDouble / ref)).sum
+    assert(math.abs(r.getAs[Double]("hill_alpha") - 100.0 / s) < 1e-4)
+    assert(r.getAs[Double]("hill_alpha") > 0.0)
+  }
+
+  test("effectiveSample: ESS <= n with equality only for equal weights") {
+    val r = Relational.effectiveSample(spark, sf).collect()(0)
+    val w = Tables.load(spark, sf, "orders")
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("rev"))
+      .collect().map(x => (BigDecimal(x.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+    assert(r.getAs[Long]("n") == w.length.toLong)
+    val sw = w.map(BigDecimal(_)).sum
+    val sww = w.map(x => BigDecimal(x) * BigDecimal(x)).sum
+    val ess = (sw * sw).toDouble / sww.toDouble
+    assert(math.abs(r.getAs[Double]("ess") - ess) < 1e-3)
+    assert(r.getAs[Double]("ess") <= r.getAs[Long]("n").toDouble + 1e-9)
+    assert(math.abs(r.getAs[Double]("ess_ratio") - ess / w.length) < 1e-6)
+  }
 }
