@@ -595,6 +595,9 @@ object SparkEntry {
     "q_xcorr_lags" -> ((s, dir) => Relational.xcorrLags(s, dir)),
     "q_hill_tail" -> ((s, dir) => Relational.hillTail(s, dir)),
     "q_effective_sample" -> ((s, dir) => Relational.effectiveSample(s, dir)),
+    "copy_publish" -> ((s, dir) => TableCopy.publishCopy(s, dir, tmp("publish"))),
+    "q_token_len_profile" -> ((s, dir) => TextAnalysis.tokenLenProfile(s, dir)),
+    "q_gap_hazard" -> ((s, dir) => Relational.gapHazard(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3790,6 +3793,42 @@ object SparkEntry {
         |  round(CAST(max(ref) AS DOUBLE) / 100.0, 2) AS ref_value,
         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6) AS hill_alpha
         |FROM terms""".stripMargin,
+    "copy_publish" ->
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_token_len_profile" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |lens AS (SELECT lang, CAST(length(tok) AS BIGINT) AS len FROM tok),
+        |h AS (SELECT lang, len, count(*)::BIGINT AS cnt FROM lens GROUP BY 1, 2),
+        |cm AS (SELECT lang, len, cnt,
+        |  sum(cnt) OVER (PARTITION BY lang ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY lang) AS n,
+        |  len * cnt AS lc
+        |  FROM h)
+        |SELECT lang, max(n)::BIGINT AS n_tokens,
+        |  round(CAST(sum(lc) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS mean_len,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN len END) AS p50_len,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN len END) AS p95_len
+        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gap_hazard" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate::DATE AS d,
+        |    lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey ORDER BY o_orderdate::DATE) AS prev
+        |  FROM orders),
+        |gaps AS (
+        |  SELECT least(datediff('day', prev, d) // 7, 12) AS wk
+        |  FROM o WHERE prev IS NOT NULL),
+        |h AS (SELECT wk, count(*)::BIGINT AS n_gaps FROM gaps GROUP BY 1),
+        |r AS (SELECT wk, n_gaps,
+        |  sum(n_gaps) OVER (ORDER BY wk DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+        |  FROM h)
+        |SELECT wk AS gap_weeks, n_gaps, CAST(at_risk AS BIGINT) AS at_risk,
+        |  round(CAST(n_gaps AS DOUBLE) / CAST(at_risk AS DOUBLE), 6) AS hazard
+        |FROM r ORDER BY gap_weeks""".stripMargin,
     "q_effective_sample" ->
       """WITH w AS (
         |  SELECT o_custkey,

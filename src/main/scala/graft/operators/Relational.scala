@@ -3427,6 +3427,36 @@ object Relational {
       round(ess / col("n").cast("double"), 6).as("ess_ratio"))
   }
 
+  /** §2.2 #268 — discrete re-order HAZARD curve: for each whole-week gap
+    * length w, the probability a customer who has gone w weeks since their
+    * last order comes back EXACTLY then, h(w) = #(gap = w) / #(gap ≥ w) —
+    * the survival-analysis view of `q_order_cadence` that needs NO
+    * floating product chain (the Kaplan-Meier estimator's cross-engine
+    * hazard: every h(w) is one integer ratio, so an exact oracle exists
+    * where the KM product would drift). Gaps come from one per-customer
+    * lag window (key-partitioned), the at-risk denominator from a reverse
+    * cumulative sum over the bounded week histogram.
+    */
+  def gapHazard(spark: SparkSession, dir: String, maxWeeks: Int = 12)
+      : DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+    val gaps = t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      .withColumn("prev", lag("d", 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(least(expr("datediff(d, prev) div 7"), lit(maxWeeks.toLong))
+        .as("wk"))
+    val hist = gaps.groupBy("wk").agg(count(lit(1)).as("n_gaps"))
+    val wRisk = Window.orderBy(col("wk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("at_risk", sum("n_gaps").over(wRisk))
+      .select(col("wk").as("gap_weeks"), col("n_gaps"), col("at_risk"),
+        round(col("n_gaps").cast("double") / col("at_risk").cast("double"), 6)
+          .as("hazard"))
+      .orderBy("gap_weeks")
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

@@ -277,6 +277,36 @@ object TextAnalysis {
       .orderBy("k")
   }
 
+  /** §2.3 #267 — TOKEN-LENGTH profile per language: mean plus exact
+    * percentile-disc p50/p95 of word lengths — the byte-level fingerprint
+    * that separates scripts and catches tokenizer damage (a lang whose p95
+    * token length doubles grew concatenation artifacts; one whose mean
+    * halves got over-split). Mean is an exact integer ratio; percentiles
+    * come from the bounded (lang, length) histogram (#211 convention —
+    * word length is domain-bounded, so every window runs on a tiny frame).
+    */
+  def tokenLenProfile(spark: SparkSession, dir: String): DataFrame = {
+    val lens = docs(spark, dir)
+      .select(col("lang"), explode(tokensCol).as("tok"))
+      .select(col("lang"), length(col("tok")).cast("long").as("len"))
+    val hist = lens.groupBy("lang", "len").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    def q(p: Double, out: String) =
+      min(when(col("cum") >= ceil(col("n") * p).cast("long"), col("len"))).as(out)
+    hist
+      .select(col("lang"), col("len"), col("cnt"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"),
+        (col("len") * col("cnt")).as("lc"))
+      .groupBy("lang")
+      .agg(max("n").as("n_tokens"),
+        round(sum("lc").cast("double") / max("n").cast("double"), 6)
+          .as("mean_len"),
+        q(0.5, "p50_len"), q(0.95, "p95_len"))
+      .orderBy("lang")
+  }
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

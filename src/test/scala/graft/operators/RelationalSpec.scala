@@ -1724,4 +1724,28 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("ess") <= r.getAs[Long]("n").toDouble + 1e-9)
     assert(math.abs(r.getAs[Double]("ess_ratio") - ess / w.length) < 1e-6)
   }
+
+  test("gapHazard: hazards are ratios of a conserved at-risk population") {
+    val rows = Relational.gapHazard(spark, sf).collect()
+    val gaps = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(_._1).values.flatMap { g =>
+        val ds = g.map(_._2).toSeq.sorted
+        ds.zip(ds.tail).map { case (a, b) => math.min((b - a) / 7, 12L) }
+      }.toSeq
+    val hist = gaps.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n_gaps")).sum == gaps.length.toLong)
+    rows.foreach { r =>
+      val wk = r.getAs[Long]("gap_weeks")
+      assert(r.getAs[Long]("n_gaps") == hist(wk))
+      val atRisk = hist.filter(_._1 >= wk).values.sum
+      assert(r.getAs[Long]("at_risk") == atRisk)
+      assert(math.abs(r.getAs[Double]("hazard") -
+        hist(wk).toDouble / atRisk) < 1e-6)
+    }
+    // at-risk telescopes: first row covers every gap
+    assert(rows.minBy(_.getAs[Long]("gap_weeks")).getAs[Long]("at_risk") ==
+      gaps.length.toLong)
+  }
 }

@@ -1026,4 +1026,18 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       .map(_.getLong(0)).toSet
     assert(written == survivors)
   }
+
+  test("publishCopy stages, audits, and atomically swaps the final directory") {
+    val dest = Files.createTempDirectory("publish").toString + "/supplier"
+    val out = TableCopy.publishCopy(spark, sf, dest).collect()
+    val src = Tables.load(spark, sf, "supplier")
+    assert(out.length == src.count())
+    // the staging directory is gone, the final one exists
+    assert(!new java.io.File(dest + ".staging").exists())
+    assert(new java.io.File(dest).exists())
+    // re-publish over the existing table succeeds (swap, not append)
+    val again = TableCopy.publishCopy(spark, sf, dest).collect()
+    assert(again.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq)
+    assert(spark.read.parquet(dest).count() == src.count())
+  }
 }

@@ -428,4 +428,21 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getAs[Double]("coverage") - cum.toDouble / total) < 1e-5)
     }
   }
+
+  test("tokenLenProfile percentiles match a local histogram walk") {
+    val rows = TextAnalysis.tokenLenProfile(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lang = rows.head.getAs[String]("lang")
+    val lens = docs.filter(_._1 == lang)
+      .flatMap(_._2.trim.split(" ", -1)).map(_.length.toLong).sorted
+    def qd(p: Double): Long = lens(math.ceil(lens.length * p).toInt - 1)
+    val r = rows.find(_.getAs[String]("lang") == lang).get
+    assert(r.getAs[Long]("n_tokens") == lens.length.toLong)
+    assert(math.abs(r.getAs[Double]("mean_len") -
+      lens.sum.toDouble / lens.length) < 1e-5)
+    assert(r.getAs[Long]("p50_len") == qd(0.5))
+    assert(r.getAs[Long]("p95_len") == qd(0.95))
+  }
 }
