@@ -103,7 +103,14 @@ object PlanAudit {
         "q_chi2", "q_lateness", "q_seasonality", "q_abc_class", "q_burstiness",
         // runs_test: 1-row exact-median frame broadcast over the bounded
         // daily series (the cusum/ks totals pattern)
-        "q_runs_test")
+        "q_runs_test",
+        // decay_engagement: 1-row anchor-date frame (the rfm pattern);
+        // hill_tail: 1-row reference order-statistic over the top-K frame;
+        // vocab_coverage: 1-row corpus-totals frame over the K grid;
+        // xcorr_lags: 8-row lag frame fanned over the calendar spine;
+        // bloom_fpr: 1-row count frames chained over the bounded bit set
+        "q_decay_engagement", "q_hill_tail", "q_vocab_coverage",
+        "q_xcorr_lags", "q_bloom_fpr")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
