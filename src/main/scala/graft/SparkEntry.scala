@@ -598,6 +598,8 @@ object SparkEntry {
     "copy_publish" -> ((s, dir) => TableCopy.publishCopy(s, dir, tmp("publish"))),
     "q_token_len_profile" -> ((s, dir) => TextAnalysis.tokenLenProfile(s, dir)),
     "q_gap_hazard" -> ((s, dir) => Relational.gapHazard(s, dir)),
+    "q_weighted_median" -> ((s, dir) => Relational.weightedMedian(s, dir)),
+    "q_char_entropy" -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3829,6 +3831,33 @@ object SparkEntry {
         |SELECT wk AS gap_weeks, n_gaps, CAST(at_risk AS BIGINT) AS at_risk,
         |  round(CAST(n_gaps AS DOUBLE) / CAST(at_risk AS DOUBLE), 6) AS hazard
         |FROM r ORDER BY gap_weeks""".stripMargin,
+    "q_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |    sum(CAST(l_quantity AS BIGINT))::BIGINT AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cm AS (SELECT flag, pc,
+        |  sum(w) OVER (PARTITION BY flag ORDER BY pc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(w) OVER (PARTITION BY flag) AS tw
+        |  FROM h)
+        |SELECT flag, max(tw)::BIGINT AS total_weight,
+        |  round(CAST(min(CASE WHEN cum * 2 >= tw THEN pc END) AS DOUBLE) / 100.0, 2)
+        |    AS weighted_median_price
+        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_char_entropy" ->
+      """WITH g AS (
+        |  SELECT lang, unnest([substr(text, i, 2)
+        |    FOR i IN generate_series(1, greatest(length(text) - 1, 0))]) AS g
+        |  FROM documents),
+        |c AS (SELECT lang, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+        |SELECT lang, sum(c)::BIGINT AS n_bigrams, count(*)::BIGINT AS vocab,
+        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |    - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |        AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_effective_sample" ->
       """WITH w AS (
         |  SELECT o_custkey,

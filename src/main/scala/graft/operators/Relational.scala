@@ -3457,6 +3457,33 @@ object Relational {
       .orderBy("gap_weeks")
   }
 
+  /** §2.2 #269 — QUANTITY-WEIGHTED median price per return flag: the
+    * median dollar actually moved, not the median line item — a handful
+    * of 50-unit lines outweigh many singles, which the unweighted
+    * percentile family (#48/#211) can't express. Same exact machinery as
+    * #211 with the histogram counting WEIGHT instead of rows: cum weight ≥
+    * ⌈total/2⌉ over the (flag, price) frame, integer throughout, one
+    * histogram shuffle.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val hist = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("pc"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val wCum = Window.partitionBy("flag").orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("flag")
+    hist
+      .select(col("flag"), col("pc"), sum("w").over(wCum).as("cum"),
+        sum("w").over(wAll).as("tw"))
+      .groupBy("flag")
+      .agg(max("tw").as("total_weight"),
+        round(min(when(col("cum") * 2 >= col("tw"), col("pc")))
+          .cast("double") / 100.0, 2).as("weighted_median_price"))
+      .orderBy("flag")
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

@@ -307,6 +307,34 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** §2.3 #270 — CHARACTER-BIGRAM ENTROPY rate per language: the
+    * sub-token disorder measure (token entropy #108 is blind to
+    * within-word structure — OCR noise and encoding rot raise char-level
+    * entropy long before they disturb token stats, and each language has
+    * a stable fingerprint band). Denominator-cleared exactness:
+    * H = ln N − (Σ c·ln c)/N, so the only per-group float work is one
+    * c·ln(c) per DISTINCT bigram (decimal-cast summed, #210) and two final
+    * double ops — no per-row probabilities. One explode pass, bounded
+    * (lang, bigram) rollup.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val grams = docs(spark, dir)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, greatest(length(text) - 1, 0)), " +
+          "i -> substr(text, i, 2))")).as("g"))
+      .groupBy("lang", "g").agg(count(lit(1)).as("c"))
+    grams.groupBy("lang")
+      .agg(sum("c").as("n_bigrams"), count(lit(1)).as("vocab"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast(dec)).as("s"))
+      .select(col("lang"), col("n_bigrams"), col("vocab"),
+        round(log(col("n_bigrams").cast("double")) -
+          col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("entropy_nats"))
+      .orderBy("lang")
+  }
+
   /** §2.3 #31 — document fingerprint: rolling polynomial hash over word
     * tokens. token_hash(t) = 7*len(t) + ascii(t[0]); fp = fold over tokens of
     * (acc*131 + token_hash) mod 1e9+7 starting at 7. A sequential fold, so

@@ -1748,4 +1748,26 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.minBy(_.getAs[Long]("gap_weeks")).getAs[Long]("at_risk") ==
       gaps.length.toLong)
   }
+
+  test("weightedMedian: half the quantity sits at or below the reported price") {
+    val rows = Relational.weightedMedian(spark, sf).collect()
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact,
+        r.getDouble(2).toLong))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val mine = li.filter(_._1 == flag)
+      val tw = mine.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") == tw)
+      val med = (r.getAs[Double]("weighted_median_price") * 100).round
+      val below = mine.filter(_._2 <= med).map(_._3).sum
+      val strictlyBelow = mine.filter(_._2 < med).map(_._3).sum
+      // med is the smallest price whose cumulative weight reaches half
+      assert(2 * below >= tw)
+      assert(2 * strictlyBelow < tw)
+    }
+  }
 }

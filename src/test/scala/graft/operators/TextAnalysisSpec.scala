@@ -445,4 +445,22 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("p50_len") == qd(0.5))
     assert(r.getAs[Long]("p95_len") == qd(0.95))
   }
+
+  test("charEntropy equals a local bigram-distribution entropy") {
+    val rows = TextAnalysis.charEntropy(spark, sf).collect()
+    val docs = Tables.load(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val lang = rows.head.getAs[String]("lang")
+    val grams = docs.filter(_._1 == lang)
+      .flatMap(t => t._2.sliding(2).filter(_.length == 2))
+    val counts = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = grams.length.toDouble
+    val h = math.log(n) - counts.values.map(c => c * math.log(c.toDouble)).sum / n
+    val r = rows.find(_.getAs[String]("lang") == lang).get
+    assert(r.getAs[Long]("n_bigrams") == grams.length.toLong)
+    assert(r.getAs[Long]("vocab") == counts.size.toLong)
+    assert(math.abs(r.getAs[Double]("entropy_nats") - h) < 1e-4)
+    assert(h >= 0)
+  }
 }
