@@ -600,6 +600,8 @@ object SparkEntry {
     "q_gap_hazard" -> ((s, dir) => Relational.gapHazard(s, dir)),
     "q_weighted_median" -> ((s, dir) => Relational.weightedMedian(s, dir)),
     "q_char_entropy" -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
+    "q_kendall_tau" -> ((s, dir) => Relational.kendallTau(s, dir)),
+    "q_partial_corr" -> ((s, dir) => Relational.partialCorr(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3831,6 +3833,64 @@ object SparkEntry {
         |SELECT wk AS gap_weeks, n_gaps, CAST(at_risk AS BIGINT) AS at_risk,
         |  round(CAST(n_gaps AS DOUBLE) / CAST(at_risk AS DOUBLE), 6) AS hazard
         |FROM r ORDER BY gap_weeks""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH joint AS (
+        |  SELECT l_returnflag AS flag, l_quantity AS x, l_discount AS y,
+        |    count(*)::BIGINT AS n
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.flag,
+        |    sum(CASE WHEN b.y > a.y THEN CAST(a.n AS HUGEINT) * b.n
+        |      ELSE 0 END) AS c,
+        |    sum(CASE WHEN b.y < a.y THEN CAST(a.n AS HUGEINT) * b.n
+        |      ELSE 0 END) AS d
+        |  FROM joint a JOIN joint b ON a.flag = b.flag AND b.x > a.x
+        |  GROUP BY 1),
+        |tx AS (
+        |  SELECT flag, sum(CAST(t AS HUGEINT) * (t - 1)) AS t2_x FROM (
+        |    SELECT flag, x, sum(n)::BIGINT AS t FROM joint GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |ty AS (
+        |  SELECT flag, sum(CAST(t AS HUGEINT) * (t - 1)) AS t2_y FROM (
+        |    SELECT flag, y, sum(n)::BIGINT AS t FROM joint GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tot AS (SELECT flag, sum(n)::BIGINT AS nn FROM joint GROUP BY 1)
+        |SELECT cd.flag, nn AS n,
+        |  round(2.0 * CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST(CAST(nn AS HUGEINT) * (nn - 1) - t2_x AS DOUBLE)
+        |         * CAST(CAST(nn AS HUGEINT) * (nn - 1) - t2_y AS DOUBLE)), 6)
+        |    AS tau_b
+        |FROM cd JOIN tx USING (flag) JOIN ty USING (flag) JOIN tot USING (flag)
+        |ORDER BY flag""".stripMargin,
+    "q_partial_corr" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    CAST(CAST(l_discount AS DECIMAL(8,3)) * 1000 AS BIGINT) AS z
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT flag, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(z)::BIGINT AS sz,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |    sum(CAST(y AS HUGEINT) * z) AS syz, sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy, sum(CAST(z AS HUGEINT) * z) AS szz
+        |  FROM li GROUP BY 1),
+        |r AS (
+        |  SELECT flag, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |           * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) AS rxy,
+        |    CAST(CAST(n AS HUGEINT) * sxz - CAST(sx AS HUGEINT) * sz AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |           * CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS rxz,
+        |    CAST(CAST(n AS HUGEINT) * syz - CAST(sy AS HUGEINT) * sz AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+        |           * CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS ryz
+        |  FROM s)
+        |SELECT flag, n, round(rxy, 6) AS r_xy,
+        |  round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |    AS r_xy_given_z
+        |FROM r ORDER BY flag""".stripMargin,
     "q_weighted_median" ->
       """WITH h AS (
         |  SELECT l_returnflag AS flag,

@@ -3484,6 +3484,92 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** §2.2 #271 — KENDALL τ-b of quantity vs discount per return flag: the
+    * concordant-discordant rank statistic with full tie correction — more
+    * robust than Spearman (#229) for heavily tied ordinal pairs because it
+    * counts PAIR ORIENTATIONS, not rank magnitudes. The naive O(n²) pair
+    * scan becomes exact O(|domain|²) arithmetic on the bounded JOINT
+    * histogram (#229's trick pushed one level further): concordant/
+    * discordant sums are one self-join of the (flag, x, y, n) frame on
+    * x₂ > x₁ (≤ (50·11)² cell pairs per flag), tie terms come from the
+    * marginals, everything integer decimal until the final τ division.
+    */
+  def kendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val joint = t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("x"),
+        col("l_discount").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val cd = joint.as("a")
+      .join(joint.as("b"),
+        col("a.flag") === col("b.flag") && col("b.x") > col("a.x"))
+      .groupBy(col("a.flag").as("flag"))
+      .agg(
+        sum(when(col("b.y") > col("a.y"),
+          col("a.n").cast(big) * col("b.n").cast(big)).otherwise(lit(0).cast(big)))
+          .as("c"),
+        sum(when(col("b.y") < col("a.y"),
+          col("a.n").cast(big) * col("b.n").cast(big)).otherwise(lit(0).cast(big)))
+          .as("d"))
+    // Doubled tie/pair counts (t(t−1), n(n−1)) keep the algebra in exact
+    // integers — τ picks up a compensating factor 2 in the numerator.
+    def tieTerm(v: String): DataFrame = joint
+      .groupBy("flag", v).agg(sum("n").as("t"))
+      .groupBy("flag")
+      .agg(sum(col("t").cast(big) * (col("t").cast(big) - 1)).as(s"t2_$v"))
+    val totals = joint.groupBy("flag").agg(sum("n").as("nn"))
+    val n02 = col("nn").cast(big) * (col("nn").cast(big) - 1)
+    cd.join(tieTerm("x"), "flag").join(tieTerm("y"), "flag")
+      .join(totals, "flag")
+      .select(col("flag"), col("nn").as("n"),
+        round(lit(2.0) * (col("c") - col("d")).cast("double") /
+          sqrt((n02 - col("t2_x")).cast("double") *
+            (n02 - col("t2_y")).cast("double")), 6).as("tau_b"))
+      .orderBy("flag")
+  }
+
+  /** §2.2 #272 — PARTIAL correlation of quantity and price CONTROLLING for
+    * discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — does
+    * the quantity-price relation survive once the discount channel is
+    * removed, the confounder check plain `q_corr` cannot make. All three
+    * pairwise correlations come from ONE partial-aggregated pass of exact
+    * integer sums (quantity units, price cents, discount millis — every
+    * Σ and Σ·Σ in decimal(38,0)); the partial-correlation algebra is a
+    * fixed double formula over nine exact scalars per flag.
+    */
+  def partialCorr(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val li = t(spark, dir, "lineitem").select(
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("x"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        .as("y"),
+      (col("l_discount").cast(DecimalType(8, 3)) * 1000).cast("long").as("z"))
+    val s = li.groupBy("flag").agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+      sum(col("x").cast(big) * col("y").cast(big)).as("sxy"),
+      sum(col("x").cast(big) * col("z").cast(big)).as("sxz"),
+      sum(col("y").cast(big) * col("z").cast(big)).as("syz"),
+      sum(col("x").cast(big) * col("x").cast(big)).as("sxx"),
+      sum(col("y").cast(big) * col("y").cast(big)).as("syy"),
+      sum(col("z").cast(big) * col("z").cast(big)).as("szz"))
+    val nB = col("n").cast(big)
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column)
+        : Column =
+      (nB * sab - sa.cast(big) * sb.cast(big)).cast("double") /
+        sqrt((nB * saa - sa.cast(big) * sa.cast(big)).cast("double") *
+          (nB * sbb - sb.cast(big) * sb.cast(big)).cast("double"))
+    val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+    val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+    val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+    s.select(col("flag"), col("n"), round(rxy, 6).as("r_xy"),
+      round((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+        .as("r_xy_given_z"))
+      .orderBy("flag")
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

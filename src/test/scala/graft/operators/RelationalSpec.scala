@@ -1770,4 +1770,58 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(2 * strictlyBelow < tw)
     }
   }
+
+  test("kendallTau equals a brute-force pair orientation count for one flag") {
+    val rows = Relational.kendallTau(spark, sf).collect()
+    val flag = rows.head.getAs[String]("flag")
+    val pts = Tables.load(spark, sf, "lineitem")
+      .where(col("l_returnflag") === flag)
+      .select("l_quantity", "l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    var c = 0L; var d = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val sx = math.signum(pts(j)._1 - pts(i)._1)
+      val sy = math.signum(pts(j)._2 - pts(i)._2)
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+    }
+    val n = pts.length.toLong
+    def ties(vs: Array[Double]): Long =
+      vs.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1)).sum
+    val n02 = n * (n - 1)
+    val tau = 2.0 * (c - d) /
+      math.sqrt((n02 - ties(pts.map(_._1))).toDouble *
+        (n02 - ties(pts.map(_._2))).toDouble)
+    val r = rows.find(_.getAs[String]("flag") == flag).get
+    assert(r.getAs[Long]("n") == n)
+    assert(math.abs(r.getAs[Double]("tau_b") - tau) < 1e-5)
+  }
+
+  test("partialCorr removes the controlled channel (matches local algebra)") {
+    val rows = Relational.partialCorr(spark, sf).collect()
+    assert(rows.length == 3)
+    val flag = rows.head.getAs[String]("flag")
+    val raw = Tables.load(spark, sf, "lineitem")
+      .where(col("l_returnflag") === flag)
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getDouble(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toDouble,
+        (BigDecimal(r.getDouble(2)).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP) * 1000).toDouble))
+    def corr(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length
+      val (sa, sb) = (a.sum, b.sum)
+      val sab = a.zip(b).map(p => p._1 * p._2).sum
+      (n * sab - sa * sb) / math.sqrt(
+        (n * a.map(x => x * x).sum - sa * sa) *
+          (n * b.map(x => x * x).sum - sb * sb))
+    }
+    val (xs, ys, zs) = (raw.map(_._1), raw.map(_._2), raw.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val part = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    val r = rows.find(_.getAs[String]("flag") == flag).get
+    assert(math.abs(r.getAs[Double]("r_xy") - rxy) < 1e-4)
+    assert(math.abs(r.getAs[Double]("r_xy_given_z") - part) < 1e-4)
+  }
 }
