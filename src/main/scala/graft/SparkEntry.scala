@@ -602,6 +602,7 @@ object SparkEntry {
     "q_char_entropy" -> ((s, dir) => TextAnalysis.charEntropy(s, dir)),
     "q_kendall_tau" -> ((s, dir) => Relational.kendallTau(s, dir)),
     "q_partial_corr" -> ((s, dir) => Relational.partialCorr(s, dir)),
+    "q_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3752,6 +3753,7 @@ object SparkEntry {
         |  round(CAST(-mx.npc AS DOUBLE) / 100.0, 2) AS mode_price
         |FROM m ORDER BY brand""".stripMargin,
     "q_two_hop" -> Similarity.twoHopOracleSql(),
+    "q_pca_power" -> Similarity.pcaPowerOracleSql(),
     "q_xcorr_lags" ->
       """WITH daily AS (
         |  SELECT ts::DATE AS day,

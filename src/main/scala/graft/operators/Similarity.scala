@@ -1482,4 +1482,139 @@ object Similarity {
           6).as("cov"))
       .orderBy("i", "j")
   }
+
+  /** UNROUNDED upper-triangle covariance cells — the shared frame under
+    * [[covMatrix]] (which rounds for display) and [[pcaPower]] (which
+    * iterates on the raw values). Same fixed-point machinery as
+    * [[covMatrix]]'s scaladoc describes.
+    */
+  private def covCellsExact(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    val tri = base.select(posexplode(expr(
+      "flatten(transform(v, (xi, i) -> " +
+        "transform(slice(v, i + 1, size(v) - i), " +
+        "xj -> CAST(round(xi * xj * 1e12) AS BIGINT))))"))
+      .as(Seq("k", "f")))
+    val d = base.select(size(col("v")).as("d")).limit(1).collect()(0).getInt(0)
+    val mapping = {
+      val rows = for (i <- 0 until d; j <- i until d)
+        yield (i * d - i * (i - 1) / 2 + (j - i), i, j)
+      import spark.implicits._
+      rows.toDF("k", "i", "j")
+    }
+    val dims = base.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), expr("CAST(round(xi * 1e12) AS BIGINT)").as("fx"))
+      .groupBy("i")
+      .agg((sum(col("fx").cast(dec0)).cast("double") / lit(1e12)).as("sx"),
+        count(lit(1)).as("n_dim"))
+    tri.groupBy("k")
+      .agg((sum(col("f").cast(dec0)).cast("double") / lit(1e12)).as("sxy"),
+        count(lit(1)).as("n"))
+      .join(broadcast(mapping), "k")
+      .join(broadcast(dims.select(col("i"), col("sx").as("sxa"),
+        col("n_dim").as("na"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxb"),
+        col("n_dim").as("nb"))), "j")
+      .select(col("i"), col("j"),
+        (col("sxy") / col("n") -
+          (col("sxa") / col("na")) * (col("sxb") / col("nb"))).as("cov"))
+  }
+
+  /** §2.3 #273 — dominant PRINCIPAL COMPONENT by power iteration: six
+    * rounds of v' = C·v/‖C·v‖ on the exact covariance matrix, reporting
+    * the dominant eigenvalue, its explained-variance share (λ/trace), and
+    * the top-loading dimension — the "is this embedding space effectively
+    * one-dimensional?" check (var_share near 1 means the cosine geometry
+    * is degenerate and ANN recall numbers are misleading). Exactness is
+    * the #130 iterative recipe on a BOUNDED d×d frame: every matrix-vector
+    * contribution and every squared-norm term is decimal(38,18)-cast
+    * before summation (order-free), the normalization divides once per
+    * round on exact sums, so six rounds stay bit-identical cross-engine.
+    * The only corpus-sized work is the one covariance pass (#213's
+    * fixed-point machinery); the iteration itself touches d(d+1)/2 cells.
+    */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 18)
+    val cells = covCellsExact(spark, dir).localCheckpoint(true)
+    val full = cells.union(cells.where(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint(true)
+    val d = full.agg((max("i") + 1).cast("int")).collect()(0).getInt(0)
+    var v = spark.range(d.toLong)
+      .select(col("id").cast("int").as("j"),
+        (lit(1.0) / sqrt(lit(d.toDouble))).as("v"))
+    def multiply(vec: DataFrame): DataFrame = full
+      .join(vec, "j")
+      .select(col("i"), (col("cov") * col("v")).cast(dec).as("t"))
+      .groupBy("i").agg(sum("t").cast("double").as("w"))
+    for (_ <- 1 to iters) {
+      val w = multiply(v)
+      val norm = w.agg(
+        sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(norm))
+        .select(col("i").as("j"), (col("w") / col("nrm")).as("v"))
+        .localCheckpoint(true)
+    }
+    val wf = multiply(v).localCheckpoint(true)
+    val lam = wf.agg(
+      sqrt(sum((col("w") * col("w")).cast(dec)).cast("double")).as("lambda"))
+    val trace = cells.where(col("i") === col("j"))
+      .agg(sum(col("cov").cast(dec)).cast("double").as("trace"))
+    val top = v.select(max(struct(abs(col("v")).as("a"),
+      (-col("j")).as("nj"))).as("m"))
+      .select((-col("m.nj")).cast("long").as("top_dim"))
+    lam.crossJoin(broadcast(trace)).crossJoin(broadcast(top))
+      .select(lit(d.toLong).as("d"), round(col("lambda"), 6).as("eigenvalue"),
+        round(col("lambda") / col("trace"), 6).as("var_share"),
+        col("top_dim"))
+  }
+
+  /** DuckDB oracle for [[pcaPower]]: the same fixed-point covariance cells
+    * feed six unrolled decimal-summed power-iteration rounds.
+    */
+  def pcaPowerOracleSql(): String = {
+    def rnd(prev: String, w: String, vn: String): String =
+      s"""$w AS (
+         |  SELECT f.i, CAST(sum(CAST(f.cov * pv.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |  FROM full_m f JOIN $prev pv ON pv.j = f.j GROUP BY 1),
+         |${w}n AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM $w),
+         |$vn AS (SELECT i AS j, w / nrm AS v FROM $w, ${w}n)""".stripMargin
+    s"""WITH ve AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+       |            FROM embeddings),
+       |e AS (SELECT vec_id,
+       |  CAST(unnest(generate_series(1, len(v))) AS INTEGER) - 1 AS i,
+       |  unnest(v) AS x FROM ve),
+       |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
+       |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
+       |dm AS (SELECT i, CAST(sum(CAST(round(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
+       |      count(*) AS n_dim FROM e GROUP BY 1),
+       |c AS (SELECT i, j,
+       |      CAST(sum(CAST(round(xy * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
+       |      count(*) AS n FROM p GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT c.i, c.j,
+       |    c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim) AS cov
+       |  FROM c JOIN dm da ON da.i = c.i JOIN dm db ON db.i = c.j),
+       |full_m AS (
+       |  SELECT i, j, cov FROM cells
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM cells WHERE i <> j),
+       |dd AS (SELECT CAST(max(i) + 1 AS INTEGER) AS d FROM full_m),
+       |v0 AS (SELECT CAST(unnest(generate_series(1, d)) AS INTEGER) - 1 AS j,
+       |       1.0 / sqrt(CAST(d AS DOUBLE)) AS v FROM dd),
+       |${(1 to 6).map(r => rnd(s"v${r - 1}", s"w$r", s"v$r")).mkString(",\n")},
+       |wf AS (
+       |  SELECT f.i, CAST(sum(CAST(f.cov * v6.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+       |  FROM full_m f JOIN v6 ON v6.j = f.j GROUP BY 1),
+       |lam AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS lambda FROM wf),
+       |tr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(38,18))) AS DOUBLE) AS trace
+       |       FROM cells WHERE i = j),
+       |top AS (SELECT CAST(-(max(struct_pack(a := abs(v), nj := -j)).nj) AS BIGINT) AS top_dim
+       |        FROM v6)
+       |SELECT CAST(d AS BIGINT) AS d, round(lambda, 6) AS eigenvalue,
+       |  round(lambda / trace, 6) AS var_share, top_dim
+       |FROM dd, lam, tr, top""".stripMargin
+  }
 }

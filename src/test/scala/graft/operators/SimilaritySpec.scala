@@ -517,4 +517,43 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(n == (one ++ two).size.toLong, s"vec $v")
     }
   }
+
+  test("pcaPower converges toward the local dominant eigenvalue") {
+    val r = Similarity.pcaPower(spark, sf).collect()(0)
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length; val d = vecs.head.length
+    assert(r.getAs[Long]("d") == d.toLong)
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+    // local power iteration, many rounds -> true dominant eigenvalue
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lam = 0.0
+    for (_ <- 1 to 50) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      lam = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lam)
+    }
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    // 6 engine rounds approach the converged value from below on a flat
+    // spectrum; also compare against the LOCAL 6-round value exactly-ish
+    var v6 = Array.fill(d)(1.0 / math.sqrt(d))
+    var lam6 = 0.0
+    for (_ <- 1 to 7) { // 6 normalized rounds + final multiply, like engine
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v6(j)).sum)
+      lam6 = math.sqrt(w.map(x => x * x).sum)
+      v6 = w.map(_ / lam6)
+    }
+    val got = r.getAs[Double]("eigenvalue")
+    assert(got > 0.0 && got <= lam * 1.01)
+    assert(math.abs(got - lam6) / lam6 < 0.02,
+      s"engine=$got local6=$lam6 converged=$lam")
+    assert(r.getAs[Double]("var_share") > 0.0 &&
+      r.getAs[Double]("var_share") <= 1.0 + 1e-9)
+    assert(math.abs(r.getAs[Double]("var_share") - got / trace) < 1e-5)
+    val topLocal = v6.zipWithIndex.maxBy(t => (math.abs(t._1), -t._2))._2
+    assert(r.getAs[Long]("top_dim") == topLocal.toLong)
+  }
 }
