@@ -110,7 +110,10 @@ object PlanAudit {
         // xcorr_lags: 8-row lag frame fanned over the calendar spine;
         // bloom_fpr: 1-row count frames chained over the bounded bit set
         "q_decay_engagement", "q_hill_tail", "q_vocab_coverage",
-        "q_xcorr_lags", "q_bloom_fpr")
+        "q_xcorr_lags", "q_bloom_fpr",
+        // pca_power: 1-row norm/eigenvalue/trace/top-dim frames chained
+        // over the bounded d-vector (the kmeans/bootstrap scalar pattern)
+        "q_pca_power")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
