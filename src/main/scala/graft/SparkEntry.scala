@@ -603,6 +603,9 @@ object SparkEntry {
     "q_kendall_tau" -> ((s, dir) => Relational.kendallTau(s, dir)),
     "q_partial_corr" -> ((s, dir) => Relational.partialCorr(s, dir)),
     "q_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
+    "q_mood_median" -> ((s, dir) => Relational.moodMedian(s, dir)),
+    "q_mcnemar" -> ((s, dir) => Relational.mcnemar(s, dir)),
+    "q_acf" -> ((s, dir) => Relational.acf(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3754,6 +3757,83 @@ object SparkEntry {
         |FROM m ORDER BY brand""".stripMargin,
     "q_two_hop" -> Similarity.twoHopOracleSql(),
     "q_pca_power" -> Similarity.pcaPowerOracleSql(),
+    "q_mood_median" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |h AS (SELECT yc, count(*)::BIGINT AS cnt FROM v GROUP BY 1),
+        |cm AS (SELECT yc,
+        |  sum(cnt) OVER (ORDER BY yc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER () AS n FROM h),
+        |med AS (SELECT min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |        THEN yc END) AS med FROM cm),
+        |s AS (SELECT
+        |  sum(CASE WHEN seg = 'BUILDING' AND yc > med THEN 1 ELSE 0 END)::BIGINT AS a,
+        |  sum(CASE WHEN seg = 'BUILDING' AND yc <= med THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN seg = 'MACHINERY' AND yc > med THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN seg = 'MACHINERY' AND yc <= med THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM v, med)
+        |SELECT a AS n_a_above, b AS n_a_below, c AS n_b_above, d AS n_b_below,
+        |  round((CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |    / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+        |      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))), 6)
+        |    AS chi2
+        |FROM s""".stripMargin,
+    "q_mcnemar" ->
+      """WITH u AS (
+        |  SELECT user_id, ts::DATE AS day,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT
+        |  sum(CASE WHEN clicked = 1 AND purchased = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |  sum(CASE WHEN clicked = 1 AND purchased = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN clicked = 0 AND purchased = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN clicked = 0 AND purchased = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neither
+        |  FROM u)
+        |SELECT n_both, b AS click_only, c AS purchase_only, n_neither,
+        |  round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS chi2,
+        |  ((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) > 3.841459) AS asymmetric
+        |FROM s""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(yc, 0) AS yc
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+        |p AS (
+        |  SELECT l.lag, prev.yc AS y0, cur.yc AS y1
+        |  FROM full_s cur CROSS JOIN lags l
+        |  JOIN full_s prev ON prev.day = cur.day - CAST(l.lag AS INTEGER)),
+        |s AS (
+        |  SELECT lag, count(*)::BIGINT AS n,
+        |    sum(y0)::BIGINT AS sx, sum(y1)::BIGINT AS sy,
+        |    sum(CAST(y0 AS HUGEINT) * y1) AS sxy,
+        |    sum(CAST(y0 AS HUGEINT) * y0) AS sxx,
+        |    sum(CAST(y1 AS HUGEINT) * y1) AS syy
+        |  FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT lag, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS d1,
+        |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d2
+        |  FROM s)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS acf
+        |FROM f ORDER BY lag""".stripMargin,
     "q_xcorr_lags" ->
       """WITH daily AS (
         |  SELECT ts::DATE AS day,

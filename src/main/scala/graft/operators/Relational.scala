@@ -3570,6 +3570,130 @@ object Relational {
       .orderBy("flag")
   }
 
+  /** §2.2 #274 — MOOD'S MEDIAN test between two segments: 2×2 chi-square
+    * of (above vs at-or-below the POOLED exact median) × segment — the
+    * bluntest, most outlier-proof location test (only the sign relative to
+    * one exact order statistic matters; #228's rank machinery is overkill
+    * when the question is just "do the medians differ"). Pooled median =
+    * percentile-disc on the combined cent histogram (#211), the 2×2 counts
+    * are one conditional aggregation, χ² = n(ad−bc)²/row·col products —
+    * exact integers (decimal — ad·bc wraps long) to one double division.
+    */
+  def moodMedian(spark: SparkSession, dir: String, segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val big = DecimalType(38, 0)
+    val v = t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")
+        .where(col("c_mktsegment").isin(segA, segB))
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+          .as("yc"))
+    val wCum = Window.orderBy("yc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = v.groupBy("yc").agg(count(lit(1)).as("cnt"))
+      .select(col("yc"), sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("n"))
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"),
+        col("yc"))).as("med"))
+    val s = v.crossJoin(broadcast(med)).agg(
+      sum(when(col("seg") === segA && col("yc") > col("med"), 1L)
+        .otherwise(0L)).as("a"),
+      sum(when(col("seg") === segA && col("yc") <= col("med"), 1L)
+        .otherwise(0L)).as("b"),
+      sum(when(col("seg") === segB && col("yc") > col("med"), 1L)
+        .otherwise(0L)).as("c"),
+      sum(when(col("seg") === segB && col("yc") <= col("med"), 1L)
+        .otherwise(0L)).as("d"))
+    // χ² in doubles over the exact counts (decimal intermediates of
+    // n·(ad−bc)² would wrap 38 digits at extreme n; the double formula is
+    // deterministic because both engines state the identical op order).
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double"); val dD = col("d").cast("double")
+    val det = aD * dD - bD * cD
+    val chi2 = (aD + bD + cD + dD) * det * det /
+      ((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD))
+    s.select(col("a").as("n_a_above"), col("b").as("n_a_below"),
+      col("c").as("n_b_above"), col("d").as("n_b_below"),
+      round(chi2, 6).as("chi2"))
+  }
+
+  /** §2.2 #275 — McNEMAR test of paired click→purchase behavior on
+    * USER-DAY units: b = days a user clicked but didn't purchase, c = days
+    * they purchased without clicking; χ² = (b−c)²/(b+c) asks whether the
+    * two "funnel escape" directions are symmetric — the PAIRED test the
+    * independent-sample family (#227/#228/#274) cannot express, because
+    * each user-day is its own control (per-USER pairing saturates: at this
+    * event density every user eventually does everything). One per-
+    * (user, day) boolean rollup (partial-aggregated), four exact counts,
+    * one division.
+    */
+  def mcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = t(spark, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0))
+        .as("clicked"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("purchased"))
+    val s = perUser.agg(
+      sum(when(col("clicked") === 1 && col("purchased") === 1, 1L)
+        .otherwise(0L)).as("n_both"),
+      sum(when(col("clicked") === 1 && col("purchased") === 0, 1L)
+        .otherwise(0L)).as("b"),
+      sum(when(col("clicked") === 0 && col("purchased") === 1, 1L)
+        .otherwise(0L)).as("c"),
+      sum(when(col("clicked") === 0 && col("purchased") === 0, 1L)
+        .otherwise(0L)).as("n_neither"))
+    val bD = col("b").cast("double"); val cD = col("c").cast("double")
+    s.select(col("n_both"), col("b").as("click_only"),
+      col("c").as("purchase_only"), col("n_neither"),
+      round((bD - cD) * (bD - cD) / (bD + cD), 6).as("chi2"),
+      ((bD - cD) * (bD - cD) / (bD + cD) > 3.841459).as("asymmetric"))
+  }
+
+  /** §2.2 #276 — AUTOCORRELATION function of daily revenue at lags 1-14:
+    * the full ACF (lag-1 #154 generalized) — the memory signature that
+    * picks seasonality periods (#220 assumes weekly; the ACF shows it)
+    * and the effective-history horizon for forecasting features. Each
+    * lag's Pearson runs over exact cent integers on the calendar spine
+    * via one date-shifted self-join against the bounded 14-row lag frame
+    * (#263's machinery, self-paired); one guarded division per lag.
+    */
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+    import spark.implicits._
+    val big = DecimalType(38, 0)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("yc", coalesce(col("yc"), lit(0L)))
+      .localCheckpoint(true)
+    val lags = (1 to maxLag).toDF("lag")
+    val pairs = full.select(col("day"), col("yc").as("y1"))
+      .crossJoin(broadcast(lags))
+      .join(full.select(col("day").as("pday"), col("yc").as("y0")),
+        expr("pday = date_sub(day, lag)"))
+    val s = pairs.groupBy("lag").agg(count(lit(1)).as("n"),
+      sum("y0").as("sx"), sum("y1").as("sy"),
+      sum(col("y0").cast(big) * col("y1").cast(big)).as("sxy"),
+      sum(col("y0").cast(big) * col("y0").cast(big)).as("sxx"),
+      sum(col("y1").cast(big) * col("y1").cast(big)).as("syy"))
+    val nB = col("n").cast(big)
+    val num = (nB * col("sxy") - col("sx").cast(big) * col("sy").cast(big))
+      .cast("double")
+    val d1 = (nB * col("sxx") - col("sx").cast(big) * col("sx").cast(big))
+      .cast("double")
+    val d2 = (nB * col("syy") - col("sy").cast(big) * col("sy").cast(big))
+      .cast("double")
+    s.select(col("lag").cast("long").as("lag"), col("n"),
+      when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("acf"))
+      .orderBy("lag")
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

@@ -1824,4 +1824,63 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("r_xy") - rxy) < 1e-4)
     assert(math.abs(r.getAs[Double]("r_xy_given_z") - part) < 1e-4)
   }
+
+  test("moodMedian splits both segments at the exact pooled median") {
+    val r = Relational.moodMedian(spark, sf).collect()(0)
+    val (a, b) = segCents("BUILDING", "MACHINERY")
+    val pooled = (a ++ b).sorted
+    val med = pooled(math.ceil(pooled.length * 0.5).toInt - 1)
+    assert(r.getAs[Long]("n_a_above") == a.count(_ > med).toLong)
+    assert(r.getAs[Long]("n_a_below") == a.count(_ <= med).toLong)
+    assert(r.getAs[Long]("n_b_above") == b.count(_ > med).toLong)
+    assert(r.getAs[Long]("n_b_below") == b.count(_ <= med).toLong)
+    val (aa, bb, cc, dd) = (a.count(_ > med).toDouble, a.count(_ <= med).toDouble,
+      b.count(_ > med).toDouble, b.count(_ <= med).toDouble)
+    val chi2 = (aa + bb + cc + dd) * (aa * dd - bb * cc) * (aa * dd - bb * cc) /
+      ((aa + bb) * (cc + dd) * (aa + cc) * (bb + dd))
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5)
+  }
+
+  test("mcnemar counts discordant user-days exactly and they are nonzero") {
+    val r = Relational.mcnemar(spark, sf).collect()(0)
+    val ud = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .collect().map(x => ((x.getLong(0), x.getDate(1)), x.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val b = ud.values.count(s => s("click") && !s("purchase")).toLong
+    val c = ud.values.count(s => !s("click") && s("purchase")).toLong
+    assert(b + c > 0)
+    assert(r.getAs[Long]("click_only") == b)
+    assert(r.getAs[Long]("purchase_only") == c)
+    assert(r.getAs[Long]("n_both") ==
+      ud.values.count(s => s("click") && s("purchase")).toLong)
+    val chi2 = (b - c).toDouble * (b - c) / (b + c)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5)
+  }
+
+  test("acf lag-7 shows the weekly cadence and lag-1 matches local Pearson") {
+    val rows = Relational.acf(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSeq == (1L to 14L))
+    val daily = Tables.load(spark, sf, "orders")
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect()
+      .map(x => (x.getDate(0).toLocalDate, (BigDecimal(x.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val d0 = daily.keys.min; val d1 = daily.keys.max
+    val spine = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => daily.getOrElse(d, 0L).toDouble).toArray
+    def acfL(l: Int): Double = {
+      val x = spine.dropRight(l); val y = spine.drop(l)
+      val n = x.length.toDouble
+      val num = n * x.zip(y).map(p => p._1 * p._2).sum - x.sum * y.sum
+      num / math.sqrt((n * x.map(v => v * v).sum - x.sum * x.sum) *
+        (n * y.map(v => v * v).sum - y.sum * y.sum))
+    }
+    val r1 = rows.find(_.getAs[Long]("lag") == 1L).get
+    assert(r1.getAs[Long]("n") == spine.length - 1L)
+    assert(math.abs(r1.getAs[Double]("acf") - acfL(1)) < 1e-5)
+    val r7 = rows.find(_.getAs[Long]("lag") == 7L).get
+    assert(math.abs(r7.getAs[Double]("acf") - acfL(7)) < 1e-5)
+  }
 }
