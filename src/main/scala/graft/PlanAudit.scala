@@ -113,7 +113,10 @@ object PlanAudit {
         "q_xcorr_lags", "q_bloom_fpr",
         // pca_power: 1-row norm/eigenvalue/trace/top-dim frames chained
         // over the bounded d-vector (the kmeans/bootstrap scalar pattern)
-        "q_pca_power")
+        "q_pca_power",
+        // mood_median: 1-row pooled-median frame (the runs_test pattern);
+        // acf: 14-row lag frame fanned over the calendar spine (#263)
+        "q_mood_median", "q_acf")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
