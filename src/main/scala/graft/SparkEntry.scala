@@ -606,6 +606,7 @@ object SparkEntry {
     "q_mood_median" -> ((s, dir) => Relational.moodMedian(s, dir)),
     "q_mcnemar" -> ((s, dir) => Relational.mcnemar(s, dir)),
     "q_acf" -> ((s, dir) => Relational.acf(s, dir)),
+    "q_lead_time" -> ((s, dir) => Relational.leadTime(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3834,6 +3835,27 @@ object SparkEntry {
         |SELECT CAST(lag AS BIGINT) AS lag, n,
         |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS acf
         |FROM f ORDER BY lag""".stripMargin,
+    "q_lead_time" ->
+      """WITH fs AS (
+        |  SELECT l_orderkey, min(l_shipdate::DATE) AS first_ship
+        |  FROM lineitem GROUP BY 1),
+        |lead_d AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(datediff('day', o_orderdate::DATE, first_ship) AS BIGINT) AS days
+        |  FROM orders JOIN fs ON o_orderkey = l_orderkey),
+        |h AS (SELECT priority, days, count(*)::BIGINT AS cnt
+        |      FROM lead_d GROUP BY 1, 2),
+        |cm AS (SELECT priority, days, cnt,
+        |  sum(cnt) OVER (PARTITION BY priority ORDER BY days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY priority) AS n,
+        |  days * cnt AS dc
+        |  FROM h)
+        |SELECT priority, max(n)::BIGINT AS n_orders,
+        |  round(CAST(sum(dc) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS mean_days,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN days END) AS p50_days,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN days END) AS p95_days
+        |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_xcorr_lags" ->
       """WITH daily AS (
         |  SELECT ts::DATE AS day,

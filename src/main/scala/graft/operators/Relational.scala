@@ -3694,6 +3694,44 @@ object Relational {
       .orderBy("lag")
   }
 
+  /** §2.2 #277 — order LEAD TIME by priority: days from order date to the
+    * FIRST line shipment, with exact percentile-disc p50/p95 and the mean
+    * per priority class — the SLA evidence ("does URGENT actually ship
+    * faster, and by how much at the tail"). First-ship is a min-aggregate
+    * per order (no window), lead days are small bounded integers, so the
+    * percentiles ride the (priority, days) histogram (#211) and the mean
+    * is an exact integer ratio; one orders⋈lineitem join (the Q3/Q18
+    * shuffle shape), everything after is histogram-sized.
+    */
+  def leadTime(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val lead = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("od"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("priority"), datediff(col("first_ship"), col("od"))
+        .cast("long").as("days"))
+    val hist = lead.groupBy("priority", "days").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("priority").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("priority")
+    def q(p: Double, out: String) =
+      min(when(col("cum") >= ceil(col("n") * p).cast("long"), col("days")))
+        .as(out)
+    hist
+      .select(col("priority"), col("days"), col("cnt"),
+        sum("cnt").over(wCum).as("cum"), sum("cnt").over(wAll).as("n"),
+        (col("days") * col("cnt")).as("dc"))
+      .groupBy("priority")
+      .agg(max("n").as("n_orders"),
+        round(sum("dc").cast("double") / max("n").cast("double"), 6)
+          .as("mean_days"),
+        q(0.5, "p50_days"), q(0.95, "p95_days"))
+      .orderBy("priority")
+  }
+
   /** §2.2 #248 — maximum DRAWDOWN of cumulative daily revenue: the largest
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst

@@ -1883,4 +1883,30 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val r7 = rows.find(_.getAs[Long]("lag") == 7L).get
     assert(math.abs(r7.getAs[Double]("acf") - acfL(7)) < 1e-5)
   }
+
+  test("leadTime percentiles match a local order-to-first-ship recount") {
+    val rows = Relational.leadTime(spark, sf).collect()
+    assert(rows.length == 5)
+    val firstShip = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(min(to_date(col("l_shipdate"))).as("fs"))
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    val byPrio = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od")).collect()
+      .flatMap { r =>
+        firstShip.get(r.getLong(0)).map(fs =>
+          (r.getString(1),
+            java.time.temporal.ChronoUnit.DAYS.between(
+              r.getDate(2).toLocalDate, fs)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val days = byPrio(r.getAs[String]("priority"))
+      def qd(p: Double): Long = days(math.ceil(days.length * p).toInt - 1)
+      assert(r.getAs[Long]("n_orders") == days.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean_days") -
+        days.sum.toDouble / days.length) < 1e-5)
+      assert(r.getAs[Long]("p50_days") == qd(0.5))
+      assert(r.getAs[Long]("p95_days") == qd(0.95))
+    }
+  }
 }
