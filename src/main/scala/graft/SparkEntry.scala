@@ -35,15 +35,19 @@ object SparkEntry {
     // A previous run in THIS JVM may still hold the database booted (bench
     // passes re-run the same query); deleting a booted database's files
     // makes Derby refuse the next boot. Shut it down first — Derby signals
-    // even a SUCCESSFUL shutdown via SQLException, so swallow everything.
+    // even a SUCCESSFUL shutdown via SQLException, so swallow exactly that
+    // (and reflection failures), never Errors like OOM.
     if (dir.exists()) {
       try {
         Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
         java.sql.DriverManager.getConnection(
           s"jdbc:derby:${tmp(name)}/db;shutdown=true")
-      } catch { case _: Throwable => () }
+      } catch {
+        case _: java.sql.SQLException => ()
+        case scala.util.control.NonFatal(_) => ()
+      }
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
       rm(dir)
@@ -2983,13 +2987,13 @@ object SparkEntry {
         |  unnest(v) AS x FROM ve),
         |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
         |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
-        |d AS (SELECT i, CAST(sum(CAST(round(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
+        |d AS (SELECT i, CAST(sum(CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
         |      count(*) AS n_dim FROM e GROUP BY 1),
         |c AS (SELECT i, j,
-        |      CAST(sum(CAST(round(xy * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
+        |      CAST(sum(CAST(floor(xy * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
         |      count(*) AS n FROM p GROUP BY 1, 2)
         |SELECT c.i, c.j, c.n,
-        |  round(c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim), 6) AS cov
+        |  floor((c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim)) * 1e6 + 0.5) / 1e6 AS cov
         |FROM c JOIN d da ON da.i = c.i JOIN d db ON db.i = c.j
         |ORDER BY c.i, c.j""".stripMargin,
     "q_ks_test" ->
@@ -4013,8 +4017,8 @@ object SparkEntry {
     "q_char_entropy" ->
       """WITH g AS (
         |  SELECT lang, unnest([substr(text, i, 2)
-        |    FOR i IN generate_series(1, greatest(length(text) - 1, 0))]) AS g
-        |  FROM documents),
+        |    FOR i IN generate_series(1, length(text) - 1)]) AS g
+        |  FROM documents WHERE length(text) >= 2),
         |c AS (SELECT lang, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
         |SELECT lang, sum(c)::BIGINT AS n_bigrams, count(*)::BIGINT AS vocab,
         |  round(ln(CAST(sum(c) AS DOUBLE))

@@ -1430,30 +1430,53 @@ object Similarity {
     * deterministic per-row products — order-independent, engine-identical
     * up to the final fixed-order double expression, rounded.
     */
-  def covMatrix(spark: SparkSession, dir: String): DataFrame = {
-    // FIXED-POINT exactness at primitive-long speed: each product is
-    // converted ONCE to an integer number of 1e-12 units (one double
-    // multiply + round — both engines round half-away-from-zero on the
-    // identical double, so the integer is engine-identical), and the hot
-    // aggregation sums those integers as DECIMAL(38,0). Spark's Decimal
-    // addition stays on its compact-long fast path while the running sum
-    // fits 18 digits and promotes to BigDecimal only beyond — exact at ANY
-    // corpus size with no silent long overflow, at a fraction of the cost
-    // of casting every double through BigDecimal.setScale. The direct
-    // double->DECIMAL(38,12) cast formulation was 4x slower: the per-row
-    // cast, not the sum, dominated.
+  def covMatrix(spark: SparkSession, dir: String): DataFrame =
+    // A rounding/ordering projection over [[covCellsExact]] — the
+    // fixed-point machinery exists exactly once so this query and
+    // [[pcaPower]] can never desync. The display rounding is the
+    // ENGINE-STABLE floor(x·1e6 + 0.5)/1e6 form: x is engine-identical
+    // (pure IEEE arithmetic over exact decimal sums), ·1e6 and +0.5 are
+    // IEEE ops on that identical double, and floor is exact in every
+    // engine/version — unlike round(DOUBLE, 6), whose tie semantics
+    // differ between Spark (shortest-decimal BigDecimal) and DuckDB
+    // versions (binary-value rounding) and produced a driver-only hash
+    // mismatch in r7.
+    covCellsExact(spark, dir)
+      .select(col("i"), col("j"), col("n"),
+        (floor(col("cov") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cov"))
+      .orderBy("i", "j")
+
+  /** UNROUNDED upper-triangle covariance cells — the shared frame under
+    * [[covMatrix]] (which rounds for display) and [[pcaPower]] (which
+    * iterates on the raw values).
+    *
+    * FIXED-POINT exactness at primitive-long speed: each product is
+    * converted ONCE to an integer number of 1e-12 units via
+    * floor(x·1e12 + 0.5) — one IEEE multiply, one IEEE add, one exact
+    * floor; all three are bit-identical across engines AND engine
+    * versions (unlike round(DOUBLE), whose tie handling drifted across
+    * DuckDB releases) — and the hot aggregation sums those integers as
+    * DECIMAL(38,0). Spark's Decimal addition stays on its compact-long
+    * fast path while the running sum fits 18 digits and promotes to
+    * BigDecimal only beyond — exact at ANY corpus size with no silent
+    * long overflow, at a fraction of the cost of casting every double
+    * through BigDecimal.setScale (the direct double->DECIMAL(38,12)
+    * cast formulation was 4x slower: the per-row cast dominated).
+    *
+    * Upper-triangle products are generated INSIDE one row as a flat array
+    * (i ascending, j=i..d−1), then exploded ONCE: d(d+1)/2 longs per row,
+    * no second explode and no d-fold duplication of the vector payload —
+    * the double-posexplode formulation shipped N·d intermediate rows each
+    * carrying the whole array and ran 15× at 10× data (memory-bound);
+    * this shape is a pure map-side explode into a partial aggregate.
+    */
+  private def covCellsExact(spark: SparkSession, dir: String): DataFrame = {
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val base = embeddings(spark, dir).select(col("vec_id"), col("v"))
-    // Upper-triangle products are generated INSIDE one row as a flat array
-    // (i ascending, j=i..d−1), then exploded ONCE: d(d+1)/2 longs per row,
-    // no second explode and no d-fold duplication of the vector payload —
-    // the double-posexplode formulation shipped N·d intermediate rows each
-    // carrying the whole array and ran 15× at 10× data (memory-bound);
-    // this shape is a pure map-side explode into a partial aggregate.
     val tri = base.select(posexplode(expr(
       "flatten(transform(v, (xi, i) -> " +
         "transform(slice(v, i + 1, size(v) - i), " +
-        "xj -> CAST(round(xi * xj * 1e12) AS BIGINT))))"))
+        "xj -> CAST(floor(xi * xj * 1e12 + 0.5d) AS BIGINT))))"))
       .as(Seq("k", "f")))
     val d = base.select(size(col("v")).as("d")).limit(1).collect()(0).getInt(0)
     // flat index k = i·d − i(i−1)/2 + (j − i), inverted by a d(d+1)/2-row
@@ -1465,46 +1488,7 @@ object Similarity {
       rows.toDF("k", "i", "j")
     }
     val dims = base.select(posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), expr("CAST(round(xi * 1e12) AS BIGINT)").as("fx"))
-      .groupBy("i")
-      .agg((sum(col("fx").cast(dec0)).cast("double") / lit(1e12)).as("sx"),
-        count(lit(1)).as("n_dim"))
-    val cells = tri.groupBy("k")
-      .agg((sum(col("f").cast(dec0)).cast("double") / lit(1e12)).as("sxy"),
-        count(lit(1)).as("n"))
-      .join(broadcast(mapping), "k")
-    cells
-      .join(broadcast(dims.select(col("i"), col("sx").as("sxa"), col("n_dim").as("na"))), "i")
-      .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxb"),
-        col("n_dim").as("nb"))), "j")
-      .select(col("i"), col("j"), col("n"),
-        round(col("sxy") / col("n") - (col("sxa") / col("na")) * (col("sxb") / col("nb")),
-          6).as("cov"))
-      .orderBy("i", "j")
-  }
-
-  /** UNROUNDED upper-triangle covariance cells — the shared frame under
-    * [[covMatrix]] (which rounds for display) and [[pcaPower]] (which
-    * iterates on the raw values). Same fixed-point machinery as
-    * [[covMatrix]]'s scaladoc describes.
-    */
-  private def covCellsExact(spark: SparkSession, dir: String): DataFrame = {
-    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val base = embeddings(spark, dir).select(col("vec_id"), col("v"))
-    val tri = base.select(posexplode(expr(
-      "flatten(transform(v, (xi, i) -> " +
-        "transform(slice(v, i + 1, size(v) - i), " +
-        "xj -> CAST(round(xi * xj * 1e12) AS BIGINT))))"))
-      .as(Seq("k", "f")))
-    val d = base.select(size(col("v")).as("d")).limit(1).collect()(0).getInt(0)
-    val mapping = {
-      val rows = for (i <- 0 until d; j <- i until d)
-        yield (i * d - i * (i - 1) / 2 + (j - i), i, j)
-      import spark.implicits._
-      rows.toDF("k", "i", "j")
-    }
-    val dims = base.select(posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), expr("CAST(round(xi * 1e12) AS BIGINT)").as("fx"))
+      .select(col("i"), expr("CAST(floor(xi * 1e12 + 0.5d) AS BIGINT)").as("fx"))
       .groupBy("i")
       .agg((sum(col("fx").cast(dec0)).cast("double") / lit(1e12)).as("sx"),
         count(lit(1)).as("n_dim"))
@@ -1516,7 +1500,7 @@ object Similarity {
         col("n_dim").as("na"))), "i")
       .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxb"),
         col("n_dim").as("nb"))), "j")
-      .select(col("i"), col("j"),
+      .select(col("i"), col("j"), col("n"),
         (col("sxy") / col("n") -
           (col("sxa") / col("na")) * (col("sxb") / col("nb"))).as("cov"))
   }
@@ -1537,7 +1521,8 @@ object Similarity {
   def pcaPower(spark: SparkSession, dir: String, iters: Int = 6): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 18)
-    val cells = covCellsExact(spark, dir).localCheckpoint(true)
+    val cells = covCellsExact(spark, dir).select("i", "j", "cov")
+      .localCheckpoint(true)
     val full = cells.union(cells.where(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("cov")))
       .localCheckpoint(true)
@@ -1565,9 +1550,14 @@ object Similarity {
     val top = v.select(max(struct(abs(col("v")).as("a"),
       (-col("j")).as("nj"))).as("m"))
       .select((-col("m.nj")).cast("long").as("top_dim"))
+    // Engine-stable display rounding (see covMatrix): floor(x·1e6+0.5)/1e6
+    // instead of round(DOUBLE, 6), whose tie semantics drift across
+    // DuckDB versions.
     lam.crossJoin(broadcast(trace)).crossJoin(broadcast(top))
-      .select(lit(d.toLong).as("d"), round(col("lambda"), 6).as("eigenvalue"),
-        round(col("lambda") / col("trace"), 6).as("var_share"),
+      .select(lit(d.toLong).as("d"),
+        (floor(col("lambda") * lit(1e6) + lit(0.5)) / lit(1e6)).as("eigenvalue"),
+        (floor(col("lambda") / col("trace") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("var_share"),
         col("top_dim"))
   }
 
@@ -1588,10 +1578,10 @@ object Similarity {
        |  unnest(v) AS x FROM ve),
        |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
-       |dm AS (SELECT i, CAST(sum(CAST(round(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
+       |dm AS (SELECT i, CAST(sum(CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
        |      count(*) AS n_dim FROM e GROUP BY 1),
        |c AS (SELECT i, j,
-       |      CAST(sum(CAST(round(xy * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
+       |      CAST(sum(CAST(floor(xy * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
        |      count(*) AS n FROM p GROUP BY 1, 2),
        |cells AS (
        |  SELECT c.i, c.j,
@@ -1613,8 +1603,9 @@ object Similarity {
        |       FROM cells WHERE i = j),
        |top AS (SELECT CAST(-(max(struct_pack(a := abs(v), nj := -j)).nj) AS BIGINT) AS top_dim
        |        FROM v6)
-       |SELECT CAST(d AS BIGINT) AS d, round(lambda, 6) AS eigenvalue,
-       |  round(lambda / trace, 6) AS var_share, top_dim
+       |SELECT CAST(d AS BIGINT) AS d,
+       |  floor(lambda * 1e6 + 0.5) / 1e6 AS eigenvalue,
+       |  floor(lambda / trace * 1e6 + 0.5) / 1e6 AS var_share, top_dim
        |FROM dd, lam, tr, top""".stripMargin
   }
 }

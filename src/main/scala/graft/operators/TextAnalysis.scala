@@ -319,9 +319,14 @@ object TextAnalysis {
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(28, 12)
+    // Docs shorter than 2 chars have no bigram and MUST be filtered before
+    // the explode: Spark's sequence(1, 0) is the DESCENDING array [1, 0]
+    // (it honors reversed bounds), which would emit two spurious "bigrams",
+    // while DuckDB's generate_series(1, 0) is empty — silent divergence.
     val grams = docs(spark, dir)
+      .where(length(col("text")) >= 2)
       .select(col("lang"), explode(expr(
-        "transform(sequence(1, greatest(length(text) - 1, 0)), " +
+        "transform(sequence(1, length(text) - 1), " +
           "i -> substr(text, i, 2))")).as("g"))
       .groupBy("lang", "g").agg(count(lit(1)).as("c"))
     grams.groupBy("lang")
