@@ -192,6 +192,74 @@ object SparkEntry {
             .mkString(";")).as("dest_indexes"),
           lit(back.identity.mkString(",")).as("identity_cols"))
     }),
+    // CHECK constraints + column DEFAULTs ride with the schema copy (the
+    // SMO-parity facts beyond PK/index/identity/FK): the copy scripts both
+    // onto the Derby destination, the destination CATALOG is read back
+    // (SYS.SYSCHECKS + JDBC COLUMN_DEF — discovery, not an echo of the
+    // input), and two live probes prove the semantics landed: an INSERT
+    // omitting the defaulted columns comes back with the source's defaults,
+    // and an INSERT violating the check is REJECTED by the destination.
+    "copy_jdbc_constraints" -> ((s, dir) => {
+      val url = freshDerby("jdbcck")
+      val db = TableCopy.JdbcStore(
+        url, Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val m = TableCopy.TableMeta(
+        primaryKey = Seq("c_custkey"),
+        checks = Seq("customer_bal_ck" -> "\"c_acctbal\" >= -1000.0"),
+        defaults = Seq("c_mktsegment" -> "'BUILDING'", "c_acctbal" -> "0.0"))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), db, "customer",
+        TableCopy.Recreate,
+        columns = Seq("c_custkey", "c_mktsegment", "c_acctbal"),
+        predicate = Some("c_custkey % 5 = 0"),
+        replicateMeta = true, metaOverride = Some(m))
+      val back = db.meta(s, "customer")
+      val conn = java.sql.DriverManager.getConnection(url)
+      val (defSeg, defBal, enforced) =
+        try {
+          conn.createStatement().executeUpdate(
+            """INSERT INTO customer ("c_custkey") VALUES (-1)""")
+          val rs = conn.createStatement().executeQuery(
+            """SELECT "c_mktsegment", "c_acctbal" FROM customer WHERE "c_custkey" = -1""")
+          rs.next()
+          val seg = rs.getString(1)
+          val bal = rs.getDouble(2)
+          val enf =
+            try {
+              conn.createStatement().executeUpdate(
+                """INSERT INTO customer ("c_custkey", "c_acctbal") VALUES (-2, -99999.0)""")
+              false
+            } catch { case _: java.sql.SQLException => true }
+          (seg, bal, enf)
+        } finally conn.close()
+      db.read(s, "customer").where(col("c_custkey") >= 0)
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("sum_custkey"))
+        .select(col("n_rows"), col("sum_custkey"),
+          lit(back.primaryKey.mkString(",")).as("pk_cols"),
+          lit(back.checks.map { case (n, c) => s"$n:$c" }.mkString(";"))
+            .as("dest_checks"),
+          lit(back.defaults.map { case (c, d) => s"$c=$d" }.mkString(";"))
+            .as("dest_defaults"),
+          lit(defSeg).as("default_seg"), lit(defBal).as("default_bal"),
+          lit(enforced).as("check_enforced"))
+    }),
+    // -WhatIf / dry-run: the full execution plan — FK-topological order,
+    // row estimates, and the EXACT DDL each table would get (shared code
+    // path with the real copy, so the preview can't drift) — with NOTHING
+    // written; the require proves the destination catalog stayed empty.
+    "copy_whatif" -> ((s, dir) => {
+      val db = TableCopy.JdbcStore(
+        freshDerby("whatif"),
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val metas = Map(
+        "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
+        "nation" -> TableCopy.TableMeta(primaryKey = Seq("n_nationkey"),
+          foreignKeys = Seq(("n_regionkey", "region", "r_regionkey"))))
+      val plan = TableCopy.whatIfCopy(s, TableCopy.ParquetStore(dir), db,
+        metas, include = Seq("region", "nation"))
+      val planned = plan.localCheckpoint(true)
+      require(db.list(s).isEmpty, "WhatIf wrote to the destination")
+      planned
+    }),
     // FK-aware multi-table copy into a Derby destination with ENFORCED
     // foreign keys: the copy order is derived topologically from the FK
     // metadata (region before nation before customer) — the alphabetical /
@@ -1259,6 +1327,26 @@ object SparkEntry {
         |  'CUSTOMER_NKEY_IDX(c_nationkey)' AS dest_indexes,
         |  'c_custkey' AS identity_cols
         |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
+    "copy_jdbc_constraints" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
+        |  'c_custkey' AS pk_cols,
+        |  'CUSTOMER_BAL_CK:("c_acctbal" >= -1000.0)' AS dest_checks,
+        |  'c_mktsegment=''BUILDING'';c_acctbal=0.0' AS dest_defaults,
+        |  'BUILDING' AS default_seg, CAST(0.0 AS DOUBLE) AS default_bal,
+        |  true AS check_enforced
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+    "copy_whatif" ->
+      """SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS seq, 'region' AS table_name,
+        |    'create' AS action, (SELECT count(*) FROM region) AS est_rows,
+        |    'CREATE TABLE region ("r_regionkey" INTEGER NOT NULL, "r_name" VARCHAR(4000), PRIMARY KEY ("r_regionkey"))' AS ddl,
+        |    'planned' AS status
+        |  UNION ALL SELECT 2, 'nation', 'create',
+        |    (SELECT count(*) FROM nation),
+        |    'CREATE TABLE nation ("n_nationkey" INTEGER NOT NULL, "n_name" VARCHAR(4000), "n_regionkey" INTEGER, PRIMARY KEY ("n_nationkey"), FOREIGN KEY ("n_regionkey") REFERENCES region ("r_regionkey"))',
+        |    'planned'
+        |) ORDER BY seq""".stripMargin,
     "copy_fk_ordered" ->
       """SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS seq, 'region' AS table_name,

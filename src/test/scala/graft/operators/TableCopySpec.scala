@@ -242,6 +242,89 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(Set("NATION", "REGION").subsetOf(db.list(spark).toSet))
   }
 
+  test("CHECK constraints and column DEFAULTs are discovered from a live " +
+    "source catalog and replicated onto the destination") {
+    val src = derbyStore()
+    // Build a real source table carrying a CHECK and two DEFAULTs, so the
+    // copy exercises catalog DISCOVERY (SYS.SYSCHECKS + COLUMN_DEF), not a
+    // metaOverride echo.
+    val conn = java.sql.DriverManager.getConnection(src.url)
+    try {
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE items ("id" BIGINT NOT NULL, """ +
+          """"grade" VARCHAR(4000) DEFAULT 'standard', """ +
+          """"qty" INTEGER DEFAULT 1, """ +
+          """PRIMARY KEY ("id"), """ +
+          """CONSTRAINT items_qty_ck CHECK ("qty" >= 0))""")
+      conn.createStatement().executeUpdate(
+        """INSERT INTO items VALUES (1, 'premium', 5), (2, 'basic', 0)""")
+    } finally conn.close()
+    val m = src.meta(spark, "items")
+    assert(m.checks == Seq("ITEMS_QTY_CK" -> "(\"qty\" >= 0)"))
+    assert(m.defaults == Seq("grade" -> "'standard'", "qty" -> "1"))
+    assert(m.primaryKey == Seq("id"))
+    val dest = derbyStore()
+    assert(TableCopy.copy(spark, src, dest, "items", TableCopy.Recreate,
+      replicateMeta = true) == 2)
+    // Destination catalog carries the replicated facts...
+    val back = dest.meta(spark, "items")
+    assert(back.checks == m.checks && back.defaults == m.defaults)
+    // ...and the SEMANTICS landed: defaults fill omitted columns, the
+    // check rejects violating rows.
+    val dconn = java.sql.DriverManager.getConnection(dest.url)
+    try {
+      dconn.createStatement().executeUpdate(
+        """INSERT INTO items ("id") VALUES (3)""")
+      val rs = dconn.createStatement().executeQuery(
+        """SELECT "grade", "qty" FROM items WHERE "id" = 3""")
+      assert(rs.next() && rs.getString(1) == "standard" && rs.getInt(2) == 1)
+      intercept[java.sql.SQLException] {
+        dconn.createStatement().executeUpdate(
+          """INSERT INTO items ("id", "qty") VALUES (4, -1)""")
+      }
+    } finally dconn.close()
+  }
+
+  test("whatIfCopy plans order, estimates, and exact DDL without writing") {
+    val db = derbyStore()
+    val metas = Map(
+      "region" -> TableCopy.TableMeta(primaryKey = Seq("r_regionkey")),
+      "nation" -> TableCopy.TableMeta(primaryKey = Seq("n_nationkey"),
+        foreignKeys = Seq(("n_regionkey", "region", "r_regionkey"))))
+    val plan = TableCopy.whatIfCopy(spark, TableCopy.ParquetStore(sf), db,
+      metas, include = Seq("region", "nation")).collect()
+    assert(db.list(spark).isEmpty, "dry run must not write")
+    assert(plan.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "region"), (2L, "nation"))) // FK parent first
+    assert(plan.forall(_.getString(2) == "create"))
+    assert(plan.map(_.getLong(3)).toSeq == Seq(5L, 25L))
+    assert(plan.forall(_.getString(5) == "planned"))
+    // The previewed DDL is the DDL the real copy executes: running the
+    // copy and reading the destination catalog back must agree with the
+    // planned constraints.
+    val nationDdl = plan(1).getString(4)
+    assert(nationDdl.contains("PRIMARY KEY (\"n_nationkey\")"))
+    assert(nationDdl.contains(
+      "FOREIGN KEY (\"n_regionkey\") REFERENCES region (\"r_regionkey\")"))
+    TableCopy.copyTablesWithSchema(spark, TableCopy.ParquetStore(sf), db,
+      metas, include = Seq("region", "nation")).collect()
+    val back = db.meta(spark, "nation")
+    assert(back.primaryKey == Seq("n_nationkey"))
+    assert(back.foreignKeys == Seq(("n_regionkey", "REGION", "r_regionkey")))
+    // Re-plan against the now-populated destination: actions flip to
+    // recreate, nothing else changes.
+    val replan = TableCopy.whatIfCopy(spark, TableCopy.ParquetStore(sf), db,
+      metas, include = Seq("region", "nation")).collect()
+    assert(replan.forall(_.getString(2) == "recreate"))
+  }
+
+  test("JDBC batchSize knob plumbs through to the writer") {
+    val store = derbyStore().copy(batchSize = 7)
+    assert(TableCopy.copy(spark, TableCopy.ParquetStore(sf), store, "nation",
+      TableCopy.Recreate) == 25)
+    assert(store.read(spark, "nation").count() == 25)
+  }
+
   test("JDBC partitioned read drives stride predicates as parallel chunk queries") {
     val base = derbyStore()
     TableCopy.copy(spark, TableCopy.ParquetStore(sf), base, "customer",
