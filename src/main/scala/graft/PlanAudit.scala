@@ -116,7 +116,14 @@ object PlanAudit {
         "q_pca_power",
         // mood_median: 1-row pooled-median frame (the runs_test pattern);
         // acf: 14-row lag frame fanned over the calendar spine (#263)
-        "q_mood_median", "q_acf")
+        "q_mood_median", "q_acf",
+        // theil_sen: the |days|² pair frame is a non-equi self-join of the
+        // CALENDAR-bounded daily series (it does not grow with the corpus),
+        // plus 1-row median-rank frames; km_survival: 1-row horizon/total
+        // frames over the bounded day histogram; kruskal_wallis: 1-row
+        // tie-sum frame (the ks_test totals pattern); moments: 1-row-per-
+        // priority shape frame
+        "q_theil_sen", "q_km_survival", "q_kruskal_wallis", "q_moments")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -679,6 +679,15 @@ object SparkEntry {
     "q_mcnemar" -> ((s, dir) => Relational.mcnemar(s, dir)),
     "q_acf" -> ((s, dir) => Relational.acf(s, dir)),
     "q_lead_time" -> ((s, dir) => Relational.leadTime(s, dir)),
+    // r8 additions (§2 #280-#286)
+    "q_moments" -> ((s, dir) => Relational.moments(s, dir)),
+    "q_kruskal_wallis" -> ((s, dir) => Relational.kruskalWallis(s, dir)),
+    "q_km_survival" -> ((s, dir) => Relational.kmSurvival(s, dir)),
+    "q_theil_sen" -> ((s, dir) => Relational.theilSen(s, dir)),
+    "q_clustering_coeff" -> ((s, dir) =>
+      Similarity.clusteringCoeff(s, dir, maxBits = 12)),
+    "q_adamic_adar" -> ((s, dir) => Similarity.adamicAdar(s, dir, maxBits = 12)),
+    "q_intrinsic_dim" -> ((s, dir) => Similarity.intrinsicDim(s, dir, maxBits = 12)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -3948,6 +3957,126 @@ object SparkEntry {
         |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN days END) AS p50_days,
         |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN days END) AS p95_days
         |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_moments" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+        |    sum(CAST(c AS HUGEINT)) AS s1,
+        |    sum(CAST(c AS HUGEINT) * c) AS s2,
+        |    sum(CAST(c AS HUGEINT) * c * c) AS s3,
+        |    sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |        FROM orders)
+        |  GROUP BY 1),
+        |m AS (SELECT priority, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4 FROM s),
+        |c AS (SELECT priority, n, m1,
+        |  e2 - m1 * m1 AS m2,
+        |  e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1 AS m3,
+        |  e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+        |  FROM m),
+        |sh AS (SELECT priority, n, m1, m2,
+        |  m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) - 3.0 AS kurt FROM c)
+        |SELECT priority, n,
+        |  floor(m1 / 100.0 * 1e6 + 0.5) / 1e6 AS mean,
+        |  floor(sqrt(m2) / 100.0 * 1e6 + 0.5) / 1e6 AS sd,
+        |  floor(skew * 1e6 + 0.5) / 1e6 AS skewness,
+        |  floor(kurt * 1e6 + 0.5) / 1e6 AS kurtosis_excess,
+        |  floor(CAST(n AS DOUBLE) / 6.0 * (skew * skew + kurt * kurt / 4.0) * 1e6 + 0.5) / 1e6 AS jarque_bera
+        |FROM sh ORDER BY priority""".stripMargin,
+    "q_kruskal_wallis" ->
+      """WITH o AS (SELECT o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc FROM orders),
+        |j AS (SELECT yc, c.c_mktsegment AS seg, count(*)::BIGINT AS cnt
+        |      FROM o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+        |pv0 AS (SELECT yc, sum(cnt)::BIGINT AS tv FROM j GROUP BY 1),
+        |pv AS (SELECT yc,
+        |  CAST(2 * coalesce(sum(tv) OVER (ORDER BY yc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + tv + 1 AS HUGEINT) AS r2,
+        |  CAST(tv AS HUGEINT) * tv * tv - tv AS tie FROM pv0),
+        |pg AS (SELECT seg, sum(cnt)::BIGINT AS ng,
+        |  sum(CAST(cnt AS HUGEINT) * r2) AS r2sum
+        |  FROM j JOIN pv USING (yc) GROUP BY 1),
+        |terms AS (SELECT seg, ng,
+        |  CAST(r2sum * r2sum AS DOUBLE) / (4.0 * CAST(ng AS DOUBLE)) AS term FROM pg),
+        |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+        |  CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS terms FROM terms),
+        |tt AS (SELECT sum(tie) AS ties FROM pv),
+        |f AS (SELECT n, k, terms, ties,
+        |  12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * terms
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |  1.0 - CAST(ties AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+        |  FROM s, tt)
+        |SELECT n, k AS k_groups,
+        |  floor(h * 1e6 + 0.5) / 1e6 AS h,
+        |  floor(h / corr * 1e6 + 0.5) / 1e6 AS h_tie_corrected,
+        |  (k - 1) AS df
+        |FROM f""".stripMargin,
+    "q_km_survival" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate::DATE AS d FROM orders),
+        |hz AS (SELECT max(d) AS hz FROM o),
+        |nx AS (SELECT o_custkey, d,
+        |  lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nextd FROM o),
+        |obs AS (SELECT
+        |  CAST(CASE WHEN nextd IS NOT NULL THEN datediff('day', d, nextd)
+        |            ELSE datediff('day', d, hz) END AS BIGINT) AS day,
+        |  (nextd IS NOT NULL) AS observed
+        |  FROM nx CROSS JOIN hz),
+        |hist AS (SELECT day,
+        |  sum(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS d_events,
+        |  sum(CASE WHEN observed THEN 0 ELSE 1 END)::BIGINT AS c_censored
+        |  FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(d_events + c_censored)::BIGINT AS n_total FROM hist),
+        |rk AS (SELECT day, d_events, c_censored,
+        |  CAST(n_total - coalesce(sum(d_events + c_censored) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM hist CROSS JOIN tot),
+        |lt AS (SELECT day, d_events, c_censored, n_risk,
+        |  CASE WHEN d_events > 0 AND n_risk > d_events
+        |       THEN ln(CAST(n_risk - d_events AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |       ELSE 0.0 END AS lnterm,
+        |  CASE WHEN d_events > 0 AND n_risk = d_events THEN 1 ELSE 0 END AS died_out
+        |  FROM rk),
+        |sv AS (SELECT day, n_risk, d_events, c_censored,
+        |  CASE WHEN max(died_out) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+        |  ELSE exp(CAST(sum(CAST(lnterm AS DECIMAL(38,12))) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) END AS survival
+        |  FROM lt)
+        |SELECT day AS gap_days, n_risk, d_events, c_censored,
+        |  floor(survival * 1e6 + 0.5) / 1e6 AS survival
+        |FROM sv WHERE d_events > 0 ORDER BY gap_days""".stripMargin,
+    "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
+    "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
+    "q_intrinsic_dim" -> Similarity.intrinsicDimOracleSql(),
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT o_orderdate::DATE AS day,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT day, yc,
+        |  CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx FROM daily),
+        |pr AS (SELECT a.idx AS i, b.idx AS j,
+        |  CAST(b.yc - a.yc AS DOUBLE) / CAST(b.idx - a.idx AS DOUBLE) AS slope
+        |  FROM d2 a JOIN d2 b ON a.idx < b.idx),
+        |m AS (SELECT count(*)::BIGINT AS n_pairs FROM pr),
+        |rs AS (SELECT slope, row_number() OVER (ORDER BY slope, i, j) AS rn FROM pr),
+        |sl AS (SELECT n_pairs, slope FROM rs CROSS JOIN m
+        |       WHERE rn = CAST(floor((n_pairs + 1) / 2) AS BIGINT)),
+        |nd AS (SELECT count(*)::BIGINT AS n_days FROM d2),
+        |res AS (SELECT n_pairs, slope,
+        |  CAST(yc AS DOUBLE) - slope * CAST(idx AS DOUBLE) AS resid, idx
+        |  FROM d2 CROSS JOIN sl),
+        |ri AS (SELECT n_pairs, slope, resid,
+        |  row_number() OVER (ORDER BY resid, idx) AS rn FROM res)
+        |SELECT n_days, n_pairs,
+        |  floor(slope / 100.0 * 1e6 + 0.5) / 1e6 AS slope_per_day,
+        |  floor(resid / 100.0 * 1e6 + 0.5) / 1e6 AS intercept
+        |FROM ri CROSS JOIN nd
+        |WHERE rn = CAST(floor((n_days + 1) / 2) AS BIGINT)""".stripMargin,
     "q_xcorr_lags" ->
       """WITH daily AS (
         |  SELECT ts::DATE AS day,

@@ -3802,4 +3802,206 @@ object Relational {
         (varNum > 0 && abs(z) > 2.0).as("is_anomaly"))
       .orderBy("day")
   }
+
+  /** ENGINE-STABLE display rounding to 6 decimals: floor(x·1e6 + 0.5)/1e6.
+    * Unlike round(DOUBLE, 6) — whose tie handling differs between Spark
+    * (shortest-decimal BigDecimal) and DuckDB versions (binary-value
+    * rounding) and produced the r7 q_cov_matrix driver-only mismatch — the
+    * multiply, add, and floor are all exact/correctly-rounded IEEE ops on
+    * an engine-identical double, so the result is bit-identical in every
+    * engine and version. New operators use this; the oracle side spells
+    * the same floor(x * 1e6 + 0.5) / 1e6.
+    */
+  private def fl6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** §2.2 #280 — HIGHER MOMENTS per order priority: mean, standard
+    * deviation, skewness, excess kurtosis, and the Jarque–Bera normality
+    * statistic of order value — the distribution-shape profile behind
+    * "is revenue per order normal enough for the t-test family
+    * (#227/#218), or do we need the rank tests (#228/#281)?". ONE
+    * distributed pass: the four RAW POWER SUMS Σc, Σc², Σc³, Σc⁴ of
+    * integer cents accumulate exactly in DECIMAL(38,0) (map-side partial
+    * agg, order-free; c⁴ ≈ 1e31 per row and ~1e37 summed stays inside 38
+    * digits at sf1), central moments and the shape statistics are one
+    * fixed-order double formula per bounded group at the end. No row-level
+    * float work at all.
+    */
+  def moments(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val c = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .cast("long").as("c")
+    val s = t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("priority"), c)
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast(big)).as("s1"),
+        sum(col("c").cast(big) * col("c")).as("s2"),
+        sum(col("c").cast(big) * col("c") * col("c")).as("s3"),
+        sum(col("c").cast(big) * col("c") * col("c") * col("c")).as("s4"))
+    val n = col("n").cast("double")
+    val m1 = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - m1 * m1
+    val m3 = col("s3").cast("double") / n - lit(3.0) * m1 *
+      (col("s2").cast("double") / n) + lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4").cast("double") / n - lit(4.0) * m1 *
+      (col("s3").cast("double") / n) + lit(6.0) * m1 * m1 *
+      (col("s2").cast("double") / n) - lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2) - lit(3.0)
+    s.select(col("priority"), col("n"),
+        fl6(m1 / lit(100.0)).as("mean"),
+        fl6(sqrt(m2) / lit(100.0)).as("sd"),
+        fl6(skew).as("skewness"),
+        fl6(kurt).as("kurtosis_excess"),
+        fl6(n / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)))
+          .as("jarque_bera"))
+      .orderBy("priority")
+  }
+
+  /** §2.2 #281 — KRUSKAL–WALLIS H test of order value across ALL market
+    * segments: the k-group generalization of Mann-Whitney #228 ("does ANY
+    * segment's order-value distribution differ?" — the gate before
+    * pairwise tests). Same 100 TB-safe rank machinery as #228/#229: ranks
+    * never touch rows — the (price, segment) JOINT HISTOGRAM gives doubled
+    * tie-midranks 2r̄(v) = 2·cum_less(v) + t(v) + 1 from one window over
+    * DISTINCT prices (bounded by the price domain, not the fact table),
+    * doubled rank sums 2R_g accumulate exactly in decimal, and H plus its
+    * tie correction are one double formula over k+1 exact scalars. Each
+    * group's Σ(2R)²/(4n) term is exact-integer-numerator (decimal square,
+    * then one cast+divide), so H is bit-identical cross-engine.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val cst = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val joint = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .groupBy("yc", "seg").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wLess = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, -1)
+    val perValue = joint.groupBy("yc").agg(sum("cnt").as("tv"))
+      .withColumn("cum_less", coalesce(sum("tv").over(wLess), lit(0L)))
+      .select(col("yc"),
+        (lit(2) * col("cum_less") + col("tv") + 1).cast(big).as("r2"),
+        (col("tv").cast(big) * col("tv") * col("tv") - col("tv")).as("tie"))
+    val perGroup = joint.join(perValue.select("yc", "r2"), "yc")
+      .groupBy("seg")
+      .agg(sum("cnt").as("ng"), sum(col("cnt").cast(big) * col("r2")).as("r2sum"))
+      .select(col("seg"), col("ng"),
+        // (2R_g)²/(4n_g): the square stays exact in decimal, ONE division
+        ((col("r2sum") * col("r2sum")).cast("double") /
+          (lit(4.0) * col("ng").cast("double"))).as("term"))
+    val dec12 = DecimalType(38, 12)
+    val s = perGroup.agg(sum("ng").as("n"), count(lit(1)).as("k"),
+      sum(col("term").cast(dec12)).cast("double").as("terms"))
+      .crossJoin(broadcast(
+        perValue.agg(sum("tie").as("ties"))))
+    val n = col("n").cast("double")
+    val h = lit(12.0) / (n * (n + lit(1.0))) * col("terms") -
+      lit(3.0) * (n + lit(1.0))
+    val corr = lit(1.0) -
+      col("ties").cast("double") / (n * n * n - n)
+    s.select(col("n"), col("k").as("k_groups"),
+        fl6(h).as("h"), fl6(h / corr).as("h_tie_corrected"),
+        (col("k") - 1).as("df"))
+  }
+
+  /** §2.2 #282 — KAPLAN–MEIER reorder survival: the right-censored
+    * survival curve of "days until a customer's NEXT order" — gaps between
+    * consecutive orders are observed events, each customer's tail (last
+    * order → end of the data window) is a CENSORED observation, which the
+    * naive gap histogram (#268's hazard) silently drops; KM is the
+    * standard estimator that uses it. The day domain is calendar-bounded,
+    * so after one orders-shuffle (lag per customer) everything runs on the
+    * (day → events, censored) histogram: risk sets are reverse-cumulative
+    * integer sums, each factor ln((n−d)/n) is one IEEE op on an exact
+    * rational, the log-survival accumulates in decimal, and S(t) = exp(·)
+    * — per-day exact counts ride along so the curve is auditable.
+    */
+  def kmSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val wC = Window.partitionBy("o_custkey").orderBy("d")
+    val orders = t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+    val horizon = orders.agg(max("d").as("hz"))
+    val nxt = orders
+      .withColumn("nextd", lead("d", 1).over(wC))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("nextd").isNotNull, datediff(col("nextd"), col("d")))
+          .otherwise(datediff(col("hz"), col("d"))).cast("long").as("day"),
+        col("nextd").isNotNull.as("observed"))
+    val hist = nxt.groupBy("day")
+      .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d_events"),
+        sum(when(col("observed"), 0L).otherwise(1L)).as("c_censored"))
+    val wPrev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("d_events") + col("c_censored")).as("n_total"))
+    val dec12 = DecimalType(38, 12)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") -
+          coalesce(sum(col("d_events") + col("c_censored")).over(wPrev), lit(0L)))
+      // If some day the whole risk set dies (n_risk == d_events), ln(0)
+      // would poison the decimal sum — survival is exactly 0 from there on.
+      .withColumn("lnterm",
+        when(col("d_events") > 0 && col("n_risk") > col("d_events"),
+          log((col("n_risk") - col("d_events")).cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("died_out",
+        when(col("d_events") > 0 && col("n_risk") === col("d_events"), 1)
+          .otherwise(0))
+      .withColumn("survival",
+        when(max("died_out").over(wCum) === 1, lit(0.0))
+          .otherwise(exp(sum(col("lnterm").cast(dec12)).over(wCum)
+            .cast("double"))))
+      .where(col("d_events") > 0)
+      .select(col("day").as("gap_days"), col("n_risk"), col("d_events"),
+        col("c_censored"), fl6(col("survival")).as("survival"))
+      .orderBy("gap_days")
+  }
+
+  /** §2.2 #283 — THEIL–SEN robust trend of daily revenue: the median slope
+    * over ALL day pairs — one wild day moves OLS (#218) arbitrarily but
+    * moves a median-of-slopes not at all (29% breakdown point), the right
+    * trend estimate for spiky revenue. The fact table collapses to the
+    * bounded daily frame FIRST (one shuffle); the O(|days|²) pair frame
+    * (~265k pairs at 2 years — calendar-bounded, it does NOT grow with the
+    * corpus) carries exact integer (Δcents, Δdays) pairs, the median is
+    * the deterministic lower order statistic via row_number over
+    * (slope, i, j) — slope compares as one IEEE division of exact ints —
+    * and the intercept is the follow-up median of rev − slope·idx.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+      .withColumn("idx", row_number().over(Window.orderBy("day")).cast("long"))
+      .localCheckpoint(true)
+    val pairs = daily.as("a").join(daily.as("b"), col("a.idx") < col("b.idx"))
+      .select(col("a.idx").as("i"), col("b.idx").as("j"),
+        ((col("b.yc") - col("a.yc")).cast("double") /
+          (col("b.idx") - col("a.idx")).cast("double")).as("slope"))
+    val wS = Window.orderBy(col("slope"), col("i"), col("j"))
+    val m = pairs.agg(count(lit(1)).as("n_pairs"))
+    // Lower-median rank ⌊(m+1)/2⌋ (Column `/` is double division — floor it)
+    val slope = pairs.withColumn("rn", row_number().over(wS))
+      .crossJoin(broadcast(m))
+      .where(col("rn") === floor((col("n_pairs") + lit(1)) / lit(2)))
+      .select(col("n_pairs"), col("slope"))
+    val wI = Window.orderBy(col("resid"), col("idx"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    daily.crossJoin(broadcast(slope))
+      .select(col("n_pairs"), col("slope"),
+        (col("yc").cast("double") - col("slope") * col("idx").cast("double"))
+          .as("resid"), col("idx"))
+      .withColumn("rn", row_number().over(wI))
+      .crossJoin(broadcast(nd))
+      .where(col("rn") === floor((col("n_days") + lit(1)) / lit(2)))
+      .select(col("n_days"), col("n_pairs"),
+        fl6(col("slope") / lit(100.0)).as("slope_per_day"),
+        fl6(col("resid") / lit(100.0)).as("intercept"))
+  }
 }

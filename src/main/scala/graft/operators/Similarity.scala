@@ -1182,6 +1182,185 @@ object Similarity {
        |n AS (SELECT unnest([a, b, c]) AS vec_id FROM tri)
        |SELECT vec_id, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY vec_id""".stripMargin
 
+  /** §2.3 #284 — LOCAL CLUSTERING COEFFICIENT over the [[knnGraph]] edge
+    * set: per node, closed wedges / possible wedges = 2·tri/(deg·(deg−1))
+    * on the UNDIRECTED graph — the per-node version of #207's density
+    * signal (a node with high degree but near-zero coefficient is a hub
+    * artifact, see #233; a coefficient near 1 marks a tight
+    * duplicate/template clique worth collapsing). Same oriented-wedge
+    * closure as #207 (every triangle found once, O(Σ deg²) bounded by the
+    * kNN fan-in), undirected degrees from the same O(k·N) edge list,
+    * zero-triangle and degree-<2 nodes kept via the left join (coefficient
+    * 0 — they're the anti-cluster signal). One double division per node.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String, k: Int = 3,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("deg"))
+    val wedge = e.as("x").join(e.as("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    val tri = wedge.join(e.as("z"),
+        col("a") === col("z.u") && col("c") === col("z.v"), "left_semi")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_tri"))
+    Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(deg, Seq("vec_id"), "left_outer")
+      .join(tri, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        when(col("deg") >= 2,
+          floor(lit(2.0) * col("n_tri").cast("double") /
+            (col("deg").cast("double") * (col("deg").cast("double") - lit(1.0)))
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+          .otherwise(lit(0.0)))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle SQL for [[clusteringCoeff]] — the same oriented-wedge
+    * triangles and undirected degrees over the [[knnGraphOracleSql]] edge
+    * set, with the engine-stable floor rounding.
+    */
+  def clusteringCoeffOracleSql(k: Int = 3, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+       |  FROM (${knnGraphOracleSql(k, nTables, maxBits)}) g
+       |),
+       |d AS (SELECT vec_id, count(*)::BIGINT AS deg
+       |      FROM (SELECT unnest([u, v]) AS vec_id FROM e) GROUP BY 1),
+       |w AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e x JOIN e y ON x.v = y.u),
+       |tri AS (SELECT a, b, c FROM w
+       |        WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
+       |tc AS (SELECT vec_id, count(*)::BIGINT AS n_tri
+       |       FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY 1),
+       |a AS (SELECT emb.vec_id, coalesce(deg, 0) AS deg, coalesce(n_tri, 0) AS n_tri
+       |      FROM embeddings emb LEFT JOIN d USING (vec_id)
+       |      LEFT JOIN tc USING (vec_id))
+       |SELECT vec_id, deg, n_tri,
+       |  CASE WHEN deg >= 2 THEN floor(2.0 * CAST(n_tri AS DOUBLE) /
+       |    (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1.0)) * 1e6 + 0.5) / 1e6
+       |  ELSE 0.0 END AS coeff
+       |FROM a ORDER BY vec_id""".stripMargin
+
+  /** §2.3 #285 — ADAMIC–ADAR link prediction over the [[knnGraph]]: for
+    * every NON-adjacent pair sharing ≥1 neighbor, score = Σ_b 1/ln(deg b)
+    * over the common neighbors b — the classic "these two SHOULD be
+    * neighbors" signal that patches LSH recall holes (a pair the index
+    * missed but whose neighborhoods overlap is almost surely a true
+    * near-pair; low-degree common neighbors count more than hubs). Work is
+    * the same oriented wedge frame as #207/#284 (O(Σ deg²), bounded by the
+    * kNN fan-in) minus an anti-join against the edge set; per-pair scores
+    * sum 1/ln(deg) in decimal (order-free), top-20 by (score desc, pair) is
+    * a TakeOrderedAndProject. A wedge's middle node has deg ≥ 2 by
+    * construction, so ln(deg) > 0 always.
+    */
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 3, topN: Int = 20,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("deg"))
+    // Undirected wedges a—b—c with a < c: middle node b sees both (b,a)
+    // and (b,c) in its adjacency, so orient both edge copies around b.
+    val adj = e.select(col("u").as("b"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("b"), col("u").as("n")))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.b") === col("y.b") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("x.b").as("b"), col("y.n").as("c"))
+    val open = wedges.join(e.as("z"),
+      col("a") === col("z.u") && col("c") === col("z.v"), "left_anti")
+    open.join(deg, "b")
+      .groupBy("a", "c")
+      .agg(count(lit(1)).as("n_common"),
+        sum((lit(1.0) / log(col("deg").cast("double")))
+          .cast(DecimalType(28, 12))).as("s"))
+      .select(col("a").as("vec_a"), col("c").as("vec_b"), col("n_common"),
+        (floor(col("s").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("aa_score"))
+      .orderBy(col("aa_score").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle SQL for [[adamicAdar]] — the same anti-joined wedge
+    * frame and decimal-summed 1/ln(deg) scores over [[knnGraphOracleSql]].
+    */
+  def adamicAdarOracleSql(k: Int = 3, topN: Int = 20, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+       |  FROM (${knnGraphOracleSql(k, nTables, maxBits)}) g
+       |),
+       |d AS (SELECT b, count(*)::BIGINT AS deg
+       |      FROM (SELECT unnest([u, v]) AS b FROM e) GROUP BY 1),
+       |adj AS (SELECT u AS b, v AS n FROM e UNION ALL SELECT v AS b, u AS n FROM e),
+       |w AS (SELECT x.n AS a, x.b AS b, y.n AS c
+       |      FROM adj x JOIN adj y ON x.b = y.b AND x.n < y.n),
+       |open_w AS (SELECT a, b, c FROM w
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
+       |sc AS (SELECT a, c, count(*)::BIGINT AS n_common,
+       |  CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  FROM open_w JOIN d USING (b) GROUP BY 1, 2)
+       |SELECT a AS vec_a, c AS vec_b, n_common,
+       |  floor(s * 1e6 + 0.5) / 1e6 AS aa_score
+       |FROM sc ORDER BY aa_score DESC, vec_a, vec_b LIMIT $topN""".stripMargin
+
+  /** §2.3 #286 — TWO-NN INTRINSIC DIMENSIONALITY (Facco et al.) from the
+    * [[knnGraph]]'s rank-1/rank-2 neighbors: d̂ = n / Σ ln(r2/r1) over
+    * cosine distances r = 1 − cos — the "how many dimensions is this
+    * embedding space REALLY using" estimate that explains ANN behavior
+    * (hubness #233 explodes and IVF recall collapses as intrinsic dim
+    * grows; an embedding advertising 64 dims but measuring ~8 is ripe for
+    * PQ/#143 compression). Only vectors with both neighbors and r1 > 0
+    * count (r1 = 0 is an exact duplicate — its ratio is degenerate and
+    * belongs to the dedup family); the log-ratios sum in decimal
+    * (order-free), the estimate is one division. Work: one k-bounded
+    * self-pivot of the O(k·N) edge list — nothing beyond the graph build.
+    */
+  def intrinsicDim(spark: SparkSession, dir: String, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = knnGraph(spark, dir, 2, nBits, nTables, maxBits)
+    val r = g.groupBy("vec_id")
+      .agg(min(when(col("rank") === 1, lit(1.0) - col("cos"))).as("r1"),
+        min(when(col("rank") === 2, lit(1.0) - col("cos"))).as("r2"))
+      .where(col("r2").isNotNull)
+    r.select(count(lit(1)).as("n_with_2nn"),
+        sum(when(col("r1") > 0, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("r1") > 0, log(col("r2") / col("r1")))
+          .otherwise(lit(0.0)).cast(DecimalType(28, 12))).as("s"))
+      .select(col("n_with_2nn"), col("n_valid"),
+        (floor(col("n_valid").cast("double") / col("s").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("id_mle"))
+  }
+
+  /** DuckDB oracle SQL for [[intrinsicDim]] — the same rank-1/2 pivot and
+    * decimal-summed log-ratios over [[knnGraphOracleSql]] with k = 2.
+    */
+  def intrinsicDimOracleSql(nTables: Int = 16, maxBits: Int = 12): String =
+    s"""WITH g AS (${knnGraphOracleSql(2, nTables, maxBits)}),
+       |r AS (SELECT vec_id,
+       |  min(CASE WHEN rank = 1 THEN 1.0 - cos END) AS r1,
+       |  min(CASE WHEN rank = 2 THEN 1.0 - cos END) AS r2
+       |  FROM g GROUP BY 1),
+       |v AS (SELECT r1, r2 FROM r WHERE r2 IS NOT NULL)
+       |SELECT count(*)::BIGINT AS n_with_2nn,
+       |  sum(CASE WHEN r1 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+       |  floor(CAST(sum(CASE WHEN r1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(sum(CAST(CASE WHEN r1 > 0 THEN ln(r2 / r1) ELSE 0.0 END
+       |      AS DECIMAL(28,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS id_mle
+       |FROM v""".stripMargin
+
   /** §2.3 #233 — HUBNESS of the kNN graph: the in-degree histogram of
     * [[knnGraph]] — how many vectors appear in k other vectors' neighbor
     * lists. High-dimensional embeddings grow "hub" points that show up in

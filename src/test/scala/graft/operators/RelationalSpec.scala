@@ -1909,4 +1909,123 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("p95_days") == qd(0.95))
     }
   }
+
+  test("moments match a local power-sum computation per priority") {
+    val rows = Relational.moments(spark, sf).collect()
+    val cents = Tables.load(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    assert(rows.length == cents.size)
+    rows.foreach { r =>
+      val xs = cents(r.getAs[String]("priority"))
+      val n = xs.length.toDouble
+      val m1 = xs.sum / n
+      val m2 = xs.map(x => (x - m1) * (x - m1)).sum / n
+      val m3 = xs.map(x => math.pow(x - m1, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - m1, 4)).sum / n
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean") - m1 / 100.0) < 1e-4)
+      assert(math.abs(r.getAs[Double]("sd") - math.sqrt(m2) / 100.0) < 1e-2)
+      assert(math.abs(r.getAs[Double]("skewness") -
+        m3 / (m2 * math.sqrt(m2))) < 1e-4)
+      assert(math.abs(r.getAs[Double]("kurtosis_excess") -
+        (m4 / (m2 * m2) - 3.0)) < 1e-4)
+    }
+  }
+
+  test("kruskalWallis H equals a local tie-aware rank computation") {
+    val r = Relational.kruskalWallis(spark, sf).collect()(0)
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val seg = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    val data = o.map { case (ck, yc) => (seg(ck), yc) }
+    val n = data.length
+    // tie-average ranks
+    val byVal = data.map(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val sortedVals = byVal.keys.toArray.sorted
+    val rankOf = scala.collection.mutable.Map.empty[Long, Double]
+    var below = 0L
+    sortedVals.foreach { v =>
+      val t = byVal(v)
+      rankOf(v) = below + (t + 1) / 2.0
+      below += t
+    }
+    val groups = data.groupBy(_._1)
+    val term = groups.values.map { g =>
+      val rsum = g.map(x => rankOf(x._2)).sum
+      rsum * rsum / g.length
+    }.sum
+    val h = 12.0 / (n * (n + 1.0)) * term - 3.0 * (n + 1.0)
+    val ties = byVal.values.map(t => t.toDouble * t * t - t).sum
+    val hc = h / (1.0 - ties / (n.toDouble * n * n - n))
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(math.abs(r.getAs[Double]("h") - h) < 1e-4)
+    assert(math.abs(r.getAs[Double]("h_tie_corrected") - hc) < 1e-4)
+    assert(r.getAs[Long]("df") == groups.size.toLong - 1)
+  }
+
+  test("kmSurvival is a non-increasing curve with consistent risk sets") {
+    val rows = Relational.kmSurvival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // survival strictly within (0, 1], non-increasing over gap days
+    val surv = rows.map(_.getAs[Double]("survival"))
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // risk sets: n_risk is non-increasing and drops by at least the events
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a })
+    // total observations: events + censored across ALL days equals
+    // the number of orders (every order yields a gap or a censored tail)
+    val nOrders = Tables.load(spark, sf, "orders").count()
+    // recompute the full histogram locally for the conservation check
+    val byCust = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate"))).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val horizon = byCust.map(_._2).max
+    var events = 0L; var censored = 0L
+    byCust.groupBy(_._1).values.foreach { os =>
+      val ds = os.map(_._2).sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+      ds.sliding(2).foreach {
+        case Array(a, b) => events += 1
+        case _ => ()
+      }
+      censored += 1
+    }
+    assert(events + censored == nOrders)
+    // the engine's KM at the first event day matches 1 - d1/n1 locally
+    val first = rows.head
+    val expected = 1.0 -
+      first.getAs[Long]("d_events").toDouble / first.getAs[Long]("n_risk")
+    assert(math.abs(first.getAs[Double]("survival") - expected) < 1e-6 ||
+      first.getAs[Long]("d_events") == first.getAs[Long]("n_risk"))
+  }
+
+  test("theilSen equals the local median of pairwise slopes") {
+    val r = Relational.theilSen(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect().map(_.getAs[Long]("yc"))
+    val slopes = for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield (daily(j) - daily(i)).toDouble / (j - i)
+    val sortedS = slopes.sorted
+    val med = sortedS((slopes.length + 1) / 2 - 1)
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope_per_day") - med / 100.0) < 1e-4)
+    // intercept: median residual at the chosen slope
+    val resid = daily.zipWithIndex
+      .map { case (yc, i) => yc - med * (i + 1) }.sorted
+    val medR = resid((daily.length + 1) / 2 - 1)
+    assert(math.abs(r.getAs[Double]("intercept") - medR / 100.0) < 1e-2)
+  }
 }

@@ -556,4 +556,84 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val topLocal = v6.zipWithIndex.maxBy(t => (math.abs(t._1), -t._2))._2
     assert(r.getAs[Long]("top_dim") == topLocal.toLong)
   }
+
+  test("clusteringCoeff equals 2*tri/(deg*(deg-1)) over the engine's own edges") {
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map { r =>
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("nbr_id")
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+    val eset = edges.toSet
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val byU = edges.groupBy(_._1)
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; (_, c) <- byU.getOrElse(b, Array.empty[(Long, Long)])
+         if eset.contains((a, c))) {
+      tri(a) += 1; tri(b) += 1; tri(c) += 1
+    }
+    val rows = Similarity.clusteringCoeff(spark, sf, maxBits = 12).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Long]("deg") == deg(id))
+      assert(r.getAs[Long]("n_tri") == tri(id))
+      val expected =
+        if (deg(id) >= 2) 2.0 * tri(id) / (deg(id).toDouble * (deg(id) - 1))
+        else 0.0
+      assert(math.abs(r.getAs[Double]("coeff") - expected) < 1e-6)
+      assert(r.getAs[Double]("coeff") >= 0.0 && r.getAs[Double]("coeff") <= 1.0)
+    }
+  }
+
+  test("adamicAdar scores open wedges only, with exact common-neighbor counts") {
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map { r =>
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("nbr_id")
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+    val eset = edges.toSet
+    val deg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    edges.foreach { case (u, v) => adj(u) ::= v; adj(v) ::= u }
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (Long, Double)]
+    adj.foreach { case (b, ns) =>
+      for (a <- ns; c <- ns if a < c && !eset.contains((a, c))) {
+        val (cnt, s) = scores.getOrElse((a, c), (0L, 0.0))
+        scores((a, c)) = (cnt + 1, s + 1.0 / math.log(deg(b).toDouble))
+      }
+    }
+    val rows = Similarity.adamicAdar(spark, sf, maxBits = 12).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(!eset.contains(key), s"$key is already an edge")
+      val (cnt, s) = scores(key)
+      assert(r.getAs[Long]("n_common") == cnt)
+      assert(math.abs(r.getAs[Double]("aa_score") - s) < 1e-5)
+    }
+    // the engine's top-1 really is the global max score
+    val best = scores.values.map(_._2).max
+    assert(math.abs(rows.head.getAs[Double]("aa_score") - best) < 1e-5)
+  }
+
+  test("intrinsicDim matches the local two-NN MLE over the engine's own graph") {
+    val g = Similarity.knnGraph(spark, sf, 2, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+        1.0 - r.getAs[Double]("cos")))
+    val byV = g.groupBy(_._1).filter(_._2.length == 2)
+    val ratios = byV.values.toSeq.flatMap { rs =>
+      val r1 = rs.find(_._2 == 1).get._3
+      val r2 = rs.find(_._2 == 2).get._3
+      if (r1 > 0) Some(math.log(r2 / r1)) else None
+    }
+    val expected = ratios.size / ratios.sum
+    val r = Similarity.intrinsicDim(spark, sf, maxBits = 12).collect()(0)
+    assert(r.getAs[Long]("n_with_2nn") == byV.size.toLong)
+    assert(r.getAs[Long]("n_valid") == ratios.size.toLong)
+    assert(math.abs(r.getAs[Double]("id_mle") - expected) < 1e-4)
+    assert(r.getAs[Double]("id_mle") > 0.0)
+  }
 }
