@@ -1339,9 +1339,15 @@ object Similarity {
         sum(when(col("r1") > 0, 1L).otherwise(0L)).as("n_valid"),
         sum(when(col("r1") > 0, log(col("r2") / col("r1")))
           .otherwise(lit(0.0)).cast(DecimalType(28, 12))).as("s"))
+      // A corpus where EVERY vector's nearest neighbors are exact
+      // duplicates (r1 = 0 everywhere — the stress corpus's designed
+      // worst case) has no valid ratios: the estimate is undefined, not a
+      // division by zero (ANSI mode errors on x/0 for every numeric type).
       .select(col("n_with_2nn"), col("n_valid"),
-        (floor(col("n_valid").cast("double") / col("s").cast("double")
-          * lit(1e6) + lit(0.5)) / lit(1e6)).as("id_mle"))
+        when(col("s") > 0,
+          floor(col("n_valid").cast("double") / col("s").cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6))
+          .otherwise(lit(null).cast("double")).as("id_mle"))
   }
 
   /** DuckDB oracle SQL for [[intrinsicDim]] — the same rank-1/2 pivot and
@@ -1353,13 +1359,16 @@ object Similarity {
        |  min(CASE WHEN rank = 1 THEN 1.0 - cos END) AS r1,
        |  min(CASE WHEN rank = 2 THEN 1.0 - cos END) AS r2
        |  FROM g GROUP BY 1),
-       |v AS (SELECT r1, r2 FROM r WHERE r2 IS NOT NULL)
-       |SELECT count(*)::BIGINT AS n_with_2nn,
+       |v AS (SELECT r1, r2 FROM r WHERE r2 IS NOT NULL),
+       |a AS (SELECT count(*)::BIGINT AS n_with_2nn,
        |  sum(CASE WHEN r1 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_valid,
-       |  floor(CAST(sum(CASE WHEN r1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
-       |    CAST(sum(CAST(CASE WHEN r1 > 0 THEN ln(r2 / r1) ELSE 0.0 END
-       |      AS DECIMAL(28,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS id_mle
-       |FROM v""".stripMargin
+       |  sum(CAST(CASE WHEN r1 > 0 THEN ln(r2 / r1) ELSE 0.0 END
+       |      AS DECIMAL(28,12))) AS s
+       |  FROM v)
+       |SELECT n_with_2nn, n_valid,
+       |  CASE WHEN s > 0 THEN floor(CAST(n_valid AS DOUBLE) /
+       |    CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE NULL END AS id_mle
+       |FROM a""".stripMargin
 
   /** §2.3 #233 — HUBNESS of the kNN graph: the in-degree histogram of
     * [[knnGraph]] — how many vectors appear in k other vectors' neighbor

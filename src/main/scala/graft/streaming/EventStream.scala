@@ -18,6 +18,52 @@ case class ProfileState(nEvents: Long, totalValue: Double, lastTsUs: Long)
 /** Per-shard Misra-Gries counter state for [[EventStream.heavyUsers]]. */
 case class MgState(users: Seq[Long], counts: Seq[Long])
 
+/** Per-user running Welford moments for [[EventStream.anomalyFlags]]. */
+case class WelfordState(n: Long, mean: Double, m2: Double)
+
+/** One flagged event (Update-mode output row): the z-score of `value`
+  * against the user's running distribution BEFORE this event folds in.
+  */
+case class AnomalyFlag(user_id: Long, event_id: Long, value: Double, z: Double)
+
+/** StatefulProcessor for [[EventStream.anomalyFlags]]: per-user Welford
+  * (n, mean, M2) folded over each micro-batch; an event whose |z| against
+  * the PRE-event state exceeds the threshold (once ≥ minN observations
+  * back it) is emitted, then the event updates the state either way —
+  * anomalous points still teach the baseline, matching the batch
+  * rolling-z convention (#249) of scoring against history, not self.
+  */
+class AnomalyProcessor(minN: Long, zThreshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, AnomalyFlag] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[WelfordState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[WelfordState]("welford",
+      org.apache.spark.sql.Encoders.product[WelfordState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventStream.Event],
+      timerValues: TimerValues): Iterator[AnomalyFlag] = {
+    var s = if (state.exists()) state.get() else WelfordState(0L, 0.0, 0.0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyFlag]
+    rows.foreach { e =>
+      if (s.n >= minN && s.m2 > 0.0) {
+        val sd = math.sqrt(s.m2 / (s.n - 1))
+        val z = (e.value - s.mean) / sd
+        if (math.abs(z) > zThreshold) out += AnomalyFlag(key, e.event_id, e.value, z)
+      }
+      val n1 = s.n + 1
+      val d = e.value - s.mean
+      val mean1 = s.mean + d / n1
+      s = WelfordState(n1, mean1, s.m2 + d * (e.value - mean1))
+    }
+    state.update(s)
+    out.iterator
+  }
+}
+
 /** One emitted heavy-hitter counter (Update-mode output row): the MG lower
   * bound for `user_id` within `shard` as of the latest micro-batch.
   */
@@ -255,6 +301,27 @@ object EventStream {
     events
       .groupByKey(_.user_id % shards)
       .transformWithState(new HeavyUsersProcessor(m),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** §2.4 #287 — streaming PER-USER ANOMALY FLAGS: each user's event values
+    * score against that user's OWN running mean/σ (Welford state over the
+    * RocksDB store — one (n, mean, M2) triple per user, constant memory per
+    * key regardless of stream length), |z| > threshold emits a flag once
+    * ≥ minN observations back the baseline. This is the always-on
+    * micro-batch twin of the batch rolling-z (#249): per-user baselines
+    * catch the user whose behavior CHANGED, which a global threshold
+    * (#125's MAD fence) can't see. State is keyed and distributed — a
+    * user's moments live on exactly one executor's store and survive
+    * restarts via the checkpoint; the update is O(1) per event.
+    */
+  def anomalyFlags(events: Dataset[Event], minN: Long = 5,
+      zThreshold: Double = 3.0): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor(minN, zThreshold),
         TimeMode.None(), OutputMode.Update())
   }
 

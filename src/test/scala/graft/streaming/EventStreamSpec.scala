@@ -286,6 +286,51 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("anomalyFlags scores events against the user's own running baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.Event]
+    // batch 1: five baseline observations for user 1 (n < minN at each —
+    // no flags possible), plus an extreme value for user 2 whose state is
+    // EMPTY (n=0 < minN — per-user baselines must not cross-contaminate).
+    val base = Seq(10.0, 12.0, 11.0, 9.0, 8.0)
+    input.addData(base.zipWithIndex.map { case (v, i) =>
+      Event(i + 1L, ts(i), 1, "click", v) } :+ Event(90, ts(0), 2, "click", 500.0): _*)
+    val q = EventStream.anomalyFlags(input.toDS())
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("anomalies").collect().isEmpty, "no flags while n < minN")
+      // batch 2: an extreme value for user 1 — flagged against the batch-1
+      // baseline; a normal value for user 1 right after must NOT flag.
+      input.addData(Event(100, ts(10), 1, "click", 100.0))
+      q.processAllAvailable()
+      input.addData(Event(101, ts(11), 1, "click", 10.5))
+      q.processAllAvailable()
+      val flags = spark.table("anomalies").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(flags.map(_._2).toSet == Set(100L), s"flags: ${flags.mkString(",")}")
+      // z matches a local Welford replay of the baseline (order within the
+      // first batch only perturbs M2 in low-order bits)
+      val mean = base.sum / base.length
+      val m2 = base.map(v => (v - mean) * (v - mean)).sum
+      val sd = math.sqrt(m2 / (base.length - 1))
+      val expectedZ = (100.0 - mean) / sd
+      assert(math.abs(flags.head._4 - expectedZ) < 1e-3)
+      assert(flags.head._1 == 1L && flags.head._3 == 100.0)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup drops repeated event ids with watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
