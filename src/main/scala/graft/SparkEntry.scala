@@ -688,6 +688,9 @@ object SparkEntry {
       Similarity.clusteringCoeff(s, dir, maxBits = 12)),
     "q_adamic_adar" -> ((s, dir) => Similarity.adamicAdar(s, dir, maxBits = 12)),
     "q_intrinsic_dim" -> ((s, dir) => Similarity.intrinsicDim(s, dir, maxBits = 12)),
+    "q_suffix_dup" -> ((s, dir) => Dedup.suffixDup(s, dir)),
+    "q_surprisal_outliers" -> ((s, dir) => TextAnalysis.surprisalOutliers(s, dir)),
+    "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -4050,6 +4053,68 @@ object SparkEntry {
         |SELECT day AS gap_days, n_risk, d_events, c_censored,
         |  floor(survival * 1e6 + 0.5) / 1e6 AS survival
         |FROM sv WHERE d_events > 0 ORDER BY gap_days""".stripMargin,
+    "q_suffix_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  array_to_string(w[greatest(len(w) - 7, 1):len(w)], ' ') AS suffix FROM t)
+        |SELECT suffix, min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs
+        |FROM s GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, suffix""".stripMargin,
+    "q_surprisal_outliers" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(2, len(w)),
+        |    i -> struct_pack(a := w[i-1], b := w[i]))) AS p
+        |  FROM d WHERE len(w) >= 2),
+        |bgf AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+        |cab AS (SELECT a, b, count(*) AS c_ab FROM bgf GROUP BY 1, 2),
+        |ca AS (SELECT a, count(*) AS c_a FROM bgf GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t),
+        |sc AS (SELECT doc_id,
+        |  round(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS avg_surprisal
+        |  FROM bgf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
+        |  GROUP BY doc_id),
+        |st AS (SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(avg_surprisal AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(avg_surprisal * avg_surprisal AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM sc),
+        |zz AS (SELECT doc_id, avg_surprisal,
+        |  (avg_surprisal - sx / CAST(n AS DOUBLE)) /
+        |    sqrt(sxx / CAST(n AS DOUBLE)
+        |      - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) AS zv
+        |  FROM sc CROSS JOIN st)
+        |SELECT doc_id, avg_surprisal,
+        |  floor(zv * 1e6 + 0.5) / 1e6 AS z,
+        |  CASE WHEN zv > 2.0 THEN 'high' WHEN zv < -2.0 THEN 'low'
+        |       ELSE 'ok' END AS flag
+        |FROM zz ORDER BY doc_id""".stripMargin,
+    "q_lang_mix" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  toks[1:len(toks)//2] AS f, toks[len(toks)//2+1:len(toks)] AS s
+        |  FROM d WHERE len(toks) >= 4),
+        |c AS (SELECT doc_id,
+        |  len(list_filter(f, t -> t IN ('the','a','of','and','is')))::INTEGER AS f_en,
+        |  len(list_filter(f, t -> t IN ('der','die','das','und','ist')))::INTEGER AS f_de,
+        |  len(list_filter(f, t -> t IN ('el','la','los','de','es')))::INTEGER AS f_es,
+        |  len(list_filter(s, t -> t IN ('the','a','of','and','is')))::INTEGER AS s_en,
+        |  len(list_filter(s, t -> t IN ('der','die','das','und','ist')))::INTEGER AS s_de,
+        |  len(list_filter(s, t -> t IN ('el','la','los','de','es')))::INTEGER AS s_es
+        |  FROM h),
+        |det AS (SELECT doc_id,
+        |  CASE WHEN f_en = 0 AND f_de = 0 AND f_es = 0 THEN 'unknown'
+        |       WHEN f_en >= f_de AND f_en >= f_es THEN 'en'
+        |       WHEN f_de >= f_es THEN 'de' ELSE 'es' END AS lang_first,
+        |  CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
+        |       WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_second
+        |  FROM c)
+        |SELECT lang_first, lang_second, count(*)::BIGINT AS n_docs,
+        |  (lang_first <> lang_second AND lang_first <> 'unknown'
+        |   AND lang_second <> 'unknown') AS mixed
+        |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
     "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
     "q_intrinsic_dim" -> Similarity.intrinsicDimOracleSql(),

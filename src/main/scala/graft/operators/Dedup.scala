@@ -605,6 +605,26 @@ object Dedup {
       .select("prefix", "keep_id", "n_docs")
       .orderBy(col("n_docs").desc, col("prefix").asc)
 
+  /** §2.3 #288 — SUFFIX-template duplicates: documents sharing their last
+    * `k` tokens — the FOOTER twin of [[prefixDup]]'s header detector
+    * (boilerplate disclaimers, signatures, and pagination footers attach
+    * at the END of scraped documents; a prefix fingerprint never sees
+    * them). Same 100 TB shape as #191: one fingerprint per doc (no
+    * pairwise work), a single groupBy on the suffix string, groups of ≥2
+    * surface with the min-id survivor.
+    */
+  def suffixDup(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", expr(s"slice(split(trim(text), ' '), " +
+          s"greatest(size(split(trim(text), ' ')) - ${k - 1}, 1), $k)"))
+          .as("suffix"))
+      .groupBy("suffix")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select("suffix", "keep_id", "n_docs")
+      .orderBy(col("n_docs").desc, col("suffix").asc)
+
   /** §2.3 #196 — INCREMENTAL ingestion dedup: a new batch checked against
     * the historical corpus — the shape every production pipeline actually
     * runs (full-corpus re-dedup per ingest is unpayable at 100 TB; the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -556,6 +556,77 @@ object TextAnalysis {
         round(sum(col("nll").cast(dec)).cast("double") / count(lit(1)), 6)
           .as("avg_surprisal"))
       .orderBy("doc_id")
+  }
+
+  /** §2.3 #289 — SURPRISAL OUTLIER flags: every document's [[ngramLm]]
+    * average bigram surprisal z-scored against the corpus distribution —
+    * the actionable form of the LM quality filter (#134 gives the score;
+    * this gives the CUT): |z| > 2 low-tail docs are repetitive/templated,
+    * high-tail docs are noise/gibberish — the two tails a CCNet-style
+    * quality gate removes. The corpus mean/σ fences come from exact
+    * decimal sums of the (rounded, engine-identical) per-doc scores — one
+    * 1-row broadcast, no global sort, no percentile pass; z is one IEEE
+    * formula per doc with the engine-stable floor rounding.
+    */
+  def surprisalOutliers(spark: SparkSession, dir: String,
+      zCut: Double = 2.0): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val lm = ngramLm(spark, dir).select("doc_id", "avg_surprisal")
+    val st = lm.agg(count(lit(1)).as("n"),
+      sum(col("avg_surprisal").cast(dec)).cast("double").as("sx"),
+      sum((col("avg_surprisal") * col("avg_surprisal")).cast(dec))
+        .cast("double").as("sxx"))
+    val n = col("n").cast("double")
+    val mean = col("sx") / n
+    val z = (col("avg_surprisal") - mean) /
+      sqrt(col("sxx") / n - mean * mean)
+    lm.crossJoin(broadcast(st))
+      .select(col("doc_id"), col("avg_surprisal"),
+        (floor(z * lit(1e6) + lit(0.5)) / lit(1e6)).as("z"),
+        when(z > zCut, "high").when(z < -zCut, "low").otherwise("ok")
+          .as("flag"))
+      .orderBy("doc_id")
+  }
+
+  /** §2.3 #290 — intra-document LANGUAGE MIXING (code-switching detector):
+    * each document's first and second token halves language-ID'd
+    * independently with the #29 stopword profiles; halves that disagree
+    * (both confidently known) mark concatenation artifacts — two pages
+    * glued by extraction, boilerplate in a second language — which
+    * whole-doc langid averages away (the dominant half wins and the
+    * contamination ships into a "monolingual" corpus). Output is the
+    * bounded (lang_first × lang_second) matrix with the mixed flag. One
+    * scan, two bounded-array filters per row, one ≤25-cell rollup.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame = {
+    def hitsOn(c: String, words: Seq[String]) = {
+      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      expr(s"size(filter($c, t -> t IN $set))")
+    }
+    def detect(en: Column, de: Column, es: Column): Column =
+      when(en === 0 && de === 0 && es === 0, "unknown")
+        .when(en >= de && en >= es, "en")
+        .when(de >= es, "de")
+        .otherwise("es")
+    val halves = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("toks"))
+      .where(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        expr("slice(toks, 1, size(toks) DIV 2)").as("f"),
+        expr("slice(toks, size(toks) DIV 2 + 1, size(toks) - size(toks) DIV 2)")
+          .as("s"))
+    halves
+      .select(col("doc_id"),
+        detect(hitsOn("f", enStops), hitsOn("f", deStops), hitsOn("f", esStops))
+          .as("lang_first"),
+        detect(hitsOn("s", enStops), hitsOn("s", deStops), hitsOn("s", esStops))
+          .as("lang_second"))
+      .groupBy("lang_first", "lang_second")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("mixed",
+        col("lang_first") =!= col("lang_second") &&
+          col("lang_first") =!= "unknown" && col("lang_second") =!= "unknown")
+      .orderBy("lang_first", "lang_second")
   }
 
   /** §2.3 #124 — per-document KEYWORD extraction: the top-`k` tokens by

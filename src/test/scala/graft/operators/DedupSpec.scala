@@ -283,6 +283,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("suffixDup groups match a local last-8-token fingerprint exactly") {
+    val rows = Dedup.suffixDup(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
+    // recompute the whole grouping locally and compare group-for-group
+    val local = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val w = r.getString(1).trim.split(" ")
+        (w.drop(math.max(w.length - 8, 0)).mkString(" "), r.getLong(0))
+      }
+      .groupBy(_._1).view.mapValues(g => (g.map(_._2).min, g.length.toLong))
+      .filter(_._2._2 >= 2).toMap
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val (keep, n) = local(r.getAs[String]("suffix"))
+      assert(r.getAs[Long]("keep_id") == keep)
+      assert(r.getAs[Long]("n_docs") == n)
+    }
+  }
+
   test("incrementalDedup covers the batch once with consistent verdicts") {
     val docs = Tables.load(spark, sf, "documents")
     val maxId = docs.agg(max("doc_id")).head().getLong(0)

@@ -463,4 +463,62 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("entropy_nats") - h) < 1e-4)
     assert(h >= 0)
   }
+
+  test("surprisalOutliers z-scores standardize ngramLm and flags obey the cut") {
+    val lm = TextAnalysis.ngramLm(spark, sf)
+      .select("doc_id", "avg_surprisal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = lm.size.toDouble
+    val mean = lm.values.sum / n
+    val sd = math.sqrt(lm.values.map(x => x * x).sum / n - mean * mean)
+    val rows = TextAnalysis.surprisalOutliers(spark, sf).collect()
+    assert(rows.length == lm.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val zExact = (lm(id) - mean) / sd
+      val z = r.getAs[Double]("z")
+      assert(math.abs(z - math.floor(zExact * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"doc $id")
+      val flag = r.getAs[String]("flag")
+      if (zExact > 2.0) assert(flag == "high", s"doc $id")
+      else if (zExact < -2.0) assert(flag == "low", s"doc $id")
+      else assert(flag == "ok", s"doc $id")
+    }
+    // standardized scores: corpus mean ~0, sd ~1
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(math.abs(zs.sum / zs.length) < 1e-3)
+    assert(math.abs(zs.map(z => z * z).sum / zs.length - 1.0) < 1e-2)
+  }
+
+  test("langMix matrix matches a local half-split detector and counts all docs") {
+    val stops = Map(
+      "en" -> Set("the", "a", "of", "and", "is"),
+      "de" -> Set("der", "die", "das", "und", "ist"),
+      "es" -> Set("el", "la", "los", "de", "es"))
+    def detect(toks: Array[String]): String = {
+      val en = toks.count(stops("en"))
+      val de = toks.count(stops("de"))
+      val es = toks.count(stops("es"))
+      if (en == 0 && de == 0 && es == 0) "unknown"
+      else if (en >= de && en >= es) "en"
+      else if (de >= es) "de" else "es"
+    }
+    val local = docs.values.toSeq
+      .map(_.trim.split(" ")).filter(_.length >= 4)
+      .map { w =>
+        val (f, s) = w.splitAt(w.length / 2)
+        (detect(f), detect(s))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextAnalysis.langMix(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == local.values.sum)
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val lf = r.getAs[String]("lang_first")
+      val ls = r.getAs[String]("lang_second")
+      assert(r.getAs[Long]("n_docs") == local((lf, ls)), s"cell ($lf,$ls)")
+      assert(r.getAs[Boolean]("mixed") ==
+        (lf != ls && lf != "unknown" && ls != "unknown"))
+    }
+  }
 }
