@@ -123,7 +123,11 @@ object PlanAudit {
         // frames over the bounded day histogram; kruskal_wallis: 1-row
         // tie-sum frame (the ks_test totals pattern); moments: 1-row-per-
         // priority shape frame
-        "q_theil_sen", "q_km_survival", "q_kruskal_wallis", "q_moments")
+        "q_theil_sen", "q_km_survival", "q_kruskal_wallis", "q_moments",
+        // surprisal_outliers: 1-row corpus (n, Σ, Σx²) z-fence frame over
+        // the per-doc LM scores (the ks_test/cusum totals pattern), on top
+        // of ngram_lm's whitelisted 1-row vocab frame
+        "q_surprisal_outliers")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
