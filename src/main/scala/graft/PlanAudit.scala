@@ -127,7 +127,12 @@ object PlanAudit {
         // surprisal_outliers: 1-row corpus (n, Σ, Σx²) z-fence frame over
         // the per-doc LM scores (the ks_test/cusum totals pattern), on top
         // of ngram_lm's whitelisted 1-row vocab frame
-        "q_surprisal_outliers")
+        "q_surprisal_outliers",
+        // silhouette: the kmeans k-row centroid frame broadcast over one
+        // corpus scan (inherits q_kmeans' intended assignment plan);
+        // changepoint: 1-row totals frame over the calendar-bounded daily
+        // series (the cusum/theil_sen totals pattern)
+        "q_silhouette", "q_changepoint")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -691,6 +691,11 @@ object SparkEntry {
     "q_suffix_dup" -> ((s, dir) => Dedup.suffixDup(s, dir)),
     "q_surprisal_outliers" -> ((s, dir) => TextAnalysis.surprisalOutliers(s, dir)),
     "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
+    "q_anova" -> ((s, dir) => Relational.anova(s, dir)),
+    "q_levene" -> ((s, dir) => Relational.levene(s, dir)),
+    "q_changepoint" -> ((s, dir) => Relational.changepoint(s, dir)),
+    "q_dedup_yield" -> ((s, dir) => Dedup.dedupYield(s, dir)),
+    "q_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -4115,6 +4120,117 @@ object SparkEntry {
         |  (lang_first <> lang_second AND lang_first <> 'unknown'
         |   AND lang_second <> 'unknown') AS mixed
         |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_anova" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pg AS (SELECT seg, count(*)::BIGINT AS ng, sum(yc)::BIGINT AS sg,
+        |  sum(CAST(yc AS HUGEINT) * yc) AS qg FROM j GROUP BY 1),
+        |tm AS (SELECT ng, sg, qg,
+        |  (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(ng AS DOUBLE) AS term
+        |  FROM pg),
+        |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+        |  sum(sg)::BIGINT AS s, sum(qg) AS q,
+        |  CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS terms FROM tm),
+        |f AS (SELECT n, k,
+        |  terms - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) AS ssb,
+        |  CAST(q AS DOUBLE) - terms AS ssw FROM s)
+        |SELECT n, k AS k_groups, (k - 1) AS df_between, (n - k) AS df_within,
+        |  floor((ssb / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS f_stat,
+        |  floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta_sq
+        |FROM f""".stripMargin,
+    "q_levene" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |hist AS (SELECT seg, yc, count(*)::BIGINT AS cnt FROM j GROUP BY 1, 2),
+        |cum AS (SELECT seg, yc,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY yc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY seg) AS n FROM hist),
+        |med AS (SELECT seg,
+        |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN yc END) AS med
+        |  FROM cum GROUP BY 1),
+        |z AS (SELECT j.seg AS seg, abs(yc - med) AS yc
+        |  FROM j JOIN med ON j.seg = med.seg),
+        |pg AS (SELECT seg, count(*)::BIGINT AS ng, sum(yc)::BIGINT AS sg,
+        |  sum(CAST(yc AS HUGEINT) * yc) AS qg FROM z GROUP BY 1),
+        |tm AS (SELECT ng, sg, qg,
+        |  (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(ng AS DOUBLE) AS term
+        |  FROM pg),
+        |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+        |  sum(sg)::BIGINT AS s, sum(qg) AS q,
+        |  CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS terms FROM tm),
+        |f AS (SELECT n, k,
+        |  terms - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) AS ssb,
+        |  CAST(q AS DOUBLE) - terms AS ssw FROM s)
+        |SELECT n, k AS k_groups, (k - 1) AS df_between, (n - k) AS df_within,
+        |  floor((ssb / CAST(k - 1 AS DOUBLE))
+        |    / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5) / 1e6
+        |    AS w_stat,
+        |  floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta_sq
+        |FROM f""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS d,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS tn, sum(yc)::BIGINT AS ts,
+        |  sum(CAST(yc AS HUGEINT) * yc) AS tq FROM daily),
+        |pre AS (SELECT d, row_number() OVER (ORDER BY d) AS i,
+        |  sum(yc) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |  sum(CAST(yc AS HUGEINT) * yc) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+        |  FROM daily),
+        |sc AS (SELECT d, i, tn, ts, tq,
+        |  (CAST(cq AS DOUBLE)
+        |     - (CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)) / CAST(i AS DOUBLE))
+        |  + (CAST(tq - cq AS DOUBLE)
+        |     - (CAST(ts - cs AS DOUBLE) * CAST(ts - cs AS DOUBLE))
+        |       / CAST(tn - i AS DOUBLE)) AS sse,
+        |  CAST(cs AS DOUBLE) / CAST(i AS DOUBLE) / 100.0 AS ml,
+        |  CAST(ts - cs AS DOUBLE) / CAST(tn - i AS DOUBLE) / 100.0 AS mr
+        |  FROM pre CROSS JOIN tot WHERE i < tn),
+        |best AS (SELECT * FROM (
+        |  SELECT sc.*, row_number() OVER (ORDER BY sse ASC, i ASC) AS rn FROM sc) t
+        |  WHERE rn = 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS split_day, tn AS n_days,
+        |  floor(ml * 1e6 + 0.5) / 1e6 AS mean_before,
+        |  floor(mr * 1e6 + 0.5) / 1e6 AS mean_after,
+        |  floor((1.0 - sse / (CAST(tq AS DOUBLE)
+        |    - (CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)) / CAST(tn AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS sse_reduction
+        |FROM best""".stripMargin,
+    "q_dedup_yield" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), jp AS (
+        |  SELECT doc_a, doc_b, inter::DOUBLE / (sa.n + sb.n - inter) AS j
+        |  FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
+        |), th AS (SELECT unnest([0.6::DOUBLE, 0.65::DOUBLE, 0.7::DOUBLE,
+        |  0.75::DOUBLE, 0.8::DOUBLE, 0.85::DOUBLE, 0.9::DOUBLE]) AS threshold)
+        |SELECT threshold, count(*)::BIGINT AS n_pairs,
+        |  count(DISTINCT doc_b)::BIGINT AS n_docs_removed
+        |FROM jp CROSS JOIN th WHERE j >= threshold
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_silhouette" -> Similarity.silhouetteOracleSql(),
     "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
     "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
     "q_intrinsic_dim" -> Similarity.intrinsicDimOracleSql(),

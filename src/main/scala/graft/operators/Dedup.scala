@@ -625,6 +625,39 @@ object Dedup {
       .select("suffix", "keep_id", "n_docs")
       .orderBy(col("n_docs").desc, col("suffix").asc)
 
+  /** §2.3 #294 — dedup YIELD CURVE: near-dup pair count and documents
+    * removed (greedy larger-id-loses, the [[curate]] convention) at each
+    * Jaccard threshold 0.60–0.90 — the tuning table an operator reads
+    * BEFORE committing a threshold to a 100 TB dedup pass (how much more
+    * does 0.6 cut than 0.8? is the curve about to cliff?). One run of the
+    * banded-LSH + exact-verify machinery at the LOOSEST threshold, then a
+    * 7-way bounded explode over the verified pair list — the sweep costs
+    * one dedup pass, not seven. Thresholds compare against the RAW
+    * IEEE-exact Jaccard (integer intersection over integer union), so no
+    * rounding semantics enter the cut.
+    */
+  def dedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9)
+    val (verified, members) = verifiedRepPairs(spark, dir, thresholds.min)
+    val cross = verified
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("j"))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("j"))
+    cross.unionAll(within)
+      .withColumn("threshold", explode(typedlit(thresholds)))
+      .where(col("j") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("doc_b").as("n_docs_removed"))
+      .orderBy("threshold")
+  }
+
   /** §2.3 #196 — INCREMENTAL ingestion dedup: a new batch checked against
     * the historical corpus — the shape every production pipeline actually
     * runs (full-corpus re-dedup per ingest is unpayable at 100 TB; the

@@ -4004,4 +4004,151 @@ object Relational {
         fl6(col("slope") / lit(100.0)).as("slope_per_day"),
         fl6(col("resid") / lit(100.0)).as("intercept"))
   }
+
+  /** Exact per-segment power sums of order value in cents — (n, Σx, Σx²)
+    * per market segment — the shared base frame of [[anova]] (raw values)
+    * and the F formula both it and [[levene]] (median-centered values)
+    * apply. One broadcast join + one map-side-combined aggregate; the
+    * output is a ≤5-row frame however large the fact table is.
+    */
+  private def segPowerSums(values: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    values.groupBy("seg")
+      .agg(count(lit(1)).as("ng"), sum("yc").as("sg"),
+        sum(col("yc").cast(big) * col("yc").cast(big)).as("qg"))
+  }
+
+  /** One-way F statistic from a (seg, ng, sg, qg) power-sum frame:
+    * SSB = Σ_g S_g²/n_g − S²/N and SSW = Q − Σ_g S_g²/n_g, each group's
+    * S_g²/n_g one deterministic double formula over exact integers,
+    * decimal(38,12)-summed order-free (#210 discipline); F and η² are one
+    * fixed-order double expression over the resulting scalars.
+    */
+  private def fFromPowerSums(pg: DataFrame, statName: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val s = pg
+      .select(col("ng"), col("sg"), col("qg"),
+        ((col("sg").cast("double") * col("sg").cast("double")) /
+          col("ng").cast("double")).as("term"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        sum(col("term").cast(dec12)).cast("double").as("terms"))
+    val n = col("n").cast("double")
+    val grand = (col("s").cast("double") * col("s").cast("double")) / n
+    val ssb = col("terms") - grand
+    val ssw = col("q").cast("double") - col("terms")
+    val f = (ssb / (col("k") - 1).cast("double")) /
+      (ssw / (n - col("k").cast("double")))
+    s.select(col("n"), col("k").as("k_groups"),
+      (col("k") - 1).as("df_between"),
+      (col("n") - col("k")).as("df_within"),
+      fl6(f).as(statName),
+      fl6(ssb / (ssb + ssw)).as("eta_sq"))
+  }
+
+  /** §2.2 #291 — one-way ANOVA of order value across ALL market segments:
+    * the parametric k-group complement to Kruskal–Wallis (#281 asks "do the
+    * rank distributions differ"; this asks "do the MEANS differ" and yields
+    * the η² effect size a report wants next to the p-value). Everything
+    * reduces to the ≤5-row per-segment (n, Σx, Σx²) frame — one broadcast
+    * dim join + one partial-aggregated pass over the fact table, zero
+    * row-level sorts — so the 100 TB cost is exactly one scan.
+    */
+  def anova(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val cst = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val joint = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .select("seg", "yc")
+    fFromPowerSums(segPowerSums(joint), "f_stat")
+  }
+
+  /** §2.2 #292 — BROWN–FORSYTHE (median-centered Levene) test of variance
+    * homogeneity across market segments: the assumption check behind #291's
+    * F (and Welch's whole reason to exist) — are the group SPREADS equal?
+    * Robust form: z = |x − median_g|, then the one-way F on z. Group
+    * medians come from the per-(segment, price) HISTOGRAM (cumulative
+    * counts over distinct cent values — the #280 trick: the global sort
+    * touches |segments × distinct prices| histogram rows, never the fact
+    * table), broadcast back as a ≤5-row frame; z is exact integer cents,
+    * so the F inherits [[anova]]'s exact power-sum path unchanged.
+    */
+  def levene(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val cst = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val joint = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .select("seg", "yc")
+    val hist = joint.groupBy("seg", "yc").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("seg").orderBy("yc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window.partitionBy("seg")
+    // Lower median: the smallest value whose cumulative count reaches
+    // ⌈n_g/2⌉ (the q_mood_median convention).
+    val med = hist
+      .select(col("seg"), col("yc"), sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(wSeg).as("n"))
+      .groupBy("seg")
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"),
+        col("yc"))).as("med"))
+    val centered = joint.join(broadcast(med), "seg")
+      .select(col("seg"), abs(col("yc") - col("med")).as("yc"))
+    fFromPowerSums(segPowerSums(centered), "w_stat")
+  }
+
+  /** §2.2 #293 — best single CHANGEPOINT of the daily-revenue series by
+    * SSE reduction (binary segmentation, first split): the day that
+    * maximizes the drop from the series' total squared error to
+    * SSE(left) + SSE(right) — the "did the level SHIFT, and when" detector
+    * next to CUSUM #262 (which accumulates drift but names no split) and
+    * Theil–Sen #283 (monotone trend, not a step). The fact table collapses
+    * to the CALENDAR-bounded daily frame first; prefix power sums make
+    * every candidate split one O(1) double formula over exact integers
+    * (T−1 candidates for T days — no pair frame at all), and the argmin is
+    * a deterministic (sse, day) struct-min. 100 TB cost: one map-side
+    * combined aggregate to |days| rows, then driver-scale arithmetic.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+    val wCum = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(count(lit(1)).as("tn"), sum("yc").as("ts"),
+      sum(col("yc").cast(big) * col("yc").cast(big)).as("tq"))
+    val pre = daily
+      .select(col("d"), row_number().over(Window.orderBy("d")).as("i"),
+        sum("yc").over(wCum).as("cs"),
+        sum(col("yc").cast(big) * col("yc").cast(big)).over(wCum).as("cq"))
+      .crossJoin(broadcast(tot))
+      .where(col("i") < col("tn"))
+    def sseOf(q: Column, s: Column, n: Column): Column =
+      q.cast("double") -
+        (s.cast("double") * s.cast("double")) / n.cast("double")
+    val nl = col("i").cast("double")
+    val nr = (col("tn") - col("i")).cast("double")
+    val sse = sseOf(col("cq"), col("cs"), col("i")) +
+      sseOf(col("tq") - col("cq"), col("ts") - col("cs"), col("tn") - col("i"))
+    val scored = pre.select(col("d"), col("tn"), col("ts"), col("tq"),
+      col("cs"), col("i"), sse.as("sse"),
+      (col("cs").cast("double") / nl / 100.0).as("ml"),
+      ((col("ts") - col("cs")).cast("double") / nr / 100.0).as("mr"))
+    val best = scored
+      .agg(max(struct((-col("sse")).as("nsse"), (-col("i")).as("ni"),
+        col("d"), col("ml"), col("mr"), col("tn"), col("ts"), col("tq")))
+        .as("b"))
+      .select(col("b.d").as("split_day"), col("b.tn").as("n_days"),
+        (-col("b.nsse")).as("sse_split"), col("b.ml").as("ml"),
+        col("b.mr").as("mr"), col("b.ts").as("ts"), col("b.tq").as("tq"))
+    val sseTotal = sseOf(col("tq"), col("ts"), col("n_days"))
+    best.select(
+      date_format(col("split_day"), "yyyy-MM-dd").as("split_day"),
+      col("n_days"),
+      fl6(col("ml")).as("mean_before"), fl6(col("mr")).as("mean_after"),
+      fl6(lit(1.0) - col("sse_split") / sseTotal).as("sse_reduction"))
+  }
 }

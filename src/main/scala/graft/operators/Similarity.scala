@@ -775,7 +775,26 @@ object Similarity {
     * their own nearest centroid (cos = 1), so no iteration-1 cluster is
     * empty and the algorithm is total.
     */
-  def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    kmeansSecondAssign(spark, dir, k)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), col("best.cc").as("cc"), (-col("best.ncid")).as("cid"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cc").cast(
+          org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
+          count(lit(1)), 6).as("avg_cos"))
+      .orderBy("cid")
+
+  /** The shared core of [[kmeans]] and [[silhouette]]: two unrolled Lloyd
+    * iterations over the seed-initialized centroids, exposed as the FULL
+    * second-pass cosine frame — (vec_id, cid, cc) for every vector ×
+    * updated centroid (k rows per vector; the argmax is left to callers so
+    * silhouette can also see the runner-up distances).
+    */
+  private[graft] def kmeansSecondAssign(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val emb = embeddings(spark, dir)
     // Iteration 1: assign against the k literal seed centroids (IVF-style).
@@ -802,18 +821,43 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("i"), col("mx")))).as("ps"))
       .select(col("cid"), expr("transform(ps, p -> p.mx)").as("cv"))
       .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
-    // Iteration 2: re-assign against the updated centroids; argmax via a
+    // Iteration 2: every (vector, updated centroid) cosine; argmax via a
     // map-side-combinable max(struct) with the same (cos DESC, cid ASC)
-    // tie-break the oracle's row_number uses.
-    val a1 = emb.crossJoin(broadcast(c1))
+    // tie-break the oracle's row_number uses is applied by callers.
+    emb.crossJoin(broadcast(c1))
       .withColumn("cc", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
+      .select("vec_id", "cid", "cc")
+  }
+
+  /** §2.3 #295 — SIMPLIFIED SILHOUETTE of the k-means clustering: per
+    * cluster, the mean of s = (cos_own − cos_next) / max(1 − cos_own,
+    * 1 − cos_next) — each vector scored by its own-centroid cosine distance
+    * a = 1 − cos_own against the best OTHER centroid b = 1 − cos_next — the
+    * standard "are these clusters real or did k-means just draw lines"
+    * acceptance gate (#212 needs labels; this doesn't). Centroid-based
+    * (O(N·k), the simplified form) rather than pairwise (O(N²) — unpayable
+    * at 100 TB); reuses [[kmeansSecondAssign]]'s cosine frame, so the only
+    * extra cost over kmeans itself is one k-row-per-vector aggregation.
+    */
+  def silhouette(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ac = kmeansSecondAssign(spark, dir, k)
+    val best = ac.groupBy("vec_id")
       .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
-      .select(col("vec_id"), col("best.cc").as("cc"), (-col("best.ncid")).as("cid"))
-    a1.groupBy("cid")
+      .select(col("vec_id"), (-col("best.ncid")).as("bcid"),
+        col("best.cc").as("bcc"))
+    val other = ac.join(best, "vec_id")
+      .where(col("cid") =!= col("bcid"))
+      .groupBy("vec_id").agg(max("cc").as("occ"))
+    val sil = best.join(other, "vec_id")
+      .select(col("vec_id"), col("bcid"),
+        ((col("bcc") - col("occ")) /
+          greatest(lit(1.0) - col("bcc"), lit(1.0) - col("occ"))).as("s"))
+    sil.groupBy("bcid")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("cc").cast(DecimalType(28, 10))).cast("double") /
-          count(lit(1)), 6).as("avg_cos"))
+        (floor(sum(col("s").cast(DecimalType(38, 12))).cast("double") /
+          count(lit(1)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_silhouette"))
+      .select(col("bcid").as("cid"), col("n_vecs"), col("mean_silhouette"))
       .orderBy("cid")
   }
 
@@ -822,12 +866,15 @@ object Similarity {
     * tie-break), DECIMAL(28,12) per-dim means via a dimension spine,
     * `list(mx ORDER BY i)` re-assembly, second assignment, final aggregate.
     */
-  def kmeansOracleSql(k: Int = 8, dim: Int = 64): String = {
+  /** The CTE chain through the second-pass cosine frame `ac1` — mirrors
+    * [[kmeansSecondAssign]]; shared by the kmeans and silhouette oracles.
+    */
+  private def kmeansCoreCtes(k: Int, dim: Int): String = {
     def fold(a: String, b: String) =
       s"list_reduce(list_prepend(0.0::DOUBLE, [$a.v[i] * $b.v[i] FOR i IN generate_series(1, len($a.v))]), (x, y) -> x + y)"
     val selfDot =
       "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
        |c0 AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id < $k),
        |ac0 AS (SELECT n.vec_id, c0.cid, ${fold("n", "c0")} / (n.nrm * c0.nrm) AS cc FROM n, c0),
@@ -847,7 +894,11 @@ object Similarity {
        |),
        |c1 AS (SELECT cid, list(mx ORDER BY i) AS v FROM m GROUP BY cid),
        |c1n AS (SELECT cid, v, sqrt($selfDot) AS nrm FROM c1),
-       |ac1 AS (SELECT n.vec_id, c.cid, ${fold("n", "c")} / (n.nrm * c.nrm) AS cc FROM n, c1n c),
+       |ac1 AS (SELECT n.vec_id, c.cid, ${fold("n", "c")} / (n.nrm * c.nrm) AS cc FROM n, c1n c)""".stripMargin
+  }
+
+  def kmeansOracleSql(k: Int = 8, dim: Int = 64): String =
+    s"""WITH ${kmeansCoreCtes(k, dim)},
        |a1 AS (
        |  SELECT vec_id, cid, cc FROM (
        |    SELECT vec_id, cid, cc,
@@ -858,7 +909,34 @@ object Similarity {
        |SELECT cid, count(*) AS n_vecs,
        |  round(CAST(sum(CAST(cc AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_cos
        |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin
-  }
+
+  /** DuckDB oracle for [[silhouette]]: the shared kmeans core CTEs, then
+    * best/runner-up cosines per vector and the identical simplified-
+    * silhouette formula with the engine-stable floor rounding.
+    */
+  def silhouetteOracleSql(k: Int = 8, dim: Int = 64): String =
+    s"""WITH ${kmeansCoreCtes(k, dim)},
+       |best AS (
+       |  SELECT vec_id, cid AS bcid, cc AS bcc FROM (
+       |    SELECT vec_id, cid, cc,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac1) t
+       |  WHERE rn = 1
+       |),
+       |oth AS (
+       |  SELECT a.vec_id, max(a.cc) AS occ
+       |  FROM ac1 a JOIN best b ON a.vec_id = b.vec_id AND a.cid <> b.bcid
+       |  GROUP BY 1
+       |),
+       |sil AS (
+       |  SELECT b.vec_id, b.bcid,
+       |    (b.bcc - o.occ) / greatest(1.0 - b.bcc, 1.0 - o.occ) AS s
+       |  FROM best b JOIN oth o ON b.vec_id = o.vec_id
+       |)
+       |SELECT bcid AS cid, count(*)::BIGINT AS n_vecs,
+       |  floor(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |    * 1e6 + 0.5) / 1e6 AS mean_silhouette
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** §2.3 #121 — random-projection dimensionality reduction
     * (Johnson–Lindenstrauss): every 64-dim embedding maps to `pDim`

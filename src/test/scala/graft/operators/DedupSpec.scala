@@ -303,6 +303,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedupYield is monotone in threshold and its 0.6 row equals nearDupJaccard") {
+    val rows = Dedup.dedupYield(spark, sf).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_removed"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9))
+    // tightening the threshold can only shrink both counts
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2, s"pairs monotone at ${hi._1}")
+      assert(lo._3 >= hi._3, s"docs monotone at ${hi._1}")
+    }
+    // the loosest row is exactly the nearDupJaccard(0.6) pair list
+    val nd = Dedup.nearDupJaccard(spark, sf, 0.6).collect()
+    assert(rows.head._2 == nd.length.toLong)
+    assert(rows.head._3 ==
+      nd.map(_.getAs[Long]("doc_b")).distinct.length.toLong)
+  }
+
   test("incrementalDedup covers the batch once with consistent verdicts") {
     val docs = Tables.load(spark, sf, "documents")
     val maxId = docs.agg(max("doc_id")).head().getLong(0)

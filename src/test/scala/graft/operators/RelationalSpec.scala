@@ -2028,4 +2028,83 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val medR = resid((daily.length + 1) / 2 - 1)
     assert(math.abs(r.getAs[Double]("intercept") - medR / 100.0) < 1e-2)
   }
+
+  private def segValuesCents: Map[String, Array[Long]] = {
+    val custSeg = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => custSeg(r.getLong(0)) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private def fOneWay(groups: Map[String, Array[Long]]): (Double, Double) = {
+    val n = groups.values.map(_.length).sum.toDouble
+    val k = groups.size.toDouble
+    val s = groups.values.map(_.map(BigInt(_)).sum).sum
+    val q = groups.values.map(_.map(x => BigInt(x) * BigInt(x)).sum).sum
+    val terms = groups.values.map { g =>
+      val sg = g.map(BigInt(_)).sum.toDouble
+      sg * sg / g.length
+    }.sum
+    val ssb = terms - s.toDouble * s.toDouble / n
+    val ssw = q.toDouble - terms
+    ((ssb / (k - 1)) / (ssw / (n - k)), ssb / (ssb + ssw))
+  }
+
+  test("anova F and eta2 match a local exact-sum recomputation") {
+    val r = Relational.anova(spark, sf).collect()(0)
+    val groups = segValuesCents
+    val (f, eta) = fOneWay(groups)
+    assert(r.getAs[Long]("n") == groups.values.map(_.length).sum.toLong)
+    assert(r.getAs[Long]("k_groups") == groups.size.toLong)
+    assert(r.getAs[Long]("df_between") == groups.size - 1L)
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 1e-4)
+    assert(math.abs(r.getAs[Double]("eta_sq") - eta) < 1e-6)
+    assert(r.getAs[Double]("eta_sq") >= 0 && r.getAs[Double]("eta_sq") <= 1)
+  }
+
+  test("levene (Brown-Forsythe) W matches a local median-centered recomputation") {
+    val r = Relational.levene(spark, sf).collect()(0)
+    val groups = segValuesCents
+    val centered = groups.map { case (seg, xs) =>
+      val sorted = xs.sorted
+      // lower median: smallest value whose cumulative count >= ceil(n/2)
+      val med = sorted((xs.length + 1) / 2 - 1)
+      seg -> xs.map(x => math.abs(x - med))
+    }
+    val (w, _) = fOneWay(centered)
+    assert(r.getAs[Long]("n") == groups.values.map(_.length).sum.toLong)
+    assert(math.abs(r.getAs[Double]("w_stat") - w) < 1e-4)
+    assert(r.getAs[Double]("w_stat") >= 0)
+  }
+
+  test("changepoint picks the split a local brute-force SSE scan picks") {
+    val r = Relational.changepoint(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect()
+      .map(row => (row.getAs[java.sql.Date]("day").toString,
+        row.getAs[Long]("yc")))
+    val ys = daily.map(_._2)
+    def sse(xs: Array[Long]): Double = {
+      val s = xs.map(BigInt(_)).sum.toDouble
+      val q = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      q - s * s / xs.length
+    }
+    val total = sse(ys)
+    val best = (1 until ys.length)
+      .map(i => (sse(ys.take(i)) + sse(ys.drop(i)), i)).minBy(identity)
+    assert(r.getAs[Long]("n_days") == ys.length.toLong)
+    assert(r.getAs[String]("split_day") == daily(best._2 - 1)._1)
+    assert(math.abs(r.getAs[Double]("sse_reduction") -
+      (1.0 - best._1 / total)) < 1e-5)
+    val mb = ys.take(best._2).map(BigInt(_)).sum.toDouble / best._2 / 100.0
+    assert(math.abs(r.getAs[Double]("mean_before") - mb) < 1e-4)
+  }
 }

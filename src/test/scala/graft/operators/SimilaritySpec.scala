@@ -285,6 +285,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(mean > 0.0 && mean <= 1.0)
   }
 
+  test("silhouette covers every vector, stays in [-1,1], and matches kmeans cluster sizes") {
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val sil = Similarity.silhouette(spark, sf).collect()
+    assert(sil.map(_.getAs[Long]("n_vecs")).sum == n)
+    sil.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+    // cluster memberships are the SAME assignment kmeans reports
+    val km = Similarity.kmeans(spark, sf).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Long]("n_vecs")).toMap
+    sil.foreach { r =>
+      assert(km(r.getAs[Long]("cid")) == r.getAs[Long]("n_vecs"))
+    }
+  }
+
   test("pageRank matches a local power iteration over the engine's own kNN edges") {
     val ranks = Similarity.pageRank(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank")).toMap
