@@ -132,7 +132,10 @@ object PlanAudit {
         // corpus scan (inherits q_kmeans' intended assignment plan);
         // changepoint: 1-row totals frame over the calendar-bounded daily
         // series (the cusum/theil_sen totals pattern)
-        "q_silhouette", "q_changepoint")
+        "q_silhouette", "q_changepoint",
+        // source_kl: 1-row corpus-token-total frame over the per-source
+        // term frame (the bm25/keywords corpus-totals pattern)
+        "q_source_kl")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -696,6 +696,11 @@ object SparkEntry {
     "q_changepoint" -> ((s, dir) => Relational.changepoint(s, dir)),
     "q_dedup_yield" -> ((s, dir) => Dedup.dedupYield(s, dir)),
     "q_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
+    "q_source_kl" -> ((s, dir) => TextAnalysis.sourceKl(s, dir)),
+    "q_burrows_delta" -> ((s, dir) => TextAnalysis.burrowsDelta(s, dir)),
+    "q_dim_variance" -> ((s, dir) => Similarity.dimVariance(s, dir)),
+    "q_winnow_dup" -> ((s, dir) => Dedup.winnowDup(s, dir)),
+    "q_edit_dup" -> ((s, dir) => Dedup.editDup(s, dir)),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -4231,6 +4236,88 @@ object SparkEntry {
         |FROM jp CROSS JOIN th WHERE j >= threshold
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_silhouette" -> Similarity.silhouetteOracleSql(),
+    "q_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*)::BIGINT AS cs FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT tok, sum(cs)::BIGINT AS cc FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(cs)::BIGINT AS n_s FROM st GROUP BY 1),
+        |nc AS (SELECT sum(cs)::BIGINT AS n_c FROM st),
+        |terms AS (SELECT source, n_s,
+        |  (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |    * ln((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |      / (CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE))) AS term
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nc)
+        |SELECT source, max(n_s) AS n_tokens, count(*)::BIGINT AS vocab,
+        |  floor(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS kl
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_burrows_delta" ->
+      """WITH words AS (SELECT unnest(['the','a','of','and','is',
+        |    'der','die','das','und','ist','el','la','los','de','es']) AS w),
+        |tok AS (
+        |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |ns AS (SELECT source, count(*)::BIGINT AS n_s FROM tok GROUP BY 1),
+        |cnt AS (SELECT source, tok AS w, count(*)::BIGINT AS c FROM tok
+        |  WHERE tok IN ('the','a','of','and','is','der','die','das','und',
+        |    'ist','el','la','los','de','es')
+        |  GROUP BY 1, 2),
+        |grid AS (SELECT ns.source, words.w,
+        |  1000.0 * CAST(coalesce(cnt.c, 0) AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS f
+        |  FROM ns CROSS JOIN words
+        |  LEFT JOIN cnt ON cnt.source = ns.source AND cnt.w = words.w),
+        |stats AS (SELECT w,
+        |  CAST(sum(CAST(f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+        |  sqrt(CAST(sum(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    - (CAST(sum(CAST(f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      * (CAST(sum(CAST(f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+        |    AS sd
+        |  FROM grid GROUP BY 1),
+        |z AS (SELECT g.source, g.w, (g.f - s.mu) / s.sd AS z
+        |  FROM grid g JOIN stats s ON g.w = s.w AND s.sd > 0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*)::BIGINT AS n_words,
+        |  floor(CAST(sum(CAST(abs(a.z - b.z) AS DECIMAL(38,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dim_variance" -> Similarity.dimVarianceOracleSql(),
+    "q_winnow_dup" ->
+      """WITH d0 AS (SELECT doc_id, trim(text) AS tt FROM documents),
+        |rep AS (SELECT min(doc_id) AS rid FROM d0 GROUP BY sha256(tt)),
+        |d AS (SELECT doc_id, list_filter(string_split(tt, ' '), t -> t <> '') AS w
+        |      FROM d0 JOIN rep ON doc_id = rid
+        |      WHERE len(list_filter(string_split(tt, ' '), t -> t <> '')) >= 7),
+        |th AS (SELECT doc_id,
+        |  list_transform(w, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(ascii(substr(t, i, 1)) AS BIGINT)
+        |     FOR i IN generate_series(1, length(t))]),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS th FROM d),
+        |kh AS (SELECT doc_id,
+        |  [(((((th[i] * 1000003 + th[i+1]) % 1000000007) * 1000003 + th[i+2])
+        |      % 1000000007) * 1000003 + th[i+3]) % 1000000007
+        |   FOR i IN generate_series(1, len(th) - 3)] AS kh FROM th),
+        |fp AS (SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id, unnest([list_min(kh[i:i+3])
+        |    FOR i IN generate_series(1, len(kh) - 3)]) AS fp FROM kh) t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin,
+    "q_edit_dup" ->
+      """WITH d0 AS (SELECT doc_id, trim(text) AS tt FROM documents),
+        |rep AS (SELECT min(doc_id) AS rid FROM d0 GROUP BY sha256(tt)),
+        |r AS (SELECT doc_id,
+        |  array_to_string(string_split(tt, ' ')[1:8], ' ') AS pkey,
+        |  substr(tt, 1, 200) AS head
+        |  FROM d0 JOIN rep ON doc_id = rid)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.head, b.head)::BIGINT AS edit_dist
+        |FROM r a JOIN r b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) <= 30
+        |ORDER BY 1, 2""".stripMargin,
     "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
     "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
     "q_intrinsic_dim" -> Similarity.intrinsicDimOracleSql(),

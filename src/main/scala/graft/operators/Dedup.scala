@@ -658,6 +658,84 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** §2.3 #299 — WINNOWING span fingerprints (the MOSS algorithm,
+    * Schleimer/Wilkerson/Aiken 2003): per document, hash every 4-token
+    * k-gram with an integer polynomial (token hash = char fold mod p,
+    * k-gram = base-B fold of token hashes mod p — EXACT integer
+    * arithmetic, so both engines compute identical fingerprints), slide a
+    * 4-window over the k-gram sequence and keep each window's MINIMUM —
+    * the guarantee: any shared token run of ≥ 7 tokens yields at least one
+    * shared fingerprint, while storage drops to ~1/w of the k-gram count.
+    * Documents sharing ≥ `minShared` fingerprints are span-level duplicate
+    * candidates — catching PARTIAL overlap (a quoted paragraph, a mirrored
+    * section) that whole-document Jaccard (#24) dilutes below threshold.
+    * Exact-duplicate clusters collapse to one representative BEFORE the
+    * fingerprint join (the #24 discipline — the inverted-index join stays
+    * near-linear on a replica-heavy corpus); pairs are reported rep-level.
+    */
+  def winnowDup(spark: SparkSession, dir: String,
+      minShared: Int = 3): DataFrame = {
+    val p = 1000000007L
+    val b = 1000003L
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("ckey", sha2(trim(col("text")), 256))
+      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ckey")))
+      .where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"),
+        expr("filter(split(trim(text), ' '), t -> t <> '')").as("w"))
+      .where(size(col("w")) >= 7)
+    val fps = d
+      .withColumn("th", expr(
+        s"""transform(w, t -> aggregate(sequence(1, length(t)),
+           |  CAST(0 AS BIGINT),
+           |  (acc, i) -> pmod(acc * 31 + ascii(substring(t, i, 1)), ${p}L)))"""
+          .stripMargin))
+      .withColumn("kh", expr(
+        s"""transform(sequence(1, size(th) - 3), i -> pmod(pmod(pmod(
+           |  element_at(th, i) * ${b}L + element_at(th, i + 1), ${p}L)
+           |  * ${b}L + element_at(th, i + 2), ${p}L)
+           |  * ${b}L + element_at(th, i + 3), ${p}L))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(kh) - 3)," +
+          " i -> array_min(slice(kh, i, 4))))")).as("fp"))
+    fps.as("x")
+      .join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** §2.3 #300 — EDIT-DISTANCE near-duplicates with prefix blocking:
+    * Levenshtein over the first 200 characters for document pairs that
+    * share their first-8-token prefix — the character-level twin of the
+    * shingle detectors (#24 sees token SET overlap; edit distance sees
+    * small in-place mutations — OCR noise, template variable fills,
+    * version bumps — that keep order). The O(N²·L²) naive cost is tamed
+    * the standard pipeline way: exact-dup clusters collapse to one
+    * representative, the quadratic step runs only INSIDE prefix blocks
+    * (the #191 key — bounded groups on real corpora), and the DP is
+    * capped at 200 chars per side. Pairs at distance ≤ `maxDist` emit
+    * rep-level with the exact distance.
+    */
+  def editDup(spark: SparkSession, dir: String, maxDist: Int = 30): DataFrame = {
+    val reps = Tables.load(spark, dir, "documents")
+      .withColumn("ckey", sha2(trim(col("text")), 256))
+      .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ckey")))
+      .where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), " "), 1, 8)).as("pkey"),
+        substring(trim(col("text")), 1, 200).as("head"))
+    reps.as("x")
+      .join(reps.as("y"),
+        col("x.pkey") === col("y.pkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        levenshtein(col("x.head"), col("y.head")).as("edit_dist"))
+      .where(col("edit_dist") <= maxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** §2.3 #196 — INCREMENTAL ingestion dedup: a new batch checked against
     * the historical corpus — the shape every production pipeline actually
     * runs (full-corpus re-dedup per ingest is unpayable at 100 TB; the

@@ -1874,4 +1874,58 @@ object Similarity {
        |  floor(lambda / trace * 1e6 + 0.5) / 1e6 AS var_share, top_dim
        |FROM dd, lam, tr, top""".stripMargin
   }
+
+  /** §2.3 #298 — per-DIMENSION variance profile of the embedding space:
+    * mean, variance, and a dead-dimension flag per coordinate — the design
+    * input for SQ/PQ compression (#179/#193: a near-zero-variance dim
+    * wastes a quantizer bit and distorts codebook training) and the quick
+    * "did the encoder collapse some dims" health check. One posexplode
+    * pass with map-side partial aggregation to a d-row frame; means and
+    * Σx² via the decimal-cast discipline, variance one fixed-order double
+    * formula, the dead cut on the UNROUNDED variance (both engines compute
+    * the identical double).
+    */
+  def dimVariance(spark: SparkSession, dir: String,
+      deadEps: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    embeddings(spark, dir)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .select(col("i").as("dim_id"), col("n").as("n_vecs"),
+        (floor((col("sx") / col("n").cast("double")) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("mean"),
+        (floor((col("sxx") / col("n").cast("double") -
+          (col("sx") / col("n").cast("double")) *
+          (col("sx") / col("n").cast("double"))) * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("variance"),
+        ((col("sxx") / col("n").cast("double") -
+          (col("sx") / col("n").cast("double")) *
+          (col("sx") / col("n").cast("double"))) < deadEps).as("is_dead"))
+      .orderBy("dim_id")
+  }
+
+  /** DuckDB oracle for [[dimVariance]]: dimension spine, identical decimal
+    * sums and fixed-order variance formula, dead cut on the raw double.
+    */
+  def dimVarianceOracleSql(dim: Int = 64, deadEps: Double = 1e-4): String =
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT i FROM generate_series(1, $dim) AS t(i)),
+       |cells AS (
+       |  SELECT dims.i AS i, count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(v[dims.i] AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(v[dims.i] * v[dims.i] AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |  FROM e CROSS JOIN dims GROUP BY 1)
+       |SELECT i - 1 AS dim_id, n AS n_vecs,
+       |  floor((sx / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean,
+       |  floor((sxx / CAST(n AS DOUBLE)
+       |    - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) * 1e6 + 0.5)
+       |    / 1e6 AS variance,
+       |  (sxx / CAST(n AS DOUBLE)
+       |    - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) < $deadEps
+       |    AS is_dead
+       |FROM cells ORDER BY 1""".stripMargin
 }

@@ -851,4 +851,83 @@ object TextAnalysis {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(topK)
   }
+
+  /** §2.3 #296 — per-source unigram KL DIVERGENCE vs the corpus: how far
+    * each source's token distribution sits from the corpus mixture —
+    * KL(source ‖ corpus) = Σ p_s·ln(p_s/p_c) over the source's observed
+    * vocabulary (p_s > 0 everywhere it's summed, p_c ≥ p_s/N > 0 always,
+    * so every term is finite) — the CCNet-style domain-shift score that
+    * ranks sources by "how unlike the rest of the data is this" before a
+    * mixture is committed. One explode pass to (source, token) counts —
+    * the corpus counts DERIVE from the same frame (no second scan) — then
+    * one ln per distinct (source, token) with decimal-summed terms.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val st = docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val ct = st.groupBy("tok").agg(sum("cs").as("cc"))
+    val ns = st.groupBy("source").agg(sum("cs").as("n_s"))
+    val nc = st.agg(sum("cs").as("n_c"))
+    val ps = col("cs").cast("double") / col("n_s").cast("double")
+    val pc = col("cc").cast("double") / col("n_c").cast("double")
+    st.join(ct, "tok").join(broadcast(ns), "source")
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("n_s"), (ps * log(ps / pc)).as("term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), count(lit(1)).as("vocab"),
+        (floor(sum(col("term").cast(dec)).cast("double") * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("kl"))
+      .orderBy("source")
+  }
+
+  /** §2.3 #297 — BURROWS' DELTA stylometric distance between sources:
+    * per-source function-word rates (the 15 en/de/es stopword profiles,
+    * per 1000 tokens), z-scored per word across sources, Delta(a, b) =
+    * mean |z_a − z_b| — the classic authorship/stylometry measure, here
+    * the "did two sources come from the same generator/mirror" detector
+    * that token-overlap (#181) can't see (it compares CONTENT; Delta
+    * compares function-word STYLE, which survives paraphrase). The grid
+    * is dense |sources| × 15 (absent words count 0, so every z is
+    * defined; zero-variance words drop out of the mean), built from one
+    * token-explode pass; everything after is bounded-frame arithmetic.
+    */
+  def burrowsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val words = enStops ++ deStops ++ esStops
+    val tok = docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+    val ns = tok.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val cnt = tok.where(col("tok").isInCollection(words))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .withColumnRenamed("tok", "w")
+    val grid = ns
+      .select(col("source"), col("n_s"), explode(typedlit(words)).as("w"))
+      .join(cnt, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        (lit(1000.0) * coalesce(col("c"), lit(0L)).cast("double") /
+          col("n_s").cast("double")).as("f"))
+    val stats = grid.groupBy("w")
+      .agg(count(lit(1)).as("k"),
+        sum(col("f").cast(dec)).cast("double").as("sf"),
+        sum((col("f") * col("f")).cast(dec)).cast("double").as("sff"))
+      .select(col("w"), (col("sf") / col("k").cast("double")).as("mu"),
+        sqrt(col("sff") / col("k").cast("double") -
+          (col("sf") / col("k").cast("double")) *
+          (col("sf") / col("k").cast("double"))).as("sd"))
+      .where(col("sd") > 0.0)
+    val z = grid.join(broadcast(stats), "w")
+      .select(col("source"), col("w"),
+        ((col("f") - col("mu")) / col("sd")).as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        abs(col("a.z") - col("b.z")).as("dz"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_words"),
+        (floor(sum(col("dz").cast(dec)).cast("double") /
+          count(lit(1)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("delta"))
+      .orderBy("source_a", "source_b")
+  }
 }

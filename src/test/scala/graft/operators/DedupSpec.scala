@@ -320,6 +320,69 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       nd.map(_.getAs[Long]("doc_b")).distinct.length.toLong)
   }
 
+  test("winnowDup pair counts equal a local winnowing fingerprint recomputation") {
+    val P = 1000000007L
+    val B = 1000003L
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % P)
+    def fingerprints(text: String): Set[Long] = {
+      val w = text.trim.split(" ").filter(_.nonEmpty)
+      if (w.length < 7) return Set.empty
+      val th = w.map(tokHash)
+      val kh = (0 to th.length - 4).map(i =>
+        (((th(i) * B + th(i + 1)) % P * B + th(i + 2)) % P * B + th(i + 3)) % P)
+      (0 to kh.length - 4).map(i => kh.slice(i, i + 4).min).toSet
+    }
+    val docsArr = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // rep collapse: min doc_id per trimmed content
+    val reps = docsArr.groupBy(_._2.trim).map(_._2.minBy(_._1)).toArray
+    val fps = reps.map { case (id, t) => id -> fingerprints(t) }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      shared = (fa & fb).size if shared >= 3
+    } yield (a, b) -> shared.toLong).toMap
+    val rows = Dedup.winnowDup(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(expected(key) == r.getAs[Long]("n_shared"), key)
+    }
+  }
+
+  test("editDup distances are exact Levenshtein within prefix blocks") {
+    val rows = Dedup.editDup(spark, sf).collect()
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b)
+      val dist = r.getAs[Int]("edit_dist")
+      assert(dist <= 30)
+      assert(dist == lev(texts(a).take(200), texts(b).take(200)), s"($a,$b)")
+      // blocked pairs really share the 8-token prefix
+      assert(texts(a).split(" ").take(8).toSeq ==
+        texts(b).split(" ").take(8).toSeq)
+    }
+  }
+
   test("incrementalDedup covers the batch once with consistent verdicts") {
     val docs = Tables.load(spark, sf, "documents")
     val maxId = docs.agg(max("doc_id")).head().getLong(0)

@@ -301,6 +301,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dimVariance covers all 64 dims and matches a local recomputation") {
+    val rows = Similarity.dimVariance(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.map(_.getAs[Int]("dim_id")).toSeq == (0 until 64))
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    rows.foreach { r =>
+      val i = r.getAs[Int]("dim_id")
+      val xs = vecs.map(_(i))
+      val mean = xs.sum / xs.length
+      val v = xs.map(x => x * x).sum / xs.length - mean * mean
+      assert(r.getAs[Long]("n_vecs") == vecs.length.toLong)
+      assert(math.abs(r.getAs[Double]("mean") - mean) < 1e-4)
+      assert(math.abs(r.getAs[Double]("variance") - v) < 1e-4)
+      assert(r.getAs[Double]("variance") >= -1e-9)
+      assert(r.getAs[Boolean]("is_dead") == (v < 1e-4) ||
+        math.abs(v - 1e-4) < 1e-6)
+    }
+  }
+
   test("pageRank matches a local power iteration over the engine's own kNN edges") {
     val ranks = Similarity.pageRank(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pagerank")).toMap

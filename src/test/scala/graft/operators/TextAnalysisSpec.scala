@@ -490,6 +490,63 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(zs.map(z => z * z).sum / zs.length - 1.0) < 1e-2)
   }
 
+  test("sourceKl is nonnegative and matches a local recomputation per source") {
+    val rows = TextAnalysis.sourceKl(spark, sf).collect()
+    val toks = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.split(" ").map(r.getString(0) -> _))
+    val bySource = toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val corpus = toks.map(_._2)
+    val cc = corpus.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nC = corpus.length.toDouble
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val xs = bySource(src)
+      val cs = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val nS = xs.length.toDouble
+      val kl = cs.map { case (t, c) =>
+        val ps = c / nS; val pc = cc(t) / nC
+        ps * math.log(ps / pc)
+      }.sum
+      assert(r.getAs[Long]("n_tokens") == xs.length.toLong)
+      assert(r.getAs[Long]("vocab") == cs.size.toLong)
+      assert(math.abs(r.getAs[Double]("kl") - kl) < 1e-6, src)
+      assert(r.getAs[Double]("kl") >= -1e-9, s"KL must be >= 0 for $src")
+    }
+  }
+
+  test("burrowsDelta matches a local stopword-rate z-score recomputation") {
+    val words = Seq("the", "a", "of", "and", "is", "der", "die", "das", "und",
+      "ist", "el", "la", "los", "de", "es")
+    val toks = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.split(" ").map(r.getString(0) -> _))
+    val bySource = toks.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val f = bySource.map { case (s, xs) =>
+      s -> words.map(w =>
+        w -> 1000.0 * xs.count(_ == w) / xs.length).toMap
+    }
+    val k = f.size.toDouble
+    val zs = words.flatMap { w =>
+      val vals = f.values.map(_(w)).toSeq
+      val mu = vals.sum / k
+      val sd = math.sqrt(vals.map(v => v * v).sum / k - mu * mu)
+      if (sd > 0) f.keys.map(s => (s, w) -> (f(s)(w) - mu) / sd) else Nil
+    }.toMap
+    val rows = TextAnalysis.burrowsDelta(spark, sf).collect()
+    val srcs = f.keys.toSeq.sorted
+    assert(rows.length == srcs.size * (srcs.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val ws = words.filter(w => zs.contains((a, w)))
+      val delta = ws.map(w => math.abs(zs((a, w)) - zs((b, w)))).sum / ws.size
+      assert(r.getAs[Long]("n_words") == ws.size.toLong)
+      assert(math.abs(r.getAs[Double]("delta") - delta) < 1e-5, s"($a,$b)")
+    }
+  }
+
   test("langMix matrix matches a local half-split detector and counts all docs") {
     val stops = Map(
       "en" -> Set("the", "a", "of", "and", "is"),
