@@ -135,7 +135,10 @@ object PlanAudit {
         "q_silhouette", "q_changepoint",
         // source_kl: 1-row corpus-token-total frame over the per-source
         // term frame (the bm25/keywords corpus-totals pattern)
-        "q_source_kl")
+        "q_source_kl",
+        // tukey: ≤5-row segment power-sum frame self-paired (≤10 rows) plus
+        // the 1-row MSW frame — bounded scalars, the user_overlap pattern
+        "q_tukey")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -701,6 +701,13 @@ object SparkEntry {
     "q_dim_variance" -> ((s, dir) => Similarity.dimVariance(s, dir)),
     "q_winnow_dup" -> ((s, dir) => Dedup.winnowDup(s, dir)),
     "q_edit_dup" -> ((s, dir) => Dedup.editDup(s, dir)),
+    "q_tukey" -> ((s, dir) => Relational.tukey(s, dir)),
+    "q_ljung_box" -> ((s, dir) => Relational.ljungBox(s, dir)),
+    "q_ab_power" -> ((s, dir) => Relational.abPower(s, dir)),
+    "q_lof" -> ((s, dir) => Similarity.lof(s, dir, maxBits = 12)),
+    "q_knn_classify" -> ((s, dir) => Similarity.knnClassify(s, dir, maxBits = 12)),
+    "copy_prune" -> ((s, dir) => TableCopy.pruneRetention(s, dir, tmp("prune"))),
+    "copy_vacuum" -> ((s, dir) => TableCopy.vacuum(s, dir, tmp("vacuum"))),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -4318,6 +4325,117 @@ object SparkEntry {
         |FROM r a JOIN r b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.head, b.head) <= 30
         |ORDER BY 1, 2""".stripMargin,
+    "q_tukey" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pg AS (SELECT seg, count(*)::BIGINT AS ng, sum(yc)::BIGINT AS sg,
+        |  sum(CAST(yc AS HUGEINT) * yc) AS qg FROM j GROUP BY 1),
+        |msw AS (SELECT CAST(sum(CAST(
+        |    CAST(qg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |      / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |  / CAST(sum(ng) - count(*) AS DOUBLE) AS msw FROM pg),
+        |m AS (SELECT seg, ng,
+        |  CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mm FROM pg)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |  floor(abs(a.mm - b.mm) / 100.0 * 1e6 + 0.5) / 1e6 AS mean_diff,
+        |  floor(abs(a.mm - b.mm)
+        |    / sqrt(msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+        |        + 1.0 / CAST(b.ng AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS q_stat
+        |FROM m a JOIN m b ON a.seg < b.seg CROSS JOIN msw
+        |ORDER BY 1, 2""".stripMargin,
+    "q_knn_classify" -> Similarity.knnClassifyOracleSql(),
+    "q_lof" -> Similarity.lofOracleSql(),
+    "q_ljung_box" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(yc, 0) AS yc
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+        |p AS (
+        |  SELECT l.lag, prev.yc AS y0, cur.yc AS y1
+        |  FROM full_s cur CROSS JOIN lags l
+        |  JOIN full_s prev ON prev.day = cur.day - CAST(l.lag AS INTEGER)),
+        |s AS (
+        |  SELECT lag, count(*)::BIGINT AS n,
+        |    sum(y0)::BIGINT AS sx, sum(y1)::BIGINT AS sy,
+        |    sum(CAST(y0 AS HUGEINT) * y1) AS sxy,
+        |    sum(CAST(y0 AS HUGEINT) * y0) AS sxx,
+        |    sum(CAST(y1 AS HUGEINT) * y1) AS syy
+        |  FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS num,
+        |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS d1,
+        |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d2
+        |  FROM s),
+        |r AS (SELECT lag, n,
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN num / sqrt(d1 * d2) END AS rho
+        |  FROM f),
+        |hs AS (SELECT * FROM (VALUES (7, 14.067140), (14, 23.684791))
+        |  AS t(h, chi2_crit)),
+        |agg AS (
+        |  SELECT h, chi2_crit, max(n + lag) AS t_days,
+        |    count(rho)::BIGINT AS n_terms,
+        |    CAST(sum(CAST(rho * rho / CAST(n AS DOUBLE) AS DECIMAL(38,18)))
+        |      AS DOUBLE) AS term_sum
+        |  FROM r CROSS JOIN hs WHERE lag <= h GROUP BY 1, 2)
+        |SELECT CAST(h AS BIGINT) AS h, t_days,
+        |  CASE WHEN n_terms = h THEN
+        |    floor(CAST(t_days AS DOUBLE) * (CAST(t_days AS DOUBLE) + 2.0)
+        |      * term_sum * 1e6 + 0.5) / 1e6 END AS q_stat,
+        |  CASE WHEN n_terms = h THEN
+        |    CAST(t_days AS DOUBLE) * (CAST(t_days AS DOUBLE) + 2.0)
+        |      * term_sum > chi2_crit END AS is_autocorrelated
+        |FROM agg ORDER BY h""".stripMargin,
+    "q_ab_power" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS ssa,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS ssb
+        |  FROM ev GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n_a, n_b,
+        |    abs(sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE)) AS diff,
+        |    (1.959964 + 0.841621) * sqrt(
+        |      (ssa / CAST(n_a AS DOUBLE)
+        |        - (sa / CAST(n_a AS DOUBLE)) * (sa / CAST(n_a AS DOUBLE)))
+        |        / CAST(n_a AS DOUBLE)
+        |      + (ssb / CAST(n_b AS DOUBLE)
+        |        - (sb / CAST(n_b AS DOUBLE)) * (sb / CAST(n_b AS DOUBLE)))
+        |        / CAST(n_b AS DOUBLE)) AS mde
+        |  FROM s)
+        |SELECT event_type, n_a, n_b,
+        |  floor(diff * 1e6 + 0.5) / 1e6 AS observed_diff,
+        |  floor(mde * 1e6 + 0.5) / 1e6 AS mde,
+        |  diff > mde AS is_detectable
+        |FROM m ORDER BY event_type""".stripMargin,
+    "copy_prune" ->
+      """WITH e AS (SELECT ts::DATE AS day FROM events),
+        |mx AS (SELECT max(day) AS mx FROM e)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*)::BIGINT AS n_events
+        |FROM e CROSS JOIN mx
+        |WHERE day >= mx - 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "copy_vacuum" ->
+      """SELECT count(*)::BIGINT AS n_rows, 2 AS n_orphans_removed,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
     "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
     "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
     "q_intrinsic_dim" -> Similarity.intrinsicDimOracleSql(),

@@ -1224,6 +1224,51 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** §2.2 #306 — A/B MINIMUM DETECTABLE EFFECT: for each event type, the
+    * smallest mean difference the experiment in its CURRENT size can detect
+    * at α = 0.05 two-sided with 80% power — MDE = (z_{α/2} + z_{0.8})·SE
+    * where SE = √(s²_A/n_A + s²_B/n_B) — and whether the OBSERVED difference
+    * clears it. The honest companion to #132's z-score: a "not significant"
+    * readout means nothing until you know the experiment could have seen the
+    * effect at all (and an SRM-clean #255 experiment can still be simply too
+    * small). Same single fused scan as #132 (per-arm count/Σ/Σx² in exact
+    * DECIMAL), then per-type O(1) double formulas in fixed order — the
+    * normal quantiles are literals, so no CDF machinery is needed and both
+    * engines state the identical expression. Detectability compares
+    * UNROUNDED doubles.
+    */
+  def abPower(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // z_{0.025} + z_{0.20} (two-sided 5%, 80% power), stated to 6 decimals.
+    val zSum = lit(1.959964 + 0.841621)
+    val ev = t(spark, dir, "events")
+      .withColumn("arm",
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7",
+          lit("A")).otherwise(lit("B")))
+    val s = ev.groupBy("event_type")
+      .agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("value").cast(dec))).as("sa"),
+        sum(when(col("arm") === "B", col("value").cast(dec))).as("sb"),
+        sum(when(col("arm") === "A", (col("value") * col("value")).cast(dec)))
+          .as("ssa"),
+        sum(when(col("arm") === "B", (col("value") * col("value")).cast(dec)))
+          .as("ssb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sa").cast("double") / na
+    val mb = col("sb").cast("double") / nb
+    val va = col("ssa").cast("double") / na - ma * ma
+    val vb = col("ssb").cast("double") / nb - mb * mb
+    val se = sqrt(va / na + vb / nb)
+    val diff = abs(mb - ma)
+    s.select(col("event_type"), col("n_a"), col("n_b"),
+      fl6(diff).as("observed_diff"),
+      fl6(zSum * se).as("mde"),
+      (diff > zSum * se).as("is_detectable"))
+      .orderBy("event_type")
+  }
+
   /** §2.2 #135 — WINSORIZED robust means: per group, exact p05/p95 bounds
     * via the #48 value-histogram formulation, then a second scan clips
     * values into [p05, p95] and aggregates — the outlier-insensitive mean a
@@ -3660,7 +3705,19 @@ object Relational {
     * via one date-shifted self-join against the bounded 14-row lag frame
     * (#263's machinery, self-paired); one guarded division per lag.
     */
-  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame = {
+  def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame =
+    acfRho(spark, dir, maxLag)
+      .select(col("lag"), col("n"), round(col("rho"), 6).as("acf"))
+      .orderBy("lag")
+
+  /** Per-lag autocorrelation frame shared by [[acf]] (which rounds for
+    * display) and [[ljungBox]] (which needs the UNROUNDED ρ): lag, pair
+    * count n = T − lag, and ρ as the raw double of the fixed-order Pearson
+    * formula over exact integer power sums (both engines state the same
+    * expression over the same exact integers → identical doubles).
+    */
+  private def acfRho(spark: SparkSession, dir: String,
+      maxLag: Int): DataFrame = {
     import spark.implicits._
     val big = DecimalType(38, 0)
     val daily = t(spark, dir, "orders")
@@ -3690,8 +3747,53 @@ object Relational {
     val d2 = (nB * col("syy") - col("sy").cast(big) * col("sy").cast(big))
       .cast("double")
     s.select(col("lag").cast("long").as("lag"), col("n"),
-      when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("acf"))
-      .orderBy("lag")
+      when(d1 > 0 && d2 > 0, num / sqrt(d1 * d2)).as("rho"))
+  }
+
+  /** §2.2 #305 — LJUNG–BOX portmanteau white-noise test over the #276 ACF:
+    * Q(h) = T(T+2)·Σ_{k=1..h} ρ_k²/(T−k) at h = 7 and h = 14 — the single
+    * "is there ANY serial structure" gate a forecasting pipeline runs
+    * before trusting residuals, where #276 shows the per-lag picture.
+    * ρ_k are the unrounded doubles of the shared [[acfRho]] frame (exact
+    * integer power sums underneath), each term ρ²/(T−k) is one
+    * deterministic double, and the h-term sum runs in DECIMAL(38,18) so it
+    * is order-free; the χ²(h) comparison uses the unrounded statistic
+    * against the literal 5% critical value. Cost: the #276 pair frame
+    * (calendar-bounded) plus a ≤28-row bounded rollup — nothing new
+    * touches the fact table.
+    */
+  def ljungBox(spark: SparkSession, dir: String,
+      horizons: Seq[Int] = Seq(7, 14)): DataFrame = {
+    // χ²(df) upper 5% critical values for the supported horizons.
+    val crit = Map(7 -> 14.067140, 14 -> 23.684791)
+    val rho = acfRho(spark, dir, horizons.max).localCheckpoint(true)
+    // Fan each ≤maxLag row out to its horizons by explode — a join-free
+    // shape (a 2-row broadcast cross-join would compile to a
+    // BroadcastNestedLoopJoin for no benefit on a 14-row frame).
+    val critCol = element_at(
+      map(horizons.flatMap(h => Seq(lit(h), lit(crit(h)))): _*),
+      col("h").cast("int"))
+    rho.select(col("lag"), col("n"), col("rho"),
+        explode(array(horizons.map(h => lit(h)): _*)).as("h"))
+      .where(col("lag") <= col("h"))
+      .withColumn("chi2_crit", critCol)
+      .groupBy("h", "chi2_crit")
+      .agg(max(col("n") + col("lag")).as("t_days"),
+        count(col("rho")).as("n_terms"),
+        sum((col("rho") * col("rho") / col("n").cast("double"))
+          .cast(DecimalType(38, 18))).as("term_sum"))
+      .select(col("h").cast("long").as("h"),
+        col("t_days"),
+        when(col("n_terms") === col("h"),
+          fl6(col("t_days").cast("double") *
+            (col("t_days").cast("double") + lit(2.0)) *
+            col("term_sum").cast("double"))).as("q_stat"),
+        when(col("n_terms") === col("h"),
+          col("t_days").cast("double") *
+            (col("t_days").cast("double") + lit(2.0)) *
+            col("term_sum").cast("double") > col("chi2_crit"))
+          .as("is_autocorrelated"))
+      .orderBy("h")
   }
 
   /** §2.2 #277 — order LEAD TIME by priority: days from order date to the
@@ -4096,6 +4198,48 @@ object Relational {
     val centered = joint.join(broadcast(med), "seg")
       .select(col("seg"), abs(col("yc") - col("med")).as("yc"))
     fFromPowerSums(segPowerSums(centered), "w_stat")
+  }
+
+  /** §2.2 #301 — TUKEY HSD post-hoc q statistics: after #291's ANOVA says
+    * "some mean differs", this says WHICH — for every segment pair,
+    * q = |m_i − m_j| / √(MSW/2 · (1/n_i + 1/n_j)) (the studentized-range
+    * statistic on the unequal-n Tukey–Kramer form), plus the raw mean
+    * difference in dollars. Everything derives from the SAME ≤5-row
+    * power-sum frame the ANOVA reduces to — MSW from decimal-summed
+    * per-group SSW terms, then a bounded ≤10-row pair self-join of exact
+    * scalars; the fact table is scanned exactly once.
+    */
+  def tukey(spark: SparkSession, dir: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val cst = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val pg = segPowerSums(
+      o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+        .select("seg", "yc"))
+      .localCheckpoint(true)
+    val msw = pg
+      .select(col("ng"),
+        (col("qg").cast("double") -
+          (col("sg").cast("double") * col("sg").cast("double")) /
+            col("ng").cast("double")).as("sswg"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum(col("sswg").cast(dec12)).cast("double").as("ssw"))
+      .select((col("ssw") / (col("n") - col("k")).cast("double")).as("msw"))
+    val a = pg.select(col("seg").as("seg_a"), col("ng").as("na"),
+      (col("sg").cast("double") / col("ng").cast("double")).as("ma"))
+    val b = pg.select(col("seg").as("seg_b"), col("ng").as("nb"),
+      (col("sg").cast("double") / col("ng").cast("double")).as("mb"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("seg_a"), col("seg_b"),
+        fl6(abs(col("ma") - col("mb")) / lit(100.0)).as("mean_diff"),
+        fl6(abs(col("ma") - col("mb")) /
+          sqrt(col("msw") / lit(2.0) *
+            (lit(1.0) / col("na").cast("double") +
+             lit(1.0) / col("nb").cast("double")))).as("q_stat"))
+      .orderBy("seg_a", "seg_b")
   }
 
   /** §2.2 #293 — best single CHANGEPOINT of the daily-revenue series by

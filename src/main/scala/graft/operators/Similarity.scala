@@ -1875,6 +1875,172 @@ object Similarity {
        |FROM dd, lam, tr, top""".stripMargin
   }
 
+  /** §2.3 #302 — leave-one-out kNN LABEL AGREEMENT over the approximate
+    * kNN graph: every vector's label predicted by the MAJORITY of its ≤k
+    * graph neighbors (count desc, label asc tie-break) and compared to its
+    * own — the standard "is this embedding space actually organized by the
+    * taxonomy" evaluation (cluster purity #212 scores an unsupervised
+    * grouping; this scores the METRIC itself, neighbor by neighbor).
+    * Reported per true label, so a single collapsed class is visible
+    * instead of averaged away. Cost on top of the materialized kNN edge
+    * list (#112): two broadcast label joins and one bounded (vec, label)
+    * vote rollup — O(k·N) rows end to end.
+    */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 3,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
+    val votes = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select("vec_id", "nbr_id")
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("vec_id")
+      .agg(max(struct(col("c"), (-col("nbr_label")).as("nl"))).as("best"))
+      .select(col("vec_id"), (-col("best.nl")).as("predicted"))
+    pred.join(labels, "vec_id")
+      .groupBy(col("label").as("true_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("predicted") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_vecs"), col("n_correct"),
+        (floor(col("n_correct").cast("double") / col("n_vecs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("accuracy"))
+      .orderBy("true_label")
+  }
+
+  /** DuckDB oracle for [[knnClassify]]: the kNN-graph oracle as a nested
+    * CTE, the identical majority vote and per-true-label rollup.
+    */
+  def knnClassifyOracleSql(k: Int = 3, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH g AS (
+       |${knnGraphOracleSql(k, nTables, maxBits)}
+       |),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |votes AS (
+       |  SELECT g.vec_id, nb.label AS nbr_label, count(*)::BIGINT AS c
+       |  FROM g JOIN lab nb ON g.nbr_id = nb.vec_id
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT vec_id, nbr_label AS predicted FROM (
+       |    SELECT vec_id, nbr_label,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY c DESC, nbr_label ASC) AS rn
+       |    FROM votes) t
+       |  WHERE rn = 1)
+       |SELECT lab.label AS true_label, count(*)::BIGINT AS n_vecs,
+       |  sum(CASE WHEN pred.predicted = lab.label THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_correct,
+       |  floor(CAST(sum(CASE WHEN pred.predicted = lab.label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |    AS accuracy
+       |FROM pred JOIN lab ON pred.vec_id = lab.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.3 #307 — LOCAL OUTLIER FACTOR over the approximate kNN graph
+    * (Breunig et al. 2000): per vector, the ratio of its neighbors' local
+    * reachability density to its own — LOF ≈ 1 for inliers, ≫ 1 for points
+    * sparser than their neighborhood. The DENSITY-relative complement of
+    * the global distance fences (#125 MAD, #236 IQR): a point can sit at a
+    * modest absolute distance and still be the local oddball of a tight
+    * cluster. Distances are cosine distances 1 − cos over the #112 edge
+    * list, k-distance is each vector's max edge distance, reachability
+    * reach(p←o) = max(kdist(o), dist(p,o)), lrd = n/Σreach, and
+    * LOF = (Σ lrd(o))/n / lrd(p). All sums over the ≤k-row neighbor sets
+    * run in DECIMAL(38,18) (order-free); divisions are guarded — a vector
+    * whose whole neighborhood is exact duplicates (Σreach = 0, the stress
+    * corpus's designed case) reports NULL rather than dividing by zero,
+    * as does any vector with an undefined-lrd neighbor.
+    *
+    * Scale shape: everything after the kNN graph is O(k·N) — one
+    * self-join of the edge list on nbr_id→vec_id to fetch neighbor
+    * k-distances, one to fetch neighbor lrds; both shuffle on keys with N
+    * distinct values. The edge list is localCheckpointed once.
+    */
+  def lof(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24,
+      outlierCut: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 18)
+    val edges = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(col("vec_id"), col("nbr_id"),
+        (lit(1.0) - col("cos")).as("dist"))
+      .localCheckpoint(true)
+    val kdist = edges.groupBy("vec_id")
+      .agg(max("dist").as("kdist"), count(lit(1)).as("n_nbrs"))
+      .localCheckpoint(true)
+    val reach = edges
+      .join(kdist.select(col("vec_id").as("nbr_id"),
+        col("kdist").as("kdist_o")), "nbr_id")
+      .select(col("vec_id"),
+        greatest(col("kdist_o"), col("dist")).as("reach"))
+    val lrd = reach.groupBy("vec_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("reach").cast(dec)).cast("double").as("sum_reach"))
+      .select(col("vec_id"),
+        when(col("sum_reach") > 0.0,
+          col("n").cast("double") / col("sum_reach")).as("lrd"))
+      .localCheckpoint(true)
+    val nbrLrd = edges
+      .join(lrd.select(col("vec_id").as("nbr_id"), col("lrd").as("lrd_o")),
+        "nbr_id")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n"), count(col("lrd_o")).as("n_def"),
+        sum(col("lrd_o").cast(dec)).cast("double").as("sum_lrd"))
+    val lofRaw = when(col("lrd").isNotNull && col("n_def") === col("n"),
+      col("sum_lrd") / col("n").cast("double") / col("lrd"))
+    nbrLrd.join(lrd, "vec_id").join(kdist.select("vec_id", "kdist", "n_nbrs"),
+        "vec_id")
+      .select(col("vec_id"), col("n_nbrs"),
+        (floor(col("kdist") * lit(1e6) + lit(0.5)) / lit(1e6)).as("k_dist"),
+        (floor(col("lrd") * lit(1e6) + lit(0.5)) / lit(1e6)).as("lrd"),
+        (floor(lofRaw * lit(1e6) + lit(0.5)) / lit(1e6)).as("lof"),
+        (lofRaw > outlierCut).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[lof]]: the kNN-graph oracle as a nested CTE, the
+    * identical reachability/lrd/LOF chain with DECIMAL(38,18) sums and the
+    * same NULL guards.
+    */
+  def lofOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12,
+      outlierCut: Double = 1.5): String =
+    s"""WITH g AS (
+       |${knnGraphOracleSql(k, nTables, maxBits)}
+       |),
+       |e AS (SELECT vec_id, nbr_id, 1.0 - cos AS dist FROM g),
+       |kd AS (SELECT vec_id, max(dist) AS kdist,
+       |  count(*)::BIGINT AS n_nbrs FROM e GROUP BY 1),
+       |reach AS (
+       |  SELECT e.vec_id,
+       |    greatest(kdo.kdist, e.dist) AS reach
+       |  FROM e JOIN kd kdo ON kdo.vec_id = e.nbr_id),
+       |lrd AS (
+       |  SELECT vec_id,
+       |    CASE WHEN CAST(sum(CAST(reach AS DECIMAL(38,18))) AS DOUBLE) > 0.0
+       |      THEN CAST(count(*) AS DOUBLE)
+       |        / CAST(sum(CAST(reach AS DECIMAL(38,18))) AS DOUBLE)
+       |    END AS lrd
+       |  FROM reach GROUP BY 1),
+       |nl AS (
+       |  SELECT e.vec_id, count(*)::BIGINT AS n,
+       |    count(lo.lrd)::BIGINT AS n_def,
+       |    CAST(sum(CAST(lo.lrd AS DECIMAL(38,18))) AS DOUBLE) AS sum_lrd
+       |  FROM e JOIN lrd lo ON lo.vec_id = e.nbr_id
+       |  GROUP BY 1)
+       |SELECT nl.vec_id, kd.n_nbrs,
+       |  floor(kd.kdist * 1e6 + 0.5) / 1e6 AS k_dist,
+       |  floor(lrd.lrd * 1e6 + 0.5) / 1e6 AS lrd,
+       |  floor(CASE WHEN lrd.lrd IS NOT NULL AND nl.n_def = nl.n
+       |      THEN nl.sum_lrd / CAST(nl.n AS DOUBLE) / lrd.lrd END
+       |    * 1e6 + 0.5) / 1e6 AS lof,
+       |  (CASE WHEN lrd.lrd IS NOT NULL AND nl.n_def = nl.n
+       |      THEN nl.sum_lrd / CAST(nl.n AS DOUBLE) / lrd.lrd END)
+       |    > $outlierCut AS is_outlier
+       |FROM nl JOIN lrd ON nl.vec_id = lrd.vec_id
+       |JOIN kd ON nl.vec_id = kd.vec_id
+       |ORDER BY nl.vec_id""".stripMargin
+
   /** §2.3 #298 — per-DIMENSION variance profile of the embedding space:
     * mean, variance, and a dead-dimension flag per coordinate — the design
     * input for SQ/PQ compression (#179/#193: a near-zero-variance dim

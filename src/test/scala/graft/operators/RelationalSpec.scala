@@ -2082,6 +2082,103 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Double]("w_stat") >= 0)
   }
 
+  test("tukey q statistics match a local Tukey-Kramer recomputation") {
+    val rows = Relational.tukey(spark, sf).collect()
+    val groups = segValuesCents
+    val k = groups.size
+    assert(rows.length == k * (k - 1) / 2)
+    val n = groups.values.map(_.length).sum.toDouble
+    val ssw = groups.values.map { g =>
+      val sg = g.map(BigInt(_)).sum.toDouble
+      val qg = g.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      qg - sg * sg / g.length
+    }.sum
+    val msw = ssw / (n - k)
+    val means = groups.view.mapValues(g =>
+      g.map(BigInt(_)).sum.toDouble / g.length).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
+      assert(a < b)
+      val diff = math.abs(means(a) - means(b))
+      val q = diff / math.sqrt(msw / 2.0 *
+        (1.0 / groups(a).length + 1.0 / groups(b).length))
+      assert(math.abs(r.getAs[Double]("mean_diff") - diff / 100.0) < 1e-4)
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-4, s"($a,$b)")
+    }
+  }
+
+  test("ljungBox Q matches a local ACF recomputation at both horizons") {
+    val rows = Relational.ljungBox(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("h")).toSeq == Seq(7L, 14L))
+    // local daily series on the calendar spine, zero-filled
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate,
+        r.getAs[Long]("yc"))).toMap
+    val days = daily.keys
+    val (mn, mx) = (days.min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+      days.max(Ordering.by((_: java.time.LocalDate).toEpochDay)))
+    val ys = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx))
+      .map(d => daily.getOrElse(d, 0L)).toArray
+    val tDays = ys.length
+    def rho(lag: Int): Double = {
+      val pairs = ys.dropRight(lag).zip(ys.drop(lag))
+      val n = pairs.length.toDouble
+      val sx = pairs.map(p => BigInt(p._1)).sum.toDouble
+      val sy = pairs.map(p => BigInt(p._2)).sum.toDouble
+      val sxy = pairs.map(p => BigInt(p._1) * BigInt(p._2)).sum.toDouble
+      val sxx = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+      val syy = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+      (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("h").toInt
+      val q = tDays.toDouble * (tDays + 2.0) *
+        (1 to h).map(k => rho(k) * rho(k) / (tDays - k)).sum
+      assert(r.getAs[Long]("t_days") == tDays.toLong)
+      assert(math.abs(r.getAs[Double]("q_stat") - q) < 1e-3, s"h=$h")
+      val crit = if (h == 7) 14.067140 else 23.684791
+      assert(r.getAs[Boolean]("is_autocorrelated") == (q > crit) ||
+        math.abs(q - crit) < 1e-3)
+    }
+  }
+
+  test("abPower MDE matches a local recomputation and flags agree") {
+    val rows = Relational.abPower(spark, sf).collect()
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("value"),
+        substring(sha2(col("user_id").cast("string"), 256), 1, 1).as("h"))
+      .collect()
+    val zSum = 1.959964 + 0.841621
+    rows.foreach { r =>
+      val es = ev.filter(_.getString(0) == r.getAs[String]("event_type"))
+      val (a, b) = es.partition(_.getString(2) <= "7")
+      assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+      def moments(xs: Array[org.apache.spark.sql.Row]) = {
+        val vs = xs.map(e => BigDecimal(e.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        val m = vs.sum.toDouble / xs.length
+        val ss = xs.map { e =>
+          val v = e.getDouble(1)
+          BigDecimal(v * v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble / xs.length
+        (m, ss - m * m)
+      }
+      val (ma, va) = moments(a); val (mb, vb) = moments(b)
+      val diff = math.abs(mb - ma)
+      val mde = zSum * math.sqrt(va / a.length + vb / b.length)
+      assert(math.abs(r.getAs[Double]("observed_diff") - diff) < 1e-4)
+      assert(math.abs(r.getAs[Double]("mde") - mde) < 1e-4)
+      assert(r.getAs[Boolean]("is_detectable") == (diff > mde) ||
+        math.abs(diff - mde) < 1e-4)
+      // same-population split: MDE should be positive and small vs means
+      assert(r.getAs[Double]("mde") > 0)
+    }
+  }
+
   test("changepoint picks the split a local brute-force SSE scan picks") {
     val r = Relational.changepoint(spark, sf).collect()(0)
     val daily = Tables.load(spark, sf, "orders")

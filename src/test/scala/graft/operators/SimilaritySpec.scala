@@ -301,6 +301,68 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("knnClassify agrees with a local majority vote over the engine's own edges") {
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val pred = edges.groupBy(_._1).map { case (v, es) =>
+      val counts = es.map(e => labels(e._2))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val best = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      v -> best
+    }
+    val expected = pred.toSeq.map { case (v, p) => labels(v) -> (p == labels(v)) }
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toMap
+    val rows = Similarity.knnClassify(spark, sf, maxBits = 12).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == pred.size.toLong)
+    rows.foreach { r =>
+      val (nv, nc) = expected(r.getAs[Int]("true_label"))
+      assert(r.getAs[Long]("n_vecs") == nv)
+      assert(r.getAs[Long]("n_correct") == nc)
+      val acc = r.getAs[Double]("accuracy")
+      assert(math.abs(acc - nc.toDouble / nv) < 1e-6)
+    }
+  }
+
+  test("lof matches a local reachability-density recomputation over the engine's own edges") {
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"),
+        1.0 - r.getAs[Double]("cos")))
+    val byVec = edges.groupBy(_._1)
+    val kdist = byVec.view.mapValues(_.map(_._3).max).toMap
+    val lrd = byVec.view.mapValues { es =>
+      val s = es.map(e => math.max(kdist(e._2), e._3)).sum
+      if (s > 0) Some(es.length.toDouble / s) else None
+    }.toMap
+    val rows = Similarity.lof(spark, sf, maxBits = 12).collect()
+    assert(rows.length == byVec.size)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val es = byVec(v)
+      assert(r.getAs[Long]("n_nbrs") == es.length.toLong)
+      assert(math.abs(r.getAs[Double]("k_dist") - kdist(v)) < 1e-4)
+      val nbrLrds = es.map(e => lrd(e._2))
+      (lrd(v), r.getAs[Any]("lof")) match {
+        case (Some(lp), lofV: Double) if nbrLrds.forall(_.isDefined) =>
+          val expected = nbrLrds.flatten.sum / es.length / lp
+          assert(math.abs(lofV - expected) < 1e-3, s"vec $v")
+          assert(r.getAs[Boolean]("is_outlier") == (expected > 1.5) ||
+            math.abs(expected - 1.5) < 1e-3)
+        case (lp, lofV) =>
+          // undefined density anywhere in the neighborhood -> NULL report
+          assert(lofV == null || lp.isDefined)
+      }
+    }
+    // inliers dominate: most defined LOF values sit near 1
+    val defined = rows.flatMap(r => Option(r.getAs[Any]("lof"))
+      .map(_.asInstanceOf[Double]))
+    if (defined.nonEmpty)
+      assert(defined.count(l => l > 0.3 && l < 3.0) > defined.length / 2)
+  }
+
   test("dimVariance covers all 64 dims and matches a local recomputation") {
     val rows = Similarity.dimVariance(spark, sf).collect()
     assert(rows.length == 64)

@@ -1123,4 +1123,40 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(again.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq)
     assert(spark.read.parquet(dest).count() == src.count())
   }
+
+  test("pruneRetention drops exactly the partitions older than the cutoff") {
+    val dest = tmpDir() + "/events_by_day"
+    val out = TableCopy.pruneRetention(spark, sf, dest, keepDays = 7).collect()
+    val days = Tables.load(spark, sf, "events")
+      .select(to_date(col("ts")).as("d")).collect()
+      .map(_.getDate(0).toLocalDate)
+    val maxDay = days.max
+    val cutoff = maxDay.minusDays(7)
+    val expected = days.filter(!_.isBefore(cutoff))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val d = java.time.LocalDate.parse(r.getAs[String]("day"))
+      assert(!d.isBefore(cutoff), s"$d survived past the cutoff")
+      assert(r.getAs[Long]("n_events") == expected(d))
+    }
+    // the dropped partitions are gone from disk, the kept ones remain
+    val dirs = new java.io.File(dest).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .map(f => java.time.LocalDate.parse(f.getName.stripPrefix("day=")))
+    assert(dirs.forall(d => !d.isBefore(cutoff)))
+    assert(dirs.length == expected.size)
+  }
+
+  test("vacuum removes planted orphans and restores an exact readback") {
+    val dest = tmpDir() + "/orders_vacuum"
+    val out = TableCopy.vacuum(spark, sf, dest).collect()(0)
+    val nSrc = Tables.load(spark, sf, "orders").count()
+    assert(out.getAs[Long]("n_rows") == nSrc,
+      "post-vacuum readback equals the source row count")
+    assert(out.getAs[Int]("n_orphans_removed") == 2)
+    val names = new java.io.File(dest).listFiles().map(_.getName)
+    assert(!names.contains("part-orphan-retry.parquet"))
+    assert(!names.contains("writer-leftover.tmp"))
+  }
 }
