@@ -10,6 +10,7 @@ ints to int64 on both sides — the only representation-neutral coercion), and
 exact values after sorting columns by name. Exit 0 iff everything matches.
 """
 import json
+import re
 import sys
 import glob
 import os
@@ -36,9 +37,25 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def round_lint(oracle):
+    """round()-on-DOUBLE is not engine-version-stable (the r7 q_cov_matrix
+    red row: DuckDB changed DOUBLE round tie behavior across versions).
+    House style for new oracles is floor(x*1e6 + 0.5)/1e6 or DECIMAL
+    rounding. Existing driver-green oracles are frozen in
+    tools/round_allowlist.txt; any NEW oracle using round( fails here."""
+    allow_path = os.path.join(os.path.dirname(__file__), "round_allowlist.txt")
+    allowed = set()
+    if os.path.exists(allow_path):
+        allowed = {ln.strip() for ln in open(allow_path) if ln.strip()}
+    return sorted(k for k, v in oracle.items()
+                  if re.search(r"round\(", v, re.I) and k not in allowed)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    print(f"duckdb {duckdb.__version__}, pandas {pd.__version__}, "
+          f"sf_dir {sf_dir}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -88,8 +105,14 @@ def main():
     missing = set(oracle) - {os.path.basename(d) for d in result_dirs}
     for name in sorted(missing):
         print(f"  MISS {name}: oracle present but no result dir")
-    print(f"\n{len(ok)} ok, {len(bad)} fail, {len(missing)} missing")
-    sys.exit(1 if (bad or missing) else 0)
+    linted = round_lint(oracle)
+    for name in linted:
+        print(f"  LINT {name}: new oracle uses round( — use floor(x*1e6+0.5)"
+              f"/1e6 or DECIMAL rounding (engine-version-stable), or add to "
+              f"tools/round_allowlist.txt with justification")
+    print(f"\n{len(ok)} ok, {len(bad)} fail, {len(missing)} missing, "
+          f"{len(linted)} lint")
+    sys.exit(1 if (bad or missing or linted) else 0)
 
 
 if __name__ == "__main__":
