@@ -708,6 +708,43 @@ object SparkEntry {
     "q_knn_classify" -> ((s, dir) => Similarity.knnClassify(s, dir, maxBits = 12)),
     "copy_prune" -> ((s, dir) => TableCopy.pruneRetention(s, dir, tmp("prune"))),
     "copy_vacuum" -> ((s, dir) => TableCopy.vacuum(s, dir, tmp("vacuum"))),
+    "q_knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir, maxBits = 12)),
+    // Snapshot restore: v1 half-table, v2 drifted balances, then RESTORE v1
+    // — the head (v3) must read back as v1's state with history intact.
+    "copy_restore" -> ((s, dir) => {
+      val dest = tmp("restorev")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dest), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dest/customer"), true)
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      TableCopy.writeSnapshot(s, cust.where(col("c_custkey") % 2 === 0),
+        dest, "customer")
+      TableCopy.writeSnapshot(s, cust.withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal"))), dest, "customer")
+      val head = TableCopy.restoreSnapshot(s, dest, "customer", version = 1)
+      val nv = TableCopy.listSnapshots(s, dest, "customer").length
+      TableCopy.readSnapshot(s, dest, "customer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_acctbal"))
+        .select(lit(head.toLong).as("head_version"),
+          lit(nv.toLong).as("n_versions"), col("n_rows"), col("sum_acctbal"))
+    }),
+    // Schema-drift report: destination copy dropped a column, re-typed
+    // another, and added a load column; the diff reads the ACTUAL written
+    // parquet footers back, so a drifted fact the copy missed fails it.
+    "copy_schema_diff" -> ((s, dir) => {
+      val dest = tmp("schemadiff")
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      cust.drop("c_mktsegment")
+        .withColumn("c_acctbal", col("c_acctbal").cast("decimal(18,2)"))
+        .withColumn("load_src", lit("graft"))
+        .write.mode("overwrite").parquet(s"$dest/customer")
+      TableCopy.schemaDiff(s, cust.schema,
+        s.read.parquet(s"$dest/customer").schema)
+    }),
     "copy_jdbc_partitioned" -> ((s, dir) => {
       val db = TableCopy.JdbcStore(freshDerby("jdbcpart"),
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"),
@@ -4347,6 +4384,23 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_knn_classify" -> Similarity.knnClassifyOracleSql(),
     "q_lof" -> Similarity.lofOracleSql(),
+    "q_knn_components" -> Similarity.knnComponentsOracleSql(),
+    "copy_restore" ->
+      """SELECT CAST(3 AS BIGINT) AS head_version,
+        |  CAST(3 AS BIGINT) AS n_versions,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
+    "copy_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('c_acctbal', 'retyped', 'double', 'decimal(18,2)'),
+        |  ('c_custkey', 'unchanged', 'bigint', 'bigint'),
+        |  ('c_mktsegment', 'dropped', 'string', CAST(NULL AS VARCHAR)),
+        |  ('c_name', 'unchanged', 'string', 'string'),
+        |  ('c_nationkey', 'unchanged', 'int', 'int'),
+        |  ('load_src', 'added', CAST(NULL AS VARCHAR), 'string'))
+        |  AS t(column_name, status, src_type, dst_type)
+        |ORDER BY column_name""".stripMargin,
     "q_ljung_box" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,

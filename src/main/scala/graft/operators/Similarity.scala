@@ -680,6 +680,62 @@ object Similarity {
        |FROM reach GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  /** §2.3 #310 — CONNECTED-COMPONENT census of the approximate kNN graph:
+    * component sizes and how many components have each size — the manifold
+    * CONNECTIVITY summary (one giant component = one connected data
+    * manifold; many medium islands = distinct modes or a too-coarse index;
+    * a fat singleton bar = vectors whose buckets collide with nothing,
+    * i.e. recall loss). [[semanticClusters]] answers "which vectors are
+    * near-DUPLICATES" over the thresholded pair graph; this answers "does
+    * the SPACE hang together" over the unthresholded top-k graph #112.
+    * Same engine: [[Dedup.propagateMinLabels]] min-label propagation with
+    * pointer jumping (O(log diameter) rounds over the O(k·N) edge list);
+    * vectors with no edges are singleton components by definition and
+    * rejoin at the end; the double rollup to (size, count) is bounded by
+    * the component-size support. The oracle re-derives the identical
+    * components with a recursive CTE over the plane-exact edges.
+    */
+  def knnComponents(spark: SparkSession, dir: String, k: Int = 3,
+      nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
+      maxRounds: Int = 25): DataFrame = {
+    val pairs = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .localCheckpoint(true)
+    val touched = pairs.select(col("a").as("vec_id"))
+      .unionAll(pairs.select(col("b").as("vec_id"))).distinct()
+    val labels = Dedup.propagateMinLabels(touched, pairs, maxRounds)
+    Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(labels.select(col("id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      .orderBy("comp_size")
+  }
+
+  /** DuckDB oracle for [[knnComponents]]: the kNN-graph oracle feeds a
+    * recursive min-label closure and the identical size rollup.
+    */
+  def knnComponentsOracleSql(k: Int = 3, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH RECURSIVE g AS (
+       |${knnGraphOracleSql(k, nTables, maxBits)}
+       |),
+       |e2 AS (SELECT vec_id AS a, nbr_id AS b FROM g
+       |       UNION SELECT nbr_id, vec_id FROM g),
+       |allv AS (SELECT vec_id FROM embeddings),
+       |reach(vec_id, r) AS (
+       |  SELECT vec_id, vec_id FROM allv
+       |  UNION
+       |  SELECT e2.b, reach.r FROM e2 JOIN reach ON reach.vec_id = e2.a
+       |),
+       |lab AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, count(*)::BIGINT AS comp_size
+       |       FROM lab GROUP BY 1)
+       |SELECT comp_size, count(*)::BIGINT AS n_components
+       |FROM sz GROUP BY 1 ORDER BY comp_size""".stripMargin
+
   /** §2.3 #95 — scalar-quantized ANN with exact rescoring (the SQ8 index
     * pattern): every vector compresses to int8 codes under ONE per-vector
     * scale (127 / max|x|); the first pass ranks all pairs by the

@@ -363,6 +363,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(defined.count(l => l > 0.3 && l < 3.0) > defined.length / 2)
   }
 
+  test("knnComponents size histogram matches a local union-find over the engine's own edges") {
+    val edges = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val allIds = Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(allIds.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val sizes = allIds.groupBy(find).view.mapValues(_.length.toLong)
+    val expected = sizes.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rows = Similarity.knnComponents(spark, sf, maxBits = 12).collect()
+    val got = rows.map(r => r.getAs[Long]("comp_size") ->
+      r.getAs[Long]("n_components")).toMap
+    assert(got == expected)
+    // sanity: sizes x counts account for every vector exactly once
+    assert(got.map { case (s, c) => s * c }.sum == allIds.length.toLong)
+  }
+
   test("dimVariance covers all 64 dims and matches a local recomputation") {
     val rows = Similarity.dimVariance(spark, sf).collect()
     assert(rows.length == 64)

@@ -880,6 +880,46 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("restoreSnapshot re-publishes a historical version as the new head with history intact") {
+    val dest = tmpDir()
+    val nation = Tables.load(spark, sf, "nation")
+    TableCopy.writeSnapshot(spark, nation.where(col("n_nationkey") < 10),
+      dest, "nation")
+    TableCopy.writeSnapshot(spark, nation, dest, "nation")
+    assert(TableCopy.restoreSnapshot(spark, dest, "nation", version = 1) == 3)
+    assert(TableCopy.listSnapshots(spark, dest, "nation") == Seq(1, 2, 3))
+    // head state == v1 state, exactly
+    val head = TableCopy.readSnapshot(spark, dest, "nation")
+      .collect().map(_.getAs[Int]("n_nationkey")).sorted
+    assert(head.toSeq == (0 until 10))
+    // the rolled-back head (v2) is still readable for forensics
+    assert(TableCopy.readSnapshot(spark, dest, "nation", version = 2).count() == 25)
+    // restore of the restore: undo works the same way
+    assert(TableCopy.restoreSnapshot(spark, dest, "nation", version = 2) == 4)
+    assert(TableCopy.readSnapshot(spark, dest, "nation").count() == 25)
+  }
+
+  test("schemaDiff classifies added, dropped, retyped, and unchanged columns") {
+    import org.apache.spark.sql.types._
+    val src = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType), StructField("d", IntegerType)))
+    val dst = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DecimalType(18, 2)), StructField("e", StringType)))
+    val rows = TableCopy.schemaDiff(spark, src, dst).collect()
+    val byCol = rows.map(r => r.getAs[String]("column_name") ->
+      (r.getAs[String]("status"), r.getAs[String]("src_type"),
+        r.getAs[String]("dst_type"))).toMap
+    assert(rows.map(_.getAs[String]("column_name")).toSeq ==
+      Seq("a", "b", "c", "d", "e"))
+    assert(byCol("a") == (("unchanged", "bigint", "bigint")))
+    assert(byCol("b") == (("unchanged", "string", "string")))
+    assert(byCol("c") == (("retyped", "double", "decimal(18,2)")))
+    assert(byCol("d") == (("dropped", "int", null)))
+    assert(byCol("e") == (("added", null, "string")))
+  }
+
   test("quarantineCopy partitions the source: clean ∪ quarantine = source, first-failing-rule reasons") {
     val dest = tmpDir()
     val src = Tables.load(spark, sf, "orders")
