@@ -709,6 +709,9 @@ object SparkEntry {
     "copy_prune" -> ((s, dir) => TableCopy.pruneRetention(s, dir, tmp("prune"))),
     "copy_vacuum" -> ((s, dir) => TableCopy.vacuum(s, dir, tmp("vacuum"))),
     "q_knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir, maxBits = 12)),
+    "q_page_hinkley" -> ((s, dir) => Relational.pageHinkley(s, dir)),
+    "q_cuped" -> ((s, dir) => Relational.cuped(s, dir)),
+    "q_bfs_reach" -> ((s, dir) => Similarity.bfsReach(s, dir, maxBits = 12)),
     // Snapshot restore: v1 half-table, v2 drifted balances, then RESTORE v1
     // — the head (v3) must read back as v1's state with history intact.
     "copy_restore" -> ((s, dir) => {
@@ -4385,6 +4388,90 @@ object SparkEntry {
     "q_knn_classify" -> Similarity.knnClassifyOracleSql(),
     "q_lof" -> Similarity.lofOracleSql(),
     "q_knn_components" -> Similarity.knnComponentsOracleSql(),
+    "q_bfs_reach" -> Similarity.bfsReachOracleSql(),
+    "q_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |pre AS (
+        |  SELECT day, row_number() OVER (ORDER BY day) AS t,
+        |    sum(yc) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM daily),
+        |me AS (
+        |  SELECT day, t, s,
+        |    CAST(CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS DECIMAL(38,18))
+        |      AS mean_dec
+        |  FROM pre),
+        |m AS (
+        |  SELECT day, t,
+        |    CAST(s AS DOUBLE)
+        |      - CAST(sum(mean_dec) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |          AS DOUBLE)
+        |      - CAST(t AS DOUBLE) * 0.0 AS m_t
+        |  FROM me),
+        |p AS (
+        |  SELECT day, t,
+        |    m_t - min(m_t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ph
+        |  FROM m),
+        |b AS (
+        |  SELECT count(*)::BIGINT AS n_days,
+        |    max(struct_pack(ph := ph, nt := -t, day := day)) AS bb
+        |  FROM p)
+        |SELECT n_days, strftime(bb.day, '%Y-%m-%d') AS alarm_day,
+        |  floor(bb.ph / 100.0 * 1e6 + 0.5) / 1e6 AS ph_stat,
+        |  bb.ph / 100.0 > 50000.0 AS is_drift
+        |FROM b""".stripMargin,
+    "q_cuped" ->
+      """WITH ev AS (SELECT user_id, value, ts::DATE AS day FROM events),
+        |bnd AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |bd AS (SELECT mn + CAST(floor(datediff('day', mn, mx) / 2) AS INTEGER)
+        |  AS bound FROM bnd),
+        |u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN day < bound THEN CAST(value AS DECIMAL(28,6)) END) AS x,
+        |    sum(CASE WHEN day >= bound THEN CAST(value AS DECIMAL(28,6)) END) AS y
+        |  FROM ev CROSS JOIN bd GROUP BY 1),
+        |kk AS (
+        |  SELECT x, y,
+        |    CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN x END) AS DOUBLE) AS sxa,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN y END) AS DOUBLE) AS sya,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN x END) AS DOUBLE) AS sxb,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN y END) AS DOUBLE) AS syb
+        |  FROM kk),
+        |m AS (
+        |  SELECT n, n_a,
+        |    sxx / CAST(n AS DOUBLE)
+        |      - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS vx,
+        |    syy / CAST(n AS DOUBLE)
+        |      - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS vy,
+        |    sxy / CAST(n AS DOUBLE)
+        |      - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cxy,
+        |    sxb / CAST(n - n_a AS DOUBLE) - sxa / CAST(n_a AS DOUBLE) AS diffx,
+        |    syb / CAST(n - n_a AS DOUBLE) - sya / CAST(n_a AS DOUBLE) AS diffy
+        |  FROM s)
+        |SELECT n AS n_users, n_a,
+        |  floor(CASE WHEN vx > 0.0 THEN cxy / vx END * 1e6 + 0.5) / 1e6
+        |    AS theta,
+        |  floor(CASE WHEN vx > 0.0 AND vy > 0.0 THEN cxy * cxy / (vx * vy) END
+        |    * 1e6 + 0.5) / 1e6 AS var_reduction,
+        |  floor(diffy * 1e6 + 0.5) / 1e6 AS diff_raw,
+        |  floor((diffy - CASE WHEN vx > 0.0 THEN cxy / vx END * diffx)
+        |    * 1e6 + 0.5) / 1e6 AS diff_adj
+        |FROM m""".stripMargin,
     "copy_restore" ->
       """SELECT CAST(3 AS BIGINT) AS head_version,
         |  CAST(3 AS BIGINT) AS n_versions,

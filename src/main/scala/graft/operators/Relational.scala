@@ -4242,6 +4242,108 @@ object Relational {
       .orderBy("seg_a", "seg_b")
   }
 
+  /** §2.2 #311 — PAGE–HINKLEY sequential drift test on daily revenue: the
+    * classic online changepoint monitor — m_t = Σ_{s≤t}(x_s − x̄_s − δ)
+    * with x̄_s the RUNNING mean, M_t = min_{s≤t} m_s, alarm statistic
+    * PH = max_t (m_t − M_t) and the day it peaks. The online sibling of
+    * CUSUM #216 (fixed reference mean) and binary-segmentation #293
+    * (offline, one split): PH is what a monitoring job computes
+    * incrementally as days arrive. Exactness: prefix sums S_s are exact
+    * cent integers; each running mean S_s/s is one deterministic double,
+    * accumulated in DECIMAL(38,18) so the prefix sum of means is
+    * order-free; m_t is a fixed-order double expression; running min and
+    * the (ph, earliest-day) arg-max are deterministic. Cost: one map-side
+    * rollup to the |days| frame, then calendar-bounded windows.
+    */
+  def pageHinkley(spark: SparkSession, dir: String, delta: Double = 0.0,
+      lambdaDollars: Double = 50000.0): DataFrame = {
+    val dec18 = DecimalType(38, 18)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+    val wOrd = Window.orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily.select(col("day"),
+      row_number().over(wOrd).as("t"),
+      sum("yc").over(wCum).as("s"))
+    val means = pre.select(col("day"), col("t"), col("s"),
+      (col("s").cast("double") / col("t").cast("double")).cast(dec18)
+        .as("mean_dec"))
+    val m = means.select(col("day"), col("t"), col("s"),
+      (col("s").cast("double") -
+        sum("mean_dec").over(wCum).cast("double") -
+        col("t").cast("double") * lit(delta)).as("m_t"))
+    val ph = m.select(col("day"), col("t"),
+      (col("m_t") - min("m_t").over(wCum)).as("ph"))
+    ph.agg(max(struct(col("ph"), (-col("t")).as("nt"), col("day"))).as("b"),
+        count(lit(1)).as("n_days"))
+      .select(col("n_days"),
+        date_format(col("b.day"), "yyyy-MM-dd").as("alarm_day"),
+        fl6(col("b.ph") / lit(100.0)).as("ph_stat"),
+        (col("b.ph") / lit(100.0) > lambdaDollars).as("is_drift"))
+  }
+
+  /** §2.2 #312 — CUPED variance-reduced A/B readout (Deng et al. 2013):
+    * per user, the pre-period value sum X (covariate) and experiment-period
+    * value sum Y; θ = cov(X,Y)/var(X) pooled across users, the adjusted
+    * metric Y′ = Y − θ(X − X̄), and the report: variance-reduction share
+    * ρ² = cov²/(var_X·var_Y), the raw arm difference, and the adjusted arm
+    * difference diff_adj = diff_Y − θ·diff_X — the industry-standard trick
+    * that makes #132's z-test detect effects 1/(1−ρ²)× smaller at the same
+    * traffic. Period split at the calendar midpoint (re-ingestion-stable),
+    * arms by the #132 sha rule; users present in BOTH periods enter. One
+    * shuffle by user (exact DECIMAL period sums), then one power-sum
+    * rollup (per-user cross terms decimal-summed order-free), θ/ρ²/diffs
+    * fixed-order doubles with var(X) = 0 NULL-guarded.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 6)
+    val dec12 = DecimalType(38, 12)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+    val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(expr("date_add(mn, CAST(floor(datediff(mx, mn) / 2) AS INT))")
+        .as("bound"))
+    val users = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("bound"), col("value").cast(dec)))
+          .as("x"),
+        sum(when(col("day") >= col("bound"), col("value").cast(dec)))
+          .as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("arm",
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7",
+          lit("A")).otherwise(lit("B")))
+    val xd = col("x").cast("double"); val yd = col("y").cast("double")
+    val s = users.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((xd * yd).cast(dec12)).as("sxy"),
+      sum((xd * xd).cast(dec12)).as("sxx"),
+      sum((yd * yd).cast(dec12)).as("syy"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("x"))).as("sxa"),
+      sum(when(col("arm") === "A", col("y"))).as("sya"),
+      sum(when(col("arm") === "B", col("x"))).as("sxb"),
+      sum(when(col("arm") === "B", col("y"))).as("syb"))
+    val nD = col("n").cast("double")
+    val mx = col("sx").cast("double") / nD
+    val my = col("sy").cast("double") / nD
+    val vx = col("sxx").cast("double") / nD - mx * mx
+    val vy = col("syy").cast("double") / nD - my * my
+    val cxy = col("sxy").cast("double") / nD - mx * my
+    val naD = col("n_a").cast("double")
+    val nbD = (col("n") - col("n_a")).cast("double")
+    val diffX = col("sxb").cast("double") / nbD - col("sxa").cast("double") / naD
+    val diffY = col("syb").cast("double") / nbD - col("sya").cast("double") / naD
+    val theta = when(vx > 0.0, cxy / vx)
+    val rho2 = when(vx > 0.0 && vy > 0.0, cxy * cxy / (vx * vy))
+    s.select(col("n").as("n_users"), col("n_a"),
+      fl6(theta).as("theta"), fl6(rho2).as("var_reduction"),
+      fl6(diffY).as("diff_raw"),
+      fl6(diffY - theta * diffX).as("diff_adj"))
+  }
+
   /** §2.2 #293 — best single CHANGEPOINT of the daily-revenue series by
     * SSE reduction (binary segmentation, first split): the day that
     * maximizes the drop from the series' total squared error to

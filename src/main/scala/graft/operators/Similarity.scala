@@ -736,6 +736,68 @@ object Similarity {
        |SELECT comp_size, count(*)::BIGINT AS n_components
        |FROM sz GROUP BY 1 ORDER BY comp_size""".stripMargin
 
+  /** §2.3 #313 — BFS REACHABILITY curve over the approximate kNN graph:
+    * from each of the first `seeds` vectors, how many vectors are within
+    * 1..`rounds` hops — the navigability profile of the index graph (HNSW
+    * intuition: a query greedy-walks hop by hop, so small-hop reach growth
+    * IS searchability; a flat curve from some seed = a trapped region the
+    * #310 component census only shows in aggregate). Unrolled frontier
+    * expansion: each round is one edge join + distinct on (seed, vec) —
+    * O(seeds·N) state, O(rounds) shuffles, localCheckpoint between rounds
+    * so round R never re-runs 1..R−1; integer-exact counts (no floats
+    * anywhere). The oracle re-derives min-hop distances with a
+    * depth-bounded recursive CTE.
+    */
+  def bfsReach(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24, seeds: Int = 3,
+      rounds: Int = 4): DataFrame = {
+    val g = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    val edges = g.unionAll(g.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var reached = Tables.load(spark, dir, "embeddings")
+      .select("vec_id").where(col("vec_id") < seeds)
+      .select(col("vec_id").as("seed"), col("vec_id"))
+      .localCheckpoint(true)
+    val perRound = (1 to rounds).map { r =>
+      reached = reached.as("r")
+        .join(edges.as("e"), col("r.vec_id") === col("e.a"))
+        .select(col("r.seed"), col("e.b").as("vec_id"))
+        .unionAll(reached)
+        .distinct().localCheckpoint(true)
+      reached.groupBy("seed").agg(count(lit(1)).as("n_reached"))
+        .withColumn("round", lit(r.toLong))
+    }
+    perRound.reduce(_ unionAll _)
+      .select(col("seed"), col("round"), col("n_reached"))
+      .orderBy("seed", "round")
+  }
+
+  /** DuckDB oracle for [[bfsReach]]: depth-bounded recursive BFS closure
+    * over the kNN-graph oracle's edges, min-hop per (seed, vec), counts at
+    * each horizon.
+    */
+  def bfsReachOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12,
+      seeds: Int = 3, rounds: Int = 4): String =
+    s"""WITH RECURSIVE g AS (
+       |${knnGraphOracleSql(k, nTables, maxBits)}
+       |),
+       |e2 AS (SELECT vec_id AS a, nbr_id AS b FROM g
+       |       UNION SELECT nbr_id, vec_id FROM g),
+       |sd AS (SELECT vec_id AS seed FROM embeddings WHERE vec_id < $seeds),
+       |reach(seed, vec_id, depth) AS (
+       |  SELECT seed, seed, 0 FROM sd
+       |  UNION
+       |  SELECT r.seed, e2.b, r.depth + 1
+       |  FROM reach r JOIN e2 ON r.vec_id = e2.a WHERE r.depth < $rounds
+       |),
+       |md AS (SELECT seed, vec_id, min(depth) AS d FROM reach GROUP BY 1, 2),
+       |rs AS (SELECT unnest(generate_series(1, $rounds)) AS round)
+       |SELECT md.seed, CAST(rs.round AS BIGINT) AS round,
+       |  count(*)::BIGINT AS n_reached
+       |FROM md JOIN rs ON md.d <= rs.round
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** §2.3 #95 — scalar-quantized ANN with exact rescoring (the SQ8 index
     * pattern): every vector compresses to int8 codes under ONE per-vector
     * scale (127 / max|x|); the first pass ranks all pairs by the

@@ -2179,6 +2179,71 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("pageHinkley statistic matches a local sequential recomputation") {
+    val r = Relational.pageHinkley(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect()
+      .map(row => (row.getAs[java.sql.Date]("day").toString,
+        row.getAs[Long]("yc")))
+    var s = 0L; var meanSum = 0.0; var minM = Double.MaxValue
+    var bestPh = Double.MinValue; var bestDay = ""
+    daily.zipWithIndex.foreach { case ((day, yc), i) =>
+      s += yc
+      meanSum += s.toDouble / (i + 1)
+      val m = s.toDouble - meanSum
+      minM = math.min(minM, m)
+      val ph = m - minM
+      if (ph > bestPh) { bestPh = ph; bestDay = day }
+    }
+    assert(r.getAs[Long]("n_days") == daily.length.toLong)
+    assert(r.getAs[String]("alarm_day") == bestDay)
+    assert(math.abs(r.getAs[Double]("ph_stat") - bestPh / 100.0) < 1e-3)
+    assert(r.getAs[Boolean]("is_drift") == (bestPh / 100.0 > 50000.0) ||
+      math.abs(bestPh / 100.0 - 50000.0) < 1e-3)
+  }
+
+  test("cuped theta and adjusted difference match a local recomputation") {
+    val r = Relational.cuped(spark, sf).collect()(0)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getAs[java.sql.Date](2).toLocalDate))
+    val (mn, mx) = (ev.map(_._3).min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+      ev.map(_._3).max(Ordering.by((_: java.time.LocalDate).toEpochDay)))
+    val bound = mn.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(mn, mx) / 2)
+    def d6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val users = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val (pre, post) = es.partition(_._3.isBefore(bound))
+      if (pre.nonEmpty && post.nonEmpty)
+        Some((u, pre.map(e => d6(e._2)).sum.toDouble,
+          post.map(e => d6(e._2)).sum.toDouble))
+      else None
+    }.toSeq
+    val n = users.length.toDouble
+    val mxx = users.map(_._2).sum / n; val myy = users.map(_._3).sum / n
+    val vx = users.map(u => u._2 * u._2).sum / n - mxx * mxx
+    val cxy = users.map(u => u._2 * u._3).sum / n - mxx * myy
+    val theta = cxy / vx
+    assert(r.getAs[Long]("n_users") == users.length.toLong)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-3)
+    val vr = r.getAs[Double]("var_reduction")
+    assert(vr >= 0.0 && vr <= 1.0 + 1e-9)
+    // the adjusted diff differs from raw by exactly theta * diffX
+    def sha1hex(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(u.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1)
+    }
+    val (a, b) = users.partition(u => sha1hex(u._1) <= "7")
+    val diffX = b.map(_._2).sum / b.length - a.map(_._2).sum / a.length
+    val diffY = b.map(_._3).sum / b.length - a.map(_._3).sum / a.length
+    assert(math.abs(r.getAs[Double]("diff_raw") - diffY) < 1e-3)
+    assert(math.abs(r.getAs[Double]("diff_adj") - (diffY - theta * diffX)) < 1e-3)
+  }
+
   test("changepoint picks the split a local brute-force SSE scan picks") {
     val r = Relational.changepoint(spark, sf).collect()(0)
     val daily = Tables.load(spark, sf, "orders")

@@ -391,6 +391,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got.map { case (s, c) => s * c }.sum == allIds.length.toLong)
   }
 
+  test("bfsReach matches a local BFS over the engine's own edges and grows monotonically") {
+    val g = Similarity.knnGraph(spark, sf, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val adj = (g ++ g.map(e => (e._2, e._1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Similarity.bfsReach(spark, sf, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Long]("round")) ->
+        r.getAs[Long]("n_reached")).toMap
+    (0L until 3L).foreach { seed =>
+      var reached = Set(seed)
+      (1 to 4).foreach { r =>
+        reached = reached ++ reached.flatMap(v => adj.getOrElse(v, Set.empty))
+        assert(rows((seed, r.toLong)) == reached.size.toLong, s"seed $seed round $r")
+      }
+    }
+    // reach curves are monotone non-decreasing in the round
+    rows.keys.map(_._1).toSeq.distinct.foreach { s =>
+      val curve = (1L to 4L).map(r => rows((s, r)))
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("dimVariance covers all 64 dims and matches a local recomputation") {
     val rows = Similarity.dimVariance(spark, sf).collect()
     assert(rows.length == 64)
