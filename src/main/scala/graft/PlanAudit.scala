@@ -128,9 +128,13 @@ object PlanAudit {
         // the per-doc LM scores (the ks_test/cusum totals pattern), on top
         // of ngram_lm's whitelisted 1-row vocab frame
         "q_surprisal_outliers",
-        // cuped: 1-row calendar-midpoint bound frame broadcast over the
-        // events scan (the rfm/decay_engagement anchor-date pattern)
-        "q_cuped",
+        // cuped / did: 1-row calendar-midpoint bound frame broadcast over
+        // the events scan (the rfm/decay_engagement anchor-date pattern)
+        "q_cuped", "q_did",
+        // mann_kendall: the |days|² sign-pair frame is a non-equi self-join
+        // of the CALENDAR-bounded daily series (the theil_sen pattern),
+        // plus 1-row S/tie/count frames chained
+        "q_mann_kendall",
         // silhouette: the kmeans k-row centroid frame broadcast over one
         // corpus scan (inherits q_kmeans' intended assignment plan);
         // changepoint: 1-row totals frame over the calendar-bounded daily

@@ -711,6 +711,29 @@ object SparkEntry {
     "q_knn_components" -> ((s, dir) => Similarity.knnComponents(s, dir, maxBits = 12)),
     "q_page_hinkley" -> ((s, dir) => Relational.pageHinkley(s, dir)),
     "q_cuped" -> ((s, dir) => Relational.cuped(s, dir)),
+    "q_mann_kendall" -> ((s, dir) => Relational.mannKendall(s, dir)),
+    "q_did" -> ((s, dir) => Relational.did(s, dir)),
+    // Atomic SET publish: v1 = {nation, half supplier}, v2 = {nation,
+    // full supplier}; the result reads BOTH tables through the CURRENT
+    // pointer, so a half-flipped set or stale pointer fails the oracle.
+    "copy_publish_set" -> ((s, dir) => {
+      val dest = tmp("pubset")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dest), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+      val nation = graft.sources.Tables.load(s, dir, "nation")
+      val supplier = graft.sources.Tables.load(s, dir, "supplier")
+      TableCopy.publishSet(s, Seq(
+        "nation" -> nation,
+        "supplier" -> supplier.where(col("s_suppkey") % 2 === 0)), dest)
+      val v = TableCopy.publishSet(s, Seq(
+        "nation" -> nation, "supplier" -> supplier), dest)
+      def one(t: String) = TableCopy.readFromSet(s, dest, t)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), lit(v.toLong).as("version"),
+          col("n_rows"))
+      one("nation").unionByName(one("supplier")).orderBy("table_name")
+    }),
     "q_bfs_reach" -> ((s, dir) => Similarity.bfsReach(s, dir, maxBits = 12)),
     // Snapshot restore: v1 half-table, v2 drifted balances, then RESTORE v1
     // — the head (v3) must read back as v1's state with history intact.
@@ -4389,6 +4412,96 @@ object SparkEntry {
     "q_lof" -> Similarity.lofOracleSql(),
     "q_knn_components" -> Similarity.knnComponentsOracleSql(),
     "q_bfs_reach" -> Similarity.bfsReachOracleSql(),
+    "copy_publish_set" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS table_name, CAST(2 AS BIGINT) AS version,
+        |    count(*)::BIGINT AS n_rows FROM nation
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(2 AS BIGINT), count(*)::BIGINT
+        |  FROM supplier)
+        |ORDER BY table_name""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT sum(CASE WHEN b.yc > a.yc THEN 1
+        |    WHEN b.yc < a.yc THEN -1 ELSE 0 END)::BIGINT AS s_stat
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |t AS (
+        |  SELECT coalesce(sum(tk * (tk - 1) * (2 * tk + 5)), 0)::BIGINT
+        |    AS tie_term
+        |  FROM (SELECT count(*)::BIGINT AS tk FROM daily GROUP BY yc)),
+        |n AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+        |m AS (
+        |  SELECT n_days, s_stat,
+        |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+        |      AS DOUBLE) / 18.0 AS var_s
+        |  FROM n CROSS JOIN s CROSS JOIN t),
+        |zc AS (
+        |  SELECT n_days, s_stat, var_s,
+        |    CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+        |      WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+        |      ELSE 0.0 END AS z
+        |  FROM m)
+        |SELECT n_days, s_stat,
+        |  floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+        |  floor(z * 1e6 + 0.5) / 1e6 AS z_stat,
+        |  CASE WHEN z > 1.959964 THEN 'increasing'
+        |    WHEN z < -1.959964 THEN 'decreasing'
+        |    ELSE 'no trend' END AS trend
+        |FROM zc""".stripMargin,
+    "q_did" ->
+      """WITH ev AS (SELECT user_id, value, ts::DATE AS day FROM events),
+        |bnd AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |bd AS (SELECT mn + CAST(floor(datediff('day', mn, mx) / 2) AS INTEGER)
+        |  AS bound FROM bnd),
+        |c AS (
+        |  SELECT value,
+        |    CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'A' ELSE 'B' END AS arm,
+        |    day >= bound AS post
+        |  FROM ev CROSS JOIN bd),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_a0,
+        |    CAST(sum(CASE WHEN arm = 'A' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_a1,
+        |    CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+        |    CAST(sum(CASE WHEN arm = 'B' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+        |    CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a0,
+        |    CAST(sum(CASE WHEN arm = 'A' AND post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a1,
+        |    CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b0,
+        |    CAST(sum(CASE WHEN arm = 'B' AND post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b1,
+        |    CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_a0,
+        |    CAST(sum(CASE WHEN arm = 'A' AND post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_a1,
+        |    CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_b0,
+        |    CAST(sum(CASE WHEN arm = 'B' AND post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_b1
+        |  FROM c),
+        |m AS (
+        |  SELECT n_a0, n_a1, n_b0, n_b1,
+        |    (s_b1 / CAST(n_b1 AS DOUBLE) - s_b0 / CAST(n_b0 AS DOUBLE))
+        |      - (s_a1 / CAST(n_a1 AS DOUBLE) - s_a0 / CAST(n_a0 AS DOUBLE))
+        |      AS did,
+        |    sqrt(
+        |      (q_a0 / CAST(n_a0 AS DOUBLE)
+        |        - (s_a0 / CAST(n_a0 AS DOUBLE)) * (s_a0 / CAST(n_a0 AS DOUBLE)))
+        |        / CAST(n_a0 AS DOUBLE)
+        |      + (q_a1 / CAST(n_a1 AS DOUBLE)
+        |        - (s_a1 / CAST(n_a1 AS DOUBLE)) * (s_a1 / CAST(n_a1 AS DOUBLE)))
+        |        / CAST(n_a1 AS DOUBLE)
+        |      + (q_b0 / CAST(n_b0 AS DOUBLE)
+        |        - (s_b0 / CAST(n_b0 AS DOUBLE)) * (s_b0 / CAST(n_b0 AS DOUBLE)))
+        |        / CAST(n_b0 AS DOUBLE)
+        |      + (q_b1 / CAST(n_b1 AS DOUBLE)
+        |        - (s_b1 / CAST(n_b1 AS DOUBLE)) * (s_b1 / CAST(n_b1 AS DOUBLE)))
+        |        / CAST(n_b1 AS DOUBLE)) AS se
+        |  FROM s)
+        |SELECT n_a0, n_a1, n_b0, n_b1,
+        |  floor(did * 1e6 + 0.5) / 1e6 AS did,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS se,
+        |  floor(did / se * 1e6 + 0.5) / 1e6 AS z_stat
+        |FROM m""".stripMargin,
     "q_page_hinkley" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,

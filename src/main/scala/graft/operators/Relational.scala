@@ -4107,6 +4107,88 @@ object Relational {
         fl6(col("resid") / lit(100.0)).as("intercept"))
   }
 
+  /** §2.2 #314 — MANN–KENDALL trend TEST on daily revenue: S = Σ_{i<j}
+    * sign(y_j − y_i) over all day pairs, tie-corrected variance
+    * var(S) = [n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)]/18, and the
+    * continuity-corrected z — the hypothesis-test companion to Theil–Sen
+    * #283 (same pair frame; #283 estimates the slope, this says whether a
+    * monotone trend EXISTS at 5%). S and both variance terms are exact
+    * integers (BIGINT sign sum, tie counts from the value histogram), so
+    * the only floats are one division by 18 and the final z — fixed-order,
+    * engine-identical. The O(|days|²) pair frame is calendar-bounded (does
+    * not grow with the corpus), the tie histogram is value-bounded.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+      .localCheckpoint(true)
+    val s = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.yc") - col("a.yc")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy("yc").agg(count(lit(1)).as("tk"))
+      .agg(coalesce(sum(col("tk") * (col("tk") - 1) * (lit(2) * col("tk") + 5)),
+        lit(0L)).as("tie_term"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val varNum = col("n_days") * (col("n_days") - 1) *
+      (lit(2) * col("n_days") + 5) - col("tie_term")
+    val varS = varNum.cast("double") / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    n.crossJoin(s).crossJoin(ties)
+      .select(col("n_days"), col("s_stat"),
+        fl6(varS).as("var_s"), fl6(z).as("z_stat"),
+        when(z > 1.959964, lit("increasing"))
+          .when(z < -1.959964, lit("decreasing"))
+          .otherwise(lit("no trend")).as("trend"))
+  }
+
+  /** §2.2 #315 — DIFFERENCE-IN-DIFFERENCES readout: arms by the #132 sha
+    * rule × pre/post periods at the #312 calendar midpoint, cell means
+    * from exact DECIMAL sums, DiD = (B_post − B_pre) − (A_post − A_pre),
+    * its standard error √(Σ s²_g/n_g) over the four cells, and z — the
+    * quasi-experimental estimate when assignment isn't random (and, on a
+    * hash split, the parallel-trends sanity check that a healthy
+    * experiment's DiD ≈ its post-period difference). ONE fused scan:
+    * per-cell count/Σ/Σx² as conditional aggregates (no join anywhere —
+    * the four cells are columns, not rows), then fixed-order double
+    * formulas. The single 1-row midpoint frame rides the #312 broadcast.
+    */
+  def did(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+    val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(expr("date_add(mn, CAST(floor(datediff(mx, mn) / 2) AS INT))")
+        .as("bound"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("arm",
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7",
+          lit("A")).otherwise(lit("B")))
+      .withColumn("post", col("day") >= col("bound"))
+    def cell(a: String, p: Boolean, out: String): Seq[Column] = {
+      val in = col("arm") === a && col("post") === p
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$out"),
+        sum(when(in, col("value").cast(dec))).as(s"s_$out"),
+        sum(when(in, (col("value") * col("value")).cast(dec))).as(s"q_$out"))
+    }
+    val aggs = cell("A", false, "a0") ++ cell("A", true, "a1") ++
+      cell("B", false, "b0") ++ cell("B", true, "b1")
+    val s = cells.agg(aggs.head, aggs.tail: _*)
+    def m(g: String) = col(s"s_$g").cast("double") / col(s"n_$g").cast("double")
+    def v(g: String) =
+      col(s"q_$g").cast("double") / col(s"n_$g").cast("double") - m(g) * m(g)
+    val didV = (m("b1") - m("b0")) - (m("a1") - m("a0"))
+    val se = sqrt(v("a0") / col("n_a0").cast("double") +
+      v("a1") / col("n_a1").cast("double") +
+      v("b0") / col("n_b0").cast("double") +
+      v("b1") / col("n_b1").cast("double"))
+    s.select(col("n_a0"), col("n_a1"), col("n_b0"), col("n_b1"),
+      fl6(didV).as("did"), fl6(se).as("se"), fl6(didV / se).as("z_stat"))
+  }
+
   /** Exact per-segment power sums of order value in cents — (n, Σx, Σx²)
     * per market segment — the shared base frame of [[anova]] (raw values)
     * and the F formula both it and [[levene]] (median-centered values)

@@ -2244,6 +2244,60 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("diff_adj") - (diffY - theta * diffX)) < 1e-3)
   }
 
+  test("mannKendall S, variance, and z match a local pairwise recomputation") {
+    val r = Relational.mannKendall(spark, sf).collect()(0)
+    val ys = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect().map(_.getAs[Long]("yc"))
+    val n = ys.length
+    var s = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      s += java.lang.Long.signum(ys(j) - ys(i)).toLong
+    val ties = ys.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - ties).toDouble / 18.0
+    val z = if (s > 0) (s - 1.0) / math.sqrt(varS)
+      else if (s < 0) (s + 1.0) / math.sqrt(varS) else 0.0
+    assert(r.getAs[Long]("n_days") == n.toLong)
+    assert(r.getAs[Long]("s_stat") == s)
+    assert(math.abs(r.getAs[Double]("var_s") - varS) < 1e-3)
+    assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-4)
+    val expectedTrend = if (z > 1.959964) "increasing"
+      else if (z < -1.959964) "decreasing" else "no trend"
+    assert(r.getAs[String]("trend") == expectedTrend)
+  }
+
+  test("did estimate matches a local four-cell recomputation") {
+    val r = Relational.did(spark, sf).collect()(0)
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"),
+        substring(sha2(col("user_id").cast("string"), 256), 1, 1).as("h"))
+      .collect()
+      .map(x => (x.getString(3) <= "7", x.getDouble(1),
+        x.getAs[java.sql.Date](2).toLocalDate))
+    val (mn, mx) = (ev.map(_._3).min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+      ev.map(_._3).max(Ordering.by((_: java.time.LocalDate).toEpochDay)))
+    val bound = mn.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(mn, mx) / 2)
+    def d6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def cell(isA: Boolean, post: Boolean) = {
+      val xs = ev.filter(e => e._1 == isA && !e._3.isBefore(bound) == post)
+        .map(_._2)
+      (xs.length.toLong, xs.map(d6).sum.toDouble / xs.length)
+    }
+    val (na0, ma0) = cell(true, false); val (na1, ma1) = cell(true, true)
+    val (nb0, mb0) = cell(false, false); val (nb1, mb1) = cell(false, true)
+    assert(r.getAs[Long]("n_a0") == na0 && r.getAs[Long]("n_a1") == na1)
+    assert(r.getAs[Long]("n_b0") == nb0 && r.getAs[Long]("n_b1") == nb1)
+    val didLocal = (mb1 - mb0) - (ma1 - ma0)
+    assert(math.abs(r.getAs[Double]("did") - didLocal) < 1e-3)
+    assert(r.getAs[Double]("se") > 0)
+    assert(math.abs(r.getAs[Double]("z_stat") -
+      r.getAs[Double]("did") / r.getAs[Double]("se")) < 1e-2)
+  }
+
   test("changepoint picks the split a local brute-force SSE scan picks") {
     val r = Relational.changepoint(spark, sf).collect()(0)
     val daily = Tables.load(spark, sf, "orders")

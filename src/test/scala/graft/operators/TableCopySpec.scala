@@ -920,6 +920,30 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(byCol("e") == (("added", null, "string")))
   }
 
+  test("publishSet commits a whole table set with one pointer flip, keeping history") {
+    val dest = tmpDir()
+    val nation = Tables.load(spark, sf, "nation")
+    val supplier = Tables.load(spark, sf, "supplier")
+    assert(TableCopy.currentSetVersion(spark, dest) == 0)
+    intercept[IllegalArgumentException] {
+      TableCopy.readFromSet(spark, dest, "nation")
+    }
+    assert(TableCopy.publishSet(spark, Seq(
+      "nation" -> nation.where(col("n_nationkey") < 10),
+      "supplier" -> supplier), dest) == 1)
+    assert(TableCopy.currentSetVersion(spark, dest) == 1)
+    assert(TableCopy.readFromSet(spark, dest, "nation").count() == 10)
+    // second publish: the set flips as a unit
+    assert(TableCopy.publishSet(spark, Seq(
+      "nation" -> nation,
+      "supplier" -> supplier.where(col("s_suppkey") % 2 === 0)), dest) == 2)
+    assert(TableCopy.readFromSet(spark, dest, "nation").count() == nation.count())
+    assert(TableCopy.readFromSet(spark, dest, "supplier").count() ==
+      supplier.where(col("s_suppkey") % 2 === 0).count())
+    // v1 snapshot remains on disk, readable by a pinned path
+    assert(spark.read.parquet(s"$dest/v1/nation").count() == 10)
+  }
+
   test("quarantineCopy partitions the source: clean ∪ quarantine = source, first-failing-rule reasons") {
     val dest = tmpDir()
     val src = Tables.load(spark, sf, "orders")
