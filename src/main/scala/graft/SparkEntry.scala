@@ -712,6 +712,7 @@ object SparkEntry {
     "q_page_hinkley" -> ((s, dir) => Relational.pageHinkley(s, dir)),
     "q_cuped" -> ((s, dir) => Relational.cuped(s, dir)),
     "q_mann_kendall" -> ((s, dir) => Relational.mannKendall(s, dir)),
+    "q_cosine_dup" -> ((s, dir) => Dedup.cosineDup(s, dir)),
     "q_did" -> ((s, dir) => Relational.did(s, dir)),
     // Atomic SET publish: v1 = {nation, half supplier}, v2 = {nation,
     // full supplier}; the result reads BOTH tables through the CURRENT
@@ -4412,6 +4413,61 @@ object SparkEntry {
     "q_lof" -> Similarity.lofOracleSql(),
     "q_knn_components" -> Similarity.knnComponentsOracleSql(),
     "q_bfs_reach" -> Similarity.bfsReachOracleSql(),
+    "q_cosine_dup" ->
+      """WITH m AS (SELECT doc_id, sha256(trim(text)) AS ckey FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY ckey) AS rep_id,
+        |    count(*) OVER (PARTITION BY ckey) AS copies
+        |  FROM m),
+        |reps AS (SELECT doc_id, copies FROM g WHERE doc_id = rep_id),
+        |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |tf AS (
+        |  SELECT d.doc_id, t.term, count(*)::BIGINT AS tf
+        |  FROM documents d JOIN reps ON d.doc_id = reps.doc_id,
+        |    unnest(string_split(trim(d.text), ' ')) AS t(term)
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT term,
+        |    ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+        |  FROM (SELECT term, sum(copies)::BIGINT AS df
+        |        FROM tf JOIN reps ON tf.doc_id = reps.doc_id GROUP BY 1)
+        |    CROSS JOIN nd
+        |  WHERE df <= 100),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.term, CAST(tf AS DOUBLE) * idf AS wt
+        |  FROM tf JOIN kept ON tf.term = kept.term),
+        |norms AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_terms,
+        |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |  FROM wt GROUP BY 1),
+        |rp AS (
+        |  SELECT a.doc_id AS ra, b.doc_id AS rb,
+        |    count(*)::BIGINT AS shared_terms,
+        |    CAST(sum(CAST(a.wt * b.wt AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT ra, rb, shared_terms, dot / (na.nrm * nb.nrm) AS craw
+        |  FROM rp
+        |  JOIN norms na ON na.doc_id = rp.ra
+        |  JOIN norms nb ON nb.doc_id = rp.rb
+        |  WHERE dot / (na.nrm * nb.nrm) >= 0.6),
+        |crossp AS (
+        |  SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
+        |    greatest(ga.doc_id, gb.doc_id) AS doc_b,
+        |    shared_terms,
+        |    floor(craw * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM sc
+        |  JOIN g ga ON ga.rep_id = sc.ra
+        |  JOIN g gb ON gb.rep_id = sc.rb),
+        |within AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    norms.n_terms AS shared_terms, 1.0 AS cos
+        |  FROM g x JOIN g y ON x.rep_id = y.rep_id AND x.doc_id < y.doc_id
+        |  JOIN norms ON norms.doc_id = x.rep_id)
+        |SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM within)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "copy_publish_set" ->
       """SELECT * FROM (
         |  SELECT 'nation' AS table_name, CAST(2 AS BIGINT) AS version,

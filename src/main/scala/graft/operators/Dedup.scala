@@ -587,6 +587,86 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** §2.3 #318 — TF-IDF COSINE near-duplicates over the df-capped inverted
+    * term index: the WEIGHTED lexical similarity the set metrics miss —
+    * Jaccard #24 and containment #162 score shingle SETS, so a doc padded
+    * with boilerplate common words dilutes them; idf weighting makes the
+    * rare, contentful terms carry the score (the classic near-dup metric
+    * of web-scale crawl dedup). Exact-duplicate collapse FIRST (the #24
+    * contract: identical trimmed text ⟹ identical term vector — weigh,
+    * index, and score once per distinct text; df still counts every copy,
+    * so all numbers match the uncollapsed formulation bit for bit). The
+    * pair join runs over terms with weighted df ≤ `dfCap` — join work
+    * bounded by dfCap²·|vocab|, never corpus-quadratic — with tf·idf
+    * products decimal(38,12)-summed order-free; norms are over the SAME
+    * capped vocabulary so identical docs score exactly 1.0 and the oracle
+    * needs no float tolerance anywhere.
+    */
+  def cosineDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.6, dfCap: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy("ckey")
+    val docs = Tables.load(spark, dir, "documents")
+    val members = docs
+      .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .withColumn("copies", count(lit(1)).over(w))
+      .select("doc_id", "rep_id", "copies")
+      .localCheckpoint(true)
+    val repCopies = members.where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("copies"))
+    val nDocs = docs.count()
+    val tf = docs.join(repCopies.select("doc_id"), "doc_id")
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    // df counts EVERY copy of every doc containing the term; the idf and
+    // the cap are therefore corpus-true, not rep-skewed.
+    val kept = tf.join(repCopies, "doc_id")
+      .groupBy("term").agg(sum("copies").as("df"))
+      .where(col("df") <= dfCap)
+      .select(col("term"),
+        log(lit(nDocs.toDouble) / col("df").cast("double")).as("idf"))
+    val weighted = tf.join(kept, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("idf")).as("wt"))
+      .localCheckpoint(true)
+    val norms = weighted.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sqrt(sum((col("wt") * col("wt")).cast(dec12)).cast("double"))
+          .as("nrm"))
+    val repPairs = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum((col("a.wt") * col("b.wt")).cast(dec12)).cast("double").as("dot"))
+    val scored = repPairs
+      .join(norms.select(col("doc_id").as("ra"), col("nrm").as("na")), "ra")
+      .join(norms.select(col("doc_id").as("rb"), col("nrm").as("nb")), "rb")
+      .withColumn("craw", col("dot") / (col("na") * col("nb")))
+      .where(col("craw") >= threshold)
+    val cross = scored
+      .join(members.select(col("rep_id").as("ra"), col("doc_id").as("da")), "ra")
+      .join(members.select(col("rep_id").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("shared_terms"),
+        (floor(col("craw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+    // Same-text pairs share the whole capped vector: cosine is exactly 1.
+    // Groups whose rep kept no capped term emit nothing (the #162 rule).
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.rep_id").as("ra"))
+      .join(norms.select(col("doc_id").as("ra"), col("n_terms")), "ra")
+      .select(col("doc_a"), col("doc_b"),
+        col("n_terms").as("shared_terms"), lit(1.0).as("cos"))
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
+  }
+
   /** §2.3 #191 — boilerplate PREFIX detection: documents sharing their
     * first k tokens (scraped headers, license banners, nav chrome — the
     * duplication mode that hits document STARTS while bodies differ, so

@@ -526,6 +526,86 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Apply ONE micro-batch of a streaming JDBC upsert exactly once: stage
+    * the batch via the distributed JDBC writer, then — inside a single
+    * database TRANSACTION — check the batch LEDGER, run the dialect's
+    * set-based MERGE, and record the batch id. A crash-replayed batch
+    * finds its id in the ledger and rolls back untouched, which is what
+    * upgrades foreachBatch's at-least-once to exactly-once IN EFFECT: the
+    * merge and its ledger row commit or vanish together. Returns true if
+    * the batch applied, false if the ledger said "already done".
+    */
+  private[graft] def applyBatchUpsert(store: graft.operators.TableCopy.JdbcStore,
+      table: String, keys: Seq[String], batch: DataFrame,
+      batchId: Long): Boolean = {
+    import graft.operators.TableCopy.Recreate
+    val ledger = s"${table}_graft_batches"
+    val staging = s"${table}_stage_$batchId"
+    // Distributed stage write; Recreate makes a replayed stage idempotent.
+    store.write(batch, staging, Recreate)
+    val props = new java.util.Properties()
+    store.options.foreach { case (k, v) => props.setProperty(k, v) }
+    store.options.get("driver").foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(store.url, props)
+    try {
+      // Destination + ledger bootstrap (idempotent: "exists" tolerated).
+      def tryDdl(sql: String): Unit =
+        try { conn.createStatement().executeUpdate(sql); () }
+        catch { case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => () }
+      tryDdl(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
+      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val destExists = meta.next(); meta.close()
+      if (!destExists)
+        tryDdl(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+      val idx = s"${table}_graft_kidx"
+      try conn.createStatement().executeUpdate(
+        store.dialect.keyIndexSql(table, idx, keys))
+      catch { case e: java.sql.SQLException
+        if store.dialect.indexExistsStates(e.getSQLState) => () }
+      conn.setAutoCommit(false)
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT 1 FROM $ledger WHERE batch_id = $batchId")
+      val seen = rs.next(); rs.close()
+      val applied = if (seen) { conn.rollback(); false } else {
+        conn.createStatement().executeUpdate(
+          store.dialect.mergeSql(table, staging, keys, batch.columns.toSeq))
+        conn.createStatement().executeUpdate(
+          s"INSERT INTO $ledger VALUES ($batchId)")
+        conn.commit()
+        true
+      }
+      conn.setAutoCommit(true)
+      conn.createStatement().executeUpdate(s"DROP TABLE $staging")
+      applied
+    } finally conn.close()
+  }
+
+  /** §2.4 #317 — streaming JDBC UPSERT sink, the continuous version of the
+    * reference's table copy: every micro-batch merges into a live JDBC
+    * destination (update on key match, insert otherwise) with EXACTLY-ONCE
+    * effect via [[applyBatchUpsert]]'s ledger transaction. This is the
+    * landing-zone → warehouse conveyor run as a stream: Spark stages each
+    * batch in parallel, the database applies one set-based MERGE, and a
+    * replayed batch is a no-op — no timestamp watermark column needed, no
+    * duplicate rows ever. `Trigger.AvailableNow` drains what has landed
+    * and stops (the #79 discipline), so the same call serves both
+    * continuous and scheduled-batch deployments.
+    */
+  def jdbcUpsertSink(spark: SparkSession, src: DataFrame,
+      store: graft.operators.TableCopy.JdbcStore, table: String,
+      keys: Seq[String], checkpointDir: String): Unit = {
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBatchUpsert(store, table, keys, batch.toDF(), batchId)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** §2.4 #137 — streaming QUARANTINE ROUTER: every micro-batch routes
     * through the SAME rule set the batch [[graft.operators.TableCopy
     * .quarantineCopy]] applies — clean rows append to the destination,

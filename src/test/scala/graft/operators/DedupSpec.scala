@@ -269,6 +269,63 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cosineDup matches a local tf-idf cosine recomputation over the capped vocabulary") {
+    val rows = Dedup.cosineDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("shared_terms"), r.getAs[Double]("cos"))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim)
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, text) =>
+      id -> text.split(" ").groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val df = docs.flatMap(d => tf(d._1).keys.map(_ -> d._1))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val idf = df.filter(_._2 <= 100).map { case (t, d) =>
+      t -> math.log(n / d)
+    }
+    val vecs = tf.view.mapValues(m => m.collect {
+      case (t, c) if idf.contains(t) => t -> c * idf(t)
+    }.toMap).toMap
+    def cos(a: Long, b: Long): Option[Double] = {
+      val (va, vb) = (vecs(a), vecs(b))
+      if (va.isEmpty || vb.isEmpty) None
+      else {
+        val dot = va.keySet.intersect(vb.keySet).toSeq
+          .map(t => va(t) * vb(t)).sum
+        val na = math.sqrt(va.values.map(x => x * x).sum)
+        val nb = math.sqrt(vb.values.map(x => x * x).sum)
+        Some(dot / (na * nb))
+      }
+    }
+    // every engine pair is locally confirmed
+    rows.foreach { case ((a, b), (shared, c)) =>
+      assert(a < b)
+      val local = cos(a, b)
+      assert(local.isDefined, s"($a,$b)")
+      assert(math.abs(c - local.get) < 1e-4 || c == 1.0 && docs.toMap.apply(a) == docs.toMap.apply(b), s"($a,$b)")
+      assert(c >= 0.6 - 1e-6)
+      assert(shared > 0)
+    }
+    // every clearly-above-threshold local pair is found
+    val ids = docs.map(_._1).sorted
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (ids(i), ids(j))
+      cos(a, b).foreach { c =>
+        if (c >= 0.6 + 1e-4)
+          assert(rows.contains((a, b)), s"missing pair ($a,$b) cos=$c")
+      }
+    }
+    // exact duplicates score exactly 1.0
+    val byText = docs.groupBy(_._2).values.filter(_.length >= 2)
+    byText.foreach { g =>
+      val sorted = g.map(_._1).sorted
+      if (vecs(sorted.head).nonEmpty)
+        assert(rows((sorted(0), sorted(1)))._2 == 1.0)
+    }
+  }
+
   test("prefixDup groups all exceed 1 doc and keep_id is a group member") {
     val rows = Dedup.prefixDup(spark, sf).collect()
     rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))

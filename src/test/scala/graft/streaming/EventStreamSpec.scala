@@ -512,6 +512,43 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("jdbcUpsertSink merges micro-batches into Derby exactly once, replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsink").toString
+    val (src, ckpt) = (s"$root/src", s"$root/ckpt")
+    val store = graft.operators.TableCopy.JdbcStore(
+      "jdbc:derby:memory:upsink;create=true",
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val schema = Seq((1L, 10.0)).toDF("id", "amount").schema
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount")
+      .write.mode("append").parquet(src)
+    def run(): Unit = EventStream.jdbcUpsertSink(spark,
+      spark.readStream.schema(schema).parquet(src), store, "sink_t",
+      Seq("id"), ckpt)
+    run()
+    def state(): Map[Long, Double] = store.read(spark, "sink_t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() == Map(1L -> 10.0, 2L -> 20.0))
+    // no new files: nothing merges, nothing duplicates
+    run()
+    assert(state() == Map(1L -> 10.0, 2L -> 20.0))
+    // a late file updates key 2 and inserts key 3 in one merge
+    Seq((2L, 25.0), (3L, 30.0)).toDF("id", "amount")
+      .write.mode("append").parquet(src)
+    run()
+    assert(state() == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    // crash-replay: re-deliver an already-committed batch id directly —
+    // the ledger transaction must refuse it and leave the table untouched
+    val replayed = EventStream.applyBatchUpsert(store, "sink_t", Seq("id"),
+      Seq((2L, 999.0)).toDF("id", "amount"), batchId = 0L)
+    assert(!replayed, "a committed batch id must be skipped")
+    assert(state() == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0))
+    // a NEW batch id through the same path applies
+    assert(EventStream.applyBatchUpsert(store, "sink_t", Seq("id"),
+      Seq((4L, 40.0)).toDF("id", "amount"), batchId = 99L))
+    assert(state() == Map(1L -> 10.0, 2L -> 25.0, 3L -> 30.0, 4L -> 40.0))
+  }
+
   test("quarantineRoute splits each micro-batch by rule, exactly once per file") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-quar").toString
