@@ -713,6 +713,35 @@ object SparkEntry {
     "q_cuped" -> ((s, dir) => Relational.cuped(s, dir)),
     "q_mann_kendall" -> ((s, dir) => Relational.mannKendall(s, dir)),
     "q_cosine_dup" -> ((s, dir) => Dedup.cosineDup(s, dir)),
+    "q_item_cf" -> ((s, dir) => Relational.itemCf(s, dir)),
+    "q_stratified_effect" -> ((s, dir) => Relational.stratifiedEffect(s, dir)),
+    // Snapshot expiry: v1 half, v2 drifted full, v3 plain full; keepLast=2
+    // expires v1. The result aggregates the SURVIVING snapshots from disk,
+    // so a botched expiry (deleted survivor / kept expired) fails the hash.
+    "copy_expire" -> ((s, dir) => {
+      val dest = tmp("expirev")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dest), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dest/customer"), true)
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      TableCopy.writeSnapshot(s, cust.where(col("c_custkey") % 2 === 0),
+        dest, "customer")
+      TableCopy.writeSnapshot(s, cust.withColumn("c_acctbal",
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 10.0)
+          .otherwise(col("c_acctbal"))), dest, "customer")
+      TableCopy.writeSnapshot(s, cust, dest, "customer")
+      val expired = TableCopy.expireSnapshots(s, dest, "customer", keepLast = 2)
+      val survivors = TableCopy.listSnapshots(s, dest, "customer")
+      survivors.map { v =>
+        TableCopy.readSnapshot(s, dest, "customer", v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_acctbal")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("sum_acctbal"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("sum_acctbal"), lit(expired.length.toLong).as("n_expired"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
     "q_did" -> ((s, dir) => Relational.did(s, dir)),
     // Atomic SET publish: v1 = {nation, half supplier}, v2 = {nation,
     // full supplier}; the result reads BOTH tables through the CURRENT
@@ -4468,6 +4497,84 @@ object SparkEntry {
         |  JOIN norms ON norms.doc_id = x.rep_id)
         |SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM within)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "copy_expire" ->
+      """SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS version, count(*)::BIGINT AS n_rows,
+        |    CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
+        |      ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |    CAST(1 AS BIGINT) AS n_expired
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), count(*)::BIGINT,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(1 AS BIGINT)
+        |  FROM customer)
+        |ORDER BY version""".stripMargin,
+    "q_item_cf" ->
+      """WITH up AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |freq AS (SELECT part, count(*)::BIGINT AS n_users FROM up GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.part AS part_a, b.part AS part_b, count(*)::BIGINT AS co_users
+        |  FROM up a JOIN up b ON a.cust = b.cust AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, co_users,
+        |  fa.n_users AS users_a, fb.n_users AS users_b,
+        |  floor(CAST(co_users AS DOUBLE)
+        |    / sqrt(CAST(fa.n_users * fb.n_users AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS cos
+        |FROM pairs
+        |JOIN freq fa ON fa.part = pairs.part_a
+        |JOIN freq fb ON fb.part = pairs.part_b
+        |ORDER BY co_users DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "q_stratified_effect" ->
+      """WITH ev AS (SELECT user_id, value, ts::DATE AS day FROM events),
+        |bnd AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |bd AS (SELECT mn + CAST(floor(datediff('day', mn, mx) / 2) AS INTEGER)
+        |  AS bound FROM bnd),
+        |u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN day < bound THEN 1 ELSE 0 END)::BIGINT AS n_pre,
+        |    sum(CASE WHEN day >= bound THEN CAST(value AS DECIMAL(28,6)) END) AS y
+        |  FROM ev CROSS JOIN bd GROUP BY 1),
+        |ub AS (SELECT * FROM u WHERE n_pre > 0 AND y IS NOT NULL),
+        |h AS (SELECT n_pre, count(*)::BIGINT AS cnt FROM ub GROUP BY 1),
+        |hc AS (SELECT n_pre,
+        |  sum(cnt) OVER (ORDER BY n_pre ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(cnt) OVER () AS n FROM h),
+        |md AS (SELECT min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT)
+        |  THEN n_pre END) AS med FROM hc),
+        |k AS (
+        |  SELECT
+        |    CASE WHEN n_pre < med THEN '1_below_median'
+        |      ELSE '2_at_above_median' END AS stratum,
+        |    CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'A' ELSE 'B' END AS arm, y
+        |  FROM ub CROSS JOIN md),
+        |s AS (
+        |  SELECT stratum,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN y END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN y END) AS DOUBLE) AS sb
+        |  FROM k GROUP BY 1),
+        |per AS (
+        |  SELECT stratum, n_a, n_b,
+        |    floor((sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS effect
+        |  FROM s),
+        |pool AS (
+        |  SELECT 'ALL' AS stratum,
+        |    CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
+        |    floor(CAST(sum(CAST(CAST(n_a + n_b AS DOUBLE)
+        |        * (sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE))
+        |        AS DECIMAL(38,12))) AS DOUBLE)
+        |      / CAST(sum(n_a) + sum(n_b) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      AS effect
+        |  FROM s)
+        |SELECT * FROM (SELECT * FROM per UNION ALL SELECT * FROM pool)
+        |ORDER BY stratum""".stripMargin,
     "copy_publish_set" ->
       """SELECT * FROM (
         |  SELECT 'nation' AS table_name, CAST(2 AS BIGINT) AS version,

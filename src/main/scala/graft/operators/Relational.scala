@@ -1948,6 +1948,110 @@ object Relational {
       .limit(topK)
   }
 
+  /** §2.2 #319 — ITEM-ITEM collaborative similarity: parts scored by the
+    * cosine of their CUSTOMER co-purchase vectors — co/√(n_a·n_b) over the
+    * binary customer×part matrix — the "customers who bought X also
+    * bought Y" primitive (#189 mines WITHIN-order pairs and lift; this
+    * sees cross-order taste at the customer level, which is where
+    * recommendations live). Candidates from the within-customer pair
+    * fan-out (C(basket,2) per customer — never parts²), part user-counts
+    * broadcast back, cosine from exact integers in fixed order; output
+    * ordered by the INTEGER co-count (double-free ordering), cosine
+    * floor-rounded alongside.
+    */
+  def itemCf(spark: SparkSession, dir: String, minCo: Int = 2,
+      topK: Int = 50, maxBroadcastParts: Long = 10000000L): DataFrame = {
+    val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val up = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint(true)
+    val freq = up.groupBy("part").agg(count(lit(1)).as("n_users"))
+    val hint: DataFrame => DataFrame =
+      if (t(spark, dir, "part").count() <= maxBroadcastParts) broadcast else identity
+    up.select(col("cust"), col("part").as("part_a"))
+      .join(up.select(col("cust"), col("part").as("part_b")), "cust")
+      .where(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("co_users"))
+      .where(col("co_users") >= minCo)
+      .join(hint(freq.select(col("part").as("part_a"),
+        col("n_users").as("users_a"))), "part_a")
+      .join(hint(freq.select(col("part").as("part_b"),
+        col("n_users").as("users_b"))), "part_b")
+      .select(col("part_a"), col("part_b"), col("co_users"),
+        col("users_a"), col("users_b"),
+        fl6(col("co_users").cast("double") /
+          sqrt((col("users_a") * col("users_b")).cast("double"))).as("cos"))
+      .orderBy(col("co_users").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+  }
+
+  /** §2.2 #320 — STRATIFIED treatment effect: the #315 arms × periods
+    * frame adjusted for pre-period ACTIVITY strata — per-user pre-period
+    * event counts bucket users into low/mid/high, the per-stratum arm
+    * difference of post-period value sums surfaces heterogeneous effects
+    * (and confounding: if arms were imbalanced on activity, the pooled
+    * difference lies — the stratified weighted sum Σ(n_s/N)·Δ_s is the
+    * direct-standardization fix). One user shuffle (pre count + post sum,
+    * exact DECIMAL), a bounded ≤3-row stratum rollup, and an 'ALL' row
+    * carrying the weighted pooled effect; all divisions fixed-order
+    * doubles over exact integers/decimals.
+    */
+  def stratifiedEffect(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("value"), to_date(col("ts")).as("day"))
+    val bounds = ev.agg(min("day").as("mn"), max("day").as("mx"))
+      .select(expr("date_add(mn, CAST(floor(datediff(mx, mn) / 2) AS INT))")
+        .as("bound"))
+    val base = ev.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("bound"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("day") >= col("bound"), col("value").cast(dec))).as("y"))
+      .where(col("n_pre") > 0 && col("y").isNotNull)
+      .localCheckpoint(true)
+    // Scale-free strata: below / at-or-above the exact lower MEDIAN of
+    // pre-period activity (a fixed count boundary degenerates when the SF
+    // changes the per-user event rate; the median splits at any scale).
+    // Median via the value histogram — the #274 convention.
+    val wCum = Window.orderBy("n_pre")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = base.groupBy("n_pre").agg(count(lit(1)).as("cnt"))
+      .select(col("n_pre"), sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("n"))
+      .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"),
+        col("n_pre"))).as("med"))
+    val users = base.crossJoin(broadcast(med))
+      .withColumn("stratum",
+        when(col("n_pre") < col("med"), lit("1_below_median"))
+          .otherwise(lit("2_at_above_median")))
+      .withColumn("arm",
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7",
+          lit("A")).otherwise(lit("B")))
+    val strat = users.groupBy("stratum")
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "A", col("y"))).as("sa"),
+        sum(when(col("arm") === "B", col("y"))).as("sb"))
+      .localCheckpoint(true)
+    val effect = col("sb").cast("double") / col("n_b").cast("double") -
+      col("sa").cast("double") / col("n_a").cast("double")
+    val perStratum = strat.select(col("stratum"), col("n_a"), col("n_b"),
+      fl6(effect).as("effect"))
+    val pooled = strat
+      .select(col("n_a"), col("n_b"),
+        ((col("n_a") + col("n_b")).cast("double") * effect).cast(dec12)
+          .as("we"))
+      .agg(sum("n_a").as("n_a"), sum("n_b").as("n_b"),
+        sum("we").as("wsum"))
+      .select(lit("ALL").as("stratum"), col("n_a"), col("n_b"),
+        fl6(col("wsum").cast("double") /
+          (col("n_a") + col("n_b")).cast("double")).as("effect"))
+    perStratum.unionByName(pooled).orderBy("stratum")
+  }
+
   /** §2.2 #190 — new-vs-repeat revenue split by month: each order labeled
     * by whether it falls on its customer's FIRST order date — the
     * aggregate-then-rejoin on custkey (customer-bounded first-date frame,

@@ -2244,6 +2244,47 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("diff_adj") - (diffY - theta * diffX)) < 1e-3)
   }
 
+  test("itemCf cosine matches a local co-purchase recomputation") {
+    val rows = Relational.itemCf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val up = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = up.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // top-of-list ordering: co_users non-increasing
+    val cos = rows.map(_.getAs[Long]("co_users"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      assert(a < b)
+      val co = byPart(a).intersect(byPart(b)).size
+      assert(r.getAs[Long]("co_users") == co.toLong)
+      assert(r.getAs[Long]("users_a") == byPart(a).size.toLong)
+      assert(r.getAs[Long]("users_b") == byPart(b).size.toLong)
+      val local = co / math.sqrt(byPart(a).size.toDouble * byPart(b).size)
+      assert(math.abs(r.getAs[Double]("cos") - local) < 1e-6)
+    }
+  }
+
+  test("stratifiedEffect strata partition users and the pooled row is the weighted mean") {
+    val rows = Relational.stratifiedEffect(spark, sf).collect()
+    val byStr = rows.map(r => r.getAs[String]("stratum") -> r).toMap
+    assert(byStr.contains("ALL"))
+    val strata = rows.filter(_.getAs[String]("stratum") != "ALL")
+    val all = byStr("ALL")
+    assert(strata.map(_.getAs[Long]("n_a")).sum == all.getAs[Long]("n_a"))
+    assert(strata.map(_.getAs[Long]("n_b")).sum == all.getAs[Long]("n_b"))
+    // pooled effect = Σ (n_s/N) * effect_s
+    val n = (all.getAs[Long]("n_a") + all.getAs[Long]("n_b")).toDouble
+    val pooled = strata.map { r =>
+      (r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).toDouble / n *
+        r.getAs[Double]("effect")
+    }.sum
+    assert(math.abs(all.getAs[Double]("effect") - pooled) < 1e-3)
+  }
+
   test("mannKendall S, variance, and z match a local pairwise recomputation") {
     val r = Relational.mannKendall(spark, sf).collect()(0)
     val ys = Tables.load(spark, sf, "orders")

@@ -920,6 +920,27 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(byCol("e") == (("added", null, "string")))
   }
 
+  test("expireSnapshots deletes exactly the versions beyond keepLast, head immune") {
+    val dest = tmpDir()
+    val nation = Tables.load(spark, sf, "nation")
+    (1 to 4).foreach { i =>
+      TableCopy.writeSnapshot(spark, nation.where(col("n_nationkey") < i * 5),
+        dest, "nation")
+    }
+    assert(TableCopy.expireSnapshots(spark, dest, "nation", keepLast = 2) ==
+      Seq(1, 2))
+    assert(TableCopy.listSnapshots(spark, dest, "nation") == Seq(3, 4))
+    // survivors intact, head still resolves
+    assert(TableCopy.readSnapshot(spark, dest, "nation", version = 3).count() == 15)
+    assert(TableCopy.readSnapshot(spark, dest, "nation").count() == 20)
+    // expiring again is a no-op
+    assert(TableCopy.expireSnapshots(spark, dest, "nation", keepLast = 2).isEmpty)
+    // keepLast must retain the head
+    intercept[IllegalArgumentException] {
+      TableCopy.expireSnapshots(spark, dest, "nation", keepLast = 0)
+    }
+  }
+
   test("publishSet commits a whole table set with one pointer flip, keeping history") {
     val dest = tmpDir()
     val nation = Tables.load(spark, sf, "nation")
