@@ -131,6 +131,10 @@ object PlanAudit {
         // cuped / did: 1-row calendar-midpoint bound frame broadcast over
         // the events scan (the rfm/decay_engagement anchor-date pattern)
         "q_cuped", "q_did",
+        // dedup_recall: 1-row within-group pair-count frame crossed onto
+        // the 4-row threshold spine (the bootstrap/mutual_info scalar
+        // pattern)
+        "q_dedup_recall",
         // mann_kendall: the |days|² sign-pair frame is a non-equi self-join
         // of the CALENDAR-bounded daily series (the theil_sen pattern),
         // plus 1-row S/tie/count frames chained

@@ -714,6 +714,8 @@ object SparkEntry {
     "q_mann_kendall" -> ((s, dir) => Relational.mannKendall(s, dir)),
     "q_cosine_dup" -> ((s, dir) => Dedup.cosineDup(s, dir)),
     "q_item_cf" -> ((s, dir) => Relational.itemCf(s, dir)),
+    "q_dedup_recall" -> ((s, dir) => Dedup.dedupRecall(s, dir)),
+    "q_backtest_naive" -> ((s, dir) => Relational.backtestNaive(s, dir)),
     "q_stratified_effect" -> ((s, dir) => Relational.stratifiedEffect(s, dir)),
     // Snapshot expiry: v1 half, v2 drifted full, v3 plain full; keepLast=2
     // expires v1. The result aggregates the SURVIVING snapshots from disk,
@@ -4497,6 +4499,101 @@ object SparkEntry {
         |  JOIN norms ON norms.doc_id = x.rep_id)
         |SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM within)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), shl AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM shl a JOIN shl b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b,
+        |    inter::DOUBLE / (sa.n + sb.n - inter) AS j
+        |  FROM p JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b),
+        |d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+        |         (a, c) -> (a * 131 + c) % 2147483647) << 31)
+        |      | list_reduce(list_prepend(CAST(11 AS BIGINT),
+        |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+        |         (a, c) -> (a * 137 + c) % 2147483629)
+        |    ) AS hs
+        |  FROM d
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CASE WHEN 2 * len(list_filter(hs, x -> (x >> k) & 1 = 1)) > len(hs)
+        |            THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+        |       FOR k IN generate_series(0, 61)]), (a, b) -> a | b) AS fp
+        |  FROM h
+        |),
+        |jd AS (
+        |  SELECT j, CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS ham
+        |  FROM jp
+        |  JOIN f fa ON fa.doc_id = jp.doc_a
+        |  JOIN f fb ON fb.doc_id = jp.doc_b),
+        |ts AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS tau),
+        |ca AS (
+        |  SELECT tau,
+        |    sum(CASE WHEN j >= tau THEN 1 ELSE 0 END)::BIGINT AS gt_pairs,
+        |    sum(CASE WHEN j >= tau AND ham <= 3 THEN 1 ELSE 0 END)::BIGINT
+        |      AS detected_pairs
+        |  FROM jd CROSS JOIN ts GROUP BY 1)
+        |SELECT ts.tau, coalesce(gt_pairs, 0) AS gt_pairs,
+        |  coalesce(detected_pairs, 0) AS detected_pairs,
+        |  CASE WHEN coalesce(gt_pairs, 0) > 0 THEN
+        |    floor(CAST(coalesce(detected_pairs, 0) AS DOUBLE)
+        |      / CAST(gt_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS recall
+        |FROM ts LEFT JOIN ca ON ts.tau = ca.tau
+        |ORDER BY ts.tau""".stripMargin,
+    "q_backtest_naive" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day, mx FROM b),
+        |full_s AS (
+        |  SELECT spine.day, spine.mx, coalesce(yc, 0) AS yc
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |lagged AS (
+        |  SELECT day, mx, yc,
+        |    lag(yc, 1) OVER (ORDER BY day) AS p1,
+        |    lag(yc, 7) OVER (ORDER BY day) AS p7
+        |  FROM full_s),
+        |test AS (SELECT * FROM lagged WHERE day > mx - 28),
+        |u AS (
+        |  SELECT 'naive_1' AS method, yc, abs(yc - p1) AS e FROM test
+        |  WHERE p1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'seasonal_7', yc, abs(yc - p7) FROM test WHERE p7 IS NOT NULL),
+        |s AS (
+        |  SELECT method, count(*)::BIGINT AS n_days,
+        |    sum(e)::BIGINT AS sae,
+        |    sum(CAST(e AS HUGEINT) * e) AS sse,
+        |    CAST(sum(CASE WHEN yc > 0 THEN CAST(CAST(e AS DOUBLE)
+        |      / CAST(yc AS DOUBLE) AS DECIMAL(38,18)) END) AS DOUBLE) AS sape,
+        |    sum(CASE WHEN yc > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
+        |  FROM u GROUP BY 1)
+        |SELECT method, n_days,
+        |  floor(CAST(sae AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0
+        |    * 1e6 + 0.5) / 1e6 AS mae,
+        |  floor(sqrt(CAST(sse AS DOUBLE) / CAST(n_days AS DOUBLE)) / 100.0
+        |    * 1e6 + 0.5) / 1e6 AS rmse,
+        |  floor(CASE WHEN n_pos > 0 THEN sape / CAST(n_pos AS DOUBLE) END
+        |    * 1e6 + 0.5) / 1e6 AS mape
+        |FROM s ORDER BY method""".stripMargin,
     "copy_expire" ->
       """SELECT * FROM (
         |  SELECT CAST(2 AS BIGINT) AS version, count(*)::BIGINT AS n_rows,

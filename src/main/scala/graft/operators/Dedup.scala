@@ -420,6 +420,86 @@ object Dedup {
     cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
+  /** §2.3 #322 — DEDUP DETECTOR RECALL report: how much of the TRUE
+    * Jaccard duplication does the SimHash fingerprint catch, at each
+    * threshold — ground truth is exact all-pairs Jaccard over the shingle
+    * sets (the #24 oracle's derivation), the detector is Hamming ≤
+    * `maxDist` over the #25 fingerprints (whose 4×16-bit block keys are
+    * recall-COMPLETE to Hamming 3 by pigeonhole, so detection = the
+    * Hamming test itself). The acceptance report an operator reads before
+    * trusting a fingerprint family on a new corpus — the lexical twin of
+    * `q_ann_recall` (#194): SimHash recall is genuinely < 1 at loose
+    * thresholds, and WHERE it degrades is the tuning signal. Exact-dup
+    * collapse keeps the ground-truth pair join near-linear on replica-
+    * heavy corpora (the #24 contract): cross-group pairs carry weight
+    * ca·cb and within-group pairs (J = 1, Hamming 0) fold in as C(c,2) —
+    * every count bit-identical to the uncollapsed doc-level formulation
+    * the oracle states.
+    */
+  def dedupRecall(spark: SparkSession, dir: String, maxDist: Int = 3,
+      taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8)): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy("ckey")
+    val members = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .withColumn("copies", count(lit(1)).over(w))
+      .select("doc_id", "rep_id", "copies")
+      .localCheckpoint(true)
+    val repCopies = members.where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("copies"))
+    val repDocs = Tables.load(spark, dir, "documents")
+      .join(repCopies.select("doc_id"), "doc_id")
+    val sh = shingleDocs(repDocs).localCheckpoint(true)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .localCheckpoint(true)
+    val sz = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairsJ = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("ra"), col("n").as("na")), "ra")
+      .join(sz.select(col("doc_id").as("rb"), col("n").as("nb")), "rb")
+      .withColumn("j", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+    val fps = simhashFingerprints(spark, dir)
+      .join(repCopies.select("doc_id"), "doc_id")
+    val scored = pairsJ
+      .join(fps.select(col("doc_id").as("ra"), col("fp").as("fa")), "ra")
+      .join(fps.select(col("doc_id").as("rb"), col("fp").as("fb")), "rb")
+      .withColumn("ham", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .join(repCopies.select(col("doc_id").as("ra"), col("copies").as("ca")), "ra")
+      .join(repCopies.select(col("doc_id").as("rb"), col("copies").as("cb")), "rb")
+      .select(col("j"), col("ham"), (col("ca") * col("cb")).as("wt"))
+    // Same-text pairs: J = 1 (≥ every τ), Hamming 0 — always counted on
+    // both sides; only groups whose text shingles at all enter (the
+    // doc-level formulation never pairs shingle-less docs).
+    val within = members.groupBy("rep_id").agg(max("copies").as("c"))
+      .join(sh.select(col("doc_id").as("rep_id")), "rep_id")
+      .select(expr("c * (c - 1) DIV 2").as("wt"))
+      .agg(coalesce(sum("wt"), lit(0L)).as("ww"))
+    val crossAgg = scored
+      .select(col("j"), col("ham"), col("wt"),
+        explode(array(taus.map(lit): _*)).as("tau"))
+      .groupBy("tau")
+      .agg(sum(when(col("j") >= col("tau"), col("wt")).otherwise(0L))
+          .as("gt_cross"),
+        sum(when(col("j") >= col("tau") && col("ham") <= maxDist, col("wt"))
+          .otherwise(0L)).as("det_cross"))
+    broadcast(taus.toDF("tau"))
+      .join(crossAgg, Seq("tau"), "left_outer")
+      .crossJoin(broadcast(within))
+      .select(col("tau"),
+        (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
+        (coalesce(col("det_cross"), lit(0L)) + col("ww")).as("detected_pairs"))
+      .withColumn("recall",
+        when(col("gt_pairs") > 0,
+          floor(col("detected_pairs").cast("double") /
+            col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .orderBy("tau")
+  }
+
   /** §2.3 #176 — curation FUNNEL summary: the corpus-level rollup of
     * [[curate]]'s per-document verdicts — how much of the corpus each
     * rejection reason consumes and what share survives. The one-row-per-

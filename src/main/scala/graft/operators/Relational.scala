@@ -4530,6 +4530,59 @@ object Relational {
       fl6(diffY - theta * diffX).as("diff_adj"))
   }
 
+  /** §2.2 #323 — NAIVE-FORECAST BACKTEST: last-value (lag-1) and
+    * seasonal-naive (lag-7) predictions of daily revenue scored with
+    * MAE / RMSE / MAPE over the final 28 days — the baseline every real
+    * forecast must beat (and the honest yardstick: if a model doesn't
+    * beat seasonal-naive, the #220 weekly cycle is all it learned). The
+    * fact table collapses to the zero-filled calendar spine; lags are one
+    * ordered window over the bounded frame; errors are exact cent
+    * integers, squared errors exact DECIMAL(38,0) sums, MAPE's per-day
+    * ratios DECIMAL(38,18)-summed order-free, finals fixed-order doubles.
+    */
+  def backtestNaive(spark: SparkSession, dir: String,
+      testDays: Int = 28): DataFrame = {
+    val big = DecimalType(38, 0)
+    val dec18 = DecimalType(38, 18)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"), col("mx"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("yc", coalesce(col("yc"), lit(0L)))
+    val wOrd = Window.orderBy("day")
+    val lagged = full
+      .withColumn("p1", lag("yc", 1).over(wOrd))
+      .withColumn("p7", lag("yc", 7).over(wOrd))
+      .where(col("day") > date_sub(col("mx"), testDays))
+      .localCheckpoint(true)
+    def score(pred: Column, name: String): DataFrame = {
+      val e = abs(col("yc") - pred)
+      lagged.where(pred.isNotNull)
+        .select(col("yc"), e.as("e"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("e").as("sae"),
+          sum((col("e").cast(big) * col("e").cast(big))).as("sse"),
+          sum(when(col("yc") > 0,
+            (col("e").cast("double") / col("yc").cast("double")).cast(dec18)))
+            .as("sape"),
+          sum(when(col("yc") > 0, 1L).otherwise(0L)).as("n_pos"))
+        .select(lit(name).as("method"), col("n_days"),
+          fl6(col("sae").cast("double") / col("n_days").cast("double") /
+            lit(100.0)).as("mae"),
+          fl6(sqrt(col("sse").cast("double") / col("n_days").cast("double")) /
+            lit(100.0)).as("rmse"),
+          fl6(when(col("n_pos") > 0,
+            col("sape").cast("double") / col("n_pos").cast("double")))
+            .as("mape"))
+    }
+    score(col("p1"), "naive_1").unionByName(score(col("p7"), "seasonal_7"))
+      .orderBy("method")
+  }
+
   /** §2.2 #293 — best single CHANGEPOINT of the daily-revenue series by
     * SSE reduction (binary segmentation, first split): the day that
     * maximizes the drop from the series' total squared error to

