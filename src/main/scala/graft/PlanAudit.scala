@@ -135,6 +135,9 @@ object PlanAudit {
         // the 4-row threshold spine (the bootstrap/mutual_info scalar
         // pattern)
         "q_dedup_recall",
+        // price_index: 1-row base-month frame broadcast over the bounded
+        // (month, part) rollup (the rfm anchor-date pattern)
+        "q_price_index",
         // mann_kendall: the |days|² sign-pair frame is a non-equi self-join
         // of the CALENDAR-bounded daily series (the theil_sen pattern),
         // plus 1-row S/tie/count frames chained

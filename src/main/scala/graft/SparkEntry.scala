@@ -716,6 +716,8 @@ object SparkEntry {
     "q_item_cf" -> ((s, dir) => Relational.itemCf(s, dir)),
     "q_dedup_recall" -> ((s, dir) => Dedup.dedupRecall(s, dir)),
     "q_backtest_naive" -> ((s, dir) => Relational.backtestNaive(s, dir)),
+    "q_seasonal_decompose" -> ((s, dir) => Relational.seasonalDecompose(s, dir)),
+    "q_price_index" -> ((s, dir) => Relational.priceIndex(s, dir)),
     "q_stratified_effect" -> ((s, dir) => Relational.stratifiedEffect(s, dir)),
     // Snapshot expiry: v1 half, v2 drifted full, v3 plain full; keepLast=2
     // expires v1. The result aggregates the SURVIVING snapshots from disk,
@@ -4557,6 +4559,75 @@ object SparkEntry {
         |      / CAST(gt_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS recall
         |FROM ts LEFT JOIN ca ON ts.tau = ca.tau
         |ORDER BY ts.tau""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+        |spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day FROM b),
+        |full_s AS (
+        |  SELECT spine.day, coalesce(yc, 0) AS yc
+        |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+        |ma AS (
+        |  SELECT day, yc,
+        |    count(*) OVER w AS wn,
+        |    CAST(sum(yc) OVER w AS DOUBLE) / 7.0 AS trend
+        |  FROM full_s
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |i AS (
+        |  SELECT day, yc, trend, CAST(yc AS DOUBLE) - trend AS detr,
+        |    CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS dow
+        |  FROM ma WHERE wn = 7),
+        |se AS (
+        |  SELECT dow, CAST(sum(CAST(detr AS DECIMAL(38,18))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS s
+        |  FROM i GROUP BY 1),
+        |j AS (SELECT i.yc, i.trend, se.s, i.detr - se.s AS resid
+        |      FROM i JOIN se ON i.dow = se.dow),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n_days,
+        |    CAST(sum(CAST(CAST(yc AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_y,
+        |    CAST(sum(CAST(CAST(yc AS DOUBLE) * CAST(yc AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_y,
+        |    CAST(sum(CAST(trend AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_t,
+        |    CAST(sum(CAST(trend * trend AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_t,
+        |    CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_s,
+        |    CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_s,
+        |    CAST(sum(CAST(resid AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_e,
+        |    CAST(sum(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_e
+        |  FROM j)
+        |SELECT n_days,
+        |  floor((q_y - m_y * m_y) / 1e4 * 1e6 + 0.5) / 1e6 AS var_total,
+        |  floor((q_t - m_t * m_t) / (q_y - m_y * m_y) * 1e6 + 0.5) / 1e6 AS share_trend,
+        |  floor((q_s - m_s * m_s) / (q_y - m_y * m_y) * 1e6 + 0.5) / 1e6 AS share_seasonal,
+        |  floor((q_e - m_e * m_e) / (q_y - m_y * m_y) * 1e6 + 0.5) / 1e6 AS share_residual,
+        |  floor((1.0 - (q_e - m_e * m_e) / (q_y - m_y * m_y)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM m""".stripMargin,
+    "q_price_index" ->
+      """WITH mp AS (
+        |  SELECT strftime(l_shipdate::DATE, '%Y-%m') AS month, l_partkey AS part,
+        |    sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS qty_c,
+        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |mpu AS (SELECT month, part, qty_c,
+        |  CAST(rev_c AS DOUBLE) / CAST(qty_c AS DOUBLE) AS u FROM mp),
+        |b AS (SELECT min(month) AS m0 FROM mpu),
+        |bp AS (SELECT part, u AS u0, qty_c AS q0
+        |       FROM mpu CROSS JOIN b WHERE month = m0),
+        |cur AS (SELECT month, part, u, qty_c
+        |        FROM mpu CROSS JOIN b WHERE month <> m0),
+        |s AS (
+        |  SELECT month, count(*)::BIGINT AS n_parts,
+        |    CAST(sum(CAST(u * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS l_num,
+        |    CAST(sum(CAST(u0 * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS l_den,
+        |    CAST(sum(CAST(u * CAST(qty_c AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS p_num,
+        |    CAST(sum(CAST(u0 * CAST(qty_c AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS p_den
+        |  FROM cur JOIN bp USING (part) GROUP BY 1)
+        |SELECT month, n_parts,
+        |  floor(l_num / l_den * 1e6 + 0.5) / 1e6 AS laspeyres,
+        |  floor(p_num / p_den * 1e6 + 0.5) / 1e6 AS paasche,
+        |  floor(sqrt((l_num / l_den) * (p_num / p_den)) * 1e6 + 0.5) / 1e6 AS fisher
+        |FROM s ORDER BY month""".stripMargin,
     "q_backtest_naive" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,

@@ -4583,6 +4583,106 @@ object Relational {
       .orderBy("method")
   }
 
+  /** §2.2 #324 — SEASONAL VARIANCE DECOMPOSITION of daily revenue: trend =
+    * centered 7-day moving average, seasonal = day-of-week means of the
+    * detrended series, residual = what's left — and the variance share of
+    * each. Where #220 ASSUMES the weekly cycle and reports its profile,
+    * this measures how much of the series the cycle + trend actually
+    * explain (R² = 1 − var(resid)/var(total)) — the one-row answer to "is
+    * this series forecastable structure or noise". Interior days only
+    * (full 7-day windows); day-of-week via epoch-day mod 7 (identical in
+    * both engines, no locale); every mean/variance from DECIMAL-summed
+    * fixed-order doubles over exact cents.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val dec18 = DecimalType(38, 18)
+    val daily = t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+    val bounds = daily.agg(min("day").as("mn"), max("day").as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    val full = spine.join(daily, Seq("day"), "left_outer")
+      .withColumn("yc", coalesce(col("yc"), lit(0L)))
+    val wMa = Window.orderBy("day").rowsBetween(-3, 3)
+    val interior = full
+      .withColumn("wn", count(lit(1)).over(wMa))
+      .withColumn("trend", sum("yc").over(wMa).cast("double") / lit(7.0))
+      .where(col("wn") === 7)
+      .withColumn("detr", col("yc").cast("double") - col("trend"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)))
+      .localCheckpoint(true)
+    val seas = interior.groupBy("dow")
+      .agg((sum(col("detr").cast(dec18)).cast("double") /
+        count(lit(1)).cast("double")).as("s"))
+    val joined = interior.join(broadcast(seas), "dow")
+      .withColumn("resid", col("detr") - col("s"))
+    // Squared terms ride DECIMAL(38,12): cents² at 10× data would graze
+    // (38,18)'s 10²⁰ integer headroom; 12 fractional digits buys 10²⁶.
+    val dec12 = DecimalType(38, 12)
+    def meanVar(c: Column, nm: String): Seq[Column] = Seq(
+      (sum(c.cast(dec18)).cast("double") / count(lit(1)).cast("double"))
+        .as(s"m_$nm"),
+      (sum((c * c).cast(dec12)).cast("double") / count(lit(1)).cast("double"))
+        .as(s"q_$nm"))
+    val aggs = meanVar(col("yc").cast("double"), "y") ++
+      meanVar(col("trend"), "t") ++ meanVar(col("s"), "s") ++
+      meanVar(col("resid"), "e") :+ count(lit(1)).as("n_days")
+    val agg = joined.agg(aggs.head, aggs.tail: _*)
+    def v(nm: String) = col(s"q_$nm") - col(s"m_$nm") * col(s"m_$nm")
+    agg.select(col("n_days"),
+      fl6(v("y") / lit(1e4)).as("var_total"),
+      fl6(v("t") / v("y")).as("share_trend"),
+      fl6(v("s") / v("y")).as("share_seasonal"),
+      fl6(v("e") / v("y")).as("share_residual"),
+      fl6(lit(1.0) - v("e") / v("y")).as("r2"))
+  }
+
+  /** §2.2 #325 — monthly PRICE INDEX by the three classical formulas:
+    * Laspeyres (base-month quantity weights), Paasche (current-month
+    * weights), Fisher (their geometric mean) — unit prices from exact
+    * decimal Σrevenue/Σquantity per (month, part), each index a weighted
+    * sum of per-part unit prices over parts present in BOTH months
+    * (matched-sample, the statistical-agency convention). The "is revenue
+    * growth price or volume" decomposition (#178 shows growth; this says
+    * which kind). One lineitem rollup to the (month, part) frame, the
+    * base month broadcast back, products DECIMAL(38,12)-summed.
+    */
+  def priceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val mp = t(spark, dir, "lineitem")
+      .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
+        col("l_partkey").as("part"))
+      .agg(sum((col("l_quantity").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("qty_c"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("rev_c"))
+      .withColumn("u", col("rev_c").cast("double") / col("qty_c").cast("double"))
+      .localCheckpoint(true)
+    val base = mp.agg(min("month").as("m0"))
+    val baseP = mp.join(broadcast(base), col("month") === col("m0"))
+      .select(col("part"), col("u").as("u0"), col("qty_c").as("q0"))
+    val cur = mp.join(broadcast(base), col("month") =!= col("m0"))
+      .select(col("month"), col("part"), col("u"), col("qty_c"))
+    cur.join(baseP, "part")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum((col("u") * col("q0").cast("double")).cast(dec12)).as("l_num"),
+        sum((col("u0") * col("q0").cast("double")).cast(dec12)).as("l_den"),
+        sum((col("u") * col("qty_c").cast("double")).cast(dec12)).as("p_num"),
+        sum((col("u0") * col("qty_c").cast("double")).cast(dec12)).as("p_den"))
+      .select(col("month"), col("n_parts"),
+        fl6(col("l_num").cast("double") / col("l_den").cast("double"))
+          .as("laspeyres"),
+        fl6(col("p_num").cast("double") / col("p_den").cast("double"))
+          .as("paasche"),
+        fl6(sqrt((col("l_num").cast("double") / col("l_den").cast("double")) *
+          (col("p_num").cast("double") / col("p_den").cast("double"))))
+          .as("fisher"))
+      .orderBy("month")
+  }
+
   /** §2.2 #293 — best single CHANGEPOINT of the daily-revenue series by
     * SSE reduction (binary segmentation, first split): the day that
     * maximizes the drop from the series' total squared error to

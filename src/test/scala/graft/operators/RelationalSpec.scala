@@ -2371,6 +2371,73 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     check(1, "naive_1"); check(7, "seasonal_7")
   }
 
+  test("seasonalDecompose shares match a local decomposition replay") {
+    val r = Relational.seasonalDecompose(spark, sf).collect()(0)
+    val daily = Tables.load(spark, sf, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .as("yc"))
+      .orderBy("day").collect()
+      .map(x => (x.getAs[java.sql.Date]("day").toLocalDate, x.getAs[Long]("yc")))
+      .toMap
+    val (mn, mx) = (daily.keys.min(Ordering.by((_: java.time.LocalDate).toEpochDay)),
+      daily.keys.max(Ordering.by((_: java.time.LocalDate).toEpochDay)))
+    val days = Iterator.iterate(mn)(_.plusDays(1)).takeWhile(!_.isAfter(mx)).toArray
+    val ys = days.map(d => daily.getOrElse(d, 0L).toDouble)
+    val interior = (3 until ys.length - 3).map { i =>
+      val trend = (i - 3 to i + 3).map(ys).sum / 7.0
+      (days(i), ys(i), trend, ys(i) - trend)
+    }
+    val seas = interior.groupBy(x => x._1.toEpochDay % 7)
+      .view.mapValues(g => g.map(_._4).sum / g.length).toMap
+    val resid = interior.map(x => x._4 - seas(x._1.toEpochDay % 7))
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => x * x).sum / xs.length - m * m
+    }
+    val vy = variance(interior.map(_._2))
+    assert(r.getAs[Long]("n_days") == interior.length.toLong)
+    assert(math.abs(r.getAs[Double]("var_total") - vy / 1e4) < math.abs(vy / 1e4) * 1e-3)
+    assert(math.abs(r.getAs[Double]("share_trend") -
+      variance(interior.map(_._3)) / vy) < 1e-3)
+    assert(math.abs(r.getAs[Double]("share_residual") -
+      variance(resid) / vy) < 1e-3)
+    assert(math.abs(r.getAs[Double]("r2") -
+      (1.0 - variance(resid) / vy)) < 1e-3)
+    assert(r.getAs[Double]("share_trend") >= 0 &&
+      r.getAs[Double]("share_residual") >= 0)
+  }
+
+  test("priceIndex Fisher is the geometric mean and one month matches a local replay") {
+    val rows = Relational.priceIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, p, f) = (r.getAs[Double]("laspeyres"), r.getAs[Double]("paasche"),
+        r.getAs[Double]("fisher"))
+      assert(l > 0 && p > 0)
+      assert(math.abs(f - math.sqrt(l * p)) < 1e-4)
+    }
+    // full local replay of the first reported month
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(date_format(to_date(col("l_shipdate")), "yyyy-MM").as("m"),
+        col("l_partkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("e"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val byMP = li.groupBy(x => (x._1, x._2)).view
+      .mapValues(g => (g.map(_._3).sum, g.map(_._4).sum)).toMap
+    val m0 = li.map(_._1).min
+    val base = byMP.collect { case ((m, p), (q, e)) if m == m0 =>
+      p -> (e.toDouble / q, q) }.toMap
+    val target = rows.head.getAs[String]("month")
+    val curr = byMP.collect { case ((m, p), (q, e)) if m == target && base.contains(p) =>
+      (p, e.toDouble / q, q) }
+    val lNum = curr.map { case (p, u, _) => u * base(p)._2 }.sum
+    val lDen = curr.map { case (p, _, _) => base(p)._1 * base(p)._2 }.sum
+    assert(rows.head.getAs[Long]("n_parts") == curr.size.toLong)
+    assert(math.abs(rows.head.getAs[Double]("laspeyres") - lNum / lDen) < 1e-3)
+  }
+
   test("changepoint picks the split a local brute-force SSE scan picks") {
     val r = Relational.changepoint(spark, sf).collect()(0)
     val daily = Tables.load(spark, sf, "orders")
