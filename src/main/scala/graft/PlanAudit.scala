@@ -134,7 +134,7 @@ object PlanAudit {
         // dedup_recall: 1-row within-group pair-count frame crossed onto
         // the 4-row threshold spine (the bootstrap/mutual_info scalar
         // pattern)
-        "q_dedup_recall",
+        "q_dedup_recall", "q_lsh_curve",
         // price_index: 1-row base-month frame broadcast over the bounded
         // (month, part) rollup (the rfm anchor-date pattern)
         "q_price_index",

@@ -500,6 +500,135 @@ object Dedup {
       .orderBy("tau")
   }
 
+  /** §2.3 #326 — LSH TUNING CURVE: for each (bands b, rows r) MinHash
+    * configuration, the EXPECTED candidate volume and expected recall at
+    * the working threshold, computed analytically from the corpus's OWN
+    * exact Jaccard pair distribution — P(collide | j) = 1 − (1 − j^r)^b
+    * summed over the #322 ground-truth pairs. The design sheet an
+    * operator reads BEFORE committing a banding scheme to a 100 TB pass
+    * (#24 hardcodes 32×2; this shows what 16×4 or 8×8 would trade:
+    * candidates vs recall). Exactness discipline: every power is an
+    * explicit SQUARING CHAIN (r and b are powers of two — no pow(),
+    * whose libm rounding differs across engines), per-pair expectations
+    * are DECIMAL(38,18)-summed order-free, and the exact-dup collapse
+    * weights (cross ca·cb, within C(c,2) at j = 1 ⇒ P = 1) reproduce the
+    * doc-level formulation bit for bit.
+    */
+  def lshCurve(spark: SparkSession, dir: String,
+      configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
+      tau: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec18 = DecimalType(38, 18)
+    val w = Window.partitionBy("ckey")
+    val members = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
+      .withColumn("rep_id", min("doc_id").over(w))
+      .withColumn("copies", count(lit(1)).over(w))
+      .select("doc_id", "rep_id", "copies")
+      .localCheckpoint(true)
+    val repCopies = members.where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("copies"))
+    val repDocs = Tables.load(spark, dir, "documents")
+      .join(repCopies.select("doc_id"), "doc_id")
+    val sh = shingleDocs(repDocs).localCheckpoint(true)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      .localCheckpoint(true)
+    val sz = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("ra"), col("n").as("na")), "ra")
+      .join(sz.select(col("doc_id").as("rb"), col("n").as("nb")), "rb")
+      .withColumn("j", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .join(repCopies.select(col("doc_id").as("ra"), col("copies").as("ca")), "ra")
+      .join(repCopies.select(col("doc_id").as("rb"), col("copies").as("cb")), "rb")
+      .select(col("j"), (col("ca") * col("cb")).as("wt"))
+      .localCheckpoint(true)
+    val within = members.groupBy("rep_id").agg(max("copies").as("c"))
+      .join(sh.select(col("doc_id").as("rep_id")), "rep_id")
+      .select(expr("c * (c - 1) DIV 2").as("wt"))
+      .agg(coalesce(sum("wt"), lit(0L)).as("ww"))
+      .localCheckpoint(true)
+    def sq(c: Column, e: Int): Column = {
+      var x = c; var k = 1
+      while (k < e) { x = x * x; k *= 2 }
+      x
+    }
+    val perConfig = configs.map { case (b, r) =>
+      val p = lit(1.0) - sq(lit(1.0) - sq(col("j"), r), b)
+      pairs.agg(
+          sum(when(col("j") >= tau, col("wt")).otherwise(0L)).as("gt_cross"),
+          sum((col("wt").cast("double") * p).cast(dec18)).as("cand_cross"),
+          sum(when(col("j") >= tau, (col("wt").cast("double") * p).cast(dec18))
+            .otherwise(lit(0.0).cast(dec18))).as("det_cross"))
+        .crossJoin(broadcast(within))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
+          (floor((coalesce(col("cand_cross").cast("double"), lit(0.0)) +
+            col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("exp_candidates"),
+          (floor((coalesce(col("det_cross").cast("double"), lit(0.0)) +
+            col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("exp_detected"))
+        .withColumn("exp_recall",
+          when(col("gt_pairs") > 0,
+            floor((coalesce(col("exp_detected"), lit(0.0))) /
+              col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
+    }
+    perConfig.reduce(_ unionByName _).orderBy(col("bands").desc)
+  }
+
+  /** DuckDB oracle for [[lshCurve]]: the doc-level exact-Jaccard pair
+    * distribution feeds the identical squaring-chain collision formula
+    * per configuration.
+    */
+  def lshCurveOracleSql(configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
+      tau: Double = 0.6): String = {
+    def sqSql(base: String, e: Int): String = {
+      var x = base; var k = 1
+      while (k < e) { x = s"($x * $x)"; k *= 2 }
+      x
+    }
+    val arms = configs.map { case (b, r) =>
+      val p = s"(1.0 - ${sqSql(s"(1.0 - ${sqSql("j", r)})", b)})"
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  sum(CASE WHEN j >= $tau THEN 1 ELSE 0 END)::BIGINT AS gt_pairs,
+         |  floor(CAST(sum(CAST($p AS DECIMAL(38,18))) AS DOUBLE)
+         |    * 1e6 + 0.5) / 1e6 AS exp_candidates,
+         |  floor(CAST(sum(CASE WHEN j >= $tau THEN CAST($p AS DECIMAL(38,18))
+         |      ELSE CAST(0.0 AS DECIMAL(38,18)) END) AS DOUBLE)
+         |    * 1e6 + 0.5) / 1e6 AS exp_detected
+         |FROM jp""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       |), idx AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |  FROM toks WHERE len(w) >= 3
+       |), shl AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+       |), sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shl a JOIN shl b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT inter::DOUBLE / (sa.n + sb.n - inter) AS j
+       |  FROM p JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b),
+       |armed AS (
+       |${arms.mkString("\n UNION ALL\n")}
+       |)
+       |SELECT bands, rows_per_band, gt_pairs, exp_candidates, exp_detected,
+       |  CASE WHEN gt_pairs > 0 THEN
+       |    floor(exp_detected / CAST(gt_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6
+       |  END AS exp_recall
+       |FROM armed ORDER BY bands DESC""".stripMargin
+  }
+
   /** §2.3 #176 — curation FUNNEL summary: the corpus-level rollup of
     * [[curate]]'s per-document verdicts — how much of the corpus each
     * rejection reason consumes and what share survives. The one-row-per-

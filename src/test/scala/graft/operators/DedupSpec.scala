@@ -366,6 +366,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 })
   }
 
+  test("lshCurve expectations match a local collision-probability replay") {
+    val rows = Dedup.lshCurve(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r)
+      .toMap
+    assert(rows.keySet == Set((32L, 2L), (16L, 4L), (8L, 8L)))
+    // local doc-level Jaccard distribution
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" "))
+      .filter(_._2.length >= 3)
+    val sets = docs.map { case (id, w) =>
+      w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val js = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1 until sets.length).iterator
+      inter = sets(i).intersect(sets(j)).size
+      if inter > 0
+    } yield inter.toDouble / (sets(i).size + sets(j).size - inter)).toSeq
+    def pCollide(j: Double, b: Int, r: Int) =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    rows.foreach { case ((b, r), row) =>
+      val gt = js.count(_ >= 0.6).toLong
+      assert(row.getAs[Long]("gt_pairs") == gt)
+      val expCand = js.map(pCollide(_, b.toInt, r.toInt)).sum
+      val expDet = js.filter(_ >= 0.6).map(pCollide(_, b.toInt, r.toInt)).sum
+      assert(math.abs(row.getAs[Double]("exp_candidates") - expCand) < 1e-3)
+      assert(math.abs(row.getAs[Double]("exp_detected") - expDet) < 1e-3)
+      if (gt > 0)
+        assert(math.abs(row.getAs[Double]("exp_recall") - expDet / gt) < 1e-3)
+    }
+    // more bands at fewer rows per band must never lower expected recall
+    val r32 = rows((32L, 2L)).getAs[Double]("exp_recall")
+    val r8 = rows((8L, 8L)).getAs[Double]("exp_recall")
+    assert(r32 >= r8 - 1e-9)
+  }
+
   test("prefixDup groups all exceed 1 doc and keep_id is a group member") {
     val rows = Dedup.prefixDup(spark, sf).collect()
     rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
