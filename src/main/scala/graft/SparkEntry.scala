@@ -716,6 +716,7 @@ object SparkEntry {
     "q_item_cf" -> ((s, dir) => Relational.itemCf(s, dir)),
     "q_dedup_recall" -> ((s, dir) => Dedup.dedupRecall(s, dir)),
     "q_lsh_curve" -> ((s, dir) => Dedup.lshCurve(s, dir)),
+    "q_participation_ratio" -> ((s, dir) => Similarity.participationRatio(s, dir)),
     "q_backtest_naive" -> ((s, dir) => Relational.backtestNaive(s, dir)),
     "q_seasonal_decompose" -> ((s, dir) => Relational.seasonalDecompose(s, dir)),
     "q_price_index" -> ((s, dir) => Relational.priceIndex(s, dir)),
@@ -4561,6 +4562,7 @@ object SparkEntry {
         |FROM ts LEFT JOIN ca ON ts.tau = ca.tau
         |ORDER BY ts.tau""".stripMargin,
     "q_lsh_curve" -> Dedup.lshCurveOracleSql(),
+    "q_participation_ratio" -> Similarity.participationRatioOracleSql(),
     "q_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT o_orderdate::DATE AS day,

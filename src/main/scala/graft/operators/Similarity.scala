@@ -2192,6 +2192,69 @@ object Similarity {
       .orderBy("dim_id")
   }
 
+  /** §2.3 #327 — PARTICIPATION RATIO of the embedding space: the
+    * effective number of dimensions PR = (Σ_d v_d)²/Σ_d v_d² over the
+    * per-dimension variances — the one-number answer to "how much of the
+    * 64-dim space does the encoder actually use" (PR = d for isotropic
+    * variance, PR → 1 under total collapse; the physics estimator of
+    * effective dimensionality). #298 lists the per-dim profile; this is
+    * its scalar summary, and pr/d is the utilization share a health
+    * dashboard tracks release over release. One posexplode pass to the
+    * d-row variance frame (the #298 machinery, unrounded), then the two
+    * d-term sums ride DECIMAL(38,18) order-free; the ratio is one
+    * fixed-order double.
+    */
+  def participationRatio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val dec18 = DecimalType(38, 18)
+    val vars = embeddings(spark, dir)
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .select(
+        (col("sxx") / col("n").cast("double") -
+          (col("sx") / col("n").cast("double")) *
+          (col("sx") / col("n").cast("double"))).as("v"))
+    vars.agg(count(lit(1)).as("d"),
+        sum(col("v").cast(dec18)).cast("double").as("sv"),
+        sum((col("v") * col("v")).cast(dec18)).cast("double").as("svv"))
+      .select(col("d"),
+        (floor(col("sv") * col("sv") / col("svv") * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("pr"),
+        (floor(col("sv") * col("sv") / col("svv") / col("d").cast("double") *
+          lit(1e6) + lit(0.5)) / lit(1e6)).as("pr_share"))
+  }
+
+  /** DuckDB oracle for [[participationRatio]]: the #298 oracle's variance
+    * cells feed the identical two decimal-summed d-term sums.
+    */
+  def participationRatioOracleSql(dim: Int = 64): String =
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |cells AS (
+       |  SELECT i, v[i] AS x FROM e
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i)),
+       |dv AS (
+       |  SELECT i, count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |  FROM cells GROUP BY 1),
+       |vv AS (
+       |  SELECT sxx / CAST(n AS DOUBLE)
+       |    - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS v
+       |  FROM dv),
+       |s AS (
+       |  SELECT count(*)::BIGINT AS d,
+       |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS sv,
+       |    CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS svv
+       |  FROM vv)
+       |SELECT d,
+       |  floor(sv * sv / svv * 1e6 + 0.5) / 1e6 AS pr,
+       |  floor(sv * sv / svv / CAST(d AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pr_share
+       |FROM s""".stripMargin
+
   /** DuckDB oracle for [[dimVariance]]: dimension spine, identical decimal
     * sums and fixed-order variance formula, dead cut on the raw double.
     */

@@ -526,6 +526,48 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** §2.4 #328 — streaming PSI DRIFT monitor: per tumbling window, the
+    * Population Stability Index of event values against a STATIC baseline
+    * decile table — the live twin of the batch #215 (same Laplace
+    * smoothing (n+1)/(N+10), same bin convention bin = #edges exceeded),
+    * paging when a model's input distribution walks away from its
+    * training snapshot BETWEEN batch refits. The baseline (9 edges + 10
+    * counts) is computed once in batch and passed as plain values — a
+    * bounded config, not a stream; bucketing is a codegen'd CASE cascade;
+    * ONE stateful windowed aggregation carries ten conditional counts as
+    * columns (not rows — a second aggregation would be illegal in append
+    * mode), and the PSI is a stateless projection, so stream = batch by
+    * construction (spec-asserted).
+    */
+  def psiMonitor(events: DataFrame, edges: Seq[Double],
+      baseCounts: Seq[Long], threshold: Double = 0.2): DataFrame = {
+    require(baseCounts.length == edges.length + 1,
+      s"need one baseline count per bucket: ${baseCounts.length} counts " +
+        s"for ${edges.length} edges")
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(col("value") > e, 1).otherwise(0)
+    }
+    val aggs = baseCounts.indices.map(b =>
+      sum(when(bucket === b, 1L).otherwise(0L)).as(s"n_$b"))
+    val agg = events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(aggs.head, aggs.tail: _*)
+    val baseTot = baseCounts.sum
+    val obsTot = baseCounts.indices.map(b => col(s"n_$b")).reduce(_ + _)
+    val nBuckets = baseCounts.length
+    val terms = baseCounts.indices.map { b =>
+      val pa = lit((baseCounts(b) + 1.0) / (baseTot + nBuckets.toDouble))
+      val pb = (col(s"n_$b") + lit(1L)).cast("double") /
+        (obsTot + lit(nBuckets.toLong)).cast("double")
+      (pa - pb) * log(pa / pb)
+    }
+    val psi = terms.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"),
+      obsTot.as("n_events"), round(psi, 6).as("psi"),
+      (psi > threshold).as("drift_detected"))
+  }
+
   /** Apply ONE micro-batch of a streaming JDBC upsert exactly once: stage
     * the batch via the distributed JDBC writer, then — inside a single
     * database TRANSACTION — check the batch LEDGER, run the dialect's

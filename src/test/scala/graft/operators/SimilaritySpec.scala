@@ -413,6 +413,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("participationRatio matches a local variance-based recomputation and is bounded by d") {
+    val r = Similarity.participationRatio(spark, sf).collect()(0)
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val vars = (0 until d).map { i =>
+      val xs = vecs.map(_(i))
+      val m = xs.sum / xs.length
+      xs.map(x => x * x).sum / xs.length - m * m
+    }
+    val pr = math.pow(vars.sum, 2) / vars.map(v => v * v).sum
+    assert(r.getAs[Long]("d") == d.toLong)
+    assert(math.abs(r.getAs[Double]("pr") - pr) < 1e-2)
+    assert(r.getAs[Double]("pr") >= 1.0 - 1e-9 &&
+      r.getAs[Double]("pr") <= d + 1e-9)
+    assert(math.abs(r.getAs[Double]("pr_share") - pr / d) < 1e-3)
+  }
+
   test("dimVariance covers all 64 dims and matches a local recomputation") {
     val rows = Similarity.dimVariance(spark, sf).collect()
     assert(rows.length == 64)

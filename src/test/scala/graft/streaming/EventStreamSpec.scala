@@ -512,6 +512,41 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("psiMonitor: stream equals batch and flags a shifted-value window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform over [0, 100) -> decile edges every 10, equal counts
+    val edges = (1 to 9).map(q => q * 10.0 - 0.5)
+    val baseCounts = Seq.fill(10)(100L)
+    // window 0 reproduces the baseline shape; window 1 piles on one decile
+    val events = (0 until 400).map { i =>
+      if (i % 2 == 0) Event(i, ts(i % 9), i % 40, "click", (i % 100).toDouble)
+      else Event(i, ts(10 + i % 9), i % 40, "view", 95.0)
+    }
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStream.psiMonitor(input.toDF(), edges, baseCounts)
+      .writeStream.format("memory").queryName("psimon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(9999, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      val streamed = norm(spark.table("psimon").collect())
+      val batch = norm(EventStream.psiMonitor(events.toDF(), edges, baseCounts)
+        .collect())
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed vs batch=$batch")
+      val w0 = streamed.find(_._1 == ts(0).getTime).get
+      val w1 = streamed.find(_._1 == ts(10).getTime).get
+      // the baseline-shaped window is quiet; the piled-up window pages
+      assert(!w0._4, s"window 0 should not drift: $w0")
+      assert(w1._4 && w1._3 > w0._3, s"window 1 must flag: $w1")
+    } finally q.stop()
+  }
+
   test("jdbcUpsertSink merges micro-batches into Derby exactly once, replay is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-upsink").toString
