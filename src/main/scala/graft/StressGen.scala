@@ -31,9 +31,19 @@ import org.apache.spark.sql.functions._
   *     sf1 dedup cost grows ~linearly; if it is wrong anywhere, this is
   *     the run that shows it.
   *
-  * Usage: runMain graft.StressGen <srcSfDir> <destDir> [factor]
+  * Usage: runMain graft.StressGen <srcSfDir> <destDir> [factor] [docMode]
   * The destination is a normal SF directory: Bench/Verify run against it
   * via SPARK_GRAFT_SF_DIR with no code changes.
+  *
+  * docMode (VERDICT r7 #7): `exact` (default) keeps replica documents
+  * byte-identical — the collapse-path worst case above. `mutate` instead
+  * perturbs ~5% of each replica's tokens deterministically
+  * (xxhash64(doc_id, replica, pos) decides per word), so replicas land at
+  * Jaccard ≈ 0.85-0.95 vs their original: NEAR-duplicates that the
+  * exact-dup collapse CANNOT fold away, forcing candidate generation
+  * through the MinHash band path at full corpus size. Replica 0 stays
+  * unmutated. This is the adversarial corpus for q_neardup_jaccard /
+  * q_containment / q_lsh_curve — a 90%-exact corpus flatters collapse.
   */
 object StressGen {
 
@@ -51,6 +61,9 @@ object StressGen {
     val src = args(0)
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val docMode = if (args.length > 3) args(3) else "exact"
+    require(docMode == "exact" || docMode == "mutate",
+      s"docMode must be exact|mutate, got $docMode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -79,11 +92,31 @@ object StressGen {
       val off = fixedOff.getOrElse(offsetFor(df, shiftCols.head))
       val reps = broadcast(spark.range(factor).toDF("replica"))
       val out0 = df.crossJoin(reps)
-      val out = shiftCols.foldLeft(out0) { (d, c) =>
+      val shifted = shiftCols.foldLeft(out0) { (d, c) =>
         d.withColumn(c, col(c) + col("replica") * off)
-      }.drop("replica")
+      }
+      // docMode=mutate: replicas 1..factor-1 get ~5% of tokens swapped for
+      // a hash-derived nonsense token (deterministic in (doc_id, replica,
+      // word position) — re-runs are byte-stable). transform()'s (elem,
+      // idx) lambda avoids the descending-sequence(1,0) trap on empty
+      // texts. n_chars is recomputed so the length column stays consistent
+      // with the mutated text.
+      val out = (if (t == "documents" && docMode == "mutate") {
+        val words = split(col("text"), " ")
+        val mut = array_join(
+          transform(words, (w, i) =>
+            when(col("replica") =!= 0 &&
+                 pmod(xxhash64(col("doc_id"), col("replica"), i), lit(20)) === 0,
+              concat(lit("mutx"),
+                pmod(abs(xxhash64(w, col("replica"), i)), lit(9973)).cast("string")))
+            .otherwise(w)),
+          " ")
+        shifted.withColumn("text", mut)
+          .withColumn("n_chars", length(col("text")))
+      } else shifted).drop("replica")
       out.write.mode("overwrite").parquet(s"$dest/$t.parquet")
-      println(s"[stressgen] $t: x$factor, shifted ${shiftCols.mkString("+")} by k*$off")
+      val how = if (t == "documents" && docMode == "mutate") " (mutated ~5%/replica)" else ""
+      println(s"[stressgen] $t: x$factor, shifted ${shiftCols.mkString("+")} by k*$off$how")
       off
     }
 
