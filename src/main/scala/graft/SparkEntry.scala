@@ -688,7 +688,9 @@ object SparkEntry {
       Similarity.clusteringCoeff(s, dir, maxBits = 12)),
     "q_adamic_adar" -> ((s, dir) => Similarity.adamicAdar(s, dir, maxBits = 12)),
     "q_intrinsic_dim" -> ((s, dir) => Similarity.intrinsicDim(s, dir, maxBits = 12)),
-    "q_suffix_dup" -> ((s, dir) => Dedup.suffixDup(s, dir)),
+    // k = 3: short suffix so footer groups exist even in small corpora
+    // (k = 8 has zero qualifying groups below sf0.1 — a vacuous gate).
+    "q_suffix_dup" -> ((s, dir) => Dedup.suffixDup(s, dir, k = 3)),
     "q_surprisal_outliers" -> ((s, dir) => TextAnalysis.surprisalOutliers(s, dir)),
     "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
     "q_anova" -> ((s, dir) => Relational.anova(s, dir)),
@@ -4172,7 +4174,7 @@ object SparkEntry {
     "q_suffix_dup" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
         |s AS (SELECT doc_id,
-        |  array_to_string(w[greatest(len(w) - 7, 1):len(w)], ' ') AS suffix FROM t)
+        |  array_to_string(w[greatest(len(w) - 2, 1):len(w)], ' ') AS suffix FROM t)
         |SELECT suffix, min(doc_id) AS keep_id, count(*)::BIGINT AS n_docs
         |FROM s GROUP BY 1 HAVING count(*) >= 2
         |ORDER BY n_docs DESC, suffix""".stripMargin,

@@ -72,7 +72,10 @@ def main():
             continue
         got = pd.read_parquet(d)
         if name not in oracle:
-            ok.append((name, f"rows-only: {len(got)} rows"))
+            if len(got) == 0:
+                bad.append((name, "VACUOUS: rows-only query returned 0 rows"))
+            else:
+                ok.append((name, f"rows-only: {len(got)} rows"))
             continue
         try:
             exp = con.execute(oracle[name]).df()
@@ -85,6 +88,14 @@ def main():
             continue
         if len(g) != len(e):
             bad.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
+            continue
+        if len(g) == 0:
+            # The r8 q_suffix_dup failure mode: both engines return the
+            # empty set at the gate SF, so the green row proves NOTHING
+            # about the operator. An oracle must produce signal here.
+            bad.append((name, "VACUOUS: empty result at gate SF on both "
+                        "engines — empty==empty proves nothing; tune the "
+                        "operator params so the gate corpus yields rows"))
             continue
         dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
                   if str(g[c].dtype) != str(e[c].dtype)]
