@@ -2,7 +2,16 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.annotation.tailrec
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec,
+  SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan auditor: dumps `explain("formatted")` for every SparkEntry query and
   * greps each plan for the structural properties the 100 TB design depends
@@ -17,6 +26,81 @@ import org.apache.spark.sql.SparkSession
   *    intended linear-scan plan)
   */
 object PlanAudit {
+
+  /** The r8 judge's missed smell: a `WindowExec` fed by an
+    * `Exchange SinglePartition` drags its whole input into ONE task. Find
+    * every such window and classify its input: `raw` (no aggregate
+    * anywhere below the exchange — the window sees data-sized rows; always
+    * a scale failure) vs `agg` (an aggregation reduces cardinality first —
+    * legitimate ONLY if that cardinality is provably bounded, which the
+    * plan cannot show, so those queries must be allowlisted with a written
+    * justification).
+    */
+  private[graft] def singlePartitionWindows(root: SparkPlan): Seq[String] = {
+    val plan = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    @tailrec def toExchange(p: SparkPlan): Option[ShuffleExchangeExec] =
+      p match {
+        case e: ShuffleExchangeExec => Some(e)
+        case u @ (_: SortExec | _: ProjectExec | _: FilterExec |
+            _: WindowExec | _: InputAdapter | _: WholeStageCodegenExec) =>
+          toExchange(u.children.head)
+        case _ => None
+      }
+    plan.collect { case w: WindowExec => w }.flatMap { w =>
+      // PrefixScan's carry window is recognizable structurally: it orders
+      // by the synthetic `__chunk` key over a groupBy(__chunk) summary,
+      // which is <= nChunks (1024) rows BY CONSTRUCTION at any data size.
+      val isCarry = w.orderSpec
+        .flatMap(_.child.references.toSeq.map(_.name)).contains("__chunk")
+      toExchange(w.child) match {
+        case Some(e) if e.outputPartitioning == SinglePartition && !isCarry =>
+          val bounded = e.child.find(_.isInstanceOf[BaseAggregateExec]).isDefined
+          Some(if (bounded) "agg" else "raw")
+        case _ => None
+      }
+    }.distinct
+  }
+
+  /** Queries whose single-partition window input is an AGGREGATED frame
+    * with a justification for why that frame is bounded (does not grow
+    * with the corpus). Anything not listed here that plans an
+    * `Exchange SinglePartition` under a window FAILS the audit — this is
+    * how the r8 q_lateness/q_watermark_reco/q_concurrency regressions
+    * would have been caught. Dimension-sized frames (customers, parts,
+    * price histograms, vocabulary) do NOT qualify — those were converted
+    * to PrefixScan's chunked distributed scan in r9.
+    */
+  private val singlePartWindowOk: Set[String] = Set(
+    // calendar-bounded daily/weekly/monthly rollups: |days| rows
+    "q_changepoint", "q_cusum", "q_drawdown", "q_page_hinkley",
+    "q_runs_test", "q_mom",
+    // fixed literal grids: 9 Benford digits; 10 rank deciles; 10 doc-id
+    // deciles; 100 bootstrap replicates; 10 PSI decile bins (the PSI
+    // total is a whole-frame sum over the <=10-bin cell frame)
+    "q_benford", "q_pareto", "q_vocab_growth", "q_bootstrap_ci", "q_psi",
+    // horizon-bounded day-gap histograms (maxWeeks / data-window days)
+    "q_gap_hazard", "q_km_survival",
+    // tiny categorical frames: |sources| / |rejection reasons|
+    "q_curriculum_interleave", "q_dedup_stats",
+    // PrefixScan carry summaries (<= nChunks = 1024 rows by construction)
+    // + q_lateness's 5-literal-bucket share window
+    "q_lateness", "q_watermark_reco", "q_concurrency",
+    // calendar-bounded |days| and |days|^2 frames (theil_sen pair frame
+    // is a non-equi join of the checkpointed daily series)
+    "q_theil_sen")
+
+  /** Queries whose single-partition window input shows as RAW only
+    * because `localCheckpoint` truncated the lineage of a BOUNDED frame
+    * (the aggregate that bounded it is above the checkpoint).
+    */
+  private val rawWindowOk: Set[String] = Set(
+    // |days|^2 calendar pair frame built from the checkpointed daily
+    // rollup — bounded by the time window, not the corpus
+    "q_theil_sen", "q_mann_kendall")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outFile = if (args.length > 1) args(1) else "/tmp/graft_plans.md"
@@ -152,7 +236,15 @@ object PlanAudit {
         "q_source_kl",
         // tukey: ≤5-row segment power-sum frame self-paired (≤10 rows) plus
         // the 1-row MSW frame — bounded scalars, the user_overlap pattern
-        "q_tukey")
+        "q_tukey",
+        // PrefixScan chunk-bounds frames: a 1-row (min, max) aggregate
+        // broadcast over the frame being scanned — the scalar-subquery
+        // pattern, introduced by the r9 distributed prefix-scan rewrites
+        "q_concurrency", "q_watermark_reco", "q_gini", "q_mannwhitney",
+        "q_resize_plan", "q_skyline",
+        // no-silent-caps reporting: 1-row truncation/skip counter frames
+        // (edit_dup skipped blocks, item_cf truncated whale customers)
+        "q_edit_dup", "q_item_cf")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
@@ -197,6 +289,16 @@ object PlanAudit {
         if (exchanges > 0)
           failures += s"q_copy_bucketed: $exchanges join-key exchange(s) — bucketing not used"
       }
+
+      val spw = singlePartitionWindows(df.queryExecution.executedPlan)
+      if (spw.contains("raw") && !rawWindowOk(name))
+        failures += s"$name: single-partition window over a RAW (un-aggregated) " +
+          "frame — one task holds the whole input at scale"
+      if (spw.contains("agg") && !singlePartWindowOk(name))
+        failures += s"$name: single-partition window over an aggregated frame " +
+          "with no boundedness justification (add to singlePartWindowOk only " +
+          "if the frame provably does not grow with the corpus)"
+      if (spw.nonEmpty) notes += s"single-part-window(${spw.mkString("+")})"
 
       sb.append(s"## $name\n\ntags: ${notes.mkString(", ")}\n\n```\n")
       sb.append(plan.linesIterator.take(60).mkString("\n"))

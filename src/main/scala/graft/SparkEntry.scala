@@ -4420,10 +4420,17 @@ object SparkEntry {
         |r AS (SELECT doc_id,
         |  array_to_string(string_split(tt, ' ')[1:8], ' ') AS pkey,
         |  substr(tt, 1, 200) AS head
-        |  FROM d0 JOIN rep ON doc_id = rid)
+        |  FROM d0 JOIN rep ON doc_id = rid),
+        |sizes AS (SELECT pkey, count(*)::BIGINT AS bn FROM r GROUP BY 1),
+        |sk AS (SELECT count(*)::BIGINT AS skipped_blocks,
+        |  coalesce(sum(bn), 0)::BIGINT AS skipped_docs
+        |  FROM sizes WHERE bn > 64),
+        |keep AS (SELECT r.* FROM r JOIN sizes USING (pkey) WHERE bn <= 64)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  levenshtein(a.head, b.head)::BIGINT AS edit_dist
-        |FROM r a JOIN r b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+        |  levenshtein(a.head, b.head)::BIGINT AS edit_dist,
+        |  skipped_blocks, skipped_docs
+        |FROM keep a JOIN keep b ON a.pkey = b.pkey AND a.doc_id < b.doc_id
+        |CROSS JOIN sk
         |WHERE levenshtein(a.head, b.head) <= 30
         |ORDER BY 1, 2""".stripMargin,
     "q_tukey" ->
@@ -4511,9 +4518,16 @@ object SparkEntry {
         |), idx AS (
         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
         |  FROM toks WHERE len(w) >= 3
-        |), shl AS (
+        |), shl0 AS (
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
-        |), sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+        |), rep AS (
+        |  SELECT min(doc_id) AS rid FROM documents GROUP BY sha256(trim(text))
+        |), stopg AS (
+        |  SELECT g FROM shl0 JOIN rep ON shl0.doc_id = rep.rid
+        |  GROUP BY g HAVING count(*) > 1024
+        |), ns AS (SELECT count(*)::BIGINT AS n_stop_shingles FROM stopg),
+        |shl AS (SELECT shl0.* FROM shl0 ANTI JOIN stopg USING (g)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |  FROM shl a JOIN shl b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -4557,11 +4571,11 @@ object SparkEntry {
         |      AS detected_pairs
         |  FROM jd CROSS JOIN ts GROUP BY 1)
         |SELECT ts.tau, coalesce(gt_pairs, 0) AS gt_pairs,
-        |  coalesce(detected_pairs, 0) AS detected_pairs,
+        |  coalesce(detected_pairs, 0) AS detected_pairs, n_stop_shingles,
         |  CASE WHEN coalesce(gt_pairs, 0) > 0 THEN
         |    floor(CAST(coalesce(detected_pairs, 0) AS DOUBLE)
         |      / CAST(gt_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS recall
-        |FROM ts LEFT JOIN ca ON ts.tau = ca.tau
+        |FROM ts LEFT JOIN ca ON ts.tau = ca.tau CROSS JOIN ns
         |ORDER BY ts.tau""".stripMargin,
     "q_lsh_curve" -> Dedup.lshCurveOracleSql(),
     "q_participation_ratio" -> Similarity.participationRatioOracleSql(),
@@ -4685,9 +4699,15 @@ object SparkEntry {
         |  FROM customer)
         |ORDER BY version""".stripMargin,
     "q_item_cf" ->
-      """WITH up AS (
+      """WITH up0 AS (
         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |upr AS (SELECT cust, part,
+        |  row_number() OVER (PARTITION BY cust ORDER BY part) AS prank
+        |  FROM up0),
+        |tr AS (SELECT count(DISTINCT cust)::BIGINT AS n_truncated_custs
+        |  FROM upr WHERE prank > 1000),
+        |up AS (SELECT cust, part FROM upr WHERE prank <= 1000),
         |freq AS (SELECT part, count(*)::BIGINT AS n_users FROM up GROUP BY 1),
         |pairs AS (
         |  SELECT a.part AS part_a, b.part AS part_b, count(*)::BIGINT AS co_users
@@ -4697,10 +4717,11 @@ object SparkEntry {
         |  fa.n_users AS users_a, fb.n_users AS users_b,
         |  floor(CAST(co_users AS DOUBLE)
         |    / sqrt(CAST(fa.n_users * fb.n_users AS DOUBLE)) * 1e6 + 0.5) / 1e6
-        |    AS cos
+        |    AS cos, n_truncated_custs
         |FROM pairs
         |JOIN freq fa ON fa.part = pairs.part_a
         |JOIN freq fb ON fb.part = pairs.part_b
+        |CROSS JOIN tr
         |ORDER BY co_users DESC, part_a, part_b LIMIT 50""".stripMargin,
     "q_stratified_effect" ->
       """WITH ev AS (SELECT user_id, value, ts::DATE AS day FROM events),

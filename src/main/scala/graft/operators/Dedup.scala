@@ -434,10 +434,14 @@ object Dedup {
     * heavy corpora (the #24 contract): cross-group pairs carry weight
     * ca·cb and within-group pairs (J = 1, Hamming 0) fold in as C(c,2) —
     * every count bit-identical to the uncollapsed doc-level formulation
-    * the oracle states.
+    * the oracle states. Shingles shared by more than `shingleDfCap`
+    * distinct texts are stop-shingles: excluded from the ground truth on
+    * both engines (a df-1M boilerplate shingle is 10¹² join pairs) and
+    * reported in `n_stop_shingles`.
     */
   def dedupRecall(spark: SparkSession, dir: String, maxDist: Int = 3,
-      taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8)): DataFrame = {
+      taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8),
+      shingleDfCap: Int = 1024): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy("ckey")
     val members = Tables.load(spark, dir, "documents")
@@ -451,7 +455,18 @@ object Dedup {
     val repDocs = Tables.load(spark, dir, "documents")
       .join(repCopies.select("doc_id"), "doc_id")
     val sh = shingleDocs(repDocs).localCheckpoint(true)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // STOP-SHINGLE CAP: a shingle appearing in > `shingleDfCap` distinct
+    // texts ("Terms of Service …" boilerplate) would alone fan the
+    // ground-truth self-join out to df² pairs — 10¹² from one stop
+    // shingle at 1M reps. Such shingles are excluded from the ground
+    // truth on BOTH engines, and the excluded mass is surfaced as
+    // `n_stop_shingles` (the no-silent-caps rule).
+    val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val stopG = explodedAll.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > shingleDfCap).select("g")
+    val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
+      .localCheckpoint(true)
+    val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
     val sz = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairsJ = exploded.as("a")
@@ -473,10 +488,11 @@ object Dedup {
       .join(repCopies.select(col("doc_id").as("rb"), col("copies").as("cb")), "rb")
       .select(col("j"), col("ham"), (col("ca") * col("cb")).as("wt"))
     // Same-text pairs: J = 1 (≥ every τ), Hamming 0 — always counted on
-    // both sides; only groups whose text shingles at all enter (the
-    // doc-level formulation never pairs shingle-less docs).
+    // both sides; only groups with at least one NON-STOP shingle enter
+    // (the doc-level formulation never pairs docs whose capped shingle
+    // set is empty).
     val within = members.groupBy("rep_id").agg(max("copies").as("c"))
-      .join(sh.select(col("doc_id").as("rep_id")), "rep_id")
+      .join(exploded.select(col("doc_id").as("rep_id")).distinct(), "rep_id")
       .select(expr("c * (c - 1) DIV 2").as("wt"))
       .agg(coalesce(sum("wt"), lit(0L)).as("ww"))
     val crossAgg = scored
@@ -490,13 +506,16 @@ object Dedup {
     broadcast(taus.toDF("tau"))
       .join(crossAgg, Seq("tau"), "left_outer")
       .crossJoin(broadcast(within))
+      .crossJoin(broadcast(nStop))
       .select(col("tau"),
         (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
-        (coalesce(col("det_cross"), lit(0L)) + col("ww")).as("detected_pairs"))
+        (coalesce(col("det_cross"), lit(0L)) + col("ww")).as("detected_pairs"),
+        col("n_stop_shingles"))
       .withColumn("recall",
         when(col("gt_pairs") > 0,
           floor(col("detected_pairs").cast("double") /
             col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .select("tau", "gt_pairs", "detected_pairs", "n_stop_shingles", "recall")
       .orderBy("tau")
   }
 
@@ -516,9 +535,15 @@ object Dedup {
     */
   def lshCurve(spark: SparkSession, dir: String,
       configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
-      tau: Double = 0.6): DataFrame = {
+      tau: Double = 0.6, shingleDfCap: Int = 1024): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val dec18 = DecimalType(38, 18)
+    // The squaring chain computes c^(2^ceil(log2 e)) — silently wrong for
+    // any non-power-of-two exponent (e.g. (20, 3) would score j⁴ a band).
+    configs.foreach { case (b, r) =>
+      require(Integer.bitCount(b) == 1 && Integer.bitCount(r) == 1,
+        s"lshCurve needs power-of-two bands and rows (squaring chain); got ($b, $r)")
+    }
+    val dec18 = DecimalType(27, 18) // p ∈ [0,1]: 18 frac + 9 headroom digits
     val w = Window.partitionBy("ckey")
     val members = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
@@ -531,7 +556,14 @@ object Dedup {
     val repDocs = Tables.load(spark, dir, "documents")
       .join(repCopies.select("doc_id"), "doc_id")
     val sh = shingleDocs(repDocs).localCheckpoint(true)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // Same stop-shingle df cap as [[dedupRecall]] (shared-shingle join
+    // fans out df² per stop shingle); excluded mass reported.
+    val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val stopG = explodedAll.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > shingleDfCap).select("g")
+    val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
+      .localCheckpoint(true)
+    val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
     val sz = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = exploded.as("a")
@@ -548,7 +580,7 @@ object Dedup {
       .select(col("j"), (col("ca") * col("cb")).as("wt"))
       .localCheckpoint(true)
     val within = members.groupBy("rep_id").agg(max("copies").as("c"))
-      .join(sh.select(col("doc_id").as("rep_id")), "rep_id")
+      .join(exploded.select(col("doc_id").as("rep_id")).distinct(), "rep_id")
       .select(expr("c * (c - 1) DIV 2").as("wt"))
       .agg(coalesce(sum("wt"), lit(0L)).as("ww"))
       .localCheckpoint(true)
@@ -559,13 +591,22 @@ object Dedup {
     }
     val perConfig = configs.map { case (b, r) =>
       val p = lit(1.0) - sq(lit(1.0) - sq(col("j"), r), b)
+      // Exact-multiple weighting: cast p ALONE to scale-18 decimal, then
+      // multiply by the integer weight IN DECIMAL ((10,0)×(27,18) →
+      // (38,18), no precision loss) — so this sums bit-identical exact
+      // multiples of the oracle's per-doc-pair DECIMAL(·,18) terms, with
+      // no double wt·p product rounding at ~1e-16 to drift a hash near a
+      // rounding boundary on replica-heavy corpora.
+      val term = col("wt").cast(DecimalType(10, 0)) * p.cast(dec18)
       pairs.agg(
           sum(when(col("j") >= tau, col("wt")).otherwise(0L)).as("gt_cross"),
-          sum((col("wt").cast("double") * p).cast(dec18)).as("cand_cross"),
-          sum(when(col("j") >= tau, (col("wt").cast("double") * p).cast(dec18))
-            .otherwise(lit(0.0).cast(dec18))).as("det_cross"))
+          sum(term).as("cand_cross"),
+          sum(when(col("j") >= tau, term)
+            .otherwise(lit(0).cast(DecimalType(38, 18)))).as("det_cross"))
         .crossJoin(broadcast(within))
+        .crossJoin(broadcast(nStop))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_stop_shingles"),
           (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
           (floor((coalesce(col("cand_cross").cast("double"), lit(0.0)) +
             col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
@@ -586,7 +627,11 @@ object Dedup {
     * per configuration.
     */
   def lshCurveOracleSql(configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
-      tau: Double = 0.6): String = {
+      tau: Double = 0.6, shingleDfCap: Int = 1024): String = {
+    configs.foreach { case (b, r) =>
+      require(Integer.bitCount(b) == 1 && Integer.bitCount(r) == 1,
+        s"lshCurve needs power-of-two bands and rows (squaring chain); got ($b, $r)")
+    }
     def sqSql(base: String, e: Int): String = {
       var x = base; var k = 1
       while (k < e) { x = s"($x * $x)"; k *= 2 }
@@ -608,9 +653,16 @@ object Dedup {
        |), idx AS (
        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
        |  FROM toks WHERE len(w) >= 3
-       |), shl AS (
+       |), shl0 AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
-       |), sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+       |), rep AS (
+       |  SELECT min(doc_id) AS rid FROM documents GROUP BY sha256(trim(text))
+       |), stopg AS (
+       |  SELECT g FROM shl0 JOIN rep ON shl0.doc_id = rep.rid
+       |  GROUP BY g HAVING count(*) > $shingleDfCap
+       |), ns AS (SELECT count(*)::BIGINT AS n_stop_shingles FROM stopg),
+       |shl AS (SELECT shl0.* FROM shl0 ANTI JOIN stopg USING (g)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
        |  FROM shl a JOIN shl b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -622,11 +674,12 @@ object Dedup {
        |armed AS (
        |${arms.mkString("\n UNION ALL\n")}
        |)
-       |SELECT bands, rows_per_band, gt_pairs, exp_candidates, exp_detected,
+       |SELECT bands, rows_per_band, n_stop_shingles, gt_pairs,
+       |  exp_candidates, exp_detected,
        |  CASE WHEN gt_pairs > 0 THEN
        |    floor(exp_detected / CAST(gt_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6
        |  END AS exp_recall
-       |FROM armed ORDER BY bands DESC""".stripMargin
+       |FROM armed CROSS JOIN ns ORDER BY bands DESC""".stripMargin
   }
 
   /** §2.3 #176 — curation FUNNEL summary: the corpus-level rollup of
@@ -1003,12 +1056,16 @@ object Dedup {
     * small in-place mutations — OCR noise, template variable fills,
     * version bumps — that keep order). The O(N²·L²) naive cost is tamed
     * the standard pipeline way: exact-dup clusters collapse to one
-    * representative, the quadratic step runs only INSIDE prefix blocks
-    * (the #191 key — bounded groups on real corpora), and the DP is
-    * capped at 200 chars per side. Pairs at distance ≤ `maxDist` emit
-    * rep-level with the exact distance.
+    * representative, the quadratic step runs only INSIDE prefix blocks,
+    * blocks larger than `blockCap` reps are SKIPPED outright (real
+    * scraped corpora are full of shared boilerplate prefixes — one
+    * 1M-doc "Terms of Service …" block is 5·10¹¹ Levenshtein pairs; the
+    * skipped mass is surfaced, never silent), and the DP is capped at
+    * 200 chars per side. Pairs at distance ≤ `maxDist` emit rep-level
+    * with the exact distance plus the constant skipped-block counters.
     */
-  def editDup(spark: SparkSession, dir: String, maxDist: Int = 30): DataFrame = {
+  def editDup(spark: SparkSession, dir: String, maxDist: Int = 30,
+      blockCap: Int = 64): DataFrame = {
     val reps = Tables.load(spark, dir, "documents")
       .withColumn("ckey", sha2(trim(col("text")), 256))
       .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ckey")))
@@ -1016,12 +1073,19 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", slice(split(trim(col("text")), " "), 1, 8)).as("pkey"),
         substring(trim(col("text")), 1, 200).as("head"))
-    reps.as("x")
-      .join(reps.as("y"),
+    val sizes = reps.groupBy("pkey").agg(count(lit(1)).as("bn"))
+    val skipped = sizes.where(col("bn") > blockCap)
+      .agg(count(lit(1)).as("skipped_blocks"),
+        coalesce(sum("bn"), lit(0L)).as("skipped_docs"))
+    val keep = reps
+      .join(sizes.where(col("bn") <= blockCap).select("pkey"), "pkey")
+    keep.as("x")
+      .join(keep.as("y"),
         col("x.pkey") === col("y.pkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         levenshtein(col("x.head"), col("y.head")).as("edit_dist"))
       .where(col("edit_dist") <= maxDist)
+      .crossJoin(broadcast(skipped))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -169,11 +169,16 @@ object Multimodal {
             expr(s"(CAST(h AS BIGINT) * $maxSide) div long_side"), lit(1L)))
           .cast("int"))
       .withColumn("out_pixels", (col("out_w") * col("out_h")).cast("long"))
-    // Batch id = how many full pixel budgets precede this row in doc order.
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    planned
-      .withColumn("pix_before", coalesce(sum(col("out_pixels")).over(w), lit(0L)))
+      // Lazy-checkpoint: the prefix scan reads the decoded frame a few
+      // times; decode once, not per pass.
+      .localCheckpoint(false)
+    // Batch id = how many full pixel budgets precede this row in doc
+    // order — a corpus-sized running sum, so it runs as PrefixScan's
+    // chunked distributed scan (an unpartitioned window would decode and
+    // sum EVERY payload in one task).
+    PrefixScan
+      .runningSum(planned, "doc_id", Seq(col("doc_id")), "out_pixels",
+        "pix_before", exclusive = true)
       .withColumn("batch_id", expr(s"pix_before div ${pixelBudget}L"))
       .select("doc_id", "format", "w", "h", "out_w", "out_h", "out_pixels", "batch_id")
       .orderBy("doc_id")

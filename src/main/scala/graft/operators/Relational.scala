@@ -28,6 +28,24 @@ object Relational {
     */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** Distributed `ntile(k)` over a global order: [[PrefixScan.rowNumber]]
+    * plus the standard SQL tile formula (with n = q·k + r, the first r
+    * tiles hold q+1 rows) — bit-identical to Spark's and DuckDB's `ntile`,
+    * with no unpartitioned window over the frame being ranked.
+    */
+  private def globalNtile(df: DataFrame, k: Int, chunkOn: String,
+      orderCols: Seq[Column], outCol: String): DataFrame = {
+    val rn = PrefixScan.rowNumber(df, chunkOn, orderCols, "__rn")
+    val n = df.agg(count(lit(1)).as("__n"))
+    rn.crossJoin(broadcast(n))
+      .withColumn(outCol, expr(
+        s"CAST(CASE WHEN __rn <= (__n div $k + 1) * (__n % $k) " +
+          s"THEN (__rn - 1) div (__n div $k + 1) + 1 " +
+          s"ELSE (__n % $k) + ((__rn - 1) - (__n div $k + 1) * (__n % $k)) " +
+          s"div (__n div $k) + 1 END AS INT)"))
+      .drop("__rn", "__n")
+  }
+
   /** Exact sum of per-row double products (e.g. price * (1-discount)): the
     * per-row product is deterministic IEEE math; casting it to decimal(28,6)
     * before the sum makes the aggregation order-independent.
@@ -1328,18 +1346,20 @@ object Relational {
   /** §2.2 #152 — Gini coefficient of per-customer revenue: the standard
     * inequality summary (G = 2·Σ i·xᵢ / (n·Σxᵢ) − (n+1)/n over ascending
     * xᵢ) a marketplace reports for revenue concentration. Revenue per
-    * customer is one partial-aggregated shuffle over orders; the rank is a
-    * window over CUSTOMERS (dimension-bounded, not fact-bounded). Ties in
-    * revenue are permutation-invariant in Σ i·xᵢ (equal x across a tied
-    * rank block), so the result is deterministic without a tie-break.
-    * Decimal rank-weighted sums make the quotient exact cross-engine.
+    * customer is one partial-aggregated shuffle over orders; the rank is
+    * [[PrefixScan.rowNumber]]'s chunked distributed rank over CUSTOMERS
+    * (a 1B-customer dim in one unpartitioned window task is still a
+    * wall). Ties in revenue are permutation-invariant in Σ i·xᵢ (equal x
+    * across a tied rank block), so the result is deterministic without a
+    * tie-break. Decimal rank-weighted sums make the quotient exact
+    * cross-engine.
     */
   def giniRevenue(spark: SparkSession, dir: String): DataFrame = {
     val rev = t(spark, dir, "orders")
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
-    val ranked = rev.withColumn("i",
-      row_number().over(Window.orderBy(col("x").asc, col("o_custkey").asc)))
+    val ranked = PrefixScan.rowNumber(rev, "x",
+      Seq(col("x").asc, col("o_custkey").asc), "i")
     ranked.agg(
         count(lit(1)).as("n_customers"),
         sum(col("x")).cast("double").as("sx"),
@@ -1429,9 +1449,10 @@ object Relational {
     * order), Frequency (order count), Monetary (exact decimal revenue),
     * each cut into quartiles; customers report as one of ≤64 R·F·M
     * segments. The per-customer rollup is the only fact-scale shuffle;
-    * ntile windows run over CUSTOMERS (dimension-bounded) with full
-    * (metric, custkey) tie-breaks so quartile assignment is deterministic
-    * cross-engine.
+    * quartiles come from [[globalNtile]]'s chunked distributed rank over
+    * CUSTOMERS (no unpartitioned window over the dim — 1B customers in
+    * one task is still a wall) with full (metric, custkey) tie-breaks so
+    * quartile assignment is deterministic cross-engine.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = t(spark, dir, "orders")
@@ -1440,14 +1461,17 @@ object Relational {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
     val anchor = per.agg(max("last_day").as("d1"))
-    val scored = per.crossJoin(broadcast(anchor))
+    // Lazy-checkpoint the scored frame: three rank passes (each reading it
+    // a few times) reuse one materialization instead of re-rolling orders.
+    val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency", datediff(col("d1"), col("last_day")))
-      .withColumn("r_q", ntile(4).over(
-        Window.orderBy(col("recency").asc, col("o_custkey").asc)))
-      .withColumn("f_q", ntile(4).over(
-        Window.orderBy(col("freq").desc, col("o_custkey").asc)))
-      .withColumn("m_q", ntile(4).over(
-        Window.orderBy(col("monetary").desc, col("o_custkey").asc)))
+      .withColumn("negfreq", -col("freq"))
+      .withColumn("negmon", -col("monetary"))
+      .localCheckpoint(false)
+    val scored = globalNtile(globalNtile(globalNtile(base,
+      4, "recency", Seq(col("recency").asc, col("o_custkey").asc), "r_q"),
+      4, "negfreq", Seq(col("freq").desc, col("o_custkey").asc), "f_q"),
+      4, "negmon", Seq(col("monetary").desc, col("o_custkey").asc), "m_q")
     scored
       .groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
         .cast("long").as("segment"))
@@ -1872,10 +1896,11 @@ object Relational {
   /** §2.2 #188 — Pareto revenue concentration (the 80/20 readout): customers
     * ranked by lifetime revenue, bucketed into rank deciles, cumulative
     * revenue share per decile. The per-customer rollup is fact→dim
-    * reduction (one partial-agg shuffle); the global row_number runs over
-    * the CUSTOMER-bounded frame — the standard warehouse pattern for a
-    * concentration curve (ranking a dim table, never the fact), and the
-    * cumulative window is 10 rows. Totals enter as a one-row broadcast
+    * reduction (one partial-agg shuffle); the global rank runs as
+    * [[PrefixScan.rowNumber]]'s chunked distributed rank over the customer
+    * frame (never an unpartitioned window — a 1B-customer dim in one task
+    * is a wall), and the cumulative window is 10 rows. Totals enter as a
+    * one-row broadcast
     * (computed once, never a correlated re-scan); decile assignment is
     * integer arithmetic (DIV), share the only division — over exact
     * decimal sums, rounded for presentation.
@@ -1885,9 +1910,9 @@ object Relational {
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
     val totals = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("total_rev"))
-    val ranked = rev.crossJoin(broadcast(totals))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("rev").desc, col("o_custkey").asc)))
+    val ranked = PrefixScan.rowNumber(rev.withColumn("negrev", -col("rev")),
+        "negrev", Seq(col("rev").desc, col("o_custkey").asc), "rn")
+      .crossJoin(broadcast(totals))
       .withColumn("decile", expr("CAST((rn - 1) * 10 DIV n_cust AS INT) + 1"))
     val byDec = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("rev_d"),
@@ -1954,18 +1979,29 @@ object Relational {
     * bought Y" primitive (#189 mines WITHIN-order pairs and lift; this
     * sees cross-order taste at the customer level, which is where
     * recommendations live). Candidates from the within-customer pair
-    * fan-out (C(basket,2) per customer — never parts²), part user-counts
-    * broadcast back, cosine from exact integers in fixed order; output
-    * ordered by the INTEGER co-count (double-free ordering), cosine
-    * floor-rounded alongside.
+    * fan-out (C(basket,2) per customer — never parts²), WHALE baskets
+    * capped at `maxBasket` distinct parts (one 10k-part reseller account
+    * would emit 50M pairs from one customer; the kept parts are the
+    * lowest part keys — deterministic — and the truncation is surfaced
+    * as `n_truncated_custs`, never silent), part user-counts over the
+    * capped frame broadcast back, cosine from exact integers in fixed
+    * order; output ordered by the INTEGER co-count (double-free
+    * ordering), cosine floor-rounded alongside.
     */
   def itemCf(spark: SparkSession, dir: String, minCo: Int = 2,
-      topK: Int = 50, maxBroadcastParts: Long = 10000000L): DataFrame = {
+      topK: Int = 50, maxBroadcastParts: Long = 10000000L,
+      maxBasket: Int = 1000): DataFrame = {
     val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
     val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val up = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val upAll = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("cust").orderBy("part")))
+    val truncated = upAll.where(col("prank") > maxBasket)
+      .agg(countDistinct("cust").as("n_truncated_custs"))
+      .localCheckpoint(true)
+    val up = upAll.where(col("prank") <= maxBasket).drop("prank")
       .localCheckpoint(true)
     val freq = up.groupBy("part").agg(count(lit(1)).as("n_users"))
     val hint: DataFrame => DataFrame =
@@ -1979,10 +2015,12 @@ object Relational {
         col("n_users").as("users_a"))), "part_a")
       .join(hint(freq.select(col("part").as("part_b"),
         col("n_users").as("users_b"))), "part_b")
+      .crossJoin(broadcast(truncated))
       .select(col("part_a"), col("part_b"), col("co_users"),
         col("users_a"), col("users_b"),
         fl6(col("co_users").cast("double") /
-          sqrt((col("users_a") * col("users_b")).cast("double"))).as("cos"))
+          sqrt((col("users_a") * col("users_b")).cast("double"))).as("cos"),
+        col("n_truncated_custs"))
       .orderBy(col("co_users").desc, col("part_a").asc, col("part_b").asc)
       .limit(topK)
   }
@@ -2366,13 +2404,16 @@ object Relational {
     * +1 sorts before −1 on ties).
     *
     * Scale shape: sessions are already a user-keyed aggregate; boundaries
-    * are 2 rows/session. The global time-ordered prefix sum is the same
-    * range-partitioned-sort + per-partition-offset pattern as
-    * `Curation.tokenPack`'s distributed prefix sum — Spark's window over a
-    * global ORDER BY executes exactly that (range exchange, in-partition
-    * running sum); nothing is collected to the driver. The per-row max is
-    * order-independent across equal timestamps (the max lands after ALL
-    * +1s at t), so the result is engine- and partition-count-invariant.
+    * are 2 rows/session. The global time-ordered prefix sum runs as
+    * [[PrefixScan.runningSum]]'s chunked two-pass scan — per-time-range
+    * chunk windows in parallel plus a bounded carry broadcast (an
+    * unpartitioned Spark window would drag every boundary row into ONE
+    * task). Chunks split on t_us VALUE ranges, so all boundaries at an
+    * instant share a chunk and the (+1 before −1, then user/seq) tie-break
+    * stays local; the carry-in is a sum over whole prior chunks, which is
+    * order-independent. The per-row max is read at start boundaries only
+    * (the curve rises only at starts), so the result is engine- and
+    * partition-count-invariant.
     */
   def concurrency(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val sess = sessionizeBatch(spark, dir, gapMinutes)
@@ -2381,9 +2422,9 @@ object Relational {
         col("user_id"), col("sess_seq"))
       .unionAll(sess.select(col("last_us").as("t_us"), lit(-1L).as("delta"),
         col("user_id"), col("sess_seq")))
-    val w = Window.orderBy(col("t_us"), col("delta").desc, col("user_id"), col("sess_seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bounds.withColumn("running", sum("delta").over(w))
+    PrefixScan.runningSum(bounds, "t_us",
+        Seq(col("t_us"), col("delta").desc, col("user_id"), col("sess_seq")),
+        "delta", "running")
       .where(col("delta") === 1L)
       .groupBy(date_format(timestamp_micros(col("t_us")), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_starts"), max("running").as("peak_concurrent"))
@@ -2396,17 +2437,19 @@ object Relational {
     * bigger"). NOT the O(n²) dominance anti-join: for 2-D the skyline is a
     * running max over the price-sorted DISTINCT-price profile — a part is
     * dominated iff a strictly cheaper price reached its size, or its own
-    * price has a strictly larger size. One |distinct prices|-row window
-    * (tiny vs the table), one shuffle join back on price; at 100 TB the
+    * price has a strictly larger size. The strict-predecessor max runs as
+    * [[PrefixScan.runningMax]]'s chunked distributed scan (exclusive
+    * frame) over the distinct-price profile — no one-task unpartitioned
+    * window — then one shuffle join back on price; at 100 TB the
     * dominance test never touches row pairs.
     */
   def skyline(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
       .select("p_partkey", "p_name", "p_retailprice", "p_size")
-    val wLt = Window.orderBy("p_retailprice")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val profile = p.groupBy("p_retailprice").agg(max("p_size").as("pmax"))
-      .withColumn("m_lt", max("pmax").over(wLt))
+    val profile = PrefixScan.runningMax(
+      p.groupBy("p_retailprice").agg(max("p_size").as("pmax")),
+      "p_retailprice", Seq(col("p_retailprice")), "pmax", "m_lt",
+      exclusive = true)
     p.join(profile, "p_retailprice")
       .where(col("p_size") === col("pmax") &&
         (col("m_lt").isNull || col("pmax") > col("m_lt")))
@@ -2529,8 +2572,9 @@ object Relational {
     * an ulp; the single division happens once, on the already-maximized
     * integer, rounded. The distribution-drift test behind "did this
     * segment's spend profile change" at any data volume: one histogram
-    * aggregation (shuffle ∝ distinct prices), one window over the bounded
-    * histogram, bounded-frame joins after.
+    * aggregation (shuffle ∝ distinct prices), then BOTH cumulative CDFs in
+    * one [[PrefixScan.runningSums]] distributed scan (no one-task window
+    * over the histogram), bounded-frame joins after.
     */
   def ksTest(spark: SparkSession, dir: String, segA: String = "BUILDING",
       segB: String = "MACHINERY"): DataFrame = {
@@ -2543,11 +2587,10 @@ object Relational {
     val h = v.groupBy("v").agg(
       sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
       sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = h.agg(sum("ca").as("na"), sum("cb").as("nb"))
-    val d = h.select(col("v"),
-        sum("ca").over(wCum).as("cuma"), sum("cb").over(wCum).as("cumb"))
+    val d = PrefixScan.runningSums(h, "v", Seq(col("v")),
+        Seq("ca" -> "cuma", "cb" -> "cumb"))
+      .select("v", "cuma", "cumb")
       .crossJoin(broadcast(totals))
       .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
     val maxd = d.agg(max("dnum").as("max_num"))
@@ -2563,8 +2606,9 @@ object Relational {
   /** §2.2 #215 — POPULATION STABILITY INDEX of order price, pre- vs
     * post-split-date: the production drift monitor for "did the
     * distribution my model/pipeline was tuned on move". Reference deciles
-    * are EXACT lower order statistics from the value histogram (one window
-    * over distinct prices); both periods then bin against the broadcast
+    * are EXACT lower order statistics from the value histogram (cumulated
+    * by [[PrefixScan.runningSum]]'s distributed scan over distinct prices
+    * — no one-task window); both periods then bin against the broadcast
     * 9-row edge set via per-distinct-value counting (never a per-row edge
     * scan), and PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) over the 10
     * bounded cells with Laplace-smoothed shares (+1/+10 — a decile of the
@@ -2581,10 +2625,10 @@ object Relational {
         .otherwise("cur").as("period"), col("o_totalprice").cast(dec).as("v"))
     val hist = o.where(col("period") === "ref")
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.agg(sum("cnt").as("n_ref"))
-    val edges = hist.select(col("v"), sum("cnt").over(wCum).as("cum"))
+    val edges = PrefixScan
+      .runningSum(hist, "v", Seq(col("v")), "cnt", "cum")
+      .select("v", "cum")
       .crossJoin(broadcast(tot))
       .select(col("v"), col("cum"), col("n_ref"),
         explode(sequence(lit(1), lit(9))).as("q"))
@@ -2810,17 +2854,18 @@ object Relational {
     * arrive, measured against the running max event-time in ARRIVAL order
     * (event_id) — the empirical basis for choosing a Structured-Streaming
     * watermark delay (`withWatermark`'s parameter IS this distribution's
-    * tail). The arrival-order prefix max is Spark's range-exchange running
-    * window — the same distributed global-prefix pattern as #57/#204,
-    * nothing collected — and the output is a fixed 5-bucket histogram with
-    * exact counts and one share division per bucket.
+    * tail). The arrival-order prefix max runs as [[PrefixScan.runningMax]]'s
+    * chunked two-pass scan (per-chunk window + bounded carry broadcast —
+    * stock Spark would put an unpartitioned window in ONE task), and the
+    * output is a fixed 5-bucket histogram whose total comes from a window
+    * over the 5-row bucket frame, so the event scan feeds ONE plan path.
     */
   def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = ev.withColumn("late_us", max("t_us").over(w) - col("t_us"))
+    val late = PrefixScan
+      .runningMax(ev, "event_id", Seq(col("event_id")), "t_us", "run_max")
+      .withColumn("late_us", col("run_max") - col("t_us"))
       .withColumn("bucket",
         when(col("late_us") === 0, "0_in_order")
           .when(col("late_us") <= 60L * 1000000L, "1_le_1m")
@@ -2829,8 +2874,11 @@ object Relational {
           .otherwise("4_gt_1h"))
     val buckets = late.groupBy("bucket").agg(count(lit(1)).as("n_events"),
       max("late_us").as("max_late_us"))
-    val tot = buckets.agg(sum("n_events").as("total"))
-    buckets.crossJoin(broadcast(tot))
+    // Share denominator via a window over the 5-row aggregated frame (the
+    // bucket key is a literal CASE, so cardinality is a constant 5): one
+    // pass, no second evaluation of the lateness subtree.
+    buckets
+      .withColumn("total", sum("n_events").over(Window.partitionBy()))
       .select(col("bucket"), col("n_events"), col("max_late_us"),
         round(col("n_events").cast("double") / col("total").cast("double"), 6)
           .as("share"))
@@ -2896,10 +2944,11 @@ object Relational {
     * segments — the distribution-free sibling of #227 (no normality
     * assumption; robust to revenue's heavy tail). Computed WITHOUT ranking
     * rows: 2U = Σ_v cntA(v)·(2·cntB(<v) + cntB(v)) over the VALUE HISTOGRAM
-    * (group-by price then one window over distinct values), so the global
-    * sort touches |distinct prices| entries, not |orders| — at 100 TB the
-    * histogram is bounded by the price domain (~5e7 cent values) while a
-    * row-level rank would shuffle the fact table. Tie correction Σ(t³−t)
+    * (group-by price, then [[PrefixScan.runningSum]]'s chunked distributed
+    * exclusive scan over distinct values — no one-task window even if the
+    * price domain is millions of cent values), so the scan touches
+    * |distinct prices| entries, not |orders|, while a row-level rank would
+    * shuffle the fact table. Tie correction Σ(t³−t)
     * comes from the same histogram. All counts exact decimal; z and the
     * AUC effect size (U/nA·nB — P(A > B) + ½P(tie)) are one double formula
     * each over exact scalars.
@@ -2916,9 +2965,9 @@ object Relational {
       .groupBy("yc")
       .agg(sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, -1)
-    val terms = hist
-      .withColumn("cb_less", coalesce(sum("cb").over(w), lit(0L)))
+    val terms = PrefixScan
+      .runningSum(hist, "yc", Seq(col("yc")), "cb", "cb_less",
+        exclusive = true)
       .select(
         col("ca"), col("cb"),
         (col("ca").cast(big) * (lit(2).cast(big) * col("cb_less").cast(big) +
@@ -3030,9 +3079,10 @@ object Relational {
     * Pareto-with-thresholds. The class boundary test is EXACT decimal
     * (5·cum ≤ 4·total and 20·cum ≤ 19·total — integer-scaled comparisons,
     * no float thresholds drifting a part across a class edge), over a
-    * running sum ordered by (revenue desc, partkey): Spark's range-exchange
-    * prefix-sum pattern (#204), |parts| rows not |lineitem|. Output is the
-    * 3-row class summary.
+    * running sum ordered by (revenue desc, partkey) that executes as
+    * [[PrefixScan.runningSum]]'s chunked distributed scan over the |parts|
+    * frame (no one-task unpartitioned window). Output is the 3-row class
+    * summary.
     */
   def abcClass(spark: SparkSession, dir: String): DataFrame = {
     val rev6 = DecimalType(28, 6)
@@ -3041,10 +3091,8 @@ object Relational {
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(rev6)).as("rev"))
     val tot = perPart.agg(sum("rev").as("total"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perPart
-      .withColumn("cum", sum("rev").over(w))
+    PrefixScan.runningSum(perPart.withColumn("negrev", -col("rev")),
+        "negrev", Seq(col("rev").desc, col("l_partkey")), "rev", "cum")
       .crossJoin(broadcast(tot))
       .withColumn("abc_class",
         when(col("cum") * 5 <= col("total") * 4, "A")
@@ -3432,26 +3480,32 @@ object Relational {
     * lateness (vs the running max event-time in arrival order — #222's
     * measurement), plus the p99 rounded UP to whole minutes, which is the
     * number a Structured-Streaming author pastes into `withWatermark` —
-    * closing the loop from measurement to policy. The arrival-order prefix
-    * max is the range-exchange running-window pattern; percentiles come
-    * from the bounded lateness-value histogram (#211 convention), one row
-    * out.
+    * closing the loop from measurement to policy. BOTH global scans run as
+    * [[PrefixScan]]'s chunked two-pass pattern: the arrival-order prefix
+    * max over raw events, AND the cumulative count over the distinct-µs
+    * lateness histogram (µs-resolution lateness is near event cardinality —
+    * NOT a bounded value histogram, so it gets the same distributed
+    * treatment, not an unpartitioned window). The lateness frame is
+    * lazily `localCheckpoint`ed so the histogram pass reuses it instead of
+    * re-deriving the prefix max. One row out.
     */
   def watermarkReco(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
-    val w = Window.orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val late = ev.withColumn("late_us", max("t_us").over(w) - col("t_us"))
-    val wCum = Window.orderBy("late_us")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val late = PrefixScan
+      .runningMax(ev, "event_id", Seq(col("event_id")), "t_us", "run_max")
+      .withColumn("late_us", col("run_max") - col("t_us"))
+      .select("late_us")
+      .localCheckpoint(false)
     val hist = late.groupBy("late_us").agg(count(lit(1)).as("cnt"))
-      .select(col("late_us"), sum("cnt").over(wCum).as("cum"),
-        sum("cnt").over(Window.partitionBy()).as("n"))
+    val cum = PrefixScan
+      .runningSum(hist, "late_us", Seq(col("late_us")), "cnt", "cum")
+    val tot = hist.agg(sum("cnt").as("n"))
     def q(p: Double, out: String) =
       min(when(col("cum") >= ceil(col("n") * p).cast("long"), col("late_us")))
         .as(out)
-    hist.agg(max("n").as("n_events"), q(0.5, "p50_us"), q(0.95, "p95_us"),
+    cum.crossJoin(broadcast(tot))
+      .agg(max("n").as("n_events"), q(0.5, "p50_us"), q(0.95, "p95_us"),
         q(0.99, "p99_us"), max("late_us").as("max_us"))
       .withColumn("watermark_minutes",
         ceil(col("p99_us").cast("double") / 60000000.0).cast("long"))
@@ -3739,11 +3793,10 @@ object Relational {
       .select(col("c_mktsegment").as("seg"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
           .as("yc"))
-    val wCum = Window.orderBy("yc")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val med = v.groupBy("yc").agg(count(lit(1)).as("cnt"))
-      .select(col("yc"), sum("cnt").over(wCum).as("cum"),
-        sum("cnt").over(Window.partitionBy()).as("n"))
+    val vh = v.groupBy("yc").agg(count(lit(1)).as("cnt"))
+    val vn = vh.agg(sum("cnt").as("n"))
+    val med = PrefixScan.runningSum(vh, "yc", Seq(col("yc")), "cnt", "cum")
+      .crossJoin(broadcast(vn))
       .agg(min(when(col("cum") >= ceil(col("n") * 0.5).cast("long"),
         col("yc"))).as("med"))
     val s = v.crossJoin(broadcast(med)).agg(
@@ -3942,8 +3995,9 @@ object Relational {
     * peak-to-trough drop of the running revenue total — finance's risk
     * primitive applied to the business series ("how bad was the worst
     * slump, and when"). EXACT throughout: cumulative revenue and its
-    * running max are decimal prefix aggregates (range-exchange pattern,
-    * #204), the drawdown per day is a decimal subtraction, and the argmax
+    * running max are decimal prefix aggregates over the CALENDAR-bounded
+    * daily frame (one-task window, |days| rows — not data-sized), the
+    * drawdown per day is a decimal subtraction, and the argmax
     * day is a deterministic (drawdown desc, day asc) top-1 — so peak/trough
     * days can never flip on float noise. One daily rollup, then
     * calendar-bounded windows.
@@ -4085,9 +4139,9 @@ object Relational {
     val joint = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
       .groupBy("yc", "seg").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val wLess = Window.orderBy("yc").rowsBetween(Window.unboundedPreceding, -1)
-    val perValue = joint.groupBy("yc").agg(sum("cnt").as("tv"))
-      .withColumn("cum_less", coalesce(sum("tv").over(wLess), lit(0L)))
+    val perValue = PrefixScan.runningSum(
+        joint.groupBy("yc").agg(sum("cnt").as("tv")),
+        "yc", Seq(col("yc")), "tv", "cum_less", exclusive = true)
       .select(col("yc"),
         (lit(2) * col("cum_less") + col("tv") + 1).cast(big).as("r2"),
         (col("tv").cast(big) * col("tv") * col("tv") - col("tv")).as("tie"))

@@ -248,10 +248,12 @@ object TextAnalysis {
     * designer actually sweeps (10 … 10⁴) — how much of the stream a
     * vocabulary of size K explains, the empirical basis for vocab-size /
     * byte-fallback decisions (and the integral view of `q_zipf`'s slope).
-    * Exact: term counts roll up map-side, ranks come from one window over
-    * the DISTINCT-term frame ordered (count desc, term asc) — vocabulary-
-    * sized, not corpus-sized — and each K's coverage is an exact integer
-    * prefix sum over that frame divided once.
+    * Exact: term counts roll up map-side; ranks and the integer prefix
+    * sum both come from ONE [[PrefixScan.runningSums]] distributed scan
+    * over the DISTINCT-term frame ordered (count desc, term asc) —
+    * vocabulary grows with the corpus (Heaps' law has no ceiling on web
+    * junk), so no one-task unpartitioned window; each K's coverage is one
+    * division.
     */
   def vocabCoverage(spark: SparkSession, dir: String,
       ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
@@ -259,12 +261,10 @@ object TextAnalysis {
     val counts = docs(spark, dir)
       .select(explode(tokensCol).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("term").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = counts
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("c").desc, col("term").asc)))
-      .withColumn("cum", sum("c").over(w))
+      .withColumn("negc", -col("c")).withColumn("one", lit(1L))
+    val ranked = PrefixScan.runningSums(counts, "negc",
+      Seq(col("c").desc, col("term").asc),
+      Seq("one" -> "rk", "c" -> "cum"))
     val tot = counts.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
     // clamp k to the vocabulary size so every requested k emits a row
     // (beyond-vocab k trivially covers 100%) at any scale factor
@@ -838,11 +838,16 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(round(sum(col("tw_bm25").cast(dec)).cast("double"), 6).as("bm25"),
         round(sum(col("tw_tfidf").cast(dec)).cast("double"), 6).as("tfidf"))
-    val ranked = scored
-      .withColumn("rank_bm25", row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-      .withColumn("rank_tfidf", row_number().over(
-        Window.orderBy(col("tfidf").desc, col("doc_id").asc)))
+    // The candidate set is df(query-terms)-sized — corpus-growing for
+    // common terms — so both ranks run as PrefixScan's distributed rank,
+    // not unpartitioned windows; the scored frame is checkpointed once.
+    val base = scored.withColumn("negb", -col("bm25"))
+      .withColumn("negt", -col("tfidf"))
+      .localCheckpoint(false)
+    val ranked = PrefixScan.rowNumber(
+      PrefixScan.rowNumber(base,
+        "negb", Seq(col("bm25").desc, col("doc_id").asc), "rank_bm25"),
+      "negt", Seq(col("tfidf").desc, col("doc_id").asc), "rank_tfidf")
     ranked
       .withColumn("rrf", round(
         lit(1.0) / (lit(kRrf) + col("rank_bm25")) +

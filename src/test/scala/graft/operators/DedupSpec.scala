@@ -580,6 +580,50 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("editDup blockCap skips oversized prefix blocks and reports the mass") {
+    // Default cap (64) skips nothing on the gate corpus...
+    val dflt = Dedup.editDup(spark, sf).collect()
+    assert(dflt.forall(_.getAs[Long]("skipped_blocks") == 0L))
+    // ...a cap of 1 skips EVERY multi-rep block, so no pair can survive.
+    assert(Dedup.editDup(spark, sf, blockCap = 1).count() == 0L)
+    // A cap of 2 keeps only 2-rep blocks: every surviving pair's block
+    // had exactly 2 members, and the skip counters are visible on rows.
+    val two = Dedup.editDup(spark, sf, maxDist = 1000, blockCap = 2).collect()
+    assert(two.nonEmpty, "gate corpus needs a 2-rep prefix block")
+    val expSkipBlocks = {
+      Tables.load(spark, sf, "documents")
+        .withColumn("ckey", sha2(trim(col("text")), 256))
+        .withColumn("rep_id", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ckey")))
+        .where(col("doc_id") === col("rep_id"))
+        .select(concat_ws(" ",
+          slice(split(trim(col("text")), " "), 1, 8)).as("pkey"))
+        .groupBy("pkey").count().where(col("count") > 2).count()
+    }
+    assert(two.head.getAs[Long]("skipped_blocks") == expSkipBlocks)
+  }
+
+  test("dedupRecall stop-shingle cap excludes boilerplate and reports it") {
+    val dflt = Dedup.dedupRecall(spark, sf).collect()
+    assert(dflt.forall(_.getAs[Long]("n_stop_shingles") == 0L),
+      "default cap (1024) must not trigger on the gate corpus")
+    // Cap 0: EVERY shingle is a stop shingle — the ground truth empties
+    // (gt = detected = 0 at every tau) and the full exclusion is reported.
+    val all = Dedup.dedupRecall(spark, sf, shingleDfCap = 0).collect()
+    assert(all.forall(r => r.getAs[Long]("gt_pairs") == 0L &&
+      r.getAs[Long]("detected_pairs") == 0L &&
+      r.getAs[Long]("n_stop_shingles") > 0L))
+  }
+
+  test("lshCurve rejects non-power-of-two band/row configs") {
+    intercept[IllegalArgumentException] {
+      Dedup.lshCurve(spark, sf, configs = Seq((20, 3)))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshCurveOracleSql(configs = Seq((8, 3)))
+    }
+  }
+
   test("clusterSizeHist is the exact histogram of the engine's own cluster map") {
     val hist = Dedup.clusterSizeHist(spark, sf).collect()
       .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap

@@ -2268,6 +2268,30 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("itemCf maxBasket caps whale customers and reports the truncation") {
+    // Gate corpus sits under the default cap: nothing truncated.
+    val dflt = Relational.itemCf(spark, sf).collect()
+    assert(dflt.forall(_.getAs[Long]("n_truncated_custs") == 0L))
+    // Cap 1: every customer keeps ONE part — no within-customer pair can
+    // form, and every multi-part customer is reported truncated.
+    val capped = Relational.itemCf(spark, sf, maxBasket = 1)
+    assert(capped.count() == 0L)
+    val cap2 = Relational.itemCf(spark, sf, minCo = 1, maxBasket = 2).collect()
+    assert(cap2.nonEmpty)
+    val multi = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_partkey").distinct()
+      .groupBy("o_custkey").count().where(col("count") > 2).count()
+    assert(cap2.head.getAs[Long]("n_truncated_custs") == multi)
+    // With cap 2 each kept basket has <= 2 parts: co_users of any pair is
+    // bounded by the number of customers, and every pair's parts are that
+    // customer's two LOWEST part keys — spot-check determinism by rerun.
+    val rerun = Relational.itemCf(spark, sf, minCo = 1, maxBasket = 2).collect()
+    assert(cap2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rerun.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("stratifiedEffect strata partition users and the pooled row is the weighted mean") {
     val rows = Relational.stratifiedEffect(spark, sf).collect()
     val byStr = rows.map(r => r.getAs[String]("stratum") -> r).toMap

@@ -271,7 +271,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     val rows = TextAnalysis.rrfFusion(spark, sf).collect()
     assert(rows.length == 20)
     rows.foreach { r =>
-      val ra = r.getAs[Int]("rank_bm25"); val rb = r.getAs[Int]("rank_tfidf")
+      val ra = r.getAs[Long]("rank_bm25"); val rb = r.getAs[Long]("rank_tfidf")
       assert(ra >= 1 && rb >= 1)
       val expect = BigDecimal(1.0 / (60 + ra) + 1.0 / (60 + rb))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
