@@ -178,7 +178,9 @@ object SparkEntry {
         Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
       val m = TableCopy.TableMeta(
         primaryKey = Seq("c_custkey"),
-        indexes = Seq("customer_nkey_idx" -> Seq("c_nationkey")),
+        indexes = Seq(
+          ("customer_name_uq", Seq("c_name"), true),
+          ("customer_nkey_idx", Seq("c_nationkey"), false)),
         identity = Seq("c_custkey"))
       TableCopy.copy(s, TableCopy.ParquetStore(dir), db, "customer",
         TableCopy.Recreate, predicate = Some("c_custkey % 3 = 0"),
@@ -188,7 +190,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("sum_custkey"))
         .select(col("n_rows"), col("sum_custkey"),
           lit(back.primaryKey.mkString(",")).as("pk_cols"),
-          lit(back.indexes.map { case (n, cs) => s"$n(${cs.mkString(",")})" }
+          lit(back.indexes.map { case (n, cs, uq) =>
+            s"$n(${cs.mkString(",")})${if (uq) ":UNIQUE" else ""}" }
             .mkString(";")).as("dest_indexes"),
           lit(back.identity.mkString(",")).as("identity_cols"))
     }),
@@ -1454,7 +1457,8 @@ object SparkEntry {
       """SELECT count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
         |  'c_custkey' AS pk_cols,
-        |  'CUSTOMER_NKEY_IDX(c_nationkey)' AS dest_indexes,
+        |  'CUSTOMER_NAME_UQ(c_name):UNIQUE;CUSTOMER_NKEY_IDX(c_nationkey)'
+        |    AS dest_indexes,
         |  'c_custkey' AS identity_cols
         |FROM customer WHERE c_custkey % 3 = 0""".stripMargin,
     "copy_jdbc_constraints" ->

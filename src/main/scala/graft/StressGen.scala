@@ -37,13 +37,17 @@ import org.apache.spark.sql.functions._
   *
   * docMode (VERDICT r7 #7): `exact` (default) keeps replica documents
   * byte-identical — the collapse-path worst case above. `mutate` instead
-  * perturbs ~5% of each replica's tokens deterministically
-  * (xxhash64(doc_id, replica, pos) decides per word), so replicas land at
-  * Jaccard ≈ 0.85-0.95 vs their original: NEAR-duplicates that the
-  * exact-dup collapse CANNOT fold away, forcing candidate generation
-  * through the MinHash band path at full corpus size. Replica 0 stays
-  * unmutated. This is the adversarial corpus for q_neardup_jaccard /
-  * q_containment / q_lsh_curve — a 90%-exact corpus flatters collapse.
+  * perturbs a fraction of each replica's tokens deterministically
+  * (xxhash64(doc_id, replica, pos) decides per word; rate = the optional
+  * 5th arg `mutPct`, default 5), so replicas land at Jaccard ≈ 1−2·rate
+  * vs their original: NEAR-duplicates that the exact-dup collapse CANNOT
+  * fold away, forcing candidate generation through the MinHash band path
+  * at full corpus size. Replica 0 stays unmutated. mutPct=5 gives
+  * J ≈ 0.85–0.95 (comfortably above the 0.6 threshold); mutPct=30
+  * (VERDICT r8 #6) lands J ≈ 0.5–0.65 — straddling the threshold, the
+  * hardest regime for band tuning AND the heaviest candidate volume,
+  * because borderline pairs must be exact-verified and mostly rejected.
+  * A 90%-exact corpus flatters collapse; this one cannot be folded.
   */
 object StressGen {
 
@@ -64,6 +68,8 @@ object StressGen {
     val docMode = if (args.length > 3) args(3) else "exact"
     require(docMode == "exact" || docMode == "mutate",
       s"docMode must be exact|mutate, got $docMode")
+    val mutPct = if (args.length > 4) args(4).toInt else 5
+    require(mutPct >= 1 && mutPct <= 99, s"mutPct must be 1..99, got $mutPct")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -106,7 +112,8 @@ object StressGen {
         val mut = array_join(
           transform(words, (w, i) =>
             when(col("replica") =!= 0 &&
-                 pmod(xxhash64(col("doc_id"), col("replica"), i), lit(20)) === 0,
+                 pmod(xxhash64(col("doc_id"), col("replica"), i), lit(100))
+                   < lit(mutPct),
               concat(lit("mutx"),
                 pmod(abs(xxhash64(w, col("replica"), i)), lit(9973)).cast("string")))
             .otherwise(w)),
@@ -115,7 +122,8 @@ object StressGen {
           .withColumn("n_chars", length(col("text")))
       } else shifted).drop("replica")
       out.write.mode("overwrite").parquet(s"$dest/$t.parquet")
-      val how = if (t == "documents" && docMode == "mutate") " (mutated ~5%/replica)" else ""
+      val how = if (t == "documents" && docMode == "mutate")
+        s" (mutated ~$mutPct%/replica)" else ""
       println(s"[stressgen] $t: x$factor, shifted ${shiftCols.mkString("+")} by k*$off$how")
       off
     }

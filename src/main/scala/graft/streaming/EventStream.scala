@@ -591,12 +591,22 @@ object EventStream {
     val conn = java.sql.DriverManager.getConnection(store.url, props)
     try {
       // Destination + ledger bootstrap (idempotent: "exists" tolerated).
+      // Both the tolerated SQLStates and the catalog identifier case go
+      // through the dialect/driver (hardcoding Derby's X0Y32 + toUpperCase
+      // made every micro-batch fail permanently on a lowercase-folding
+      // backend like Postgres, where an existing table read as absent and
+      // the CREATE raised an unswallowed 42P07).
       def tryDdl(sql: String): Unit =
         try { conn.createStatement().executeUpdate(sql); () }
         catch { case e: java.sql.SQLException
-          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => () }
+          if store.dialect.tableExistsStates(e.getSQLState) => () }
       tryDdl(s"CREATE TABLE $ledger (batch_id BIGINT PRIMARY KEY)")
-      val meta = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+      val md = conn.getMetaData
+      val catalogName =
+        if (md.storesUpperCaseIdentifiers) table.toUpperCase
+        else if (md.storesLowerCaseIdentifiers) table.toLowerCase
+        else table
+      val meta = md.getTables(null, null, catalogName, null)
       val destExists = meta.next(); meta.close()
       if (!destExists)
         tryDdl(s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")

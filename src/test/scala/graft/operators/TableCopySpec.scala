@@ -685,17 +685,26 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
         """CREATE TABLE items ("item_id" BIGINT NOT NULL GENERATED BY DEFAULT AS IDENTITY,
           |"grp" INTEGER NOT NULL, "label" VARCHAR(20), PRIMARY KEY ("item_id"))""".stripMargin)
       st.executeUpdate("CREATE INDEX items_grp_idx ON items (\"grp\")")
+      st.executeUpdate("CREATE UNIQUE INDEX items_label_uq ON items (\"label\")")
       st.executeUpdate("INSERT INTO items VALUES (10, 1, 'a'), (20, 1, 'b'), (35, 2, 'c')")
     } finally conn.close()
     val m = src.meta(spark, "items")
     assert(m.primaryKey == Seq("item_id"))
     assert(m.identity == Seq("item_id"))
-    assert(m.indexes == Seq(("ITEMS_GRP_IDX", Seq("grp"))))
+    assert(m.indexes == Seq(("ITEMS_GRP_IDX", Seq("grp"), false),
+      ("ITEMS_LABEL_UQ", Seq("label"), true)))
     TableCopy.copy(spark, src, dst, "items", TableCopy.Recreate, replicateMeta = true)
     val back = dst.meta(spark, "items")
     assert(back.primaryKey == Seq("item_id"))
     assert(back.identity == Seq("item_id"))
-    assert(back.indexes == Seq(("ITEMS_GRP_IDX", Seq("grp"))))
+    assert(back.indexes == Seq(("ITEMS_GRP_IDX", Seq("grp"), false),
+      ("ITEMS_LABEL_UQ", Seq("label"), true)))
+    // The replicated UNIQUE index actually enforces on the destination:
+    // a duplicate label (fresh PK, fresh grp) must be rejected.
+    val uconn = java.sql.DriverManager.getConnection(dst.url)
+    try intercept[java.sql.SQLException] {
+      uconn.createStatement().executeUpdate("INSERT INTO items VALUES (99, 9, 'a')")
+    } finally uconn.close()
     // KeepIdentity semantics: the DESTINATION holds the source's identity
     // VALUES (10, 20, 35), not a regenerated 1, 2, 3 sequence.
     val ids = dst.read(spark, "items").collect()
@@ -963,6 +972,20 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       supplier.where(col("s_suppkey") % 2 === 0).count())
     // v1 snapshot remains on disk, readable by a pinned path
     assert(spark.read.parquet(s"$dest/v1/nation").count() == 10)
+    // Crash recovery: losing CURRENT (the pre-r9 delete-then-rename crash
+    // window) must NOT let the next publish recompute v1 and destroy
+    // history — the version derives from the max existing v<N> snapshot.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dest), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dest/CURRENT"), false)
+    assert(TableCopy.currentSetVersion(spark, dest) == 0)
+    assert(TableCopy.publishSet(spark, Seq(
+      "nation" -> nation.where(col("n_nationkey") < 5),
+      "supplier" -> supplier), dest) == 3)
+    assert(TableCopy.currentSetVersion(spark, dest) == 3)
+    // both historical snapshots intact
+    assert(spark.read.parquet(s"$dest/v1/nation").count() == 10)
+    assert(spark.read.parquet(s"$dest/v2/nation").count() == nation.count())
   }
 
   test("quarantineCopy partitions the source: clean ∪ quarantine = source, first-failing-rule reasons") {

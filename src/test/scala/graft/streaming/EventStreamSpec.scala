@@ -12,6 +12,24 @@ import graft.streaming.EventStream.Event
 
 class EventStreamSpec extends AnyFunSuite with SparkFixture {
 
+  /** Explicit per-test checkpoint dir: the auto-created /tmp/temporary-*
+    * checkpoint is deleted by an async shutdown hook that can race the
+    * final micro-batch commit (the CANNOT_WRITE_STATE_STORE /
+    * FileNotFoundException teardown flake); an explicit dir has no such
+    * hook.
+    */
+  private def ckpt(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  /** stop() then awaitTermination(): don't let the test (and its cleanup)
+    * proceed while the query's last micro-batch is still committing.
+    */
+  private def stopClean(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = {
+    q.stop()
+    q.awaitTermination()
+  }
+
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
 
@@ -25,7 +43,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(3, ts(12), 10, "view", 3.0),
       Event(4, ts(14), 12, "click", 4.0))
     val q = EventStream.windowedCounts(input.toDF())
-      .writeStream.format("memory").queryName("wc")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("wc")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(Event(5, ts(120), 10, "click", 5.0)) // advances watermark
@@ -36,7 +54,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(rows.contains((ts(0).getTime, "click", 2L, 3.0)))
       assert(rows.contains((ts(10).getTime, "view", 1L, 3.0)))
       assert(rows.contains((ts(10).getTime, "click", 1L, 4.0)))
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("windowedCounts on a parquet file stream equals the batch computation") {
@@ -58,7 +76,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       case _ => raw
     }
     val q = EventStream.windowedCounts(stream)
-      .writeStream.format("memory").queryName("wcfile")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("wcfile")
       .outputMode(OutputMode.Complete()).start()
     try {
       q.processAllAvailable()
@@ -70,7 +88,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         graft.sources.Tables.load(spark, sf, "events")).collect())
       assert(streamed == batch)
       assert(streamed.nonEmpty)
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("windowedApproxUsers: stream equals batch bit-for-bit, estimate near exact") {
@@ -85,7 +103,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val input = MemoryStream[Event]
     input.addData(events: _*)
     val q = EventStream.windowedApproxUsers(input.toDF())
-      .writeStream.format("memory").queryName("wau")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("wau")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(Event(9999, ts(120), 1, "click", 1.0)) // close all windows
@@ -113,7 +131,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         assert(math.abs(approx - truth) / truth <= 0.15,
           s"window=$w type=$t approx=$approx exact=$truth")
       }
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("windowedCounts runs on a rate-micro-batch source (kafka-shaped unbounded input)") {
@@ -130,7 +148,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         "CASE WHEN value % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
         "CAST(value % 10 AS DOUBLE) AS value")
     val q = EventStream.windowedCounts(stream)
-      .writeStream.format("memory").queryName("ratewc")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("ratewc")
       .outputMode(OutputMode.Append()).start()
     try {
       // Unbounded source: let event time advance far enough past the
@@ -148,7 +166,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         case ("view", n, s) => assert(n == 50 && s == 250.0)
         case other => fail(s"unexpected row $other")
       }
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("stream-stream join pairs clicks with same-user views inside the time range") {
@@ -161,7 +179,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(3, ts(30), 1, "view", 1.0), // outside the range -> no pair
       Event(4, ts(6), 2, "view", 1.0))  // other user -> no pair
     val q = EventStream.clickToView(input.toDF(), withinMinutes = 10)
-      .writeStream.format("memory").queryName("ctv")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("ctv")
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
@@ -170,7 +188,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       val pairs = spark.table("ctv").collect()
         .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
       assert(pairs == Set((1L, 2L)), s"got $pairs")
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("stream-stream LEFT OUTER join emits unmatched clicks with nulls after the watermark") {
@@ -182,7 +200,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(2, ts(5), 1, "view", 1.0),
       Event(3, ts(1), 2, "click", 1.0))  // no view ever -> null emission
     val q = EventStream.clickToViewOuter(input.toDF(), withinMinutes = 10)
-      .writeStream.format("memory").queryName("ctvo")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("ctvo")
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
@@ -198,7 +216,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
           Option(r.getAs[java.lang.Long]("view_id")).map(_.toLong))).toSet
       assert(rows.contains((1L, Some(2L))), s"matched pair missing: $rows")
       assert(rows.contains((3L, None)), s"unmatched click not emitted with null: $rows")
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("heavyUsers tracks dominant users per shard with MG lower bounds across batches") {
@@ -215,7 +233,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val noise = (1 to 8).map(i => Event(300 + i, ts(i), 5 + i * 2, "click", 1.0))
     input.addData(heavy1 ++ heavy4 ++ noise: _*)
     val q = EventStream.heavyUsers(input.toDS(), shards = 2, m = 3)
-      .writeStream.format("memory").queryName("heavy")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("heavy")
       .outputMode(OutputMode.Update()).start()
     try {
       q.processAllAvailable()
@@ -244,7 +262,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         assert(rs.map(_._2).distinct.length <= 2 * 3, s"shard $shard counters")
       }
     } finally {
-      q.stop()
+      stopClean(q)
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -264,7 +282,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(2, ts(1), 1, "view", 3.0),
       Event(3, ts(2), 2, "click", 5.0))
     val q = EventStream.userProfile(input.toDS())
-      .writeStream.format("memory").queryName("profiles")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("profiles")
       .outputMode(OutputMode.Update()).start()
     try {
       q.processAllAvailable()
@@ -278,7 +296,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(latest(1L) == ((1L, 3L, 15.0, ts(10).getTime * 1000L)), s"user 1: ${latest(1L)}")
       assert(latest(2L) == ((2L, 1L, 5.0, ts(2).getTime * 1000L)), s"user 2: ${latest(2L)}")
     } finally {
-      q.stop()
+      stopClean(q)
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -300,7 +318,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     input.addData(base.zipWithIndex.map { case (v, i) =>
       Event(i + 1L, ts(i), 1, "click", v) } :+ Event(90, ts(0), 2, "click", 500.0): _*)
     val q = EventStream.anomalyFlags(input.toDS())
-      .writeStream.format("memory").queryName("anomalies")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("anomalies")
       .outputMode(OutputMode.Update()).start()
     try {
       q.processAllAvailable()
@@ -323,7 +341,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(flags.head._4 - expectedZ) < 1e-3)
       assert(flags.head._1 == 1L && flags.head._3 == 100.0)
     } finally {
-      q.stop()
+      stopClean(q)
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -340,7 +358,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(1, ts(1), 10, "click", 1.0), // same-batch duplicate
       Event(2, ts(2), 11, "view", 2.0))
     val q = EventStream.dedupped(input.toDF())
-      .writeStream.format("memory").queryName("dedup")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("dedup")
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
@@ -349,7 +367,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
       assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("stream-static join enriches events with dim attributes, statelessly") {
@@ -362,7 +380,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(2, ts(2), 11, "view", 2.0),
       Event(3, ts(3), 99, "click", 3.0)) // no dim row -> null tier
     val q = EventStream.enriched(input.toDF(), dim)
-      .writeStream.format("memory").queryName("enriched")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("enriched")
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
@@ -371,7 +389,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(rows == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
       // Stateless: the micro-batch ran no streaming state store operator.
       assert(q.lastProgress.stateOperators.isEmpty)
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("foreachBatch sink receives each append batch as an ordinary DataFrame") {
@@ -389,14 +407,15 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
           (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
       }
     val q = EventStream.windowedCounts(input.toDF())
-      .writeStream.outputMode(OutputMode.Append()).foreachBatch(sink).start()
+      .writeStream.option("checkpointLocation", ckpt())
+      .outputMode(OutputMode.Append()).foreachBatch(sink).start()
     try {
       input.addData(Event(4, ts(120), 10, "click", 5.0)) // advances watermark
       q.processAllAvailable()
       val got = seen.synchronized(seen.toSet)
       assert(got.contains((ts(0).getTime, "click", 2L, 3.0)))
       assert(got.contains((ts(10).getTime, "view", 1L, 3.0)))
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("sessionize splits on the idle gap and closes sessions as the watermark advances") {
@@ -411,7 +430,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(4, ts(61), 1, "click", 8.0),
       Event(5, ts(0), 2, "view", 1.5))
     val q = EventStream.sessionize(input.toDS(), gapMinutes = 30)
-      .writeStream.format("memory").queryName("sess")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("sess")
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable()
@@ -432,7 +451,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       input.addData(Event(7, ts(180), 3, "click", 1.0))
       q.processAllAvailable()
       assert(rows == Set((1L, 2, 3.0), (2L, 1, 1.5), (1L, 2, 12.0), (3L, 1, 1.0)))
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("observed metrics surface per-batch pipeline health without a second pass") {
@@ -455,7 +474,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
             org.apache.spark.sql.functions.col("value") < 0, 1L)
             .otherwise(0L)).as("n_negative"))
     val q = EventStream.windowedCounts(observed)
-      .writeStream.format("memory").queryName("obs")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("obs")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
     try {
       q.processAllAvailable()
@@ -466,7 +485,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         Option(p.observedMetrics.get("ingest"))).last
       assert(m.getAs[Long]("n_rows") == 3L)
       assert(m.getAs[Long]("n_negative") == 1L)
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("cdcApply merges keyed change batches into the destination, last writer wins") {
@@ -526,7 +545,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val input = MemoryStream[Event]
     input.addData(events: _*)
     val q = EventStream.psiMonitor(input.toDF(), edges, baseCounts)
-      .writeStream.format("memory").queryName("psimon")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("psimon")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(Event(9999, ts(600), 1, "click", 1.0))
@@ -544,7 +563,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       // the baseline-shaped window is quiet; the piled-up window pages
       assert(!w0._4, s"window 0 should not drift: $w0")
       assert(w1._4 && w1._3 > w0._3, s"window 1 must flag: $w1")
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("jdbcUpsertSink merges micro-batches into Derby exactly once, replay is a no-op") {
@@ -627,7 +646,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       Event(2, ts(10), 1, "click", 2.0),  // same session (10 < 0+30)
       Event(3, ts(60), 1, "click", 4.0))  // new session  (60 > 10+30)
     val q = EventStream.sessionWindowAgg(input.toDF(), gapMinutes = 30)
-      .writeStream.format("memory").queryName("swa")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("swa")
       .outputMode(OutputMode.Append()).start()
     try {
       // Watermark (30 min behind max event time) must pass a session's END
@@ -640,7 +659,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(got == Set(
         (1L, ts(0).getTime, ts(40).getTime, 2L, 3.0),
         (1L, ts(60).getTime, ts(90).getTime, 1L, 4.0)))
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("sessionWindowAgg in batch mode agrees with Relational.sessionizeBatch") {
@@ -682,7 +701,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val input = MemoryStream[Event]
     input.addData(events: _*)
     val q = EventStream.topTypesPerWindow(input.toDS(), 10, 2)
-      .writeStream.format("memory").queryName("topk")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("topk")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(Event(9999, ts(600), 1, "click", 1.0)) // close all 3 windows
@@ -699,7 +718,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       }.toSet
       assert(got == want, s"stream=$got vs batch=$want")
       assert(got.size == 6) // 3 closed windows x k=2
-    } finally q.stop()
+    } finally stopClean(q)
   }
 
   test("srmMonitor: stream equals batch and flags a deliberately skewed window") {
@@ -718,7 +737,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val input = MemoryStream[Event]
     input.addData(events: _*)
     val q = EventStream.srmMonitor(input.toDF())
-      .writeStream.format("memory").queryName("srm")
+      .writeStream.option("checkpointLocation", ckpt()).format("memory").queryName("srm")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData(Event(9999, ts(600), 1, "click", 1.0))
@@ -734,6 +753,6 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       val w1 = streamed.find(_._1 == ts(10).getTime).get
       assert(w1._3 == 0L && w1._2 >= 50L)
       assert(w1._5)
-    } finally q.stop()
+    } finally stopClean(q)
   }
 }
