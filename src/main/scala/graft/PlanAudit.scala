@@ -90,7 +90,10 @@ object PlanAudit {
     "q_lateness", "q_watermark_reco", "q_concurrency",
     // calendar-bounded |days| and |days|^2 frames (theil_sen pair frame
     // is a non-equi join of the checkpointed daily series)
-    "q_theil_sen")
+    "q_theil_sen",
+    // r9 daily-series toolbox: lag/rolling/row_number windows over the
+    // calendar-bounded daily-revenue rollup (|days| rows at any SF)
+    "q_durbin_watson", "q_bollinger", "q_rsi", "q_hurst", "q_peak_detect")
 
   /** Queries whose single-partition window input shows as RAW only
     * because `localCheckpoint` truncated the lineage of a BOUNDED frame
@@ -99,7 +102,11 @@ object PlanAudit {
   private val rawWindowOk: Set[String] = Set(
     // |days|^2 calendar pair frame built from the checkpointed daily
     // rollup — bounded by the time window, not the corpus
-    "q_theil_sen", "q_mann_kendall")
+    "q_theil_sen", "q_mann_kendall",
+    // r9: lag/row_number windows over the CHECKPOINTED calendar-bounded
+    // daily rollup (|days| rows at any SF; the aggregate that bounded it
+    // sits above the checkpoint)
+    "q_durbin_watson", "q_hurst")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -244,7 +251,18 @@ object PlanAudit {
         "q_resize_plan", "q_skyline",
         // no-silent-caps reporting: 1-row truncation/skip counter frames
         // (edit_dup skipped blocks, item_cf truncated whale customers)
-        "q_edit_dup", "q_item_cf")
+        "q_edit_dup", "q_item_cf",
+        // r9 stats batch: 1-row margins/fit/totals frames broadcast over
+        // bounded frames — cramers_v (r·c cell margins + grand total),
+        // wilcoxon (PrefixScan bounds + 1-row moment frame), durbin_watson
+        // / cooks_distance / grubbs / sax / hurst (1-row OLS-fit or power-
+        // sum frame over the calendar daily series), wasserstein
+        // (PrefixScan bounds + 1-row n_A/n_B totals), poisson_rate (1-row
+        // span frame), friedman (1-row k and Q frames over the ≤k-segment
+        // rank sums), entropy_rate (1-row rate frame over the k-state pi)
+        "q_cramers_v", "q_wilcoxon_signed", "q_durbin_watson",
+        "q_cooks_distance", "q_grubbs", "q_sax", "q_hurst",
+        "q_wasserstein", "q_poisson_rate", "q_friedman", "q_entropy_rate")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

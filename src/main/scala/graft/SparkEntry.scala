@@ -822,6 +822,22 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+    // r9 additions (§2 #329-#342): effect sizes, nonparametric pairs,
+    // regression diagnostics, and the daily-series toolbox
+    "q_cramers_v" -> ((s, dir) => Relational.cramersV(s, dir)),
+    "q_wilcoxon_signed" -> ((s, dir) => Relational.wilcoxonSigned(s, dir)),
+    "q_durbin_watson" -> ((s, dir) => Relational.durbinWatson(s, dir)),
+    "q_grubbs" -> ((s, dir) => Relational.grubbs(s, dir)),
+    "q_cooks_distance" -> ((s, dir) => Relational.cooksDistance(s, dir)),
+    "q_wasserstein" -> ((s, dir) => Relational.wasserstein(s, dir)),
+    "q_poisson_rate" -> ((s, dir) => Relational.poissonRate(s, dir)),
+    "q_friedman" -> ((s, dir) => Relational.friedman(s, dir)),
+    "q_bollinger" -> ((s, dir) => Relational.bollinger(s, dir)),
+    "q_rsi" -> ((s, dir) => Relational.rsi(s, dir)),
+    "q_sax" -> ((s, dir) => Relational.sax(s, dir)),
+    "q_hurst" -> ((s, dir) => Relational.hurst(s, dir)),
+    "q_entropy_rate" -> ((s, dir) => Relational.entropyRate(s, dir)),
+    "q_peak_detect" -> ((s, dir) => Relational.peakDetect(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -5267,5 +5283,381 @@ object SparkEntry {
         |  n_in - coalesce(n_out, 0) AS n_dropped
         |FROM inc LEFT JOIN outc ON inc.source = outc.source
         |ORDER BY inc.source""".stripMargin,
+    // ---- r9 additions (#329-#342). All roundings are the engine-stable
+    // floor(x*1e6+0.5)/1e6 form (round()-on-DOUBLE is linted out).
+    "q_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS seg, o_orderstatus AS st, count(*)::BIGINT AS nij
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |rt AS (SELECT seg, sum(nij)::BIGINT AS nr FROM cells GROUP BY 1),
+        |ct AS (SELECT st, sum(nij)::BIGINT AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(nij)::BIGINT AS n, count(DISTINCT seg)::BIGINT AS r,
+        |        count(DISTINCT st)::BIGINT AS c FROM cells),
+        |terms AS (
+        |  SELECT n, r, c,
+        |    (CAST(nij AS DOUBLE) - CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(nij AS DOUBLE) - CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE)) AS term
+        |  FROM cells JOIN rt USING (seg) JOIN ct USING (st) CROSS JOIN tot)
+        |SELECT max(n) AS n_total, max(r) AS n_segs, max(c) AS n_stats,
+        |  floor(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+        |  floor(sqrt(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+        |    / CAST(max(n) * least(max(r) - 1, max(c) - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |    AS cramers_v
+        |FROM terms""".stripMargin,
+    "q_wilcoxon_signed" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_custkey) AS cnt
+        |  FROM orders),
+        |pairs AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN rn = cnt THEN pc END) -
+        |    max(CASE WHEN rn = 1 THEN pc END) AS d
+        |  FROM o WHERE cnt >= 2 AND (rn = 1 OR rn = cnt) GROUP BY 1),
+        |nz AS (SELECT o_custkey, d, abs(d) AS absd FROM pairs WHERE d <> 0),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY absd, o_custkey) AS gr FROM nz),
+        |g AS (SELECT absd, count(*)::BIGINT AS tk,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS npos,
+        |    CAST(min(gr) + max(gr) AS DOUBLE) / 2.0 AS avg_rank
+        |  FROM rk GROUP BY 1),
+        |s AS (SELECT sum(tk)::BIGINT AS n,
+        |    CAST(sum(CAST(avg_rank * CAST(npos AS DOUBLE) AS DECIMAL(38,1)))
+        |      AS DOUBLE) AS wp,
+        |    sum(tk * tk * tk - tk)::BIGINT AS ties FROM g)
+        |SELECT n AS n_pairs, wp AS w_plus,
+        |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0 * 1e6 + 0.5) / 1e6 AS mu,
+        |  floor(sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(ties AS DOUBLE) / 48.0) * 1e6 + 0.5) / 1e6 AS sigma,
+        |  floor((wp - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+        |    / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+        |      * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+        |      - CAST(ties AS DOUBLE) / 48.0) * 1e6 + 0.5) / 1e6 AS z_stat
+        |FROM s""".stripMargin,
+    "q_durbin_watson" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(yc)::BIGINT AS sy, sum(x * yc)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM (SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+        |          AS x, yc FROM daily)),
+        |fit AS (SELECT n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      AS slope_c, sx, sy FROM f),
+        |fit2 AS (SELECT n, slope_c,
+        |    (CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS icept_c FROM fit),
+        |res AS (SELECT day, n,
+        |    CAST(yc AS DOUBLE) - (icept_c + slope_c
+        |      * CAST(date_diff('day', DATE '1995-01-01', day) AS DOUBLE)) AS e
+        |  FROM daily CROSS JOIN fit2),
+        |d AS (SELECT n, e, e - lag(e) OVER (ORDER BY day) AS de FROM res)
+        |SELECT max(n) AS n_days,
+        |  floor(CAST(sum(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS dw_stat,
+        |  floor((1.0 - CAST(sum(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(sum(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) / 2.0) * 1e6 + 0.5)
+        |    / 1e6 AS rho_lag1
+        |FROM d""".stripMargin,
+    "q_grubbs" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM daily_src GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(yc)::BIGINT AS sy,
+        |    sum(CAST(yc AS HUGEINT) * yc) AS qy FROM daily),
+        |scored AS (
+        |  SELECT day, n,
+        |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
+        |    sqrt((CAST(qy AS DOUBLE)
+        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS sdev,
+        |    abs(CAST(yc AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS adev
+        |  FROM daily CROSS JOIN s)
+        |SELECT n AS n_days,
+        |  floor(m * 1e6 + 0.5) / 1e6 AS mean_rev,
+        |  floor(sdev * 1e6 + 0.5) / 1e6 AS sd_rev,
+        |  floor(adev / (sdev * 100.0) * 1e6 + 0.5) / 1e6 AS g_stat,
+        |  strftime(day, '%Y-%m-%d') AS top_day
+        |FROM scored ORDER BY adev DESC, day DESC LIMIT 1""".stripMargin
+        .replace("daily_src", "orders"),
+    "q_cooks_distance" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(yc)::BIGINT AS sy, sum(x * yc)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM (SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
+        |          AS x, yc FROM daily)),
+        |fit AS (SELECT n, sx, sxx,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      AS slope_c, sy FROM f),
+        |fit2 AS (SELECT n, sx, sxx, slope_c,
+        |    (CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      AS icept_c FROM fit),
+        |res AS (SELECT day, yc, n, sx, sxx,
+        |    CAST(date_diff('day', DATE '1995-01-01', day) AS DOUBLE) AS x,
+        |    CAST(yc AS DOUBLE) - (icept_c + slope_c
+        |      * CAST(date_diff('day', DATE '1995-01-01', day) AS DOUBLE)) AS e
+        |  FROM daily CROSS JOIN fit2),
+        |sse AS (SELECT sum(CAST(e * e AS DECIMAL(38,6))) AS sse FROM res),
+        |scored AS (
+        |  SELECT day, yc, e,
+        |    1.0 / CAST(n AS DOUBLE)
+        |      + (x - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (x - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(sxx AS DOUBLE)
+        |          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
+        |      AS h,
+        |    CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) - 2.0) AS s2
+        |  FROM res CROSS JOIN sse)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(yc AS DOUBLE) / 100.0 AS revenue,
+        |  floor(h * 1e6 + 0.5) / 1e6 AS leverage,
+        |  floor(e / 100.0 * 1e6 + 0.5) / 1e6 AS resid,
+        |  floor(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)) * 1e6 + 0.5) / 1e6
+        |    AS cooks_d
+        |FROM scored ORDER BY cooks_d DESC, day LIMIT 10""".stripMargin,
+    "q_wasserstein" ->
+      """WITH v AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |h AS (SELECT vc,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT AS cb
+        |  FROM v GROUP BY 1),
+        |c AS (SELECT vc,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    lead(vc) OVER (ORDER BY vc) AS vnext
+        |  FROM h WINDOW w AS (ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT max(cuma)::BIGINT AS na, max(cumb)::BIGINT AS nb FROM c)
+        |SELECT na, nb,
+        |  floor(CAST(sum(CAST(abs(cuma * nb - cumb * na) * (vnext - vc)
+        |      AS DECIMAL(38,0))) AS DOUBLE)
+        |    / CAST(na * nb AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS w1_dollars
+        |FROM c CROSS JOIN t WHERE vnext IS NOT NULL GROUP BY na, nb""".stripMargin,
+    "q_poisson_rate" ->
+      """WITH ev AS (SELECT event_type, ts::DATE AS day FROM events),
+        |span AS (SELECT CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+        |  AS n_days FROM ev),
+        |pt AS (SELECT event_type, count(*)::BIGINT AS n_events FROM ev GROUP BY 1)
+        |SELECT event_type, n_events, n_days,
+        |  floor(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS rate_per_day,
+        |  floor((CAST(n_events AS DOUBLE) - 1.959964 * sqrt(CAST(n_events AS DOUBLE)))
+        |    / CAST(n_days AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |  floor((CAST(n_events AS DOUBLE) + 1.959964 * sqrt(CAST(n_events AS DOUBLE)))
+        |    / CAST(n_days AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ci_hi
+        |FROM pt CROSS JOIN span ORDER BY event_type""".stripMargin,
+    "q_friedman" ->
+      """WITH cells AS (
+        |  SELECT strftime(o_orderdate::DATE, '%Y-%m') AS month,
+        |    c_mktsegment AS seg,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT seg)::BIGINT AS k FROM cells),
+        |comp AS (SELECT month, seg, yc FROM (
+        |    SELECT cells.*, count(*) OVER (PARTITION BY month) AS nseg FROM cells) x
+        |  CROSS JOIN kk WHERE nseg = k),
+        |rkd AS (SELECT month, seg, yc,
+        |    rank() OVER (PARTITION BY month ORDER BY yc) AS rk,
+        |    count(*) OVER (PARTITION BY month, yc) AS tw
+        |  FROM comp),
+        |rs AS (SELECT seg, count(*)::BIGINT AS n_months,
+        |    sum(CAST(CAST(rk AS DOUBLE) + CAST(tw - 1 AS DOUBLE) / 2.0
+        |      AS DECIMAL(38,1))) AS rsum
+        |  FROM rkd GROUP BY 1),
+        |q AS (SELECT max(k) AS kk2, max(n_months) AS nn,
+        |    sum(CAST(CAST(rsum AS DECIMAL(18,1)) * CAST(rsum AS DECIMAL(18,1))
+        |      AS DECIMAL(38,2))) AS r2
+        |  FROM rs CROSS JOIN kk),
+        |qq AS (SELECT
+        |    12.0 * CAST(r2 AS DOUBLE) / CAST(nn * kk2 * (kk2 + 1) AS DOUBLE)
+        |      - 3.0 * CAST(nn * (kk2 + 1) AS DOUBLE) AS q_raw,
+        |    kk2 - 1 AS dfree FROM q)
+        |SELECT seg AS segment, n_months, CAST(rsum AS DOUBLE) AS rank_sum,
+        |  floor(q_raw * 1e6 + 0.5) / 1e6 AS q_stat, dfree AS df
+        |FROM rs CROSS JOIN qq ORDER BY segment""".stripMargin,
+    "q_bollinger" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, yc,
+        |    count(*) OVER w AS cnt, sum(yc) OVER w AS s,
+        |    sum(CAST(yc AS HUGEINT) * yc) OVER w AS q
+        |  FROM daily WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT day, yc,
+        |    CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 100.0 AS ma,
+        |    sqrt(CAST(cnt AS DOUBLE) * CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |      / CAST(cnt AS DOUBLE) / 100.0 AS sd
+        |  FROM r WHERE cnt = 20)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(yc AS DOUBLE) / 100.0 AS revenue,
+        |  floor(ma * 1e6 + 0.5) / 1e6 AS ma20,
+        |  floor(sd * 1e6 + 0.5) / 1e6 AS sd20,
+        |  CAST(yc AS DOUBLE) / 100.0 > ma + 2.0 * sd AS breach_hi,
+        |  CAST(yc AS DOUBLE) / 100.0 < ma - 2.0 * sd AS breach_lo
+        |FROM b ORDER BY day""".stripMargin,
+    "q_rsi" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT day, yc - lag(yc) OVER (ORDER BY day) AS d FROM daily),
+        |nn AS (SELECT day, d FROM d WHERE d IS NOT NULL),
+        |r AS (SELECT day,
+        |    count(*) OVER w AS cnt,
+        |    sum(greatest(d, 0)) OVER w AS sg,
+        |    sum(greatest(-d, 0)) OVER w AS sl
+        |  FROM nn WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  floor(CAST(sg AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS gain_sum,
+        |  floor(CAST(sl AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS loss_sum,
+        |  floor(100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS rsi,
+        |  CASE WHEN 100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) > 70.0
+        |    THEN 'overbought'
+        |    WHEN 100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE) < 30.0
+        |    THEN 'oversold' ELSE 'neutral' END AS signal
+        |FROM r WHERE cnt = 14 AND sg + sl > 0 ORDER BY day""".stripMargin,
+    "q_sax" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n, sum(yc)::BIGINT AS sy,
+        |    sum(CAST(yc AS HUGEINT) * yc) AS qy FROM daily),
+        |z AS (SELECT day,
+        |    (CAST(yc AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(qy AS DOUBLE)
+        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE)) AS z
+        |  FROM daily CROSS JOIN s)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  floor(z * 1e6 + 0.5) / 1e6 AS z_score,
+        |  CASE WHEN z < -0.6744897501960817 THEN 'a' WHEN z < 0.0 THEN 'b'
+        |    WHEN z < 0.6744897501960817 THEN 'c' ELSE 'd' END AS symbol
+        |FROM z ORDER BY day""".stripMargin,
+    "q_hurst" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT day, yc, row_number() OVER (ORDER BY day) AS i FROM daily),
+        |sized AS (SELECT day, yc, i, w, (i - 1) // w AS blk
+        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS w)),
+        |blocks AS (SELECT w, blk, count(*)::BIGINT AS bn, sum(yc)::BIGINT AS bs,
+        |    sum(CAST(yc AS HUGEINT) * yc) AS bq
+        |  FROM sized GROUP BY 1, 2 HAVING count(*) = max(w)),
+        |wc AS (SELECT s.w, s.blk, b.bn, b.bs, b.bq,
+        |    row_number() OVER (PARTITION BY s.w, s.blk ORDER BY s.i) AS j,
+        |    sum(s.yc) OVER (PARTITION BY s.w, s.blk ORDER BY s.i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sized s JOIN blocks b USING (w, blk)),
+        |rs AS (SELECT w, blk, max(bn) AS bn, max(bs) AS bs, max(bq) AS bq,
+        |    max(CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
+        |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE)))
+        |      - min(CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
+        |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE))) AS rng
+        |  FROM wc GROUP BY 1, 2),
+        |lrs AS (SELECT w, ln(rng / (sqrt((CAST(bq AS DOUBLE)
+        |      - (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE))
+        |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE)) * CAST(w AS DOUBLE))
+        |      / CAST(w AS DOUBLE)))) AS lrs
+        |  FROM rs
+        |  WHERE sqrt((CAST(bq AS DOUBLE)
+        |      - (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE))
+        |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE)) * CAST(w AS DOUBLE))
+        |      / CAST(w AS DOUBLE)) > 0),
+        |perw AS (SELECT w, count(*)::BIGINT AS n_blocks,
+        |    CAST(sum(CAST(lrs AS DECIMAL(38,12))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS mean_lrs
+        |  FROM lrs GROUP BY 1),
+        |fit AS (SELECT count(*)::BIGINT AS m,
+        |    sum(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(mean_lrs AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(ln(CAST(w AS DOUBLE)) * mean_lrs AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))
+        |      AS DECIMAL(38,12))) AS sxx
+        |  FROM perw),
+        |hh AS (SELECT (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS h FROM fit)
+        |SELECT w AS win_size, n_blocks,
+        |  floor(mean_lrs * 1e6 + 0.5) / 1e6 AS mean_log_rs,
+        |  floor(h * 1e6 + 0.5) / 1e6 AS hurst
+        |FROM perw CROSS JOIN hh ORDER BY win_size""".stripMargin,
+    "q_entropy_rate" -> {
+      def rnd(prev: String, out: String): String =
+        s"""$out AS (SELECT st.event_type, coalesce(CAST(x.in_p AS DOUBLE), 0.0) AS p
+           |  FROM st LEFT JOIN (
+           |    SELECT tr.to_type AS event_type,
+           |      sum(CAST(pp.p * (CAST(tr.nij AS DOUBLE) / CAST(rt.ni AS DOUBLE))
+           |        AS DECIMAL(38,18))) AS in_p
+           |    FROM tr JOIN rt USING (from_type)
+           |    JOIN $prev pp ON pp.event_type = tr.from_type
+           |    GROUP BY 1) x ON x.event_type = st.event_type)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |tr AS (SELECT from_type, to_type, count(*)::BIGINT AS nij FROM s
+         |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, sum(nij)::BIGINT AS ni FROM tr GROUP BY 1),
+         |st AS (SELECT DISTINCT event_type FROM (
+         |  SELECT from_type AS event_type FROM tr
+         |  UNION ALL SELECT to_type FROM tr)),
+         |nst AS (SELECT count(*)::BIGINT AS n FROM st),
+         |p0 AS (SELECT event_type, 1.0 / n AS p FROM st, nst),
+         |${rnd("p0", "r1")},
+         |${rnd("r1", "r2")},
+         |${rnd("r2", "r3")},
+         |rowent AS (SELECT from_type AS event_type,
+         |    CAST(sum(CAST(-(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+         |      * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+         |      AS DECIMAL(38,18))) AS DOUBLE) AS h_row
+         |  FROM tr JOIN rt USING (from_type) GROUP BY 1),
+         |j AS (SELECT r3.event_type, r3.p, coalesce(rowent.h_row, 0.0) AS h_row
+         |  FROM r3 LEFT JOIN rowent USING (event_type)),
+         |rate AS (SELECT CAST(sum(CAST(p * h_row AS DECIMAL(38,18))) AS DOUBLE)
+         |  AS hr FROM j)
+         |SELECT event_type, floor(p * 1e9 + 0.5) / 1e9 AS pi,
+         |  floor(h_row * 1e6 + 0.5) / 1e6 AS h_row,
+         |  floor(hr * 1e6 + 0.5) / 1e6 AS entropy_rate
+         |FROM j CROSS JOIN rate ORDER BY event_type""".stripMargin
+    },
+    "q_peak_detect" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS day,
+        |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT day, yc, lag(yc) OVER (ORDER BY day) AS prev,
+        |    lead(yc) OVER (ORDER BY day) AS nxt FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(yc AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(yc - greatest(prev, nxt) AS DOUBLE) / 100.0 AS prominence
+        |FROM n WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        |  AND yc > prev AND yc > nxt ORDER BY day""".stripMargin,
   )
 }

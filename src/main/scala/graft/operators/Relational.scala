@@ -4790,4 +4790,537 @@ object Relational {
       fl6(col("ml")).as("mean_before"), fl6(col("mr")).as("mean_after"),
       fl6(lit(1.0) - col("sse_split") / sseTotal).as("sse_reduction"))
   }
+
+  /** The shared CALENDAR-bounded daily-revenue frame (day, yc cents):
+    * one map-side-combined aggregate collapses the fact table to ≤|days|
+    * rows, after which unpartitioned day-ordered windows are bounded by
+    * the calendar span, not the data size (the house allowlist rule).
+    */
+  private def dailyCents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+
+  /** §2.2 #329 — CRAMÉR'S V association between market segment and order
+    * status: the χ² of the r×c contingency table normalized to [0,1] so
+    * association strength is comparable across table shapes (χ² alone
+    * grows with n — #224 flags significance, this says EFFECT SIZE).
+    * One broadcast-joined fact pass collapses to the ≤r·c cell frame;
+    * margins come from re-aggregating the cells (never a second fact
+    * scan); each cell's (o−e)²/e is one fixed-order double formula over
+    * exact integer counts, decimal-summed.
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val cells = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val rowsT = cells.groupBy("seg").agg(sum("nij").as("nr"))
+    val colsT = cells.groupBy("st").agg(sum("nij").as("nc"))
+    val tot = cells.agg(sum("nij").as("n"),
+      countDistinct("seg").as("r"), countDistinct("st").as("c"))
+    val e = (col("nr") * col("nc")).cast("double") / col("n").cast("double")
+    val term = (col("nij").cast("double") - e) * (col("nij").cast("double") - e) / e
+    cells.join(broadcast(rowsT), "seg").join(broadcast(colsT), "st")
+      .crossJoin(broadcast(tot))
+      .agg(max("n").as("n_total"), max("r").as("n_segs"), max("c").as("n_stats"),
+        sum(term.cast(DecimalType(38, 12))).as("chi2d"))
+      .select(col("n_total"), col("n_segs"), col("n_stats"),
+        fl6(col("chi2d").cast("double")).as("chi2"),
+        fl6(sqrt(col("chi2d").cast("double") /
+          (col("n_total") * least(col("n_segs") - 1, col("n_stats") - 1))
+            .cast("double"))).as("cramers_v"))
+  }
+
+  /** §2.2 #330 — WILCOXON SIGNED-RANK test of first-vs-last order value
+    * per customer (paired, distribution-free): did repeat customers'
+    * spend SHIFT, without assuming normality (the paired companion to
+    * the two-sample #228). Pairs are exact cents (first/last picked by a
+    * user-partitioned window — no averaging, no division), zeros dropped
+    * per the classic procedure, and |d| ranks come from
+    * [[PrefixScan.rowNumber]]'s distributed rank with average-rank tie
+    * folding ((min+max)/2 per distinct |d|, exact at .5 granularity) —
+    * no customer-dimension-sized single-task window. Normal
+    * approximation with the tie-corrected variance.
+    */
+  def wilcoxonSigned(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("pc"))
+      .select(col("o_custkey"), col("pc"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("cnt"))
+    val pairs = o.where(col("cnt") >= 2 &&
+        (col("rn") === 1 || col("rn") === col("cnt")))
+      .groupBy("o_custkey")
+      .agg((max(when(col("rn") === col("cnt"), col("pc"))) -
+        max(when(col("rn") === 1, col("pc")))).as("d"))
+      .where(col("d") =!= 0)
+      .select(col("o_custkey"), col("d"), abs(col("d")).as("absd"))
+    val rn = PrefixScan.rowNumber(pairs, "absd",
+      Seq(col("absd"), col("o_custkey")), "gr")
+    val ranked = rn.groupBy("absd")
+      .agg(min("gr").as("lo"), max("gr").as("hi"), count(lit(1)).as("tk"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("npos"))
+      .select(col("absd"), col("tk"), col("npos"),
+        ((col("lo") + col("hi")).cast("double") / 2.0).as("avg_rank"))
+    val s = ranked.agg(
+      sum("tk").as("n"),
+      sum((col("avg_rank") * col("npos").cast("double"))
+        .cast(DecimalType(38, 1))).as("wp"),
+      sum(col("tk") * col("tk") * col("tk") - col("tk")).as("ties"))
+    val nD = col("n").cast("double")
+    val mu = nD * (nD + 1.0) / 4.0
+    val sig = sqrt(nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("ties").cast("double") / 48.0)
+    s.select(col("n").as("n_pairs"), col("wp").cast("double").as("w_plus"),
+      fl6(mu).as("mu"), fl6(sig).as("sigma"),
+      fl6((col("wp").cast("double") - mu) / sig).as("z_stat"))
+  }
+
+  /** OLS of daily revenue (cents) on the day offset from 1995-01-01:
+    * (n, Σx, Σy, slope, intercept) from exact integer power sums — the
+    * shared fit of [[durbinWatson]] and [[cooksDistance]]. 1-row frame.
+    */
+  private def dailyFit(daily: DataFrame): DataFrame = {
+    val s = daily
+      .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("x"),
+        col("yc"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yc").as("sy"),
+        sum(col("x") * col("yc")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    s.select(col("n"), col("sx"), col("sy"), col("sxx"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("slope_c"))
+      .withColumn("icept_c",
+        (col("sy").cast("double") - col("slope_c") * col("sx").cast("double")) /
+          col("n").cast("double"))
+  }
+
+  /** §2.2 #331 — DURBIN–WATSON autocorrelation test on the daily-revenue
+    * OLS residuals: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² ≈ 2(1−ρ₁) — "are the
+    * regression's errors serially correlated" (if yes, #218's reported
+    * fit is overconfident and a time-series model is warranted; the
+    * residual-side companion to #154's raw-series ACF). Fit and
+    * residuals from exact integer power sums; the lag-1 frame is the
+    * CALENDAR-bounded daily series.
+    */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir).localCheckpoint(true)
+    val res = daily.crossJoin(broadcast(dailyFit(daily)))
+      .select(col("day"), col("n"),
+        (col("yc").cast("double") -
+          (col("icept_c") + col("slope_c") *
+            datediff(col("day"), lit("1995-01-01")).cast("double")))
+          .as("e"))
+    val lagW = Window.orderBy("day") // calendar-bounded daily frame
+    val d = res.withColumn("de", col("e") - lag("e", 1).over(lagW))
+    d.agg(max("n").as("n_days"),
+        sum((col("e") * col("e")).cast(DecimalType(38, 6))).as("sse"),
+        sum((col("de") * col("de")).cast(DecimalType(38, 6))).as("ssd"))
+      .select(col("n_days"),
+        fl6(col("ssd").cast("double") / col("sse").cast("double")).as("dw_stat"),
+        fl6(lit(1.0) - col("ssd").cast("double") /
+          col("sse").cast("double") / 2.0).as("rho_lag1"))
+  }
+
+  /** §2.2 #332 — GRUBBS outlier statistic for the daily-revenue series:
+    * G = max|y−ȳ|/s and the day achieving it — the single-most-extreme-
+    * day detector (vs #125's per-group MAD flags and #236's IQR fences:
+    * Grubbs names THE candidate and its sigma distance). Mean/sd from
+    * one exact power-sum row; the argmax is a deterministic struct-max
+    * (ties break to the later day on both engines).
+    */
+  def grubbs(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = dailyCents(spark, dir).localCheckpoint(true)
+    val s = daily.agg(count(lit(1)).as("n"), sum("yc").as("sy"),
+      sum(col("yc").cast(big) * col("yc").cast(big)).as("qy"))
+    val nD = col("n").cast("double")
+    val mean = col("sy").cast("double") / nD
+    val sd = sqrt((col("qy").cast("double") - mean * mean * nD) / (nD - 1.0))
+    val scored = daily.crossJoin(broadcast(s))
+      .select(col("day"), col("n"),
+        (mean / 100.0).as("m"), (sd / 100.0).as("sdev"),
+        abs(col("yc").cast("double") - mean).as("adev"))
+    scored.agg(max(struct(col("adev"), col("day"), col("m"), col("sdev"),
+        col("n"))).as("b"))
+      .select(col("b.n").as("n_days"), fl6(col("b.m")).as("mean_rev"),
+        fl6(col("b.sdev")).as("sd_rev"),
+        fl6(col("b.adev") / (col("b.sdev") * 100.0)).as("g_stat"),
+        date_format(col("b.day"), "yyyy-MM-dd").as("top_day"))
+  }
+
+  /** §2.2 #333 — COOK'S DISTANCE influence diagnostics for the daily
+    * OLS: Dᵢ = eᵢ²hᵢ / (p·s²·(1−hᵢ)²) with leverage
+    * hᵢ = 1/n + (xᵢ−x̄)²/Sxx — which days SINGLE-HANDEDLY steer the trend
+    * fit (#218 reports the fit, #332 the biggest outlier; Cook's D finds
+    * points that are outlier AND high-leverage). All inputs are exact
+    * power sums; top-10 via TakeOrderedAndProject, never a global sort.
+    */
+  def cooksDistance(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCents(spark, dir).localCheckpoint(true)
+    val fit = dailyFit(daily)
+    val res = daily.crossJoin(broadcast(fit))
+      .select(col("day"), col("yc"), col("n"), col("sx"), col("sxx"),
+        datediff(col("day"), lit("1995-01-01")).cast("double").as("x"),
+        (col("yc").cast("double") -
+          (col("icept_c") + col("slope_c") *
+            datediff(col("day"), lit("1995-01-01")).cast("double")))
+          .as("e"))
+    val sse = res.agg(sum((col("e") * col("e")).cast(DecimalType(38, 6)))
+      .as("sse"))
+    val nD = col("n").cast("double")
+    val xbar = col("sx").cast("double") / nD
+    val sxxC = col("sxx").cast("double") - xbar * xbar * nD
+    val h = lit(1.0) / nD + (col("x") - xbar) * (col("x") - xbar) / sxxC
+    val s2 = col("sse").cast("double") / (nD - 2.0)
+    val dcook = col("e") * col("e") * h / (lit(2.0) * s2 * (lit(1.0) - h) * (lit(1.0) - h))
+    res.crossJoin(broadcast(sse))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("yc").cast("double") / 100.0).as("revenue"),
+        fl6(h).as("leverage"), fl6(col("e") / 100.0).as("resid"),
+        fl6(dcook).as("cooks_d"))
+      .orderBy(col("cooks_d").desc, col("day")).limit(10)
+  }
+
+  /** §2.2 #334 — 1-D WASSERSTEIN (earth-mover) distance between the
+    * order-value distributions of two market segments: ∫|F_A−F_B| dv —
+    * the "how far apart, in dollars" companion to #214's KS (max gap:
+    * sensitive to one crossing; W₁ integrates ALL mass displacement).
+    * Same value-histogram frame as KS: both CDFs in ONE
+    * [[PrefixScan.runningSums]] pass over distinct prices, the
+    * next-value gap by an equi-join on the scan's own row number, and
+    * every term |cumA·n_B − cumB·n_A|·gap EXACT integer arithmetic
+    * (decimal-summed) down to one final division.
+    */
+  def wasserstein(spark: SparkSession, dir: String, segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val v = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("vc"))
+    val h = v.groupBy("vc").agg(
+      sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("__one", lit(1L))
+    val scanned = PrefixScan.runningSums(h, "vc", Seq(col("vc")),
+      Seq("ca" -> "cuma", "cb" -> "cumb", "__one" -> "rn"))
+      .select("vc", "cuma", "cumb", "rn").localCheckpoint(true)
+    val totals = scanned.agg(max("cuma").as("na"), max("cumb").as("nb"))
+    val nxt = scanned.select((col("rn") - 1).as("rn"), col("vc").as("vnext"))
+    // Each term and the total fit in a LONG: Σ|F_A−F_B|·gap ≤ value range,
+    // so Σ terms ≤ n_A·n_B·range_cents (~1e18 at sf1) — the per-term
+    // product is integer math, the sum decimal-guarded.
+    scanned.join(nxt, "rn")
+      .crossJoin(broadcast(totals))
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        sum((abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
+          (col("vnext") - col("vc"))).cast(DecimalType(38, 0))).as("num"))
+      .select(col("na"), col("nb"),
+        fl6(col("num").cast("double") /
+          (col("na") * col("nb")).cast("double") / 100.0).as("w1_dollars"))
+  }
+
+  /** §2.2 #335 — POISSON RATE with a 95% CI per event type: events/day
+    * over the observed span with the normal-approximation interval
+    * (n ± 1.96√n)/T — the "is this event type's arrival rate X/day, give
+    * or take" readout behind alerting thresholds. One partial-aggregated
+    * pass; the 1-row global span broadcasts.
+    */
+  def poissonRate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val span = ev.agg((datediff(max("day"), min("day")) + 1).cast("long")
+      .as("n_days"))
+    val perType = ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    val tD = col("n_days").cast("double")
+    val nD = col("n_events").cast("double")
+    perType.crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        fl6(nD / tD).as("rate_per_day"),
+        fl6((nD - lit(1.959964) * sqrt(nD)) / tD).as("ci_lo"),
+        fl6((nD + lit(1.959964) * sqrt(nD)) / tD).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  /** §2.2 #336 — FRIEDMAN rank test: do the market segments keep the
+    * same revenue ORDER month after month (blocks = months, treatments =
+    * segments — the k-sample repeated-measures analogue of #281, immune
+    * to month-level seasonality because ranking happens WITHIN each
+    * month). Cells are exact cents; within-block average ranks come from
+    * rank() + tie-width (both engines break ties identically on exact
+    * integers); Q = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1) over the k-row rank-sum
+    * frame. Only complete blocks (all k segments) count, per the
+    * classical procedure.
+    */
+  def friedman(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val cells = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("c_mktsegment").as("seg"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("yc"))
+      .localCheckpoint(true)
+    val k = cells.agg(countDistinct("seg").as("k"))
+    val complete = cells
+      .withColumn("nseg", count(lit(1)).over(Window.partitionBy("month")))
+      .crossJoin(broadcast(k)).where(col("nseg") === col("k"))
+    val ranked = complete
+      .withColumn("rk", rank().over(
+        Window.partitionBy("month").orderBy("yc")))
+      .withColumn("tw", count(lit(1)).over(
+        Window.partitionBy("month", "yc")))
+      .withColumn("avg_rank",
+        col("rk").cast("double") + (col("tw") - 1).cast("double") / 2.0)
+    val rsums = ranked.groupBy("seg")
+      .agg(max("k").as("k"), count(lit(1)).as("n_months"),
+        sum(col("avg_rank").cast(DecimalType(38, 1))).as("rsum"))
+      .localCheckpoint(true)
+    val q = rsums.agg(max("k").as("kk"), max("n_months").as("nn"),
+      sum((col("rsum") * col("rsum")).cast(DecimalType(38, 2))).as("r2"))
+      .select((lit(12.0) * col("r2").cast("double") /
+        (col("nn") * col("kk") * (col("kk") + 1)).cast("double") -
+        lit(3.0) * (col("nn") * (col("kk") + 1)).cast("double")).as("q_raw"),
+        (col("kk") - 1).as("dfree"))
+    rsums.crossJoin(broadcast(q))
+      .select(col("seg").as("segment"), col("n_months"),
+        col("rsum").cast("double").as("rank_sum"),
+        fl6(col("q_raw")).as("q_stat"), col("dfree").as("df"))
+      .orderBy("segment")
+  }
+
+  /** §2.2 #337 — BOLLINGER BANDS over daily revenue: 20-day rolling
+    * mean ± 2σ with breach flags — the self-scaling volatility envelope
+    * (vs #249's rolling z: same frame, but bands surface the LEVELS a
+    * dashboard plots and the breach days an alert fires on). Rolling
+    * count/Σ/Σ² in exact cents over the CALENDAR-bounded daily frame;
+    * σ = √(n·Σx²−(Σx)²)/n keeps the radicand exact-integer. Warmup rows
+    * (fewer than 20 prior days) are excluded, not emitted half-baked.
+    */
+  def bollinger(spark: SparkSession, dir: String, win: Int = 20): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = dailyCents(spark, dir)
+    val w = Window.orderBy("day").rowsBetween(-(win - 1), 0) // calendar frame
+    val r = daily
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum("yc").over(w))
+      .withColumn("q", sum(col("yc").cast(big) * col("yc").cast(big)).over(w))
+      .where(col("cnt") === win)
+    val nD = col("cnt").cast("double")
+    val sd = sqrt(nD * col("q").cast("double") -
+      col("s").cast("double") * col("s").cast("double")) / nD / 100.0
+    val ma = col("s").cast("double") / nD / 100.0
+    val rev = col("yc").cast("double") / 100.0
+    r.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        rev.as("revenue"), fl6(ma).as("ma20"), fl6(sd).as("sd20"),
+        (rev > ma + lit(2.0) * sd).as("breach_hi"),
+        (rev < ma - lit(2.0) * sd).as("breach_lo"))
+      .orderBy("day")
+  }
+
+  /** §2.2 #338 — RSI (14-day, simple-average form) over daily revenue:
+    * 100·Σgains/(Σgains+Σlosses) — the bounded momentum oscillator
+    * behind overbought/oversold alerting (vs #221's EWMA level: RSI
+    * reads DIRECTION persistence, not level). Day-over-day diffs are
+    * exact cents over the calendar frame; the whole statistic reduces to
+    * ONE division of exact integer sums, so the 70/30 signal flags can't
+    * flip on float noise.
+    */
+  def rsi(spark: SparkSession, dir: String, win: Int = 14): DataFrame = {
+    val daily = dailyCents(spark, dir)
+    val lagW = Window.orderBy("day") // calendar-bounded daily frame
+    val diffs = daily
+      .withColumn("d", col("yc") - lag("yc", 1).over(lagW))
+      .withColumn("i", row_number().over(lagW))
+      .where(col("d").isNotNull)
+    val w = Window.orderBy("day").rowsBetween(-(win - 1), 0)
+    val r = diffs
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sg", sum(greatest(col("d"), lit(0L))).over(w))
+      .withColumn("sl", sum(greatest(-col("d"), lit(0L))).over(w))
+      .where(col("cnt") === win && (col("sg") + col("sl")) > 0)
+    val rsiC = lit(100.0) * col("sg").cast("double") /
+      (col("sg") + col("sl")).cast("double")
+    r.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        fl6(col("sg").cast("double") / 100.0).as("gain_sum"),
+        fl6(col("sl").cast("double") / 100.0).as("loss_sum"),
+        fl6(rsiC).as("rsi"),
+        when(rsiC > 70.0, "overbought").when(rsiC < 30.0, "oversold")
+          .otherwise("neutral").as("signal"))
+      .orderBy("day")
+  }
+
+  /** §2.2 #339 — SAX symbolization of the daily-revenue series: global
+    * z-score quantized to a 4-letter alphabet at the standard normal
+    * quartile breakpoints (±0.6744897501960817, 0) — the discretization
+    * that turns a numeric series into a STRING for motif/anomaly mining
+    * with plain string ops (the symbolic front-end #192-style template
+    * ops can consume). μ/σ from one exact power-sum row; each z is one
+    * fixed-order double formula, so the letter assignment is
+    * deterministic cross-engine.
+    */
+  def sax(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val daily = dailyCents(spark, dir).localCheckpoint(true)
+    val s = daily.agg(count(lit(1)).as("n"), sum("yc").as("sy"),
+      sum(col("yc").cast(big) * col("yc").cast(big)).as("qy"))
+    val nD = col("n").cast("double")
+    val mean = col("sy").cast("double") / nD
+    val sd = sqrt((col("qy").cast("double") - mean * mean * nD) / nD)
+    val z = (col("yc").cast("double") - mean) / sd
+    daily.crossJoin(broadcast(s))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        fl6(z).as("z_score"),
+        when(z < -0.6744897501960817, "a").when(z < 0.0, "b")
+          .when(z < 0.6744897501960817, "c").otherwise("d").as("symbol"))
+      .orderBy("day")
+  }
+
+  /** §2.2 #340 — HURST EXPONENT of daily revenue by rescaled-range
+    * analysis: per-block R/S at window sizes 8/16/32/64, log-log slope
+    * over the 4 sizes — H>0.5 trending, H≈0.5 random walk, H<0.5 mean-
+    * reverting (the long-memory companion to #154's fixed-lag ACF).
+    * Blocks are value-range slices of the day index, so every window is
+    * partitioned by (size, block) and bounded by 64 rows; block
+    * means/σ from exact integer sums; per-size means and the final
+    * 4-point regression decimal-summed.
+    */
+  def hurst(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val dec12 = DecimalType(38, 12)
+    val lagW = Window.orderBy("day") // calendar-bounded daily frame
+    val daily = dailyCents(spark, dir)
+      .withColumn("i", row_number().over(lagW))
+      .localCheckpoint(true)
+    val sized = daily.select(col("day"), col("yc"), col("i"),
+      explode(array(lit(8), lit(16), lit(32), lit(64))).as("w"))
+      .withColumn("blk", expr("(i - 1) div w"))
+    val blocks = sized.groupBy("w", "blk")
+      .agg(count(lit(1)).as("bn"), sum("yc").as("bs"),
+        sum(col("yc").cast(big) * col("yc").cast(big)).as("bq"))
+      .where(col("bn") === col("w"))
+    val wB = Window.partitionBy("w", "blk").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = sized
+      .withColumn("j", row_number().over(
+        Window.partitionBy("w", "blk").orderBy("i")))
+      .withColumn("cum", sum("yc").over(wB))
+      .join(blocks, Seq("w", "blk"))
+    val m = col("bs").cast("double") / col("w").cast("double")
+    val dev = col("cum").cast("double") - col("j").cast("double") * m
+    val rs = withCum.groupBy("w", "blk")
+      .agg(max("bn").as("bn"), max("bs").as("bs"), max("bq").as("bq"),
+        (max(dev) - min(dev)).as("rng"))
+    val wD = col("w").cast("double")
+    val sBlk = sqrt((col("bq").cast("double") -
+      (col("bs").cast("double") / wD) * (col("bs").cast("double") / wD) * wD) / wD)
+    val logrs = rs.where(sBlk > 0)
+      .select(col("w"), log(col("rng") / sBlk).as("lrs"))
+    val perW = logrs.groupBy("w")
+      .agg(count(lit(1)).as("n_blocks"),
+        (sum(col("lrs").cast(dec12)).cast("double") /
+          count(lit(1)).cast("double")).as("mean_lrs"))
+      .localCheckpoint(true)
+    val fit = perW
+      .select(log(col("w").cast("double")).as("x"), col("mean_lrs").as("y"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x").cast(dec12)).as("sx"), sum(col("y").cast(dec12)).as("sy"),
+        sum((col("x") * col("y")).cast(dec12)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec12)).as("sxx"))
+      .select(((col("m").cast("double") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("m").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))).as("h"))
+    perW.crossJoin(broadcast(fit))
+      .select(col("w").as("win_size"), col("n_blocks"),
+        fl6(col("mean_lrs")).as("mean_log_rs"), fl6(col("h")).as("hurst"))
+      .orderBy("win_size")
+  }
+
+  /** §2.2 #341 — ENTROPY RATE of the user-journey Markov chain:
+    * H = Σᵢ πᵢ·Hᵢ with Hᵢ = −Σⱼ pᵢⱼ·log₂pᵢⱼ — how PREDICTABLE the next
+    * event is given the current one (the information-theoretic summary
+    * on top of #109's transition matrix and #246's steady state: 0 bits
+    * = deterministic funnel, log₂k = uniform chaos). Same bounded
+    * state-space frames: transitions partial-aggregate to k² rows, π by
+    * the #246 fixed-3-iteration power method, every sum decimal-exact.
+    */
+  def entropyRate(spark: SparkSession, dir: String, iters: Int = 3)
+      : DataFrame = {
+    val dec = DecimalType(38, 18)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val rowTot = trans.groupBy("from_type").agg(sum("nij").as("ni"))
+    val states = trans.select(col("from_type").as("event_type"))
+      .union(trans.select(col("to_type").as("event_type"))).distinct()
+      .localCheckpoint(true)
+    val n = states.count()
+    var pi = states.select(col("event_type"), lit(1.0 / n).as("p"))
+    for (_ <- 1 to iters) {
+      val contrib = trans.join(rowTot, "from_type")
+        .join(pi.withColumnRenamed("event_type", "from_type"), "from_type")
+        .select(col("to_type").as("event_type"),
+          (col("p") * (col("nij").cast("double") / col("ni").cast("double")))
+            .cast(dec).as("c"))
+        .groupBy("event_type").agg(sum("c").as("in_p"))
+      pi = states.join(contrib, Seq("event_type"), "left_outer")
+        .select(col("event_type"),
+          coalesce(col("in_p").cast("double"), lit(0.0)).as("p"))
+    }
+    // Entropies in NATS (natural log matches bit-for-bit cross-engine;
+    // a log2 primitive need not).
+    val pij = col("nij").cast("double") / col("ni").cast("double")
+    val rowEnt = trans.join(rowTot, "from_type")
+      .groupBy("from_type")
+      .agg(sum((-pij * log(pij)).cast(dec)).as("hd"))
+      .select(col("from_type").as("event_type"),
+        col("hd").cast("double").as("h_row"))
+    val joined = pi.join(rowEnt, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("p"),
+        coalesce(col("h_row"), lit(0.0)).as("h_row"))
+      .localCheckpoint(true)
+    val rate = joined.agg(sum((col("p") * col("h_row")).cast(dec)).as("hr"))
+      .select(col("hr").cast("double").as("hr"))
+    joined.crossJoin(broadcast(rate))
+      .select(col("event_type"),
+        (floor(col("p") * lit(1e9) + lit(0.5)) / lit(1e9)).as("pi"),
+        fl6(col("h_row")).as("h_row"), fl6(col("hr")).as("entropy_rate"))
+      .orderBy("event_type")
+  }
+
+  /** §2.2 #342 — local PEAK detection over daily revenue: strict local
+    * maxima with their prominence over the higher neighbor — the
+    * spike-day lister feeding #220's seasonality check ("are the peaks
+    * the same weekday?"). Pure integer lag/lead compares on the
+    * calendar-bounded frame: no float, no threshold to tune, endpoints
+    * excluded (one-sided neighbors can't certify a peak).
+    */
+  def peakDetect(spark: SparkSession, dir: String): DataFrame = {
+    val lagW = Window.orderBy("day") // calendar-bounded daily frame
+    dailyCents(spark, dir)
+      .withColumn("prev", lag("yc", 1).over(lagW))
+      .withColumn("nxt", lead("yc", 1).over(lagW))
+      .where(col("prev").isNotNull && col("nxt").isNotNull &&
+        col("yc") > col("prev") && col("yc") > col("nxt"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        (col("yc").cast("double") / 100.0).as("revenue"),
+        ((col("yc") - greatest(col("prev"), col("nxt"))).cast("double") / 100.0)
+          .as("prominence"))
+      .orderBy("day")
+  }
 }

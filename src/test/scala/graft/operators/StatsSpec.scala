@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** The r9 stats/time-series batch (#329-#342) against independent
+  * reference formulations: the distributed-rank paths must equal the
+  * plain single-partition window they replace, and the closed-form
+  * statistics must satisfy the identities the textbook derivations
+  * guarantee. The DuckDB oracle pins exact VALUES; this spec pins the
+  * ALGEBRA (so a same-wrong-both-sides oracle bug can't hide).
+  */
+class StatsSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("wilcoxonSigned W+ equals a single-partition-window recomputation") {
+    // Reference: same pairs, ranks from a plain unpartitioned window with
+    // classic average ranks ((min+max)/2 per tie group).
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("pc"))
+      .select(col("o_custkey"), col("pc"), row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("cnt"))
+    val pairs = o.where(col("cnt") >= 2 &&
+        (col("rn") === 1 || col("rn") === col("cnt")))
+      .groupBy("o_custkey")
+      .agg((max(when(col("rn") === col("cnt"), col("pc"))) -
+        max(when(col("rn") === 1, col("pc")))).as("d"))
+      .where(col("d") =!= 0)
+      .withColumn("absd", abs(col("d")))
+    val gw = Window.orderBy("absd", "o_custkey")
+    val ranked = pairs.withColumn("gr", row_number().over(gw))
+      .groupBy("absd")
+      .agg(((min("gr") + max("gr")).cast("double") / 2.0).as("avg_rank"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("npos"),
+        count(lit(1)).as("tk"))
+    val ref = ranked.agg(
+      sum(col("avg_rank") * col("npos").cast("double")).as("wp"),
+      sum("tk").as("n")).collect()(0)
+    val got = Relational.wilcoxonSigned(spark, dir).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === ref.getAs[Long]("n"))
+    assert(math.abs(got.getAs[Double]("w_plus") - ref.getAs[Double]("wp")) < 1e-6)
+    // z is (W+ - mu)/sigma by construction
+    val z = (got.getAs[Double]("w_plus") - got.getAs[Double]("mu")) /
+      got.getAs[Double]("sigma")
+    assert(math.abs(got.getAs[Double]("z_stat") - z) < 1e-5)
+  }
+
+  test("wasserstein equals a single-partition-window recomputation and is a metric") {
+    val got = Relational.wasserstein(spark, dir).collect()(0)
+    // Reference: plain-window CDFs over the same value histogram.
+    val cust = graft.sources.Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment")
+    val v = graft.sources.Tables.load(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("vc"))
+    val h = v.groupBy("vc").agg(
+      sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("cb"))
+    val cw = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    val c = h.select(col("vc"),
+      sum("ca").over(cw).as("cuma"), sum("cb").over(cw).as("cumb"),
+      lead("vc", 1).over(Window.orderBy("vc")).as("vnext"))
+    val na = v.where(col("seg") === "BUILDING").count()
+    val nb = v.where(col("seg") === "MACHINERY").count()
+    val num = c.where(col("vnext").isNotNull)
+      .agg(sum(abs(col("cuma") * nb - col("cumb") * na) *
+        (col("vnext") - col("vc"))).as("num")).collect()(0).getAs[Long]("num")
+    val ref = num.toDouble / (na.toDouble * nb.toDouble) / 100.0
+    assert(got.getAs[Long]("na") === na && got.getAs[Long]("nb") === nb)
+    assert(math.abs(got.getAs[Double]("w1_dollars") - ref) < 1e-5)
+    assert(got.getAs[Double]("w1_dollars") >= 0.0)
+    // Symmetry: swapping the segments changes nothing (|F_A-F_B| = |F_B-F_A|)
+    val swapped = Relational.wasserstein(spark, dir, "MACHINERY", "BUILDING")
+      .collect()(0)
+    assert(got.getAs[Double]("w1_dollars") ===
+      swapped.getAs[Double]("w1_dollars"))
+  }
+
+  test("friedman rank sums total n*k(k+1)/2 and Q is nonnegative") {
+    val rows = Relational.friedman(spark, dir).collect()
+    val k = rows.length
+    val n = rows.head.getAs[Long]("n_months")
+    assert(rows.forall(_.getAs[Long]("n_months") == n))
+    val total = rows.map(_.getAs[Double]("rank_sum")).sum
+    assert(math.abs(total - n.toDouble * k * (k + 1) / 2.0) < 1e-9)
+    assert(rows.head.getAs[Double]("q_stat") >= 0.0)
+    assert(rows.head.getAs[Long]("df") === (k - 1).toLong)
+  }
+
+  test("durbinWatson is in (0, 4) and consistent with rho_lag1") {
+    val r = Relational.durbinWatson(spark, dir).collect()(0)
+    val dw = r.getAs[Double]("dw_stat")
+    assert(dw > 0.0 && dw < 4.0)
+    assert(math.abs(r.getAs[Double]("rho_lag1") - (1.0 - dw / 2.0)) < 1e-5)
+  }
+
+  test("cooksDistance rows have valid leverage and descending influence") {
+    val rows = Relational.cooksDistance(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("leverage")
+      assert(h > 0.0 && h < 1.0)
+      assert(r.getAs[Double]("cooks_d") >= 0.0)
+    }
+    val ds = rows.map(_.getAs[Double]("cooks_d")).toSeq
+    assert(ds === ds.sorted.reverse)
+  }
+
+  test("bollinger emits exactly n_days - 19 rows with sd >= 0") {
+    val nDays = graft.sources.Tables.load(spark, dir, "orders")
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    val rows = Relational.bollinger(spark, dir).collect()
+    assert(rows.length === (nDays - 19).toInt)
+    assert(rows.forall(_.getAs[Double]("sd20") >= 0.0))
+  }
+
+  test("sax letters partition the z line and grubbs names the max-|z| day") {
+    val sax = Relational.sax(spark, dir).collect()
+    sax.foreach { r =>
+      val z = r.getAs[Double]("z_score"); val s = r.getAs[String]("symbol")
+      val want =
+        if (z < -0.674489) "a" else if (z < 0.0) "b"
+        else if (z < 0.674490) "c" else "d"
+      // only rounded z is visible; allow the two boundary-straddle cells
+      if (math.abs(z + 0.674490) > 1e-5 && math.abs(z) > 1e-5 &&
+          math.abs(z - 0.674490) > 1e-5)
+        assert(s === want, s"day ${r.getAs[String]("day")} z=$z")
+    }
+    val g = Relational.grubbs(spark, dir).collect()(0)
+    val topZ = sax.map(r => math.abs(r.getAs[Double]("z_score"))).max
+    // G uses the SAMPLE sd, sax the population sd: G = |z_pop| * sqrt((n-1)/n)^-1
+    val n = g.getAs[Long]("n_days").toDouble
+    assert(math.abs(g.getAs[Double]("g_stat") -
+      topZ * math.sqrt((n - 1.0) / n)) < 1e-3)
+  }
+
+  test("entropyRate is the pi-weighted row entropy, bounded by ln k") {
+    val rows = Relational.entropyRate(spark, dir).collect()
+    val k = rows.length
+    val rate = rows.head.getAs[Double]("entropy_rate")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("entropy_rate") - rate) < 1e-12))
+    val recomputed = rows.map(r =>
+      r.getAs[Double]("pi") * r.getAs[Double]("h_row")).sum
+    assert(math.abs(rate - recomputed) < 1e-4)
+    assert(rate >= 0.0 && rate <= math.log(k.toDouble) + 1e-9)
+    rows.foreach(r => assert(r.getAs[Double]("h_row") >= 0.0 &&
+      r.getAs[Double]("h_row") <= math.log(k.toDouble) + 1e-9))
+  }
+
+  test("hurst reports all four window sizes with a finite exponent") {
+    val rows = Relational.hurst(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("win_size")).toSeq === Seq(8, 16, 32, 64))
+    // R/S grows with window size (the whole point of the log-log fit)
+    val m = rows.map(_.getAs[Double]("mean_log_rs")).toSeq
+    assert(m === m.sorted)
+    val h = rows.head.getAs[Double]("hurst")
+    assert(!h.isNaN && h > 0.0 && h < 1.5)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("hurst") - h) < 1e-12))
+  }
+
+  test("peakDetect days are strict local maxima of the daily series") {
+    val daily = graft.sources.Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("yc"))
+      .orderBy("day").collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("yc")))
+    val peaks = daily.sliding(3).collect {
+      case Array((_, a), (d, b), (_, c)) if b > a && b > c =>
+        d -> (b - math.max(a, c)) / 100.0
+    }.toMap
+    val got = Relational.peakDetect(spark, dir).collect()
+      .map(r => r.getAs[String]("day") -> r.getAs[Double]("prominence")).toMap
+    assert(got === peaks)
+  }
+}
