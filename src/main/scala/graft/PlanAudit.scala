@@ -262,7 +262,10 @@ object PlanAudit {
         // rank sums), entropy_rate (1-row rate frame over the k-state pi)
         "q_cramers_v", "q_wilcoxon_signed", "q_durbin_watson",
         "q_cooks_distance", "q_grubbs", "q_sax", "q_hurst",
-        "q_wasserstein", "q_poisson_rate", "q_friedman", "q_entropy_rate")
+        "q_wasserstein", "q_poisson_rate", "q_friedman", "q_entropy_rate",
+        // cms_error: 1-row stream-total frame over the ≤topK probe rows;
+        // dedup_weights: 1-row effective-size frame over the weighted docs
+        "q_cms_error", "q_dedup_weights")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

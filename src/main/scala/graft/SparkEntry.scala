@@ -838,6 +838,12 @@ object SparkEntry {
     "q_hurst" -> ((s, dir) => Relational.hurst(s, dir)),
     "q_entropy_rate" -> ((s, dir) => Relational.entropyRate(s, dir)),
     "q_peak_detect" -> ((s, dir) => Relational.peakDetect(s, dir)),
+    // r9 additions (§2.3 #343-#347): LLM-pipeline curation + graph ops
+    "q_kcore" -> ((s, dir) => Similarity.kCore(s, dir, maxBits = 12)),
+    "q_gopher_rules" -> ((s, dir) => Curation.gopherRules(s, dir)),
+    "q_cms_error" -> ((s, dir) => Curation.cmsError(s, dir)),
+    "q_dedup_weights" -> ((s, dir) => Dedup.dedupWeights(s, dir)),
+    "q_interarrival" -> ((s, dir) => Relational.interarrival(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -5659,5 +5665,116 @@ object SparkEntry {
         |  CAST(yc - greatest(prev, nxt) AS DOUBLE) / 100.0 AS prominence
         |FROM n WHERE prev IS NOT NULL AND nxt IS NOT NULL
         |  AND yc > prev AND yc > nxt ORDER BY day""".stripMargin,
+    "q_kcore" -> Similarity.kCoreOracleSql(),
+    "q_gopher_rules" ->
+      """WITH b2 AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(trim(text), ' '))::INTEGER AS nt,
+        |    length(replace(text, ' ', ''))::DOUBLE
+        |      / len(string_split(trim(text), ' ')) AS mwl,
+        |    len(list_filter(string_split(trim(text), ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'is')))::INTEGER AS stop_hits
+        |  FROM documents),
+        |hist AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct FROM (
+        |    SELECT doc_id, tok, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |      FROM documents) GROUP BY 1, 2) GROUP BY 1),
+        |flags AS (SELECT source,
+        |    (nt >= 30 AND nt <= 90) AS pass_len,
+        |    (mwl >= 4.0 AND mwl <= 4.9) AS pass_wordlen,
+        |    (CAST(top_c AS DOUBLE) / nt <= 0.15) AS pass_top,
+        |    (1.0 - CAST(n_distinct AS DOUBLE) / nt <= 0.6) AS pass_rep,
+        |    (stop_hits >= 1) AS pass_stop
+        |  FROM b2 JOIN hist USING (doc_id)),
+        |agg AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN pass_len THEN 0 ELSE 1 END)::BIGINT AS fail_len,
+        |    sum(CASE WHEN pass_wordlen THEN 0 ELSE 1 END)::BIGINT AS fail_wordlen,
+        |    sum(CASE WHEN pass_top THEN 0 ELSE 1 END)::BIGINT AS fail_top,
+        |    sum(CASE WHEN pass_rep THEN 0 ELSE 1 END)::BIGINT AS fail_rep,
+        |    sum(CASE WHEN pass_stop THEN 0 ELSE 1 END)::BIGINT AS fail_stop,
+        |    sum(CASE WHEN pass_len AND pass_wordlen AND pass_top
+        |      AND pass_rep AND pass_stop THEN 1 ELSE 0 END)::BIGINT AS n_keep
+        |  FROM flags GROUP BY 1)
+        |SELECT source, n_docs, fail_len, fail_wordlen, fail_top, fail_rep,
+        |  fail_stop, n_keep,
+        |  floor(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS keep_rate
+        |FROM agg ORDER BY source""".stripMargin,
+    "q_cms_error" -> {
+      def pos(h: Int): String =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "[CAST(strpos('0123456789abcdef', substr(sha256(tok), i, 1)) - 1 AS BIGINT) " +
+          s"FOR i IN generate_series(${1 + 8 * h}, ${8 + 8 * h})]), " +
+          "(a, v) -> a * 16 + v) % 1024"
+      s"""WITH counts AS (
+         |  SELECT tok, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+         |  GROUP BY 1),
+         |hashed AS (SELECT tok, cnt, ${pos(0)} AS p0, ${pos(1)} AS p1,
+         |    ${pos(2)} AS p2 FROM counts),
+         |cells AS (SELECT h, b, sum(cnt)::BIGINT AS cell FROM (
+         |    SELECT cnt, unnest([0, 1, 2]) AS h, unnest([p0, p1, p2]) AS b
+         |    FROM hashed) GROUP BY 1, 2),
+         |tot AS (SELECT sum(cnt)::BIGINT AS n_stream FROM counts),
+         |top AS (SELECT tok, cnt, p0, p1, p2 FROM hashed
+         |  ORDER BY cnt DESC, tok LIMIT 20)
+         |SELECT t.tok, t.cnt AS exact_cnt,
+         |  least(c0.cell, c1.cell, c2.cell) AS est_cnt,
+         |  least(c0.cell, c1.cell, c2.cell) - t.cnt AS overestimate,
+         |  floor(2.718281828459045 * CAST(n_stream AS DOUBLE) / 1024.0
+         |    * 1e6 + 0.5) / 1e6 AS eps_bound
+         |FROM top t
+         |JOIN cells c0 ON c0.h = 0 AND c0.b = t.p0
+         |JOIN cells c1 ON c1.h = 1 AND c1.b = t.p1
+         |JOIN cells c2 ON c2.h = 2 AND c2.b = t.p2
+         |CROSS JOIN tot
+         |ORDER BY exact_cnt DESC, tok""".stripMargin
+    },
+    "q_dedup_weights" ->
+      s"""$dedupClusterCtes,
+         |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+         |csz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |        FROM cl GROUP BY 1),
+         |wtd AS (SELECT doc_id, cl.cluster_id, cluster_size,
+         |    1.0 / CAST(cluster_size AS DOUBLE) AS w
+         |  FROM cl JOIN csz USING (cluster_id)),
+         |eff AS (SELECT floor(CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE)
+         |    * 1e6 + 0.5) / 1e6 AS effective_docs FROM wtd)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |  floor(w * 1e6 + 0.5) / 1e6 AS weight, effective_docs
+         |FROM wtd CROSS JOIN eff ORDER BY doc_id""".stripMargin,
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    sum(gap_us)::BIGINT AS sg,
+        |    sum(CAST(gap_us AS HUGEINT) * gap_us) AS qg
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_gaps,
+        |  floor(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0
+        |    * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+        |  floor(sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / 1000000.0
+        |    * 1e6 + 0.5) / 1e6 AS sd_gap_s,
+        |  floor(sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |    / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS cv,
+        |  CASE WHEN sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) > 1.5
+        |    THEN 'bursty'
+        |    WHEN sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) < 0.5
+        |    THEN 'scheduled' ELSE 'poisson_like' END AS regime
+        |FROM s ORDER BY event_type""".stripMargin,
   )
 }

@@ -693,4 +693,95 @@ object Curation {
         ((col("rn") - 1) * nS + col("src_idx")).cast("long").as("position"))
       .orderBy("position").limit(take)
   }
+
+  /** §2.3 #344 — GOPHER-STYLE quality RULES per source: the five classic
+    * hard filters (Rae et al. 2021 §A1.1 adapted to this corpus's
+    * ranges) — token-count window, mean-word-length window, top-token
+    * dominance, repeated-token mass, stopword presence — each a per-doc
+    * boolean, rolled up per source as independent fail counts + the
+    * all-rules keep rate. Unlike #32's blended score (one number, one
+    * threshold), rules are AND-ed flags — the form production filter
+    * stacks take, and the per-rule counts say WHICH rule does the
+    * culling on which source. One explode pass for the token histogram
+    * (vocab-bounded per doc), one fused per-doc projection, one
+    * partial-aggregated source rollup.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), tokensCol.as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("mwl",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("nt"))
+      .withColumn("stop_hits",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'is')))"))
+    val hist = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_c"), count(lit(1)).as("n_distinct"))
+    val flags = base.join(hist, "doc_id")
+      .withColumn("pass_len", col("nt") >= 30 && col("nt") <= 90)
+      .withColumn("pass_wordlen", col("mwl") >= 4.0 && col("mwl") <= 4.9)
+      .withColumn("pass_top",
+        col("top_c").cast("double") / col("nt") <= 0.15)
+      .withColumn("pass_rep",
+        lit(1.0) - col("n_distinct").cast("double") / col("nt") <= 0.6)
+      .withColumn("pass_stop", col("stop_hits") >= 1)
+    def fails(c: String) = sum(when(col(c), 0L).otherwise(1L)).as(s"fail_${c.drop(5)}")
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        fails("pass_len"), fails("pass_wordlen"), fails("pass_top"),
+        fails("pass_rep"), fails("pass_stop"),
+        sum(when(col("pass_len") && col("pass_wordlen") && col("pass_top") &&
+          col("pass_rep") && col("pass_stop"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        floor(col("n_keep").cast("double") / col("n_docs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy("source")
+  }
+
+  /** §2.3 #345 — COUNT-MIN SKETCH error measurement over the token
+    * frequency stream: build a 3×`w` CMS (bucket = three 8-hex-digit
+    * sha256 slices mod w — the #256 engine-portable hash family), read
+    * the top-`topK` tokens back through it, and report estimate vs exact
+    * with the ε = e·N/w theoretical bound — the calibration run before
+    * trusting a fixed-memory sketch for heavy-hitter counting at 100 TB
+    * (#111's MG sketch keeps a candidate LIST; CMS answers point queries,
+    * and its overestimate on THIS corpus's skew is an empirical fact
+    * worth one cheap job). Sketch and top-K both live on the bounded
+    * vocabulary frame; the 3·w cell table broadcasts back for the probe.
+    */
+  def cmsError(spark: SparkSession, dir: String, w: Int = 1024,
+      topK: Int = 20): DataFrame = {
+    def pos(h: Int): org.apache.spark.sql.Column =
+      expr(s"CAST(conv(substr(sha2(tok, 256), ${1 + 8 * h}, 8), 16, 10) " +
+        s"AS BIGINT) % $w")
+    val counts = docs(spark, dir)
+      .select(explode(tokensCol).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), col("cnt"),
+        pos(0).as("p0"), pos(1).as("p1"), pos(2).as("p2"))
+      .localCheckpoint(true)
+    val cells = counts
+      .select(col("cnt"), explode(array(
+        struct(lit(0).as("h"), col("p0").as("b")),
+        struct(lit(1).as("h"), col("p1").as("b")),
+        struct(lit(2).as("h"), col("p2").as("b")))).as("hb"))
+      .select(col("cnt"), col("hb.h").as("h"), col("hb.b").as("b"))
+      .groupBy("h", "b").agg(sum("cnt").as("cell"))
+    val tot = counts.agg(sum("cnt").as("n_stream"))
+    def cellFor(h: Int) = broadcast(cells.where(col("h") === h)
+      .select(col("b").as(s"b$h"), col("cell").as(s"cell$h")))
+    counts.orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .join(cellFor(0), col("p0") === col("b0"))
+      .join(cellFor(1), col("p1") === col("b1"))
+      .join(cellFor(2), col("p2") === col("b2"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("cnt").as("exact_cnt"),
+        least(col("cell0"), col("cell1"), col("cell2")).as("est_cnt"),
+        (least(col("cell0"), col("cell1"), col("cell2")) - col("cnt"))
+          .as("overestimate"),
+        (floor(lit(math.E) * col("n_stream").cast("double") / lit(w.toDouble)
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("eps_bound"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
 }

@@ -1160,4 +1160,33 @@ object Dedup {
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
       .orderBy("cluster_size")
+
+  /** §2.3 #346 — SOFT-DEDUP training WEIGHTS: every document keeps weight
+    * 1/|its near-dup cluster| (SoftDeDup-style down-weighting instead of
+    * #60's hard one-per-cluster drop — repeated content still contributes,
+    * but a 1000-copy boilerplate family counts once in aggregate, so the
+    * loss isn't dominated by duplication), plus the corpus's effective
+    * size Σw — the number that goes into epoch math. Two bounded
+    * aggregations over the [[dedupClusters]] assignment; the per-term
+    * 1/sz doubles are DECIMAL(38,18)-summed so the effective size is
+    * order-independent.
+    */
+  def dedupWeights(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val cl = dedupClusters(spark, dir, threshold)
+      .select("doc_id", "cluster_id").localCheckpoint(true)
+    val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val weighted = cl.join(sz, "cluster_id")
+      .withColumn("weight", lit(1.0) / col("cluster_size").cast("double"))
+    val eff = weighted
+      .agg(sum(col("weight").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .as("e"))
+      .select((floor(col("e").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("effective_docs"))
+    weighted.crossJoin(broadcast(eff))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (floor(col("weight") * lit(1e6) + lit(0.5)) / lit(1e6)).as("weight"),
+        col("effective_docs"))
+      .orderBy("doc_id")
+  }
 }

@@ -5303,6 +5303,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** §2.2 #347 — INTERARRIVAL-TIME profile per event type: mean gap and
+    * coefficient of variation of the within-user gaps preceding each
+    * event type — the Poisson-ness check on top of #335's rate (CV ≈ 1
+    * is exponential/memoryless; CV ≫ 1 bursty — sessions, retries;
+    * CV ≪ 1 scheduled — heartbeats), which decides whether a rate alert
+    * can use Poisson bands at all. Gaps from the same user-partitioned
+    * lag the sessionizer uses (scale-safe: user keys shard), moments in
+    * exact integer µs (Σgap long, Σgap² DECIMAL(38,0)), one rollup to
+    * the |event types| frame.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("gap_us", col("t_us") - lag("t_us", 1).over(w))
+      .where(col("gap_us").isNotNull)
+    val s = gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sg"),
+        sum(col("gap_us").cast(big) * col("gap_us").cast(big)).as("qg"))
+    val nD = col("n_gaps").cast("double")
+    val mean = col("sg").cast("double") / nD
+    val sd = sqrt(col("qg").cast("double") / nD - mean * mean)
+    val cv = sd / mean
+    s.select(col("event_type"), col("n_gaps"),
+        fl6(mean / 1000000.0).as("mean_gap_s"),
+        fl6(sd / 1000000.0).as("sd_gap_s"), fl6(cv).as("cv"),
+        when(cv > 1.5, "bursty").when(cv < 0.5, "scheduled")
+          .otherwise("poisson_like").as("regime"))
+      .orderBy("event_type")
+  }
+
   /** §2.2 #342 — local PEAK detection over daily revenue: strict local
     * maxima with their prominence over the higher neighbor — the
     * spike-day lister feeding #220's seasonality check ("are the peaks

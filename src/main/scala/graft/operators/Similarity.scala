@@ -773,6 +773,69 @@ object Similarity {
       .orderBy("seed", "round")
   }
 
+  /** §2.3 #343 — K-CORE PEELING census of the approximate kNN graph:
+    * iteratively remove nodes of undirected degree < `kk` for a FIXED
+    * `rounds` passes, reporting surviving nodes/edges after each — the
+    * dense-backbone profile of the index graph (components #310 say what's
+    * CONNECTED; the k-core says what's densely ENOUGH connected to anchor
+    * navigation — hub-and-spoke regions evaporate, cliques persist; a
+    * core that empties by round 2 means the graph is all periphery).
+    * Fixed-round peeling (not run-to-fixpoint) keeps the computation
+    * deterministic and its cost a known O(rounds) edge joins; each round
+    * is one degree aggregate + two semi-joins, `localCheckpoint` between
+    * rounds so round R never re-runs 1..R−1. Output is a `rounds`-row
+    * summary — structurally non-empty at any SF.
+    */
+  def kCore(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24, kk: Int = 4,
+      rounds: Int = 4): DataFrame = {
+    val g = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    var edges = g.unionAll(g.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    val perRound = (1 to rounds).map { r =>
+      val surv = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= kk).select("a").localCheckpoint(true)
+      edges = edges.join(surv, "a")
+        .join(surv.select(col("a").as("b")), "b")
+        .select("a", "b").localCheckpoint(true)
+      edges.agg(countDistinct("a").as("n_nodes"), count(lit(1)).as("n_edges"))
+        .withColumn("round", lit(r.toLong))
+    }
+    perRound.reduce(_ unionAll _)
+      .select(col("round"), col("n_nodes"), col("n_edges"))
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle for [[kCore]]: the same fixed-round peel unrolled as
+    * CTE pairs (degree filter, then both-endpoint edge restriction).
+    */
+  def kCoreOracleSql(k: Int = 3, nTables: Int = 16, maxBits: Int = 12,
+      kk: Int = 4, rounds: Int = 4): String = {
+    // Every e_r is referenced three times by round r+1 (degree filter +
+    // both endpoint semi-joins); without MATERIALIZED, DuckDB inlines the
+    // chain and re-derives the expensive kNN-graph CTE 3^rounds times.
+    val steps = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT a FROM e${r - 1} GROUP BY a HAVING count(*) >= $kk),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+         |        JOIN s$r sa ON e.a = sa.a JOIN s$r sb ON e.b = sb.a),
+         |r$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |        count(DISTINCT a)::BIGINT AS n_nodes,
+         |        count(*)::BIGINT AS n_edges FROM e$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r => s"SELECT * FROM r$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH g AS MATERIALIZED (
+       |${knnGraphOracleSql(k, nTables, maxBits)}
+       |),
+       |e0 AS MATERIALIZED (SELECT vec_id AS a, nbr_id AS b FROM g
+       |       UNION SELECT nbr_id, vec_id FROM g),
+       |$steps
+       |$sel
+       |ORDER BY round""".stripMargin
+  }
+
   /** DuckDB oracle for [[bfsReach]]: depth-bounded recursive BFS closure
     * over the kNN-graph oracle's edges, min-hop per (seed, vec), counts at
     * each horizon.

@@ -401,4 +401,58 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       assert(sources((p % nS).toInt) == r.getAs[String]("source"))
     }
   }
+
+  test("gopherRules fail counts match a local rule recompute") {
+    val stops = Set("the", "a", "of", "and", "is")
+    val local = docs.groupBy(_._2).map { case (src, ds) =>
+      val flags = ds.map { case (_, _, toks) =>
+        val nt = toks.length
+        val mwl = toks.map(_.length).sum.toDouble / nt
+        val counts = toks.groupBy(identity).map(_._2.length)
+        val passLen = nt >= 30 && nt <= 90
+        val passWl = mwl >= 4.0 && mwl <= 4.9
+        val passTop = counts.max.toDouble / nt <= 0.15
+        val passRep = 1.0 - counts.size.toDouble / nt <= 0.6
+        val passStop = toks.exists(stops)
+        (passLen, passWl, passTop, passRep, passStop)
+      }
+      src -> (flags.length.toLong, flags.count(!_._1).toLong,
+        flags.count(!_._2).toLong, flags.count(!_._3).toLong,
+        flags.count(!_._4).toLong, flags.count(!_._5).toLong,
+        flags.count(f => f._1 && f._2 && f._3 && f._4 && f._5).toLong)
+    }
+    val rows = Curation.gopherRules(spark, sf).collect()
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val want = local(r.getAs[String]("source"))
+      val got = (r.getAs[Long]("n_docs"), r.getAs[Long]("fail_len"),
+        r.getAs[Long]("fail_wordlen"), r.getAs[Long]("fail_top"),
+        r.getAs[Long]("fail_rep"), r.getAs[Long]("fail_stop"),
+        r.getAs[Long]("n_keep"))
+      assert(got == want, s"source ${r.getAs[String]("source")}")
+    }
+    // the thresholds must actually discriminate at the gate SF: some docs
+    // kept, some culled (an all-pass or all-fail rule set proves nothing)
+    val kept = rows.map(_.getAs[Long]("n_keep")).sum
+    val all = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0 && kept < all, s"keep $kept of $all is not discriminating")
+  }
+
+  test("cmsError never underestimates and names the true top-20 tokens") {
+    val exact = docs.flatMap(_._3).groupBy(identity)
+      .map { case (t, v) => (t, v.length.toLong) }
+    val top = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val rows = Curation.cmsError(spark, sf).collect()
+    assert(rows.map(r => (r.getAs[String]("tok"), r.getAs[Long]("exact_cnt")))
+      .toSeq == top)
+    val n = exact.values.sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CMS underestimated ${r.getAs[String]("tok")}")
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("est_cnt") - r.getAs[Long]("exact_cnt"))
+      assert(math.abs(r.getAs[Double]("eps_bound") -
+        math.E * n / 1024.0) < 1e-3)
+    }
+  }
 }

@@ -635,4 +635,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // histogram conserves documents
     assert(hist.map { case (sz, n) => sz * n }.sum == assign.length.toLong)
   }
+
+  test("dedupWeights: weights are 1/cluster-size and sum to the cluster count") {
+    val rows = Dedup.dedupWeights(spark, sf).collect()
+    val assign = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val sizes = assign.values.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(rows.length == assign.size)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(assign(r.getAs[Long]("doc_id")) == cid)
+      assert(r.getAs[Long]("cluster_size") == sizes(cid).toLong)
+      val w = 1.0 / sizes(cid)
+      assert(math.abs(r.getAs[Double]("weight") -
+        math.floor(w * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    // Σw = number of clusters (each cluster's members sum to exactly 1)
+    val eff = rows.head.getAs[Double]("effective_docs")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("effective_docs") - eff) < 1e-12))
+    assert(math.abs(eff - sizes.size.toDouble) < 1e-3,
+      s"effective $eff vs ${sizes.size} clusters")
+  }
 }

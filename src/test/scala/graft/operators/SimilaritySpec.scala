@@ -804,4 +804,28 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getAs[Double]("id_mle") - expected) < 1e-4)
     assert(r.getAs[Double]("id_mle") > 0.0)
   }
+
+  test("kCore rounds match a local peel of the engine's own edges") {
+    val directed = Similarity.knnGraph(spark, sf, maxBits = 12)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = directed.flatMap(e => Seq(e, e.swap)).toSet
+    val local = (1 to 4).map { _ =>
+      val deg = edges.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+      val surv = deg.filter(_._2 >= 4).keySet
+      edges = edges.filter(e => surv(e._1) && surv(e._2))
+      (edges.map(_._1).size.toLong, edges.size.toLong)
+    }
+    val got = Similarity.kCore(spark, sf, maxBits = 12).collect()
+      .map(r => (r.getAs[Long]("round"),
+        r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+    assert(got.map(_._1).toSeq == (1L to 4L))
+    got.foreach { case (r, n, e) =>
+      val (ln, le) = local(r.toInt - 1)
+      assert((n, e) == ((ln, le)), s"round $r: got ($n,$e) want ($ln,$le)")
+    }
+    // peeling is monotone: node and edge counts never increase
+    val ns = got.map(_._2).toSeq; val es = got.map(_._3).toSeq
+    assert(ns == ns.sorted.reverse && es == es.sorted.reverse)
+  }
 }

@@ -166,6 +166,34 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => math.abs(r.getAs[Double]("hurst") - h) < 1e-12))
   }
 
+  test("interarrival moments match a local per-user gap recompute") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("ts"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("t_us")))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).toSeq
+        .sliding(2).collect { case Seq(a, b) => (b._4, b._5 - a._5) }
+    }.toSeq
+    val local = gaps.groupBy(_._1).map { case (t, gs) =>
+      val n = gs.size
+      val mean = gs.map(_._2).sum.toDouble / n
+      val sd = math.sqrt(gs.map(g => g._2.toDouble * g._2).sum / n - mean * mean)
+      t -> (n.toLong, mean / 1e6, sd / mean)
+    }
+    val rows = Relational.interarrival(spark, dir).collect()
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val (n, m, cv) = local(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_gaps") == n)
+      assert(math.abs(r.getAs[Double]("mean_gap_s") - m) < 1e-4)
+      assert(math.abs(r.getAs[Double]("cv") - cv) < 1e-4)
+    }
+  }
+
   test("peakDetect days are strict local maxima of the daily series") {
     val daily = graft.sources.Tables.load(spark, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
