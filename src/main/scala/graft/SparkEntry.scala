@@ -844,6 +844,32 @@ object SparkEntry {
     "q_cms_error" -> ((s, dir) => Curation.cmsError(s, dir)),
     "q_dedup_weights" -> ((s, dir) => Dedup.dedupWeights(s, dir)),
     "q_interarrival" -> ((s, dir) => Relational.interarrival(s, dir)),
+    // COMPUTED column replication (§2.1 #348): the destination table gets
+    // GENERATED ALWAYS AS columns the bulk load never touches — the result
+    // aggregates values DERBY computed and reads the generated flag back
+    // from the live catalog, so a copy that materialized them as plain
+    // columns (or skipped them) fails the oracle.
+    "copy_computed" -> ((s, dir) => {
+      val db = TableCopy.JdbcStore(freshDerby("computed"),
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val m = TableCopy.TableMeta(
+        primaryKey = Seq("c_custkey"),
+        computed = Seq(
+          ("c_bal_x2", "DOUBLE", "\"c_acctbal\" * 2"),
+          ("c_name_len", "INTEGER", "LENGTH(\"c_name\")")))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), db, "customer",
+        TableCopy.Recreate, replicateMeta = true, metaOverride = Some(m))
+      val back = db.meta(s, "customer")
+      db.read(s, "customer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_bal_x2")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_bal_x2"),
+          sum(col("c_name_len").cast("long")).as("sum_name_len"))
+        .select(col("n_rows"), col("sum_bal_x2"), col("sum_name_len"),
+          lit(back.computed.map(c => s"${c._1}:${c._2}").mkString(";"))
+            .as("computed_cols"))
+    }),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -5743,6 +5769,12 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, cluster_size,
          |  floor(w * 1e6 + 0.5) / 1e6 AS weight, effective_docs
          |FROM wtd CROSS JOIN eff ORDER BY doc_id""".stripMargin,
+    "copy_computed" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal_x2,
+        |  CAST(sum(length(c_name)) AS BIGINT) AS sum_name_len,
+        |  'c_bal_x2:DOUBLE;c_name_len:INTEGER' AS computed_cols
+        |FROM customer""".stripMargin,
     "q_interarrival" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -1267,4 +1267,47 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     assert(!names.contains("part-orphan-retry.parquet"))
     assert(!names.contains("writer-leftover.tmp"))
   }
+
+  test("computed columns: dialect DDL shapes are golden") {
+    assert(TableCopy.SqlDialect.Derby
+      .computedColumnSql("c_bal_x2", "DOUBLE", "\"c_acctbal\" * 2") ==
+      "\"c_bal_x2\" DOUBLE GENERATED ALWAYS AS (\"c_acctbal\" * 2)")
+    assert(TableCopy.SqlDialect.Postgres
+      .computedColumnSql("c_bal_x2", "DOUBLE PRECISION", "c_acctbal * 2") ==
+      "\"c_bal_x2\" DOUBLE PRECISION GENERATED ALWAYS AS (c_acctbal * 2) STORED")
+    assert(TableCopy.SqlDialect.SqlServer
+      .computedColumnSql("c_bal_x2", "FLOAT", "c_acctbal * 2") ==
+      "\"c_bal_x2\" AS (c_acctbal * 2) PERSISTED")
+  }
+
+  test("computed columns replicate live: Derby computes, catalog reads back, fact re-scripts") {
+    val store = derbyStore()
+    val m = TableCopy.TableMeta(
+      primaryKey = Seq("n_nationkey"),
+      computed = Seq(("n_key_x10", "BIGINT", "\"n_nationkey\" * 10")))
+    TableCopy.copy(spark, TableCopy.ParquetStore(sf), store, "nation",
+      TableCopy.Recreate, replicateMeta = true, metaOverride = Some(m))
+    // Derby computed the column for every bulk-loaded row.
+    val rows = store.read(spark, "nation")
+      .select("n_nationkey", "n_key_x10").collect()
+    assert(rows.length == 25)
+    rows.foreach(r => assert(r.getAs[Long]("n_key_x10") == r.getInt(0) * 10L))
+    // The generated fact reads back from the live catalog WITH its
+    // expression, so it can re-script onto a further destination.
+    val back = store.meta(spark, "nation")
+    val comp = back.computed
+    assert(comp.map(_._1) == Seq("n_key_x10"))
+    assert(comp.head._3.replaceAll("\\s+", "") == "\"n_nationkey\"*10")
+    // ...and the destination column stays LIVE: a post-copy insert gets
+    // the computed value from the engine, not a NULL.
+    val conn = java.sql.DriverManager.getConnection(store.url)
+    try {
+      conn.createStatement().executeUpdate(
+        "INSERT INTO nation (\"n_nationkey\", \"n_name\", \"n_regionkey\") " +
+          "VALUES (99, 'TESTLAND', 0)")
+      val rs = conn.createStatement().executeQuery(
+        "SELECT \"n_key_x10\" FROM nation WHERE \"n_nationkey\" = 99")
+      assert(rs.next() && rs.getLong(1) == 990L)
+    } finally conn.close()
+  }
 }
