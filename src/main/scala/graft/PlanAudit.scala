@@ -265,7 +265,12 @@ object PlanAudit {
         "q_wasserstein", "q_poisson_rate", "q_friedman", "q_entropy_rate",
         // cms_error: 1-row stream-total frame over the ≤topK probe rows;
         // dedup_weights: 1-row effective-size frame over the weighted docs
-        "q_cms_error", "q_dedup_weights")
+        "q_cms_error", "q_dedup_weights",
+        // js_divergence: |sources| × vocab dense grid (the burrows_delta
+        // grid pattern — JS needs the corpus-side term for absent tokens)
+        // + 1-row corpus-total frame; hellinger / cohens_kappa: 1-row
+        // totals frames (the bm25/keywords pattern)
+        "q_js_divergence", "q_hellinger", "q_cohens_kappa")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

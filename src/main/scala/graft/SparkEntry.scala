@@ -844,6 +844,10 @@ object SparkEntry {
     "q_cms_error" -> ((s, dir) => Curation.cmsError(s, dir)),
     "q_dedup_weights" -> ((s, dir) => Dedup.dedupWeights(s, dir)),
     "q_interarrival" -> ((s, dir) => Relational.interarrival(s, dir)),
+    // r9 additions (§2.3 #349-#351): distribution distances + gate calibration
+    "q_js_divergence" -> ((s, dir) => TextAnalysis.jsDivergence(s, dir)),
+    "q_hellinger" -> ((s, dir) => TextAnalysis.hellinger(s, dir)),
+    "q_cohens_kappa" -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
     // COMPUTED column replication (§2.1 #348): the destination table gets
     // GENERATED ALWAYS AS columns the bulk load never touches — the result
     // aggregates values DERBY computed and reads the generated flag back
@@ -5769,6 +5773,72 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, cluster_size,
          |  floor(w * 1e6 + 0.5) / 1e6 AS weight, effective_docs
          |FROM wtd CROSS JOIN eff ORDER BY doc_id""".stripMargin,
+    "q_js_divergence" ->
+      """WITH st AS (SELECT source, tok, count(*)::BIGINT AS cs FROM (
+        |    SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |ct AS (SELECT tok, sum(cs)::BIGINT AS cc FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(cs)::BIGINT AS n_s FROM st GROUP BY 1),
+        |nc AS (SELECT sum(cs)::BIGINT AS n_c FROM st),
+        |dense AS (SELECT s.source, s.n_s, v.tok, v.cc, nc.n_c,
+        |    coalesce(f.cs, 0)::BIGINT AS cs
+        |  FROM ns s CROSS JOIN ct v CROSS JOIN nc
+        |  LEFT JOIN st f ON f.source = s.source AND f.tok = v.tok),
+        |terms AS (SELECT source, n_s,
+        |  CAST((CASE WHEN cs > 0 THEN
+        |      (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |      * ln((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |        / ((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |          + CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE)) / 2.0))
+        |    ELSE 0.0 END
+        |    + (CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      * ln((CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |        / ((CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |          + CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE)) / 2.0))) / 2.0
+        |    AS DECIMAL(38,12)) AS ht
+        |  FROM dense)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  floor(CAST(sum(ht) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS js
+        |FROM terms GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_hellinger" ->
+      """WITH st AS (SELECT source, tok, count(*)::BIGINT AS cs FROM (
+        |    SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |ct AS (SELECT tok, sum(cs)::BIGINT AS cc FROM st GROUP BY 1),
+        |ns AS (SELECT source, sum(cs)::BIGINT AS n_s FROM st GROUP BY 1),
+        |nc AS (SELECT sum(cs)::BIGINT AS n_c FROM st)
+        |SELECT source, max(n_s) AS n_tokens, count(*)::BIGINT AS vocab,
+        |  floor(sqrt(greatest(1.0 - CAST(sum(CAST(sqrt(
+        |    (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |    * (CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE)))
+        |    AS DECIMAL(38,12))) AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6
+        |    AS hellinger
+        |FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nc
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_cohens_kappa" ->
+      s"""WITH li AS (
+         |$langIdOracle
+         |),
+         |cells AS (SELECT d.lang, li.lang_detected, count(*)::BIGINT AS nij
+         |  FROM li JOIN documents d ON d.doc_id = li.doc_id GROUP BY 1, 2),
+         |rt AS (SELECT lang, sum(nij)::BIGINT AS nr FROM cells GROUP BY 1),
+         |ctm AS (SELECT lang_detected, sum(nij)::BIGINT AS ncol
+         |        FROM cells GROUP BY 1),
+         |tot AS (SELECT sum(nij)::BIGINT AS n,
+         |    sum(CASE WHEN lang = lang_detected THEN nij ELSE 0 END)::BIGINT
+         |      AS agree FROM cells),
+         |pe AS (SELECT sum(nr * ncol)::BIGINT AS pe_num
+         |  FROM rt JOIN ctm ON rt.lang = ctm.lang_detected)
+         |SELECT n AS n_docs, agree AS n_agree,
+         |  floor(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         |    AS po,
+         |  floor(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) * 1e6 + 0.5)
+         |    / 1e6 AS pe,
+         |  floor((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |    - CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE))
+         |    / (1.0 - CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE))
+         |    * 1e6 + 0.5) / 1e6 AS kappa
+         |FROM tot CROSS JOIN pe""".stripMargin,
     "copy_computed" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal_x2,

@@ -935,4 +935,108 @@ object TextAnalysis {
           count(lit(1)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("delta"))
       .orderBy("source_a", "source_b")
   }
+
+  /** The shared (source, token) count frame with corpus totals — the base
+    * of [[sourceKl]], [[jsDivergence]] and [[hellinger]]: one explode pass,
+    * corpus counts DERIVED from the same frame (no second scan).
+    */
+  private def sourceTokenFrame(spark: SparkSession, dir: String): DataFrame = {
+    val st = docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val ct = st.groupBy("tok").agg(sum("cs").as("cc"))
+    val ns = st.groupBy("source").agg(sum("cs").as("n_s"))
+    val nc = st.agg(sum("cs").as("n_c"))
+    st.join(ct, "tok").join(broadcast(ns), "source").crossJoin(broadcast(nc))
+  }
+
+  /** §2.3 #349 — per-source JENSEN–SHANNON divergence vs the corpus token
+    * mixture: JS(P‖C) = ½KL(P‖M) + ½KL(C‖M), M = ½(P+C) — the SYMMETRIC,
+    * always-finite companion to #296's KL (KL explodes when the corpus has
+    * mass where a source has none and isn't comparable across directions;
+    * JS ∈ [0, ln2] is the number mixture dashboards can threshold).
+    * Summed over the corpus vocabulary (M > 0 everywhere; a source's
+    * missing token contributes only its C-side term, handled by the
+    * 0·ln0 = 0 convention). Same vocab-bounded frame as #296, terms
+    * decimal-summed, natural log.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val ps = col("cs").cast("double") / col("n_s").cast("double")
+    val pc = col("cc").cast("double") / col("n_c").cast("double")
+    val m = (ps + pc) / 2.0
+    // Dense over the corpus vocabulary per source: cs = 0 rows (token
+    // absent from the source) still carry the C-side ½·pc·ln(pc/m) term.
+    val frame = sourceTokenFrame(spark, dir)
+    val sources = frame.select("source", "n_s").distinct()
+    val vocab = frame.select("tok", "cc", "n_c").distinct()
+    val dense = sources.crossJoin(vocab)
+      .join(frame.select("source", "tok", "cs"), Seq("source", "tok"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+    // Fixed-order per-row double math, THEN one decimal cast — the sum is
+    // order-independent and the 0·ln0 = 0 convention is the explicit when.
+    val term = ((when(col("cs") > 0, ps * log(ps / m)).otherwise(lit(0.0)) +
+      pc * log(pc / m)) / 2.0).cast(dec)
+    dense.select(col("source"), col("n_s"), term.as("half_term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"),
+        (floor(sum(col("half_term")).cast("double") * lit(1e6) + lit(0.5)) /
+          lit(1e6)).as("js"))
+      .orderBy("source")
+  }
+
+  /** §2.3 #350 — per-source HELLINGER distance vs the corpus token
+    * mixture: H = √(1 − Σ√(p_s·p_c)) ∈ [0,1] — the bounded metric (true
+    * triangle inequality, unlike KL #296 / JS #349 which are divergences)
+    * that plugs straight into clustering sources by distributional shape.
+    * The Bhattacharyya sum runs over the source's OBSERVED vocabulary
+    * only (√(0·q) = 0 — absent tokens contribute nothing), so the frame
+    * stays sparse; terms decimal-summed, one √ per distinct (source,
+    * token) in the scan stage.
+    */
+  def hellinger(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val ps = col("cs").cast("double") / col("n_s").cast("double")
+    val pc = col("cc").cast("double") / col("n_c").cast("double")
+    sourceTokenFrame(spark, dir)
+      .select(col("source"), col("n_s"), sqrt(ps * pc).cast(dec).as("bc"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), count(lit(1)).as("vocab"),
+        (floor(sqrt(greatest(lit(1.0) - sum(col("bc")).cast("double"),
+          lit(0.0))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("hellinger"))
+      .orderBy("source")
+  }
+
+  /** §2.3 #351 — COHEN'S KAPPA of declared vs inferred language:
+    * chance-corrected agreement κ = (p_o − p_e)/(1 − p_e) over the #175
+    * confusion matrix — the single calibration NUMBER for the langid
+    * gate (#175 shows WHERE it errs; raw accuracy flatters any skewed
+    * corpus where guessing the majority language already scores high).
+    * Bounded |langs|² frame; marginals re-aggregate from the cells;
+    * exact integer counts down to two final divisions.
+    */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langId(spark, dir).select("doc_id", "lang_detected")
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "lang_detected").agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val rows = cells.groupBy("lang").agg(sum("nij").as("nr"))
+    val cols2 = cells.groupBy("lang_detected").agg(sum("nij").as("ncol"))
+    val tot = cells.agg(sum("nij").as("n"),
+      sum(when(col("lang") === col("lang_detected"), col("nij"))
+        .otherwise(0L)).as("agree"))
+    val pe = rows.join(cols2, col("lang") === col("lang_detected"))
+      .agg(sum(col("nr") * col("ncol")).as("pe_num"))
+    val fl6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    tot.crossJoin(broadcast(pe))
+      .select(col("n").as("n_docs"), col("agree").as("n_agree"),
+        fl6(col("agree").cast("double") / col("n").cast("double")).as("po"),
+        fl6(col("pe_num").cast("double") /
+          (col("n") * col("n")).cast("double")).as("pe"),
+        fl6((col("agree").cast("double") / col("n").cast("double") -
+          col("pe_num").cast("double") / (col("n") * col("n")).cast("double")) /
+          (lit(1.0) - col("pe_num").cast("double") /
+            (col("n") * col("n")).cast("double"))).as("kappa"))
+  }
 }

@@ -578,4 +578,72 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         (lf != ls && lf != "unknown" && ls != "unknown"))
     }
   }
+
+  /** Per-source and corpus token distributions recomputed locally — the
+    * shared ground truth of the JS / Hellinger tests.
+    */
+  private lazy val tokenDists: (Map[String, Map[String, Double]], Map[String, Double]) = {
+    val bySource = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split(" ").toSeq)
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+    val srcDist = bySource.view.mapValues { toks =>
+      val n = toks.size.toDouble
+      toks.groupBy(identity).map { case (t, v) => t -> v.size / n }
+    }.toMap
+    val all = bySource.values.flatten.toSeq
+    val corpus = all.groupBy(identity)
+      .map { case (t, v) => t -> v.size.toDouble / all.size }
+    (srcDist, corpus)
+  }
+
+  test("jsDivergence matches a local recompute, bounded by ln 2, zero vs itself") {
+    val (srcDist, corpus) = tokenDists
+    val rows = TextAnalysis.jsDivergence(spark, sf).collect()
+    assert(rows.length == srcDist.size)
+    rows.foreach { r =>
+      val p = srcDist(r.getAs[String]("source"))
+      val js = corpus.keysIterator.map { t =>
+        val ps = p.getOrElse(t, 0.0); val pc = corpus(t)
+        val m = (ps + pc) / 2.0
+        (if (ps > 0) ps * math.log(ps / m) else 0.0) + pc * math.log(pc / m)
+      }.sum / 2.0
+      assert(math.abs(r.getAs[Double]("js") - js) < 1e-4,
+        s"source ${r.getAs[String]("source")}")
+      assert(r.getAs[Double]("js") >= 0.0 &&
+        r.getAs[Double]("js") <= math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("hellinger matches a local recompute and sits in [0, 1]") {
+    val (srcDist, corpus) = tokenDists
+    val rows = TextAnalysis.hellinger(spark, sf).collect()
+    rows.foreach { r =>
+      val p = srcDist(r.getAs[String]("source"))
+      val bc = p.iterator.map { case (t, ps) => math.sqrt(ps * corpus(t)) }.sum
+      val h = math.sqrt(math.max(1.0 - bc, 0.0))
+      assert(math.abs(r.getAs[Double]("hellinger") - h) < 1e-4)
+      assert(r.getAs[Double]("hellinger") >= 0.0 &&
+        r.getAs[Double]("hellinger") <= 1.0)
+    }
+  }
+
+  test("cohensKappa equals the confusion-matrix formula and is below raw accuracy") {
+    val conf = TextAnalysis.langConfusion(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_detected"),
+        r.getAs[Long]("n_docs")))
+    val n = conf.map(_._3).sum.toDouble
+    val po = conf.collect { case (a, b, c) if a == b => c }.sum / n
+    val rowT = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colT = conf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val pe = rowT.keysIterator
+      .map(l => rowT(l) * colT.getOrElse(l, 0L) / (n * n)).sum
+    val r = TextAnalysis.cohensKappa(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_docs") == n.toLong)
+    assert(math.abs(r.getAs[Double]("po") - po) < 1e-5)
+    assert(math.abs(r.getAs[Double]("pe") - pe) < 1e-5)
+    assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-4)
+    // chance correction can only LOWER the score
+    assert(r.getAs[Double]("kappa") <= r.getAs[Double]("po") + 1e-9)
+  }
 }
