@@ -457,6 +457,34 @@ object EventStream {
       round(chi2, 6).as("chi2"), (chi2 > 3.841459).as("srm_detected"))
   }
 
+  /** §2.4 #352 — streaming POISSON-BAND rate monitor: per tumbling window
+    * and event type, the arrival count against a static per-type baseline
+    * rate λ (events/window) with the ±3√λ normal-approximation band — the
+    * live "is this event type arriving at its usual rate" pager (batch
+    * twins: `q_poisson_rate` fits λ, `q_interarrival` validates the
+    * Poisson assumption the band rests on). The baseline rides in as a
+    * bounded literal map (the psiMonitor discipline — no stream-stream
+    * join, no second aggregation); ONE stateful windowed count, band and
+    * flags stateless projections ⇒ stream = batch by construction
+    * (spec-asserted, with a deliberately spiked window flagging high).
+    */
+  def rateMonitor(events: DataFrame, baseline: Map[String, Double])
+      : DataFrame = {
+    val lam = element_at(typedlit(baseline), col("event_type"))
+    val agg = events
+      .withWatermark("ts", "20 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val nD = col("n_events").cast("double")
+    agg.select(col("window.start").as("window_start"), col("event_type"),
+      col("n_events"), round(lam, 6).as("lambda"),
+      round(lam - lit(3.0) * sqrt(lam), 6).as("band_lo"),
+      round(lam + lit(3.0) * sqrt(lam), 6).as("band_hi"),
+      when(nD > lam + lit(3.0) * sqrt(lam), "high")
+        .when(nD < lam - lit(3.0) * sqrt(lam), "low")
+        .otherwise("normal").as("rate_flag"))
+  }
+
   /** §2.4 #79 — INCREMENTAL table copy as a stream: `Trigger.AvailableNow`
     * processes everything that has landed in `srcDir` since the last run,
     * appends it to `destDir`, then stops — the modern replacement for

@@ -566,6 +566,40 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally stopClean(q)
   }
 
+  test("rateMonitor: stream equals batch and a spiked window flags high") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Bands: click λ=10 → [0.51, 19.49]; view λ=25 → [10, 40].
+    // window 0: 10 clicks (normal) + 20 views (normal);
+    // window 1: 40 clicks (high, > 19.49) + 1 view (low, < 10)
+    val w0 = (0 until 10).map(i => Event(i, ts(i % 9), i, "click", 1.0)) ++
+      (0 until 20).map(i => Event(100 + i, ts(i % 9), i, "view", 1.0))
+    val w1 = (0 until 40).map(i => Event(200 + i, ts(10 + i % 9), i, "click", 1.0)) :+
+      Event(300, ts(12), 1, "view", 1.0)
+    val events = w0 ++ w1
+    val baseline = Map("click" -> 10.0, "view" -> 25.0)
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = EventStream.rateMonitor(input.toDF(), baseline)
+      .writeStream.option("checkpointLocation", ckpt()).format("memory")
+      .queryName("ratemon").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(9999, ts(600), 1, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+        (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getString(6))).toSet
+      val streamed = norm(spark.table("ratemon").collect())
+      val batch = norm(EventStream.rateMonitor(events.toDF(), baseline).collect())
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed vs batch=$batch")
+      assert(streamed(((ts(0).getTime, "click", 10L, "normal"))))
+      assert(streamed(((ts(0).getTime, "view", 20L, "normal"))))
+      assert(streamed(((ts(10).getTime, "click", 40L, "high"))))
+      assert(streamed(((ts(10).getTime, "view", 1L, "low"))))
+    } finally stopClean(q)
+  }
+
   test("jdbcUpsertSink merges micro-batches into Derby exactly once, replay is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-upsink").toString
