@@ -5380,12 +5380,15 @@ object SparkEntry {
         |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
         |  FROM orders GROUP BY 1),
         |f AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-        |    sum(yc)::BIGINT AS sy, sum(x * yc)::BIGINT AS sxy,
+        |    sum(yc)::BIGINT AS sy,
+        |    sum(CAST(x * yc AS DECIMAL(29,0))) AS sxy,
         |    sum(x * x)::BIGINT AS sxx
         |  FROM (SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
         |          AS x, yc FROM daily)),
         |fit AS (SELECT n,
-        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    CAST(CAST(n AS DECIMAL(8,0)) * sxy
+        |        - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(24,0)) AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
         |      AS slope_c, sx, sy FROM f),
         |fit2 AS (SELECT n, slope_c,
         |    (CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
@@ -5432,12 +5435,15 @@ object SparkEntry {
         |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS yc
         |  FROM orders GROUP BY 1),
         |f AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-        |    sum(yc)::BIGINT AS sy, sum(x * yc)::BIGINT AS sxy,
+        |    sum(yc)::BIGINT AS sy,
+        |    sum(CAST(x * yc AS DECIMAL(29,0))) AS sxy,
         |    sum(x * x)::BIGINT AS sxx
         |  FROM (SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
         |          AS x, yc FROM daily)),
         |fit AS (SELECT n, sx, sxx,
-        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |    CAST(CAST(n AS DECIMAL(8,0)) * sxy
+        |        - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(24,0)) AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)
         |      AS slope_c, sy FROM f),
         |fit2 AS (SELECT n, sx, sxx, slope_c,
         |    (CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
@@ -5483,8 +5489,8 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |t AS (SELECT max(cuma)::BIGINT AS na, max(cumb)::BIGINT AS nb FROM c)
         |SELECT na, nb,
-        |  floor(CAST(sum(CAST(abs(cuma * nb - cumb * na) * (vnext - vc)
-        |      AS DECIMAL(38,0))) AS DOUBLE)
+        |  floor(CAST(sum(CAST(abs(cuma * nb - cumb * na) AS DECIMAL(24,0))
+        |      * CAST(vnext - vc AS DECIMAL(14,0))) AS DOUBLE)
         |    / CAST(na * nb AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS w1_dollars
         |FROM c CROSS JOIN t WHERE vnext IS NOT NULL GROUP BY na, nb""".stripMargin,
     "q_poisson_rate" ->
@@ -5852,7 +5858,7 @@ object SparkEntry {
         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |  FROM events),
         |s AS (SELECT event_type, count(*)::BIGINT AS n_gaps,
-        |    sum(gap_us)::BIGINT AS sg,
+        |    sum(CAST(gap_us AS HUGEINT)) AS sg,
         |    sum(CAST(gap_us AS HUGEINT) * gap_us) AS qg
         |  FROM g WHERE gap_us IS NOT NULL GROUP BY 1)
         |SELECT event_type, n_gaps,

@@ -4887,14 +4887,20 @@ object Relational {
     * shared fit of [[durbinWatson]] and [[cooksDistance]]. 1-row frame.
     */
   private def dailyFit(daily: DataFrame): DataFrame = {
+    val big = DecimalType(38, 0)
+    // x·yc per row fits a long at any SF (x is a day offset), and so do
+    // the power sums — but the normal-equation cross products n·Σxy and
+    // Σx·Σy reach ~1e19 already at sf0.1, so THEY are decimal. The
+    // denominator only involves calendar-sized terms (days, day offsets).
     val s = daily
       .select(datediff(col("day"), lit("1995-01-01")).cast("long").as("x"),
         col("yc"))
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("yc").as("sy"),
-        sum(col("x") * col("yc")).as("sxy"),
+        sum((col("x") * col("yc")).cast(big)).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
     s.select(col("n"), col("sx"), col("sy"), col("sxx"),
-      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      ((col("n").cast(big) * col("sxy") - col("sx").cast(big) * col("sy").cast(big))
+        .cast("double") /
         (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
         .as("slope_c"))
       .withColumn("icept_c",
@@ -5016,14 +5022,16 @@ object Relational {
       .select("vc", "cuma", "cumb", "rn").localCheckpoint(true)
     val totals = scanned.agg(max("cuma").as("na"), max("cumb").as("nb"))
     val nxt = scanned.select((col("rn") - 1).as("rn"), col("vc").as("vnext"))
-    // Each term and the total fit in a LONG: Σ|F_A−F_B|·gap ≤ value range,
-    // so Σ terms ≤ n_A·n_B·range_cents (~1e18 at sf1) — the per-term
-    // product is integer math, the sum decimal-guarded.
+    // The CDF diff |cumA·n_B − cumB·n_A| fits a LONG at any plausible SF
+    // (≤ n_A·n_B ~ 2e12 at sf1), but its product with a price gap can
+    // reach ~1e20 — so the diff is cast to decimal BEFORE the multiply
+    // and the whole numerator stays exact integer arithmetic.
     scanned.join(nxt, "rn")
       .crossJoin(broadcast(totals))
       .agg(max("na").as("na"), max("nb").as("nb"),
-        sum((abs(col("cuma") * col("nb") - col("cumb") * col("na")) *
-          (col("vnext") - col("vc"))).cast(DecimalType(38, 0))).as("num"))
+        sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
+          .cast(DecimalType(38, 0)) *
+          (col("vnext") - col("vc")).cast(DecimalType(19, 0))).as("num"))
       .select(col("na"), col("nb"),
         fl6(col("num").cast("double") /
           (col("na") * col("nb")).cast("double") / 100.0).as("w1_dollars"))
@@ -5321,8 +5329,11 @@ object Relational {
         unix_micros(col("ts")).as("t_us"))
       .withColumn("gap_us", col("t_us") - lag("t_us", 1).over(w))
       .where(col("gap_us").isNotNull)
+    // Σgap_us approaches the long ceiling at stress SFs (users × span in
+    // µs) — decimal-summed like the squares.
     val s = gaps.groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sg"),
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us").cast(big)).as("sg"),
         sum(col("gap_us").cast(big) * col("gap_us").cast(big)).as("qg"))
     val nD = col("n_gaps").cast("double")
     val mean = col("sg").cast("double") / nD
