@@ -270,7 +270,11 @@ object PlanAudit {
         // grid pattern — JS needs the corpus-side term for absent tokens)
         // + 1-row corpus-total frame; hellinger / cohens_kappa: 1-row
         // totals frames (the bm25/keywords pattern)
-        "q_js_divergence", "q_hellinger", "q_cohens_kappa")
+        "q_js_divergence", "q_hellinger", "q_cohens_kappa",
+        // modularity: 1-row edge-total + 1-row Q frames over the
+        // |labels|-row rollup; temperature_mix: 1-row corpus-total +
+        // 1-row normalizer frames over the |sources| rollup
+        "q_modularity", "q_temperature_mix")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

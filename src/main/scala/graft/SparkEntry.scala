@@ -848,6 +848,12 @@ object SparkEntry {
     "q_js_divergence" -> ((s, dir) => TextAnalysis.jsDivergence(s, dir)),
     "q_hellinger" -> ((s, dir) => TextAnalysis.hellinger(s, dir)),
     "q_cohens_kappa" -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
+    // r9 additions (#353-#356): graph partition quality, reliability,
+    // mixture temperature, vocabulary concentration
+    "q_modularity" -> ((s, dir) => Similarity.modularity(s, dir, maxBits = 12)),
+    "q_cronbach_alpha" -> ((s, dir) => Relational.cronbachAlpha(s, dir)),
+    "q_temperature_mix" -> ((s, dir) => Curation.temperatureMix(s, dir)),
+    "q_gini_token" -> ((s, dir) => TextAnalysis.giniToken(s, dir)),
     // COMPUTED column replication (§2.1 #348): the destination table gets
     // GENERATED ALWAYS AS columns the bulk load never touches — the result
     // aggregates values DERBY computed and reads the generated flag back
@@ -5779,6 +5785,79 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, cluster_size,
          |  floor(w * 1e6 + 0.5) / 1e6 AS weight, effective_docs
          |FROM wtd CROSS JOIN eff ORDER BY doc_id""".stripMargin,
+    "q_modularity" -> Similarity.modularityOracleSql(),
+    "q_cronbach_alpha" ->
+      """WITH o AS (
+        |  SELECT o_custkey, quarter(o_orderdate::DATE) AS qtr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc
+        |  FROM orders),
+        |subj AS (SELECT o_custkey,
+        |    coalesce(sum(CASE WHEN qtr = 1 THEN pc END), 0)::BIGINT AS i1,
+        |    coalesce(sum(CASE WHEN qtr = 2 THEN pc END), 0)::BIGINT AS i2,
+        |    coalesce(sum(CASE WHEN qtr = 3 THEN pc END), 0)::BIGINT AS i3,
+        |    coalesce(sum(CASE WHEN qtr = 4 THEN pc END), 0)::BIGINT AS i4
+        |  FROM o GROUP BY 1),
+        |s AS (SELECT count(*)::BIGINT AS n,
+        |    sum(i1)::BIGINT AS s1, sum(CAST(i1 AS HUGEINT) * i1) AS q1,
+        |    sum(i2)::BIGINT AS s2, sum(CAST(i2 AS HUGEINT) * i2) AS q2,
+        |    sum(i3)::BIGINT AS s3, sum(CAST(i3 AS HUGEINT) * i3) AS q3,
+        |    sum(i4)::BIGINT AS s4, sum(CAST(i4 AS HUGEINT) * i4) AS q4,
+        |    sum(i1 + i2 + i3 + i4)::BIGINT AS st,
+        |    sum(CAST(i1 + i2 + i3 + i4 AS HUGEINT) * (i1 + i2 + i3 + i4)) AS qt
+        |  FROM subj),
+        |v AS (SELECT n,
+        |    (CAST(q1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    + (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    + (CAST(q3 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
+        |    + (CAST(q4 AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))) AS siv,
+        |    CAST(qt AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS tv
+        |  FROM s)
+        |SELECT CAST(4 AS BIGINT) AS k_items, n AS n_subjects,
+        |  floor(siv / 10000.0 * 1e6 + 0.5) / 1e6 AS sum_item_var,
+        |  floor(tv / 10000.0 * 1e6 + 0.5) / 1e6 AS total_var,
+        |  floor(4.0 / 3.0 * (1.0 - siv / tv) * 1e6 + 0.5) / 1e6 AS alpha
+        |FROM v""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH ns AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS n_c FROM ns),
+        |scored AS (SELECT source, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(n_c AS DOUBLE) AS p,
+        |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(n_c AS DOUBLE)) AS sq
+        |  FROM ns CROSS JOIN tot),
+        |z AS (SELECT CAST(sum(CAST(sq AS DECIMAL(38,18))) AS DOUBLE) AS z
+        |  FROM scored)
+        |SELECT source, n_tokens,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS share,
+        |  floor(sq / z * 1e6 + 0.5) / 1e6 AS weight,
+        |  floor(sq / z / p * 1e6 + 0.5) / 1e6 AS boost
+        |FROM scored CROSS JOIN z ORDER BY source""".stripMargin,
+    "q_gini_token" ->
+      """WITH cnt AS (
+        |  SELECT source, tok, count(*)::BIGINT AS c FROM (
+        |    SELECT source, unnest(string_split(trim(text), ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c, tok) AS i
+        |  FROM cnt)
+        |SELECT source, count(*)::BIGINT AS vocab, sum(c)::BIGINT AS n_tokens,
+        |  floor((2.0 * CAST(sum(CAST(i * c AS HUGEINT)) AS DOUBLE)
+        |    / CAST(count(*) * sum(c) AS DOUBLE)
+        |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS gini
+        |FROM rk GROUP BY source ORDER BY source""".stripMargin,
     "q_js_divergence" ->
       """WITH st AS (SELECT source, tok, count(*)::BIGINT AS cs FROM (
         |    SELECT source, unnest(string_split(trim(text), ' ')) AS tok

@@ -739,6 +739,38 @@ object Curation {
       .orderBy("source")
   }
 
+  /** §2.3 #355 — TEMPERATURE-SCALED mixture weights (τ = 0.5): per
+    * source, sampling weight wᵢ ∝ pᵢ^τ renormalized — the multilingual-
+    * mixture flattening that upsamples rare sources without letting any
+    * one dominate (XLM-R-style; #195's data_recipe weights by a FIXED
+    * index, this derives weights from the corpus's OWN shares). τ = ½
+    * keeps the power exact cross-engine (√ is IEEE-correctly-rounded on
+    * both; a libm pow(x, 0.7) need not match); boost = w/p says how many
+    * × each source is over/under-sampled vs natural. Two bounded
+    * aggregates over the per-source token counts.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val ns = docs(spark, dir)
+      .select(col("source"), size(tokensCol).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = ns.agg(sum("n_tokens").as("n_c"))
+    val p = col("n_tokens").cast("double") / col("n_c").cast("double")
+    val scored = ns.crossJoin(broadcast(tot))
+      .withColumn("p", p).withColumn("sq", sqrt(p))
+      .localCheckpoint(true)
+    val z = scored.agg(sum(col("sq").cast(dec)).as("zd"))
+      .select(col("zd").cast("double").as("z"))
+    def fl6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), fl6(col("p")).as("share"),
+        fl6(col("sq") / col("z")).as("weight"),
+        fl6(col("sq") / col("z") / col("p")).as("boost"))
+      .orderBy("source")
+  }
+
   /** §2.3 #345 — COUNT-MIN SKETCH error measurement over the token
     * frequency stream: build a 3×`w` CMS (bucket = three 8-hex-digit
     * sha256 slices mod w — the #256 engine-portable hash family), read

@@ -5347,6 +5347,45 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** §2.2 #354 — CRONBACH'S ALPHA of quarterly spend consistency:
+    * subjects = customers, items = the four calendar quarters (spend per
+    * quarter-of-year, 0 where inactive), α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total)
+    * — "is quarterly spend a RELIABLE per-customer trait or noise"
+    * (α → 1: customers keep their rank every quarter, a stable scoring
+    * basis; α → 0: quarters disagree, #156-style RFM scores built on one
+    * quarter won't transfer). ONE fused scan: the four item columns are
+    * conditional DECIMAL aggregates per customer (the #315 cell
+    * discipline — columns, not rows), then a single power-sum row drives
+    * the five population variances in fixed-order doubles.
+    */
+  def cronbachAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), quarter(col("o_orderdate")).as("qtr"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("pc"))
+    def item(q: Int) =
+      coalesce(sum(when(col("qtr") === q, col("pc"))), lit(0L)).as(s"i$q")
+    val subj = o.groupBy("o_custkey").agg(item(1), item(2), item(3), item(4))
+      .withColumn("tot", col("i1") + col("i2") + col("i3") + col("i4"))
+    val aggs = (1 to 4).flatMap(q => Seq(
+      sum(col(s"i$q")).as(s"s$q"),
+      sum(col(s"i$q").cast(big) * col(s"i$q").cast(big)).as(s"q$q"))) ++ Seq(
+      count(lit(1)).as("n"), sum("tot").as("st"),
+      sum(col("tot").cast(big) * col("tot").cast(big)).as("qt"))
+    val s = subj.agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def popVar(sc: Column, qc: Column): Column =
+      qc.cast("double") / nD - (sc.cast("double") / nD) * (sc.cast("double") / nD)
+    val sumItemVar = (1 to 4).map(q => popVar(col(s"s$q"), col(s"q$q")))
+      .reduce(_ + _)
+    val totVar = popVar(col("st"), col("qt"))
+    s.select(lit(4L).as("k_items"), col("n").as("n_subjects"),
+      fl6(sumItemVar / 10000.0).as("sum_item_var"),
+      fl6(totVar / 10000.0).as("total_var"),
+      fl6(lit(4.0) / 3.0 * (lit(1.0) - sumItemVar / totVar)).as("alpha"))
+  }
+
   /** §2.2 #342 — local PEAK detection over daily revenue: strict local
     * maxima with their prominence over the higher neighbor — the
     * spike-day lister feeding #220's seasonality check ("are the peaks

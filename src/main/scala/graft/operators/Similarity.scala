@@ -836,6 +836,80 @@ object Similarity {
        |ORDER BY round""".stripMargin
   }
 
+  /** §2.3 #353 — MODULARITY of the label partition over the kNN graph:
+    * Q = Σ_c (e_cc/E − (d_c/E)²) with E the symmetric directed edge count
+    * — does the label taxonomy match the geometry's community structure
+    * (the graph-side companion to #212's per-cluster purity and #302's
+    * kNN label agreement: purity scores clusters against labels,
+    * modularity scores labels AS a clustering — near 0 means the labels
+    * cut straight across the similarity structure). Per-label within
+    * counts and degree sums are two bounded rollups over the edge list;
+    * Q is decimal-summed over the |labels|-row frame and repeated per
+    * row (the psi convention).
+    */
+  def modularity(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val g = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(col("vec_id").as("a"), col("nbr_id").as("b"))
+    val edges = g.unionAll(g.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    val labels = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val lab = edges
+      .join(labels.select(col("vec_id").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("vec_id").as("b"), col("label").as("lb")), "b")
+    val tot = lab.agg(count(lit(1)).as("ee"))
+    val per = lab.groupBy(col("la").as("label"))
+      .agg(countDistinct("a").as("n_nodes"), count(lit(1)).as("degree_sum"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("within"))
+    val eD = col("ee").cast("double")
+    val contrib = col("within").cast("double") / eD -
+      (col("degree_sum").cast("double") / eD) *
+      (col("degree_sum").cast("double") / eD)
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("contribution", contrib)
+      .localCheckpoint(true)
+    val q = scored.agg(sum(col("contribution").cast(dec)).as("qd"))
+      .select(col("qd").cast("double").as("q"))
+    scored.crossJoin(broadcast(q))
+      .select(col("label"), col("n_nodes"), col("degree_sum"), col("within"),
+        (floor(col("contribution") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("contribution"),
+        (floor(col("q") * lit(1e6) + lit(0.5)) / lit(1e6)).as("modularity"))
+      .orderBy("label")
+  }
+
+  /** DuckDB oracle for [[modularity]]: the same two rollups over the
+    * kNN-graph oracle's symmetric edge set.
+    */
+  def modularityOracleSql(k: Int = 3, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH g AS MATERIALIZED (
+       |${knnGraphOracleSql(k, nTables, maxBits)}
+       |),
+       |e2 AS (SELECT vec_id AS a, nbr_id AS b FROM g
+       |       UNION SELECT nbr_id, vec_id FROM g),
+       |lab AS (SELECT e2.a, e2.b, ea.label AS la, eb.label AS lb
+       |  FROM e2 JOIN embeddings ea ON ea.vec_id = e2.a
+       |  JOIN embeddings eb ON eb.vec_id = e2.b),
+       |tot AS (SELECT count(*)::BIGINT AS ee FROM lab),
+       |per AS (SELECT la AS label, count(DISTINCT a)::BIGINT AS n_nodes,
+       |    count(*)::BIGINT AS degree_sum,
+       |    sum(CASE WHEN la = lb THEN 1 ELSE 0 END)::BIGINT AS within
+       |  FROM lab GROUP BY 1),
+       |scored AS (SELECT label, n_nodes, degree_sum, within,
+       |    CAST(within AS DOUBLE) / CAST(ee AS DOUBLE)
+       |    - (CAST(degree_sum AS DOUBLE) / CAST(ee AS DOUBLE))
+       |      * (CAST(degree_sum AS DOUBLE) / CAST(ee AS DOUBLE)) AS contribution
+       |  FROM per CROSS JOIN tot),
+       |qq AS (SELECT CAST(sum(CAST(contribution AS DECIMAL(38,18))) AS DOUBLE)
+       |  AS q FROM scored)
+       |SELECT label, n_nodes, degree_sum, within,
+       |  floor(contribution * 1e6 + 0.5) / 1e6 AS contribution,
+       |  floor(q * 1e6 + 0.5) / 1e6 AS modularity
+       |FROM scored CROSS JOIN qq ORDER BY label""".stripMargin
+
   /** DuckDB oracle for [[bfsReach]]: depth-bounded recursive BFS closure
     * over the kNN-graph oracle's edges, min-hop per (seed, vec), counts at
     * each horizon.

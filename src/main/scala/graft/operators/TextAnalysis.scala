@@ -1007,6 +1007,36 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** §2.3 #356 — per-source token-frequency GINI: how concentrated each
+    * source's vocabulary usage is — G = (2Σᵢ i·cᵢ)/(V·Σc) − (V+1)/V over
+    * frequencies ranked ascending within the source (0 = every token
+    * used equally, → 1 = a few tokens dominate). The concentration
+    * SCALAR next to #145's Zipf slope (a fit) and #240's hapax share (one
+    * tail bucket); sources whose G drifts release-over-release changed
+    * register or got templated. Ranks are a per-source window over the
+    * source's vocabulary (bounded by the language's lexicon, not the
+    * corpus — the zipf convention); Σi·cᵢ is exact integer, decimal-
+    * summed.
+    */
+  def giniToken(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val cnt = docs(spark, dir)
+      .select(col("source"), explode(tokensCol).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    // vocab-bounded per-source partitions (lexicon-sized at any corpus SF)
+    val w = Window.partitionBy("source").orderBy("c", "tok")
+    cnt.withColumn("i", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+        sum((col("i") * col("c")).cast(big)).as("ic"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        (floor((lit(2.0) * col("ic").cast("double") /
+          (col("vocab") * col("n_tokens")).cast("double") -
+          (col("vocab") + 1).cast("double") / col("vocab").cast("double"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini"))
+      .orderBy("source")
+  }
+
   /** §2.3 #351 — COHEN'S KAPPA of declared vs inferred language:
     * chance-corrected agreement κ = (p_o − p_e)/(1 − p_e) over the #175
     * confusion matrix — the single calibration NUMBER for the langid

@@ -438,6 +438,25 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(kept > 0 && kept < all, s"keep $kept of $all is not discriminating")
   }
 
+  test("temperatureMix weights are a distribution that flattens the natural shares") {
+    val rows = Curation.temperatureMix(spark, sf).collect()
+    val localTokens = docs.groupBy(_._2).view
+      .mapValues(_.map(_._3.length.toLong).sum).toMap
+    assert(rows.length == localTokens.size)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_tokens") == localTokens(r.getAs[String]("source"))))
+    val ws = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(ws - 1.0) < 1e-4, s"weights sum to $ws")
+    // temperature < 1 flattens: boost strictly decreases as share grows
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+      .map(r => (r.getAs[Double]("share"), r.getAs[Double]("boost")))
+    byShare.sliding(2).foreach {
+      case Array((s1, b1), (s2, b2)) if s1 < s2 =>
+        assert(b1 >= b2, s"boost not decreasing: ($s1,$b1) -> ($s2,$b2)")
+      case _ => ()
+    }
+  }
+
   test("cmsError never underestimates and names the true top-20 tokens") {
     val exact = docs.flatMap(_._3).groupBy(identity)
       .map { case (t, v) => (t, v.length.toLong) }

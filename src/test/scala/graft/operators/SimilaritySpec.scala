@@ -828,4 +828,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val ns = got.map(_._2).toSeq; val es = got.map(_._3).toSeq
     assert(ns == ns.sorted.reverse && es == es.sorted.reverse)
   }
+
+  test("modularity matches a local recompute over the engine's own edges") {
+    val labels = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val directed = Similarity.knnGraph(spark, sf, maxBits = 12)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = directed.flatMap(e => Seq(e, e.swap)).toSet.toSeq
+    val e = edges.size.toDouble
+    val within = edges.groupBy(p => labels(p._1)).view
+      .mapValues(_.count(p => labels(p._1) == labels(p._2))).toMap
+    val degree = edges.groupBy(p => labels(p._1)).view.mapValues(_.size).toMap
+    val localQ = degree.keysIterator.map { c =>
+      within.getOrElse(c, 0) / e - (degree(c) / e) * (degree(c) / e)
+    }.sum
+    val rows = Similarity.modularity(spark, sf, maxBits = 12).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Int]("label")
+      assert(r.getAs[Long]("within") == within.getOrElse(c, 0).toLong)
+      assert(r.getAs[Long]("degree_sum") == degree(c).toLong)
+    }
+    val q = rows.head.getAs[Double]("modularity")
+    assert(math.abs(q - localQ) < 1e-4)
+    assert(q >= -1.0 && q <= 1.0)
+    // contributions sum to Q (within display rounding)
+    val cs = rows.map(_.getAs[Double]("contribution")).sum
+    assert(math.abs(cs - q) < 1e-4)
+  }
 }

@@ -166,6 +166,28 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => math.abs(r.getAs[Double]("hurst") - h) < 1e-12))
   }
 
+  test("cronbachAlpha matches a local quarterly-item recompute") {
+    val subj = graft.sources.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), quarter(col("o_orderdate")).as("q"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (_, rows) =>
+        (1 to 4).map(q => rows.filter(_._2 == q).map(_._3).sum.toDouble)
+      }.toSeq
+    val n = subj.size.toDouble
+    def popVar(xs: Seq[Double]): Double = {
+      val m = xs.sum / n; xs.map(x => x * x).sum / n - m * m
+    }
+    val itemVars = (0 until 4).map(i => popVar(subj.map(_(i)))).sum
+    val totVar = popVar(subj.map(_.sum))
+    val alpha = 4.0 / 3.0 * (1.0 - itemVars / totVar)
+    val r = Relational.cronbachAlpha(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_subjects") == n.toLong)
+    assert(math.abs(r.getAs[Double]("sum_item_var") - itemVars / 10000.0) < 1e-2)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-4)
+    assert(r.getAs[Double]("alpha") <= 4.0 / 3.0 + 1e-9)
+  }
+
   test("interarrival moments match a local per-user gap recompute") {
     val ev = graft.sources.Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -628,6 +628,27 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("giniToken matches a local ranked recompute and sits in [0, 1)") {
+    val bySource = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1).trim.split(" ").toSeq)
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+    val rows = TextAnalysis.giniToken(spark, sf).collect()
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val toks = bySource(r.getAs[String]("source"))
+      val counts = toks.groupBy(identity).toSeq
+        .map { case (t, v) => (t, v.size.toLong) }
+        .sortBy { case (t, c) => (c, t) }
+      val v = counts.size.toLong; val nt = counts.map(_._2).sum
+      val ic = counts.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+      val g = 2.0 * ic / (v * nt).toDouble - (v + 1).toDouble / v
+      assert(r.getAs[Long]("vocab") == v && r.getAs[Long]("n_tokens") == nt)
+      assert(math.abs(r.getAs[Double]("gini") - g) < 1e-5)
+      assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+    }
+  }
+
   test("cohensKappa equals the confusion-matrix formula and is below raw accuracy") {
     val conf = TextAnalysis.langConfusion(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_detected"),
