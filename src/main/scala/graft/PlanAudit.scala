@@ -274,7 +274,11 @@ object PlanAudit {
         // modularity: 1-row edge-total + 1-row Q frames over the
         // |labels|-row rollup; temperature_mix: 1-row corpus-total +
         // 1-row normalizer frames over the |sources| rollup
-        "q_modularity", "q_temperature_mix")
+        "q_modularity", "q_temperature_mix",
+        // neyman_alloc: 1-row Σ N_h·σ_h normalizer over the |sources|
+        // rollup; meta_analysis: 1-row pooled-effect frame over the
+        // ≤25-study frame
+        "q_neyman_alloc", "q_meta_analysis")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

@@ -854,6 +854,8 @@ object SparkEntry {
     "q_cronbach_alpha" -> ((s, dir) => Relational.cronbachAlpha(s, dir)),
     "q_temperature_mix" -> ((s, dir) => Curation.temperatureMix(s, dir)),
     "q_gini_token" -> ((s, dir) => TextAnalysis.giniToken(s, dir)),
+    "q_neyman_alloc" -> ((s, dir) => Curation.neymanAlloc(s, dir)),
+    "q_meta_analysis" -> ((s, dir) => Relational.metaAnalysis(s, dir)),
     // COMPUTED column replication (§2.1 #348): the destination table gets
     // GENERATED ALWAYS AS columns the bulk load never touches — the result
     // aggregates values DERBY computed and reads the generated flag back
@@ -5786,6 +5788,71 @@ object SparkEntry {
          |  floor(w * 1e6 + 0.5) / 1e6 AS weight, effective_docs
          |FROM wtd CROSS JOIN eff ORDER BY doc_id""".stripMargin,
     "q_modularity" -> Similarity.modularityOracleSql(),
+    "q_neyman_alloc" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(len(string_split(trim(text), ' ')))::BIGINT AS st,
+        |    sum(CAST(len(string_split(trim(text), ' ')) AS HUGEINT)
+        |      * len(string_split(trim(text), ' '))) AS qt
+        |  FROM documents GROUP BY 1),
+        |sc AS (SELECT source, n_docs,
+        |    sqrt(CAST(qt AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |      - (CAST(st AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |        * (CAST(st AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS sigma
+        |  FROM s),
+        |sc2 AS (SELECT source, n_docs, sigma,
+        |    CAST(n_docs AS DOUBLE) * sigma AS ns FROM sc),
+        |z AS (SELECT CAST(sum(CAST(ns AS DECIMAL(38,12))) AS DOUBLE) AS z
+        |  FROM sc2)
+        |SELECT source, n_docs,
+        |  floor(sigma * 1e6 + 0.5) / 1e6 AS sigma_tokens,
+        |  floor(ns / z * 1e6 + 0.5) / 1e6 AS alloc_share,
+        |  CAST(floor(ns / z * 1000 + 0.5) AS BIGINT) AS alloc_n
+        |FROM sc2 CROSS JOIN z ORDER BY source""".stripMargin,
+    "q_meta_analysis" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, (event_id % 8) + 1 AS nkey,
+        |    CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events),
+        |per AS (SELECT nkey,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS s_a,
+        |    sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS q_a,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS s_b,
+        |    sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS q_b
+        |  FROM ev GROUP BY 1),
+        |st AS (SELECT nkey, n_a, n_b,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS d,
+        |    (CAST(q_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        * (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)))
+        |      / CAST(n_a AS DOUBLE)
+        |    + (CAST(q_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        * (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |      / CAST(n_b AS DOUBLE) AS vv
+        |  FROM per WHERE n_a >= 2 AND n_b >= 2),
+        |p AS (SELECT count(*)::BIGINT AS k_studies,
+        |    CAST(sum(CAST(1.0 / vv AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+        |    CAST(sum(CAST(d / vv AS DECIMAL(38,12))) AS DOUBLE) AS swd
+        |  FROM st),
+        |p2 AS (SELECT k_studies, swd / sw AS d_pooled, 1.0 / sqrt(sw) AS se
+        |  FROM p),
+        |q AS (SELECT max(k_studies) AS k_studies, max(d_pooled) AS d_pooled,
+        |    max(se) AS se,
+        |    CAST(sum(CAST((d - d_pooled) * (d - d_pooled) / vv
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS qh
+        |  FROM st CROSS JOIN p2)
+        |SELECT k_studies,
+        |  floor(d_pooled * 1e6 + 0.5) / 1e6 AS d_pooled,
+        |  floor(se * 1e6 + 0.5) / 1e6 AS se,
+        |  floor(d_pooled / se * 1e6 + 0.5) / 1e6 AS z_stat,
+        |  floor(qh * 1e6 + 0.5) / 1e6 AS q_het,
+        |  floor(greatest((qh - CAST(k_studies - 1 AS DOUBLE)) / qh, 0.0)
+        |    * 1e6 + 0.5) / 1e6 AS i2
+        |FROM q""".stripMargin,
     "q_cronbach_alpha" ->
       """WITH o AS (
         |  SELECT o_custkey, quarter(o_orderdate::DATE) AS qtr,

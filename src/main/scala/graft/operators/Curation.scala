@@ -739,6 +739,43 @@ object Curation {
       .orderBy("source")
   }
 
+  /** §2.3 #357 — NEYMAN ALLOCATION for stratified labeling: per source
+    * stratum h, the optimal share of a fixed annotation budget
+    * nₕ ∝ Nₕ·σₕ (σ = std of doc token counts — the cost/variability
+    * proxy) — the survey-sampling answer to "how many docs from each
+    * source go to human review" (#68's stratified sample splits
+    * EVENLY; Neyman minimizes the variance of the corpus-level estimate
+    * at the same budget, oversampling big AND internally-diverse
+    * strata). One power-sum pass per stratum, the Σ Nₕσₕ normalizer is a
+    * broadcast 1-row frame, allocations for a 1000-doc budget rounded
+    * half-up (engine-stable floor form).
+    */
+  def neymanAlloc(spark: SparkSession, dir: String, budget: Int = 1000)
+      : DataFrame = {
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val s = docs(spark, dir)
+      .select(col("source"), size(tokensCol).cast("long").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("st"),
+        sum(col("nt").cast(big) * col("nt").cast(big)).as("qt"))
+      .localCheckpoint(true)
+    val nD = col("n_docs").cast("double")
+    val sigma = sqrt(col("qt").cast("double") / nD -
+      (col("st").cast("double") / nD) * (col("st").cast("double") / nD))
+    val scored = s.withColumn("ns", nD * sigma).localCheckpoint(true)
+    val z = scored.agg(sum(col("ns").cast(dec)).as("zd"))
+      .select(col("zd").cast("double").as("z"))
+    def fl6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    scored.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), fl6(sigma).as("sigma_tokens"),
+        fl6(col("ns") / col("z")).as("alloc_share"),
+        floor(col("ns") / col("z") * budget + lit(0.5)).cast("long")
+          .as("alloc_n"))
+      .orderBy("source")
+  }
+
   /** §2.3 #355 — TEMPERATURE-SCALED mixture weights (τ = 0.5): per
     * source, sampling weight wᵢ ∝ pᵢ^τ renormalized — the multilingual-
     * mixture flattening that upsamples rare sources without letting any

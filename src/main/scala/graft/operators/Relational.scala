@@ -5386,6 +5386,65 @@ object Relational {
       fl6(lit(4.0) / 3.0 * (lit(1.0) - sumItemVar / totVar)).as("alpha"))
   }
 
+  /** §2.2 #358 — FIXED-EFFECT META-ANALYSIS of the A/B effect across 8
+    * event-hash sites: per-site arm difference dᵢ with variance vᵢ,
+    * pooled effect d̂ = Σwᵢdᵢ/Σwᵢ (wᵢ = 1/vᵢ, inverse-variance
+    * weighting), its SE = 1/√Σwᵢ, Cochran's Q = Σwᵢ(dᵢ−d̂)² and
+    * I² = (Q−df)/Q — the "portfolio of experiments" readout (#132 pools
+    * users blindly; this says whether the per-site effects AGREE enough
+    * to pool at all — high I² means one global number misleads). Sites
+    * slice by EVENT id, not user id: the #132 arms are a per-user hash,
+    * so user-keyed strata degenerate to single-arm cells whenever the
+    * user population is small relative to the strata. One fused fact
+    * scan to per-(site, arm) power sums (the #315 cell discipline), then
+    * bounded-frame double arithmetic with decimal-summed w/wd/Q terms.
+    */
+  def metaAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("value"),
+        (pmod(col("event_id"), lit(8)) + 1).as("nkey"),
+        when(substring(sha2(col("user_id").cast("string"), 256), 1, 1) <= "7",
+          lit("A")).otherwise(lit("B")).as("arm"))
+    def cell(a: String, out: String): Seq[Column] = {
+      val in = col("arm") === a
+      Seq(sum(when(in, 1L).otherwise(0L)).as(s"n_$out"),
+        sum(when(in, col("value").cast(DecimalType(28, 6)))).as(s"s_$out"),
+        sum(when(in, (col("value") * col("value")).cast(DecimalType(28, 6))))
+          .as(s"q_$out"))
+    }
+    val per = ev.groupBy("nkey").agg((cell("A", "a") ++ cell("B", "b")).head,
+      (cell("A", "a") ++ cell("B", "b")).tail: _*)
+    def m(g: String) = col(s"s_$g").cast("double") / col(s"n_$g").cast("double")
+    def v(g: String) =
+      (col(s"q_$g").cast("double") / col(s"n_$g").cast("double") - m(g) * m(g)) /
+        col(s"n_$g").cast("double")
+    val studies = per.where(col("n_a") >= 2 && col("n_b") >= 2)
+      .select(col("nkey"), col("n_a"), col("n_b"),
+        (m("b") - m("a")).as("d"), (v("a") + v("b")).as("vv"))
+      .localCheckpoint(true)
+    val pooledS = studies.agg(count(lit(1)).as("k_studies"),
+      sum((lit(1.0) / col("vv")).cast(dec)).as("sw"),
+      sum((col("d") / col("vv")).cast(dec)).as("swd"))
+    val dhat = col("swd").cast("double") / col("sw").cast("double")
+    val pooled = pooledS
+      .select(col("k_studies"), dhat.as("d_pooled"),
+        (lit(1.0) / sqrt(col("sw").cast("double"))).as("se"))
+      .localCheckpoint(true)
+    val qS = studies.crossJoin(broadcast(pooled))
+      .agg(max("k_studies").as("k_studies"), max("d_pooled").as("d_pooled"),
+        max("se").as("se"),
+        sum(((col("d") - col("d_pooled")) * (col("d") - col("d_pooled")) /
+          col("vv")).cast(dec)).as("qd"))
+    val qHet = col("qd").cast("double")
+    val dfD = (col("k_studies") - 1).cast("double")
+    qS.select(col("k_studies"), fl6(col("d_pooled")).as("d_pooled"),
+      fl6(col("se")).as("se"),
+      fl6(col("d_pooled") / col("se")).as("z_stat"),
+      fl6(qHet).as("q_het"),
+      fl6(greatest((qHet - dfD) / qHet, lit(0.0))).as("i2"))
+  }
+
   /** §2.2 #342 — local PEAK detection over daily revenue: strict local
     * maxima with their prominence over the higher neighbor — the
     * spike-day lister feeding #220's seasonality check ("are the peaks

@@ -457,6 +457,27 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("neymanAlloc shares follow N_h*sigma_h and spend the whole budget") {
+    val rows = Curation.neymanAlloc(spark, sf).collect()
+    val local = docs.groupBy(_._2).view.mapValues { ds =>
+      val xs = ds.map(_._3.length.toDouble); val n = xs.size
+      val m = xs.sum / n
+      val sd = math.sqrt(xs.map(x => x * x).sum / n - m * m)
+      (n.toLong, sd, n * sd)
+    }.toMap
+    val z = local.values.map(_._3).sum
+    rows.foreach { r =>
+      val (n, sd, ns) = local(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(math.abs(r.getAs[Double]("sigma_tokens") - sd) < 1e-4)
+      assert(math.abs(r.getAs[Double]("alloc_share") - ns / z) < 1e-4)
+      assert(r.getAs[Long]("alloc_n") ==
+        math.floor(ns / z * 1000 + 0.5).toLong)
+    }
+    val shares = rows.map(_.getAs[Double]("alloc_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4)
+  }
+
   test("cmsError never underestimates and names the true top-20 tokens") {
     val exact = docs.flatMap(_._3).groupBy(identity)
       .map { case (t, v) => (t, v.length.toLong) }

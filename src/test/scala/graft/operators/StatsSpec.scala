@@ -166,6 +166,41 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => math.abs(r.getAs[Double]("hurst") - h) < 1e-12))
   }
 
+  test("metaAnalysis pools per-nation effects with inverse-variance weights") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def arm(u: Long): String = {
+      val h = sha.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (h.charAt(0) <= '7') "A" else "B"
+    }
+    val studies = ev.groupBy(e => e._1 % 8 + 1).values.flatMap { rows =>
+      val (a, b) = rows.map(e => (e._2, e._3))
+        .partition(e => arm(e._1) == "A")
+      if (a.size >= 2 && b.size >= 2) {
+        def mv(xs: Seq[Double]) = {
+          val n = xs.size; val m = xs.sum / n
+          (m, (xs.map(x => x * x).sum / n - m * m) / n)
+        }
+        val (ma, va) = mv(a.map(_._2).toSeq)
+        val (mb, vb) = mv(b.map(_._2).toSeq)
+        Some((mb - ma, va + vb))
+      } else None
+    }.toSeq
+    val sw = studies.map(s => 1.0 / s._2).sum
+    val dhat = studies.map(s => s._1 / s._2).sum / sw
+    val q = studies.map(s => (s._1 - dhat) * (s._1 - dhat) / s._2).sum
+    val r = Relational.metaAnalysis(spark, dir).collect()(0)
+    assert(r.getAs[Long]("k_studies") == studies.size.toLong)
+    assert(math.abs(r.getAs[Double]("d_pooled") - dhat) < 1e-4)
+    assert(math.abs(r.getAs[Double]("se") - 1.0 / math.sqrt(sw)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("q_het") - q) < 1e-3)
+    val i2 = r.getAs[Double]("i2")
+    assert(i2 >= 0.0 && i2 < 1.0)
+  }
+
   test("cronbachAlpha matches a local quarterly-item recompute") {
     val subj = graft.sources.Tables.load(spark, dir, "orders")
       .select(col("o_custkey"), quarter(col("o_orderdate")).as("q"),
