@@ -5555,8 +5555,7 @@ object SparkEntry {
         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
         |b AS (SELECT day, yc,
         |    CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 100.0 AS ma,
-        |    sqrt(CAST(cnt AS DOUBLE) * CAST(q AS DOUBLE)
-        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |    sqrt(CAST(cnt * q - CAST(s AS HUGEINT) * s AS DOUBLE))
         |      / CAST(cnt AS DOUBLE) / 100.0 AS sd
         |  FROM r WHERE cnt = 20)
         |SELECT strftime(day, '%Y-%m-%d') AS day,

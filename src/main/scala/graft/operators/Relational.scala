@@ -5124,8 +5124,12 @@ object Relational {
       .withColumn("q", sum(col("yc").cast(big) * col("yc").cast(big)).over(w))
       .where(col("cnt") === win)
     val nD = col("cnt").cast("double")
-    val sd = sqrt(nD * col("q").cast("double") -
-      col("s").cast("double") * col("s").cast("double")) / nD / 100.0
+    // The radicand n·Σx² − (Σx)² sits near 2e21 at sf0.1 while the
+    // difference is ~1e19: computing it in doubles amplifies 1-ulp
+    // conversion noise past the 6-dp display boundary (caught by the
+    // three-SF probe). Subtract EXACT integers, convert once.
+    val sd = sqrt((col("cnt").cast(big) * col("q") -
+      col("s").cast(big) * col("s").cast(big)).cast("double")) / nD / 100.0
     val ma = col("s").cast("double") / nD / 100.0
     val rev = col("yc").cast("double") / 100.0
     r.select(date_format(col("day"), "yyyy-MM-dd").as("day"),
