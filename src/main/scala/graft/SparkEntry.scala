@@ -5424,10 +5424,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT day, n,
         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m,
-        |    sqrt((CAST(qy AS DOUBLE)
-        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
-        |      / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS sdev,
+        |    sqrt(CAST(n * qy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS sdev,
         |    abs(CAST(yc AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS adev
         |  FROM daily CROSS JOIN s)
         |SELECT n AS n_days,
@@ -5597,9 +5595,7 @@ object SparkEntry {
         |    sum(CAST(yc AS HUGEINT) * yc) AS qy FROM daily),
         |z AS (SELECT day,
         |    (CAST(yc AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / sqrt((CAST(qy AS DOUBLE)
-        |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(n AS DOUBLE))
+        |    / (sqrt(CAST(n * qy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
         |      / CAST(n AS DOUBLE)) AS z
         |  FROM daily CROSS JOIN s)
         |SELECT strftime(day, '%Y-%m-%d') AS day,
@@ -5629,15 +5625,11 @@ object SparkEntry {
         |      - min(CAST(cum AS DOUBLE) - CAST(j AS DOUBLE)
         |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE))) AS rng
         |  FROM wc GROUP BY 1, 2),
-        |lrs AS (SELECT w, ln(rng / (sqrt((CAST(bq AS DOUBLE)
-        |      - (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE))
-        |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE)) * CAST(w AS DOUBLE))
-        |      / CAST(w AS DOUBLE)))) AS lrs
+        |lrs AS (SELECT w, ln(rng / (sqrt(CAST(w * bq
+        |      - CAST(bs AS HUGEINT) * bs AS DOUBLE)) / CAST(w AS DOUBLE))) AS lrs
         |  FROM rs
-        |  WHERE sqrt((CAST(bq AS DOUBLE)
-        |      - (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE))
-        |        * (CAST(bs AS DOUBLE) / CAST(w AS DOUBLE)) * CAST(w AS DOUBLE))
-        |      / CAST(w AS DOUBLE)) > 0),
+        |  WHERE sqrt(CAST(w * bq - CAST(bs AS HUGEINT) * bs AS DOUBLE))
+        |    / CAST(w AS DOUBLE) > 0),
         |perw AS (SELECT w, count(*)::BIGINT AS n_blocks,
         |    CAST(sum(CAST(lrs AS DECIMAL(38,12))) AS DOUBLE)
         |      / CAST(count(*) AS DOUBLE) AS mean_lrs
@@ -5794,9 +5786,8 @@ object SparkEntry {
         |      * len(string_split(trim(text), ' '))) AS qt
         |  FROM documents GROUP BY 1),
         |sc AS (SELECT source, n_docs,
-        |    sqrt(CAST(qt AS DOUBLE) / CAST(n_docs AS DOUBLE)
-        |      - (CAST(st AS DOUBLE) / CAST(n_docs AS DOUBLE))
-        |        * (CAST(st AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS sigma
+        |    sqrt(CAST(n_docs * qt - CAST(st AS HUGEINT) * st AS DOUBLE))
+        |      / CAST(n_docs AS DOUBLE) AS sigma
         |  FROM s),
         |sc2 AS (SELECT source, n_docs, sigma,
         |    CAST(n_docs AS DOUBLE) * sigma AS ns FROM sc),
@@ -5872,21 +5863,16 @@ object SparkEntry {
         |    sum(CAST(i1 + i2 + i3 + i4 AS HUGEINT) * (i1 + i2 + i3 + i4)) AS qt
         |  FROM subj),
         |v AS (SELECT n,
-        |    (CAST(q1 AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
-        |    + (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
-        |    + (CAST(q3 AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
-        |    + (CAST(q4 AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))) AS siv,
-        |    CAST(qt AS DOUBLE) / CAST(n AS DOUBLE)
-        |      - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
-        |        * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS tv
+        |    CAST(n * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    + CAST(n * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    + CAST(n * q3 - CAST(s3 AS HUGEINT) * s3 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        |    + CAST(n * q4 - CAST(s4 AS HUGEINT) * s4 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS siv,
+        |    CAST(n * qt - CAST(st AS HUGEINT) * st AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS tv
         |  FROM s)
         |SELECT CAST(4 AS BIGINT) AS k_items, n AS n_subjects,
         |  floor(siv / 10000.0 * 1e6 + 0.5) / 1e6 AS sum_item_var,
@@ -6009,23 +5995,19 @@ object SparkEntry {
         |SELECT event_type, n_gaps,
         |  floor(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0
         |    * 1e6 + 0.5) / 1e6 AS mean_gap_s,
-        |  floor(sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-        |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))) / 1000000.0
+        |  floor(sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+        |    / CAST(n_gaps AS DOUBLE) / 1000000.0
         |    * 1e6 + 0.5) / 1e6 AS sd_gap_s,
-        |  floor(sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-        |    - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |      * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |  floor(sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+        |    / CAST(n_gaps AS DOUBLE)
         |    / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
         |    * 1e6 + 0.5) / 1e6 AS cv,
-        |  CASE WHEN sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-        |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |  CASE WHEN sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+        |      / CAST(n_gaps AS DOUBLE)
         |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) > 1.5
         |    THEN 'bursty'
-        |    WHEN sqrt(CAST(qg AS DOUBLE) / CAST(n_gaps AS DOUBLE)
-        |      - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
-        |        * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+        |    WHEN sqrt(CAST(n_gaps * qg - sg * sg AS DOUBLE))
+        |      / CAST(n_gaps AS DOUBLE)
         |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) < 0.5
         |    THEN 'scheduled' ELSE 'poisson_like' END AS regime
         |FROM s ORDER BY event_type""".stripMargin,

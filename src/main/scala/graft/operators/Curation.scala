@@ -761,8 +761,9 @@ object Curation {
         sum(col("nt").cast(big) * col("nt").cast(big)).as("qt"))
       .localCheckpoint(true)
     val nD = col("n_docs").cast("double")
-    val sigma = sqrt(col("qt").cast("double") / nD -
-      (col("st").cast("double") / nD) * (col("st").cast("double") / nD))
+    // σ via the exact-integer radicand: √(n·Σx²−(Σx)²)/n
+    val sigma = sqrt((col("n_docs").cast(big) * col("qt") -
+      col("st").cast(big) * col("st").cast(big)).cast("double")) / nD
     val scored = s.withColumn("ns", nD * sigma).localCheckpoint(true)
     val z = scored.agg(sum(col("ns").cast(dec)).as("zd"))
       .select(col("zd").cast("double").as("z"))

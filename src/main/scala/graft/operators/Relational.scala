@@ -4949,7 +4949,11 @@ object Relational {
       sum(col("yc").cast(big) * col("yc").cast(big)).as("qy"))
     val nD = col("n").cast("double")
     val mean = col("sy").cast("double") / nD
-    val sd = sqrt((col("qy").cast("double") - mean * mean * nD) / (nD - 1.0))
+    // Exact-integer radicand (the bollinger discipline): n·Σx²−(Σx)²
+    // subtracted before any double conversion.
+    val sd = sqrt((col("n").cast(big) * col("qy") -
+      col("sy").cast(big) * col("sy").cast(big)).cast("double") /
+      (nD * (nD - 1.0)))
     val scored = daily.crossJoin(broadcast(s))
       .select(col("day"), col("n"),
         (mean / 100.0).as("m"), (sd / 100.0).as("sdev"),
@@ -5187,7 +5191,9 @@ object Relational {
       sum(col("yc").cast(big) * col("yc").cast(big)).as("qy"))
     val nD = col("n").cast("double")
     val mean = col("sy").cast("double") / nD
-    val sd = sqrt((col("qy").cast("double") - mean * mean * nD) / nD)
+    // population σ via the exact-integer radicand: √(n·Σx²−(Σx)²)/n
+    val sd = sqrt((col("n").cast(big) * col("qy") -
+      col("sy").cast(big) * col("sy").cast(big)).cast("double")) / nD
     val z = (col("yc").cast("double") - mean) / sd
     daily.crossJoin(broadcast(s))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -5233,8 +5239,9 @@ object Relational {
       .agg(max("bn").as("bn"), max("bs").as("bs"), max("bq").as("bq"),
         (max(dev) - min(dev)).as("rng"))
     val wD = col("w").cast("double")
-    val sBlk = sqrt((col("bq").cast("double") -
-      (col("bs").cast("double") / wD) * (col("bs").cast("double") / wD) * wD) / wD)
+    // block σ via the exact-integer radicand: √(w·Σx²−(Σx)²)/w
+    val sBlk = sqrt((col("w").cast(big) * col("bq") -
+      col("bs").cast(big) * col("bs").cast(big)).cast("double")) / wD
     val logrs = rs.where(sBlk > 0)
       .select(col("w"), log(col("rng") / sBlk).as("lrs"))
     val perW = logrs.groupBy("w")
@@ -5341,7 +5348,9 @@ object Relational {
         sum(col("gap_us").cast(big) * col("gap_us").cast(big)).as("qg"))
     val nD = col("n_gaps").cast("double")
     val mean = col("sg").cast("double") / nD
-    val sd = sqrt(col("qg").cast("double") / nD - mean * mean)
+    // σ via the exact-integer radicand: √(n·Σg²−(Σg)²)/n
+    val sd = sqrt((col("n_gaps").cast(big) * col("qg") -
+      col("sg") * col("sg")).cast("double")) / nD
     val cv = sd / mean
     s.select(col("event_type"), col("n_gaps"),
         fl6(mean / 1000000.0).as("mean_gap_s"),
@@ -5379,8 +5388,10 @@ object Relational {
       sum(col("tot").cast(big) * col("tot").cast(big)).as("qt"))
     val s = subj.agg(aggs.head, aggs.tail: _*)
     val nD = col("n").cast("double")
+    // population variances via the exact-integer radicand (n·Σx²−(Σx)²)/n²
     def popVar(sc: Column, qc: Column): Column =
-      qc.cast("double") / nD - (sc.cast("double") / nD) * (sc.cast("double") / nD)
+      (col("n").cast(big) * qc - sc.cast(big) * sc.cast(big)).cast("double") /
+        (nD * nD)
     val sumItemVar = (1 to 4).map(q => popVar(col(s"s$q"), col(s"q$q")))
       .reduce(_ + _)
     val totVar = popVar(col("st"), col("qt"))
