@@ -6,12 +6,13 @@ import scala.annotation.tailrec
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec,
-  SortExec, SparkPlan, WholeStageCodegenExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, InputAdapter,
+  ProjectExec, SortExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+  AQEShuffleReadExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 
 /** Plan auditor: dumps `explain("formatted")` for every SparkEntry query and
   * greps each plan for the structural properties the 100 TB design depends
@@ -41,24 +42,51 @@ object PlanAudit {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    @tailrec def toExchange(p: SparkPlan): Option[ShuffleExchangeExec] =
+    // Walk DOWN from a window to the exchange feeding it. Partitioning-
+    // preserving unary wrappers are descended silently; any OTHER unary
+    // node on the path is still descended (a SinglePartition exchange
+    // below it still means a one-task window) but its class name is
+    // carried into the finding — an unfamiliar plan shape must surface,
+    // never silently pass (ADVICE r9).
+    @tailrec def toExchange(p: SparkPlan, via: List[String])
+        : (Option[ShuffleExchangeExec], List[String]) =
       p match {
-        case e: ShuffleExchangeExec => Some(e)
-        case u @ (_: SortExec | _: ProjectExec | _: FilterExec |
-            _: WindowExec | _: InputAdapter | _: WholeStageCodegenExec) =>
-          toExchange(u.children.head)
-        case _ => None
+        case e: ShuffleExchangeExec => (Some(e), via)
+        case u if u.children.size == 1 =>
+          val known = u match {
+            case _: SortExec | _: ProjectExec | _: FilterExec |
+                _: WindowExec | _: InputAdapter | _: WholeStageCodegenExec |
+                _: AQEShuffleReadExec | _: CoalesceExec |
+                _: WindowGroupLimitExec => true
+            case _ => false
+          }
+          toExchange(u.children.head,
+            if (known) via else u.getClass.getSimpleName :: via)
+        case _ => (None, via)
       }
     plan.collect { case w: WindowExec => w }.flatMap { w =>
-      // PrefixScan's carry window is recognizable structurally: it orders
-      // by the synthetic `__chunk` key over a groupBy(__chunk) summary,
-      // which is <= nChunks (1024) rows BY CONSTRUCTION at any data size.
-      val isCarry = w.orderSpec
-        .flatMap(_.child.references.toSeq.map(_.name)).contains("__chunk")
-      toExchange(w.child) match {
-        case Some(e) if e.outputPartitioning == SinglePartition && !isCarry =>
-          val bounded = e.child.find(_.isInstanceOf[BaseAggregateExec]).isDefined
-          Some(if (bounded) "agg" else "raw")
+      toExchange(w.child, Nil) match {
+        case (Some(e), via) if e.outputPartitioning == SinglePartition =>
+          // PrefixScan's carry window is exempt, verified STRUCTURALLY
+          // (not by column name alone, ADVICE r9): it orders by exactly
+          // `__chunk` AND the exchange's child is an aggregate grouping
+          // on exactly that column — the groupBy(__chunk) summary, which
+          // is <= nChunks (1024) rows BY CONSTRUCTION at any data size.
+          // A window that merely references a column NAMED __chunk over
+          // anything else is classified normally.
+          val orderKeys = w.orderSpec
+            .flatMap(_.child.references.toSeq.map(_.name)).distinct
+          val isCarry = orderKeys == Seq("__chunk") && e.child.find {
+            case a: BaseAggregateExec => a.groupingExpressions
+              .flatMap(_.references.toSeq.map(_.name)).distinct == Seq("__chunk")
+            case _ => false
+          }.isDefined
+          if (isCarry) None
+          else {
+            val bounded = e.child.find(_.isInstanceOf[BaseAggregateExec]).isDefined
+            val tag = if (bounded) "agg" else "raw"
+            Some(if (via.isEmpty) tag else s"$tag(via ${via.mkString(",")})")
+          }
         case _ => None
       }
     }.distinct
@@ -325,10 +353,10 @@ object PlanAudit {
       }
 
       val spw = singlePartitionWindows(df.queryExecution.executedPlan)
-      if (spw.contains("raw") && !rawWindowOk(name))
+      if (spw.exists(_.startsWith("raw")) && !rawWindowOk(name))
         failures += s"$name: single-partition window over a RAW (un-aggregated) " +
           "frame — one task holds the whole input at scale"
-      if (spw.contains("agg") && !singlePartWindowOk(name))
+      if (spw.exists(_.startsWith("agg")) && !singlePartWindowOk(name))
         failures += s"$name: single-partition window over an aggregated frame " +
           "with no boundedness justification (add to singlePartWindowOk only " +
           "if the frame provably does not grow with the corpus)"

@@ -5717,10 +5717,11 @@ object SparkEntry {
         |flags AS (SELECT source,
         |    (nt >= 30 AND nt <= 90) AS pass_len,
         |    (mwl >= 4.0 AND mwl <= 4.9) AS pass_wordlen,
-        |    (CAST(top_c AS DOUBLE) / nt <= 0.15) AS pass_top,
-        |    (1.0 - CAST(n_distinct AS DOUBLE) / nt <= 0.6) AS pass_rep,
+        |    coalesce(CAST(top_c AS DOUBLE) / nt <= 0.15, false) AS pass_top,
+        |    coalesce(1.0 - CAST(n_distinct AS DOUBLE) / nt <= 0.6, false)
+        |      AS pass_rep,
         |    (stop_hits >= 1) AS pass_stop
-        |  FROM b2 JOIN hist USING (doc_id)),
+        |  FROM b2 LEFT JOIN hist USING (doc_id)),
         |agg AS (SELECT source, count(*)::BIGINT AS n_docs,
         |    sum(CASE WHEN pass_len THEN 0 ELSE 1 END)::BIGINT AS fail_len,
         |    sum(CASE WHEN pass_wordlen THEN 0 ELSE 1 END)::BIGINT AS fail_wordlen,

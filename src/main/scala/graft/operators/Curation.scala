@@ -718,13 +718,20 @@ object Curation {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max("c").as("top_c"), count(lit(1)).as("n_distinct"))
-    val flags = base.join(hist, "doc_id")
+    // LEFT join + explicit failure on a missing histogram row: with the
+    // current tokenizer `split(trim(text), " ")` never yields an empty
+    // array, so every doc HAS a histogram row — but that's a tokenizer
+    // invariant, not a join guarantee. An inner join would silently drop
+    // such a doc from n_docs entirely (ADVICE r9); here it stays counted
+    // and fails the dominance/repetition rules explicitly.
+    val flags = base.join(hist, Seq("doc_id"), "left")
       .withColumn("pass_len", col("nt") >= 30 && col("nt") <= 90)
       .withColumn("pass_wordlen", col("mwl") >= 4.0 && col("mwl") <= 4.9)
-      .withColumn("pass_top",
-        col("top_c").cast("double") / col("nt") <= 0.15)
-      .withColumn("pass_rep",
-        lit(1.0) - col("n_distinct").cast("double") / col("nt") <= 0.6)
+      .withColumn("pass_top", coalesce(
+        col("top_c").cast("double") / col("nt") <= 0.15, lit(false)))
+      .withColumn("pass_rep", coalesce(
+        lit(1.0) - col("n_distinct").cast("double") / col("nt") <= 0.6,
+        lit(false)))
       .withColumn("pass_stop", col("stop_hits") >= 1)
     def fails(c: String) = sum(when(col(c), 0L).otherwise(1L)).as(s"fail_${c.drop(5)}")
     flags.groupBy("source")

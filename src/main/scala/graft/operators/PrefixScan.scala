@@ -84,12 +84,19 @@ object PrefixScan {
       isSum: Boolean, exclusive: Boolean): DataFrame = {
     def agg(c: Column): Column = if (isSum) sum(c) else max(c)
     // Value-range chunk id: integer `div` (no long->double precision loss),
-    // width >= 1 so the id is always in [0, nChunks).
-    val b = df.agg(min(col(chunkOn).cast("long")).as("__mn"),
-      max(col(chunkOn).cast("long")).as("__mx"))
+    // width >= 1 so the id is always in [0, nChunks). Bounds and the
+    // per-row subtraction run in DECIMAL(38,0): a key range spanning more
+    // than Long.MaxValue (e.g. hash-valued keys near both long extremes)
+    // would wrap `__mx - __mn` negative in long arithmetic and silently
+    // misassign chunks (ADVICE r9) — decimal subtraction cannot wrap, and
+    // `div` on decimals still returns an exact integral long.
+    val b = df.agg(
+      min(col(chunkOn).cast("long").cast("decimal(38,0)")).as("__mn"),
+      max(col(chunkOn).cast("long").cast("decimal(38,0)")).as("__mx"))
     val chunked = df.crossJoin(broadcast(b))
       .withColumn("__chunk", expr(
-        s"(cast($chunkOn as long) - __mn) div ((__mx - __mn) div $nChunks + 1)"))
+        s"(cast(cast($chunkOn as long) as decimal(38,0)) - __mn) " +
+          s"div ((__mx - __mn) div $nChunks + 1)"))
       .drop("__mn", "__mx")
     val localW = Window.partitionBy("__chunk").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding,

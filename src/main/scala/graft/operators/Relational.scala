@@ -5026,15 +5026,17 @@ object Relational {
       .select("vc", "cuma", "cumb", "rn").localCheckpoint(true)
     val totals = scanned.agg(max("cuma").as("na"), max("cumb").as("nb"))
     val nxt = scanned.select((col("rn") - 1).as("rn"), col("vc").as("vnext"))
-    // The CDF diff |cumA·n_B − cumB·n_A| fits a LONG at any plausible SF
-    // (≤ n_A·n_B ~ 2e12 at sf1), but its product with a price gap can
-    // reach ~1e20 — so the diff is cast to decimal BEFORE the multiply
-    // and the whole numerator stays exact integer arithmetic.
+    // The cross products cumA·n_B / cumB·n_A reach ~9e18 — the LONG
+    // ceiling — at a 100 TB-scale order count, and Spark wraps longs
+    // silently, so the factors are cast to decimal BEFORE the multiply
+    // (ADVICE r9); the price-gap product (which can reach ~1e20) was
+    // already decimal. The whole numerator stays exact integers.
+    val big0 = DecimalType(38, 0)
     scanned.join(nxt, "rn")
       .crossJoin(broadcast(totals))
       .agg(max("na").as("na"), max("nb").as("nb"),
-        sum(abs(col("cuma") * col("nb") - col("cumb") * col("na"))
-          .cast(DecimalType(38, 0)) *
+        sum(abs(col("cuma").cast(big0) * col("nb") -
+            col("cumb").cast(big0) * col("na")) *
           (col("vnext") - col("vc")).cast(DecimalType(19, 0))).as("num"))
       .select(col("na"), col("nb"),
         fl6(col("num").cast("double") /
@@ -5156,7 +5158,6 @@ object Relational {
     val lagW = Window.orderBy("day") // calendar-bounded daily frame
     val diffs = daily
       .withColumn("d", col("yc") - lag("yc", 1).over(lagW))
-      .withColumn("i", row_number().over(lagW))
       .where(col("d").isNotNull)
     val w = Window.orderBy("day").rowsBetween(-(win - 1), 0)
     val r = diffs
@@ -5348,9 +5349,17 @@ object Relational {
         sum(col("gap_us").cast(big) * col("gap_us").cast(big)).as("qg"))
     val nD = col("n_gaps").cast("double")
     val mean = col("sg").cast("double") / nD
-    // σ via the exact-integer radicand: √(n·Σg²−(Σg)²)/n
-    val sd = sqrt((col("n_gaps").cast(big) * col("qg") -
-      col("sg") * col("sg")).cast("double")) / nD
+    // σ via the exact-integer radicand: √(n·Σg²−(Σg)²)/n. Both terms sit
+    // near the DECIMAL(38,0) ceiling at extreme SFs (Σg ~ users×span in
+    // µs → (Σg)² ~ 1e38); past it Spark yields NULL where DuckDB errors,
+    // so a silent null would diverge engines — fail LOUDLY instead
+    // (ADVICE r9). Documented bound: exact up to Σgap_us < 1e19 per type.
+    val radRaw = (col("n_gaps").cast(big) * col("qg") -
+      col("sg") * col("sg"))
+    val rad = when(radRaw.isNull, raise_error(lit(
+      "interarrival: σ radicand overflowed DECIMAL(38,0) — corpus past " +
+        "the documented Σgap_us < 1e19 bound"))).otherwise(radRaw)
+    val sd = sqrt(rad.cast("double")) / nD
     val cv = sd / mean
     s.select(col("event_type"), col("n_gaps"),
         fl6(mean / 1000000.0).as("mean_gap_s"),

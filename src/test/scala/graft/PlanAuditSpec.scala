@@ -43,6 +43,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(detect(scanned).isEmpty)
   }
 
+  test("a column merely NAMED __chunk does not buy the carry exemption") {
+    // r9 ADVICE: the carry check must verify the exchange child is the
+    // groupBy(__chunk) summary, not trust the order key's name.
+    val ev = Tables.load(spark, sf, "events")
+    val hist = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumnRenamed("event_type", "__chunk")
+    val w = Window.orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assert(detect(hist.withColumn("cum", sum("n").over(w))) == Seq("agg"))
+  }
+
+  test("an unrecognized node between window and exchange is surfaced, not skipped") {
+    import org.apache.spark.sql.execution.LocalLimitExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val ev = Tables.load(spark, sf, "events")
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val planted = ev.withColumn("run", max("value").over(w))
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.executedPlan match {
+      // transformUp cannot see inside the AQE leaf — unwrap first
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val wrapped = planted.transformUp {
+      case e: ShuffleExchangeExec => LocalLimitExec(10, e)
+    }
+    assert(PlanAudit.singlePartitionWindows(wrapped) ==
+      Seq("raw(via LocalLimitExec)"))
+  }
+
   test("key-partitioned windows are not flagged") {
     val ev = Tables.load(spark, sf, "events")
     val w = Window.partitionBy("user_id").orderBy("ts")
