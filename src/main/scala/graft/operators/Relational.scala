@@ -1993,16 +1993,19 @@ object Relational {
       maxBasket: Int = 1000): DataFrame = {
     val li = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
     val o = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    // ONE eager materialization of the ranked user×part frame; both the
+    // truncation counter and the capped pair-join input are cheap filters
+    // over its cached blocks. (r9 shipped two eager checkpoints — each
+    // re-ran the join+distinct+window — a 1.81× solo regression.)
     val upAll = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
       .withColumn("prank", row_number().over(
         Window.partitionBy("cust").orderBy("part")))
+      .localCheckpoint(true)
     val truncated = upAll.where(col("prank") > maxBasket)
       .agg(countDistinct("cust").as("n_truncated_custs"))
-      .localCheckpoint(true)
     val up = upAll.where(col("prank") <= maxBasket).drop("prank")
-      .localCheckpoint(true)
     val freq = up.groupBy("part").agg(count(lit(1)).as("n_users"))
     val hint: DataFrame => DataFrame =
       if (t(spark, dir, "part").count() <= maxBroadcastParts) broadcast else identity
