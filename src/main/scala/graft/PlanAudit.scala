@@ -254,6 +254,8 @@ object PlanAudit {
         // the 4-row threshold spine (the bootstrap/mutual_info scalar
         // pattern)
         "q_dedup_recall", "q_lsh_curve",
+        // the sampled acceptance variants inherit the same plan shape
+        "q_dedup_recall_sampled", "q_lsh_curve_sampled",
         // price_index: 1-row base-month frame broadcast over the bounded
         // (month, part) rollup (the rfm anchor-date pattern)
         "q_price_index",

@@ -31,6 +31,32 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Deterministic content-addressed corpus sample for the acceptance
+    * reports ([[dedupRecall]] / [[lshCurve]]): keep documents whose
+    * sha256(trim(text)) starts with a hex prefix <= `cutHex` — the
+    * [[TextAnalysis.splitHash]] convention. Content addressing means an
+    * exact-duplicate group is all-in or all-out, so the rep-collapse
+    * arithmetic and the doc-level oracle stay consistent under sampling.
+    * `""` = full corpus. Rate = (cutHex+1)/16^len: "3" keeps 1/4, "0"
+    * 1/16, "00" 1/256 — the knob that makes an exact all-pairs ground
+    * truth runnable at 100 TB (sample first, then the dfCap'd
+    * shared-shingle join runs on rate²-fewer pairs).
+    */
+  private def sampleDocs(docs: DataFrame, cutHex: String): DataFrame =
+    if (cutHex.isEmpty) docs
+    else docs.where(
+      substring(sha2(trim(col("text")), 256), 1, cutHex.length) <= cutHex)
+
+  private[graft] def sampleRate(cutHex: String): Double =
+    if (cutHex.isEmpty) 1.0
+    else (java.lang.Long.parseLong(cutHex, 16) + 1).toDouble /
+      math.pow(16.0, cutHex.length.toDouble)
+
+  /** The sample predicate as DuckDB SQL (oracle twin of [[sampleDocs]]). */
+  private def samplePredSql(cutHex: String): String =
+    if (cutHex.isEmpty) ""
+    else s" WHERE substr(sha256(trim(text)), 1, ${cutHex.length}) <= '$cutHex'"
+
   /** §2.3 #23 — exact dedup. Hash-groupBy on sha256(normalized text): the
     * shuffle key is 32 bytes regardless of document size, so at 100 TB the
     * exchange moves hashes + ids, not documents.
@@ -438,13 +464,21 @@ object Dedup {
     * distinct texts are stop-shingles: excluded from the ground truth on
     * both engines (a df-1M boilerplate shingle is 10¹² join pairs) and
     * reported in `n_stop_shingles`.
+    *
+    * `sampleCutHex` (VERDICT r9 #1): even df-capped, the exact ground
+    * truth is ~dfCap× linear work — at 100 TB the report would outweigh
+    * the dedup pass it calibrates. A non-empty cut measures recall on a
+    * deterministic content-addressed sample ([[sampleDocs]]); the output
+    * then carries `sample_rate` and a normal-approximation 95% CI on the
+    * recall proportion (n = sampled gt_pairs), so the sampled report
+    * states its own precision. Full mode (`""`) stays the gate default.
     */
   def dedupRecall(spark: SparkSession, dir: String, maxDist: Int = 3,
       taus: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8),
-      shingleDfCap: Int = 1024): DataFrame = {
+      shingleDfCap: Int = 1024, sampleCutHex: String = ""): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy("ckey")
-    val members = Tables.load(spark, dir, "documents")
+    val members = sampleDocs(Tables.load(spark, dir, "documents"), sampleCutHex)
       .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
       .withColumn("rep_id", min("doc_id").over(w))
       .withColumn("copies", count(lit(1)).over(w))
@@ -455,6 +489,7 @@ object Dedup {
     val repDocs = Tables.load(spark, dir, "documents")
       .join(repCopies.select("doc_id"), "doc_id")
     val sh = shingleDocs(repDocs).localCheckpoint(true)
+    val rate = sampleRate(sampleCutHex)
     // STOP-SHINGLE CAP: a shingle appearing in > `shingleDfCap` distinct
     // texts ("Terms of Service …" boilerplate) would alone fan the
     // ground-truth self-join out to df² pairs — 10¹² from one stop
@@ -503,6 +538,17 @@ object Dedup {
           .as("gt_cross"),
         sum(when(col("j") >= col("tau") && col("ham") <= maxDist, col("wt"))
           .otherwise(0L)).as("det_cross"))
+    def fl6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    // Recall proportion p from the EXACT integer counts (one double
+    // division — both engines identical), 95% normal-approximation CI
+    // with n = gt_pairs: under content-addressed doc sampling the sampled
+    // pairs are the trial set, so the half-width states the sampled
+    // report's own precision (collapses to ±0 relative width as gt_pairs
+    // grows; exactly [p, p] only when p is 0/1).
+    val p = col("detected_pairs").cast("double") / col("gt_pairs").cast("double")
+    val half = lit(1.959964) * sqrt(p * (lit(1.0) - p) /
+      col("gt_pairs").cast("double"))
     broadcast(taus.toDF("tau"))
       .join(crossAgg, Seq("tau"), "left_outer")
       .crossJoin(broadcast(within))
@@ -511,12 +557,102 @@ object Dedup {
         (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
         (coalesce(col("det_cross"), lit(0L)) + col("ww")).as("detected_pairs"),
         col("n_stop_shingles"))
-      .withColumn("recall",
-        when(col("gt_pairs") > 0,
-          floor(col("detected_pairs").cast("double") /
-            col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
-      .select("tau", "gt_pairs", "detected_pairs", "n_stop_shingles", "recall")
+      .withColumn("recall", when(col("gt_pairs") > 0, fl6(p)))
+      .withColumn("sample_rate", lit(rate))
+      .withColumn("recall_ci_lo",
+        when(col("gt_pairs") > 0, fl6(greatest(lit(0.0), p - half))))
+      .withColumn("recall_ci_hi",
+        when(col("gt_pairs") > 0, fl6(least(lit(1.0), p + half))))
+      .select("tau", "gt_pairs", "detected_pairs", "n_stop_shingles",
+        "recall", "sample_rate", "recall_ci_lo", "recall_ci_hi")
       .orderBy("tau")
+  }
+
+  /** DuckDB oracle for [[dedupRecall]] — the doc-level formulation
+    * (no rep collapse: every doc pair weighted 1), same stop-shingle cap,
+    * same sample predicate, same closed-form CI arithmetic.
+    */
+  def dedupRecallOracleSql(maxDist: Int = 3, shingleDfCap: Int = 1024,
+      sampleCutHex: String = ""): String = {
+    val rate = sampleRate(sampleCutHex)
+    s"""WITH docsrc AS (
+       |  SELECT * FROM documents${samplePredSql(sampleCutHex)}
+       |), toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM docsrc
+       |), idx AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |  FROM toks WHERE len(w) >= 3
+       |), shl0 AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+       |), rep AS (
+       |  SELECT min(doc_id) AS rid FROM docsrc GROUP BY sha256(trim(text))
+       |), stopg AS (
+       |  SELECT g FROM shl0 JOIN rep ON shl0.doc_id = rep.rid
+       |  GROUP BY g HAVING count(*) > $shingleDfCap
+       |), ns AS (SELECT count(*)::BIGINT AS n_stop_shingles FROM stopg),
+       |shl AS (SELECT shl0.* FROM shl0 ANTI JOIN stopg USING (g)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shl a JOIN shl b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |    inter::DOUBLE / (sa.n + sb.n - inter) AS j
+       |  FROM p JOIN sz sa ON sa.doc_id = doc_a
+       |  JOIN sz sb ON sb.doc_id = doc_b),
+       |d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM docsrc),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_transform(toks, t ->
+       |      (list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+       |         (a, c) -> (a * 131 + c) % 2147483647) << 31)
+       |      | list_reduce(list_prepend(CAST(11 AS BIGINT),
+       |         [CAST(ascii(t[i]) AS BIGINT) FOR i IN generate_series(1, length(t))]),
+       |         (a, c) -> (a * 137 + c) % 2147483629)
+       |    ) AS hs
+       |  FROM d
+       |),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CASE WHEN 2 * len(list_filter(hs, x -> (x >> k) & 1 = 1)) > len(hs)
+       |            THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END
+       |       FOR k IN generate_series(0, 61)]), (a, b) -> a | b) AS fp
+       |  FROM h
+       |),
+       |jd AS (
+       |  SELECT j, CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS ham
+       |  FROM jp
+       |  JOIN f fa ON fa.doc_id = jp.doc_a
+       |  JOIN f fb ON fb.doc_id = jp.doc_b),
+       |ts AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS tau),
+       |ca AS (
+       |  SELECT tau,
+       |    sum(CASE WHEN j >= tau THEN 1 ELSE 0 END)::BIGINT AS gt_pairs,
+       |    sum(CASE WHEN j >= tau AND ham <= $maxDist THEN 1 ELSE 0 END)::BIGINT
+       |      AS detected_pairs
+       |  FROM jd CROSS JOIN ts GROUP BY 1),
+       |base AS (
+       |  SELECT ts.tau, coalesce(ca.gt_pairs, 0) AS gtp,
+       |    coalesce(ca.detected_pairs, 0) AS detp, n_stop_shingles
+       |  FROM ts LEFT JOIN ca ON ts.tau = ca.tau CROSS JOIN ns),
+       |withp AS (
+       |  SELECT tau, gtp, detp, n_stop_shingles,
+       |    CAST(detp AS DOUBLE) / CAST(gtp AS DOUBLE) AS p,
+       |    1.959964 * sqrt(CAST(detp AS DOUBLE) / CAST(gtp AS DOUBLE)
+       |      * (1.0 - CAST(detp AS DOUBLE) / CAST(gtp AS DOUBLE))
+       |      / CAST(gtp AS DOUBLE)) AS half
+       |  FROM base)
+       |SELECT tau, gtp AS gt_pairs, detp AS detected_pairs, n_stop_shingles,
+       |  CASE WHEN gtp > 0 THEN floor(p * 1e6 + 0.5) / 1e6 END AS recall,
+       |  CAST($rate AS DOUBLE) AS sample_rate,
+       |  CASE WHEN gtp > 0 THEN
+       |    floor(greatest(0.0, p - half) * 1e6 + 0.5) / 1e6 END AS recall_ci_lo,
+       |  CASE WHEN gtp > 0 THEN
+       |    floor(least(1.0, p + half) * 1e6 + 0.5) / 1e6 END AS recall_ci_hi
+       |FROM withp ORDER BY tau""".stripMargin
   }
 
   /** §2.3 #326 — LSH TUNING CURVE: for each (bands b, rows r) MinHash
@@ -535,7 +671,8 @@ object Dedup {
     */
   def lshCurve(spark: SparkSession, dir: String,
       configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
-      tau: Double = 0.6, shingleDfCap: Int = 1024): DataFrame = {
+      tau: Double = 0.6, shingleDfCap: Int = 1024,
+      sampleCutHex: String = ""): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // The squaring chain computes c^(2^ceil(log2 e)) — silently wrong for
     // any non-power-of-two exponent (e.g. (20, 3) would score j⁴ a band).
@@ -544,8 +681,9 @@ object Dedup {
         s"lshCurve needs power-of-two bands and rows (squaring chain); got ($b, $r)")
     }
     val dec18 = DecimalType(27, 18) // p ∈ [0,1]: 18 frac + 9 headroom digits
+    val srate = sampleRate(sampleCutHex)
     val w = Window.partitionBy("ckey")
-    val members = Tables.load(spark, dir, "documents")
+    val members = sampleDocs(Tables.load(spark, dir, "documents"), sampleCutHex)
       .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
       .withColumn("rep_id", min("doc_id").over(w))
       .withColumn("copies", count(lit(1)).over(w))
@@ -618,6 +756,21 @@ object Dedup {
           when(col("gt_pairs") > 0,
             floor((coalesce(col("exp_detected"), lit(0.0))) /
               col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
+        .withColumn("sample_rate", lit(srate))
+        // Sampling precision: normal-approximation 95% CI on the expected
+        // recall proportion with n = sampled gt_pairs (the dedupRecall CI
+        // convention) — the sampled design sheet states its own error bar.
+        .withColumn("__p", coalesce(col("exp_detected"), lit(0.0)) /
+          col("gt_pairs").cast("double"))
+        .withColumn("__half", lit(1.959964) * sqrt(col("__p") *
+          (lit(1.0) - col("__p")) / col("gt_pairs").cast("double")))
+        .withColumn("recall_ci_lo", when(col("gt_pairs") > 0,
+          floor(greatest(lit(0.0), col("__p") - col("__half")) * lit(1e6)
+            + lit(0.5)) / lit(1e6)))
+        .withColumn("recall_ci_hi", when(col("gt_pairs") > 0,
+          floor(least(lit(1.0), col("__p") + col("__half")) * lit(1e6)
+            + lit(0.5)) / lit(1e6)))
+        .drop("__p", "__half")
     }
     perConfig.reduce(_ unionByName _).orderBy(col("bands").desc)
   }
@@ -627,11 +780,13 @@ object Dedup {
     * per configuration.
     */
   def lshCurveOracleSql(configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8)),
-      tau: Double = 0.6, shingleDfCap: Int = 1024): String = {
+      tau: Double = 0.6, shingleDfCap: Int = 1024,
+      sampleCutHex: String = ""): String = {
     configs.foreach { case (b, r) =>
       require(Integer.bitCount(b) == 1 && Integer.bitCount(r) == 1,
         s"lshCurve needs power-of-two bands and rows (squaring chain); got ($b, $r)")
     }
+    val srate = sampleRate(sampleCutHex)
     def sqSql(base: String, e: Int): String = {
       var x = base; var k = 1
       while (k < e) { x = s"($x * $x)"; k *= 2 }
@@ -648,15 +803,17 @@ object Dedup {
          |    * 1e6 + 0.5) / 1e6 AS exp_detected
          |FROM jp""".stripMargin
     }
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    s"""WITH docsrc AS (
+       |  SELECT * FROM documents${samplePredSql(sampleCutHex)}
+       |), toks AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM docsrc
        |), idx AS (
        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
        |  FROM toks WHERE len(w) >= 3
        |), shl0 AS (
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
        |), rep AS (
-       |  SELECT min(doc_id) AS rid FROM documents GROUP BY sha256(trim(text))
+       |  SELECT min(doc_id) AS rid FROM docsrc GROUP BY sha256(trim(text))
        |), stopg AS (
        |  SELECT g FROM shl0 JOIN rep ON shl0.doc_id = rep.rid
        |  GROUP BY g HAVING count(*) > $shingleDfCap
@@ -673,13 +830,25 @@ object Dedup {
        |  JOIN sz sb ON sb.doc_id = doc_b),
        |armed AS (
        |${arms.mkString("\n UNION ALL\n")}
-       |)
+       |), withp AS (
+       |  SELECT bands, rows_per_band, n_stop_shingles, gt_pairs,
+       |    exp_candidates, exp_detected,
+       |    coalesce(exp_detected, 0.0) / CAST(gt_pairs AS DOUBLE) AS p
+       |  FROM armed CROSS JOIN ns)
        |SELECT bands, rows_per_band, n_stop_shingles, gt_pairs,
        |  exp_candidates, exp_detected,
+       |  CASE WHEN gt_pairs > 0 THEN floor(p * 1e6 + 0.5) / 1e6
+       |  END AS exp_recall,
+       |  CAST($srate AS DOUBLE) AS sample_rate,
        |  CASE WHEN gt_pairs > 0 THEN
-       |    floor(exp_detected / CAST(gt_pairs AS DOUBLE) * 1e6 + 0.5) / 1e6
-       |  END AS exp_recall
-       |FROM armed CROSS JOIN ns ORDER BY bands DESC""".stripMargin
+       |    floor(greatest(0.0, p - 1.959964 * sqrt(p * (1.0 - p)
+       |      / CAST(gt_pairs AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |  END AS recall_ci_lo,
+       |  CASE WHEN gt_pairs > 0 THEN
+       |    floor(least(1.0, p + 1.959964 * sqrt(p * (1.0 - p)
+       |      / CAST(gt_pairs AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |  END AS recall_ci_hi
+       |FROM withp ORDER BY bands DESC""".stripMargin
   }
 
   /** §2.3 #176 — curation FUNNEL summary: the corpus-level rollup of
