@@ -97,7 +97,17 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name: ${e.getMessage}") }
       }
     }
+    // Sweep observability (r9's q_lsh_curve ran 8.4× slower in the sweep
+    // than solo with no attribution): per query, the GC time spent during
+    // its passes and the JVM heap in use after its cleanup. When a sweep
+    // number diverges from solo, these say whether the tax is collector
+    // time (old-gen pressure from accumulated sweep state) or something
+    // else — stderr only, the JSON stays clean.
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = gcBeans.asScala.map(_.getCollectionTime).sum
     val results: Map[String, Option[Double]] = selected.map { case (name, fn) =>
+      val gc0 = gcMs
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -113,6 +123,10 @@ object Bench {
       // tax the next one's GC: drop them eagerly between queries.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench-gc] $name%-26s wall=${times.sum}%7.2fs gc=${(gcMs - gc0) / 1000.0}%6.2fs " +
+        f"heapUsed=${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%6dMB " +
+        f"rddsLive=${spark.sparkContext.getPersistentRDDs.size}%3d")
       // Any failed pass marks the query failed: a median over survivors
       // would hide flakiness.
       name -> (if (times.size == passes) Some(median(times)) else None)

@@ -66,8 +66,8 @@ object StressGen {
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val docMode = if (args.length > 3) args(3) else "exact"
-    require(docMode == "exact" || docMode == "mutate",
-      s"docMode must be exact|mutate, got $docMode")
+    require(docMode == "exact" || docMode == "mutate" || docMode == "numeric",
+      s"docMode must be exact|mutate|numeric, got $docMode")
     val mutPct = if (args.length > 4) args(4).toInt else 5
     require(mutPct >= 1 && mutPct <= 99, s"mutPct must be 1..99, got $mutPct")
     val spark = SparkSession.builder()
@@ -128,13 +128,30 @@ object StressGen {
       off
     }
 
-    val okOff = replicate("orders", Seq("o_orderkey"))
-    replicate("lineitem", Seq("l_orderkey"), Some(okOff))
-    replicate("events", Seq("user_id"))
-    replicate("documents", Seq("doc_id"))
-    // embeddings key on vec_id (no doc_id FK in the reduced schema), so
-    // the shift is independent of documents'.
-    replicate("embeddings", Seq("vec_id"))
+    if (docMode == "numeric") {
+      // NUMERIC-column stress (VERDICT r9 #8): r9 learned that long
+      // overflow and radicand cancellation appear BETWEEN sf0.1 and sf10 —
+      // the gate SFs never catch them. This mode replicates ONLY the
+      // numeric fact pair (orders/lineitem, e.g. factor=100 on sf0.1 ≈
+      // sf10 power sums) so the ~30 power-sum/radicand queries can be
+      // driven one decade past the r9 stress without paying 100× on the
+      // text/event corpora, which copy unchanged.
+      Seq("events", "documents", "embeddings").foreach { t =>
+        sources.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+        println(s"[stressgen] $t: copied unchanged (numeric mode)")
+      }
+      val okOff = replicate("orders", Seq("o_orderkey"))
+      replicate("lineitem", Seq("l_orderkey"), Some(okOff))
+    } else {
+      val okOff = replicate("orders", Seq("o_orderkey"))
+      replicate("lineitem", Seq("l_orderkey"), Some(okOff))
+      replicate("events", Seq("user_id"))
+      replicate("documents", Seq("doc_id"))
+      // embeddings key on vec_id (no doc_id FK in the reduced schema), so
+      // the shift is independent of documents'.
+      replicate("embeddings", Seq("vec_id"))
+    }
 
     println(s"[stressgen] done: $dest at ${factor}x ${src}")
     spark.stop()

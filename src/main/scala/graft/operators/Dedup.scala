@@ -395,7 +395,7 @@ object Dedup {
     * values < 2^11, so fields never overlap). A one-long shuffle key keeps
     * the candidate equi-join exchange as small as possible.
     */
-  private def simhashKeys(fp: Column): Column = {
+  private[operators] def simhashKeys(fp: Column): Column = {
     def block(i: Int): Column = {
       val (off, w) = SimhashBlocks(i)
       shiftright(fp, off).bitwiseAND(lit((1L << w) - 1))
@@ -727,7 +727,14 @@ object Dedup {
       while (k < e) { x = x * x; k *= 2 }
       x
     }
-    val perConfig = configs.map { case (b, r) =>
+    // ALL configs aggregate in ONE pass over the pair frame (r9 ran one
+    // agg per config over an eagerly checkpointed `pairs` — 3 jobs plus
+    // the sweep-JVM block churn of materializing the largest frame in the
+    // query; the r9 bench carried an 8.4× sweep-vs-solo anomaly on
+    // exactly that churn). The pair join is now consumed exactly once and
+    // never persisted; only the resulting 1-row aggregate is checkpointed
+    // and fanned back out to one output row per config.
+    val aggCols = configs.zipWithIndex.flatMap { case ((b, r), i) =>
       val p = lit(1.0) - sq(lit(1.0) - sq(col("j"), r), b)
       // Exact-multiple weighting: cast p ALONE to scale-18 decimal, then
       // multiply by the integer weight IN DECIMAL ((10,0)×(27,18) →
@@ -736,11 +743,19 @@ object Dedup {
       // no double wt·p product rounding at ~1e-16 to drift a hash near a
       // rounding boundary on replica-heavy corpora.
       val term = col("wt").cast(DecimalType(10, 0)) * p.cast(dec18)
-      pairs.agg(
-          sum(when(col("j") >= tau, col("wt")).otherwise(0L)).as("gt_cross"),
-          sum(term).as("cand_cross"),
-          sum(when(col("j") >= tau, term)
-            .otherwise(lit(0).cast(DecimalType(38, 18)))).as("det_cross"))
+      Seq(
+        sum(when(col("j") >= tau, col("wt")).otherwise(0L)).as(s"gt_cross_$i"),
+        sum(term).as(s"cand_cross_$i"),
+        sum(when(col("j") >= tau, term)
+          .otherwise(lit(0).cast(DecimalType(38, 18)))).as(s"det_cross_$i"))
+    }
+    val onePass = pairs.agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(true) // 1 row — fanned out per config below
+    val perConfig = configs.zipWithIndex.map { case ((b, r), i) =>
+      onePass
+        .select(col(s"gt_cross_$i").as("gt_cross"),
+          col(s"cand_cross_$i").as("cand_cross"),
+          col(s"det_cross_$i").as("det_cross"))
         .crossJoin(broadcast(within))
         .crossJoin(broadcast(nStop))
         .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),

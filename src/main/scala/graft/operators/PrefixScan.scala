@@ -39,9 +39,9 @@ object PrefixScan {
     */
   def runningSum(df: DataFrame, chunkOn: String, orderCols: Seq[Column],
       valueCol: String, outCol: String, nChunks: Int = 1024,
-      exclusive: Boolean = false): DataFrame =
+      exclusive: Boolean = false, equiDepth: Boolean = false): DataFrame =
     scan(df, chunkOn, orderCols, valueCol, outCol, nChunks, isSum = true,
-      exclusive)
+      exclusive, equiDepth)
 
   /** Running MAX of `valueCol` (long) over the total order `orderCols`,
     * chunked on numeric column `chunkOn` (must be the leading sort key).
@@ -50,9 +50,9 @@ object PrefixScan {
     */
   def runningMax(df: DataFrame, chunkOn: String, orderCols: Seq[Column],
       valueCol: String, outCol: String, nChunks: Int = 1024,
-      exclusive: Boolean = false): DataFrame =
+      exclusive: Boolean = false, equiDepth: Boolean = false): DataFrame =
     scan(df, chunkOn, orderCols, valueCol, outCol, nChunks, isSum = false,
-      exclusive)
+      exclusive, equiDepth)
 
   /** Distributed global `row_number()` over `orderCols`: a running count
     * of ones. The drop-in replacement for ranking a dimension-sized frame
@@ -60,9 +60,10 @@ object PrefixScan {
     * still a wall — the r8 judge's "distributed-rank helper").
     */
   def rowNumber(df: DataFrame, chunkOn: String, orderCols: Seq[Column],
-      outCol: String, nChunks: Int = 1024): DataFrame =
+      outCol: String, nChunks: Int = 1024,
+      equiDepth: Boolean = false): DataFrame =
     runningSum(df.withColumn("__one", lit(1L)), chunkOn, orderCols,
-      "__one", outCol, nChunks).drop("__one")
+      "__one", outCol, nChunks, equiDepth = equiDepth).drop("__one")
 
   /** Several running SUMS over the same order in ONE two-pass scan
     * (`cols` maps valueCol → outCol) — cheaper than chaining scans when a
@@ -70,34 +71,67 @@ object PrefixScan {
     */
   def runningSums(df: DataFrame, chunkOn: String, orderCols: Seq[Column],
       cols: Seq[(String, String)], nChunks: Int = 1024,
-      exclusive: Boolean = false): DataFrame =
-    multiScan(df, chunkOn, orderCols, cols, nChunks, isSum = true, exclusive)
+      exclusive: Boolean = false, equiDepth: Boolean = false): DataFrame =
+    multiScan(df, chunkOn, orderCols, cols, nChunks, isSum = true, exclusive,
+      equiDepth)
 
   private def scan(df: DataFrame, chunkOn: String, orderCols: Seq[Column],
       valueCol: String, outCol: String, nChunks: Int,
-      isSum: Boolean, exclusive: Boolean = false): DataFrame =
+      isSum: Boolean, exclusive: Boolean = false,
+      equiDepth: Boolean = false): DataFrame =
     multiScan(df, chunkOn, orderCols, Seq(valueCol -> outCol), nChunks,
-      isSum, exclusive)
+      isSum, exclusive, equiDepth)
+
+  /** Chunk-id assignment, the scan's only load-balance decision.
+    *
+    * Default (`equiDepth = false`): VALUE-RANGE chunks — `(key - min) div
+    * width` in O(1) per row. Bounds and the per-row subtraction run in
+    * DECIMAL(38,0): a key range spanning more than Long.MaxValue (e.g.
+    * hash-valued keys near both long extremes) would wrap `__mx - __mn`
+    * negative in long arithmetic and silently misassign chunks (ADVICE
+    * r9) — decimal subtraction cannot wrap, and `div` on decimals still
+    * returns an exact integral long. Value-range DEGRADES on pathological
+    * key distributions: 99% of keys in a sliver of the range (plus a far
+    * outlier stretching it) land 99% of rows in ONE chunk — one hot local
+    * window task.
+    *
+    * `equiDepth = true`: chunk boundaries from `approx_percentile` of the
+    * key — every chunk holds ~1/nChunks of the ROWS no matter how skewed
+    * the values. The id is the count of boundaries strictly below the key
+    * (strict `<`, so equal keys always share a chunk and composite
+    * tie-break orderings stay inside one partition — the same invariant
+    * value-range chunking gives for free). Costs one extra percentile
+    * aggregate plus an O(nChunks) per-row array scan — keep nChunks
+    * modest (≤256) in this mode. Default OFF: every production call site
+    * chunks on keys (timestamps, cents, ids) whose spread is benign.
+    */
+  private[graft] def assignChunks(df: DataFrame, chunkOn: String,
+      nChunks: Int, equiDepth: Boolean): DataFrame =
+    if (equiDepth) {
+      val fr = (1 until nChunks).map(i => i.toDouble / nChunks)
+      val b = df.agg(percentile_approx(col(chunkOn).cast("long"),
+        array(fr.map(lit): _*), lit(10000)).as("__bs"))
+      df.crossJoin(broadcast(b))
+        .withColumn("__chunk", expr(
+          s"cast(size(filter(__bs, b -> b < cast($chunkOn as long))) as long)"))
+        .drop("__bs")
+    } else {
+      val b = df.agg(
+        min(col(chunkOn).cast("long").cast("decimal(38,0)")).as("__mn"),
+        max(col(chunkOn).cast("long").cast("decimal(38,0)")).as("__mx"))
+      df.crossJoin(broadcast(b))
+        .withColumn("__chunk", expr(
+          s"(cast(cast($chunkOn as long) as decimal(38,0)) - __mn) " +
+            s"div ((__mx - __mn) div $nChunks + 1)"))
+        .drop("__mn", "__mx")
+    }
 
   private def multiScan(df: DataFrame, chunkOn: String,
       orderCols: Seq[Column], cols: Seq[(String, String)], nChunks: Int,
-      isSum: Boolean, exclusive: Boolean): DataFrame = {
+      isSum: Boolean, exclusive: Boolean,
+      equiDepth: Boolean = false): DataFrame = {
     def agg(c: Column): Column = if (isSum) sum(c) else max(c)
-    // Value-range chunk id: integer `div` (no long->double precision loss),
-    // width >= 1 so the id is always in [0, nChunks). Bounds and the
-    // per-row subtraction run in DECIMAL(38,0): a key range spanning more
-    // than Long.MaxValue (e.g. hash-valued keys near both long extremes)
-    // would wrap `__mx - __mn` negative in long arithmetic and silently
-    // misassign chunks (ADVICE r9) — decimal subtraction cannot wrap, and
-    // `div` on decimals still returns an exact integral long.
-    val b = df.agg(
-      min(col(chunkOn).cast("long").cast("decimal(38,0)")).as("__mn"),
-      max(col(chunkOn).cast("long").cast("decimal(38,0)")).as("__mx"))
-    val chunked = df.crossJoin(broadcast(b))
-      .withColumn("__chunk", expr(
-        s"(cast(cast($chunkOn as long) as decimal(38,0)) - __mn) " +
-          s"div ((__mx - __mn) div $nChunks + 1)"))
-      .drop("__mn", "__mx")
+    val chunked = assignChunks(df, chunkOn, nChunks, equiDepth)
     val localW = Window.partitionBy("__chunk").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding,
         if (exclusive) -1 else Window.currentRow)

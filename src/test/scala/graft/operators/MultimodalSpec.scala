@@ -152,4 +152,63 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).sorted.toSeq
     assert(got.nonEmpty && got == expected)
   }
+
+  // ---- perceptual image dedup (dHash + pigeonhole banding) ------------
+
+  /** A real PNG via javax.imageio: horizontal luminance ramp with an
+    * optional uniform brightness shift and optional sparse pixel noise.
+    */
+  private def rampPng(w: Int, h: Int, shift: Int, noisy: Boolean,
+      reversed: Boolean = false): Array[Byte] = {
+    val im = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ramp = if (reversed) 255 - x * 255 / w else x * 255 / w
+      val n = if (noisy && (x * 31 + y * 17) % 89 == 0) 60 else 0
+      val v = math.min(255, math.max(0, ramp + shift + n))
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash on decoded PNGs: brightness-invariant, edit-tolerant, content-sensitive") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = Multimodal.dHash64(rampPng(64, 48, 0, noisy = false))
+    val bright = Multimodal.dHash64(rampPng(64, 48, 40, noisy = false))
+    val edited = Multimodal.dHash64(rampPng(64, 48, 0, noisy = true))
+    val other = Multimodal.dHash64(rampPng(64, 48, 0, noisy = false, reversed = true))
+    // uniform brightness never flips a gradient sign
+    assert(ham(base, bright) == 0, s"brightness moved the hash: ${ham(base, bright)}")
+    // sparse noise flips few bits; a reversed ramp flips (nearly) all
+    assert(ham(base, edited) <= 3, s"near-dup too far: ${ham(base, edited)}")
+    assert(ham(base, other) > 16, s"distinct images too close: ${ham(base, other)}")
+    // corrupt container bytes fall back deterministically, no throw
+    val broken = rampPng(64, 48, 0, noisy = false).take(40)
+    assert(Multimodal.dHash64(broken) == Multimodal.dHash64(broken))
+  }
+
+  test("imageDedupFrom pairs planted near-duplicate PNGs via banding, not all-pairs") {
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, rampPng(64, 48, 0, noisy = false)),
+      Multimodal.MediaBlob(2L, rampPng(64, 48, 40, noisy = false)), // brightness twin
+      Multimodal.MediaBlob(3L, rampPng(64, 48, 0, noisy = true)),   // sparse edit
+      Multimodal.MediaBlob(4L, rampPng(64, 48, 0, noisy = false, reversed = true)),
+      Multimodal.MediaBlob(5L, "just some text payload, undecodable".getBytes("UTF-8")),
+      Multimodal.MediaBlob(6L, "just some text payload, undecodable".getBytes("UTF-8")))
+    val got = Multimodal.imageDedupFrom(blobs.toDS()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    // the perceptual pairs among decodable images
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((2L, 3L)), s"missing planted near-dups: $got")
+    // identical undecodable payloads pair at Hamming 0 via the fallback
+    assert(got.contains((5L, 6L, 0)), s"fallback exact pair missing: $got")
+    // the reversed ramp pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive: $got")
+    // brightness twin is an EXACT dHash match (within path, hamming 0)
+    assert(got.contains((1L, 2L, 0)), s"brightness twin not hamming 0: $got")
+  }
 }

@@ -85,6 +85,32 @@ class PrefixScanSpec extends AnyFunSuite with SparkFixture {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("equi-depth chunking balances planted skew; value-range degrades") {
+    import spark.implicits._
+    // 9990 keys packed into [1, 1000] plus 10 outliers near 1e12: the
+    // value-range width becomes ~1e9, so every dense key lands in chunk 0
+    // — one hot local-window task. Equi-depth boundaries follow the ROW
+    // distribution instead.
+    val df = ((1 to 9990).map(i => (i % 1000L + 1L, 1L)) ++
+      (1 to 10).map(i => (1000000000000L + i, 1L))).toDF("k", "v")
+    def maxShare(equiDepth: Boolean): Double = {
+      val counts = PrefixScan.assignChunks(df, "k", 16, equiDepth)
+        .groupBy("__chunk").count().select("count").as[Long].collect()
+      counts.max.toDouble / counts.sum
+    }
+    assert(maxShare(equiDepth = false) > 0.9,
+      "planted skew should degenerate value-range chunking (sanity)")
+    assert(maxShare(equiDepth = true) < 0.25,
+      "equi-depth chunks must follow the row distribution")
+    // And the scan result is IDENTICAL under either chunking.
+    val order = Seq(col("k"))
+    val got = PrefixScan.runningSum(df.dropDuplicates("k"), "k", order,
+      "v", "run", nChunks = 16, equiDepth = true).select("k", "run")
+    val want = df.dropDuplicates("k").select(col("k"),
+      sum("v").over(refWindow(order)).as("run"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("single distinct chunk key and empty input degenerate safely") {
     import spark.implicits._
     val same = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L)).toDF("k", "v", "s")

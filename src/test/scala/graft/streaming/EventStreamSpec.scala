@@ -789,4 +789,140 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(w1._5)
     } finally stopClean(q)
   }
+
+  // ---- crash-restart: transformWithState state must survive a stop +
+  // restart from the checkpoint (VERDICT r9 #7). Protocol per test: run
+  // batch 1, STOP the query (the in-process stand-in for a crash — the
+  // RocksDB store's committed snapshot is all a real recovery has either),
+  // enqueue batch 2, start a NEW query on the SAME checkpoint, and assert
+  // values only reachable through the restored per-key state — a
+  // fresh-state restart would emit provably different numbers.
+
+  /** Run `f` with the RocksDB state store provider (the transformWithState
+    * backend), restoring the previous provider afterwards.
+    */
+  private def withRocksDb(f: => Unit): Unit = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("userProfile state survives a crash-restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val checkpoint = ckpt()
+      val input = MemoryStream[EventStream.Event]
+      input.addData(
+        Event(1, ts(0), 1, "click", 2.0),
+        Event(2, ts(1), 1, "view", 3.0),
+        Event(3, ts(2), 2, "click", 5.0))
+      val q1 = EventStream.userProfile(input.toDS())
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("memory").queryName("prof_r1")
+        .outputMode(OutputMode.Update()).start()
+      q1.processAllAvailable()
+      stopClean(q1)
+      input.addData(Event(4, ts(10), 1, "purchase", 10.0))
+      // The memory sink cannot RECOVER from a checkpoint (Spark rejects
+      // it), so the restarted query writes through foreachBatch — the
+      // recoverable sink — into a driver-side buffer.
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[UserProfile]()
+      val q2 = EventStream.userProfile(input.toDS())
+        .writeStream.option("checkpointLocation", checkpoint)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserProfile], _: Long) =>
+          batch.collect().foreach(out.add)
+        }.start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val rows = out.asScala.toSeq
+        // n=3 / sum=15 is only reachable by folding batch 2 into the
+        // RESTORED batch-1 state (a fresh store would say n=1, sum=10).
+        assert(rows.contains(UserProfile(1L, 3L, 15.0, ts(10).getTime * 1000L)),
+          s"restored profile missing: ${rows.mkString(",")}")
+      } finally stopClean(q2)
+    }
+  }
+
+  test("anomalyFlags baseline survives a crash-restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val checkpoint = ckpt()
+      val base = Seq(10.0, 12.0, 11.0, 9.0, 8.0)
+      val input = MemoryStream[EventStream.Event]
+      input.addData(base.zipWithIndex.map { case (v, i) =>
+        Event(i + 1L, ts(i), 1, "click", v) }: _*)
+      val q1 = EventStream.anomalyFlags(input.toDS())
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("memory").queryName("anom_r1")
+        .outputMode(OutputMode.Update()).start()
+      q1.processAllAvailable()
+      stopClean(q1)
+      input.addData(Event(100, ts(10), 1, "click", 100.0))
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[AnomalyFlag]()
+      val q2 = EventStream.anomalyFlags(input.toDS())
+        .writeStream.option("checkpointLocation", checkpoint)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[AnomalyFlag], _: Long) =>
+          batch.collect().foreach(out.add)
+        }.start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val flags = out.asScala.toSeq
+        // A flag at all proves n >= minN survived (fresh state: n=0, no
+        // flag possible); the z value pins the exact restored Welford
+        // moments, not just the count.
+        assert(flags.map(_.event_id).toSet == Set(100L), s"flags: ${flags.mkString(",")}")
+        val mean = base.sum / base.length
+        val sd = math.sqrt(base.map(v => (v - mean) * (v - mean)).sum / (base.length - 1))
+        assert(math.abs(flags.head.z - (100.0 - mean) / sd) < 1e-3)
+      } finally stopClean(q2)
+    }
+  }
+
+  test("heavyUsers MG counters survive a crash-restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val checkpoint = ckpt()
+      val input = MemoryStream[EventStream.Event]
+      val heavy1 = (1 to 30).map(i => Event(100 + i, ts(i), 1, "click", 1.0))
+      val noise = (1 to 8).map(i => Event(300 + i, ts(i), 5 + i * 2, "click", 1.0))
+      input.addData(heavy1 ++ noise: _*)
+      val q1 = EventStream.heavyUsers(input.toDS(), shards = 2, m = 3)
+        .writeStream.option("checkpointLocation", checkpoint)
+        .format("memory").queryName("heavy_r1")
+        .outputMode(OutputMode.Update()).start()
+      q1.processAllAvailable()
+      stopClean(q1)
+      input.addData((1 to 10).map(i => Event(400 + i, ts(40 + i), 1, "click", 1.0)): _*)
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[ShardHeavyUser]()
+      val q2 = EventStream.heavyUsers(input.toDS(), shards = 2, m = 3)
+        .writeStream.option("checkpointLocation", checkpoint)
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ShardHeavyUser], _: Long) =>
+          batch.collect().foreach(out.add)
+        }.start()
+      try {
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        val rows = out.asScala.toSeq
+        val c1 = rows.filter(r => r.shard == 1L && r.user_id == 1L)
+          .map(_.mg_count).max
+        // Batch 1 left user 1 at >= 30 - 34/(m+1) = 22 (MG bound); batch 2
+        // adds exactly 10 with no counter pressure. A fresh store could
+        // report at most 10 — any value > 10 requires the restored counter,
+        // and the bound pins it.
+        assert(c1 >= 32L && c1 <= 40L, s"restored MG count: $c1")
+      } finally stopClean(q2)
+    }
+  }
 }
