@@ -829,6 +829,8 @@ object SparkEntry {
       ((s, dir) => Dedup.dedupRecall(s, dir, sampleCutHex = "3")),
     "q_lsh_curve_sampled" ->
       ((s, dir) => Dedup.lshCurve(s, dir, sampleCutHex = "3")),
+    "q_shingle_novelty" -> ((s, dir) => Dedup.shingleNovelty(s, dir)),
+    "q_kcenter" -> ((s, dir) => Similarity.kcenter(s, dir)),
     "q_participation_ratio" -> ((s, dir) => Similarity.participationRatio(s, dir)),
     "q_backtest_naive" -> ((s, dir) => Relational.backtestNaive(s, dir)),
     "q_seasonal_decompose" -> ((s, dir) => Relational.seasonalDecompose(s, dir)),
@@ -4737,6 +4739,34 @@ object SparkEntry {
     "q_dedup_recall_sampled" -> Dedup.dedupRecallOracleSql(sampleCutHex = "3"),
     "q_lsh_curve" -> Dedup.lshCurveOracleSql(),
     "q_lsh_curve_sampled" -> Dedup.lshCurveOracleSql(sampleCutHex = "3"),
+    "q_kcenter" -> Similarity.kcenterOracleSql(),
+    "q_shingle_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3
+        |), shl AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM idx
+        |), dfq AS (SELECT g, count(*) AS df FROM shl GROUP BY 1),
+        |pd AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_sh,
+        |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_uniq
+        |  FROM shl JOIN dfq USING (g) GROUP BY 1),
+        |j AS (
+        |  SELECT d.source, pd.n_sh, pd.n_uniq
+        |  FROM documents d LEFT JOIN pd USING (doc_id))
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN n_sh IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_docs_short,
+        |  coalesce(sum(n_sh), 0)::BIGINT AS n_shingles,
+        |  coalesce(sum(n_uniq), 0)::BIGINT AS n_unique,
+        |  floor(CAST(coalesce(sum(n_uniq), 0) AS DOUBLE)
+        |    / CAST(coalesce(sum(n_sh), 0) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS pooled_novelty,
+        |  floor(CAST(sum(CAST(CAST(n_uniq AS DOUBLE) / n_sh AS DECIMAL(38,18)))
+        |      AS DOUBLE) / CAST(count(n_sh) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS mean_novelty
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_participation_ratio" -> Similarity.participationRatioOracleSql(),
     "q_seasonal_decompose" ->
       """WITH daily AS (

@@ -866,6 +866,47 @@ object Dedup {
        |FROM withp ORDER BY bands DESC""".stripMargin
   }
 
+  /** §2.3 #366 — SHINGLE NOVELTY per source: what share of each
+    * document's word-3-gram shingles exists NOWHERE else in the corpus
+    * (df = 1) — the axis dedup doesn't see: near-dup detection asks "is
+    * this doc a copy of another"; novelty asks "how much of this doc is
+    * unique content at all" (boilerplate-assembled docs score near 0
+    * with no single near-duplicate partner; original prose scores near
+    * 1 — the content-value signal mixture weighting wants next to #24's
+    * copy detection). Per-source rollup: POOLED novelty (Σunique/Σtotal,
+    * one exact-integer ratio) and the decimal-summed MEAN of per-doc
+    * ratios (pooled weights long docs; mean weights documents — they
+    * diverge exactly when length correlates with boilerplate). Docs too
+    * short to shingle stay counted (`n_docs_short`, LEFT join — the
+    * gopherRules discipline). Scale: one explode to (doc, shingle), df
+    * by shingle-key shuffle, two bounded rollups — linear, no pairwise.
+    */
+  def shingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_uniq"))
+    Tables.load(spark, dir, "documents").select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_sh").isNull, 1L).otherwise(0L)).as("n_docs_short"),
+        coalesce(sum("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(sum("n_uniq"), lit(0L)).as("n_unique"),
+        (floor(coalesce(sum("n_uniq"), lit(0L)).cast("double") /
+          coalesce(sum("n_sh"), lit(0L)).cast("double") * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("pooled_novelty"),
+        (floor(sum((col("n_uniq").cast("double") / col("n_sh").cast("double"))
+            .cast(DecimalType(38, 18))).cast("double") /
+          count(col("n_sh")).cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mean_novelty"))
+      .orderBy("source")
+  }
+
   /** §2.3 #176 — curation FUNNEL summary: the corpus-level rollup of
     * [[curate]]'s per-document verdicts — how much of the corpus each
     * rejection reason consumes and what share survives. The one-row-per-

@@ -1030,6 +1030,90 @@ object Similarity {
     * their own nearest centroid (cos = 1), so no iteration-1 cluster is
     * empty and the algorithm is total.
     */
+  /** §2.3 #365 — K-CENTER CORESET (Gonzalez farthest-point) over the
+    * embedding corpus: greedy selection of k maximally-SEPARATED vectors
+    * by cosine — the diverse-sampling seed for training-data selection
+    * (#27's k-means averages toward density and over-picks the big
+    * modes; k-center COVERS the space — every vector ends within the
+    * final separation of some center, the classic 2-approximation of
+    * optimal coverage). Scale shape: k linear scans, each scoring the
+    * corpus against ≤k LITERAL center vectors (no join, no pairwise
+    * work) and taking one TakeOrderedAndProject argmin; the driver holds
+    * k vectors — the kmeans-seed collect discipline. Determinism: every
+    * cosine is the shared left-fold dot kernel and the argmin tie-breaks
+    * on vec_id, so both engines pick identical centers at every round.
+    * Output: one row per round — the chosen center and its max cosine to
+    * the prior centers (monotonically nondecreasing; the LAST row's
+    * value is the coverage guarantee).
+    */
+  def kcenter(spark: SparkSession, dir: String, k: Int = 6): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    def foldNorm(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+    val seed = emb.orderBy("vec_id").select("vec_id", "v").limit(1).collect()(0)
+    var centers = Vector((seed.getLong(0), seed.getSeq[Double](1).toArray))
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (0L, centers.head._1, None))
+    for (r <- 1 until k) {
+      val cosCols = centers.map { case (_, cv) =>
+        dot(col("v"), typedlit(cv.toSeq)) / (col("nrm") * lit(foldNorm(cv)))
+      }
+      val next = emb.where(!col("vec_id").isin(centers.map(_._1): _*))
+        .withColumn("mc", array_max(array(cosCols: _*)))
+        .orderBy(col("mc").asc, col("vec_id").asc)
+        .select("vec_id", "v", "mc").limit(1).collect()(0)
+      centers :+= ((next.getLong(0), next.getSeq[Double](1).toArray))
+      picked += ((r.toLong, next.getLong(0), Some(next.getDouble(2))))
+    }
+    picked.toSeq.toDF("round", "center_id", "mc")
+      .select(col("round"), col("center_id"),
+        (floor(col("mc") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("max_cos_to_prior"))
+      .orderBy("round")
+  }
+
+  /** DuckDB oracle for [[kcenter]]: the greedy rounds unrolled as
+    * MATERIALIZED CTEs (each min-frame references its predecessor once;
+    * materialization keeps the chain linear), same fold-dot cosines,
+    * same (mc ASC, vec_id ASC) argmin tie-break.
+    */
+  def kcenterOracleSql(k: Int = 6): String = {
+    def dotv(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a.v[i] * $b.v[i] " +
+        s"FOR i IN generate_series(1, len($a.v))]), (x, y) -> x + y)"
+    val rounds = (1 until k).map { r =>
+      val prev = if (r == 1)
+        s"SELECT e.vec_id, e.v, e.nrm, ${dotv("e", "c")} / (e.nrm * c.nrm) AS mc " +
+          s"FROM e, c0 c WHERE e.vec_id <> c.vec_id"
+      else
+        s"SELECT m.vec_id, m.v, m.nrm, greatest(m.mc, ${dotv("m", "c")} / " +
+          s"(m.nrm * c.nrm)) AS mc FROM m${r - 1} m, c${r - 1} c " +
+          s"WHERE m.vec_id <> c.vec_id"
+      s"m$r AS MATERIALIZED ($prev),\n" +
+        s"c$r AS MATERIALIZED (SELECT * FROM m$r ORDER BY mc ASC, vec_id ASC LIMIT 1)"
+    }.mkString(",\n")
+    val rows = (s"SELECT CAST(0 AS BIGINT) AS round, vec_id AS center_id, " +
+      s"CAST(NULL AS DOUBLE) AS max_cos_to_prior FROM c0") +:
+      (1 until k).map(r => s"SELECT CAST($r AS BIGINT), vec_id, " +
+        s"floor(mc * 1e6 + 0.5) / 1e6 FROM c$r")
+    s"""WITH e0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      [v[i] * v[i] FOR i IN generate_series(1, len(v))]),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM e0),
+       |c0 AS MATERIALIZED (SELECT vec_id, v, nrm FROM e ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |${rows.mkString("\n UNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     kmeansSecondAssign(spark, dir, k)
       .groupBy("vec_id")
