@@ -5065,10 +5065,9 @@ object SparkEntry {
         |  FROM pre),
         |m AS (
         |  SELECT day, t,
-        |    CAST(s AS DOUBLE)
-        |      - CAST(sum(mean_dec) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
-        |          AS DOUBLE)
-        |      - CAST(t AS DOUBLE) * 0.0 AS m_t
+        |    CAST(s AS DECIMAL(38,18))
+        |      - sum(mean_dec) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |      - CAST(CAST(t AS DOUBLE) * 0.0 AS DECIMAL(38,18)) AS m_t
         |  FROM me),
         |p AS (
         |  SELECT day, t,
@@ -5079,8 +5078,8 @@ object SparkEntry {
         |    max(struct_pack(ph := ph, nt := -t, day := day)) AS bb
         |  FROM p)
         |SELECT n_days, strftime(bb.day, '%Y-%m-%d') AS alarm_day,
-        |  floor(bb.ph / 100.0 * 1e6 + 0.5) / 1e6 AS ph_stat,
-        |  bb.ph / 100.0 > 50000.0 AS is_drift
+        |  floor(CAST(bb.ph AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS ph_stat,
+        |  CAST(bb.ph AS DOUBLE) / 100.0 > 50000.0 AS is_drift
         |FROM b""".stripMargin,
     "q_cuped" ->
       """WITH ev AS (SELECT user_id, value, ts::DATE AS day FROM events),
@@ -6001,8 +6000,12 @@ object SparkEntry {
         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS tv
         |  FROM s)
         |SELECT CAST(4 AS BIGINT) AS k_items, n AS n_subjects,
-        |  floor(siv / 10000.0 * 1e6 + 0.5) / 1e6 AS sum_item_var,
-        |  floor(tv / 10000.0 * 1e6 + 0.5) / 1e6 AS total_var,
+        |  CASE WHEN siv / 10000.0 < 9e12
+        |    THEN floor(siv / 10000.0 * 1e6 + 0.5) / 1e6
+        |    ELSE siv / 10000.0 END AS sum_item_var,
+        |  CASE WHEN tv / 10000.0 < 9e12
+        |    THEN floor(tv / 10000.0 * 1e6 + 0.5) / 1e6
+        |    ELSE tv / 10000.0 END AS total_var,
         |  floor(4.0 / 3.0 * (1.0 - siv / tv) * 1e6 + 0.5) / 1e6 AS alpha
         |FROM v""".stripMargin,
     "q_temperature_mix" ->

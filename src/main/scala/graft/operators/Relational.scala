@@ -4513,18 +4513,22 @@ object Relational {
     val means = pre.select(col("day"), col("t"), col("s"),
       (col("s").cast("double") / col("t").cast("double")).cast(dec18)
         .as("mean_dec"))
+    // m_t = s − Σmean − t·δ subtracts two ~equal cumulative sums; in
+    // doubles the cancellation amplifies 1-ulp decimal→double conversion
+    // noise past the 6-dp floor boundary (caught by the sf10 numeric
+    // probe: s ~ 1e15 cents, noise ~0.125, ph_stat hashed differently).
+    // Subtract in EXACT DECIMAL(38,18) on both engines, convert once.
     val m = means.select(col("day"), col("t"), col("s"),
-      (col("s").cast("double") -
-        sum("mean_dec").over(wCum).cast("double") -
-        col("t").cast("double") * lit(delta)).as("m_t"))
+      (col("s").cast(dec18) - sum("mean_dec").over(wCum) -
+        (col("t").cast("double") * lit(delta)).cast(dec18)).as("m_t"))
     val ph = m.select(col("day"), col("t"),
       (col("m_t") - min("m_t").over(wCum)).as("ph"))
     ph.agg(max(struct(col("ph"), (-col("t")).as("nt"), col("day"))).as("b"),
         count(lit(1)).as("n_days"))
       .select(col("n_days"),
         date_format(col("b.day"), "yyyy-MM-dd").as("alarm_day"),
-        fl6(col("b.ph") / lit(100.0)).as("ph_stat"),
-        (col("b.ph") / lit(100.0) > lambdaDollars).as("is_drift"))
+        fl6(col("b.ph").cast("double") / lit(100.0)).as("ph_stat"),
+        (col("b.ph").cast("double") / lit(100.0) > lambdaDollars).as("is_drift"))
   }
 
   /** §2.2 #312 — CUPED variance-reduced A/B readout (Deng et al. 2013):
@@ -5407,9 +5411,16 @@ object Relational {
     val sumItemVar = (1 to 4).map(q => popVar(col(s"s$q"), col(s"q$q")))
       .reduce(_ + _)
     val totVar = popVar(col("st"), col("qt"))
+    // Spark's floor(double) returns LONG, which SATURATES at Long.Max —
+    // at sf10-scale the dollar² variances pass 8e15, floor(x·1e6) wraps
+    // to 9.22e12 while DuckDB's double-floor keeps the value (caught by
+    // the sf10 numeric probe). Above ~9e12 a 6-dp round is below the
+    // double's own ulp anyway, so both engines switch to identity there.
+    def fl6cap(c: Column): Column =
+      when(c < lit(9e12), fl6(c)).otherwise(c)
     s.select(lit(4L).as("k_items"), col("n").as("n_subjects"),
-      fl6(sumItemVar / 10000.0).as("sum_item_var"),
-      fl6(totVar / 10000.0).as("total_var"),
+      fl6cap(sumItemVar / 10000.0).as("sum_item_var"),
+      fl6cap(totVar / 10000.0).as("total_var"),
       fl6(lit(4.0) / 3.0 * (lit(1.0) - sumItemVar / totVar)).as("alpha"))
   }
 
