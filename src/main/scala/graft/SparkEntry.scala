@@ -831,6 +831,7 @@ object SparkEntry {
       ((s, dir) => Dedup.lshCurve(s, dir, sampleCutHex = "3")),
     "q_shingle_novelty" -> ((s, dir) => Dedup.shingleNovelty(s, dir)),
     "q_kcenter" -> ((s, dir) => Similarity.kcenter(s, dir)),
+    "q_mmr" -> ((s, dir) => Similarity.mmr(s, dir)),
     "q_participation_ratio" -> ((s, dir) => Similarity.participationRatio(s, dir)),
     "q_backtest_naive" -> ((s, dir) => Relational.backtestNaive(s, dir)),
     "q_seasonal_decompose" -> ((s, dir) => Relational.seasonalDecompose(s, dir)),
@@ -4740,6 +4741,7 @@ object SparkEntry {
     "q_lsh_curve" -> Dedup.lshCurveOracleSql(),
     "q_lsh_curve_sampled" -> Dedup.lshCurveOracleSql(sampleCutHex = "3"),
     "q_kcenter" -> Similarity.kcenterOracleSql(),
+    "q_mmr" -> Similarity.mmrOracleSql(),
     "q_shingle_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents

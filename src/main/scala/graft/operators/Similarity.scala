@@ -1114,6 +1114,119 @@ object Similarity {
        |ORDER BY round""".stripMargin
   }
 
+  /** §2.3 #368 — MMR (Maximal Marginal Relevance) diversified top-k:
+    * retrieve k results for a query vector that are RELEVANT but not
+    * redundant — greedy re-ranking by λ·cos(q,d) − (1−λ)·max cos(d,s)
+    * over the already-selected s (Carbonell & Goldstein 1998). The
+    * retrieval twin of [[kcenter]]: k-center diversifies the CORPUS
+    * (no query); MMR diversifies one query's RESULT LIST — what a
+    * training-data search or RAG stack dedups near-identical hits with.
+    * Scale shape: the only corpus-sized work is the top-`nCand`
+    * relevance cut (the #26 distributed TakeOrdered); the greedy loop
+    * runs driver-side over that BOUNDED candidate frame (≤ nCand rows —
+    * the kmeans-seed collect discipline). Determinism: candidate cut and
+    * every greedy pick tie-break on vec_id; all cosines are the shared
+    * left-fold dot; scores are fixed-order doubles — the oracle unrolls
+    * the same greedy as MATERIALIZED CTE rounds carrying an incremental
+    * max-similarity column and agrees bit-for-bit.
+    */
+  def mmr(spark: SparkSession, dir: String, qId: Long = 0L,
+      nCand: Int = 20, k: Int = 5, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === qId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cands = emb.where(col("vec_id") =!= qId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(nCand)
+      .select("vec_id", "v", "nrm", "rel")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getDouble(3)))
+    def foldDot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double)] // (rank, vec_id, rel, score)
+    val chosen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[Double], Double)]
+    for (r <- 0 until math.min(k, cands.length)) {
+      val best = cands
+        .filter(c => !chosen.exists(_._1 == c._1))
+        .map { case (id, v, nrm, rel) =>
+          var maxSim = 0.0
+          chosen.foreach { case (_, sv, snrm) =>
+            val c = foldDot(v, sv) / (nrm * snrm)
+            if (c > maxSim) maxSim = c
+          }
+          (id, v, nrm, rel, lambda * rel - (1.0 - lambda) * maxSim)
+        }
+        .minBy { case (id, _, _, _, score) => (-score, id) }
+      chosen += ((best._1, best._2, best._3))
+      selected += ((r.toLong, best._1, best._4, best._5))
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+      .select(col("rank"), col("vec_id"),
+        (floor(col("rel") * lit(1e6) + lit(0.5)) / lit(1e6)).as("rel"),
+        (floor(col("mmr_score") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("mmr_score"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB oracle for [[mmr]]: the top-nCand relevance cut, then the
+    * greedy rounds unrolled as MATERIALIZED CTEs carrying the incremental
+    * max-similarity-to-selected column (the [[kcenterOracleSql]] chain
+    * with a relevance term).
+    */
+  def mmrOracleSql(qId: Long = 0L, nCand: Int = 20, k: Int = 5,
+      lambda: Double = 0.7): String = {
+    def dotv(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a.v[i] * $b.v[i] " +
+        s"FOR i IN generate_series(1, len($a.v))]), (x, y) -> x + y)"
+    val lam = lambda
+    val oml = 1.0 - lambda
+    val sb = new StringBuilder
+    sb.append(s"""WITH e0 AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      [v[i] * v[i] FOR i IN generate_series(1, len(v))]),
+       |      (x, y) -> x + y)) AS nrm
+       |  FROM e0),
+       |q AS MATERIALIZED (SELECT v, nrm FROM e WHERE vec_id = $qId),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v, e.nrm,
+       |    ${dotv("e", "q")} / (e.nrm * q.nrm) AS rel,
+       |    0.0::DOUBLE AS maxsim
+       |  FROM e, q WHERE e.vec_id <> $qId
+       |  ORDER BY rel DESC, vec_id ASC LIMIT $nCand),
+       |s0 AS MATERIALIZED (
+       |  SELECT *, $lam * rel - $oml * maxsim AS score FROM cand
+       |  ORDER BY score DESC, vec_id ASC LIMIT 1)""".stripMargin)
+    for (r <- 1 until k) {
+      sb.append(s""",
+       |m$r AS MATERIALIZED (
+       |  SELECT p.vec_id, p.v, p.nrm, p.rel,
+       |    greatest(p.maxsim, ${dotv("p", "s")} / (p.nrm * s.nrm)) AS maxsim
+       |  FROM ${if (r == 1) "cand" else s"m${r - 1}"} p, s${r - 1} s
+       |  WHERE p.vec_id <> s.vec_id),
+       |s$r AS MATERIALIZED (
+       |  SELECT *, $lam * rel - $oml * maxsim AS score FROM m$r
+       |  ORDER BY score DESC, vec_id ASC LIMIT 1)""".stripMargin)
+    }
+    val rows = (0 until k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, vec_id, " +
+        s"floor(rel * 1e6 + 0.5) / 1e6 AS rel, " +
+        s"floor(score * 1e6 + 0.5) / 1e6 AS mmr_score FROM s$r")
+    sb.append("\n" + rows.mkString("\n UNION ALL\n") + "\nORDER BY rank")
+    sb.toString
+  }
+
   def kmeans(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     kmeansSecondAssign(spark, dir, k)
       .groupBy("vec_id")
