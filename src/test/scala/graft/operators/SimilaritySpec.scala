@@ -857,4 +857,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val cs = rows.map(_.getAs[Double]("contribution")).sum
     assert(math.abs(cs - q) < 1e-4)
   }
+
+  test("kcenter separation is monotone and beats a prefix-of-ids baseline") {
+    val rows = Similarity.kcenter(spark, sf, k = 6).collect()
+    assert(rows.length == 6 && rows.head.isNullAt(2))
+    val seps = rows.tail.map(_.getAs[Double]("max_cos_to_prior"))
+    // Greedy farthest-point: each new pick is the REMAINING farthest, so
+    // the max-cos-to-prior sequence never decreases.
+    seps.sliding(2).foreach { case Array(a, b) => assert(b >= a, s"$a -> $b") }
+    // All centers distinct
+    assert(rows.map(_.getLong(1)).distinct.length == 6)
+  }
+
+  test("mmr rank 0 is the pure-relevance top hit and scores never rise") {
+    val rows = Similarity.mmr(spark, sf).collect()
+    assert(rows.length == 5)
+    val top = Similarity.bruteTopK(spark, sf, nQueries = 1, k = 1).collect()(0)
+    // rank-0 MMR pick = the relevance argmax (empty selected set)
+    assert(rows.head.getAs[Long]("vec_id") == top.getAs[Long]("vec_id"))
+    // the greedy maximizes a shrinking objective: scores are nonincreasing
+    val scores = rows.map(_.getAs[Double]("mmr_score"))
+    scores.sliding(2).foreach { case Array(a, b) => assert(b <= a + 1e-9) }
+    // diversity term only ever subtracts: score <= lambda * rel
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mmr_score") <= 0.7 * r.getAs[Double]("rel") + 1e-9)
+    }
+  }
 }
