@@ -1219,7 +1219,7 @@ object SparkEntry {
     // must equal it, which is the incremental-maintenance soundness claim.
     "q_ivm" ->
       """SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day, count(*) AS n,
-        |  round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+        |  round(CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
@@ -1313,28 +1313,28 @@ object SparkEntry {
         |SELECT event_type,
         |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |  round(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |  round(CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |    / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS mean_a,
-        |  round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |  round(CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |    / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 6) AS mean_b,
         |  round(
-        |    (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |       / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
-        |     - CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |     - CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |       / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END))
         |    / sqrt(
-        |      (CAST(sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |      (CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |         / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
-        |       - (CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |       - (CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |          / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END))
-        |         * (CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |         * (CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |            / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)))
         |        / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
-        |      + (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |      + (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |           / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
-        |         - (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |         - (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |            / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END))
-        |           * (CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+        |           * (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |              / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)))
         |          / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)),
         |    6) AS z_score
@@ -1359,8 +1359,8 @@ object SparkEntry {
         |  FROM ev JOIN b USING (event_type))
         |SELECT event_type, count(*) AS n,
         |  CAST(max(p05) AS DOUBLE) AS p05, CAST(max(p95) AS DOUBLE) AS p95,
-        |  round(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_raw,
-        |  round(CAST(sum(CAST(clipped AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_winsor,
+        |  round(CAST(CAST(sum(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |  round(CAST(CAST(sum(CAST(clipped AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_winsor,
         |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
         |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1376,7 +1376,7 @@ object SparkEntry {
         |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
         |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |  round(CAST(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
         |    / count(*), 6) AS avg_surprisal
         |FROM bgf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -1535,18 +1535,18 @@ object SparkEntry {
     },
     "copy_versioned" ->
       """SELECT 1 AS version, count(*) AS n_rows,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
         |FROM customer WHERE c_custkey % 2 = 0
         |UNION ALL
         |SELECT 2, count(*),
-        |  CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
-        |                     ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE)
+        |  CAST(CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
+        |                     ELSE c_acctbal END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
         |FROM customer
         |ORDER BY version""".stripMargin,
     "copy_clustered" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) = 1996
         |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q_fuzzy_join" ->
@@ -1559,7 +1559,7 @@ object SparkEntry {
         |ORDER BY name_a, name_b""".stripMargin,
     "q_window_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS t_us, value,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS trailing_sum,
         |  count(*) OVER w AS trailing_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1680,24 +1680,24 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "q_agg_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_broadcast" ->
       """SELECT p_brand, count(*) AS n_items,
-        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_join_star" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1715,7 +1715,7 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_time_bucket" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(props->>'k' AS INTEGER) % 10 AS k_bucket, count(*) AS n,
@@ -1744,7 +1744,7 @@ object SparkEntry {
       """SELECT coalesce(l_returnflag, '*') AS returnflag,
         |       coalesce(l_linestatus, '*') AS linestatus,
         |       count(*) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_distinct" ->
@@ -1766,7 +1766,7 @@ object SparkEntry {
         |ORDER BY l_returnflag DESC, l_quantity ASC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
     "q_having" ->
       """SELECT c_nationkey, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_nationkey
         |HAVING count(*) * 25 > (SELECT count(*) FROM customer)
         |ORDER BY c_nationkey""".stripMargin,
@@ -1775,13 +1775,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
-        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0::DOUBLE END AS DECIMAL(18,2))) AS DOUBLE) AS f_revenue
+        |  CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0::DOUBLE END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS f_revenue
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, '*') AS returnflag,
         |       coalesce(l_linestatus, '*') AS linestatus,
         |       count(*) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_topk_group" ->
@@ -1798,11 +1798,11 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag,
@@ -1821,7 +1821,7 @@ object SparkEntry {
     "q_outerjoin" ->
       """SELECT c_custkey, c_name,
         |  count(o_orderkey) AS n_orders,
-        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0::DOUBLE) AS total_spent
+        |  coalesce(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE), 0.0::DOUBLE) AS total_spent
         |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "q_running" ->
@@ -1858,7 +1858,7 @@ object SparkEntry {
     // formulation, which is exactly the correctness claim of salting.
     "q_join_salted" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // The bloom pre-filter must not change the join result — the oracle is
@@ -1866,7 +1866,7 @@ object SparkEntry {
     // (false positives only admit rows; the join drops them).
     "q_join_bloom" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
-        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1997
@@ -1913,7 +1913,7 @@ object SparkEntry {
         |)
         |SELECT user_id, sess_seq, count(*) AS n_events,
         |  min(t_us) AS first_us, max(t_us) AS last_us,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
     "q_transition" ->
       """WITH s AS (
@@ -2041,16 +2041,16 @@ object SparkEntry {
         |  CASE WHEN grouping(o_orderstatus) = 0 THEN o_orderstatus ELSE 'ALL' END AS status,
         |  CASE WHEN grouping(o_orderpriority) = 0 THEN o_orderpriority ELSE 'ALL' END AS priority,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
     "q_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_disc
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, measure, value FROM (
@@ -2081,7 +2081,7 @@ object SparkEntry {
         |) ORDER BY constraint_name""".stripMargin,
     "copy_evolve" ->
       """SELECT channel, count(*) AS n_rows,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM (
         |  SELECT 'original' AS channel, o_totalprice FROM orders
         |  UNION ALL
@@ -2110,12 +2110,12 @@ object SparkEntry {
     "q_copy_partitioned" ->
       """SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month,
         |  count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders WHERE year(o_orderdate) = 1997
         |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q_copy_bucketed" ->
       """SELECT o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0::DOUBLE - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -2280,7 +2280,7 @@ object SparkEntry {
         |    unnest([(us // 900000000 - i) * 900000000 FOR i IN generate_series(0, 3)]) AS w_start_us
         |  FROM e)
         |SELECT w_start_us, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM x WHERE us >= w_start_us AND us < w_start_us + 3600000000
         |GROUP BY 1 ORDER BY w_start_us""".stripMargin,
     "q_percentile_cont" -> {
@@ -2302,7 +2302,7 @@ object SparkEntry {
     },
     "copy_mapped" ->
       """SELECT c_custkey AS customer_id, c_name AS full_name,
-        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
+        |  CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS balance
         |FROM customer ORDER BY customer_id""".stripMargin,
     "q_interval_join" ->
       """WITH c AS (
@@ -2313,7 +2313,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view'),
         |j AS (
         |  SELECT c.click_id, count(*) AS n_views,
-        |    CAST(sum(CAST(v_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_view_value
+        |    CAST(CAST(sum(CAST(v_value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_view_value
         |  FROM c JOIN v ON v.user_id = c.user_id
         |    AND v.v_us >= c.c_us - 3600000000 AND v.v_us < c.c_us
         |  GROUP BY 1)
@@ -2332,7 +2332,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view'),
         |j AS (
         |  SELECT c.click_id, count(*) AS n_views,
-        |    CAST(sum(CAST(v_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_view_value
+        |    CAST(CAST(sum(CAST(v_value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_view_value
         |  FROM c JOIN v ON v.user_id = c.user_id
         |    AND v.v_us >= c.c_us - 3600000000 AND v.v_us < c.c_us
         |  GROUP BY 1)
@@ -2355,7 +2355,7 @@ object SparkEntry {
     "q_mom" ->
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT o_month, n_orders, revenue,
         |  lag(revenue) OVER (ORDER BY o_month) AS prev_revenue,
@@ -2368,7 +2368,7 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i FROM rev)
         |SELECT count(*) AS n_customers,
-        |  round(2.0 * CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE)
+        |  round(2.0 * CAST(CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
         |      / (count(*) * CAST(sum(x) AS DOUBLE))
         |    - (count(*) + 1.0) / count(*), 6) AS gini
         |FROM r""".stripMargin,
@@ -2397,12 +2397,12 @@ object SparkEntry {
         |  SELECT a.r AS x, b.r AS y FROM daily a
         |  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY)
         |SELECT count(*) AS n_pairs,
-        |  round((count(*) * CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE)
-        |      - CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE))
-        |    / (sqrt(count(*) * CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
-        |        - CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) * CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE))
-        |     * sqrt(count(*) * CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE)
-        |        - CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) * CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE))), 6)
+        |  round((count(*) * CAST(CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |      - CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
+        |    / (sqrt(count(*) * CAST(CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
+        |     * sqrt(count(*) * CAST(CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))), 6)
         |    AS autocorr_lag1
         |FROM j""".stripMargin,
     "q_churn" ->
@@ -2441,7 +2441,7 @@ object SparkEntry {
         |  SELECT t.doc_id, ln((nd.n + 1.0) / (df.df + 1.0)) AS idf
         |  FROM t JOIN df USING (tok) CROSS JOIN nd)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(sum(CAST(idf AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS rarity
+        |  round(CAST(CAST(sum(CAST(idf AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS rarity
         |FROM j GROUP BY 1 ORDER BY rarity DESC, doc_id ASC LIMIT 25""".stripMargin,
     "q_readability" ->
       """WITH c AS (
@@ -2456,7 +2456,7 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem, orders, customer, supplier, nation, region
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -2469,7 +2469,7 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT CAST(hour(ts) AS INTEGER) AS hour, event_type,
         |    count(*) AS n_events,
-        |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
+        |    round(CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS total_value
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, total_value,
         |  round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (PARTITION BY event_type), 6)
@@ -2486,7 +2486,7 @@ object SparkEntry {
         |FROM x ORDER BY user_id, event_id""".stripMargin,
     "q_tpch_q6" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2528,7 +2528,7 @@ object SparkEntry {
         |      o_orderdate::DATE) AS gap
         |  FROM orders)
         |SELECT o_custkey, count(*) AS n_gaps,
-        |  round(CAST(sum(CAST(gap AS DECIMAL(18,0))) AS DOUBLE) / count(*), 6)
+        |  round(CAST(CAST(sum(CAST(gap AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / count(*), 6)
         |    AS avg_gap_days,
         |  CAST(min(gap) AS BIGINT) AS min_gap_days,
         |  CAST(max(gap) AS BIGINT) AS max_gap_days
@@ -2546,9 +2546,9 @@ object SparkEntry {
     "q_tpch_q18" ->
       """WITH big AS (
         |  SELECT l_orderkey,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |  FROM lineitem GROUP BY 1
-        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+        |  HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) > 300.0)
         |SELECT c_custkey, c_name, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
@@ -2557,7 +2557,7 @@ object SparkEntry {
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem, orders, customer, supplier, nation n1, nation n2
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -2580,17 +2580,17 @@ object SparkEntry {
         |    AND r_name = 'AMERICA'
         |    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01')
         |SELECT o_year,
-        |  CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
-        |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
+        |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS nation_volume,
         |  CAST(sum(vol) AS DOUBLE) AS total_volume,
-        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
-        |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |  round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
+        |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |    / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
         |  count(*) AS n_lines
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  c_acctbal, n_name
         |FROM customer, orders, lineitem, nation
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -2607,14 +2607,14 @@ object SparkEntry {
         |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_tpch_q14" ->
       """SELECT
-        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
-        |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
-        |  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_revenue,
+        |  round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
         |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
-        |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS DOUBLE)
-        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 6)
+        |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6)
         |    AS promo_share,
         |  count(*) AS n_lines
         |FROM lineitem, part
@@ -2623,7 +2623,7 @@ object SparkEntry {
     "q_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+        |    CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
         |  GROUP BY 1)
@@ -2649,7 +2649,7 @@ object SparkEntry {
         |    count(*) AS n_li
         |  FROM li GROUP BY 1)
         |SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_lot_revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS small_lot_revenue,
         |  count(*) AS n_lines
         |FROM li JOIN a ON l_partkey = a_partkey
         |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin,
@@ -2664,12 +2664,12 @@ object SparkEntry {
         |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |      AND o_orderdate >= DATE '1999-01-01'))
         |SELECT n_name, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
         |FROM idle JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q19" ->
       """SELECT
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -2691,8 +2691,8 @@ object SparkEntry {
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q_tpch_q9" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
-        |    - l_quantity * p_retailprice * 0.8 AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit,
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - l_quantity * p_retailprice * 0.8 AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_profit,
         |  count(*) AS n_lines
         |FROM lineitem, part, supplier, nation, orders
         |WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
@@ -2740,11 +2740,11 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderdate::DATE AS d, o_totalprice FROM orders),
         |fst AS (SELECT o_custkey, min(d) AS first_d FROM o GROUP BY 1)
         |SELECT strftime(CAST(date_trunc('month', d) AS DATE), '%Y-%m-%d') AS month,
-        |  CAST(sum(CASE WHEN d = first_d
+        |  CAST(CAST(sum(CASE WHEN d = first_d
         |    THEN CAST(o_totalprice AS DECIMAL(18,2))
-        |    ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS new_revenue,
-        |  CAST(sum(CASE WHEN d = first_d THEN CAST(0.0 AS DECIMAL(18,2))
-        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS repeat_revenue,
+        |    ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS new_revenue,
+        |  CAST(CAST(sum(CASE WHEN d = first_d THEN CAST(0.0 AS DECIMAL(18,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS repeat_revenue,
         |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new_orders,
         |  CAST(sum(CASE WHEN d = first_d THEN 0 ELSE 1 END) AS BIGINT) AS n_repeat_orders
         |FROM o JOIN fst ON o.o_custkey = fst.o_custkey
@@ -2911,11 +2911,11 @@ object SparkEntry {
         |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM rk
         |), mo AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS nn,
-        |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(y * y AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM pt
         |)
         |SELECT CAST(nn AS BIGINT) AS n_fit,
@@ -2958,7 +2958,7 @@ object SparkEntry {
     "q_tpch_q3" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
         |  o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON o_custkey = c_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -2974,7 +2974,7 @@ object SparkEntry {
         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b),
         |agg AS (
         |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |  FROM f GROUP BY 1)
         |SELECT strftime(m, '%Y-%m') AS o_month,
         |  coalesce(n_orders, 0) AS n_orders,
@@ -3100,7 +3100,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
         |    / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
-        |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+        |  round(CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
         |    / count(*), 6) AS mean_quality
         |FROM qs JOIN src ON qs.doc_id = src.doc_id
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -3208,7 +3208,7 @@ object SparkEntry {
         |  SELECT label, sqrt(${dot("v", "v")}) AS nrm FROM e
         |)
         |SELECT label, count(*) AS n_vecs,
-        |  CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS avg_norm,
+        |  CAST(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_norm,
         |  round(min(nrm), 6) AS min_norm,
         |  round(max(nrm), 6) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
@@ -3267,7 +3267,7 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st
         |)
         |SELECT doc_id,
-        |  round(CAST(sum(CAST(tw AS DECIMAL(28,10))) AS DOUBLE), 6) AS score,
+        |  round(CAST(CAST(sum(CAST(tw AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 6) AS score,
         |  count(*) AS n_terms_hit
         |FROM tw GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -3298,7 +3298,7 @@ object SparkEntry {
         |  FROM c GROUP BY 1)
         |SELECT d.step, count(*) AS n_users, min(delta_us) AS min_us, m.med_us,
         |  max(delta_us) AS max_us,
-        |  round(CAST(sum(CAST(delta_us AS DECIMAL(28,0))) AS DOUBLE) / count(*), 6) AS avg_us
+        |  round(CAST(CAST(sum(CAST(delta_us AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_us
         |FROM d JOIN m USING (step) GROUP BY d.step, m.med_us ORDER BY step""".stripMargin,
     "q_concurrency" ->
       """WITH x AS (
@@ -3359,7 +3359,7 @@ object SparkEntry {
         |ci AS (SELECT round(min(CASE WHEN rk = 3 THEN mean_b END), 6) AS ci_lo,
         |              round(min(CASE WHEN rk = 98 THEN mean_b END), 6) AS ci_hi FROM r),
         |f AS (SELECT count(*) AS n_rows,
-        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_full
+        |  round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_full
         |  FROM orders)
         |SELECT CAST(100 AS BIGINT) AS n_boot, f.n_rows, f.mean_full, ci.ci_lo, ci.ci_hi
         |FROM f CROSS JOIN ci""".stripMargin,
@@ -3379,8 +3379,8 @@ object SparkEntry {
         |    tf * ln((n_docs + 1.0) / (dfq + 1.0)) AS tw_tfidf
         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st),
         |sc AS (SELECT doc_id,
-        |  round(CAST(sum(CAST(tw_bm25 AS DECIMAL(28,10))) AS DOUBLE), 6) AS bm25,
-        |  round(CAST(sum(CAST(tw_tfidf AS DECIMAL(28,10))) AS DOUBLE), 6) AS tfidf
+        |  round(CAST(CAST(sum(CAST(tw_bm25 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 6) AS bm25,
+        |  round(CAST(CAST(sum(CAST(tw_tfidf AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 6) AS tfidf
         |  FROM tw GROUP BY doc_id),
         |rk AS (SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_bm25,
@@ -3408,14 +3408,14 @@ object SparkEntry {
         |cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
         |lm AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
         |sm AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
-        |mi AS (SELECT round(CAST(sum(CAST(
-        |    (n / n_docs) * ln((n * n_docs) / (nl * ns)) AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats
+        |mi AS (SELECT round(CAST(CAST(sum(CAST(
+        |    (n / n_docs) * ln((n * n_docs) / (nl * ns)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS mi_nats
         |  FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN t),
-        |hl AS (SELECT round(CAST(sum(CAST(
-        |    -(nl / n_docs) * ln(nl / n_docs) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_lang
+        |hl AS (SELECT round(CAST(CAST(sum(CAST(
+        |    -(nl / n_docs) * ln(nl / n_docs) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS h_lang
         |  FROM lm CROSS JOIN t),
-        |hs AS (SELECT round(CAST(sum(CAST(
-        |    -(ns / n_docs) * ln(ns / n_docs) AS DECIMAL(28,12))) AS DOUBLE), 6) AS h_source
+        |hs AS (SELECT round(CAST(CAST(sum(CAST(
+        |    -(ns / n_docs) * ln(ns / n_docs) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS h_source
         |  FROM sm CROSS JOIN t)
         |SELECT t.n_docs, mi.mi_nats, hl.h_lang, hs.h_source,
         |  round(mi.mi_nats / least(hl.h_lang, hs.h_source), 6) AS nmi
@@ -3429,10 +3429,10 @@ object SparkEntry {
         |  unnest(v) AS x FROM ve),
         |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
         |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
-        |d AS (SELECT i, CAST(sum(CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
+        |d AS (SELECT i, CAST(CAST(sum(CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 AS sx,
         |      count(*) AS n_dim FROM e GROUP BY 1),
         |c AS (SELECT i, j,
-        |      CAST(sum(CAST(floor(xy * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
+        |      CAST(CAST(sum(CAST(floor(xy * 1e12 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 AS sxy,
         |      count(*) AS n FROM p GROUP BY 1, 2)
         |SELECT c.i, c.j, c.n,
         |  floor((c.sxy / c.n - (da.sx / da.n_dim) * (db.sx / db.n_dim)) * 1e6 + 0.5) / 1e6 AS cov
@@ -3491,7 +3491,7 @@ object SparkEntry {
         |  FROM cells CROSS JOIN tots)
         |SELECT bin, n_ref, n_cur, round(pa, 6) AS share_ref, round(pb, 6) AS share_cur,
         |  round((pa - pb) * ln(pa / pb), 6) AS term,
-        |  round(CAST(sum(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS psi
+        |  round(CAST(CAST(sum(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,12))) OVER () AS VARCHAR) AS DOUBLE), 6) AS psi
         |FROM terms ORDER BY bin""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (
@@ -3588,8 +3588,10 @@ object SparkEntry {
         |    + lag(rev, 5) OVER (ORDER BY day) * 2
         |    + lag(rev, 6) OVER (ORDER BY day) AS num
         |  FROM full_s)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rev AS DOUBLE) AS revenue,
-        |  round(CAST(num AS DOUBLE) / 127.0, 6) AS ewma
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+        |  floor(CAST(CAST(num AS VARCHAR) AS DOUBLE) / 127.0 * 1e6 + 0.5) / 1e6
+        |    AS ewma
         |FROM lagged WHERE rn >= 7 ORDER BY day""".stripMargin,
     "q_lateness" ->
       """WITH e AS (
@@ -3627,11 +3629,11 @@ object SparkEntry {
         |sm AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
         |dims AS (SELECT (SELECT count(*) FROM lm) AS n_lang,
         |                (SELECT count(*) FROM sm) AS n_source),
-        |dev AS (SELECT round(CAST(sum(CAST(
+        |dev AS (SELECT round(CAST(CAST(sum(CAST(
         |    CAST(CAST(n_docs * obs - rl * cs AS HUGEINT)
         |         * CAST(n_docs * obs - rl * cs AS HUGEINT) AS DOUBLE)
         |      / CAST(CAST(n_docs AS HUGEINT) * rl * cs AS DOUBLE)
-        |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS chi2
+        |    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS chi2
         |  FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN t)
         |SELECT t.n_docs, (n_lang - 1) * (n_source - 1) AS dof, dev.chi2,
         |  round(sqrt(dev.chi2 / (t.n_docs * least(n_lang - 1, n_source - 1))), 6)
@@ -3756,8 +3758,9 @@ object SparkEntry {
         |SELECT printf('%04d-%02d', CAST(cidx // 12 AS INTEGER),
         |    CAST(cidx % 12 AS INTEGER) + 1) AS cohort,
         |  month_offset, cohort_size, n_active,
-        |  CAST(rev AS DOUBLE) AS revenue,
-        |  round(CAST(cum AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6) AS cum_ltv
+        |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+        |  floor(CAST(CAST(cum AS VARCHAR) AS DOUBLE)
+        |    / CAST(cohort_size AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_ltv
         |FROM cum JOIN sized USING (cidx)
         |ORDER BY cohort, month_offset""".stripMargin,
     "q_abc_class" ->
@@ -3777,8 +3780,9 @@ object SparkEntry {
         |    rev, total
         |  FROM c)
         |SELECT abc_class, count(*)::BIGINT AS n_parts,
-        |  CAST(sum(rev) AS DOUBLE) AS revenue,
-        |  round(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6) AS rev_share
+        |  CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  round(CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(max(total) AS VARCHAR) AS DOUBLE), 6) AS rev_share
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_corr" ->
       """WITH daily AS (
@@ -4348,7 +4352,7 @@ object SparkEntry {
         |terms AS (SELECT seg, ng,
         |  CAST(r2sum * r2sum AS DOUBLE) / (4.0 * CAST(ng AS DOUBLE)) AS term FROM pg),
         |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
-        |  CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS terms FROM terms),
+        |  CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS terms FROM terms),
         |tt AS (SELECT sum(tie) AS ties FROM pv),
         |f AS (SELECT n, k, terms, ties,
         |  12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * terms
@@ -4389,8 +4393,8 @@ object SparkEntry {
         |sv AS (SELECT day, n_risk, d_events, c_censored,
         |  CASE WHEN max(died_out) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
-        |  ELSE exp(CAST(sum(CAST(lnterm AS DECIMAL(38,12))) OVER (ORDER BY day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) END AS survival
+        |  ELSE exp(CAST(CAST(sum(CAST(lnterm AS DECIMAL(38,12))) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)) END AS survival
         |  FROM lt)
         |SELECT day AS gap_days, n_risk, d_events, c_censored,
         |  floor(survival * 1e6 + 0.5) / 1e6 AS survival
@@ -4414,13 +4418,13 @@ object SparkEntry {
         |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
         |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t),
         |sc AS (SELECT doc_id,
-        |  round(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |  round(CAST(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
         |    / count(*), 6) AS avg_surprisal
         |  FROM bgf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
         |  GROUP BY doc_id),
         |st AS (SELECT count(*)::BIGINT AS n,
-        |  CAST(sum(CAST(avg_surprisal AS DECIMAL(28,12))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(avg_surprisal * avg_surprisal AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  CAST(CAST(sum(CAST(avg_surprisal AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(sum(CAST(avg_surprisal * avg_surprisal AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sxx
         |  FROM sc),
         |zz AS (SELECT doc_id, avg_surprisal,
         |  (avg_surprisal - sx / CAST(n AS DOUBLE)) /
@@ -4469,7 +4473,7 @@ object SparkEntry {
         |  FROM pg),
         |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
         |  sum(sg)::BIGINT AS s, sum(qg) AS q,
-        |  CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS terms FROM tm),
+        |  CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS terms FROM tm),
         |f AS (SELECT n, k,
         |  terms - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) AS ssb,
         |  CAST(q AS DOUBLE) - terms AS ssw FROM s)
@@ -4501,7 +4505,7 @@ object SparkEntry {
         |  FROM pg),
         |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
         |  sum(sg)::BIGINT AS s, sum(qg) AS q,
-        |  CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS terms FROM tm),
+        |  CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS terms FROM tm),
         |f AS (SELECT n, k,
         |  terms - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE) AS ssb,
         |  CAST(q AS DOUBLE) - terms AS ssw FROM s)
@@ -4582,7 +4586,7 @@ object SparkEntry {
         |      / (CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE))) AS term
         |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nc)
         |SELECT source, max(n_s) AS n_tokens, count(*)::BIGINT AS vocab,
-        |  floor(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) * 1e6 + 0.5)
+        |  floor(CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5)
         |    / 1e6 AS kl
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_burrows_delta" ->
@@ -4601,17 +4605,17 @@ object SparkEntry {
         |  FROM ns CROSS JOIN words
         |  LEFT JOIN cnt ON cnt.source = ns.source AND cnt.w = words.w),
         |stats AS (SELECT w,
-        |  CAST(sum(CAST(f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
-        |  sqrt(CAST(sum(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    - (CAST(sum(CAST(f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-        |      * (CAST(sum(CAST(f AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+        |  CAST(CAST(sum(CAST(f AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+        |  sqrt(CAST(CAST(sum(CAST(f * f AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    - (CAST(CAST(sum(CAST(f AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |      * (CAST(CAST(sum(CAST(f AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
         |    AS sd
         |  FROM grid GROUP BY 1),
         |z AS (SELECT g.source, g.w, (g.f - s.mu) / s.sd AS z
         |  FROM grid g JOIN stats s ON g.w = s.w AND s.sd > 0)
         |SELECT a.source AS source_a, b.source AS source_b,
         |  count(*)::BIGINT AS n_words,
-        |  floor(CAST(sum(CAST(abs(a.z - b.z) AS DECIMAL(38,12))) AS DOUBLE)
+        |  floor(CAST(CAST(sum(CAST(abs(a.z - b.z) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS delta
         |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -4664,9 +4668,9 @@ object SparkEntry {
         |  FROM orders JOIN customer ON o_custkey = c_custkey),
         |pg AS (SELECT seg, count(*)::BIGINT AS ng, sum(yc)::BIGINT AS sg,
         |  sum(CAST(yc AS HUGEINT) * yc) AS qg FROM j GROUP BY 1),
-        |msw AS (SELECT CAST(sum(CAST(
+        |msw AS (SELECT CAST(CAST(sum(CAST(
         |    CAST(qg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
-        |      / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / CAST(ng AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
         |  / CAST(sum(ng) - count(*) AS DOUBLE) AS msw FROM pg),
         |m AS (SELECT seg, ng,
         |  CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mm FROM pg)
@@ -4707,12 +4711,12 @@ object SparkEntry {
         |  FROM tf JOIN kept ON tf.term = kept.term),
         |norms AS (
         |  SELECT doc_id, count(*)::BIGINT AS n_terms,
-        |    sqrt(CAST(sum(CAST(wt * wt AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        |    sqrt(CAST(CAST(sum(CAST(wt * wt AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)) AS nrm
         |  FROM wt GROUP BY 1),
         |rp AS (
         |  SELECT a.doc_id AS ra, b.doc_id AS rb,
         |    count(*)::BIGINT AS shared_terms,
-        |    CAST(sum(CAST(a.wt * b.wt AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        |    CAST(CAST(sum(CAST(a.wt * b.wt AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS dot
         |  FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |sc AS (
@@ -4765,8 +4769,8 @@ object SparkEntry {
         |  floor(CAST(coalesce(sum(n_uniq), 0) AS DOUBLE)
         |    / CAST(coalesce(sum(n_sh), 0) AS DOUBLE) * 1e6 + 0.5) / 1e6
         |    AS pooled_novelty,
-        |  floor(CAST(sum(CAST(CAST(n_uniq AS DOUBLE) / n_sh AS DECIMAL(38,18)))
-        |      AS DOUBLE) / CAST(count(n_sh) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  floor(CAST(CAST(sum(CAST(CAST(n_uniq AS DOUBLE) / n_sh AS DECIMAL(38,18)))
+        | AS VARCHAR) AS DOUBLE) / CAST(count(n_sh) AS DOUBLE) * 1e6 + 0.5) / 1e6
         |    AS mean_novelty
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_participation_ratio" -> Similarity.participationRatioOracleSql(),
@@ -4791,24 +4795,26 @@ object SparkEntry {
         |    CAST((day - DATE '1970-01-01') % 7 AS INTEGER) AS dow
         |  FROM ma WHERE wn = 7),
         |se AS (
-        |  SELECT dow, CAST(sum(CAST(detr AS DECIMAL(38,18))) AS DOUBLE)
+        |  SELECT dow, CAST(CAST(sum(CAST(detr AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS s
         |  FROM i GROUP BY 1),
         |j AS (SELECT i.yc, i.trend, se.s, i.detr - se.s AS resid
         |      FROM i JOIN se ON i.dow = se.dow),
         |m AS (
         |  SELECT count(*)::BIGINT AS n_days,
-        |    CAST(sum(CAST(CAST(yc AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_y,
-        |    CAST(sum(CAST(CAST(yc AS DOUBLE) * CAST(yc AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_y,
-        |    CAST(sum(CAST(trend AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_t,
-        |    CAST(sum(CAST(trend * trend AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_t,
-        |    CAST(sum(CAST(s AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_s,
-        |    CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_s,
-        |    CAST(sum(CAST(resid AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_e,
-        |    CAST(sum(CAST(resid * resid AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_e
+        |    CAST(CAST(sum(CAST(CAST(yc AS DOUBLE) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_y,
+        |    CAST(CAST(sum(CAST(CAST(yc AS DOUBLE) * CAST(yc AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_y,
+        |    CAST(CAST(sum(CAST(trend AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_t,
+        |    CAST(CAST(sum(CAST(trend * trend AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_t,
+        |    CAST(CAST(sum(CAST(s AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_s,
+        |    CAST(CAST(sum(CAST(s * s AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_s,
+        |    CAST(CAST(sum(CAST(resid AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m_e,
+        |    CAST(CAST(sum(CAST(resid * resid AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS q_e
         |  FROM j)
         |SELECT n_days,
-        |  floor((q_y - m_y * m_y) / 1e4 * 1e6 + 0.5) / 1e6 AS var_total,
+        |  CASE WHEN (q_y - m_y * m_y) / 1e4 < 9e12
+        |    THEN floor((q_y - m_y * m_y) / 1e4 * 1e6 + 0.5) / 1e6
+        |    ELSE (q_y - m_y * m_y) / 1e4 END AS var_total,
         |  floor((q_t - m_t * m_t) / (q_y - m_y * m_y) * 1e6 + 0.5) / 1e6 AS share_trend,
         |  floor((q_s - m_s * m_s) / (q_y - m_y * m_y) * 1e6 + 0.5) / 1e6 AS share_seasonal,
         |  floor((q_e - m_e * m_e) / (q_y - m_y * m_y) * 1e6 + 0.5) / 1e6 AS share_residual,
@@ -4829,10 +4835,10 @@ object SparkEntry {
         |        FROM mpu CROSS JOIN b WHERE month <> m0),
         |s AS (
         |  SELECT month, count(*)::BIGINT AS n_parts,
-        |    CAST(sum(CAST(u * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS l_num,
-        |    CAST(sum(CAST(u0 * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS l_den,
-        |    CAST(sum(CAST(u * CAST(qty_c AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS p_num,
-        |    CAST(sum(CAST(u0 * CAST(qty_c AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS p_den
+        |    CAST(CAST(sum(CAST(u * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS l_num,
+        |    CAST(CAST(sum(CAST(u0 * CAST(q0 AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS l_den,
+        |    CAST(CAST(sum(CAST(u * CAST(qty_c AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS p_num,
+        |    CAST(CAST(sum(CAST(u0 * CAST(qty_c AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS p_den
         |  FROM cur JOIN bp USING (part) GROUP BY 1)
         |SELECT month, n_parts,
         |  floor(l_num / l_den * 1e6 + 0.5) / 1e6 AS laspeyres,
@@ -4864,8 +4870,8 @@ object SparkEntry {
         |  SELECT method, count(*)::BIGINT AS n_days,
         |    sum(e)::BIGINT AS sae,
         |    sum(CAST(e AS HUGEINT) * e) AS sse,
-        |    CAST(sum(CASE WHEN yc > 0 THEN CAST(CAST(e AS DOUBLE)
-        |      / CAST(yc AS DOUBLE) AS DECIMAL(38,18)) END) AS DOUBLE) AS sape,
+        |    CAST(CAST(sum(CASE WHEN yc > 0 THEN CAST(CAST(e AS DOUBLE)
+        |      / CAST(yc AS DOUBLE) AS DECIMAL(38,18)) END) AS VARCHAR) AS DOUBLE) AS sape,
         |    sum(CASE WHEN yc > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos
         |  FROM u GROUP BY 1)
         |SELECT method, n_days,
@@ -4879,13 +4885,13 @@ object SparkEntry {
     "copy_expire" ->
       """SELECT * FROM (
         |  SELECT CAST(2 AS BIGINT) AS version, count(*)::BIGINT AS n_rows,
-        |    CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
-        |      ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |    CAST(CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 10.0
+        |      ELSE c_acctbal END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal,
         |    CAST(1 AS BIGINT) AS n_expired
         |  FROM customer
         |  UNION ALL
         |  SELECT CAST(3 AS BIGINT), count(*)::BIGINT,
-        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE),
         |    CAST(1 AS BIGINT)
         |  FROM customer)
         |ORDER BY version""".stripMargin,
@@ -4953,9 +4959,9 @@ object SparkEntry {
         |pool AS (
         |  SELECT 'ALL' AS stratum,
         |    CAST(sum(n_a) AS BIGINT) AS n_a, CAST(sum(n_b) AS BIGINT) AS n_b,
-        |    floor(CAST(sum(CAST(CAST(n_a + n_b AS DOUBLE)
+        |    floor(CAST(CAST(sum(CAST(CAST(n_a + n_b AS DOUBLE)
         |        * (sb / CAST(n_b AS DOUBLE) - sa / CAST(n_a AS DOUBLE))
-        |        AS DECIMAL(38,12))) AS DOUBLE)
+        |        AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
         |      / CAST(sum(n_a) + sum(n_b) AS DOUBLE) * 1e6 + 0.5) / 1e6
         |      AS effect
         |  FROM s)
@@ -5018,14 +5024,14 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN arm = 'A' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_a1,
         |    CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
         |    CAST(sum(CASE WHEN arm = 'B' AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
-        |    CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a0,
-        |    CAST(sum(CASE WHEN arm = 'A' AND post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a1,
-        |    CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b0,
-        |    CAST(sum(CASE WHEN arm = 'B' AND post THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b1,
-        |    CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_a0,
-        |    CAST(sum(CASE WHEN arm = 'A' AND post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_a1,
-        |    CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_b0,
-        |    CAST(sum(CASE WHEN arm = 'B' AND post THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS q_b1
+        |    CAST(CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS s_a0,
+        |    CAST(CAST(sum(CASE WHEN arm = 'A' AND post THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS s_a1,
+        |    CAST(CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS s_b0,
+        |    CAST(CAST(sum(CASE WHEN arm = 'B' AND post THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS s_b1,
+        |    CAST(CAST(sum(CASE WHEN arm = 'A' AND NOT post THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS q_a0,
+        |    CAST(CAST(sum(CASE WHEN arm = 'A' AND post THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS q_a1,
+        |    CAST(CAST(sum(CASE WHEN arm = 'B' AND NOT post THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS q_b0,
+        |    CAST(CAST(sum(CASE WHEN arm = 'B' AND post THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS q_b1
         |  FROM c),
         |m AS (
         |  SELECT n_a0, n_a1, n_b0, n_b1,
@@ -5101,12 +5107,12 @@ object SparkEntry {
         |s AS (
         |  SELECT count(*)::BIGINT AS n,
         |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-        |      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
-        |      AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS syy,
         |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(sum(CASE WHEN arm = 'A' THEN x END) AS DOUBLE) AS sxa,
         |    CAST(sum(CASE WHEN arm = 'A' THEN y END) AS DOUBLE) AS sya,
@@ -5137,7 +5143,7 @@ object SparkEntry {
       """SELECT CAST(3 AS BIGINT) AS head_version,
         |  CAST(3 AS BIGINT) AS n_versions,
         |  count(*)::BIGINT AS n_rows,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
         |FROM customer WHERE c_custkey % 2 = 0""".stripMargin,
     "copy_schema_diff" ->
       """SELECT * FROM (VALUES
@@ -5185,8 +5191,8 @@ object SparkEntry {
         |agg AS (
         |  SELECT h, chi2_crit, max(n + lag) AS t_days,
         |    count(rho)::BIGINT AS n_terms,
-        |    CAST(sum(CAST(rho * rho / CAST(n AS DOUBLE) AS DECIMAL(38,18)))
-        |      AS DOUBLE) AS term_sum
+        |    CAST(CAST(sum(CAST(rho * rho / CAST(n AS DOUBLE) AS DECIMAL(38,18)))
+        | AS VARCHAR) AS DOUBLE) AS term_sum
         |  FROM r CROSS JOIN hs WHERE lag <= h GROUP BY 1, 2)
         |SELECT CAST(h AS BIGINT) AS h, t_days,
         |  CASE WHEN n_terms = h THEN
@@ -5206,10 +5212,10 @@ object SparkEntry {
         |  SELECT event_type,
         |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |    CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sa,
-        |    CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS sb,
-        |    CAST(sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS ssa,
-        |    CAST(sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS DOUBLE) AS ssb
+        |    CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS sa,
+        |    CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS sb,
+        |    CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS ssa,
+        |    CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value * value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS ssb
         |  FROM ev GROUP BY 1),
         |m AS (
         |  SELECT event_type, n_a, n_b,
@@ -5236,7 +5242,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "copy_vacuum" ->
       """SELECT count(*)::BIGINT AS n_rows, 2 AS n_orphans_removed,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
     "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
     "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
@@ -5308,7 +5314,9 @@ object SparkEntry {
         |  FROM top, r)
         |SELECT count(*)::BIGINT AS k,
         |  round(CAST(max(ref) AS DOUBLE) / 100.0, 2) AS ref_value,
-        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6) AS hill_alpha
+        |  CASE WHEN sum(term) <> 0 THEN
+        |    round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6)
+        |  END AS hill_alpha
         |FROM terms""".stripMargin,
     "copy_publish" ->
       """SELECT s_suppkey, s_name, s_nationkey
@@ -5427,8 +5435,8 @@ object SparkEntry {
         |c AS (SELECT lang, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
         |SELECT lang, sum(c)::BIGINT AS n_bigrams, count(*)::BIGINT AS vocab,
         |  round(ln(CAST(sum(c) AS DOUBLE))
-        |    - CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
-        |        AS DECIMAL(28,12))) AS DOUBLE)
+        |    - CAST(CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |        AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
         |      / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_effective_sample" ->
@@ -5470,8 +5478,8 @@ object SparkEntry {
         |    / (CAST(nr * nc AS DOUBLE) / CAST(n AS DOUBLE)) AS term
         |  FROM cells JOIN rt USING (seg) JOIN ct USING (st) CROSS JOIN tot)
         |SELECT max(n) AS n_total, max(r) AS n_segs, max(c) AS n_stats,
-        |  floor(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
-        |  floor(sqrt(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE)
+        |  floor(CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+        |  floor(sqrt(CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
         |    / CAST(max(n) * least(max(r) - 1, max(c) - 1) AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS cramers_v
         |FROM terms""".stripMargin,
@@ -5495,8 +5503,8 @@ object SparkEntry {
         |    CAST(min(gr) + max(gr) AS DOUBLE) / 2.0 AS avg_rank
         |  FROM rk GROUP BY 1),
         |s AS (SELECT sum(tk)::BIGINT AS n,
-        |    CAST(sum(CAST(avg_rank * CAST(npos AS DOUBLE) AS DECIMAL(38,1)))
-        |      AS DOUBLE) AS wp,
+        |    CAST(CAST(sum(CAST(avg_rank * CAST(npos AS DOUBLE) AS DECIMAL(38,1)))
+        | AS VARCHAR) AS DOUBLE) AS wp,
         |    sum(tk * tk * tk - tk)::BIGINT AS ties FROM g)
         |SELECT n AS n_pairs, wp AS w_plus,
         |  floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0 * 1e6 + 0.5) / 1e6 AS mu,
@@ -5520,8 +5528,8 @@ object SparkEntry {
         |  FROM (SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
         |          AS x, yc FROM daily)),
         |fit AS (SELECT n,
-        |    CAST(CAST(n AS DECIMAL(8,0)) * sxy
-        |        - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(24,0)) AS DOUBLE)
+        |    CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+        |        - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(24,0)) AS VARCHAR) AS DOUBLE)
         |      / CAST(n * sxx - sx * sx AS DOUBLE)
         |      AS slope_c, sx, sy FROM f),
         |fit2 AS (SELECT n, slope_c,
@@ -5533,11 +5541,11 @@ object SparkEntry {
         |  FROM daily CROSS JOIN fit2),
         |d AS (SELECT n, e, e - lag(e) OVER (ORDER BY day) AS de FROM res)
         |SELECT max(n) AS n_days,
-        |  floor(CAST(sum(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(sum(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  floor(CAST(CAST(sum(CAST(de * de AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(e * e AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6
         |    AS dw_stat,
-        |  floor((1.0 - CAST(sum(CAST(de * de AS DECIMAL(38,6))) AS DOUBLE)
-        |    / CAST(sum(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) / 2.0) * 1e6 + 0.5)
+        |  floor((1.0 - CAST(CAST(sum(CAST(de * de AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(sum(CAST(e * e AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / 2.0) * 1e6 + 0.5)
         |    / 1e6 AS rho_lag1
         |FROM d""".stripMargin,
     "q_grubbs" ->
@@ -5573,8 +5581,8 @@ object SparkEntry {
         |  FROM (SELECT CAST(date_diff('day', DATE '1995-01-01', day) AS BIGINT)
         |          AS x, yc FROM daily)),
         |fit AS (SELECT n, sx, sxx,
-        |    CAST(CAST(n AS DECIMAL(8,0)) * sxy
-        |        - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(24,0)) AS DOUBLE)
+        |    CAST(CAST(CAST(n AS DECIMAL(8,0)) * sxy
+        |        - CAST(sx AS DECIMAL(13,0)) * CAST(sy AS DECIMAL(24,0)) AS VARCHAR) AS DOUBLE)
         |      / CAST(n * sxx - sx * sx AS DOUBLE)
         |      AS slope_c, sy FROM f),
         |fit2 AS (SELECT n, sx, sxx, slope_c,
@@ -5621,8 +5629,8 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |t AS (SELECT max(cuma)::BIGINT AS na, max(cumb)::BIGINT AS nb FROM c)
         |SELECT na, nb,
-        |  floor(CAST(sum(CAST(abs(cuma * nb - cumb * na) AS DECIMAL(24,0))
-        |      * CAST(vnext - vc AS DECIMAL(14,0))) AS DOUBLE)
+        |  floor(CAST(CAST(sum(CAST(abs(cuma * nb - cumb * na) AS DECIMAL(24,0))
+        |      * CAST(vnext - vc AS DECIMAL(14,0))) AS VARCHAR) AS DOUBLE)
         |    / CAST(na * nb AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6 AS w1_dollars
         |FROM c CROSS JOIN t WHERE vnext IS NOT NULL GROUP BY na, nb""".stripMargin,
     "q_poisson_rate" ->
@@ -5757,7 +5765,7 @@ object SparkEntry {
         |  WHERE sqrt(CAST(w * bq - CAST(bs AS HUGEINT) * bs AS DOUBLE))
         |    / CAST(w AS DOUBLE) > 0),
         |perw AS (SELECT w, count(*)::BIGINT AS n_blocks,
-        |    CAST(sum(CAST(lrs AS DECIMAL(38,12))) AS DOUBLE)
+        |    CAST(CAST(sum(CAST(lrs AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)
         |      / CAST(count(*) AS DOUBLE) AS mean_lrs
         |  FROM lrs GROUP BY 1),
         |fit AS (SELECT count(*)::BIGINT AS m,
@@ -5801,13 +5809,13 @@ object SparkEntry {
          |${rnd("r1", "r2")},
          |${rnd("r2", "r3")},
          |rowent AS (SELECT from_type AS event_type,
-         |    CAST(sum(CAST(-(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
+         |    CAST(CAST(sum(CAST(-(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
          |      * ln(CAST(nij AS DOUBLE) / CAST(ni AS DOUBLE))
-         |      AS DECIMAL(38,18))) AS DOUBLE) AS h_row
+         |      AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS h_row
          |  FROM tr JOIN rt USING (from_type) GROUP BY 1),
          |j AS (SELECT r3.event_type, r3.p, coalesce(rowent.h_row, 0.0) AS h_row
          |  FROM r3 LEFT JOIN rowent USING (event_type)),
-         |rate AS (SELECT CAST(sum(CAST(p * h_row AS DECIMAL(38,18))) AS DOUBLE)
+         |rate AS (SELECT CAST(CAST(sum(CAST(p * h_row AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
          |  AS hr FROM j)
          |SELECT event_type, floor(p * 1e9 + 0.5) / 1e9 AS pi,
          |  floor(h_row * 1e6 + 0.5) / 1e6 AS h_row,
@@ -5900,7 +5908,7 @@ object SparkEntry {
          |wtd AS (SELECT doc_id, cl.cluster_id, cluster_size,
          |    1.0 / CAST(cluster_size AS DOUBLE) AS w
          |  FROM cl JOIN csz USING (cluster_id)),
-         |eff AS (SELECT floor(CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE)
+         |eff AS (SELECT floor(CAST(CAST(sum(CAST(w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
          |    * 1e6 + 0.5) / 1e6 AS effective_docs FROM wtd)
          |SELECT doc_id, cluster_id, cluster_size,
          |  floor(w * 1e6 + 0.5) / 1e6 AS weight, effective_docs
@@ -5918,7 +5926,7 @@ object SparkEntry {
         |  FROM s),
         |sc2 AS (SELECT source, n_docs, sigma,
         |    CAST(n_docs AS DOUBLE) * sigma AS ns FROM sc),
-        |z AS (SELECT CAST(sum(CAST(ns AS DECIMAL(38,12))) AS DOUBLE) AS z
+        |z AS (SELECT CAST(CAST(sum(CAST(ns AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS z
         |  FROM sc2)
         |SELECT source, n_docs,
         |  floor(sigma * 1e6 + 0.5) / 1e6 AS sigma_tokens,
@@ -5952,15 +5960,15 @@ object SparkEntry {
         |      / CAST(n_b AS DOUBLE) AS vv
         |  FROM per WHERE n_a >= 2 AND n_b >= 2),
         |p AS (SELECT count(*)::BIGINT AS k_studies,
-        |    CAST(sum(CAST(1.0 / vv AS DECIMAL(38,12))) AS DOUBLE) AS sw,
-        |    CAST(sum(CAST(d / vv AS DECIMAL(38,12))) AS DOUBLE) AS swd
+        |    CAST(CAST(sum(CAST(1.0 / vv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sw,
+        |    CAST(CAST(sum(CAST(d / vv AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS swd
         |  FROM st),
         |p2 AS (SELECT k_studies, swd / sw AS d_pooled, 1.0 / sqrt(sw) AS se
         |  FROM p),
         |q AS (SELECT max(k_studies) AS k_studies, max(d_pooled) AS d_pooled,
         |    max(se) AS se,
-        |    CAST(sum(CAST((d - d_pooled) * (d - d_pooled) / vv
-        |      AS DECIMAL(38,12))) AS DOUBLE) AS qh
+        |    CAST(CAST(sum(CAST((d - d_pooled) * (d - d_pooled) / vv
+        |      AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS qh
         |  FROM st CROSS JOIN p2)
         |SELECT k_studies,
         |  floor(d_pooled * 1e6 + 0.5) / 1e6 AS d_pooled,
@@ -6020,7 +6028,7 @@ object SparkEntry {
         |    CAST(n_tokens AS DOUBLE) / CAST(n_c AS DOUBLE) AS p,
         |    sqrt(CAST(n_tokens AS DOUBLE) / CAST(n_c AS DOUBLE)) AS sq
         |  FROM ns CROSS JOIN tot),
-        |z AS (SELECT CAST(sum(CAST(sq AS DECIMAL(38,18))) AS DOUBLE) AS z
+        |z AS (SELECT CAST(CAST(sum(CAST(sq AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS z
         |  FROM scored)
         |SELECT source, n_tokens,
         |  floor(p * 1e6 + 0.5) / 1e6 AS share,
@@ -6076,10 +6084,10 @@ object SparkEntry {
         |ns AS (SELECT source, sum(cs)::BIGINT AS n_s FROM st GROUP BY 1),
         |nc AS (SELECT sum(cs)::BIGINT AS n_c FROM st)
         |SELECT source, max(n_s) AS n_tokens, count(*)::BIGINT AS vocab,
-        |  floor(sqrt(greatest(1.0 - CAST(sum(CAST(sqrt(
+        |  floor(sqrt(greatest(1.0 - CAST(CAST(sum(CAST(sqrt(
         |    (CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE))
         |    * (CAST(cc AS DOUBLE) / CAST(n_c AS DOUBLE)))
-        |    AS DECIMAL(38,12))) AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6
+        |    AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE), 0.0)) * 1e6 + 0.5) / 1e6
         |    AS hellinger
         |FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nc
         |GROUP BY source ORDER BY source""".stripMargin,
@@ -6109,7 +6117,7 @@ object SparkEntry {
          |FROM tot CROSS JOIN pe""".stripMargin,
     "copy_computed" ->
       """SELECT count(*) AS n_rows,
-        |  CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal_x2,
+        |  CAST(CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_bal_x2,
         |  CAST(sum(length(c_name)) AS BIGINT) AS sum_name_len,
         |  'c_bal_x2:DOUBLE;c_name_len:INTEGER' AS computed_cols
         |FROM customer""".stripMargin,

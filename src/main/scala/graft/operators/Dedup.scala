@@ -811,10 +811,10 @@ object Dedup {
       val p = s"(1.0 - ${sqSql(s"(1.0 - ${sqSql("j", r)})", b)})"
       s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
          |  sum(CASE WHEN j >= $tau THEN 1 ELSE 0 END)::BIGINT AS gt_pairs,
-         |  floor(CAST(sum(CAST($p AS DECIMAL(38,18))) AS DOUBLE)
+         |  floor(CAST(CAST(sum(CAST($p AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
          |    * 1e6 + 0.5) / 1e6 AS exp_candidates,
-         |  floor(CAST(sum(CASE WHEN j >= $tau THEN CAST($p AS DECIMAL(38,18))
-         |      ELSE CAST(0.0 AS DECIMAL(38,18)) END) AS DOUBLE)
+         |  floor(CAST(CAST(sum(CASE WHEN j >= $tau THEN CAST($p AS DECIMAL(38,18))
+         |      ELSE CAST(0.0 AS DECIMAL(38,18)) END) AS VARCHAR) AS DOUBLE)
          |    * 1e6 + 0.5) / 1e6 AS exp_detected
          |FROM jp""".stripMargin
     }

@@ -61,7 +61,11 @@ object Relational {
              col("l_shipdate") < lit("1997-01-01") &&
              col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // TOTAL order: the synthetic corpus has duplicate (orderkey,
+      // linenumber) pairs, and a non-total ORDER BY leaves tie order
+      // engine-dependent (caught by the sf10 probe — equal multisets,
+      // different row order). Order by every output column.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   /** §2.2 #7 — TPC-H Q1-shaped rollup over lineitem. Partial (map-side)
     * aggregation + a 6-group shuffle; scan reads only the 5 needed columns.
@@ -2849,7 +2853,10 @@ object Relational {
       .where(col("rn") >= 7)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("rev").cast("double").as("revenue"),
-        round(col("num").cast("double") / 127.0, 6).as("ewma"))
+        // fl6, not round(): at sf10 the ewma sits at ~1.5e9 where a 6-dp
+        // round is below the double's ulp and the two engines' round()
+        // implementations leak different tie behavior (sf10 probe).
+        fl6(col("num").cast("double") / 127.0).as("ewma"))
       .orderBy("day")
   }
 
@@ -3071,7 +3078,9 @@ object Relational {
           pmod(col("cidx"), lit(12)).cast("int") + 1).as("cohort"),
         col("month_offset"), col("cohort_size"), col("n_active"),
         col("rev").cast("double").as("revenue"),
-        round(col("cum").cast("double") / col("cohort_size").cast("double"), 6)
+        // fl6, not round(): the q_ewma sf10 lesson — engine round() tie
+        // behavior leaks once the 6-dp grid is below the double's ulp.
+        fl6(col("cum").cast("double") / col("cohort_size").cast("double"))
           .as("cum_ltv"))
       .orderBy("cohort", "month_offset")
   }
@@ -3608,7 +3617,12 @@ object Relational {
         sum("term").as("s"))
       .select(col("k"),
         round(col("ref_cents").cast("double") / 100.0, 2).as("ref_value"),
-        round(col("k").cast("double") / col("s").cast("double"), 6)
+        // Σ log(y/ref) = 0 when the whole top-k TIES at one value (the
+        // sf10 replica corpus does exactly this): the Hill estimator is
+        // UNDEFINED on a degenerate tail — emit null, never divide
+        // (ANSI division by a zero decimal throws; caught at sf10).
+        when(col("s") =!= 0,
+          round(col("k").cast("double") / col("s").cast("double"), 6))
           .as("hill_alpha"))
   }
 
@@ -4692,8 +4706,13 @@ object Relational {
       meanVar(col("resid"), "e") :+ count(lit(1)).as("n_days")
     val agg = joined.agg(aggs.head, aggs.tail: _*)
     def v(nm: String) = col(s"q_$nm") - col(s"m_$nm") * col(s"m_$nm")
+    // var_total in dollars² grows quadratically with daily revenue —
+    // past ~9e12 Spark's floor-to-LONG saturates (the cronbachAlpha
+    // class, caught by the sf10 probe): identity above the cap, where a
+    // 6-dp round is below the double's own ulp anyway.
+    def fl6cap(c: Column): Column = when(c < lit(9e12), fl6(c)).otherwise(c)
     agg.select(col("n_days"),
-      fl6(v("y") / lit(1e4)).as("var_total"),
+      fl6cap(v("y") / lit(1e4)).as("var_total"),
       fl6(v("t") / v("y")).as("share_trend"),
       fl6(v("s") / v("y")).as("share_seasonal"),
       fl6(v("e") / v("y")).as("share_residual"),

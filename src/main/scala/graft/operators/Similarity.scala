@@ -586,7 +586,7 @@ object Similarity {
          |  FROM nd CROSS JOIN cnt
          |  LEFT JOIN (
          |    SELECT eg.dst AS vec_id,
-         |      CAST(sum(CAST(p.r / deg.odeg AS DECIMAL(38,18))) AS DOUBLE) AS in_sum
+         |      CAST(CAST(sum(CAST(p.r / deg.odeg AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS in_sum
          |    FROM eg JOIN $prev p ON p.vec_id = eg.src JOIN deg ON deg.src = eg.src
          |    GROUP BY eg.dst
          |  ) s$i ON s$i.vec_id = nd.vec_id
@@ -903,7 +903,7 @@ object Similarity {
        |    - (CAST(degree_sum AS DOUBLE) / CAST(ee AS DOUBLE))
        |      * (CAST(degree_sum AS DOUBLE) / CAST(ee AS DOUBLE)) AS contribution
        |  FROM per CROSS JOIN tot),
-       |qq AS (SELECT CAST(sum(CAST(contribution AS DECIMAL(38,18))) AS DOUBLE)
+       |qq AS (SELECT CAST(CAST(sum(CAST(contribution AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
        |  AS q FROM scored)
        |SELECT label, n_nodes, degree_sum, within,
        |  floor(contribution * 1e6 + 0.5) / 1e6 AS contribution,
@@ -1340,7 +1340,7 @@ object Similarity {
        |dims AS (SELECT i FROM generate_series(1, $dim) AS t(i)),
        |m AS (
        |  SELECT a0.cid, dims.i,
-       |    CAST(sum(CAST(n.v[dims.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx
+       |    CAST(CAST(sum(CAST(n.v[dims.i] AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS mx
        |  FROM a0 JOIN n USING (vec_id) CROSS JOIN dims
        |  GROUP BY 1, 2
        |),
@@ -1359,7 +1359,7 @@ object Similarity {
        |  WHERE rn = 1
        |)
        |SELECT cid, count(*) AS n_vecs,
-       |  round(CAST(sum(CAST(cc AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_cos
+       |  round(CAST(CAST(sum(CAST(cc AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_cos
        |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin
 
   /** DuckDB oracle for [[silhouette]]: the shared kmeans core CTEs, then
@@ -1386,7 +1386,7 @@ object Similarity {
        |  FROM best b JOIN oth o ON b.vec_id = o.vec_id
        |)
        |SELECT bcid AS cid, count(*)::BIGINT AS n_vecs,
-       |  floor(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |  floor(CAST(CAST(sum(CAST(s AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / count(*)
        |    * 1e6 + 0.5) / 1e6 AS mean_silhouette
        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1435,7 +1435,7 @@ object Similarity {
        |$projs
        |)
        |SELECT label, dim_id, count(*) AS n_vecs,
-       |  round(CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_proj
+       |  round(CAST(CAST(sum(CAST(p AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_proj
        |FROM pr GROUP BY label, dim_id ORDER BY label, dim_id""".stripMargin
   }
 
@@ -1613,7 +1613,7 @@ object Similarity {
        |dims AS (SELECT i FROM generate_series(1, $dim) AS t(i)),
        |cells AS (
        |  SELECT label, in_a, dims.i,
-       |    CAST(sum(CAST(v[dims.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m,
+       |    CAST(CAST(sum(CAST(v[dims.i] AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) AS m,
        |    count(*) AS nv
        |  FROM e CROSS JOIN dims GROUP BY 1, 2, 3),
        |cent AS (
@@ -1839,7 +1839,7 @@ object Similarity {
        |open_w AS (SELECT a, b, c FROM w
        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
        |sc AS (SELECT a, c, count(*)::BIGINT AS n_common,
-       |  CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  CAST(CAST(sum(CAST(1.0 / ln(CAST(deg AS DOUBLE)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS s
        |  FROM open_w JOIN d USING (b) GROUP BY 1, 2)
        |SELECT a AS vec_a, c AS vec_b, n_common,
        |  floor(s * 1e6 + 0.5) / 1e6 AS aa_score
@@ -2285,9 +2285,9 @@ object Similarity {
   def pcaPowerOracleSql(): String = {
     def rnd(prev: String, w: String, vn: String): String =
       s"""$w AS (
-         |  SELECT f.i, CAST(sum(CAST(f.cov * pv.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |  SELECT f.i, CAST(CAST(sum(CAST(f.cov * pv.v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
          |  FROM full_m f JOIN $prev pv ON pv.j = f.j GROUP BY 1),
-         |${w}n AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM $w),
+         |${w}n AS (SELECT sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)) AS nrm FROM $w),
          |$vn AS (SELECT i AS j, w / nrm AS v FROM $w, ${w}n)""".stripMargin
     s"""WITH ve AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
        |            FROM embeddings),
@@ -2296,10 +2296,10 @@ object Similarity {
        |  unnest(v) AS x FROM ve),
        |p AS (SELECT a.i AS i, b.i AS j, a.x * b.x AS xy
        |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i),
-       |dm AS (SELECT i, CAST(sum(CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
+       |dm AS (SELECT i, CAST(CAST(sum(CAST(floor(x * 1e12 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 AS sx,
        |      count(*) AS n_dim FROM e GROUP BY 1),
        |c AS (SELECT i, j,
-       |      CAST(sum(CAST(floor(xy * 1e12 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxy,
+       |      CAST(CAST(sum(CAST(floor(xy * 1e12 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1e12 AS sxy,
        |      count(*) AS n FROM p GROUP BY 1, 2),
        |cells AS (
        |  SELECT c.i, c.j,
@@ -2314,10 +2314,10 @@ object Similarity {
        |       1.0 / sqrt(CAST(d AS DOUBLE)) AS v FROM dd),
        |${(1 to 6).map(r => rnd(s"v${r - 1}", s"w$r", s"v$r")).mkString(",\n")},
        |wf AS (
-       |  SELECT f.i, CAST(sum(CAST(f.cov * v6.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+       |  SELECT f.i, CAST(CAST(sum(CAST(f.cov * v6.v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS w
        |  FROM full_m f JOIN v6 ON v6.j = f.j GROUP BY 1),
-       |lam AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS lambda FROM wf),
-       |tr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(38,18))) AS DOUBLE) AS trace
+       |lam AS (SELECT sqrt(CAST(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)) AS lambda FROM wf),
+       |tr AS (SELECT CAST(CAST(sum(CAST(cov AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS trace
        |       FROM cells WHERE i = j),
        |top AS (SELECT CAST(-(max(struct_pack(a := abs(v), nj := -j)).nj) AS BIGINT) AS top_dim
        |        FROM v6)
@@ -2469,15 +2469,15 @@ object Similarity {
        |  FROM e JOIN kd kdo ON kdo.vec_id = e.nbr_id),
        |lrd AS (
        |  SELECT vec_id,
-       |    CASE WHEN CAST(sum(CAST(reach AS DECIMAL(38,18))) AS DOUBLE) > 0.0
+       |    CASE WHEN CAST(CAST(sum(CAST(reach AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) > 0.0
        |      THEN CAST(count(*) AS DOUBLE)
-       |        / CAST(sum(CAST(reach AS DECIMAL(38,18))) AS DOUBLE)
+       |        / CAST(CAST(sum(CAST(reach AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)
        |    END AS lrd
        |  FROM reach GROUP BY 1),
        |nl AS (
        |  SELECT e.vec_id, count(*)::BIGINT AS n,
        |    count(lo.lrd)::BIGINT AS n_def,
-       |    CAST(sum(CAST(lo.lrd AS DECIMAL(38,18))) AS DOUBLE) AS sum_lrd
+       |    CAST(CAST(sum(CAST(lo.lrd AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sum_lrd
        |  FROM e JOIN lrd lo ON lo.vec_id = e.nbr_id
        |  GROUP BY 1)
        |SELECT nl.vec_id, kd.n_nbrs,
@@ -2572,8 +2572,8 @@ object Similarity {
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS i)),
        |dv AS (
        |  SELECT i, count(*)::BIGINT AS n,
-       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-       |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |    CAST(CAST(sum(CAST(x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
        |  FROM cells GROUP BY 1),
        |vv AS (
        |  SELECT sxx / CAST(n AS DOUBLE)
@@ -2581,8 +2581,8 @@ object Similarity {
        |  FROM dv),
        |s AS (
        |  SELECT count(*)::BIGINT AS d,
-       |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS sv,
-       |    CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE) AS svv
+       |    CAST(CAST(sum(CAST(v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS sv,
+       |    CAST(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE) AS svv
        |  FROM vv)
        |SELECT d,
        |  floor(sv * sv / svv * 1e6 + 0.5) / 1e6 AS pr,
@@ -2597,8 +2597,8 @@ object Similarity {
        |dims AS (SELECT i FROM generate_series(1, $dim) AS t(i)),
        |cells AS (
        |  SELECT dims.i AS i, count(*)::BIGINT AS n,
-       |    CAST(sum(CAST(v[dims.i] AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-       |    CAST(sum(CAST(v[dims.i] * v[dims.i] AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |    CAST(CAST(sum(CAST(v[dims.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(sum(CAST(v[dims.i] * v[dims.i] AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
        |  FROM e CROSS JOIN dims GROUP BY 1)
        |SELECT i - 1 AS dim_id, n AS n_vecs,
        |  floor((sx / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean,
