@@ -66,8 +66,9 @@ object StressGen {
     val dest = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val docMode = if (args.length > 3) args(3) else "exact"
-    require(docMode == "exact" || docMode == "mutate" || docMode == "numeric",
-      s"docMode must be exact|mutate|numeric, got $docMode")
+    require(docMode == "exact" || docMode == "mutate" || docMode == "numeric"
+        || docMode == "events",
+      s"docMode must be exact|mutate|numeric|events, got $docMode")
     val mutPct = if (args.length > 4) args(4).toInt else 5
     require(mutPct >= 1 && mutPct <= 99, s"mutPct must be 1..99, got $mutPct")
     val spark = SparkSession.builder()
@@ -95,11 +96,16 @@ object StressGen {
     def replicate(t: String, shiftCols: Seq[String],
         fixedOff: Option[Long] = None): Long = {
       val df = sources.Tables.load(spark, src, t)
-      val off = fixedOff.getOrElse(offsetFor(df, shiftCols.head))
+      // Each shifted column gets its OWN collision-free offset (events
+      // mode shifts user_id AND event_id — one shared offset sized from
+      // user_id would collide event ids across replicas).
+      val offs: Map[String, Long] = shiftCols
+        .map(c => c -> fixedOff.getOrElse(offsetFor(df, c))).toMap
+      val off = offs(shiftCols.head)
       val reps = broadcast(spark.range(factor).toDF("replica"))
       val out0 = df.crossJoin(reps)
       val shifted = shiftCols.foldLeft(out0) { (d, c) =>
-        d.withColumn(c, col(c) + col("replica") * off)
+        d.withColumn(c, col(c) + col("replica") * offs(c))
       }
       // docMode=mutate: replicas 1..factor-1 get ~5% of tokens swapped for
       // a hash-derived nonsense token (deterministic in (doc_id, replica,
@@ -143,6 +149,17 @@ object StressGen {
       }
       val okOff = replicate("orders", Seq("o_orderkey"))
       replicate("lineitem", Seq("l_orderkey"), Some(okOff))
+    } else if (docMode == "events") {
+      // EVENTS-only stress (the third fact family's decade probe): the
+      // user_id shift multiplies window-partition COUNT, the event_id
+      // shift keeps arrival-order ids unique — user-keyed sessions and
+      // the PrefixScan lateness/concurrency family at 100× users.
+      Seq("orders", "lineitem", "documents", "embeddings").foreach { t =>
+        sources.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+        println(s"[stressgen] $t: copied unchanged (events mode)")
+      }
+      replicate("events", Seq("user_id", "event_id"))
     } else {
       val okOff = replicate("orders", Seq("o_orderkey"))
       replicate("lineitem", Seq("l_orderkey"), Some(okOff))
