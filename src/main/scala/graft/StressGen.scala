@@ -67,8 +67,8 @@ object StressGen {
     val factor = if (args.length > 2) args(2).toInt else 10
     val docMode = if (args.length > 3) args(3) else "exact"
     require(docMode == "exact" || docMode == "mutate" || docMode == "numeric"
-        || docMode == "events",
-      s"docMode must be exact|mutate|numeric|events, got $docMode")
+        || docMode == "events" || docMode == "docs",
+      s"docMode must be exact|mutate|numeric|events|docs, got $docMode")
     val mutPct = if (args.length > 4) args(4).toInt else 5
     require(mutPct >= 1 && mutPct <= 99, s"mutPct must be 1..99, got $mutPct")
     val spark = SparkSession.builder()
@@ -160,6 +160,18 @@ object StressGen {
         println(s"[stressgen] $t: copied unchanged (events mode)")
       }
       replicate("events", Seq("user_id", "event_id"))
+    } else if (docMode == "docs") {
+      // DOCUMENTS/EMBEDDINGS-only stress: the text-analysis / embedding
+      // family's decade probe (replicas byte-identical — the linear
+      // one-pass statistics don't care; the pair-join dedup family has
+      // its own mutate-mode corpus).
+      Seq("orders", "lineitem", "events").foreach { t =>
+        sources.Tables.load(spark, src, t)
+          .write.mode("overwrite").parquet(s"$dest/$t.parquet")
+        println(s"[stressgen] $t: copied unchanged (docs mode)")
+      }
+      replicate("documents", Seq("doc_id"))
+      replicate("embeddings", Seq("vec_id"))
     } else {
       val okOff = replicate("orders", Seq("o_orderkey"))
       replicate("lineitem", Seq("l_orderkey"), Some(okOff))
