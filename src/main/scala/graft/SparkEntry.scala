@@ -512,6 +512,7 @@ object SparkEntry {
     "q_neardup_jaccard" -> ((s, dir) => Dedup.nearDupJaccard(s, dir)),
     "q_neardup_simhash" -> ((s, dir) => Dedup.nearDupSimhash(s, dir)),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteTopK(s, dir)),
+    "q_ann_mips" -> ((s, dir) => Similarity.annMips(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "q_data_recipe" -> ((s, dir) => Curation.dataRecipe(s, dir)),
     // maxBits=12 caps auto-nBits where the oracle's embedded planes end —
@@ -3028,6 +3029,22 @@ object SparkEntry {
         |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
         |FROM szs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ann_brute" -> bruteAnnOracle,
+    "q_ann_mips" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10
+        |), s AS (
+        |  SELECT q.q_id, e.vec_id, ${dot("e.v", "q.qv")} AS ip
+        |  FROM e, q WHERE e.vec_id <> q.q_id
+        |), r AS (
+        |  SELECT q_id, vec_id, ip,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id ASC) AS INTEGER) AS rank
+        |  FROM s
+        |)
+        |SELECT q_id, rank, vec_id, floor(ip * 1e6 + 0.5) / 1e6 AS ip
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_recall" ->
       s"""SELECT b.q_id, count(l.vec_id) AS n_hits,
         |  round(count(l.vec_id) / 10.0, 6) AS recall
@@ -3452,10 +3469,14 @@ object SparkEntry {
         |  CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
         |  CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb
         |  FROM h),
-        |d AS (SELECT v, abs(cuma * nb - cumb * na) AS dnum FROM c CROSS JOIN t),
+        |d AS (SELECT v,
+        |  abs(CAST(cuma AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) -
+        |      CAST(cumb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))) AS dnum
+        |  FROM c CROSS JOIN t),
         |m AS (SELECT max(dnum) AS max_num FROM d)
         |SELECT t.na, t.nb,
-        |  round(CAST(m.max_num AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE), 6) AS d_stat,
+        |  round(CAST(CAST(m.max_num AS VARCHAR) AS DOUBLE) /
+        |        CAST(CAST(CAST(t.na AS DECIMAL(19,0)) * CAST(t.nb AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE), 6) AS d_stat,
         |  CAST((SELECT min(v) FROM d WHERE d.dnum = m.max_num) AS DOUBLE) AS at_value
         |FROM t CROSS JOIN m""".stripMargin,
     "q_psi" ->

@@ -2595,18 +2595,26 @@ object Relational {
       sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
       sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
     val totals = h.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    // The cross products cumA·n_B / cumB·n_A (and the denominator n_A·n_B)
+    // wrap LONG silently past ~3e9 rows per side — the same overflow class
+    // fixed in wasserstein/interarrival (r9/r10); factors are cast to
+    // DECIMAL(19,0) BEFORE the multiply so the (38,0) product stays exact
+    // at any order count (r10 VERDICT #4).
+    val f19 = DecimalType(19, 0)
     val d = PrefixScan.runningSums(h, "v", Seq(col("v")),
         Seq("ca" -> "cuma", "cb" -> "cumb"))
       .select("v", "cuma", "cumb")
       .crossJoin(broadcast(totals))
-      .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .withColumn("dnum", abs(col("cuma").cast(f19) * col("nb").cast(f19) -
+        col("cumb").cast(f19) * col("na").cast(f19)))
     val maxd = d.agg(max("dnum").as("max_num"))
     d.join(broadcast(maxd), col("dnum") === col("max_num"))
       .groupBy("na", "nb", "max_num")
       .agg(min("v").cast("double").as("at_value"))
       .select(col("na"), col("nb"),
         round(col("max_num").cast("double") /
-          (col("na") * col("nb")).cast("double"), 6).as("d_stat"),
+          (col("na").cast(f19) * col("nb").cast(f19)).cast("double"), 6)
+          .as("d_stat"),
         col("at_value"))
   }
 
@@ -5522,4 +5530,5 @@ object Relational {
           .as("prominence"))
       .orderBy("day")
   }
+
 }

@@ -53,6 +53,32 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** §2.3 #371 — brute-force MAXIMUM INNER PRODUCT (MIPS) top-k for query
+    * vectors vec_id < nQueries: ranked by the RAW dot product, no norm
+    * division. The retrieval objective recommendation and reward models
+    * actually use — cosine (#26) normalizes magnitude away, but a
+    * learned-embedding store often encodes item popularity/confidence IN
+    * the norm, so MIPS and cosine return genuinely different top-k sets
+    * (a high-norm vector can win at a worse angle). Same scale shape as
+    * #26: queries broadcast, corpus scanned once, per-query top-k via a
+    * bounded window over nQueries partitions. Scores are the shared
+    * sequential-fold dot (bit-identical to the oracle's list_reduce).
+    */
+  def annMips(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("ip").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("ip", dot(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        (floor(col("ip") * lit(1e6) + lit(0.5)) / lit(1e6)).as("ip"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Deterministic random hyperplanes (seeded): nBits x dim gaussians. The
     * draw is sequential, so the first b planes are identical for every
     * nBits >= b — bucket bit j never depends on how many bits are in use,
@@ -1129,6 +1155,14 @@ object Similarity {
     * left-fold dot; scores are fixed-order doubles — the oracle unrolls
     * the same greedy as MATERIALIZED CTE rounds carrying an incremental
     * max-similarity column and agrees bit-for-bit.
+    *
+    * Redundancy term: maxSim seeds at 0.0 — i.e. the penalty is
+    * max(0, max_s cos(d,s)), a CLAMPED variant of Carbonell & Goldstein's
+    * max over selected similarities (ADVICE r10). Deliberate: a candidate
+    * ANTI-correlated with everything selected is "not redundant", not
+    * "extra-rewarded" — a negative cosine must not BOOST the score above
+    * λ·rel. The oracle's round-1 CTE seeds maxsim = 0.0 identically, so
+    * both engines state the same clamped objective.
     */
   def mmr(spark: SparkSession, dir: String, qId: Long = 0L,
       nCand: Int = 20, k: Int = 5, lambda: Double = 0.7): DataFrame = {
