@@ -1310,4 +1310,59 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       assert(rs.next() && rs.getLong(1) == 990L)
     } finally conn.close()
   }
+
+  test("trigger replication preserves UPDATE OF column lists and WHEN guards") {
+    // ADVICE r10: a column-scoped or conditional trigger replicated as an
+    // unconditional fire-on-every-update trigger is a SILENT semantic
+    // change on copy. Source carries AFTER UPDATE OF "bal" ... WHEN
+    // (N."bal" > 100.0); the copy must land BOTH facts, proven by firing.
+    val srcStore = derbyStore()
+    val dstStore = derbyStore()
+    val seed = spark.range(3).selectExpr("id", "CAST(10.0 AS DOUBLE) AS bal",
+      "CAST('x' AS STRING) AS note")
+    srcStore.write(seed, "acct", TableCopy.Recreate)
+    locally {
+      val c = java.sql.DriverManager.getConnection(srcStore.url)
+      try {
+        c.createStatement().executeUpdate(
+          """CREATE TABLE acct_audit ("id" BIGINT)""")
+        c.createStatement().executeUpdate(
+          """CREATE TRIGGER bal_tr AFTER UPDATE OF "bal" ON acct """ +
+            """REFERENCING NEW AS N FOR EACH ROW """ +
+            """WHEN (N."bal" > 100.0) """ +
+            """INSERT INTO acct_audit VALUES (N."id")""")
+      } finally c.close()
+    }
+    TableCopy.copy(spark, srcStore, dstStore, "acct_audit", TableCopy.Recreate)
+    TableCopy.copy(spark, srcStore, dstStore, "acct", TableCopy.Recreate,
+      replicateMeta = true)
+    // The destination catalog read-back carries both clauses.
+    val ddl = dstStore.meta(spark, "acct").triggers match {
+      case Seq((n, d)) => assert(n == "BAL_TR"); d
+      case other => fail(s"expected one replicated trigger, got $other")
+    }
+    assert(ddl.contains("UPDATE OF \"bal\""), ddl)
+    assert(ddl.contains("WHEN (") && ddl.contains("> 100.0"), ddl)
+    // Live semantics on the DESTINATION: non-scoped column update and a
+    // guard-false update fire nothing; a guard-true update of the scoped
+    // column fires exactly once.
+    val c = java.sql.DriverManager.getConnection(dstStore.url)
+    try {
+      def audits(): Long = {
+        val rs = c.createStatement().executeQuery(
+          "SELECT COUNT(*) FROM acct_audit")
+        rs.next(); rs.getLong(1)
+      }
+      val base = audits()
+      c.createStatement().executeUpdate(
+        """UPDATE acct SET "note" = 'y' WHERE "id" = 0""")
+      assert(audits() == base, "non-scoped column update must not fire")
+      c.createStatement().executeUpdate(
+        """UPDATE acct SET "bal" = 50.0 WHERE "id" = 1""")
+      assert(audits() == base, "guard-false update must not fire")
+      c.createStatement().executeUpdate(
+        """UPDATE acct SET "bal" = 500.0 WHERE "id" = 2""")
+      assert(audits() == base + 1, "guard-true scoped update fires once")
+    } finally c.close()
+  }
 }
