@@ -52,8 +52,13 @@ def round_lint(oracle):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    # --allow-missing: subset runs (dev loop, stress probes) verify only the
+    # queries they ran; oracles with no result dir are expected, not a gate
+    # failure. Full-gate runs keep missing as a hard fail.
+    allow_missing = "--allow-missing" in sys.argv
+    argv = [a for a in sys.argv if a != "--allow-missing"]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = argv[2] if len(argv) > 2 else "/tmp/graft_verify"
     print(f"duckdb {duckdb.__version__}, pandas {pd.__version__}, "
           f"sf_dir {sf_dir}")
     con = duckdb.connect()
@@ -119,8 +124,12 @@ def main():
     for name, m in bad:
         print(f"  FAIL {name}: {m}")
     missing = set(oracle) - {os.path.basename(d) for d in result_dirs}
-    for name in sorted(missing):
-        print(f"  MISS {name}: oracle present but no result dir")
+    if allow_missing:
+        print(f"  ({len(missing)} oracles not run — subset mode)")
+        missing = set()
+    else:
+        for name in sorted(missing):
+            print(f"  MISS {name}: oracle present but no result dir")
     linted = round_lint(oracle)
     for name in linted:
         print(f"  LINT {name}: new oracle uses round( — use floor(x*1e6+0.5)"

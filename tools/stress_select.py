@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Select the oracle queries a stress mode must cover.
+
+Usage: python3 tools/stress_select.py <oracle_sql.json> <numeric|events|docs>
+
+Prints a comma-separated query list: every oracle whose SQL references a
+table the mode replicates (other tables copy unchanged, so any query
+touching a replicated fact sees decade-scale input). Derived from the
+oracle text itself so NEW operators are covered by default — the r10
+probes used hand-maintained lists, which silently under-cover additions.
+
+Derby-backed copy_jdbc* queries are excluded: they spin an embedded
+database per run and their workload (bulk JDBC load) is already
+decade-covered by the plain copy_* rows that the selection keeps.
+"""
+import json
+import re
+import sys
+
+MODE_TABLES = {
+    "numeric": ["orders", "lineitem"],
+    "events": ["events"],
+    "docs": ["documents", "embeddings"],
+}
+
+
+def main():
+    oracle = json.load(open(sys.argv[1]))
+    tables = MODE_TABLES[sys.argv[2]]
+    pat = re.compile(r"\b(" + "|".join(tables) + r")\b", re.I)
+    names = sorted(
+        name for name, sql in oracle.items()
+        if pat.search(sql) and not name.startswith("copy_jdbc"))
+    print(",".join(names))
+
+
+if __name__ == "__main__":
+    main()
