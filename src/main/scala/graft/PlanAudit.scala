@@ -208,6 +208,14 @@ object PlanAudit {
         // ann_recall embeds the brute-force ground truth, inheriting
         // q_ann_brute's intended broadcast-query linear scan
         "q_ann_recall",
+        // ann_mips: q_ann_brute's shape verbatim (broadcast 10-query frame,
+        // one corpus scan, =!= self-pair exclusion)
+        "q_ann_mips",
+        // cliff_delta: 1-row totals frame broadcast over the distinct-price
+        // histogram (the ks_test pattern); lorenz: 10-row decile-cut frame
+        // (itself a 1-row totals crossJoin) equi-joined back — the psi
+        // edge-set pattern.
+        "q_cliff_delta", "q_lorenz",
         // rrf_fusion: 1-row corpus-stats frame (the bm25 pattern);
         // bootstrap_ci: 1-row CI frame x 1-row full-mean frame;
         // mutual_info: 1-row total/MI/entropy frames chained;

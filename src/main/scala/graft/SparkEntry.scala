@@ -994,6 +994,17 @@ object SparkEntry {
           lit(back.computed.map(c => s"${c._1}:${c._2}").mkString(";"))
             .as("computed_cols"))
     }),
+    // r11 additions (§2.2 #368-#370, #372; §2.3 #373-#375; #371 = ann_mips
+    // registered with the ANN family above): variance-homogeneity twin,
+    // ordinal effect size, inequality curve, bot screen, stopword/redundancy
+    // corpus profiles, quality-aware dedup survivor selection.
+    "q_bartlett" -> ((s, dir) => Relational.bartlett(s, dir)),
+    "q_cliff_delta" -> ((s, dir) => Relational.cliffDelta(s, dir)),
+    "q_lorenz" -> ((s, dir) => Relational.lorenz(s, dir)),
+    "q_bot_flags" -> ((s, dir) => Relational.botFlags(s, dir)),
+    "q_stopword_density" -> ((s, dir) => TextAnalysis.stopwordDensity(s, dir)),
+    "q_shingle_compression" -> ((s, dir) => TextAnalysis.shingleCompression(s, dir)),
+    "q_dedup_canonical" -> ((s, dir) => Dedup.dedupCanonical(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -6171,5 +6182,134 @@ object SparkEntry {
         |      / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) < 0.5
         |    THEN 'scheduled' ELSE 'poisson_like' END AS regime
         |FROM s ORDER BY event_type""".stripMargin,
+    "q_bartlett" ->
+      """WITH o AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (
+        |  SELECT seg, count(*)::BIGINT AS n,
+        |    sum(CAST(yc AS HUGEINT)) AS s1, sum(CAST(yc AS HUGEINT) * yc) AS s2
+        |  FROM o GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (
+        |  SELECT seg, n,
+        |    CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS s2i
+        |  FROM g),
+        |a AS (
+        |  SELECT count(*)::BIGINT AS k_groups, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * ln(s2i) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_ln,
+        |    CAST(CAST(sum(CAST(CAST(n - 1 AS DOUBLE) * s2i AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_ss,
+        |    CAST(CAST(sum(CAST(1.0 / CAST(n - 1 AS DOUBLE) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_inv
+        |  FROM v)
+        |SELECT k_groups, n_total,
+        |  floor((CAST(n_total - k_groups AS DOUBLE)
+        |      * ln(sum_ss / CAST(n_total - k_groups AS DOUBLE)) - sum_ln)
+        |    / (1.0 + (sum_inv - 1.0 / CAST(n_total - k_groups AS DOUBLE))
+        |      / (3.0 * CAST(k_groups - 1 AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS bartlett_chi2,
+        |  CAST(k_groups - 1 AS BIGINT) AS df
+        |FROM a""".stripMargin,
+    "q_cliff_delta" ->
+      """WITH v AS (
+        |  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |h AS (SELECT v,
+        |  CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM v GROUP BY 1),
+        |c AS (SELECT v, ca, cb,
+        |  CAST(coalesce(sum(cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb_le
+        |  FROM h),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        |a AS (SELECT max(na) AS na, max(nb) AS nb,
+        |    sum(CAST(ca AS DECIMAL(19,0)) * CAST(cumb_le AS DECIMAL(19,0))) AS wins_a,
+        |    sum(CAST(ca AS DECIMAL(19,0)) * CAST(nb - cumb_le - cb AS DECIMAL(19,0))) AS wins_b
+        |  FROM c CROSS JOIN t)
+        |SELECT na, nb, CAST(wins_a AS BIGINT) AS wins_a, CAST(wins_b AS BIGINT) AS wins_b,
+        |  floor(CAST(CAST(wins_a - wins_b AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS cliff_delta
+        |FROM a""".stripMargin,
+    "q_lorenz" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS xc
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, xc,
+        |  CAST(row_number() OVER (ORDER BY xc, o_custkey) AS BIGINT) AS i,
+        |  CAST(sum(xc) OVER (ORDER BY xc, o_custkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumx
+        |  FROM rev),
+        |t AS (SELECT max(i) AS n, max(cumx) AS sx FROM r),
+        |d AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS decile)
+        |SELECT d.decile, t.n AS n_customers,
+        |  CAST((t.n * d.decile) // 10 AS BIGINT) AS rank_cut,
+        |  floor(CAST(CAST(r.cumx AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(t.sx AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS cum_revenue_share
+        |FROM d CROSS JOIN t JOIN r ON r.i = (t.n * d.decile) // 10
+        |ORDER BY d.decile""".stripMargin,
+    "q_bot_flags" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |u AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+        |    CAST(min(gap_us) AS BIGINT) AS min_gap_us
+        |  FROM g GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT user_id, n_events,
+        |  floor(CAST(span_us AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS span_s,
+        |  floor(CAST(span_us AS DOUBLE) / CAST(n_events - 1 AS DOUBLE) / 1e6
+        |    * 1e6 + 0.5) / 1e6 AS mean_gap_s,
+        |  floor(CAST(min_gap_us AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS min_gap_s,
+        |  (n_events >= 15 AND min_gap_us < 2000000) AS is_bot
+        |FROM u
+        |ORDER BY floor(CAST(min_gap_us AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 ASC,
+        |  n_events DESC, user_id ASC
+        |LIMIT 10""".stripMargin,
+    "q_stopword_density" ->
+      """WITH d AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
+        |m AS (SELECT source, len(toks)::BIGINT AS n_tok,
+        |    len(list_filter(toks, t -> t IN ('join','hash','row','batch','scan')))::BIGINT AS n_stop
+        |  FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_stop) AS BIGINT) AS n_stopwords,
+        |  floor(CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS density,
+        |  floor(max(CAST(n_stop AS DOUBLE) / n_tok) * 1e6 + 0.5) / 1e6
+        |    AS max_doc_density
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_shingle_compression" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks WHERE len(w) >= 3),
+        |shl AS (
+        |  SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM idx)
+        |SELECT source, count(*)::BIGINT AS n_shingles,
+        |  count(DISTINCT g)::BIGINT AS n_distinct,
+        |  floor((1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS redundancy
+        |FROM shl GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""$dedupClusterCtes,
+        |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+        |qs AS ($qualityScoreOracle),
+        |sized AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+        |  FROM cl GROUP BY 1 HAVING count(*) >= 2),
+        |j AS (SELECT cl.cluster_id, sized.n_members, cl.doc_id, qs.quality,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY qs.quality DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN sized USING (cluster_id) JOIN qs ON qs.doc_id = cl.doc_id)
+        |SELECT cluster_id, n_members, doc_id AS keep_id, quality AS keep_quality
+        |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
   )
 }

@@ -308,6 +308,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** §2.3 #375 — QUALITY-AWARE CANONICAL SELECTION: for every near-dup
+    * cluster (#60) with ≥ 2 members, keep the member with the HIGHEST
+    * quality score (#32), doc_id tie-break — the actual keep-decision of
+    * a dedup pass. #60's min-id canonical is an arbitrary survivor;
+    * production dedup keeps the BEST copy (longest / cleanest / most
+    * stopword-natural), because survivors are what the model trains on.
+    * Scale shape: clusters and scores are two already-scale-safe frames
+    * joined on doc_id; the argmax is a window over cluster_id (bounded
+    * partitions — cluster sizes, not corpus size). Tie-break is on the
+    * ROUNDED score both engines emit, so ranks are engine-reproducible.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val cl = dedupClusters(spark, dir, threshold).select("doc_id", "cluster_id")
+    val q = TextAnalysis.qualityScore(spark, dir).select("doc_id", "quality")
+    val sized = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    cl.join(sized, "cluster_id")
+      .join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("keep_id"), col("quality").as("keep_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** Distributed connected components by min-label propagation with pointer
     * jumping, over an arbitrary undirected pair list — the shared engine
     * under [[dedupClusters]] (lexical clusters) and

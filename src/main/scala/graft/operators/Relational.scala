@@ -5531,4 +5531,169 @@ object Relational {
       .orderBy("day")
   }
 
+  /** §2.2 #368 — BARTLETT'S TEST of variance homogeneity of order value
+    * across ALL market segments: the parametric twin of Levene #292
+    * (Bartlett is more powerful under normality, fragile otherwise — a
+    * pipeline reports both). χ² = [(N−k)·ln S²_p − Σ(nᵢ−1)·ln S²ᵢ] / C
+    * with the Bartlett correction C. Exactness discipline: each group's
+    * variance NUMERATOR nᵢ·Σx²ᵢ − (Σxᵢ)² is computed in exact
+    * DECIMAL(38,0) over cents (the q_bollinger cancellation lesson — the
+    * two terms sit ~1e22 apart from a ~1e19 difference at big SFs; doubles
+    * would cancel), converted to double ONCE; ln is applied to values
+    * ~1e9-1e15 where 1 libm ulp is ~1e-7 RELATIVE — far below the 6-dp
+    * floor of the O(100) statistic. One partial-aggregated pass over the
+    * orders⋈customer join; k+1 scalars do the rest.
+    */
+  def bartlett(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val o = t(spark, dir, "orders").select(col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val cst = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val g = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("yc").cast(big)).as("s1"),
+        sum(col("yc").cast(big) * col("yc")).as("s2"))
+      .where(col("n") >= 2)
+      // Exact integer variance numerator; S²ᵢ = num / (n(n−1)) in one
+      // double division (cents² units — the units cancel inside the ln
+      // differences up to an additive constant that Σ(nᵢ−1) redistributes,
+      // so both engines MUST keep the same units; they do).
+      .withColumn("num", col("n").cast(big) * col("s2") - col("s1") * col("s1"))
+      .withColumn("s2i", col("num").cast("double") /
+        (col("n").cast("double") * (col("n") - 1).cast("double")))
+    // Cross-group sums ride the #210 discipline (fFromPowerSums): each
+    // group's term is ONE deterministic double formula over exact
+    // integers, then summed ORDER-FREE via decimal — a plain double sum's
+    // partition-order rounding would differ between engines.
+    val dec12 = DecimalType(38, 12)
+    val agg = g.agg(
+        count(lit(1)).as("k_groups"),
+        sum("n").as("n_total"),
+        sum(((col("n") - 1).cast("double") * log(col("s2i"))).cast(dec12))
+          .cast("double").as("sum_ln"),
+        sum(((col("n") - 1).cast("double") * col("s2i")).cast(dec12))
+          .cast("double").as("sum_ss"),
+        sum((lit(1.0) / (col("n") - 1).cast("double")).cast(dec12))
+          .cast("double").as("sum_inv"))
+      .withColumn("df_pool", (col("n_total") - col("k_groups")).cast("double"))
+      .withColumn("s2p", col("sum_ss") / col("df_pool"))
+      .withColumn("c_corr", lit(1.0) +
+        (col("sum_inv") - lit(1.0) / col("df_pool")) /
+        (lit(3.0) * (col("k_groups") - 1).cast("double")))
+      .withColumn("chi2",
+        (col("df_pool") * log(col("s2p")) - col("sum_ln")) / col("c_corr"))
+    agg.select(col("k_groups"), col("n_total"),
+      fl6(col("chi2")).as("bartlett_chi2"),
+      (col("k_groups") - 1).as("df"))
+  }
+
+  /** §2.2 #369 — CLIFF'S DELTA effect size of order value, BUILDING vs
+    * MACHINERY: δ = (#{x>y} − #{x<y}) / (n_A·n_B) — the ordinal,
+    * distribution-free companion to Mann-Whitney #228 (U says WHETHER the
+    * segments differ; δ says HOW MUCH, on a [-1,1] scale robust to any
+    * monotone transform of price). Same 100 TB-safe machinery as the U
+    * family: win counts come from the joint value HISTOGRAM — for every
+    * distinct price, wins_A(v) = c_A(v) · #{B < v} via one exclusive
+    * [[PrefixScan.runningSums]] over distinct prices — so nothing ever
+    * pairs rows. Counts are exact DECIMAL(19,0)² products (the long-wrap
+    * class fixed in ksTest this round); δ is one double division of exact
+    * integers.
+    */
+  def cliffDelta(spark: SparkSession, dir: String, segA: String = "BUILDING",
+      segB: String = "MACHINERY"): DataFrame = {
+    val f19 = DecimalType(19, 0)
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val v = t(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("v"))
+    val h = v.groupBy("v").agg(
+      sum(when(col("seg") === segA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("seg") === segB, 1L).otherwise(0L)).as("cb"))
+    // Exclusive running counts of B strictly below v; B strictly above v
+    // derives from the total (nb − cumb_lt − cb).
+    val scanned = PrefixScan.runningSums(h, "v", Seq(col("v")),
+      Seq("cb" -> "cumb_le"), exclusive = true)
+    val tot = h.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val agg = scanned.crossJoin(broadcast(tot))
+      .agg(max("na").as("na"), max("nb").as("nb"),
+        sum(col("ca").cast(f19) * col("cumb_le").cast(f19)).as("wins_a"),
+        sum(col("ca").cast(f19) *
+          (col("nb") - col("cumb_le") - col("cb")).cast(f19)).as("wins_b"))
+    agg.select(col("na"), col("nb"), col("wins_a").cast("long").as("wins_a"),
+      col("wins_b").cast("long").as("wins_b"),
+      fl6((col("wins_a") - col("wins_b")).cast("double") /
+        (col("na").cast(f19) * col("nb").cast(f19)).cast("double"))
+        .as("cliff_delta"))
+  }
+
+  /** §2.2 #370 — LORENZ CURVE decile points of per-customer revenue: for
+    * d = 1..10, the cumulative revenue share held by the bottom ⌊n·d/10⌋
+    * customers (revenue-ascending, custkey tie-break) — the curve BEHIND
+    * #152's Gini scalar, the shape a marketplace actually plots ("the
+    * bottom 50% hold 9% of revenue"). Rank and cumulative revenue come
+    * from ONE [[PrefixScan]] multi-scan over the customer dim (never an
+    * unpartitioned window); each decile row is then a bounded equi-join
+    * of the 10-row cut frame against the ranked frame. Shares are exact
+    * decimal cumsums divided once.
+    */
+  def lorenz(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+      // Re-narrow for the scan's value column (cents in LONG).
+      .select(col("o_custkey"), (col("x") * 100).cast("long").as("xc"))
+    val ranked = PrefixScan.runningSums(
+        rev.withColumn("__one", lit(1L)),
+        "xc", Seq(col("xc").asc, col("o_custkey").asc),
+        Seq("xc" -> "cumx", "__one" -> "i"))
+      .select("i", "cumx")
+      .localCheckpoint(true)
+    val tot = ranked.agg(max("i").as("n"), max("cumx").as("sx"))
+    val cuts = broadcast(spark.range(1, 11).toDF("decile")
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), expr("n * decile DIV 10").as("i"),
+        col("n"), col("sx")))
+    ranked.join(cuts, "i")
+      .select(col("decile"), col("n").as("n_customers"),
+        col("i").as("rank_cut"),
+        fl6(col("cumx").cast("double") / col("sx").cast("double"))
+          .as("cum_revenue_share"))
+      .orderBy("decile")
+  }
+
+  /** §2.2 #372 — BOT-RATE screen over the event stream: per-user volume,
+    * active span, mean/min inter-arrival gap, and a superhuman-rate flag
+    * (≥ `minEvents` events with min gap below `minGapMs`) — the standard
+    * pre-training filter that keeps scripted traffic out of behavioral
+    * data. Gaps ride the partitioned per-user lag window (#347's shape);
+    * everything after is one partial-aggregated pass. Output is the
+    * bounded suspicious top-`topK` by (min gap, volume desc, user) via
+    * distributed TakeOrdered — never a full per-user dump.
+    */
+  def botFlags(spark: SparkSession, dir: String, minEvents: Int = 15,
+      minGapMs: Long = 2000, topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("gap_us", col("t_us") - lag("t_us", 1).over(w))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("t_us") - min("t_us")).as("span_us"),
+        min("gap_us").as("min_gap_us"))
+      .where(col("n_events") >= 2)
+      .select(col("user_id"), col("n_events"),
+        fl6(col("span_us").cast("double") / 1e6).as("span_s"),
+        fl6(col("span_us").cast("double") /
+          (col("n_events") - 1).cast("double") / 1e6).as("mean_gap_s"),
+        fl6(col("min_gap_us").cast("double") / 1e6).as("min_gap_s"),
+        (col("n_events") >= minEvents &&
+          col("min_gap_us") < minGapMs * 1000L).as("is_bot"))
+      .orderBy(col("min_gap_s").asc, col("n_events").desc, col("user_id").asc)
+      .limit(topK)
+  }
 }

@@ -1069,4 +1069,64 @@ object TextAnalysis {
           (lit(1.0) - col("pe_num").cast("double") /
             (col("n") * col("n")).cast("double"))).as("kappa"))
   }
+
+  /** §2.3 #373 — STOPWORD-DENSITY profile per source: share of tokens
+    * drawn from a fixed function-word list, with the doc-level density
+    * range. The cheapest of the quality signals (Gopher's "stop word
+    * count" rule, #344, thresholds it per document; this is the
+    * per-SOURCE calibration view that says where to SET the threshold
+    * before a 100 TB pass). One scan, pure per-row token filtering,
+    * partial-aggregated; densities are single divisions of exact integer
+    * counts.
+    */
+  def stopwordDensity(spark: SparkSession, dir: String,
+      stops: Seq[String] = Seq("join", "hash", "row", "batch", "scan")): DataFrame = {
+    val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val set = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+    docs(spark, dir)
+      .select(col("source"), tokensCol.as("toks"))
+      .select(col("source"), size(col("toks")).as("n_tok"),
+        expr(s"size(filter(toks, t -> t IN $set))").as("n_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_stop").as("n_stopwords"),
+        max(col("n_stop").cast("double") / col("n_tok")).as("max_doc_density"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_stopwords"),
+        fl6(col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+          .as("density"),
+        fl6(col("max_doc_density")).as("max_doc_density"))
+      .orderBy("source")
+  }
+
+  /** §2.3 #374 — SHINGLE-COMPRESSION (cross-document redundancy) per
+    * source: 1 − |distinct word-3-grams| / Σ per-doc distinct 3-grams.
+    * The dedup PLANNING number — redundancy ≈ the fraction of shingle
+    * mass MinHash banding will find shared, so a source scoring 0.9 here
+    * is where a 100 TB dedup pass pays for itself and a source scoring
+    * 0.05 can skip it. Shingles ride the same codegen'd
+    * [[graft.functions.WordNgrams]] set semantics as the dedup family
+    * (per-doc distinct, <3-token docs drop out); the aggregation is one
+    * explode + two-level groupBy, shuffle keyed on (source, shingle).
+    */
+  def shingleCompression(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftglue._
+    val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val sh = docs(spark, dir)
+      .select(col("source"), tokensCol.as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"),
+        exprColumn(graft.functions.WordNgrams(columnExpr(col("w")), 3)).as("sh"))
+      .select(col("source"), explode(col("sh")).as("g"))
+    // Partial-agg friendly two-level rollup: per (source, g) counts first
+    // (map-side combine collapses the heavy hitters), then per source.
+    sh.groupBy("source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("n_shingles"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_shingles"), col("n_distinct"),
+        fl6(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_shingles").cast("double")).as("redundancy"))
+      .orderBy("source")
+  }
 }

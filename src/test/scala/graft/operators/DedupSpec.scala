@@ -656,4 +656,24 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(eff - sizes.size.toDouble) < 1e-3,
       s"effective $eff vs ${sizes.size} clusters")
   }
+
+  test("dedupCanonical keeps the max-quality member of every >=2 cluster (r11 #375)") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val quality = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toMap
+    val expect = clusters.groupBy(_._2).filter(_._2.length >= 2)
+      .map { case (cid, ms) =>
+        val keep = ms.map(_._1).minBy(d => (-quality(d), d))
+        cid -> (ms.length.toLong, keep, quality(keep))
+      }
+    val rows = Dedup.dedupCanonical(spark, sf).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, keep, q) = expect(r.getAs[Long]("cluster_id"))
+      assert(r.getAs[Long]("n_members") == n)
+      assert(r.getAs[Long]("keep_id") == keep)
+      assert(r.getAs[Double]("keep_quality") == q)
+    }
+  }
 }

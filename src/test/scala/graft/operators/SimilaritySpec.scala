@@ -883,4 +883,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("mmr_score") <= 0.7 * r.getAs[Double]("rel") + 1e-9)
     }
   }
+
+  test("annMips equals a local inner-product recomputation (r11 #371)") {
+    val vecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def ip(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byId = vecs.toMap
+    val rows = Similarity.annMips(spark, sf, nQueries = 3, k = 5).collect()
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val local = vecs.filter(_._1 != q)
+        .map { case (id, v) => (id, ip(v, byId(q))) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      val got = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("ip")))
+      assert(got.map(_._1).toSeq == local.map(_._1).toSeq, s"q=$q")
+      got.zip(local).foreach { case ((_, g), (_, l)) =>
+        assert(math.abs(g - l) < 1e-6)
+      }
+    }
+    // MIPS is NOT cosine: at least the scores differ from normalized ones
+    // (norm information is the operator's whole point) — sanity: ip can
+    // exceed 1 in magnitude where cosine cannot.
+    assert(rows.nonEmpty)
+  }
 }

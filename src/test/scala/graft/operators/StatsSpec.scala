@@ -266,4 +266,100 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getAs[String]("day") -> r.getAs[Double]("prominence")).toMap
     assert(got === peaks)
   }
+
+  // ---- r11 additions (#368-#370, #372) --------------------------------
+
+  private def segCents(): Map[String, Seq[Long]] = {
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("yc"))
+    val c = graft.sources.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "yc").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  test("bartlett chi2 equals an exact-BigInt local recomputation") {
+    val gs = segCents().filter(_._2.length >= 2)
+    val terms = gs.values.map { xs =>
+      val n = xs.length
+      val s1 = xs.map(BigInt(_)).sum
+      val s2 = xs.map(x => BigInt(x) * x).sum
+      val s2i = (BigInt(n) * s2 - s1 * s1).toDouble / (n.toDouble * (n - 1))
+      (n, (n - 1) * math.log(s2i), (n - 1) * s2i, 1.0 / (n - 1))
+    }
+    val k = terms.size
+    val nTot = terms.map(_._1).sum
+    val dfp = (nTot - k).toDouble
+    val s2p = terms.map(_._3).sum / dfp
+    val c = 1.0 + (terms.map(_._4).sum - 1.0 / dfp) / (3.0 * (k - 1))
+    val chi2 = (dfp * math.log(s2p) - terms.map(_._2).sum) / c
+    val row = Relational.bartlett(spark, dir).collect().head
+    assert(row.getAs[Long]("k_groups") == k)
+    assert(row.getAs[Long]("n_total") == nTot)
+    assert(math.abs(row.getAs[Double]("bartlett_chi2") - chi2) < 1e-4)
+  }
+
+  test("cliffDelta equals brute-force pair counting") {
+    val gs = segCents()
+    val a = gs("BUILDING"); val b = gs("MACHINERY")
+    var winsA = 0L; var winsB = 0L
+    for (x <- a; y <- b) {
+      if (x > y) winsA += 1 else if (x < y) winsB += 1
+    }
+    val row = Relational.cliffDelta(spark, dir).collect().head
+    assert(row.getAs[Long]("na") == a.length.toLong)
+    assert(row.getAs[Long]("nb") == b.length.toLong)
+    assert(row.getAs[Long]("wins_a") == winsA)
+    assert(row.getAs[Long]("wins_b") == winsB)
+    val delta = (winsA - winsB).toDouble / (a.length.toDouble * b.length)
+    assert(math.abs(row.getAs[Double]("cliff_delta") - delta) < 1e-6)
+  }
+
+  test("lorenz decile shares equal a local sort's cumulative shares") {
+    val rev = graft.sources.Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("xc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, x) => (x, k) }
+    val n = rev.length
+    val total = rev.map(_._2).sum.toDouble
+    val cums = rev.scanLeft(0L)(_ + _._2).drop(1)
+    val rows = Relational.lorenz(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val cut = (n.toLong * r.getAs[Long]("decile")) / 10
+      assert(r.getAs[Long]("rank_cut") == cut)
+      assert(math.abs(r.getAs[Double]("cum_revenue_share") -
+        cums(cut.toInt - 1) / total) < 1e-6)
+    }
+    // Lorenz curve invariants: nondecreasing, ends at exactly 1.
+    val shares = rows.sortBy(_.getAs[Long]("decile"))
+      .map(_.getAs[Double]("cum_revenue_share"))
+    assert(shares.zip(shares.tail).forall { case (p, q) => p <= q })
+    assert(shares.last == 1.0)
+  }
+
+  test("botFlags top rows match a local per-user gap recomputation") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)).map(_._2))
+      .toMap
+    val local = ev.collect { case (u, ts) if ts.length >= 2 =>
+      val gaps = ts.zip(ts.tail).map { case (p, q) => q - p }
+      (u, ts.length.toLong, ts.max - ts.min, gaps.min)
+    }.toSeq
+    def fl6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect = local
+      .map { case (u, n, span, mg) => (fl6(mg / 1e6), -n, u) }
+      .sorted.take(10)
+    val got = Relational.botFlags(spark, dir).collect()
+      .map(r => (r.getAs[Double]("min_gap_s"), -r.getAs[Long]("n_events"),
+        r.getAs[Long]("user_id")))
+    assert(got.toSeq == expect)
+  }
 }

@@ -667,4 +667,52 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // chance correction can only LOWER the score
     assert(r.getAs[Double]("kappa") <= r.getAs[Double]("po") + 1e-9)
   }
+
+  test("stopwordDensity matches a local token recount (r11 #373)") {
+    val stops = Set("join", "hash", "row", "batch", "scan")
+    val local = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split(" ", -1)))
+      .groupBy(_._1).view.mapValues { ds =>
+        val toks = ds.map(_._2)
+        val nTok = toks.map(_.length.toLong).sum
+        val nStop = toks.map(_.count(stops).toLong).sum
+        val maxD = toks.map(t => t.count(stops).toDouble / t.length).max
+        (ds.length.toLong, nTok, nStop, maxD)
+      }.toMap
+    val rows = TextAnalysis.stopwordDensity(spark, sf).collect()
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val (nd, nt, ns, maxD) = local(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("n_stopwords") == ns)
+      assert(math.abs(r.getAs[Double]("density") - ns.toDouble / nt) < 1e-6)
+      assert(math.abs(r.getAs[Double]("max_doc_density") - maxD) < 1e-6)
+    }
+  }
+
+  test("shingleCompression matches a local distinct-3-gram recount (r11 #374)") {
+    val local = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split(" ", -1)))
+      .filter(_._2.length >= 3)
+      .map { case (s, w) =>
+        (s, w.sliding(3).map(_.mkString(" ")).toSet)
+      }
+      .groupBy(_._1).view.mapValues { ds =>
+        val total = ds.map(_._2.size.toLong).sum
+        val distinct = ds.flatMap(_._2).toSet.size.toLong
+        (total, distinct)
+      }.toMap
+    val rows = TextAnalysis.shingleCompression(spark, sf).collect()
+    assert(rows.length == local.size)
+    rows.foreach { r =>
+      val (tot, dis) = local(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_shingles") == tot, r.toString)
+      assert(r.getAs[Long]("n_distinct") == dis, r.toString)
+      assert(math.abs(r.getAs[Double]("redundancy") -
+        (1.0 - dis.toDouble / tot)) < 1e-6)
+    }
+  }
 }
