@@ -5543,6 +5543,13 @@ object Relational {
     * ~1e9-1e15 where 1 libm ulp is ~1e-7 RELATIVE — far below the 6-dp
     * floor of the O(100) statistic. One partial-aggregated pass over the
     * orders⋈customer join; k+1 scalars do the rest.
+    *
+    * Exactness BOUND (ADVICE r11): the integer numerator n·Σx² − (Σx)²
+    * holds while n·Σx² fits DECIMAL(38,0) — with cents ~1e7 that is
+    * roughly 1e12–1e13 rows per group (~1.7e38 ceiling; the DuckDB
+    * HUGEINT oracle shares it). Past that the multiply NULLs under
+    * ANSI-off, so the guard below turns silent-NULL into a loud
+    * raise_error naming the segment instead of a NULL χ².
     */
   def bartlett(spark: SparkSession, dir: String): DataFrame = {
     val big = DecimalType(38, 0)
@@ -5561,6 +5568,13 @@ object Relational {
       // differences up to an additive constant that Σ(nᵢ−1) redistributes,
       // so both engines MUST keep the same units; they do).
       .withColumn("num", col("n").cast(big) * col("s2") - col("s1") * col("s1"))
+      // Overflow guard: with the n>=2 filter above, s1/s2 are non-null, so
+      // a NULL num can ONLY be the DECIMAL(38,0) multiply overflowing
+      // (ANSI-off NULLs instead of throwing). Fail loud with the segment.
+      .withColumn("num", when(col("num").isNull, raise_error(concat(
+          lit("bartlett: DECIMAL(38,0) variance-numerator overflow for seg="),
+          col("seg"), lit(" n="), col("n").cast("string"))))
+        .otherwise(col("num")))
       .withColumn("s2i", col("num").cast("double") /
         (col("n").cast("double") * (col("n") - 1).cast("double")))
     // Cross-group sums ride the #210 discipline (fFromPowerSums): each

@@ -1082,11 +1082,15 @@ object TextAnalysis {
   def stopwordDensity(spark: SparkSession, dir: String,
       stops: Seq[String] = Seq("join", "hash", "row", "batch", "scan")): DataFrame = {
     val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val set = stops.map(w => s"'$w'").mkString("(", ", ", ")")
+    // Membership test via a typed array literal, NOT string-interpolated SQL:
+    // a stopword containing a quote must stay a plain value, never expression
+    // text (ADVICE r11). array_contains over a <=|stops|-element literal is
+    // the same codegen'd per-token check the IN list compiled to.
+    val stopLit = typedLit(stops)
     docs(spark, dir)
       .select(col("source"), tokensCol.as("toks"))
       .select(col("source"), size(col("toks")).as("n_tok"),
-        expr(s"size(filter(toks, t -> t IN $set))").as("n_stop"))
+        size(filter(col("toks"), t => array_contains(stopLit, t))).as("n_stop"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"),

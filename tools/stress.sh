@@ -50,6 +50,18 @@ for mode in $MODES; do
   rm -rf "$out"
   $JAVA graft.Verify "$corpus" "$out" "$queries" 2> >(grep -E "\[verify\]" >&2) \
     || { echo "[stress] $mode: Verify FAILED"; fail=1; continue; }
+  # Reconcile requested vs produced (ADVICE r11): Verify catches per-query
+  # exceptions and exits 0, and --allow-missing would reclassify a crashed
+  # query's missing result dir as benign subset mode — so a decade-scale
+  # crash could silently drop out of the gate. Any requested-but-missing
+  # query fails the mode BEFORE localcheck runs.
+  dropped=$(echo "$queries" | tr ',' '\n' | grep . | while read -r q; do
+      [ -d "$out/$q" ] || echo "$q"; done)
+  if [ -n "$dropped" ]; then
+    echo "[stress] mode=$mode: CRASHED at ${factor}x (requested but no result dir):"
+    echo "$dropped" | sed 's/^/[stress]   /'
+    fail=1; continue
+  fi
   if python3 tools/localcheck.py --allow-missing "$corpus" "$out" \
       | tee "$WORK/${mode}_x${factor}.log" | tail -1; then
     echo "[stress] mode=$mode: EXACT at ${factor}x"
