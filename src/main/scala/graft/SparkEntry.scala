@@ -1119,7 +1119,7 @@ object SparkEntry {
       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
       |  FROM s
       |)
-      |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+      |SELECT q_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   private val neardupJaccardOracle: String =
@@ -3058,7 +3058,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_recall" ->
       s"""SELECT b.q_id, count(l.vec_id) AS n_hits,
-        |  round(count(l.vec_id) / 10.0, 6) AS recall
+        |  floor(count(l.vec_id) / 10.0 * 1e6 + 0.5) / 1e6 AS recall
         |FROM ($bruteAnnOracle) b
         |LEFT JOIN (${Similarity.lshOracleSql()}) l
         |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
@@ -3237,8 +3237,8 @@ object SparkEntry {
         |)
         |SELECT label, count(*) AS n_vecs,
         |  CAST(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_norm,
-        |  round(min(nrm), 6) AS min_norm,
-        |  round(max(nrm), 6) AS max_norm
+        |  floor(min(nrm) * 1e6 + 0.5) / 1e6 AS min_norm,
+        |  floor(max(nrm) * 1e6 + 0.5) / 1e6 AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),

@@ -31,6 +31,13 @@ object Similarity {
     exprColumn(graft.functions.DotProduct(columnExpr(a), columnExpr(b)))
   }
 
+  /** Engine-stable 6-dp presentation rounding: floor(x·1e6 + 0.5)/1e6 —
+    * round(DOUBLE, 6)'s tie handling drifted across DuckDB versions (the
+    * r7 q_cov_matrix red row), so every oracle-checked surface value uses
+    * this deterministic form on BOTH engines (r11 allowlist burn-down).
+    */
+  private def fl6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -49,7 +56,7 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"), fl6(col("cos")).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -121,7 +128,7 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"), fl6(col("cos")).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -244,7 +251,7 @@ object Similarity {
        |),
        |r AS (SELECT q_id, vec_id, cos,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank FROM s)
-       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |SELECT q_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
@@ -356,7 +363,7 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"), fl6(col("cos")).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -426,7 +433,7 @@ object Similarity {
        |),
        |r AS (SELECT q_id, vec_id, cos,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank FROM s)
-       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |SELECT q_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
@@ -463,7 +470,7 @@ object Similarity {
         col("nrm").as("nb")), "vec_b")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_a"), col("vec_b"), fl6(col("cos")).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -485,7 +492,7 @@ object Similarity {
        |  JOIN n na ON na.vec_id = cand.va
        |  JOIN n nb ON nb.vec_id = cand.vb
        |)
-       |SELECT vec_a, vec_b, round(cos, 6) AS cos
+       |SELECT vec_a, vec_b, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM s WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -524,7 +531,7 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+      .select(col("vec_id"), col("rank"), col("nbr_id"), fl6(col("cos")).as("cos"))
       .orderBy("vec_id", "rank")
   }
 
@@ -547,7 +554,7 @@ object Similarity {
        |),
        |r AS (SELECT vec_id, nbr_id, cos,
        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id ASC) AS INTEGER) AS rank FROM s)
-       |SELECT vec_id, rank, nbr_id, round(cos, 6) AS cos
+       |SELECT vec_id, rank, nbr_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM r WHERE rank <= $k ORDER BY vec_id, rank""".stripMargin
   }
 
@@ -592,7 +599,7 @@ object Similarity {
           (lit((1.0 - damping) / n) + lit(damping) *
             coalesce(col("in_sum").cast("double"), lit(0.0))).as("r"))
     }
-    ranks.select(col("vec_id"), round(col("r"), 9).as("pagerank"))
+    ranks.select(col("vec_id"), (floor(col("r") * lit(1e9) + lit(0.5)) / lit(1e9)).as("pagerank"))
       .orderBy("vec_id")
   }
 
@@ -641,7 +648,7 @@ object Similarity {
        |deg AS (SELECT src, count(*) AS odeg FROM eg GROUP BY 1),
        |r0 AS (SELECT nd.vec_id, 1.0 / cnt.n AS r FROM nd CROSS JOIN cnt),
        |$rounds
-       |SELECT vec_id, round(r, 9) AS pagerank
+       |SELECT vec_id, floor(r * 1e9 + 0.5) / 1e9 AS pagerank
        |FROM r$iters ORDER BY vec_id""".stripMargin
   }
 
@@ -983,7 +990,7 @@ object Similarity {
       .withColumn("qscale",
         lit(127.0) / when(col("mx") === 0.0, lit(1.0)).otherwise(col("mx")))
       .withColumn("qc",
-        expr("transform(v, x -> cast(cast(round(x * qscale) as int) as double))"))
+        expr("transform(v, x -> cast(cast(floor(x * qscale + 0.5d) as int) as double))"))
     val queries = quant.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
         col("qscale").as("q_qscale"), col("qc").as("q_qc"))
@@ -997,7 +1004,7 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("q_v")) / (col("nrm") * col("q_nrm")))
       .withColumn("rank", row_number().over(exactW))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"), fl6(col("cos")).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -1013,7 +1020,7 @@ object Similarity {
        |           ELSE list_max(list_transform(v, x -> abs(x))) END) AS qscale
        |  FROM e),
        |qz AS (SELECT vec_id, v, nrm, qscale,
-       |  list_transform(v, x -> CAST(CAST(round(x * qscale) AS INTEGER) AS DOUBLE)) AS qc
+       |  list_transform(v, x -> CAST(CAST(floor(x * qscale + 0.5) AS INTEGER) AS DOUBLE)) AS qc
        |  FROM n),
        |pairs AS (
        |  SELECT c.vec_id, q.vec_id AS q_id, c.v AS cv, c.nrm AS cn,
@@ -1027,7 +1034,7 @@ object Similarity {
        |r AS (SELECT q_id, vec_id, cos,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
        |  FROM s)
-       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |SELECT q_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1268,9 +1275,9 @@ object Similarity {
       .select(col("vec_id"), col("best.cc").as("cc"), (-col("best.ncid")).as("cid"))
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("cc").cast(
+        fl6(sum(col("cc").cast(
           org.apache.spark.sql.types.DecimalType(28, 10))).cast("double") /
-          count(lit(1)), 6).as("avg_cos"))
+          count(lit(1))).as("avg_cos"))
       .orderBy("cid")
 
   /** The shared core of [[kmeans]] and [[silhouette]]: two unrolled Lloyd
@@ -1393,7 +1400,7 @@ object Similarity {
        |  WHERE rn = 1
        |)
        |SELECT cid, count(*) AS n_vecs,
-       |  round(CAST(CAST(sum(CAST(cc AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_cos
+       |  floor(CAST(CAST(sum(CAST(cc AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS avg_cos
        |FROM a1 GROUP BY cid ORDER BY cid""".stripMargin
 
   /** DuckDB oracle for [[silhouette]]: the shared kmeans core CTEs, then
@@ -1447,8 +1454,8 @@ object Similarity {
       .select(col("label"), col("pr.i").as("dim_id"), col("pr.p").as("p"))
       .groupBy("label", "dim_id")
       .agg(count(lit(1)).as("n_vecs"),
-        round(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1)), 6).as("mean_proj"))
+        fl6(sum(col("p").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("mean_proj"))
       .orderBy("label", "dim_id")
   }
 
@@ -1469,7 +1476,7 @@ object Similarity {
        |$projs
        |)
        |SELECT label, dim_id, count(*) AS n_vecs,
-       |  round(CAST(CAST(sum(CAST(p AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_proj
+       |  floor(CAST(CAST(sum(CAST(p AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_proj
        |FROM pr GROUP BY label, dim_id ORDER BY label, dim_id""".stripMargin
   }
 
@@ -1536,7 +1543,7 @@ object Similarity {
       .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       .withColumn("rank", row_number().over(ew))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+      .select(col("q_id"), col("rank"), col("vec_id"), fl6(col("cos")).as("cos"))
       .orderBy("q_id", "rank")
   }
 
@@ -1590,7 +1597,7 @@ object Similarity {
        |r AS (SELECT q_id, vec_id, cos,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
        |  FROM sc)
-       |SELECT q_id, rank, vec_id, round(cos, 6) AS cos
+       |SELECT q_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1630,7 +1637,7 @@ object Similarity {
     a.join(b, "label")
       .withColumn("diff", expr("zip_with(ca, cb, (x, y) -> x - y)"))
       .select(col("label"), col("n_a"), col("n_b"),
-        round(sqrt(dot(col("diff"), col("diff"))), 6).as("centroid_l2"))
+        fl6(sqrt(dot(col("diff"), col("diff")))).as("centroid_l2"))
       .orderBy("label")
   }
 
@@ -1657,7 +1664,7 @@ object Similarity {
        |  SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
        |    list_transform(generate_series(1, $dim), i -> a.cv[i] - b.cv[i]) AS d
        |  FROM cent a JOIN cent b ON a.label = b.label AND a.in_a AND NOT b.in_a)
-       |SELECT label, n_a, n_b, round(sqrt($selfDot), 6) AS centroid_l2
+       |SELECT label, n_a, n_b, floor(sqrt($selfDot) * 1e6 + 0.5) / 1e6 AS centroid_l2
        |FROM ab ORDER BY label""".stripMargin
   }
 
@@ -1671,8 +1678,8 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         (sum(col("nrm").cast(org.apache.spark.sql.types.DecimalType(18, 9)))
           .cast("double") / count(lit(1))).as("avg_norm"),
-        round(min(col("nrm")), 6).as("min_norm"),
-        round(max(col("nrm")), 6).as("max_norm"))
+        fl6(min(col("nrm"))).as("min_norm"),
+        fl6(max(col("nrm"))).as("max_norm"))
       .orderBy("label")
 
   /** §2.3 #194 — ANN RECALL report: per-query recall@k of the LSH index
@@ -1696,7 +1703,7 @@ object Similarity {
       .groupBy("q_id")
       .agg(count(col("hit")).as("n_hits"))
       .select(col("q_id"), col("n_hits"),
-        round(col("n_hits") / lit(k).cast("double"), 6).as("recall"))
+        fl6(col("n_hits") / lit(k).cast("double")).as("recall"))
       .orderBy("q_id")
   }
 
@@ -2048,7 +2055,7 @@ object Similarity {
     val d1 = (mB * col("sxx") - col("sx") * col("sx")).cast("double")
     val d2 = (mB * col("syy") - col("sy") * col("sy")).cast("double")
     s.select((col("m") / 2).cast("long").as("n_edges"),
-      round(num / sqrt(d1 * d2), 6).as("assortativity"))
+      fl6(num / sqrt(d1 * d2)).as("assortativity"))
   }
 
   /** DuckDB oracle SQL for [[assortativity]] — identical degree join and
@@ -2070,10 +2077,10 @@ object Similarity {
        |s AS (SELECT count(*)::BIGINT AS m, sum(x) AS sx, sum(y) AS sy,
        |      sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM p)
        |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
-       |  round(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+       |  floor(CAST(CAST(m AS HUGEINT) * sxy - sx * sy AS DOUBLE)
        |    / sqrt(CAST(CAST(m AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-       |         * CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
-       |    AS assortativity
+       |         * CAST(CAST(m AS HUGEINT) * syy - sy * sy AS DOUBLE))
+       |    * 1e6 + 0.5) / 1e6 AS assortativity
        |FROM s""".stripMargin
 
   /** §2.3 #262 — TWO-HOP neighborhood size over the undirected kNN graph:
@@ -2152,7 +2159,7 @@ object Similarity {
       .withColumn("n_members", sum("n").over(wAll))
       .where(col("rk") === 1 && col("n_members") >= 2)
       .select(col("cluster_id"), col("n_members"), col("label").as("top_label"),
-        col("n").as("n_top"), round(col("n") / col("n_members"), 6).as("purity"))
+        col("n").as("n_top"), fl6(col("n") / col("n_members")).as("purity"))
       .orderBy("cluster_id")
   }
 
@@ -2169,7 +2176,7 @@ object Similarity {
        |  row_number() OVER (PARTITION BY cluster_id ORDER BY n DESC, label) AS rk,
        |  CAST(sum(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members FROM g)
        |SELECT cluster_id, n_members, label AS top_label, n AS n_top,
-       |  round(n / n_members, 6) AS purity
+       |  floor(n / n_members * 1e6 + 0.5) / 1e6 AS purity
        |FROM r WHERE rk = 1 AND n_members >= 2 ORDER BY cluster_id""".stripMargin
 
   /** §2.3 #213 — embedding COVARIANCE MATRIX (upper triangle): the d×d
