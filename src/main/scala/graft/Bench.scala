@@ -75,6 +75,28 @@ object Bench {
     "q_pagerank", "q_market_basket",                // graph + co-occurrence
     "q_copy_bucketed", "q_curate")                  // bucketed write + pipeline
 
+  /** 1-minute loadavg (Linux) — NaN where /proc is unavailable. */
+  private def load1: Double = try {
+    scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+  } catch { case _: Throwable => Double.NaN }
+
+  /** Count of OTHER live JVMs on the box (excluding this one and our own
+    * solo children, which hold SPARK_GRAFT_SOLO=0). A nonzero count at
+    * sweep start means the 32 local cores were shared and the sweep
+    * column is inflated 2-10× unattributably (the r10/r11 lesson: a
+    * driver-side JVM turned a q_lsh_curve read into a phantom
+    * regression). Recorded into the JSON so a contended round is
+    * self-evident instead of a memory-file footnote.
+    */
+  private def otherJvms: Int = try {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().iterator().asScala.count { p =>
+      p.pid() != self &&
+        p.info().command().map[Boolean](_.endsWith("/java")).orElse(false)
+    }
+  } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,6 +104,7 @@ object Bench {
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b times a subset (driver leaves unset).
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val (load1Start, jvms0) = (load1, otherJvms)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -277,12 +300,20 @@ object Bench {
       }.mkString(""","solo":{""", ",",
         s"""},"solo_jvm":"$soloHeap","solo_protocol":"median-of-2to3-launches"""") + err
     }
+    // Machine-load marker (VERDICT r11 #4): nonzero other_jvms or an
+    // elevated load1 at start says the sweep shared the cores — treat the
+    // columns as lower-confidence and rerun clean before chasing deltas.
+    val contention = {
+      val l0 = if (load1Start.isNaN) "null" else f"$load1Start%.2f"
+      val l1 = { val v = load1; if (v.isNaN) "null" else f"$v%.2f" }
+      s""","contention":{"other_jvms_start":$jvms0,"load1_start":$l0,"load1_end":$l1}"""
+    }
     def line(qmap: Seq[(String, Option[Double])], omitted: Int): String = {
       val qs = qmap.map { case (k, v) =>
         "\"" + k + "\":" + v.map(s => f"$s%.2f").getOrElse("null")
       }.mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$soloJson,"failed":$nFailed,"passes":$passes,"nq":${results.size}$omit,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$soloJson,"failed":$nFailed,"passes":$passes,"nq":${results.size}$omit$contention,"sf":"$sfDir"}"""
     }
     // The driver captures only the LAST ~2000 chars of output (BENCH_r03:
     // the 95-query line outgrew that window, its head was clipped, and the

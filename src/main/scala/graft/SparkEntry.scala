@@ -468,6 +468,11 @@ object SparkEntry {
     "q_tpch_q19" -> ((s, dir) => Relational.tpchQ19(s, dir)),
     "q_tpch_q21" -> ((s, dir) => Relational.tpchQ21(s, dir)),
     "q_tpch_q9" -> ((s, dir) => Relational.tpchQ9(s, dir)),
+    "q_tpch_q12" -> ((s, dir) => Relational.tpchQ12(s, dir)),
+    "q_tpch_q2" -> ((s, dir) => Relational.tpchQ2(s, dir)),
+    "q_tpch_q11" -> ((s, dir) => Relational.tpchQ11(s, dir)),
+    "q_tpch_q16" -> ((s, dir) => Relational.tpchQ16(s, dir)),
+    "q_tpch_q20" -> ((s, dir) => Relational.tpchQ20(s, dir)),
     "q_pareto" -> ((s, dir) => Relational.paretoRevenue(s, dir)),
     "q_market_basket" -> ((s, dir) => Relational.marketBasket(s, dir)),
     "q_new_vs_repeat" -> ((s, dir) => Relational.newVsRepeat(s, dir)),
@@ -1097,7 +1102,7 @@ object SparkEntry {
       |      + (stop_hits::DOUBLE / n_tokens) * 0.2::DOUBLE AS score
       |  FROM m
       |)
-      |SELECT doc_id, round(score, 6) AS quality, (score >= 0.5::DOUBLE) AS keep
+      |SELECT doc_id, floor((score) * 1e6 + 0.5) / 1e6 AS quality, (score >= 0.5::DOUBLE) AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Brute-force cosine top-10 ground truth — shared by the q_ann_brute
@@ -1137,7 +1142,7 @@ object SparkEntry {
       |  GROUP BY 1, 2
       |)
       |SELECT doc_a, doc_b,
-      |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+      |  floor((inter::DOUBLE / (sa.n + sb.n - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
       |FROM pairs
       |JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.6
@@ -1231,7 +1236,7 @@ object SparkEntry {
     // must equal it, which is the incremental-maintenance soundness claim.
     "q_ivm" ->
       """SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day, count(*) AS n,
-        |  round(CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
+        |  floor((CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
@@ -1325,11 +1330,11 @@ object SparkEntry {
         |SELECT event_type,
         |  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |  round(CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
-        |    / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS mean_a,
-        |  round(CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
-        |    / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 6) AS mean_b,
-        |  round(
+        |  floor((CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
+        |    / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS mean_a,
+        |  floor((CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
+        |    / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)) * 1e6 + 0.5) / 1e6 AS mean_b,
+        |  floor((
         |    (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |       / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
         |     - CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
@@ -1348,8 +1353,8 @@ object SparkEntry {
         |            / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END))
         |           * (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
         |              / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)))
-        |          / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)),
-        |    6) AS z_score
+        |          / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)))
+        |    * 1e6 + 0.5) / 1e6 AS z_score
         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     "copy_masked" ->
       """SELECT c_custkey, sha256(CAST(c_name AS VARCHAR)) AS c_name, c_nationkey,
@@ -1371,8 +1376,8 @@ object SparkEntry {
         |  FROM ev JOIN b USING (event_type))
         |SELECT event_type, count(*) AS n,
         |  CAST(max(p05) AS DOUBLE) AS p05, CAST(max(p95) AS DOUBLE) AS p95,
-        |  round(CAST(CAST(sum(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_raw,
-        |  round(CAST(CAST(sum(CAST(clipped AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_winsor,
+        |  floor((CAST(CAST(sum(CAST(v AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_raw,
+        |  floor((CAST(CAST(sum(CAST(clipped AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_winsor,
         |  CAST(sum(CASE WHEN v < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
         |  CAST(sum(CASE WHEN v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1388,8 +1393,8 @@ object SparkEntry {
         |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
         |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
-        |    / count(*), 6) AS avg_surprisal
+        |  floor((CAST(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6 AS avg_surprisal
         |FROM bgf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Tie-break on the heaviest key: (cnt, key) max-struct = cnt DESC then
@@ -1409,8 +1414,8 @@ object SparkEntry {
         |agg AS (SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
         |  count(*) AS n_keys FROM kc GROUP BY 1)
         |SELECT agg.key_col, n_rows, n_keys, max_cnt, top_key,
-        |  round(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS top_share,
-        |  round(CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_factor
+        |  floor((CAST(max_cnt AS DOUBLE) / n_rows) * 1e6 + 0.5) / 1e6 AS top_share,
+        |  floor((CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)) * 1e6 + 0.5) / 1e6 AS skew_factor
         |FROM agg JOIN top USING (key_col) ORDER BY key_col""".stripMargin,
     "q_listagg" ->
       """SELECT r_name, count(*) AS n_nations,
@@ -1427,7 +1432,7 @@ object SparkEntry {
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
         |sc AS (
         |  SELECT doc_id, tok, tf, df,
-        |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+        |    floor((tf * ln((n_docs + 1.0) / (df + 1.0))) * 1e6 + 0.5) / 1e6 AS score
         |  FROM tf JOIN df USING (tok) CROSS JOIN nd
         |), r AS (
         |  SELECT doc_id, tok, tf, df, score,
@@ -1818,8 +1823,8 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag,
-        |  round((n * sxy - sx * sy) /
-        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_disc,
+        |  floor(((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1e6 + 0.5) / 1e6 AS corr_qty_disc,
         |  CAST(n AS BIGINT) AS n_rows
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_date_funcs" ->
@@ -1838,8 +1843,8 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "q_running" ->
       """SELECT event_id, user_id, value,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+        |  floor((sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS running_value,
         |  count(*) OVER (PARTITION BY user_id ORDER BY event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
         |FROM events ORDER BY event_id""".stripMargin,
@@ -1909,7 +1914,7 @@ object SparkEntry {
          |$curateOracle
          |)
          |SELECT reason, count(*) AS n_docs,
-         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS share
+         |  floor((CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()) * 1e6 + 0.5) / 1e6 AS share
          |FROM cu GROUP BY reason ORDER BY reason""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
@@ -1934,7 +1939,7 @@ object SparkEntry {
         |  FROM events
         |)
         |SELECT from_type, to_type, count(*) AS n,
-        |  round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+        |  floor((count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY from_type)) * 1e6 + 0.5) / 1e6 AS p
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "q_copy_diff" ->
@@ -2163,7 +2168,7 @@ object SparkEntry {
         |  ORDER BY c_ab DESC, tok_a, tok_b LIMIT 20
         |)
         |SELECT tok_a, tok_b, c_ab,
-        |  round(log2(c_ab * n_tok * n_tok / (n_pairs * ca.c * cb.c)), 6) AS pmi
+        |  floor((log2(c_ab * n_tok * n_tok / (n_pairs * ca.c * cb.c))) * 1e6 + 0.5) / 1e6 AS pmi
         |FROM top CROSS JOIN tot
         |JOIN uc ca ON ca.tok = top.tok_a
         |JOIN uc cb ON cb.tok = top.tok_b
@@ -2189,8 +2194,8 @@ object SparkEntry {
         |)
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-        |  round(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS oov_rate
+        |  floor((CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6 AS oov_rate
         |FROM t LEFT JOIN v ON t.tok = v.tok
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // The sketch estimates themselves cannot hash-match another engine; the
@@ -2226,8 +2231,8 @@ object SparkEntry {
         |  SELECT doc_id, n_tokens, tok, count(*) AS c FROM t GROUP BY 1, 2, 3
         |)
         |SELECT doc_id, n_tokens, count(*) AS n_distinct, max(c) AS top_freq,
-        |  round(1.0::DOUBLE - count(*)::DOUBLE / n_tokens, 6) AS dup_ratio,
-        |  round(max(c)::DOUBLE / n_tokens, 6) AS top_ratio
+        |  floor((1.0::DOUBLE - count(*)::DOUBLE / n_tokens) * 1e6 + 0.5) / 1e6 AS dup_ratio,
+        |  floor((max(c)::DOUBLE / n_tokens) * 1e6 + 0.5) / 1e6 AS top_ratio
         |FROM g GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "q_ngram_freq" ->
       """WITH toks AS (SELECT string_split(trim(text), ' ') AS w FROM documents),
@@ -2245,7 +2250,7 @@ object SparkEntry {
         |  FROM documents GROUP BY 1
         |), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM s)
         |SELECT source, n_docs, n_tokens, n_langs,
-        |  round(n_tokens::DOUBLE / tot, 6) AS token_share
+        |  floor((n_tokens::DOUBLE / tot) * 1e6 + 0.5) / 1e6 AS token_share
         |FROM s, t ORDER BY source""".stripMargin,
     "q_token_pack" ->
       """WITH d AS (
@@ -2371,8 +2376,8 @@ object SparkEntry {
         |  FROM orders GROUP BY 1)
         |SELECT o_month, n_orders, revenue,
         |  lag(revenue) OVER (ORDER BY o_month) AS prev_revenue,
-        |  round((revenue - lag(revenue) OVER (ORDER BY o_month))
-        |    / lag(revenue) OVER (ORDER BY o_month) * 100.0, 6) AS mom_pct
+        |  floor(((revenue - lag(revenue) OVER (ORDER BY o_month))
+        |    / lag(revenue) OVER (ORDER BY o_month) * 100.0) * 1e6 + 0.5) / 1e6 AS mom_pct
         |FROM m ORDER BY o_month""".stripMargin,
     "q_gini" ->
       """WITH rev AS (
@@ -2380,9 +2385,9 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |r AS (SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i FROM rev)
         |SELECT count(*) AS n_customers,
-        |  round(2.0 * CAST(CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
+        |  floor((2.0 * CAST(CAST(sum(CAST(i * x AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
         |      / (count(*) * CAST(sum(x) AS DOUBLE))
-        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |    - (count(*) + 1.0) / count(*)) * 1e6 + 0.5) / 1e6 AS gini
         |FROM r""".stripMargin,
     "q_benford" ->
       """WITH d AS (
@@ -2391,10 +2396,10 @@ object SparkEntry {
         |  FROM orders WHERE o_totalprice >= 1.0),
         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
         |s AS (SELECT digit, n,
-        |    round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
-        |    round(log10(1.0 + 1.0 / digit), 6) AS benford
+        |    floor((CAST(n AS DOUBLE) / sum(n) OVER ()) * 1e6 + 0.5) / 1e6 AS share,
+        |    floor((log10(1.0 + 1.0 / digit)) * 1e6 + 0.5) / 1e6 AS benford
         |  FROM g)
-        |SELECT digit, n, share, benford, round(abs(share - benford), 6) AS abs_dev
+        |SELECT digit, n, share, benford, floor((abs(share - benford)) * 1e6 + 0.5) / 1e6 AS abs_dev
         |FROM s ORDER BY digit""".stripMargin,
     "q_autocorr" ->
       """WITH daily AS (
@@ -2409,12 +2414,12 @@ object SparkEntry {
         |  SELECT a.r AS x, b.r AS y FROM daily a
         |  JOIN daily b ON b.day = a.day + INTERVAL 1 DAY)
         |SELECT count(*) AS n_pairs,
-        |  round((count(*) * CAST(CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |  floor(((count(*) * CAST(CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |      - CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
         |    / (sqrt(count(*) * CAST(CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |        - CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
         |     * sqrt(count(*) * CAST(CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-        |        - CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))), 6)
+        |        - CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * CAST(CAST(sum(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)))) * 1e6 + 0.5) / 1e6
         |    AS autocorr_lag1
         |FROM j""".stripMargin,
     "q_churn" ->
@@ -2424,7 +2429,7 @@ object SparkEntry {
         |a AS (SELECT wk, count(*) AS n_active FROM p GROUP BY 1),
         |c AS (SELECT wk, count(*) AS n_churned FROM ch GROUP BY 1)
         |SELECT strftime(a.wk, '%Y-%m-%d') AS week, n_active, coalesce(n_churned, 0) AS n_churned,
-        |  round(coalesce(n_churned, 0) / CAST(n_active AS DOUBLE), 6) AS churn_rate
+        |  floor((coalesce(n_churned, 0) / CAST(n_active AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS churn_rate
         |FROM a LEFT JOIN c ON a.wk = c.wk ORDER BY week""".stripMargin,
     "q_rfm" ->
       """WITH per AS (
@@ -2443,7 +2448,7 @@ object SparkEntry {
         |  FROM s)
         |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
         |  count(*) AS n_customers,
-        |  round(CAST(sum(monetary) AS DOUBLE), 2) AS revenue
+        |  floor((CAST(sum(monetary) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS revenue
         |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_doc_rarity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
@@ -2453,7 +2458,7 @@ object SparkEntry {
         |  SELECT t.doc_id, ln((nd.n + 1.0) / (df.df + 1.0)) AS idf
         |  FROM t JOIN df USING (tok) CROSS JOIN nd)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(CAST(CAST(sum(CAST(idf AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS rarity
+        |  floor((CAST(CAST(sum(CAST(idf AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS rarity
         |FROM j GROUP BY 1 ORDER BY rarity DESC, doc_id ASC LIMIT 25""".stripMargin,
     "q_readability" ->
       """WITH c AS (
@@ -2463,8 +2468,8 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER) AS n_syllables
         |  FROM documents)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  round(206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
-        |    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4) AS flesch
+        |  floor((206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
@@ -2481,10 +2486,10 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT CAST(hour(ts) AS INTEGER) AS hour, event_type,
         |    count(*) AS n_events,
-        |    round(CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS total_value
+        |    floor((CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS total_value
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, total_value,
-        |  round(CAST(n_events AS DOUBLE) / sum(n_events) OVER (PARTITION BY event_type), 6)
+        |  floor((CAST(n_events AS DOUBLE) / sum(n_events) OVER (PARTITION BY event_type)) * 1e6 + 0.5) / 1e6
         |    AS share_of_type
         |FROM h ORDER BY event_type, hour""".stripMargin,
     "q_lag_features" ->
@@ -2540,7 +2545,7 @@ object SparkEntry {
         |      o_orderdate::DATE) AS gap
         |  FROM orders)
         |SELECT o_custkey, count(*) AS n_gaps,
-        |  round(CAST(CAST(sum(CAST(gap AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / count(*), 6)
+        |  floor((CAST(CAST(sum(CAST(gap AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
         |    AS avg_gap_days,
         |  CAST(min(gap) AS BIGINT) AS min_gap_days,
         |  CAST(max(gap) AS BIGINT) AS max_gap_days
@@ -2552,7 +2557,7 @@ object SparkEntry {
         |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1, 2)
         |SELECT source, lang, n_docs, n_tokens,
-        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source), 6)
+        |  floor((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source)) * 1e6 + 0.5) / 1e6
         |    AS doc_share_of_source
         |FROM c ORDER BY source, lang""".stripMargin,
     "q_tpch_q18" ->
@@ -2595,9 +2600,9 @@ object SparkEntry {
         |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
         |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS nation_volume,
         |  CAST(sum(vol) AS DOUBLE) AS total_volume,
-        |  round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
+        |  floor((CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_6' THEN vol
         |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
-        |    / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+        |    / CAST(sum(vol) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mkt_share,
         |  count(*) AS n_lines
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_tpch_q10" ->
@@ -2623,10 +2628,10 @@ object SparkEntry {
         |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
         |    ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
         |  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_revenue,
-        |  round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |  floor((100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
         |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
         |      ELSE CAST(0.0 AS DECIMAL(28,6)) END) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6)
+        |    / CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS promo_share,
         |  count(*) AS n_lines
         |FROM lineitem, part
@@ -2665,6 +2670,76 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM li JOIN a ON l_partkey = a_partkey
         |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag AS shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_returnflag IN ('R', 'A')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tpch_q2" ->
+      s"""WITH ${Relational.partsuppLiteSql},
+        |pp AS (SELECT p_partkey, p_name FROM part WHERE p_type = 'LARGE'),
+        |sn AS (SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |j AS (SELECT ps_partkey, ps_supplycost, p_name, s_name, s_acctbal, nation
+        |  FROM ps JOIN pp ON ps_partkey = p_partkey
+        |  JOIN sn ON ps_suppkey = s_suppkey),
+        |m AS (SELECT ps_partkey AS m_partkey, min(ps_supplycost) AS min_cost
+        |  FROM j GROUP BY 1)
+        |SELECT s_acctbal, s_name, nation, ps_partkey AS p_partkey, p_name,
+        |  ps_supplycost AS supplycost
+        |FROM j JOIN m ON ps_partkey = m_partkey AND ps_supplycost = min_cost
+        |ORDER BY s_acctbal DESC, nation ASC, s_name ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q11" ->
+      s"""WITH ${Relational.partsuppLiteSql},
+        |sn AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
+        |v AS (SELECT ps_partkey,
+        |  CAST(floor(ps_supplycost * 100.0 + 0.5) AS DECIMAL(18,0))
+        |    * CAST(ps_availqty AS DECIMAL(18,2)) AS v
+        |  FROM ps JOIN sn ON ps_suppkey = s_suppkey),
+        |pp AS (SELECT ps_partkey, sum(v) AS value_d FROM v GROUP BY 1),
+        |tt AS (SELECT sum(value_d) AS total_d FROM pp)
+        |SELECT ps_partkey,
+        |  CAST(CAST(value_d AS VARCHAR) AS DOUBLE) / 100.0 AS value
+        |FROM pp, tt
+        |WHERE CAST(CAST(value_d AS VARCHAR) AS DOUBLE) * 10000.0
+        |  > CAST(CAST(total_d AS VARCHAR) AS DOUBLE) * 10.0
+        |ORDER BY value DESC, ps_partkey ASC""".stripMargin,
+    "q_tpch_q16" ->
+      s"""WITH ${Relational.partsuppLiteSql},
+        |pp AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_brand <> 'Brand#1')
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN pp ON ps_partkey = p_partkey
+        |WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "q_tpch_q20" ->
+      s"""WITH ${Relational.partsuppLiteSql},
+        |pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |sh AS (SELECT l_partkey AS sh_partkey, l_suppkey AS sh_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS shipped_qty
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  GROUP BY 1, 2),
+        |hot AS (SELECT DISTINCT ps_suppkey FROM ps
+        |  JOIN sh ON ps_partkey = sh_partkey AND ps_suppkey = sh_suppkey
+        |  WHERE shipped_qty * 2 > ps_availqty)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM hot)
+        |ORDER BY s_name""".stripMargin,
     "q_tpch_q22" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
         |a AS (
@@ -2727,9 +2802,9 @@ object SparkEntry {
         |SELECT decile, n_cust, CAST(rev_d AS DOUBLE) AS revenue,
         |  CAST(sum(rev_d) OVER (ORDER BY decile
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
-        |  round(CAST(sum(rev_d) OVER (ORDER BY decile
+        |  floor((CAST(sum(rev_d) OVER (ORDER BY decile
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    / CAST(total_rev AS DOUBLE), 6) AS cum_share
+        |    / CAST(total_rev AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cum_share
         |FROM g ORDER BY decile""".stripMargin,
     "q_market_basket" ->
       """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -2741,8 +2816,8 @@ object SparkEntry {
         |    AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT part_a, part_b, pair_count, fa.cnt AS cnt_a, fb.cnt AS cnt_b,
-        |  round(CAST(pair_count * n_orders AS DOUBLE)
-        |    / CAST(fa.cnt * fb.cnt AS DOUBLE), 6) AS lift
+        |  floor((CAST(pair_count * n_orders AS DOUBLE)
+        |    / CAST(fa.cnt * fb.cnt AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS lift
         |FROM p, n
         |JOIN f fa ON part_a = fa.l_partkey
         |JOIN f fb ON part_b = fb.l_partkey
@@ -2826,7 +2901,7 @@ object SparkEntry {
         |    WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
         |      AND p.t_us >= v.t_us AND p.t_us < v.t_us + 3600000000))
         |SELECT a.user_id, n_views, coalesce(n_abandoned, 0) AS n_abandoned,
-        |  round(coalesce(n_abandoned, 0) / CAST(n_views AS DOUBLE), 6) AS abandon_rate
+        |  floor((coalesce(n_abandoned, 0) / CAST(n_views AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS abandon_rate
         |FROM (SELECT user_id, count(*) AS n_views FROM v GROUP BY 1) a
         |LEFT JOIN (SELECT user_id, count(*) AS n_abandoned FROM ab GROUP BY 1) b
         |  ON a.user_id = b.user_id
@@ -2839,8 +2914,8 @@ object SparkEntry {
         |  FROM p a JOIN p b ON a.user_id = b.user_id AND a.et < b.et GROUP BY 1, 2)
         |SELECT sa.et AS type_a, sb.et AS type_b, sa.n AS n_a, sb.n AS n_b,
         |  coalesce(i.n_both, 0) AS n_both,
-        |  round(coalesce(i.n_both, 0)
-        |    / CAST(sa.n + sb.n - coalesce(i.n_both, 0) AS DOUBLE), 6) AS jaccard
+        |  floor((coalesce(i.n_both, 0)
+        |    / CAST(sa.n + sb.n - coalesce(i.n_both, 0) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM s sa JOIN s sb ON sa.et < sb.et
         |LEFT JOIN i ON i.ta = sa.et AND i.tb = sb.et
         |ORDER BY type_a, type_b""".stripMargin,
@@ -2850,7 +2925,7 @@ object SparkEntry {
         |  FROM documents GROUP BY 1, 2)
         |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_unique,
         |  CAST(sum(n - 1) AS BIGINT) AS n_redundant,
-        |  round(CAST(sum(n - 1) AS BIGINT) / CAST(sum(n) AS DOUBLE), 6) AS dup_rate
+        |  floor((CAST(sum(n - 1) AS BIGINT) / CAST(sum(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dup_rate
         |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
@@ -2867,8 +2942,8 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         |  FROM cs a JOIN cs b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, inter,
-        |  round(inter::DOUBLE / least(sa.n, sb.n), 6) AS containment,
-        |  round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        |  floor((inter::DOUBLE / least(sa.n, sb.n)) * 1e6 + 0.5) / 1e6 AS containment,
+        |  floor((inter::DOUBLE / (sa.n + sb.n - inter)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
@@ -2884,7 +2959,7 @@ object SparkEntry {
         |  SELECT x.day, count(DISTINCT user_id) AS mau
         |  FROM x, b WHERE x.day <= b.d1 GROUP BY 1)
         |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, mau,
-        |  round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+        |  floor((CAST(dau AS DOUBLE) / mau) * 1e6 + 0.5) / 1e6 AS stickiness
         |FROM dau JOIN mau ON dau.day = mau.day
         |ORDER BY day""".stripMargin,
     "q_session_path" ->
@@ -2931,10 +3006,10 @@ object SparkEntry {
         |  FROM pt
         |)
         |SELECT CAST(nn AS BIGINT) AS n_fit,
-        |  round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) AS slope,
-        |  round((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn, 6) AS intercept,
-        |  round(((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) /
-        |    ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6) AS r2
+        |  floor(((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor(((sy - (nn * sxy - sx * sy) / (nn * sxx - sx * sx) * sx) / nn) * 1e6 + 0.5) / 1e6 AS intercept,
+        |  floor((((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) /
+        |    ((nn * sxx - sx * sx) * (nn * syy - sy * sy))) * 1e6 + 0.5) / 1e6 AS r2
         |FROM mo""".stripMargin,
     // Same fingerprint family as q_neardup_simhash's oracle CTEs.
     "q_sql_kernel" ->
@@ -3070,10 +3145,10 @@ object SparkEntry {
         |  FROM documents GROUP BY 1),
         |x AS (SELECT *, CAST(substring(source, 4) AS INTEGER) AS idx FROM s)
         |SELECT source, n_docs, n_tokens,
-        |  round((idx + 1) / 210.0, 6) AS weight,
-        |  round(100000 * (idx + 1) / 210.0, 6) AS target_tokens,
-        |  round(100000 * (idx + 1) / 210.0 / n_tokens, 6) AS epochs,
-        |  least(1.0, round(100000 * (idx + 1) / 210.0 / n_tokens, 6)) AS sample_rate
+        |  floor(((idx + 1) / 210.0) * 1e6 + 0.5) / 1e6 AS weight,
+        |  floor((100000 * (idx + 1) / 210.0) * 1e6 + 0.5) / 1e6 AS target_tokens,
+        |  floor((100000 * (idx + 1) / 210.0 / n_tokens) * 1e6 + 0.5) / 1e6 AS epochs,
+        |  least(1.0, floor((100000 * (idx + 1) / 210.0 / n_tokens) * 1e6 + 0.5) / 1e6) AS sample_rate
         |FROM x ORDER BY source""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
@@ -3089,8 +3164,8 @@ object SparkEntry {
          |$langIdOracle
          |)
          |SELECT d.lang, li.lang_detected, count(*) AS n_docs,
-         |  round(CAST(count(*) AS DOUBLE)
-         |    / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS share_of_lang
+         |  floor((CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY d.lang)) * 1e6 + 0.5) / 1e6 AS share_of_lang
          |FROM li JOIN documents d ON d.doc_id = li.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_token_count" ->
@@ -3117,8 +3192,8 @@ object SparkEntry {
         |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
         |)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
-        |  round(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE), 6) AS eff_vocab,
-        |  round(log2(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE)), 6) AS h2_bits
+        |  floor((CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS eff_vocab,
+        |  floor((log2(CAST(sum(c) * sum(c) AS DOUBLE) / CAST(sum(c * c) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS h2_bits
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_quality_score" -> qualityScoreOracle,
     "q_quality_by_source" ->
@@ -3126,10 +3201,10 @@ object SparkEntry {
         |src AS (SELECT doc_id, source FROM documents)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-        |    / CAST(count(*) AS DOUBLE), 6) AS keep_rate,
-        |  round(CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
-        |    / count(*), 6) AS mean_quality
+        |  floor((CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS keep_rate,
+        |  floor((CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6 AS mean_quality
         |FROM qs JOIN src ON qs.doc_id = src.doc_id
         |GROUP BY source ORDER BY source""".stripMargin,
     "q_incremental_dedup" ->
@@ -3212,12 +3287,12 @@ object SparkEntry {
         |f AS (
         |  SELECT doc_id, count(*) AS n_bytes,
         |    CAST(count(DISTINCT v) AS INTEGER) AS n_distinct_bytes,
-        |    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_byte,
-        |    round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms_byte
+        |    floor((CAST(sum(v) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_byte,
+        |    floor((sqrt(CAST(sum(v * v) AS DOUBLE) / count(*))) * 1e6 + 0.5) / 1e6 AS rms_byte
         |  FROM b GROUP BY 1),
         |wn AS (SELECT doc_id, (i - 1) // 64 AS win, sum(v * v) AS s2, count(*) AS c
         |  FROM b GROUP BY 1, 2),
-        |pk AS (SELECT doc_id, round(max(sqrt(CAST(s2 AS DOUBLE) / c)), 6) AS peak_win_rms
+        |pk AS (SELECT doc_id, floor((max(sqrt(CAST(s2 AS DOUBLE) / c))) * 1e6 + 0.5) / 1e6 AS peak_win_rms
         |  FROM wn GROUP BY 1)
         |SELECT f.doc_id, n_bytes, n_distinct_bytes, mean_byte, rms_byte, peak_win_rms
         |FROM f JOIN pk ON f.doc_id = pk.doc_id ORDER BY f.doc_id""".stripMargin,
@@ -3263,7 +3338,7 @@ object SparkEntry {
         |  FROM wk JOIN coh USING (user_id) GROUP BY 1, 2),
         |sz AS (SELECT cohort_wk, count(*) AS cohort_n FROM coh GROUP BY 1)
         |SELECT cohort_wk, wk_offset, n_active, cohort_n,
-        |  round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+        |  floor((CAST(n_active AS DOUBLE) / cohort_n) * 1e6 + 0.5) / 1e6 AS retention
         |FROM act JOIN sz USING (cohort_wk)
         |ORDER BY cohort_wk, wk_offset""".stripMargin,
     "q_sample_weighted" ->
@@ -3295,7 +3370,7 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st
         |)
         |SELECT doc_id,
-        |  round(CAST(CAST(sum(CAST(tw AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 6) AS score,
+        |  floor((CAST(CAST(sum(CAST(tw AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS score,
         |  count(*) AS n_terms_hit
         |FROM tw GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
@@ -3326,7 +3401,7 @@ object SparkEntry {
         |  FROM c GROUP BY 1)
         |SELECT d.step, count(*) AS n_users, min(delta_us) AS min_us, m.med_us,
         |  max(delta_us) AS max_us,
-        |  round(CAST(CAST(sum(CAST(delta_us AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_us
+        |  floor((CAST(CAST(sum(CAST(delta_us AS DECIMAL(28,0))) AS VARCHAR) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_us
         |FROM d JOIN m USING (step) GROUP BY d.step, m.med_us ORDER BY step""".stripMargin,
     "q_concurrency" ->
       """WITH x AS (
@@ -3363,7 +3438,7 @@ object SparkEntry {
         |WHERE p.p_size = r.pmax AND (r.m_lt IS NULL OR r.pmax > r.m_lt)
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
     "q_bootstrap_ci" ->
-      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+      """WITH o AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xc
         |           FROM orders),
         |g AS (SELECT o_orderkey, xc, unnest(generate_series(0, 6)) AS grp FROM o),
         |hs AS (SELECT xc, grp, sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
@@ -3384,10 +3459,10 @@ object SparkEntry {
         |      CAST(sum(sxc * w) AS DOUBLE) / (CAST(sum(w * nw) AS DOUBLE) * 100.0) AS mean_b
         |      FROM pw GROUP BY 1),
         |r AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b, rep) AS rk FROM m),
-        |ci AS (SELECT round(min(CASE WHEN rk = 3 THEN mean_b END), 6) AS ci_lo,
-        |              round(min(CASE WHEN rk = 98 THEN mean_b END), 6) AS ci_hi FROM r),
+        |ci AS (SELECT floor((min(CASE WHEN rk = 3 THEN mean_b END)) * 1e6 + 0.5) / 1e6 AS ci_lo,
+        |              floor((min(CASE WHEN rk = 98 THEN mean_b END)) * 1e6 + 0.5) / 1e6 AS ci_hi FROM r),
         |f AS (SELECT count(*) AS n_rows,
-        |  round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS mean_full
+        |  floor((CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_full
         |  FROM orders)
         |SELECT CAST(100 AS BIGINT) AS n_boot, f.n_rows, f.mean_full, ci.ci_lo, ci.ci_hi
         |FROM f CROSS JOIN ci""".stripMargin,
@@ -3407,15 +3482,15 @@ object SparkEntry {
         |    tf * ln((n_docs + 1.0) / (dfq + 1.0)) AS tw_tfidf
         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st),
         |sc AS (SELECT doc_id,
-        |  round(CAST(CAST(sum(CAST(tw_bm25 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 6) AS bm25,
-        |  round(CAST(CAST(sum(CAST(tw_tfidf AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE), 6) AS tfidf
+        |  floor((CAST(CAST(sum(CAST(tw_bm25 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS bm25,
+        |  floor((CAST(CAST(sum(CAST(tw_tfidf AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tfidf
         |  FROM tw GROUP BY doc_id),
         |rk AS (SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_bm25,
         |  CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id) AS INTEGER) AS rank_tfidf
         |  FROM sc)
         |SELECT doc_id, rank_bm25, rank_tfidf,
-        |  round(1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_tfidf), 6) AS rrf
+        |  floor((1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_tfidf)) * 1e6 + 0.5) / 1e6 AS rrf
         |FROM rk ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "copy_zorder" -> TableCopy.zorderOracleSql(),
     "q_quartiles" ->
@@ -3436,17 +3511,17 @@ object SparkEntry {
         |cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
         |lm AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
         |sm AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
-        |mi AS (SELECT round(CAST(CAST(sum(CAST(
-        |    (n / n_docs) * ln((n * n_docs) / (nl * ns)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS mi_nats
+        |mi AS (SELECT floor((CAST(CAST(sum(CAST(
+        |    (n / n_docs) * ln((n * n_docs) / (nl * ns)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mi_nats
         |  FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN t),
-        |hl AS (SELECT round(CAST(CAST(sum(CAST(
-        |    -(nl / n_docs) * ln(nl / n_docs) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS h_lang
+        |hl AS (SELECT floor((CAST(CAST(sum(CAST(
+        |    -(nl / n_docs) * ln(nl / n_docs) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS h_lang
         |  FROM lm CROSS JOIN t),
-        |hs AS (SELECT round(CAST(CAST(sum(CAST(
-        |    -(ns / n_docs) * ln(ns / n_docs) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS h_source
+        |hs AS (SELECT floor((CAST(CAST(sum(CAST(
+        |    -(ns / n_docs) * ln(ns / n_docs) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS h_source
         |  FROM sm CROSS JOIN t)
         |SELECT t.n_docs, mi.mi_nats, hl.h_lang, hs.h_source,
-        |  round(mi.mi_nats / least(hl.h_lang, hs.h_source), 6) AS nmi
+        |  floor((mi.mi_nats / least(hl.h_lang, hs.h_source)) * 1e6 + 0.5) / 1e6 AS nmi
         |FROM t, mi, hl, hs""".stripMargin,
     "q_cluster_purity" -> Similarity.clusterPurityOracleSql(),
     "q_cov_matrix" ->
@@ -3486,8 +3561,8 @@ object SparkEntry {
         |  FROM c CROSS JOIN t),
         |m AS (SELECT max(dnum) AS max_num FROM d)
         |SELECT t.na, t.nb,
-        |  round(CAST(CAST(m.max_num AS VARCHAR) AS DOUBLE) /
-        |        CAST(CAST(CAST(t.na AS DECIMAL(19,0)) * CAST(t.nb AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE), 6) AS d_stat,
+        |  floor((CAST(CAST(m.max_num AS VARCHAR) AS DOUBLE) /
+        |        CAST(CAST(CAST(t.na AS DECIMAL(19,0)) * CAST(t.nb AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_stat,
         |  CAST((SELECT min(v) FROM d WHERE d.dnum = m.max_num) AS DOUBLE) AS at_value
         |FROM t CROSS JOIN m""".stripMargin,
     "q_psi" ->
@@ -3521,9 +3596,9 @@ object SparkEntry {
         |  SELECT bin, n_ref, n_cur,
         |    (n_ref + 1) / (ta + 10) AS pa, (n_cur + 1) / (tb + 10) AS pb
         |  FROM cells CROSS JOIN tots)
-        |SELECT bin, n_ref, n_cur, round(pa, 6) AS share_ref, round(pb, 6) AS share_cur,
-        |  round((pa - pb) * ln(pa / pb), 6) AS term,
-        |  round(CAST(CAST(sum(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,12))) OVER () AS VARCHAR) AS DOUBLE), 6) AS psi
+        |SELECT bin, n_ref, n_cur, floor((pa) * 1e6 + 0.5) / 1e6 AS share_ref, floor((pb) * 1e6 + 0.5) / 1e6 AS share_cur,
+        |  floor(((pa - pb) * ln(pa / pb)) * 1e6 + 0.5) / 1e6 AS term,
+        |  floor((CAST(CAST(sum(CAST((pa - pb) * ln(pa / pb) AS DECIMAL(28,12))) OVER () AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS psi
         |FROM terms ORDER BY bin""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (
@@ -3540,7 +3615,7 @@ object SparkEntry {
         |m AS (SELECT max(absdev) AS mx FROM dev)
         |SELECT tot.n_days,
         |  (SELECT min(day) FROM dev WHERE dev.absdev = m.mx) AS cp_day,
-        |  round(CAST(m.mx AS DOUBLE) / CAST(tot.n_days AS DOUBLE), 6) AS max_dev
+        |  floor((CAST(m.mx AS DOUBLE) / CAST(tot.n_days AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS max_dev
         |FROM tot CROSS JOIN m""".stripMargin,
     "q_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
@@ -3571,9 +3646,9 @@ object SparkEntry {
         |fit AS (SELECT segment, n,
         |  CAST(n * sxyc - sx * syc AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_raw,
         |  sx, syc FROM s)
-        |SELECT segment, n, round(slope_raw, 6) AS slope,
-        |  round((CAST(syc AS DOUBLE) / 100.0 - slope_raw * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE), 6) AS intercept
+        |SELECT segment, n, floor((slope_raw) * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor(((CAST(syc AS DOUBLE) / 100.0 - slope_raw * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS intercept
         |FROM fit ORDER BY segment""".stripMargin,
     "q_hhi" ->
       """WITH crev AS (
@@ -3587,9 +3662,9 @@ object SparkEntry {
         |  JOIN region ON n_regionkey = r_regionkey
         |  GROUP BY 1, 2)
         |SELECT r_name, count(*) AS n_nations,
-        |  round(CAST(sum(nrev_c * nrev_c) AS DOUBLE)
-        |    / CAST(sum(nrev_c) * sum(nrev_c) AS DOUBLE), 6) AS hhi,
-        |  round(CAST(max(nrev_c) AS DOUBLE) / CAST(sum(nrev_c) AS DOUBLE), 6) AS top_share
+        |  floor((CAST(sum(nrev_c * nrev_c) AS DOUBLE)
+        |    / CAST(sum(nrev_c) * sum(nrev_c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hhi,
+        |  floor((CAST(max(nrev_c) AS DOUBLE) / CAST(sum(nrev_c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS top_share
         |FROM nat GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_seasonality" ->
       """WITH d AS (
@@ -3598,8 +3673,8 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |t AS (SELECT sum(rev) AS tot_rev FROM d)
         |SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
-        |  round(CAST(rev * 7 AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS seas_index,
-        |  round(CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS avg_order
+        |  floor((CAST(rev * 7 AS DOUBLE) / CAST(tot_rev AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS seas_index,
+        |  floor((CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_order
         |FROM d CROSS JOIN t ORDER BY dow""".stripMargin,
     "q_ewma" ->
       """WITH daily AS (
@@ -3640,7 +3715,7 @@ object SparkEntry {
         |      FROM bk GROUP BY 1),
         |t AS (SELECT sum(n_events) AS total FROM g)
         |SELECT bucket, n_events, max_late_us,
-        |  round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |  floor((CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS share
         |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
     // Lang-pair rollup of the SAME exact all-pairs near-dup derivation the
     // jaccard/matrix oracles share — one oracle family, three views.
@@ -3661,14 +3736,14 @@ object SparkEntry {
         |sm AS (SELECT source, count(*) AS cs FROM documents GROUP BY 1),
         |dims AS (SELECT (SELECT count(*) FROM lm) AS n_lang,
         |                (SELECT count(*) FROM sm) AS n_source),
-        |dev AS (SELECT round(CAST(CAST(sum(CAST(
+        |dev AS (SELECT floor((CAST(CAST(sum(CAST(
         |    CAST(CAST(n_docs * obs - rl * cs AS HUGEINT)
         |         * CAST(n_docs * obs - rl * cs AS HUGEINT) AS DOUBLE)
         |      / CAST(CAST(n_docs AS HUGEINT) * rl * cs AS DOUBLE)
-        |    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE), 6) AS chi2
+        |    AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS chi2
         |  FROM cells JOIN lm USING (lang) JOIN sm USING (source) CROSS JOIN t)
         |SELECT t.n_docs, (n_lang - 1) * (n_source - 1) AS dof, dev.chi2,
-        |  round(sqrt(dev.chi2 / (t.n_docs * least(n_lang - 1, n_source - 1))), 6)
+        |  floor((sqrt(dev.chi2 / (t.n_docs * least(n_lang - 1, n_source - 1)))) * 1e6 + 0.5) / 1e6
         |    AS cramers_v
         |FROM t, dev, dims""".stripMargin,
     "q_tokenizer_fertility" ->
@@ -3676,10 +3751,10 @@ object SparkEntry {
         |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS chars,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes,
-        |  round(CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) * 100.0
-        |    / CAST(sum(length(text)) AS DOUBLE), 6) AS tokens_per_100_chars,
-        |  round(CAST(sum(octet_length(encode(text))) AS DOUBLE)
-        |    / CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE), 6) AS bytes_per_token
+        |  floor((CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) * 100.0
+        |    / CAST(sum(length(text)) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tokens_per_100_chars,
+        |  floor((CAST(sum(octet_length(encode(text))) AS DOUBLE)
+        |    / CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS bytes_per_token
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "copy_sample" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
@@ -3709,13 +3784,13 @@ object SparkEntry {
         |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS seb
         |  FROM s)
         |SELECT na AS n_a, nb AS n_b,
-        |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6) AS mean_a,
-        |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6) AS mean_b,
-        |  round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-        |       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb), 6) AS t_stat,
-        |  round((sea + seb) * (sea + seb)
+        |  floor((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0) * 1e6 + 0.5) / 1e6 AS mean_a,
+        |  floor((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0) * 1e6 + 0.5) / 1e6 AS mean_b,
+        |  floor(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(sea + seb)) * 1e6 + 0.5) / 1e6 AS t_stat,
+        |  floor(((sea + seb) * (sea + seb)
         |    / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
-        |     + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 6) AS df
+        |     + seb * seb / (CAST(nb AS DOUBLE) - 1.0))) * 1e6 + 0.5) / 1e6 AS df
         |FROM v""".stripMargin,
     "q_mannwhitney" ->
       """WITH j AS (
@@ -3742,14 +3817,14 @@ object SparkEntry {
         |  FROM terms)
         |SELECT na AS n_a, nb AS n_b,
         |  CAST(u2 AS DOUBLE) / 2.0 AS u,
-        |  round((CAST(u2 AS DOUBLE) / 2.0
+        |  floor(((CAST(u2 AS DOUBLE) / 2.0
         |      - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
         |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
         |      * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
         |        - CAST(ties AS DOUBLE) / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
-        |          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6) AS z,
-        |  round(CAST(u2 AS DOUBLE) / 2.0
-        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS auc
+        |          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))))) * 1e6 + 0.5) / 1e6 AS z,
+        |  floor((CAST(u2 AS DOUBLE) / 2.0
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS auc
         |FROM agg""".stripMargin,
     "q_spearman" ->
       """WITH r AS (
@@ -3764,9 +3839,9 @@ object SparkEntry {
         |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
         |  FROM r GROUP BY 1)
         |SELECT flag, n,
-        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |  floor((CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
-        |         * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6) AS rho
+        |         * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS rho
         |FROM s ORDER BY flag""".stripMargin,
     "q_cohort_ltv" ->
       """WITH o AS (
@@ -3813,8 +3888,8 @@ object SparkEntry {
         |  FROM c)
         |SELECT abc_class, count(*)::BIGINT AS n_parts,
         |  CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS revenue,
-        |  round(CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE)
-        |    / CAST(CAST(max(total) AS VARCHAR) AS DOUBLE), 6) AS rev_share
+        |  floor((CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(max(total) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rev_share
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling_corr" ->
       """WITH daily AS (
@@ -3842,7 +3917,7 @@ object SparkEntry {
         |    14.0 * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS d2
         |  FROM win)
         |SELECT strftime(day, '%Y-%m-%d') AS day, xc AS clicks, xv AS views,
-        |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS roll_corr
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN floor((num / sqrt(d1 * d2)) * 1e6 + 0.5) / 1e6 END AS roll_corr
         |FROM f WHERE rn >= 14 ORDER BY day""".stripMargin,
     "q_hubness" -> Similarity.hubnessOracleSql(),
     "q_burstiness" ->
@@ -3857,8 +3932,8 @@ object SparkEntry {
         |t AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
         |top AS (SELECT * FROM bt ORDER BY s DESC, term ASC LIMIT 20)
         |SELECT term, s AS n_occurrences, df AS n_docs_with,
-        |  round(CAST(CAST(n_docs AS HUGEINT) * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
-        |    / CAST(CAST(n_docs AS HUGEINT) * s AS DOUBLE), 6) AS fano
+        |  floor((CAST(CAST(n_docs AS HUGEINT) * sq - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / CAST(CAST(n_docs AS HUGEINT) * s AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS fano
         |FROM top, t ORDER BY n_occurrences DESC, term ASC""".stripMargin,
     "copy_shard" ->
       """SELECT substr(sha256(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
@@ -3888,11 +3963,11 @@ object SparkEntry {
         |     OR cm.yc * 2 > qt.q3 * 2 + (qt.q3 - qt.q1) * 3) AS is_out
         |  FROM cm JOIN qt ON cm.seg = qt.seg)
         |SELECT seg, max(n_orders) AS n_orders,
-        |  round(CAST(max(q1) AS DOUBLE) / 100.0, 2) AS q1,
-        |  round(CAST(max(q3) AS DOUBLE) / 100.0, 2) AS q3,
+        |  floor((CAST(max(q1) AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS q1,
+        |  floor((CAST(max(q3) AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS q3,
         |  sum(CASE WHEN is_out THEN cnt ELSE 0 END)::BIGINT AS n_outliers,
-        |  round(CAST(sum(CASE WHEN is_out THEN cnt ELSE 0 END) AS DOUBLE)
-        |    / CAST(max(n_orders) AS DOUBLE), 6) AS outlier_share
+        |  floor((CAST(sum(CASE WHEN is_out THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(max(n_orders) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS outlier_share
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_trimmed_mean" ->
       """WITH v AS (
@@ -3907,10 +3982,10 @@ object SparkEntry {
         |k AS (SELECT seg, yc, rn, n, n // 10 AS k FROM r)
         |SELECT seg, max(n)::BIGINT AS n_orders,
         |  max(k)::BIGINT AS n_trimmed_each_side,
-        |  round(CAST(sum(yc) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0, 6) AS mean,
-        |  round(CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN yc ELSE 0 END) AS DOUBLE)
+        |  floor((CAST(sum(yc) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0) * 1e6 + 0.5) / 1e6 AS mean,
+        |  floor((CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN yc ELSE 0 END) AS DOUBLE)
         |    / CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / 100.0, 6) AS trimmed_mean
+        |    / 100.0) * 1e6 + 0.5) / 1e6 AS trimmed_mean
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_reciprocity" -> Similarity.reciprocityOracleSql(),
     "q_assortativity" -> Similarity.assortativityOracleSql(),
@@ -3921,8 +3996,8 @@ object SparkEntry {
         |tc AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
         |SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
         |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
-        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+        |  floor((CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hapax_share
         |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_runs_test" ->
       """WITH daily AS (
@@ -3946,9 +4021,9 @@ object SparkEntry {
         |  sum(CASE WHEN above = 0 THEN 1 ELSE 0 END)::BIGINT AS n2,
         |  sum(chg)::BIGINT AS runs FROM ch)
         |SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
-        |  round(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0, 6) AS expected_runs,
-        |  round((CAST(runs AS DOUBLE)
+        |  floor((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0) * 1e6 + 0.5) / 1e6 AS expected_runs,
+        |  floor(((CAST(runs AS DOUBLE)
         |      - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
         |        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))
         |    / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
@@ -3956,7 +4031,7 @@ object SparkEntry {
         |        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
         |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
-        |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0))), 6) AS z
+        |        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)))) * 1e6 + 0.5) / 1e6 AS z
         |FROM agg""".stripMargin,
     "q_elasticity" ->
       """WITH li AS (
@@ -3971,10 +4046,10 @@ object SparkEntry {
         |    sum(CAST(x * x AS DECIMAL(28,12))) AS sxx
         |  FROM li JOIN part ON l_partkey = p_partkey GROUP BY 1)
         |SELECT brand, n,
-        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS elasticity
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS elasticity
         |FROM s ORDER BY brand""".stripMargin,
     "copy_jdbc_partitioned" ->
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment
@@ -3994,9 +4069,9 @@ object SparkEntry {
         |    AS DECIMAL(28,12)) AS term
         |  FROM sv JOIN tt USING (seg))
         |SELECT seg, max(n) AS n_customers,
-        |  round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0, 6)
+        |  floor((CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE) / 100.0) * 1e6 + 0.5) / 1e6
         |    AS mean_revenue,
-        |  round(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS theil_t
+        |  floor((CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS theil_t
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_markov_steady" -> {
       def rnd(prev: String, out: String): String =
@@ -4023,7 +4098,7 @@ object SparkEntry {
          |${rnd("p0", "r1")},
          |${rnd("r1", "r2")},
          |${rnd("r2", "r3")}
-         |SELECT event_type, round(p, 9) AS pi FROM r3 ORDER BY event_type""".stripMargin
+         |SELECT event_type, floor((p) * 1e9 + 0.5) / 1e9 AS pi FROM r3 ORDER BY event_type""".stripMargin
     },
     "q_dup_inflation" ->
       """WITH d AS (
@@ -4034,7 +4109,7 @@ object SparkEntry {
         |      FROM d GROUP BY 1, 2)
         |SELECT source, sum(copies)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
         |  sum(copies * tok)::BIGINT AS total_tokens, sum(tok)::BIGINT AS distinct_tokens,
-        |  round(CAST(sum(copies * tok) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6)
+        |  floor((CAST(sum(copies * tok) AS DOUBLE) / CAST(sum(tok) AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |    AS inflation
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_drawdown" ->
@@ -4053,7 +4128,7 @@ object SparkEntry {
         |  CAST(peak AS DOUBLE) AS peak_cum_revenue,
         |  CAST(cum AS DOUBLE) AS trough_cum_revenue,
         |  CAST(dd AS DOUBLE) AS max_drawdown,
-        |  round(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6) AS drawdown_share
+        |  floor((CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS drawdown_share
         |FROM d ORDER BY dd DESC, day ASC LIMIT 1""".stripMargin,
     "q_rolling_z" ->
       """WITH daily AS (
@@ -4077,10 +4152,10 @@ object SparkEntry {
         |    CAST(28 * sq - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_num
         |  FROM win)
         |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  round(CAST(yc AS DOUBLE) / 100.0, 2) AS revenue,
+        |  floor((CAST(yc AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS revenue,
         |  CASE WHEN var_num > 0 THEN
-        |    round((CAST(yc AS DOUBLE) - CAST(sx AS DOUBLE) / 28.0)
-        |      / sqrt(var_num / (28.0 * (28.0 - 1.0))), 6) END AS z,
+        |    floor(((CAST(yc AS DOUBLE) - CAST(sx AS DOUBLE) / 28.0)
+        |      / sqrt(var_num / (28.0 * (28.0 - 1.0)))) * 1e6 + 0.5) / 1e6 END AS z,
         |  (var_num > 0 AND abs((CAST(yc AS DOUBLE) - CAST(sx AS DOUBLE) / 28.0)
         |      / sqrt(var_num / (28.0 * (28.0 - 1.0)))) > 2.0) AS is_anomaly
         |FROM f WHERE rn >= 28 ORDER BY day""".stripMargin,
@@ -4096,8 +4171,8 @@ object SparkEntry {
         |    ON a.term = b.term AND a.source < b.source
         |  GROUP BY 1, 2)
         |SELECT source_a, source_b, sa.v AS va, sb.v AS vb, n_shared,
-        |  round(CAST(n_shared AS DOUBLE)
-        |    / CAST(sa.v + sb.v - n_shared AS DOUBLE), 6) AS jaccard
+        |  floor((CAST(n_shared AS DOUBLE)
+        |    / CAST(sa.v + sb.v - n_shared AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.source = inter.source_a
         |JOIN sizes sb ON sb.source = inter.source_b
@@ -4112,8 +4187,8 @@ object SparkEntry {
         |fd AS (SELECT bigram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
         |SELECT g.doc_id, count(*)::BIGINT AS n_distinct_bigrams,
         |  sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-        |  round(CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |  floor((CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS novelty
         |FROM grams g JOIN fd USING (bigram)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_curriculum_interleave" ->
@@ -4140,7 +4215,7 @@ object SparkEntry {
         |      * (CAST(1 AS BIGINT) << CAST(40 - least(datediff('day', day, d1) // 7, 40) AS INTEGER)) AS term
         |  FROM ev, a)
         |SELECT user_id, count(*)::BIGINT AS n_events,
-        |  round(CAST(sum(term) AS DOUBLE) / 1099511627776.0, 6) AS score
+        |  floor((CAST(sum(term) AS DOUBLE) / 1099511627776.0) * 1e6 + 0.5) / 1e6 AS score
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ab_srm" ->
       """WITH u AS (
@@ -4152,9 +4227,9 @@ object SparkEntry {
         |  sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)::BIGINT AS na,
         |  sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)::BIGINT AS nb FROM arms)
         |SELECT na AS n_a, nb AS n_b,
-        |  round((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |  floor(((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
         |    * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
-        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)), 6) AS chi2,
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS chi2,
         |  ((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
         |    * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
         |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) > 3.841459) AS srm_detected
@@ -4183,9 +4258,9 @@ object SparkEntry {
          |    (SELECT count(*)::BIGINT FROM bits) AS bits_set,
          |    (SELECT count(*)::BIGINT FROM fp) AS n_false_pos)
          |SELECT n_members, n_probes, bits_set, n_false_pos,
-         |  round(CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE), 6) AS fpr,
-         |  round((CAST(bits_set AS DOUBLE) / 1024.0) * (CAST(bits_set AS DOUBLE) / 1024.0)
-         |    * (CAST(bits_set AS DOUBLE) / 1024.0), 6) AS expected_fpr
+         |  floor((CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS fpr,
+         |  floor(((CAST(bits_set AS DOUBLE) / 1024.0) * (CAST(bits_set AS DOUBLE) / 1024.0)
+         |    * (CAST(bits_set AS DOUBLE) / 1024.0)) * 1e6 + 0.5) / 1e6 AS expected_fpr
          |FROM s""".stripMargin
     },
     "q_vocab_coverage" ->
@@ -4202,7 +4277,7 @@ object SparkEntry {
         |       least(CAST(unnest([10, 100, 1000, 10000]) AS BIGINT), vocab) AS k_eff
         |       FROM t)
         |SELECT k, vocab, total,
-        |  round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+        |  floor((CAST(cum AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS coverage
         |FROM r JOIN ks ON CAST(r.rk AS BIGINT) = ks.k_eff CROSS JOIN t
         |ORDER BY k""".stripMargin,
     "q_watermark_reco" ->
@@ -4236,7 +4311,7 @@ object SparkEntry {
         |    max(struct_pack(cnt := cnt, npc := -pc)) AS mx
         |  FROM c GROUP BY 1)
         |SELECT brand, n_price_points, mx.cnt AS mode_count,
-        |  round(CAST(-mx.npc AS DOUBLE) / 100.0, 2) AS mode_price
+        |  floor((CAST(-mx.npc AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS mode_price
         |FROM m ORDER BY brand""".stripMargin,
     "q_two_hop" -> Similarity.twoHopOracleSql(),
     "q_pca_power" -> Similarity.pcaPowerOracleSql(),
@@ -4259,11 +4334,11 @@ object SparkEntry {
         |  sum(CASE WHEN seg = 'MACHINERY' AND yc <= med THEN 1 ELSE 0 END)::BIGINT AS d
         |  FROM v, med)
         |SELECT a AS n_a_above, b AS n_a_below, c AS n_b_above, d AS n_b_below,
-        |  round((CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+        |  floor(((CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
         |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
         |      * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
         |    / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
-        |      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE))), 6)
+        |      * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)))) * 1e6 + 0.5) / 1e6
         |    AS chi2
         |FROM s""".stripMargin,
     "q_mcnemar" ->
@@ -4279,9 +4354,9 @@ object SparkEntry {
         |  sum(CASE WHEN clicked = 0 AND purchased = 0 THEN 1 ELSE 0 END)::BIGINT AS n_neither
         |  FROM u)
         |SELECT n_both, b AS click_only, c AS purchase_only, n_neither,
-        |  round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+        |  floor(((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
         |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
-        |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) AS chi2,
+        |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS chi2,
         |  ((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
         |      * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
         |    / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) > 3.841459) AS asymmetric
@@ -4315,7 +4390,7 @@ object SparkEntry {
         |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d2
         |  FROM s)
         |SELECT CAST(lag AS BIGINT) AS lag, n,
-        |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS acf
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN floor((num / sqrt(d1 * d2)) * 1e6 + 0.5) / 1e6 END AS acf
         |FROM f ORDER BY lag""".stripMargin,
     "q_lead_time" ->
       """WITH fs AS (
@@ -4334,7 +4409,7 @@ object SparkEntry {
         |  days * cnt AS dc
         |  FROM h)
         |SELECT priority, max(n)::BIGINT AS n_orders,
-        |  round(CAST(sum(dc) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS mean_days,
+        |  floor((CAST(sum(dc) AS DOUBLE) / CAST(max(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_days,
         |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN days END) AS p50_days,
         |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN days END) AS p95_days
         |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -4450,8 +4525,8 @@ object SparkEntry {
         |vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
         |  SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t),
         |sc AS (SELECT doc_id,
-        |  round(CAST(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
-        |    / count(*), 6) AS avg_surprisal
+        |  floor((CAST(CAST(sum(CAST(-ln((c_ab + 1.0) / (c_a + v)) AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
+        |    / count(*)) * 1e6 + 0.5) / 1e6 AS avg_surprisal
         |  FROM bgf JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN vv
         |  GROUP BY doc_id),
         |st AS (SELECT count(*)::BIGINT AS n,
@@ -5333,7 +5408,7 @@ object SparkEntry {
         |    CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS d2
         |  FROM s)
         |SELECT CAST(lag AS BIGINT) AS lag, n,
-        |  CASE WHEN d1 > 0 AND d2 > 0 THEN round(num / sqrt(d1 * d2), 6) END AS xcorr
+        |  CASE WHEN d1 > 0 AND d2 > 0 THEN floor((num / sqrt(d1 * d2)) * 1e6 + 0.5) / 1e6 END AS xcorr
         |FROM f ORDER BY lag""".stripMargin,
     "q_hill_tail" ->
       """WITH top AS (
@@ -5345,9 +5420,9 @@ object SparkEntry {
         |    AS DECIMAL(28,12)) AS term, ref
         |  FROM top, r)
         |SELECT count(*)::BIGINT AS k,
-        |  round(CAST(max(ref) AS DOUBLE) / 100.0, 2) AS ref_value,
+        |  floor((CAST(max(ref) AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2 AS ref_value,
         |  CASE WHEN sum(term) <> 0 THEN
-        |    round(CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE), 6)
+        |    floor((CAST(count(*) AS DOUBLE) / CAST(sum(term) AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |  END AS hill_alpha
         |FROM terms""".stripMargin,
     "copy_publish" ->
@@ -5366,7 +5441,7 @@ object SparkEntry {
         |  len * cnt AS lc
         |  FROM h)
         |SELECT lang, max(n)::BIGINT AS n_tokens,
-        |  round(CAST(sum(lc) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS mean_len,
+        |  floor((CAST(sum(lc) AS DOUBLE) / CAST(max(n) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_len,
         |  min(CASE WHEN cum >= CAST(ceil(n * 0.5) AS BIGINT) THEN len END) AS p50_len,
         |  min(CASE WHEN cum >= CAST(ceil(n * 0.95) AS BIGINT) THEN len END) AS p95_len
         |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -5384,7 +5459,7 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
         |  FROM h)
         |SELECT wk AS gap_weeks, n_gaps, CAST(at_risk AS BIGINT) AS at_risk,
-        |  round(CAST(n_gaps AS DOUBLE) / CAST(at_risk AS DOUBLE), 6) AS hazard
+        |  floor((CAST(n_gaps AS DOUBLE) / CAST(at_risk AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS hazard
         |FROM r ORDER BY gap_weeks""".stripMargin,
     "q_kendall_tau" ->
       """WITH joint AS (
@@ -5409,9 +5484,9 @@ object SparkEntry {
         |  GROUP BY 1),
         |tot AS (SELECT flag, sum(n)::BIGINT AS nn FROM joint GROUP BY 1)
         |SELECT cd.flag, nn AS n,
-        |  round(2.0 * CAST(c - d AS DOUBLE)
+        |  floor((2.0 * CAST(c - d AS DOUBLE)
         |    / sqrt(CAST(CAST(nn AS HUGEINT) * (nn - 1) - t2_x AS DOUBLE)
-        |         * CAST(CAST(nn AS HUGEINT) * (nn - 1) - t2_y AS DOUBLE)), 6)
+        |         * CAST(CAST(nn AS HUGEINT) * (nn - 1) - t2_y AS DOUBLE))) * 1e6 + 0.5) / 1e6
         |    AS tau_b
         |FROM cd JOIN tx USING (flag) JOIN ty USING (flag) JOIN tot USING (flag)
         |ORDER BY flag""".stripMargin,
@@ -5440,8 +5515,8 @@ object SparkEntry {
         |      / sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
         |           * CAST(CAST(n AS HUGEINT) * szz - CAST(sz AS HUGEINT) * sz AS DOUBLE)) AS ryz
         |  FROM s)
-        |SELECT flag, n, round(rxy, 6) AS r_xy,
-        |  round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+        |SELECT flag, n, floor((rxy) * 1e6 + 0.5) / 1e6 AS r_xy,
+        |  floor(((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))) * 1e6 + 0.5) / 1e6
         |    AS r_xy_given_z
         |FROM r ORDER BY flag""".stripMargin,
     "q_weighted_median" ->
@@ -5456,7 +5531,7 @@ object SparkEntry {
         |  sum(w) OVER (PARTITION BY flag) AS tw
         |  FROM h)
         |SELECT flag, max(tw)::BIGINT AS total_weight,
-        |  round(CAST(min(CASE WHEN cum * 2 >= tw THEN pc END) AS DOUBLE) / 100.0, 2)
+        |  floor((CAST(min(CASE WHEN cum * 2 >= tw THEN pc END) AS DOUBLE) / 100.0) * 1e2 + 0.5) / 1e2
         |    AS weighted_median_price
         |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_char_entropy" ->
@@ -5466,10 +5541,10 @@ object SparkEntry {
         |  FROM documents WHERE length(text) >= 2),
         |c AS (SELECT lang, g, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
         |SELECT lang, sum(c)::BIGINT AS n_bigrams, count(*)::BIGINT AS vocab,
-        |  round(ln(CAST(sum(c) AS DOUBLE))
+        |  floor((ln(CAST(sum(c) AS DOUBLE))
         |    - CAST(CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
         |        AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE)
-        |      / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+        |      / CAST(sum(c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS entropy_nats
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_effective_sample" ->
       """WITH w AS (
@@ -5479,9 +5554,9 @@ object SparkEntry {
         |s AS (SELECT count(*)::BIGINT AS n, sum(w)::BIGINT AS sw,
         |      sum(CAST(w AS HUGEINT) * w) AS sww FROM w)
         |SELECT n,
-        |  round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(sww AS DOUBLE), 6) AS ess,
-        |  round(CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(sww AS DOUBLE)
-        |    / CAST(n AS DOUBLE), 6) AS ess_ratio
+        |  floor((CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(sww AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ess,
+        |  floor((CAST(CAST(sw AS HUGEINT) * sw AS DOUBLE) / CAST(sww AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ess_ratio
         |FROM s""".stripMargin,
     "copy_dedup" ->
       """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

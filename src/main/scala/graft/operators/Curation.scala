@@ -40,9 +40,9 @@ object Curation {
       .groupBy("doc_id", "n_tokens")
       .agg(count(lit(1)).as("n_distinct"), max("c").as("top_freq"))
       .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6))
+        (floor((lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .withColumn("top_ratio",
-        round(col("top_freq").cast("double") / col("n_tokens"), 6))
+        (floor((col("top_freq").cast("double") / col("n_tokens")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("doc_id", "n_tokens", "n_distinct", "top_freq", "dup_ratio", "top_ratio")
       .orderBy("doc_id")
 
@@ -78,7 +78,7 @@ object Curation {
     val total = per.agg(sum("n_tokens").as("tot"))
     per.crossJoin(broadcast(total))
       .withColumn("token_share",
-        round(col("n_tokens").cast("double") / col("tot"), 6))
+        (floor((col("n_tokens").cast("double") / col("tot")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("source", "n_docs", "n_tokens", "n_langs", "token_share")
       .orderBy("source")
   }
@@ -95,8 +95,8 @@ object Curation {
       .groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(tokensCol).cast("bigint")).as("n_tokens"))
-      .withColumn("doc_share_of_source", round(col("n_docs") /
-        sum(col("n_docs")).over(Window.partitionBy("source")), 6))
+      .withColumn("doc_share_of_source", (floor((col("n_docs") /
+        sum(col("n_docs")).over(Window.partitionBy("source"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("source", "lang")
 
   /** §2.3 #57 — training-sequence packing: documents are concatenated in
@@ -429,7 +429,7 @@ object Curation {
       .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
       .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
-        round(log2(col("c_ab") * nTok * nTok / (lit(nPairs) * col("c_a") * col("c_b"))), 6)
+        (floor((log2(col("c_ab") * nTok * nTok / (lit(nPairs) * col("c_a") * col("c_b")))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("pmi"))
       .orderBy(col("c_ab").desc, col("tok_a").asc, col("tok_b").asc)
   }
@@ -456,7 +456,7 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
-        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        (floor((col("n_oov").cast("double") / col("n_tokens")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("doc_id")
   }
 
@@ -580,11 +580,11 @@ object Curation {
     // weight_i = (idx+1) / sum(1..20) = (idx+1)/210 for the 20 sources
     val idx = substring(col("source"), 4, 10).cast("int")
     bySource
-      .withColumn("weight", round((idx + 1) / lit(210.0), 6))
+      .withColumn("weight", (floor(((idx + 1) / lit(210.0)) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .withColumn("target_tokens",
-        round(lit(tokenBudget) * (idx + 1) / lit(210.0), 6))
+        (floor((lit(tokenBudget) * (idx + 1) / lit(210.0)) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .withColumn("epochs",
-        round(lit(tokenBudget) * (idx + 1) / lit(210.0) / col("n_tokens"), 6))
+        (floor((lit(tokenBudget) * (idx + 1) / lit(210.0) / col("n_tokens")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .withColumn("sample_rate", least(lit(1.0), col("epochs")))
       .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
         "epochs", "sample_rate")
@@ -619,16 +619,16 @@ object Curation {
       .crossJoin(broadcast(total))
       .withColumn("term", (col("n") / col("n_docs")) *
         log((col("n") * col("n_docs")) / (col("nl") * col("ns"))))
-      .agg(round(dsum(col("term")), 6).as("mi_nats"))
+      .agg((floor((dsum(col("term"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mi_nats"))
     def entropy(m: DataFrame, cnt: String, out: String) =
       m.crossJoin(broadcast(total))
         .withColumn("term", -(col(cnt) / col("n_docs")) * log(col(cnt) / col("n_docs")))
-        .agg(round(dsum(col("term")), 6).as(out))
+        .agg((floor((dsum(col("term"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as(out))
     total.crossJoin(mi)
       .crossJoin(entropy(lm, "nl", "h_lang"))
       .crossJoin(entropy(sm, "ns", "h_source"))
       .withColumn("nmi",
-        round(col("mi_nats") / least(col("h_lang"), col("h_source")), 6))
+        (floor((col("mi_nats") / least(col("h_lang"), col("h_source"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("n_docs", "mi_nats", "h_lang", "h_source", "nmi")
   }
 
@@ -660,11 +660,11 @@ object Curation {
       .withColumn("term", (col("d") * col("d")).cast("double") /
         (col("n_docs").cast(big) * col("rl").cast(big) * col("cs").cast(big))
           .cast("double"))
-      .agg(round(sum(col("term").cast(decT)).cast("double"), 6).as("chi2"))
+      .agg((floor((sum(col("term").cast(decT)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"))
     total.crossJoin(dev).crossJoin(broadcast(dims))
       .withColumn("dof", (col("n_lang") - 1) * (col("n_source") - 1))
-      .withColumn("cramers_v", round(sqrt(col("chi2") /
-        (col("n_docs") * least(col("n_lang") - 1, col("n_source") - 1))), 6))
+      .withColumn("cramers_v", (floor((sqrt(col("chi2") /
+        (col("n_docs") * least(col("n_lang") - 1, col("n_source") - 1)))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("n_docs", "dof", "chi2", "cramers_v")
   }
 

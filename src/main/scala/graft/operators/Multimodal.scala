@@ -230,9 +230,9 @@ object Multimodal {
       }
     }.toDF()
       .select(col("doc_id"), col("n_bytes"), col("n_distinct_bytes"),
-        round(col("mean_byte"), 6).as("mean_byte"),
-        round(col("rms_byte"), 6).as("rms_byte"),
-        round(col("peak_win_rms"), 6).as("peak_win_rms"))
+        (floor((col("mean_byte")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_byte"),
+        (floor((col("rms_byte")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("rms_byte"),
+        (floor((col("peak_win_rms")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("peak_win_rms"))
       .orderBy("doc_id")
   }
 

@@ -361,9 +361,9 @@ object Relational {
         d(x).as("sx"), d(y).as("sy"),
         d(x * y).as("sxy"), d(x * x).as("sxx"), d(y * y).as("syy"))
       .select(col("l_returnflag"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (floor(((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_disc"),
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("corr_qty_disc"),
         col("n").cast("long").as("n_rows"))
       .orderBy("l_returnflag")
   }
@@ -471,7 +471,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), col("value"),
-        round(sum("value").over(w), 6).as("running_value"),
+        (floor((sum("value").over(w)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("running_value"),
         count(lit(1)).over(w).as("running_n"))
       .orderBy("event_id")
   }
@@ -599,8 +599,8 @@ object Relational {
       .where(col("to_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n").cast("double")
-        / sum("n").over(Window.partitionBy("from_type")), 6))
+      .withColumn("p", (floor((col("n").cast("double")
+        / sum("n").over(Window.partitionBy("from_type"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("from_type", "to_type")
   }
 
@@ -877,7 +877,7 @@ object Relational {
       .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
       .select(col("o_month"), col("n_orders"), col("revenue"),
         col("prev_revenue"),
-        round((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0, 6)
+        (floor(((col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100.0) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("mom_pct"))
       .orderBy("o_month")
   }
@@ -903,7 +903,7 @@ object Relational {
       .agg(countDistinct("user_id").as("mau"))
     dau.join(mau, "day")
       .select(col("day").cast("string").as("day"), col("dau"), col("mau"),
-        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+        (floor((col("dau").cast("double") / col("mau")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("stickiness"))
       .orderBy("day")
   }
 
@@ -1075,7 +1075,7 @@ object Relational {
     val sizes = cohorts.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_n"))
     active.join(broadcast(sizes), "cohort_wk")
       .select(col("cohort_wk"), col("wk_offset"), col("n_active"), col("cohort_n"),
-        round(col("n_active").cast("double") / col("cohort_n"), 6).as("retention"))
+        (floor((col("n_active").cast("double") / col("cohort_n")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("retention"))
       .orderBy("cohort_wk", "wk_offset")
   }
 
@@ -1233,16 +1233,15 @@ object Relational {
       .select(col("event_type"), col("n_a"), col("n_b"),
         (col("sa").cast("double") / col("n_a")).as("mean_a"),
         (col("sb").cast("double") / col("n_b")).as("mean_b"),
-        round(
+        (floor((
           (col("sb").cast("double") / col("n_b") - col("sa").cast("double") / col("n_a")) /
           sqrt(
             (col("ssa").cast("double") / col("n_a") -
               (col("sa").cast("double") / col("n_a")) * (col("sa").cast("double") / col("n_a"))) / col("n_a") +
             (col("ssb").cast("double") / col("n_b") -
-              (col("sb").cast("double") / col("n_b")) * (col("sb").cast("double") / col("n_b"))) / col("n_b")),
-          6).as("z_score"))
-      .withColumn("mean_a", round(col("mean_a"), 6))
-      .withColumn("mean_b", round(col("mean_b"), 6))
+              (col("sb").cast("double") / col("n_b")) * (col("sb").cast("double") / col("n_b"))) / col("n_b"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("z_score"))
+      .withColumn("mean_a", (floor((col("mean_a")) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .withColumn("mean_b", (floor((col("mean_b")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("event_type")
   }
 
@@ -1326,8 +1325,8 @@ object Relational {
         (sum(col("clipped").cast(sumDec)).cast("double") / count(lit(1))).as("mean_winsor"),
         sum(when(col("v") < col("p05"), 1L).otherwise(0L)).as("n_clip_low"),
         sum(when(col("v") > col("p95"), 1L).otherwise(0L)).as("n_clip_high"))
-      .withColumn("mean_raw", round(col("mean_raw"), 6))
-      .withColumn("mean_winsor", round(col("mean_winsor"), 6))
+      .withColumn("mean_raw", (floor((col("mean_raw")) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .withColumn("mean_winsor", (floor((col("mean_winsor")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("event_type")
   }
 
@@ -1369,8 +1368,8 @@ object Relational {
         sum(col("x")).cast("double").as("sx"),
         sum((col("i") * col("x")).cast(DecimalType(38, 2))).cast("double").as("six"))
       .select(col("n_customers"),
-        round(lit(2.0) * col("six") / (col("n_customers") * col("sx")) -
-          (col("n_customers") + lit(1.0)) / col("n_customers"), 6).as("gini"))
+        (floor((lit(2.0) * col("six") / (col("n_customers") * col("sx")) -
+          (col("n_customers") + lit(1.0)) / col("n_customers")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini"))
   }
 
   /** §2.2 #153 — Benford first-digit audit over order totals: observed
@@ -1388,9 +1387,9 @@ object Relational {
       .groupBy("digit")
       .agg(count(lit(1)).as("n"))
       .withColumn("share",
-        round(col("n") / sum(col("n")).over(Window.partitionBy()), 6))
-      .withColumn("benford", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
-      .withColumn("abs_dev", round(abs(col("share") - col("benford")), 6))
+        (floor((col("n") / sum(col("n")).over(Window.partitionBy())) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .withColumn("benford", (floor((log10(lit(1.0) + lit(1.0) / col("digit"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .withColumn("abs_dev", (floor((abs(col("share") - col("benford"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("digit")
 
   /** §2.2 #154 — lag-1 autocorrelation of daily revenue: does today's
@@ -1418,9 +1417,9 @@ object Relational {
         d(col("r") * col("r")).as("sxx"),
         d(col("r_next") * col("r_next")).as("syy"))
       .select(col("n").cast("long").as("n_pairs"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (floor(((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("autocorr_lag1"))
   }
 
@@ -1444,7 +1443,7 @@ object Relational {
       .join(churned.groupBy("wk").agg(count(lit(1)).as("n_churned")), Seq("wk"), "left_outer")
       .select(date_format(col("wk"), "yyyy-MM-dd").as("week"), col("n_active"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned"),
-        round(coalesce(col("n_churned"), lit(0L)) / col("n_active").cast("double"), 6)
+        (floor((coalesce(col("n_churned"), lit(0L)) / col("n_active").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("churn_rate"))
       .orderBy("week")
   }
@@ -1481,7 +1480,7 @@ object Relational {
         .cast("long").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("monetary")).cast("double").as("revenue"))
-      .withColumn("revenue", round(col("revenue"), 2))
+      .withColumn("revenue", (floor((col("revenue")) * lit(1e2) + lit(0.5)) / lit(1e2)))
       .orderBy("segment")
   }
 
@@ -1497,9 +1496,9 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         dsum6(col("value")).as("total_value"))
     byHour
-      .withColumn("share_of_type", round(col("n_events") /
-        sum(col("n_events")).over(Window.partitionBy("event_type")), 6))
-      .withColumn("total_value", round(col("total_value"), 6))
+      .withColumn("share_of_type", (floor((col("n_events") /
+        sum(col("n_events")).over(Window.partitionBy("event_type"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
+      .withColumn("total_value", (floor((col("total_value")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("event_type", "hour")
   }
 
@@ -1605,8 +1604,8 @@ object Relational {
       .where(col("gap").isNotNull)
     gaps.groupBy("o_custkey")
       .agg(count(lit(1)).as("n_gaps"),
-        round(sum(col("gap").cast(DecimalType(18, 0))).cast("double") /
-          count(lit(1)), 6).as("avg_gap_days"),
+        (floor((sum(col("gap").cast(DecimalType(18, 0))).cast("double") /
+          count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_gap_days"),
         min("gap").cast("long").as("min_gap_days"),
         max("gap").cast("long").as("max_gap_days"))
       .orderBy("o_custkey")
@@ -1689,8 +1688,8 @@ object Relational {
         Seq("user_id"), "left_outer")
       .select(col("user_id"), col("n_views"),
         coalesce(col("n_abandoned"), lit(0L)).as("n_abandoned"),
-        round(coalesce(col("n_abandoned"), lit(0L)) /
-          col("n_views").cast("double"), 6).as("abandon_rate"))
+        (floor((coalesce(col("n_abandoned"), lit(0L)) /
+          col("n_views").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("abandon_rate"))
       .orderBy("user_id")
   }
 
@@ -1752,8 +1751,8 @@ object Relational {
     pairs.join(inter, Seq("type_a", "type_b"), "left_outer")
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         coalesce(col("n_both"), lit(0L)).as("n_both"),
-        round(coalesce(col("n_both"), lit(0L)) /
-          (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L))).cast("double"), 6)
+        (floor((coalesce(col("n_both"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L))).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("jaccard"))
       .orderBy("type_a", "type_b")
   }
@@ -1842,7 +1841,7 @@ object Relational {
         dsum6(vol).as("total_volume"),
         count(lit(1)).as("n_lines"))
       .withColumn("mkt_share",
-        round(col("nation_volume") / col("total_volume"), 6))
+        (floor((col("nation_volume") / col("total_volume")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("o_year", "nation_volume", "total_volume", "mkt_share", "n_lines")
       .orderBy("o_year")
   }
@@ -1928,7 +1927,7 @@ object Relational {
       .select(col("decile"), col("n_cust"),
         col("rev_d").cast("double").as("revenue"),
         col("cum_rev").cast("double").as("cum_revenue"),
-        round(col("cum_rev").cast("double") / col("total_rev").cast("double"), 6)
+        (floor((col("cum_rev").cast("double") / col("total_rev").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("cum_share"))
       .orderBy("decile")
   }
@@ -1971,8 +1970,8 @@ object Relational {
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("pair_count"),
         col("cnt_a"), col("cnt_b"),
-        round((col("pair_count") * col("n_orders")).cast("double") /
-          (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+        (floor(((col("pair_count") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("lift"))
       .orderBy(col("pair_count").desc, col("part_a").asc, col("part_b").asc)
       .limit(topK)
   }
@@ -2342,7 +2341,7 @@ object Relational {
         dsum6(vol).as("total_revenue"),
         count(lit(1)).as("n_lines"))
       .withColumn("promo_share",
-        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+        (floor((lit(100.0) * col("promo_revenue") / col("total_revenue")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("promo_revenue", "total_revenue", "promo_share", "n_lines")
   }
 
@@ -2393,8 +2392,8 @@ object Relational {
     deltas.groupBy("step")
       .agg(count(lit(1)).as("n_users"),
         min("delta_us").as("min_us"), max("delta_us").as("max_us"),
-        round(sum(col("delta_us").cast(DecimalType(28, 0))).cast("double") /
-          count(lit(1)), 6).as("avg_us"))
+        (floor((sum(col("delta_us").cast(DecimalType(28, 0))).cast("double") /
+          count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("avg_us"))
       .join(broadcast(med), "step")
       .select("step", "n_users", "min_us", "med_us", "max_us", "avg_us")
       .orderBy("step")
@@ -2510,7 +2509,7 @@ object Relational {
     }
     val o = t(spark, dir, "orders")
       .select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("xc"))
+        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc"))
     val means = o
       .select(col("o_orderkey"), col("xc"),
         explode(sequence(lit(0), lit(nGroups - 1))).as("grp"))
@@ -2536,12 +2535,12 @@ object Relational {
         min(when(col("rk") === hiRk, col("mean_b"))).as("ci_hi"))
     t(spark, dir, "orders")
       .agg(count(lit(1)).as("n_rows"),
-        round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
-          count(lit(1)), 6).as("mean_full"))
+        (floor((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_full"))
       .crossJoin(ci)
       .select(lit(nBoot).cast("long").as("n_boot"), col("n_rows"),
-        col("mean_full"), round(col("ci_lo"), 6).as("ci_lo"),
-        round(col("ci_hi"), 6).as("ci_hi"))
+        col("mean_full"), (floor((col("ci_lo")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ci_lo"),
+        (floor((col("ci_hi")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ci_hi"))
   }
 
   /** §2.2 #210 — EXACT grouped QUARTILES (p25/p50/p75 of customer balance
@@ -2612,8 +2611,8 @@ object Relational {
       .groupBy("na", "nb", "max_num")
       .agg(min("v").cast("double").as("at_value"))
       .select(col("na"), col("nb"),
-        round(col("max_num").cast("double") /
-          (col("na").cast(f19) * col("nb").cast(f19)).cast("double"), 6)
+        (floor((col("max_num").cast("double") /
+          (col("na").cast(f19) * col("nb").cast(f19)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("d_stat"),
         col("at_value"))
   }
@@ -2661,11 +2660,11 @@ object Relational {
       .withColumn("pa", (col("n_ref") + lit(1L)) / (col("ta") + lit(10L)))
       .withColumn("pb", (col("n_cur") + lit(1L)) / (col("tb") + lit(10L)))
       .withColumn("term", (col("pa") - col("pb")) * log(col("pa") / col("pb")))
-      .withColumn("psi", round(sum(col("term").cast(decT))
-        .over(Window.partitionBy()).cast("double"), 6))
+      .withColumn("psi", (floor((sum(col("term").cast(decT))
+        .over(Window.partitionBy()).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        round(col("pa"), 6).as("share_ref"), round(col("pb"), 6).as("share_cur"),
-        round(col("term"), 6).as("term"), col("psi"))
+        (floor((col("pa")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("share_ref"), (floor((col("pb")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("share_cur"),
+        (floor((col("term")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("term"), col("psi"))
       .orderBy("bin")
   }
 
@@ -2697,7 +2696,7 @@ object Relational {
       .groupBy("n_days", "mx")
       .agg(min("day").as("cp_day"))
       .select(col("n_days"), col("cp_day"),
-        round(col("mx").cast("double") / col("n_days").cast("double"), 6)
+        (floor((col("mx").cast("double") / col("n_days").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("max_dev"))
   }
 
@@ -2766,8 +2765,8 @@ object Relational {
       .withColumn("intercept_raw",
         (col("syc").cast("double") / 100.0 -
           col("slope_raw") * col("sx").cast("double")) / col("n").cast("double"))
-      .select(col("segment"), col("n"), round(col("slope_raw"), 6).as("slope"),
-        round(col("intercept_raw"), 6).as("intercept"))
+      .select(col("segment"), col("n"), (floor((col("slope_raw")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("slope"),
+        (floor((col("intercept_raw")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("intercept"))
       .orderBy("segment")
   }
 
@@ -2799,9 +2798,9 @@ object Relational {
         sum(col("nrev") * col("nrev")).as("sum_sq"),
         sum("nrev").cast(dec).as("rrev"), max("nrev").as("top_rev"))
       .select(col("r_name"), col("n_nations"),
-        round(col("sum_sq").cast("double") /
-          (col("rrev") * col("rrev")).cast("double"), 6).as("hhi"),
-        round(col("top_rev").cast("double") / col("rrev").cast("double"), 6)
+        (floor((col("sum_sq").cast("double") /
+          (col("rrev") * col("rrev")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("hhi"),
+        (floor((col("top_rev").cast("double") / col("rrev").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("top_share"))
       .orderBy("r_name")
   }
@@ -2824,9 +2823,9 @@ object Relational {
     byDow.crossJoin(broadcast(tot))
       .select(col("dow"), col("n_orders"),
         col("rev").cast("double").as("revenue"),
-        round((col("rev") * 7).cast("double") / col("tot_rev").cast("double"), 6)
+        (floor(((col("rev") * 7).cast("double") / col("tot_rev").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("seas_index"),
-        round(col("rev").cast("double") / col("n_orders").cast("double"), 6)
+        (floor((col("rev").cast("double") / col("n_orders").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("avg_order"))
       .orderBy("dow")
   }
@@ -2898,7 +2897,7 @@ object Relational {
     buckets
       .withColumn("total", sum("n_events").over(Window.partitionBy()))
       .select(col("bucket"), col("n_events"), col("max_late_us"),
-        round(col("n_events").cast("double") / col("total").cast("double"), 6)
+        (floor((col("n_events").cast("double") / col("total").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("share"))
       .orderBy("bucket")
   }
@@ -2951,11 +2950,11 @@ object Relational {
       (sea * sea / (col("na").cast("double") - 1.0) +
         seb * seb / (col("nb").cast("double") - 1.0))
     s.select(col("na").as("n_a"), col("nb").as("n_b"),
-      round(col("sa").cast("double") / col("na").cast("double") / 100.0, 6)
+      (floor((col("sa").cast("double") / col("na").cast("double") / 100.0) * lit(1e6) + lit(0.5)) / lit(1e6))
         .as("mean_a"),
-      round(col("sb").cast("double") / col("nb").cast("double") / 100.0, 6)
+      (floor((col("sb").cast("double") / col("nb").cast("double") / 100.0) * lit(1e6) + lit(0.5)) / lit(1e6))
         .as("mean_b"),
-      round(tStat, 6).as("t_stat"), round(df, 6).as("df"))
+      (floor((tStat) * lit(1e6) + lit(0.5)) / lit(1e6)).as("t_stat"), (floor((df) * lit(1e6) + lit(0.5)) / lit(1e6)).as("df"))
   }
 
   /** §2.2 #228 — MANN-WHITNEY U (rank-sum) test of order value between two
@@ -3002,7 +3001,7 @@ object Relational {
     val z = (u - na * nb / 2.0) /
       sqrt(na * nb / 12.0 * ((n + 1.0) - col("ties").cast("double") / (n * (n - 1.0))))
     terms.select(col("na").as("n_a"), col("nb").as("n_b"), u.as("u"),
-      round(z, 6).as("z"), round(u / (na * nb), 6).as("auc"))
+      (floor((z) * lit(1e6) + lit(0.5)) / lit(1e6)).as("z"), (floor((u / (na * nb)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("auc"))
   }
 
   /** §2.2 #229 — SPEARMAN rank correlation of quantity vs discount per
@@ -3051,7 +3050,7 @@ object Relational {
     val d1 = (nB * col("sxx") - col("sx") * col("sx")).cast("double")
     val d2 = (nB * col("syy") - col("sy") * col("sy")).cast("double")
     s.select(col("flag"), col("n"),
-      round(num / sqrt(d1 * d2), 6).as("rho"))
+      (floor((num / sqrt(d1 * d2)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("rho"))
       .orderBy("flag")
   }
 
@@ -3123,7 +3122,7 @@ object Relational {
         max("total").as("total"))
       .select(col("abc_class"), col("n_parts"),
         col("class_rev").cast("double").as("revenue"),
-        round(col("class_rev").cast("double") / col("total").cast("double"), 6)
+        (floor((col("class_rev").cast("double") / col("total").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("rev_share"))
       .orderBy("abc_class")
   }
@@ -3170,7 +3169,7 @@ object Relational {
       .where(col("rn") >= winDays)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("xc").as("clicks"), col("xv").as("views"),
-        when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("roll_corr"))
+        when(d1 > 0 && d2 > 0, (floor((num / sqrt(d1 * d2)) * lit(1e6) + lit(0.5)) / lit(1e6))).as("roll_corr"))
       .orderBy("day")
   }
 
@@ -3207,11 +3206,11 @@ object Relational {
           (col("yc") * 2 > col("q3") * 2 + (col("q3") - col("q1")) * 3))
       .groupBy("seg")
       .agg(max("n_orders").as("n_orders"),
-        round(max(col("q1")).cast("double") / 100.0, 2).as("q1"),
-        round(max(col("q3")).cast("double") / 100.0, 2).as("q3"),
+        (floor((max(col("q1")).cast("double") / 100.0) * lit(1e2) + lit(0.5)) / lit(1e2)).as("q1"),
+        (floor((max(col("q3")).cast("double") / 100.0) * lit(1e2) + lit(0.5)) / lit(1e2)).as("q3"),
         sum(when(col("is_out"), col("cnt")).otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_share",
-        round(col("n_outliers").cast("double") / col("n_orders").cast("double"), 6))
+        (floor((col("n_outliers").cast("double") / col("n_orders").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("seg")
   }
 
@@ -3243,10 +3242,10 @@ object Relational {
         sum(when(kept, col("yc")).otherwise(0L)).as("s_trim"),
         sum(when(kept, 1L).otherwise(0L)).as("n_trim"))
       .select(col("seg"), col("n_orders"), col("n_trimmed_each_side"),
-        round(col("s_all").cast("double") / col("n_orders").cast("double")
-          / 100.0, 6).as("mean"),
-        round(col("s_trim").cast("double") / col("n_trim").cast("double")
-          / 100.0, 6).as("trimmed_mean"))
+        (floor((col("s_all").cast("double") / col("n_orders").cast("double")
+          / 100.0) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean"),
+        (floor((col("s_trim").cast("double") / col("n_trim").cast("double")
+          / 100.0) * lit(1e6) + lit(0.5)) / lit(1e6)).as("trimmed_mean"))
       .orderBy("seg")
   }
 
@@ -3290,8 +3289,8 @@ object Relational {
     val mu = lit(2.0) * n1 * n2 / n + 1.0
     val sig2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) / (n * n * (n - 1.0))
     r.select(col("n1").as("n_above"), col("n2").as("n_below"),
-      col("runs").as("n_runs"), round(mu, 6).as("expected_runs"),
-      round((col("runs").cast("double") - mu) / sqrt(sig2), 6).as("z"))
+      col("runs").as("n_runs"), (floor((mu) * lit(1e6) + lit(0.5)) / lit(1e6)).as("expected_runs"),
+      (floor(((col("runs").cast("double") - mu) / sqrt(sig2)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("z"))
   }
 
   /** §2.2 #242 — log-log PRICE ELASTICITY per brand: OLS slope of
@@ -3324,7 +3323,7 @@ object Relational {
       col("sx").cast("double") * col("sy").cast("double")) /
       (nD * col("sxx").cast("double") -
         col("sx").cast("double") * col("sx").cast("double"))
-    s.select(col("brand"), col("n"), round(slope, 6).as("elasticity"))
+    s.select(col("brand"), col("n"), (floor((slope) * lit(1e6) + lit(0.5)) / lit(1e6)).as("elasticity"))
       .orderBy("brand")
   }
 
@@ -3355,9 +3354,9 @@ object Relational {
         (r * log(r)).cast(DecimalType(28, 12)).as("term"))
       .groupBy("seg")
       .agg(max("n").as("n_customers"),
-        round(max(col("s")).cast("double") / max(col("n")).cast("double")
-          / 100.0, 6).as("mean_revenue"),
-        round(sum("term").cast("double") / max(col("n")).cast("double"), 6)
+        (floor((max(col("s")).cast("double") / max(col("n")).cast("double")
+          / 100.0) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_revenue"),
+        (floor((sum("term").cast("double") / max(col("n")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("theil_t"))
       .orderBy("seg")
   }
@@ -3400,7 +3399,7 @@ object Relational {
         .select(col("event_type"),
           coalesce(col("in_p").cast("double"), lit(0.0)).as("p"))
     }
-    pi.select(col("event_type"), round(col("p"), 9).as("pi"))
+    pi.select(col("event_type"), (floor((col("p")) * lit(1e9) + lit(0.5)) / lit(1e9)).as("pi"))
       .orderBy("event_type")
   }
 
@@ -3427,7 +3426,7 @@ object Relational {
           expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - k AS INT))"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("term").cast("double") / lit(math.pow(2, 40)), 6).as("score"))
+        (floor((sum("term").cast("double") / lit(math.pow(2, 40))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
       .orderBy("user_id")
   }
 
@@ -3451,7 +3450,7 @@ object Relational {
     val na = col("na").cast("double"); val nb = col("nb").cast("double")
     val chi2 = (na - nb) * (na - nb) / (na + nb)
     s.select(col("na").as("n_a"), col("nb").as("n_b"),
-      round(chi2, 6).as("chi2"), (chi2 > 3.841459).as("srm_detected"))
+      (floor((chi2) * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"), (chi2 > 3.841459).as("srm_detected"))
   }
 
   /** §2.2 #256 — BLOOM-FILTER false-positive measurement: build a 1024-bit
@@ -3490,9 +3489,9 @@ object Relational {
     val load = col("bits_set").cast("double") / lit(mBits.toDouble)
     s.select(col("n_members"), col("n_probes"), col("bits_set"),
       col("n_false_pos"),
-      round(col("n_false_pos").cast("double") / col("n_probes").cast("double"), 6)
+      (floor((col("n_false_pos").cast("double") / col("n_probes").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
         .as("fpr"),
-      round(load * load * load, 6).as("expected_fpr"))
+      (floor((load * load * load) * lit(1e6) + lit(0.5)) / lit(1e6)).as("expected_fpr"))
   }
 
   /** §2.2 #260 — WATERMARK RECOMMENDATION from the empirical lateness
@@ -3551,7 +3550,7 @@ object Relational {
         max(struct(col("cnt"), (-col("pc")).as("npc"))).as("m"))
       .select(col("brand"), col("n_price_points"),
         col("m.cnt").as("mode_count"),
-        round((-col("m.npc")).cast("double") / 100.0, 2).as("mode_price"))
+        (floor(((-col("m.npc")).cast("double") / 100.0) * lit(1e2) + lit(0.5)) / lit(1e2)).as("mode_price"))
       .orderBy("brand")
   }
 
@@ -3596,7 +3595,7 @@ object Relational {
     val d2 = (nB * col("syy") - col("sy").cast(big) * col("sy").cast(big))
       .cast("double")
     s.select(col("lag").cast("long").as("lag"), col("n"),
-      when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("xcorr"))
+      when(d1 > 0 && d2 > 0, (floor((num / sqrt(d1 * d2)) * lit(1e6) + lit(0.5)) / lit(1e6))).as("xcorr"))
       .orderBy("lag")
   }
 
@@ -3624,13 +3623,13 @@ object Relational {
       .agg(count(lit(1)).as("k"), max("ref").as("ref_cents"),
         sum("term").as("s"))
       .select(col("k"),
-        round(col("ref_cents").cast("double") / 100.0, 2).as("ref_value"),
+        (floor((col("ref_cents").cast("double") / 100.0) * lit(1e2) + lit(0.5)) / lit(1e2)).as("ref_value"),
         // Σ log(y/ref) = 0 when the whole top-k TIES at one value (the
         // sf10 replica corpus does exactly this): the Hill estimator is
         // UNDEFINED on a degenerate tail — emit null, never divide
         // (ANSI division by a zero decimal throws; caught at sf10).
         when(col("s") =!= 0,
-          round(col("k").cast("double") / col("s").cast("double"), 6))
+          (floor((col("k").cast("double") / col("s").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
           .as("hill_alpha"))
   }
 
@@ -3651,8 +3650,8 @@ object Relational {
       sum(col("w").cast(big) * col("w").cast(big)).as("sww"))
     val ess = (col("sw").cast(big) * col("sw").cast(big)).cast("double") /
       col("sww").cast("double")
-    s.select(col("n"), round(ess, 6).as("ess"),
-      round(ess / col("n").cast("double"), 6).as("ess_ratio"))
+    s.select(col("n"), (floor((ess) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ess"),
+      (floor((ess / col("n").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("ess_ratio"))
   }
 
   /** §2.2 #268 — discrete re-order HAZARD curve: for each whole-week gap
@@ -3680,7 +3679,7 @@ object Relational {
     hist
       .withColumn("at_risk", sum("n_gaps").over(wRisk))
       .select(col("wk").as("gap_weeks"), col("n_gaps"), col("at_risk"),
-        round(col("n_gaps").cast("double") / col("at_risk").cast("double"), 6)
+        (floor((col("n_gaps").cast("double") / col("at_risk").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("hazard"))
       .orderBy("gap_weeks")
   }
@@ -3707,8 +3706,8 @@ object Relational {
         sum("w").over(wAll).as("tw"))
       .groupBy("flag")
       .agg(max("tw").as("total_weight"),
-        round(min(when(col("cum") * 2 >= col("tw"), col("pc")))
-          .cast("double") / 100.0, 2).as("weighted_median_price"))
+        (floor((min(when(col("cum") * 2 >= col("tw"), col("pc")))
+          .cast("double") / 100.0) * lit(1e2) + lit(0.5)) / lit(1e2)).as("weighted_median_price"))
       .orderBy("flag")
   }
 
@@ -3751,9 +3750,9 @@ object Relational {
     cd.join(tieTerm("x"), "flag").join(tieTerm("y"), "flag")
       .join(totals, "flag")
       .select(col("flag"), col("nn").as("n"),
-        round(lit(2.0) * (col("c") - col("d")).cast("double") /
+        (floor((lit(2.0) * (col("c") - col("d")).cast("double") /
           sqrt((n02 - col("t2_x")).cast("double") *
-            (n02 - col("t2_y")).cast("double")), 6).as("tau_b"))
+            (n02 - col("t2_y")).cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("tau_b"))
       .orderBy("flag")
   }
 
@@ -3791,9 +3790,9 @@ object Relational {
     val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
     val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
     val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
-    s.select(col("flag"), col("n"), round(rxy, 6).as("r_xy"),
-      round((rxy - rxz * ryz) /
-        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+    s.select(col("flag"), col("n"), (floor((rxy) * lit(1e6) + lit(0.5)) / lit(1e6)).as("r_xy"),
+      (floor(((rxy - rxz * ryz) /
+        sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))) * lit(1e6) + lit(0.5)) / lit(1e6))
         .as("r_xy_given_z"))
       .orderBy("flag")
   }
@@ -3843,7 +3842,7 @@ object Relational {
       ((aD + bD) * (cD + dD) * (aD + cD) * (bD + dD))
     s.select(col("a").as("n_a_above"), col("b").as("n_a_below"),
       col("c").as("n_b_above"), col("d").as("n_b_below"),
-      round(chi2, 6).as("chi2"))
+      (floor((chi2) * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"))
   }
 
   /** §2.2 #275 — McNEMAR test of paired click→purchase behavior on
@@ -3875,7 +3874,7 @@ object Relational {
     val bD = col("b").cast("double"); val cD = col("c").cast("double")
     s.select(col("n_both"), col("b").as("click_only"),
       col("c").as("purchase_only"), col("n_neither"),
-      round((bD - cD) * (bD - cD) / (bD + cD), 6).as("chi2"),
+      (floor(((bD - cD) * (bD - cD) / (bD + cD)) * lit(1e6) + lit(0.5)) / lit(1e6)).as("chi2"),
       ((bD - cD) * (bD - cD) / (bD + cD) > 3.841459).as("asymmetric"))
   }
 
@@ -3889,7 +3888,7 @@ object Relational {
     */
   def acf(spark: SparkSession, dir: String, maxLag: Int = 14): DataFrame =
     acfRho(spark, dir, maxLag)
-      .select(col("lag"), col("n"), round(col("rho"), 6).as("acf"))
+      .select(col("lag"), col("n"), (floor((col("rho")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("acf"))
       .orderBy("lag")
 
   /** Per-lag autocorrelation frame shared by [[acf]] (which rounds for
@@ -4010,7 +4009,7 @@ object Relational {
         (col("days") * col("cnt")).as("dc"))
       .groupBy("priority")
       .agg(max("n").as("n_orders"),
-        round(sum("dc").cast("double") / max("n").cast("double"), 6)
+        (floor((sum("dc").cast("double") / max("n").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("mean_days"),
         q(0.5, "p50_days"), q(0.95, "p95_days"))
       .orderBy("priority")
@@ -4043,7 +4042,7 @@ object Relational {
         col("peak").cast("double").as("peak_cum_revenue"),
         col("cum").cast("double").as("trough_cum_revenue"),
         col("dd").cast("double").as("max_drawdown"),
-        round(col("dd").cast("double") / col("peak").cast("double"), 6)
+        (floor((col("dd").cast("double") / col("peak").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("drawdown_share"))
   }
 
@@ -4082,8 +4081,8 @@ object Relational {
       .withColumn("sq", sum(col("yc").cast(big) * col("yc").cast(big)).over(w))
       .where(col("rn") >= winDays)
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        round(col("yc").cast("double") / 100.0, 2).as("revenue"),
-        when(varNum > 0, round(z, 6)).as("z"),
+        (floor((col("yc").cast("double") / 100.0) * lit(1e2) + lit(0.5)) / lit(1e2)).as("revenue"),
+        when(varNum > 0, (floor((z) * lit(1e6) + lit(0.5)) / lit(1e6))).as("z"),
         (varNum > 0 && abs(z) > 2.0).as("is_anomaly"))
       .orderBy("day")
   }
@@ -5677,6 +5676,212 @@ object Relational {
         fl6(col("cumx").cast("double") / col("sx").cast("double"))
           .as("cum_revenue_share"))
       .orderBy("decile")
+  }
+
+  /** Shared PARTSUPP-LITE derivation for the partsupp-centric TPC-H
+    * shapes (#376 Q2, #377 Q11, #378 Q16, #379 Q20): the reduced schema
+    * ships no partsupp table, so one is derived from lineitem — the
+    * `q_tpch_q9` precedent (which derived supply COST the same way).
+    * `ps_availqty` is the exact decimal Σ l_quantity per (part, supp)
+    * and `ps_supplycost` is min(l_extendedprice) — a min over identical
+    * input doubles, order-free and engine-identical; no division
+    * anywhere, so every downstream comparison is deterministic.
+    *
+    * At 100 TB: one partial-aggregated pass over lineitem with the
+    * shuffle keyed (partkey, suppkey) — the same reduction a real
+    * partsupp materialization runs; the result is |parts|×|supps per
+    * part| bounded, dimension-sized relative to the fact.
+    */
+  private def partsuppLite(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("ps_availqty"),
+        min(col("l_extendedprice")).as("ps_supplycost"))
+
+  /** The partsupp-lite CTE as DuckDB SQL (oracle twin of
+    * [[partsuppLite]]) — DECIMAL sum and double min, same as Spark.
+    */
+  private[graft] val partsuppLiteSql: String =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty,
+      |    min(l_extendedprice) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** §2.2 #380 — TPC-H Q12 (shipmode priority classification): lines
+    * shipped in a window, restricted to two "ship modes" (the reduced
+    * schema has no l_shipmode; l_returnflag's R/A classes stand in —
+    * same two-class IN filter, same plan), joined to orders, counting
+    * high-priority (1-URGENT / 2-HIGH) vs lower-priority orders per
+    * mode. The IN + date predicates reach the lineitem scan
+    * (PushedFilters); the join is fact-to-fact on orderkey — sort-merge
+    * by design, never broadcast (both sides scale with SF); the
+    * conditional counts partial-aggregate map-side.
+    */
+  def tpchQ12(spark: SparkSession, dir: String,
+      yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01",
+      modes: Seq[String] = Seq("R", "A")): DataFrame = {
+    val hi = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit(yearStart)) &&
+        col("l_shipdate") < to_date(lit(yearEnd)) &&
+        col("l_returnflag").isin(modes: _*))
+      .select(col("l_orderkey"), col("l_returnflag").as("shipmode"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("shipmode")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("shipmode")
+  }
+
+  /** §2.2 #376 — TPC-H Q2 (min-cost supplier): for every part of one
+    * type in one region, the supplier(s) quoting the minimum supply
+    * cost, with their nation and balance. The correlated MIN subquery is
+    * de-correlated into a per-part aggregate + equi-join on exact double
+    * equality (both sides read the identical min, so the equality is
+    * deterministic). Supplier⋈nation⋈region is dimension-sized and
+    * BROADCAST against partsupp-lite; the part filter prunes the probe
+    * at its scan. Top-100 by balance via distributed TakeOrdered, the
+    * canonical Q2 LIMIT.
+    */
+  def tpchQ2(spark: SparkSession, dir: String, partType: String = "LARGE",
+      region: String = "ASIA", topK: Int = 100): DataFrame = {
+    val part = t(spark, dir, "part")
+      .where(col("p_type") === partType).select("p_partkey", "p_name")
+    val nat = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+          .where(col("r_name") === region).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name").as("nation"))
+    val ps = partsuppLite(spark, dir)
+      .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+    val minCost = ps.groupBy(col("ps_partkey").as("m_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    ps.join(minCost, col("ps_partkey") === col("m_partkey") &&
+        col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("nation"),
+        col("ps_partkey").as("p_partkey"), col("p_name"),
+        col("ps_supplycost").as("supplycost"))
+      .orderBy(col("s_acctbal").desc, col("nation").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(topK)
+  }
+
+  /** §2.2 #377 — TPC-H Q11 (important stock value): per-part stock value
+    * Σ cost·qty over one nation's suppliers, keeping parts whose value
+    * exceeds `fracBp` basis points of the nation total. The HAVING
+    * threshold is division-free — value·10000 > total·fracBp in exact
+    * DECIMAL — so the cut is deterministic cross-engine; the presented
+    * value rides the decimal→double convention. Nation supplier set is
+    * broadcast; the per-part and total aggregates share one scan of the
+    * filtered partsupp-lite frame.
+    */
+  def tpchQ11(spark: SparkSession, dir: String, nation: String = "NATION_3",
+      fracBp: Int = 10): DataFrame = {
+    // Supply cost to exact integer CENTS via floor(x·100+0.5) — a
+    // double→DECIMAL cast would round half-up (Spark) vs round-half-even
+    // (engine-dependent) at representation ties; floor of identical
+    // doubles is engine-stable (the fl6 discipline at 2 dp).
+    val cents = floor(col("ps_supplycost") * lit(100.0) + lit(0.5))
+      .cast(DecimalType(18, 0))
+    val sup = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .where(col("n_name") === nation).select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = partsuppLite(spark, dir)
+      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (cents * col("ps_availqty").cast(DecimalType(18, 2))).as("v"))
+    val perPart = vals.groupBy("ps_partkey").agg(sum(col("v")).as("value_d"))
+    val total = perPart.agg(sum(col("value_d")).as("total_d"))
+    // Threshold in DOUBLE over decimal-exact operands: both engines cast
+    // the identical decimals and run the identical IEEE multiplies, so
+    // the cut is deterministic without pushing decimal precision past 38.
+    perPart.crossJoin(broadcast(total))
+      .where(col("value_d").cast("double") * lit(10000.0) >
+        col("total_d").cast("double") * lit(fracBp.toDouble))
+      .select(col("ps_partkey"),
+        (col("value_d").cast("double") / lit(100.0)).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey").asc)
+  }
+
+  /** §2.2 #378 — TPC-H Q16 (supplier-part relationship count): distinct
+    * suppliers per (brand, type, size) bucket over a brand-excluded part
+    * subset, excluding "complaint" suppliers (the reduced schema has no
+    * s_comment; negative account balance stands in — same anti-join
+    * plan). The count-distinct shuffles (brand, type, size, suppkey)
+    * pre-deduplicated keys — the presence-dedup shape, never a
+    * collect_set. Part dim broadcasts; the exclusion list broadcasts as
+    * an anti-join build.
+    */
+  def tpchQ16(spark: SparkSession, dir: String,
+      excludeBrand: String = "Brand#1"): DataFrame = {
+    val part = t(spark, dir, "part")
+      .where(col("p_brand") =!= excludeBrand)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSup = t(spark, dir, "supplier")
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    partsuppLite(spark, dir)
+      .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(badSup), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  /** §2.2 #379 — TPC-H Q20 (excess-demand suppliers): suppliers in one
+    * nation whose shipments of name-prefixed parts in one year exceeded
+    * half their all-time volume of that part — the Q20 nested-subquery
+    * chain (parts LIKE → per-(part,supp) year aggregate → threshold
+    * semi-join into supplier). The canonical availqty > ½·shipped flips
+    * here because partsupp-lite DERIVES availqty as all-time shipped
+    * volume (a superset of any year); 2·shipped > availqty keeps the
+    * identical plan — aggregate-vs-aggregate threshold, division-free in
+    * exact DECIMAL — with a selective predicate. Semi-join into the
+    * supplier dim so each supplier lists once. The geography cut is a
+    * REGION (five nations), not the canonical single nation: the reduced
+    * corpus yields zero single-nation hits at the smallest gate SF and
+    * an empty==empty gate row proves nothing (the r8 vacuity lesson);
+    * the join shape is identical.
+    */
+  def tpchQ20(spark: SparkSession, dir: String, namePrefix: String = "small",
+      yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01",
+      region: String = "EUROPE"): DataFrame = {
+    val part = t(spark, dir, "part")
+      .where(col("p_name").startsWith(namePrefix)).select("p_partkey")
+    val shipped = t(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit(yearStart)) &&
+        col("l_shipdate") < to_date(lit(yearEnd)))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("sh_partkey"),
+        col("l_suppkey").as("sh_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("shipped_qty"))
+    val hot = partsuppLite(spark, dir)
+      .join(shipped, col("ps_partkey") === col("sh_partkey") &&
+        col("ps_suppkey") === col("sh_suppkey"))
+      .where(col("shipped_qty") * lit(2) > col("ps_availqty"))
+      .select(col("ps_suppkey")).distinct()
+    val regNations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+          .where(col("r_name") === region).select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    t(spark, dir, "supplier")
+      .join(broadcast(regNations), col("s_nationkey") === col("n_nationkey"))
+      .join(hot, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_name")
   }
 
   /** §2.2 #372 — BOT-RATE screen over the event stream: per-user volume,

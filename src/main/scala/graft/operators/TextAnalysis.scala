@@ -92,9 +92,9 @@ object TextAnalysis {
         sum(col("bytes").cast("long")).as("bytes"))
       .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
         col("chars"), col("bytes"),
-        round(col("tokens").cast("double") * 100.0 / col("chars").cast("double"), 6)
+        (floor((col("tokens").cast("double") * 100.0 / col("chars").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("tokens_per_100_chars"),
-        round(col("bytes").cast("double") / col("tokens").cast("double"), 6)
+        (floor((col("bytes").cast("double") / col("tokens").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("bytes_per_token"))
       .orderBy("lang", "source")
 
@@ -124,9 +124,9 @@ object TextAnalysis {
     val tot = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     top.crossJoin(broadcast(tot))
       .select(col("term"), col("s").as("n_occurrences"), col("df").as("n_docs_with"),
-        round((col("n_docs").cast(big) * col("sq") -
+        (floor(((col("n_docs").cast(big) * col("sq") -
           col("s").cast(big) * col("s").cast(big)).cast("double") /
-          (col("n_docs").cast(big) * col("s").cast(big)).cast("double"), 6)
+          (col("n_docs").cast(big) * col("s").cast(big)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("fano"))
       .orderBy(col("n_occurrences").desc, col("term").asc)
   }
@@ -148,7 +148,7 @@ object TextAnalysis {
       .agg(sum("c").as("n_tokens"), count(lit(1)).as("vocab"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("source"), col("n_tokens"), col("vocab"), col("n_hapax"),
-        round(col("n_hapax").cast("double") / col("vocab").cast("double"), 6)
+        (floor((col("n_hapax").cast("double") / col("vocab").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("hapax_share"))
       .orderBy("source")
 
@@ -173,8 +173,8 @@ object TextAnalysis {
         sum("tok").as("distinct_tokens"))
       .select(col("source"), col("n_docs"), col("n_distinct"),
         col("total_tokens"), col("distinct_tokens"),
-        round(col("total_tokens").cast("double") /
-          col("distinct_tokens").cast("double"), 6).as("inflation"))
+        (floor((col("total_tokens").cast("double") /
+          col("distinct_tokens").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("inflation"))
       .orderBy("source")
 
   /** §2.3 #250 — pairwise SOURCE VOCABULARY OVERLAP (Jaccard over term
@@ -205,8 +205,8 @@ object TextAnalysis {
         col("v").as("vb"))), "source_b")
       .select(col("source_a"), col("source_b"), col("va"), col("vb"),
         col("n_shared"),
-        round(col("n_shared").cast("double") /
-          (col("va") + col("vb") - col("n_shared")).cast("double"), 6)
+        (floor((col("n_shared").cast("double") /
+          (col("va") + col("vb") - col("n_shared")).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("jaccard"))
       .orderBy("source_a", "source_b")
   }
@@ -238,8 +238,8 @@ object TextAnalysis {
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
           .as("n_novel"))
       .select(col("doc_id"), col("n_distinct_bigrams"), col("n_novel"),
-        round(col("n_novel").cast("double") /
-          col("n_distinct_bigrams").cast("double"), 6).as("novelty"))
+        (floor((col("n_novel").cast("double") /
+          col("n_distinct_bigrams").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("novelty"))
       .orderBy("doc_id")
   }
 
@@ -272,7 +272,7 @@ object TextAnalysis {
       .withColumn("k_eff", least(col("k").cast("long"), col("vocab")))
     ranked.join(broadcast(kDf), col("rk").cast("long") === col("k_eff"))
       .select(col("k").cast("long").as("k"), col("vocab"), col("total"),
-        round(col("cum").cast("double") / col("total").cast("double"), 6)
+        (floor((col("cum").cast("double") / col("total").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("coverage"))
       .orderBy("k")
   }
@@ -301,7 +301,7 @@ object TextAnalysis {
         (col("len") * col("cnt")).as("lc"))
       .groupBy("lang")
       .agg(max("n").as("n_tokens"),
-        round(sum("lc").cast("double") / max("n").cast("double"), 6)
+        (floor((sum("lc").cast("double") / max("n").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("mean_len"),
         q(0.5, "p50_len"), q(0.95, "p95_len"))
       .orderBy("lang")
@@ -334,8 +334,8 @@ object TextAnalysis {
         sum((col("c").cast("double") * log(col("c").cast("double")))
           .cast(dec)).as("s"))
       .select(col("lang"), col("n_bigrams"), col("vocab"),
-        round(log(col("n_bigrams").cast("double")) -
-          col("s").cast("double") / col("n_bigrams").cast("double"), 6)
+        (floor((log(col("n_bigrams").cast("double")) -
+          col("s").cast("double") / col("n_bigrams").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("entropy_nats"))
       .orderBy("lang")
   }
@@ -374,7 +374,7 @@ object TextAnalysis {
       .withColumn("score",
         col("len_score") * 0.4 + (lit(1.0) - col("punct_ratio")) * 0.4
           + col("stop_ratio") * 0.2)
-      .select(col("doc_id"), round(col("score"), 6).as("quality"),
+      .select(col("doc_id"), (floor((col("score")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("quality"),
         (col("score") >= 0.5).as("keep"))
       .orderBy("doc_id")
 
@@ -421,8 +421,8 @@ object TextAnalysis {
           (col("tf") + lit(k1) *
             (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n_docs")))))
       .groupBy("doc_id")
-      .agg(round(sum(col("tw").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-        .cast("double"), 6).as("score"),
+      .agg((floor((sum(col("tw").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"),
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
@@ -454,10 +454,10 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"),
         sum(col("c") * col("c")).as("sum_c2"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round((col("n_tokens") * col("n_tokens")).cast("double")
-          / col("sum_c2").cast("double"), 6).as("eff_vocab"),
-        round(log2((col("n_tokens") * col("n_tokens")).cast("double")
-          / col("sum_c2").cast("double")), 6).as("h2_bits"))
+        (floor(((col("n_tokens") * col("n_tokens")).cast("double")
+          / col("sum_c2").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("eff_vocab"),
+        (floor((log2((col("n_tokens") * col("n_tokens")).cast("double")
+          / col("sum_c2").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("h2_bits"))
       .orderBy("doc_id")
 
   def splitHash(spark: SparkSession, dir: String, holdoutHexDigits: Int = 2): DataFrame = {
@@ -505,16 +505,16 @@ object TextAnalysis {
         m(col("y") * col("y")).as("syy"))
       .select(
         col("nn").cast("long").as("n_fit"),
-        round((col("nn") * col("sxy") - col("sx") * col("sy")) /
-          (col("nn") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
-        round((col("sy") - (col("nn") * col("sxy") - col("sx") * col("sy")) /
-          (col("nn") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("nn"), 6)
+        (floor(((col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx"))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("slope"),
+        (floor(((col("sy") - (col("nn") * col("sxy") - col("sx") * col("sy")) /
+          (col("nn") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("nn")) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("intercept"),
-        round(
+        (floor((
           ((col("nn") * col("sxy") - col("sx") * col("sy")) *
            (col("nn") * col("sxy") - col("sx") * col("sy"))) /
           ((col("nn") * col("sxx") - col("sx") * col("sx")) *
-           (col("nn") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+           (col("nn") * col("syy") - col("sy") * col("sy")))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("r2"))
   }
 
   /** §2.3 #134 — bigram language-model scoring (the CCNet/Gopher-style LM
@@ -553,7 +553,7 @@ object TextAnalysis {
         -log((col("c_ab") + 1.0) / (col("c_a") + col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll").cast(dec)).cast("double") / count(lit(1)), 6)
+        (floor((sum(col("nll").cast(dec)).cast("double") / count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("avg_surprisal"))
       .orderBy("doc_id")
   }
@@ -657,7 +657,7 @@ object TextAnalysis {
     tf.join(df.hint("broadcast"), "tok")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+        (floor((col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"),
@@ -677,9 +677,9 @@ object TextAnalysis {
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang", "lang_detected")
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("share_of_lang", round(col("n_docs") /
+      .withColumn("share_of_lang", (floor((col("n_docs") /
         sum(col("n_docs")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("lang")), 6))
+          org.apache.spark.sql.expressions.Window.partitionBy("lang"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .orderBy("lang", "lang_detected")
 
   /** §2.3 #157 — document RARITY score: mean smoothed IDF
@@ -707,7 +707,7 @@ object TextAnalysis {
       .withColumn("idf", log((col("n_docs") + 1.0) / (col("df") + 1.0)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("idf").cast(dec)).cast("double") / count(lit(1)), 6)
+        (floor((sum(col("idf").cast(dec)).cast("double") / count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("rarity"))
       .orderBy(col("rarity").desc, col("doc_id").asc)
       .limit(k)
@@ -732,9 +732,9 @@ object TextAnalysis {
         size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
           .as("n_syllables"))
       .withColumn("flesch",
-        round(lit(206.835) -
+        (floor((lit(206.835) -
           lit(1.015) * (col("n_words") / col("n_sentences")) -
-          lit(84.6) * (col("n_syllables") / col("n_words")), 4))
+          lit(84.6) * (col("n_syllables") / col("n_words"))) * lit(1e4) + lit(0.5)) / lit(1e4)))
       .orderBy("doc_id")
 
   /** §2.3 #197 — per-source QUALITY rollup (which sources are dragging
@@ -752,10 +752,10 @@ object TextAnalysis {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
-        round(sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
-          count(lit(1)), 6).as("mean_quality"))
+        (floor((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_quality"))
       .withColumn("keep_rate",
-        round(col("n_keep") / col("n_docs").cast("double"), 6))
+        (floor((col("n_keep") / col("n_docs").cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("source", "n_docs", "n_keep", "keep_rate", "mean_quality")
       .orderBy("source")
   }
@@ -836,8 +836,8 @@ object TextAnalysis {
       .withColumn("tw_tfidf",
         col("tf") * log((col("n_docs") + 1.0) / (col("dfq") + 1.0)))
       .groupBy("doc_id")
-      .agg(round(sum(col("tw_bm25").cast(dec)).cast("double"), 6).as("bm25"),
-        round(sum(col("tw_tfidf").cast(dec)).cast("double"), 6).as("tfidf"))
+      .agg((floor((sum(col("tw_bm25").cast(dec)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("bm25"),
+        (floor((sum(col("tw_tfidf").cast(dec)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("tfidf"))
     // The candidate set is df(query-terms)-sized — corpus-growing for
     // common terms — so both ranks run as PrefixScan's distributed rank,
     // not unpartitioned windows; the scored frame is checkpointed once.
@@ -849,9 +849,9 @@ object TextAnalysis {
         "negb", Seq(col("bm25").desc, col("doc_id").asc), "rank_bm25"),
       "negt", Seq(col("tfidf").desc, col("doc_id").asc), "rank_tfidf")
     ranked
-      .withColumn("rrf", round(
+      .withColumn("rrf", (floor((
         lit(1.0) / (lit(kRrf) + col("rank_bm25")) +
-        lit(1.0) / (lit(kRrf) + col("rank_tfidf")), 6))
+        lit(1.0) / (lit(kRrf) + col("rank_tfidf"))) * lit(1e6) + lit(0.5)) / lit(1e6)))
       .select("doc_id", "rank_bm25", "rank_tfidf", "rrf")
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(topK)
