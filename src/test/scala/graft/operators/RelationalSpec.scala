@@ -2487,4 +2487,147 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     val mb = ys.take(best._2).map(BigInt(_)).sum.toDouble / best._2 / 100.0
     assert(math.abs(r.getAs[Double]("mean_before") - mb) < 1e-4)
   }
+
+  test("tpchQ12 high/low counts match a local join recomputation") {
+    val rows = Relational.tpchQ12(spark, sf).collect()
+      .map(r => r.getAs[String]("shipmode") ->
+        (r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count")))
+      .toMap
+    val prio = Tables.load(spark, sf, "orders").collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        r.getAs[String]("o_orderpriority")).toMap
+    val want = Tables.load(spark, sf, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate") < to_date(lit("1997-01-01")))
+      .select("l_orderkey", "l_returnflag").collect()
+      .filter(r => Set("R", "A")(r.getAs[String]("l_returnflag")))
+      .groupBy(_.getAs[String]("l_returnflag")).view.mapValues { ls =>
+        val hi = ls.count(l =>
+          Set("1-URGENT", "2-HIGH")(prio(l.getAs[Long]("l_orderkey"))))
+        (hi.toLong, (ls.size - hi).toLong)
+      }.toMap
+    assert(rows == want && rows.nonEmpty)
+  }
+
+  test("tpchQ2 rows quote exactly the per-part min cost within the cut") {
+    val rows = Relational.tpchQ2(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // Recompute partsupp-lite min cost per part over the filtered sets.
+    val parts = Tables.load(spark, sf, "part")
+      .where(col("p_type") === "LARGE").collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val asiaN = Tables.load(spark, sf, "nation").collect()
+      .filter(_.getAs[Int]("n_regionkey") == 2) // ASIA per region table
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    val sups = Tables.load(spark, sf, "supplier").collect()
+      .filter(r => asiaN(r.getAs[Int]("s_nationkey")))
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val cost = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .filter(r => parts(r.getAs[Long]("l_partkey")) &&
+        sups(r.getAs[Long]("l_suppkey")))
+      .groupBy(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+      .view.mapValues(_.map(_.getAs[Double]("l_extendedprice")).min).toMap
+    val minPer = cost.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Double]("supplycost") == minPer(pk))
+    }
+    // Ordered by balance desc with the canonical tie-break chain.
+    val key = rows.map(r => (-r.getAs[Double]("s_acctbal"),
+      r.getAs[String]("nation"), r.getAs[String]("s_name"),
+      r.getAs[Long]("p_partkey")))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("tpchQ11 keeps exactly the parts above the basis-point threshold") {
+    val rows = Relational.tpchQ11(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nat3 = Tables.load(spark, sf, "nation")
+      .where(col("n_name") === "NATION_3").collect()
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    val sups = Tables.load(spark, sf, "supplier").collect()
+      .filter(r => nat3(r.getAs[Int]("s_nationkey")))
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val perPair = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+      .collect()
+      .groupBy(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+      .view.mapValues { ls =>
+        val qty = ls.map(l => BigDecimal(l.getAs[Double]("l_quantity"))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+        val cents = BigDecimal(
+          math.floor(ls.map(_.getAs[Double]("l_extendedprice")).min
+            * 100.0 + 0.5))
+        cents * qty
+      }.toMap
+    val perPart = perPair.toSeq
+      .filter { case ((_, sk), _) => sups(sk) }
+      .groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = perPart.values.sum
+    val want = perPart.filter { case (_, v) =>
+      v.toDouble * 10000.0 > total.toDouble * 10.0 }
+    assert(rows.map(_.getAs[Long]("ps_partkey")).toSet == want.keySet)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("value") -
+        want(r.getAs[Long]("ps_partkey")).toDouble / 100.0) < 1e-6)
+    }
+  }
+
+  test("tpchQ16 counts distinct non-complaint suppliers per part bucket") {
+    val rows = Relational.tpchQ16(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bad = Tables.load(spark, sf, "supplier")
+      .where(col("s_acctbal") < 0).collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    val pmeta = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_brand") != "Brand#1")
+      .map(r => r.getAs[Long]("p_partkey") -> (r.getAs[String]("p_brand"),
+        r.getAs[String]("p_type"), r.getAs[Int]("p_size"))).toMap
+    val want = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .filter(r => pmeta.contains(r.getAs[Long]("l_partkey")) &&
+        !bad(r.getAs[Long]("l_suppkey")))
+      .groupBy(r => pmeta(r.getAs[Long]("l_partkey")))
+      .view.mapValues(_.map(_.getAs[Long]("l_suppkey")).distinct.size.toLong)
+      .toMap
+    val got = rows.map(r => (r.getAs[String]("p_brand"),
+      r.getAs[String]("p_type"), r.getAs[Int]("p_size")) ->
+      r.getAs[Long]("supplier_cnt")).toMap
+    assert(got == want)
+  }
+
+  test("tpchQ20 lists exactly the region's excess-demand suppliers") {
+    val rows = Relational.tpchQ20(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val smallParts = Tables.load(spark, sf, "part").collect()
+      .filter(_.getAs[String]("p_name").startsWith("small"))
+      .map(_.getAs[Long]("p_partkey")).toSet
+    def qsum(ls: Seq[org.apache.spark.sql.Row]): BigDecimal =
+      ls.map(l => BigDecimal(l.getAs[Double]("l_quantity"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+    val avail = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .groupBy(r => (r.getAs[Long]("l_partkey"),
+        r.getAs[Long]("l_suppkey"))).view.mapValues(qsum(_)).toMap
+    val hot = Tables.load(spark, sf, "lineitem")
+      .where(col("l_shipdate") >= to_date(lit("1996-01-01")) &&
+        col("l_shipdate") < to_date(lit("1997-01-01")))
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .filter(r => smallParts(r.getAs[Long]("l_partkey")))
+      .groupBy(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("l_suppkey")))
+      .view.mapValues(qsum(_)).toSeq
+      .filter { case (k, shipped) => shipped * 2 > avail(k) }
+      .map(_._1._2).toSet
+    val eurN = Tables.load(spark, sf, "nation").collect()
+      .filter(_.getAs[Int]("n_regionkey") == 3) // EUROPE per region table
+      .map(_.getAs[Int]("n_nationkey")).toSet
+    val want = Tables.load(spark, sf, "supplier").collect()
+      .filter(r => eurN(r.getAs[Int]("s_nationkey")) &&
+        hot(r.getAs[Long]("s_suppkey")))
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == want)
+    val names = rows.map(_.getAs[String]("s_name"))
+    assert(names.sameElements(names.sorted))
+  }
 }
