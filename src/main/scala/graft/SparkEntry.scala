@@ -345,6 +345,59 @@ object SparkEntry {
           lit(auditBulk).as("audit_rows_after_copy"),
           lit(auditLive).as("audit_rows_after_insert"))
     }),
+    // VIEWS on the JDBC copy path (VERDICT r11 #7): views are discovered
+    // from the live SOURCE catalog (Derby SYS.SYSVIEWS — executable DDL),
+    // replicated onto the destination AFTER the base table, with
+    // view-on-view dependencies resolved by rounds — exercised here by
+    // naming the DEPENDENT view alphabetically FIRST ("a_top" over
+    // "z_base"), so round 1 must fail it and round 2 create it. The
+    // oracle facts are all destination-side: the dest catalog readback
+    // (discovery, not an echo) and a live query THROUGH the replicated
+    // view stack.
+    "copy_jdbc_views" -> ((s, dir) => {
+      val srcUrl = freshDerby("viewsrc")
+      val dstUrl = freshDerby("viewdst")
+      val srcDb = TableCopy.JdbcStore(srcUrl,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val dstDb = TableCopy.JdbcStore(dstUrl,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), srcDb, "nation",
+        TableCopy.Recreate)
+      locally {
+        val c = java.sql.DriverManager.getConnection(srcUrl)
+        try {
+          c.createStatement().executeUpdate(
+            """CREATE VIEW z_base AS SELECT "n_nationkey", "n_name" """ +
+              """FROM nation WHERE "n_regionkey" <= 2""")
+          c.createStatement().executeUpdate(
+            """CREATE VIEW a_top AS SELECT "n_name" FROM z_base """ +
+              """WHERE "n_nationkey" > 4""")
+        } finally c.close()
+      }
+      TableCopy.copy(s, srcDb, dstDb, "nation", TableCopy.Recreate)
+      val manifest = TableCopy.copyViews(s, srcDb, dstDb)
+      val back = dstDb.views(s).map(_._1)
+      val c = java.sql.DriverManager.getConnection(dstUrl)
+      val (nTop, names) =
+        try {
+          val rs = c.createStatement().executeQuery(
+            """SELECT COUNT(*) FROM a_top""")
+          rs.next(); val n = rs.getLong(1)
+          val rs2 = c.createStatement().executeQuery(
+            """SELECT "n_name" FROM a_top ORDER BY "n_name"""")
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (rs2.next()) b += rs2.getString(1)
+          (n, b.mkString(","))
+        } finally c.close()
+      dstDb.read(s, "nation")
+        .agg(count(lit(1)).as("n_rows"), sum("n_nationkey").as("sum_nkey"))
+        .select(col("n_rows"), col("sum_nkey"),
+          lit(manifest.map { case (n, r) => s"$n=r$r" }.mkString(";"))
+            .as("view_rounds"),
+          lit(back.mkString(",")).as("dest_views"),
+          lit(nTop).as("n_top_rows"),
+          lit(names).as("top_names"))
+    }),
     // -WhatIf / dry-run: the full execution plan — FK-topological order,
     // row estimates, and the EXACT DDL each table would get (shared code
     // path with the real copy, so the preview can't drift) — with NOTHING
@@ -1665,6 +1718,20 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS audit_rows_after_copy,
         |  CAST(1 AS BIGINT) AS audit_rows_after_insert
         |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+    // The view facts are destination-side (catalog readback + a live query
+    // through the replicated view stack); the oracle recomputes the view
+    // semantics from the parquet source and pins the round manifest —
+    // a_top alphabetically precedes its provider z_base, so it MUST land
+    // in round 2.
+    "copy_jdbc_views" ->
+      """WITH base AS (SELECT * FROM nation WHERE n_regionkey <= 2),
+        |top AS (SELECT n_name FROM base WHERE n_nationkey > 4)
+        |SELECT (SELECT count(*) FROM nation) AS n_rows,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_nkey,
+        |  'A_TOP=r2;Z_BASE=r1' AS view_rounds,
+        |  'A_TOP,Z_BASE' AS dest_views,
+        |  (SELECT count(*) FROM top) AS n_top_rows,
+        |  (SELECT string_agg(n_name, ',' ORDER BY n_name) FROM top) AS top_names""".stripMargin,
     "copy_jdbc_constraints" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,

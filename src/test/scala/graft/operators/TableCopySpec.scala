@@ -1365,4 +1365,41 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
       assert(audits() == base + 1, "guard-true scoped update fires once")
     } finally c.close()
   }
+
+  test("copyViews replicates the view stack in dependency rounds (r12 #7)") {
+    val srcUrl = s"jdbc:derby:memory:viewsrc${System.nanoTime()};create=true"
+    val dstUrl = s"jdbc:derby:memory:viewdst${System.nanoTime()};create=true"
+    val srcDb = TableCopy.JdbcStore(srcUrl,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val dstDb = TableCopy.JdbcStore(dstUrl,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    srcDb.write(Tables.load(spark, sf, "region"), "region", TableCopy.Recreate)
+    val c = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      // Three-deep chain with names REVERSED vs dependency order, plus a
+      // view over a table that will not exist on the destination — the
+      // unresolvable (-1) manifest path.
+      c.createStatement().executeUpdate(
+        """CREATE VIEW v_c AS SELECT "r_regionkey", "r_name" FROM region""")
+      c.createStatement().executeUpdate(
+        """CREATE VIEW v_b AS SELECT "r_name" FROM v_c WHERE "r_regionkey" > 0""")
+      c.createStatement().executeUpdate(
+        """CREATE VIEW v_a AS SELECT "r_name" FROM v_b""")
+      c.createStatement().executeUpdate(
+        """CREATE TABLE only_src ("x" INT)""")
+      c.createStatement().executeUpdate(
+        """CREATE VIEW v_orphan AS SELECT "x" FROM only_src""")
+    } finally c.close()
+    dstDb.write(Tables.load(spark, sf, "region"), "region", TableCopy.Recreate)
+    val manifest = TableCopy.copyViews(spark, srcDb, dstDb).toMap
+    assert(manifest == Map("V_A" -> 3, "V_B" -> 2, "V_C" -> 1, "V_ORPHAN" -> -1))
+    // Destination catalog readback and a live query through the stack.
+    assert(dstDb.views(spark).map(_._1) == Seq("V_A", "V_B", "V_C"))
+    val d = java.sql.DriverManager.getConnection(dstUrl)
+    try {
+      val rs = d.createStatement().executeQuery("SELECT COUNT(*) FROM v_a")
+      rs.next()
+      assert(rs.getLong(1) == 4L) // 5 regions, r_regionkey > 0
+    } finally d.close()
+  }
 }
