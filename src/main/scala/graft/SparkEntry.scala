@@ -861,6 +861,8 @@ object SparkEntry {
     "q_changepoint" -> ((s, dir) => Relational.changepoint(s, dir)),
     "q_dedup_yield" -> ((s, dir) => Dedup.dedupYield(s, dir)),
     "q_silhouette" -> ((s, dir) => Similarity.silhouette(s, dir)),
+    "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "q_source_cluster_mix" -> ((s, dir) => Similarity.sourceClusterMix(s, dir)),
     "q_source_kl" -> ((s, dir) => TextAnalysis.sourceKl(s, dir)),
     "q_burrows_delta" -> ((s, dir) => TextAnalysis.burrowsDelta(s, dir)),
     "q_dim_variance" -> ((s, dir) => Similarity.dimVariance(s, dir)),
@@ -4746,6 +4748,8 @@ object SparkEntry {
         |FROM jp CROSS JOIN th WHERE j >= threshold
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_silhouette" -> Similarity.silhouetteOracleSql(),
+    "q_semdedup" -> Similarity.semDedupOracleSql(),
+    "q_source_cluster_mix" -> Similarity.sourceClusterMixOracleSql(),
     "q_source_kl" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(trim(text), ' ')) AS tok

@@ -1354,6 +1354,136 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** The k-means cluster ASSIGNMENT frame (vec_id, cid) — the
+    * [[kmeansSecondAssign]] argmax with the oracle's (cc DESC, cid ASC)
+    * tie-break, shared by [[semDedup]] and [[sourceClusterMix]].
+    */
+  private def kmeansAssign(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    kmeansSecondAssign(spark, dir, k)
+      .groupBy("vec_id")
+      .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncid")).as("cid"))
+
+  /** §2.3 #382 — SEMANTIC DEDUP (the SemDeDup shape, Abbas et al. 2023):
+    * k-means-cluster the embedding space, then search duplicate pairs
+    * ONLY within clusters — pairwise cosine is quadratic, but clustering
+    * first bounds every pair join to one cluster's members, which is
+    * exactly how the published pipeline makes semantic dedup payable at
+    * extreme scale (cluster count grows with the corpus so per-cluster
+    * membership stays bounded; the pair join keys on cid — bucketed,
+    * never global all-pairs). A vector is DROPPED when any smaller-id
+    * member of its own cluster sits above the cosine threshold (the
+    * keep-lowest-id survivor rule #375 uses). Per-cluster audit out:
+    * members, above-threshold pairs, dropped count, kept share.
+    */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8,
+      tau: Double = 0.3): DataFrame = {
+    val m = embeddings(spark, dir)
+      .join(kmeansAssign(spark, dir, k), "vec_id")
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
+    val pairs = m.as("a")
+      .join(m.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .where(col("cos") >= tau)
+      .select(col("a.cid").as("cid"), col("b.vec_id").as("victim"))
+      .localCheckpoint(true)
+    val perCluster = m.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val dupPairs = pairs.groupBy("cid").agg(count(lit(1)).as("n_dup_pairs"))
+    val dropped = pairs.select("cid", "victim").distinct()
+      .groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+    perCluster
+      .join(dupPairs, Seq("cid"), "left")
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        fl6((col("n_members") - coalesce(col("n_dropped"), lit(0L)))
+          .cast("double") / col("n_members").cast("double")).as("keep_rate"))
+      .orderBy("cid")
+  }
+
+  /** DuckDB oracle for [[semDedup]]: the kmeans-core assignment CTEs feed
+    * the identical cluster-scoped pair search and survivor rule.
+    */
+  def semDedupOracleSql(k: Int = 8, tau: Double = 0.3,
+      dim: Int = 64): String =
+    s"""WITH ${kmeansCoreCtes(k, dim)},
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac1) t
+       |  WHERE rn = 1
+       |),
+       |mem AS (SELECT a1.cid, n.vec_id, n.v, n.nrm FROM a1 JOIN n USING (vec_id)),
+       |p AS (
+       |  SELECT a.cid, b.vec_id AS victim
+       |  FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_reduce(list_prepend(0.0::DOUBLE,
+       |      [a.v[i] * b.v[i] FOR i IN generate_series(1, len(a.v))]),
+       |      (x, y) -> x + y) / (a.nrm * b.nrm) >= $tau
+       |),
+       |cl AS (SELECT cid, count(*) AS n_members FROM mem GROUP BY 1),
+       |dp AS (SELECT cid, count(*) AS n_dup_pairs FROM p GROUP BY 1),
+       |dr AS (SELECT cid, count(*) AS n_dropped
+       |       FROM (SELECT DISTINCT cid, victim FROM p) GROUP BY 1)
+       |SELECT cl.cid, cl.n_members,
+       |  coalesce(dp.n_dup_pairs, 0)::BIGINT AS n_dup_pairs,
+       |  coalesce(dr.n_dropped, 0)::BIGINT AS n_dropped,
+       |  floor((cl.n_members - coalesce(dr.n_dropped, 0))::DOUBLE
+       |    / cl.n_members * 1e6 + 0.5) / 1e6 AS keep_rate
+       |FROM cl LEFT JOIN dp ON cl.cid = dp.cid
+       |LEFT JOIN dr ON cl.cid = dr.cid
+       |ORDER BY cl.cid""".stripMargin
+
+  /** §2.3 #383 — per-SOURCE CLUSTER MIX: the composition of each source
+    * over the k-means clusters of embedding space — the semantic
+    * data-recipe view (#195 weights sources by declared mix; this says
+    * what each source actually CONTAINS, which is what a curriculum or
+    * rebalancing pass needs before reweighting a 100 TB corpus).
+    * Assignment rides the shared kmeans core; the mix is one
+    * partial-aggregated count over (source, cid) after a doc_id = vec_id
+    * dimension join.
+    */
+  def sourceClusterMix(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val src = Tables.load(spark, dir, "documents").select(
+      col("doc_id").as("vec_id"), col("source"))
+    val w = Window.partitionBy("source")
+    kmeansAssign(spark, dir, k)
+      .join(src, "vec_id")
+      .groupBy("source", "cid")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        fl6(col("n_docs").cast("double") / sum("n_docs").over(w)))
+      .orderBy("source", "cid")
+  }
+
+  /** DuckDB oracle for [[sourceClusterMix]]: kmeans-core assignment CTEs
+    * joined to the documents dimension, same window share.
+    */
+  def sourceClusterMixOracleSql(k: Int = 8, dim: Int = 64): String =
+    s"""WITH ${kmeansCoreCtes(k, dim)},
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+       |    FROM ac1) t
+       |  WHERE rn = 1
+       |),
+       |mix AS (
+       |  SELECT d.source, a1.cid, count(*) AS n_docs
+       |  FROM a1 JOIN documents d ON a1.vec_id = d.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT source, cid, n_docs,
+       |  floor(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY source)
+       |    * 1e6 + 0.5) / 1e6 AS share
+       |FROM mix ORDER BY source, cid""".stripMargin
+
   /** DuckDB oracle for [[kmeans]]: the same two unrolled Lloyd iterations —
     * seed centroids, fold-cosine argmax (row_number with the identical
     * tie-break), DECIMAL(28,12) per-dim means via a dimension spine,

@@ -912,4 +912,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // exceed 1 in magnitude where cosine cannot.
     assert(rows.nonEmpty)
   }
+
+  test("semDedup members partition the corpus and the survivor rule holds (r12 #382)") {
+    val rows = Similarity.semDedup(spark, sf).collect()
+    val nTotal = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == nTotal)
+    rows.foreach { r =>
+      val (m, p, d) = (r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_dropped"))
+      // Dropped vectors are victims of >=1 pair each, and every pair names
+      // exactly one victim: d <= p; d < m (the lowest id never drops).
+      assert(d <= p && d < m, s"cid=${r.getAs[Long]("cid")} m=$m p=$p d=$d")
+      assert(math.abs(r.getAs[Double]("keep_rate") -
+        math.floor((m - d).toDouble / m * 1e6 + 0.5) / 1e6) < 1e-12)
+    }
+    // The threshold binds: some pair fires at tau = 0.3 on this corpus,
+    // and raising tau can only reduce the dropped count.
+    assert(rows.map(_.getAs[Long]("n_dup_pairs")).sum > 0)
+    val strict = Similarity.semDedup(spark, sf, tau = 0.45).collect()
+      .map(_.getAs[Long]("n_dropped")).sum
+    assert(strict <= rows.map(_.getAs[Long]("n_dropped")).sum)
+  }
+
+  test("sourceClusterMix shares sum to 1 per source and counts partition the corpus (r12 #383)") {
+    val rows = Similarity.sourceClusterMix(spark, sf).collect()
+    val nTotal = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nTotal)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val tot = rs.map(_.getAs[Long]("n_docs")).sum
+      rs.foreach { r =>
+        assert(math.abs(r.getAs[Double]("share") -
+          math.floor(r.getAs[Long]("n_docs").toDouble / tot * 1e6 + 0.5)
+            / 1e6) < 1e-12, s"source=$src")
+      }
+    }
+  }
 }
