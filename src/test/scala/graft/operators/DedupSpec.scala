@@ -370,7 +370,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val rows = Dedup.lshCurve(spark, sf).collect()
       .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) -> r)
       .toMap
-    assert(rows.keySet == Set((32L, 2L), (16L, 4L), (8L, 8L)))
+    assert(rows.keySet == Set((32L, 2L), (20L, 3L), (16L, 4L), (8L, 8L)))
     // local doc-level Jaccard distribution
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").collect()
@@ -615,12 +615,14 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       r.getAs[Long]("n_stop_shingles") > 0L))
   }
 
-  test("lshCurve rejects non-power-of-two band/row configs") {
+  test("lshCurve rejects non-positive band/row configs") {
+    // r12 lifted the power-of-two restriction (binary exponentiation);
+    // the remaining input contract is positivity.
     intercept[IllegalArgumentException] {
-      Dedup.lshCurve(spark, sf, configs = Seq((20, 3)))
+      Dedup.lshCurve(spark, sf, configs = Seq((0, 3)))
     }
     intercept[IllegalArgumentException] {
-      Dedup.lshCurveOracleSql(configs = Seq((8, 3)))
+      Dedup.lshCurveOracleSql(configs = Seq((8, -1)))
     }
   }
 
