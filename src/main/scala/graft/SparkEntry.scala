@@ -1064,6 +1064,7 @@ object SparkEntry {
     "q_bot_flags" -> ((s, dir) => Relational.botFlags(s, dir)),
     "q_stopword_density" -> ((s, dir) => TextAnalysis.stopwordDensity(s, dir)),
     "q_shingle_compression" -> ((s, dir) => TextAnalysis.shingleCompression(s, dir)),
+    "q_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.dedupCanonical(s, dir)),
   )
 
@@ -4749,6 +4750,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_silhouette" -> Similarity.silhouetteOracleSql(),
     "q_semdedup" -> Similarity.semDedupOracleSql(),
+    "q_dsir_weights" -> TextAnalysis.dsirWeightsOracleSql(),
     "q_source_cluster_mix" -> Similarity.sourceClusterMixOracleSql(),
     "q_source_kl" ->
       """WITH tok AS (

@@ -1103,6 +1103,93 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** §2.3 #384 — DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): per-document log importance
+    * w(d) = Σ_t c_d(t)·[ln p_target(t) − ln p_raw(t)] under add-one
+    * unigram models — the published cheap proxy for "does this raw
+    * document look like the target distribution", used to resample a
+    * web-scale corpus toward a quality target before training. Target
+    * here = the declared-`targetLang` slice; raw = the rest. Summarized
+    * per source (n_docs, mean/min/max weight) — the view that says which
+    * SOURCES the resampling would up/down-weight.
+    *
+    * Exactness: each distinct token's log-ratio is ONE scalar double
+    * (ln of identical add-one ratios — engine-identical inputs), per-doc
+    * sums ride c_d(t)·ratio cast DECIMAL(38,12) (order-free), per-source
+    * means decimal-summed then divided once. At 100 TB: the token-ratio
+    * frame is vocab-sized, the per-doc pass is one explode + equi-join
+    * keyed on token (shuffle moves (token, count) pairs, never
+    * documents), everything partial-aggregates.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (col("lang") === targetLang).as("is_t"),
+        explode(tokensCol).as("t"))
+    val counts = toks.groupBy("doc_id", "source", "is_t", "t")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // Vocab-sized model frame: add-one token counts under both models.
+    val model = counts.groupBy("t")
+      .agg(sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), lit(0L)).otherwise(col("c"))).as("cr"))
+    val tot = model.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+      count(lit(1)).as("v"))
+    val ratio = model.crossJoin(broadcast(tot))
+      .select(col("t"),
+        (log((col("ct") + 1L).cast("double") /
+            (col("nt") + col("v")).cast("double")) -
+          log((col("cr") + 1L).cast("double") /
+            (col("nr") + col("v")).cast("double"))).as("lr"))
+    val perDoc = counts.join(ratio, "t")
+      .groupBy("doc_id", "source")
+      .agg(sum((col("c").cast("double") * col("lr")).cast(dec)).as("w"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        fl6(sum(col("w")).cast("double") / count(lit(1))).as("mean_w"),
+        fl6(min(col("w")).cast("double")).as("min_w"),
+        fl6(max(col("w")).cast("double")).as("max_w"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[dsirWeights]]: same add-one unigram models, same
+    * per-token scalar log-ratios, same decimal sums.
+    */
+  def dsirWeightsOracleSql(targetLang: String = "en"): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, (lang = '$targetLang') AS is_t,
+       |    unnest(string_split(trim(text), ' ')) AS t
+       |  FROM documents
+       |), counts AS (
+       |  SELECT doc_id, source, is_t, t, count(*) AS c
+       |  FROM toks GROUP BY 1, 2, 3, 4
+       |), model AS (
+       |  SELECT t,
+       |    sum(CASE WHEN is_t THEN c ELSE 0 END) AS ct,
+       |    sum(CASE WHEN is_t THEN 0 ELSE c END) AS cr
+       |  FROM counts GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM model
+       |), ratio AS (
+       |  SELECT t,
+       |    ln((ct + 1)::DOUBLE / (nt + v)::DOUBLE)
+       |      - ln((cr + 1)::DOUBLE / (nr + v)::DOUBLE) AS lr
+       |  FROM model, tot
+       |), perdoc AS (
+       |  SELECT doc_id, source,
+       |    sum(CAST(c::DOUBLE * lr AS DECIMAL(38,12))) AS w
+       |  FROM counts JOIN ratio USING (t) GROUP BY 1, 2
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  floor(CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / count(*)
+       |    * 1e6 + 0.5) / 1e6 AS mean_w,
+       |  floor(CAST(CAST(min(w) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_w,
+       |  floor(CAST(CAST(max(w) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_w
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   /** §2.3 #374 — SHINGLE-COMPRESSION (cross-document redundancy) per
     * source: 1 − |distinct word-3-grams| / Σ per-doc distinct 3-grams.
     * The dedup PLANNING number — redundancy ≈ the fraction of shingle

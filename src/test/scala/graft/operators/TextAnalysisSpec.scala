@@ -715,4 +715,45 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
         (1.0 - dis.toDouble / tot)) < 1e-6)
     }
   }
+
+  test("dsirWeights matches a local add-one unigram importance recomputation (r12 #384)") {
+    val rows = TextAnalysis.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_w"))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("lang") == "en",
+        r.getAs[String]("text").trim.split(" ").toSeq))
+    val ct = scala.collection.mutable.Map.empty[String, Long]
+    val cr = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, _, isT, toks) =>
+      toks.foreach { t =>
+        if (isT) ct(t) = ct.getOrElse(t, 0L) + 1
+        else cr(t) = cr.getOrElse(t, 0L) + 1
+      }
+    }
+    val vocab = (ct.keySet ++ cr.keySet)
+    val (nt, nr, v) = (ct.values.sum, cr.values.sum, vocab.size.toLong)
+    val lr = vocab.map { t =>
+      t -> (math.log((ct.getOrElse(t, 0L) + 1).toDouble / (nt + v)) -
+        math.log((cr.getOrElse(t, 0L) + 1).toDouble / (nr + v)))
+    }.toMap
+    val perDoc = docs.map { case (_, src, _, toks) =>
+      src -> toks.groupBy(identity).map { case (t, ts) =>
+        BigDecimal(ts.size.toDouble * lr(t))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    }
+    perDoc.groupBy(_._1).foreach { case (src, ws) =>
+      val (n, mean) = rows(src)
+      assert(n == ws.size.toLong, s"source=$src")
+      val want = (ws.map(_._2).sum / ws.size).toDouble
+      assert(math.abs(mean - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9,
+        s"source=$src mean=$mean want=$want")
+    }
+    // The weights discriminate: English-heavy sources must average higher
+    // than the corpus minimum (the resampling signal is real, not flat).
+    assert(rows.values.map(_._2).max > rows.values.map(_._2).min)
+  }
 }
