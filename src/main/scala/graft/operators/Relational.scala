@@ -5760,9 +5760,13 @@ object Relational {
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
         col("n_name").as("nation"))
+    // The filtered partsupp-lite frame feeds BOTH the per-part min and the
+    // final equality join — materialize it once (dimension-sized after the
+    // part/supplier cuts) instead of scanning lineitem twice.
     val ps = partsuppLite(spark, dir)
       .join(broadcast(part), col("ps_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .localCheckpoint(true)
     val minCost = ps.groupBy(col("ps_partkey").as("m_partkey"))
       .agg(min(col("ps_supplycost")).as("min_cost"))
     ps.join(minCost, col("ps_partkey") === col("m_partkey") &&
@@ -5860,18 +5864,23 @@ object Relational {
       region: String = "EUROPE"): DataFrame = {
     val part = t(spark, dir, "part")
       .where(col("p_name").startsWith(namePrefix)).select("p_partkey")
-    val shipped = t(spark, dir, "lineitem")
-      .where(col("l_shipdate") >= to_date(lit(yearStart)) &&
-        col("l_shipdate") < to_date(lit(yearEnd)))
-      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .groupBy(col("l_partkey").as("sh_partkey"),
-        col("l_suppkey").as("sh_suppkey"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("shipped_qty"))
-    val hot = partsuppLite(spark, dir)
-      .join(shipped, col("ps_partkey") === col("sh_partkey") &&
-        col("ps_suppkey") === col("sh_suppkey"))
+    // ONE lineitem scan computes both aggregates of the nested-subquery
+    // chain: all-time volume (the partsupp-lite availqty derivation,
+    // value-identical to [[partsuppLite]]) and the year-window shipped
+    // quantity as a conditional sum — the semi-join against the LIKE'd
+    // part set broadcasts and prunes the scan's rows before the shuffle.
+    val inWindow = col("l_shipdate") >= to_date(lit(yearStart)) &&
+      col("l_shipdate") < to_date(lit(yearEnd))
+    val qty = col("l_quantity").cast(DecimalType(18, 2))
+    val hot = t(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qty).as("ps_availqty"),
+        sum(when(inWindow, qty).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .as("shipped_qty"))
       .where(col("shipped_qty") * lit(2) > col("ps_availqty"))
-      .select(col("ps_suppkey")).distinct()
+      .select(col("l_suppkey").as("ps_suppkey")).distinct()
     val regNations = t(spark, dir, "nation")
       .join(broadcast(t(spark, dir, "region")
           .where(col("r_name") === region).select("r_regionkey")),
