@@ -316,7 +316,13 @@ object PlanAudit {
         // neyman_alloc: 1-row Σ N_h·σ_h normalizer over the |sources|
         // rollup; meta_analysis: 1-row pooled-effect frame over the
         // ≤25-study frame
-        "q_neyman_alloc", "q_meta_analysis")
+        "q_neyman_alloc", "q_meta_analysis",
+        // r12: tpch_q11 broadcasts the 1-row nation-total frame over the
+        // per-part rollup (the scalar-subquery pattern); dsir_weights a
+        // 1-row (nt, nr, V) model-totals frame over the vocab-sized ratio
+        // frame; semdedup / source_cluster_mix ride the kmeans k-row
+        // centroid broadcast (the q_kmeans assignment pattern).
+        "q_tpch_q11", "q_dsir_weights", "q_semdedup", "q_source_cluster_mix")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))

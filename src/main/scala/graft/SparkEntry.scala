@@ -2776,11 +2776,11 @@ object SparkEntry {
         |    * CAST(ps_availqty AS DECIMAL(18,2)) AS v
         |  FROM ps JOIN sn ON ps_suppkey = s_suppkey),
         |pp AS (SELECT ps_partkey, sum(v) AS value_d FROM v GROUP BY 1),
-        |tt AS (SELECT sum(value_d) AS total_d FROM pp)
+        |tt AS (SELECT sum(value_d) AS total_d, count(*) AS n_parts FROM pp)
         |SELECT ps_partkey,
         |  CAST(CAST(value_d AS VARCHAR) AS DOUBLE) / 100.0 AS value
         |FROM pp, tt
-        |WHERE CAST(CAST(value_d AS VARCHAR) AS DOUBLE) * 10000.0
+        |WHERE CAST(CAST(value_d AS VARCHAR) AS DOUBLE) * n_parts::DOUBLE * 10.0
         |  > CAST(CAST(total_d AS VARCHAR) AS DOUBLE) * 10.0
         |ORDER BY value DESC, ps_partkey ASC""".stripMargin,
     "q_tpch_q16" ->

@@ -5781,15 +5781,18 @@ object Relational {
 
   /** §2.2 #377 — TPC-H Q11 (important stock value): per-part stock value
     * Σ cost·qty over one nation's suppliers, keeping parts whose value
-    * exceeds `fracBp` basis points of the nation total. The HAVING
-    * threshold is division-free — value·10000 > total·fracBp in exact
-    * DECIMAL — so the cut is deterministic cross-engine; the presented
-    * value rides the decimal→double convention. Nation supplier set is
-    * broadcast; the per-part and total aggregates share one scan of the
-    * filtered partsupp-lite frame.
+    * exceeds `tenths` tenths of the MEAN part value. The canonical spec's
+    * threshold is fraction/SF — explicitly scale-dependent — so the
+    * scale-free restatement anchors on the mean (value·n_parts·10 >
+    * total·tenths): the decade-stress gate caught the fixed-basis-point
+    * form going VACUOUS at 100× (2 000 parts ⇒ every share < 0.1%), and
+    * an empty==empty gate row proves nothing. Same scalar-subquery plan;
+    * the cut compares deterministic doubles of decimal-exact operands.
+    * Nation supplier set is broadcast; the per-part and total aggregates
+    * share one scan of the filtered partsupp-lite frame.
     */
   def tpchQ11(spark: SparkSession, dir: String, nation: String = "NATION_3",
-      fracBp: Int = 10): DataFrame = {
+      tenths: Int = 10): DataFrame = {
     // Supply cost to exact integer CENTS via floor(x·100+0.5) — a
     // double→DECIMAL cast would round half-up (Spark) vs round-half-even
     // (engine-dependent) at representation ties; floor of identical
@@ -5806,13 +5809,14 @@ object Relational {
       .select(col("ps_partkey"),
         (cents * col("ps_availqty").cast(DecimalType(18, 2))).as("v"))
     val perPart = vals.groupBy("ps_partkey").agg(sum(col("v")).as("value_d"))
-    val total = perPart.agg(sum(col("value_d")).as("total_d"))
+    val total = perPart.agg(sum(col("value_d")).as("total_d"),
+      count(lit(1)).as("n_parts"))
     // Threshold in DOUBLE over decimal-exact operands: both engines cast
     // the identical decimals and run the identical IEEE multiplies, so
     // the cut is deterministic without pushing decimal precision past 38.
     perPart.crossJoin(broadcast(total))
-      .where(col("value_d").cast("double") * lit(10000.0) >
-        col("total_d").cast("double") * lit(fracBp.toDouble))
+      .where(col("value_d").cast("double") * col("n_parts").cast("double") *
+        lit(10.0) > col("total_d").cast("double") * lit(tenths.toDouble))
       .select(col("ps_partkey"),
         (col("value_d").cast("double") / lit(100.0)).as("value"))
       .orderBy(col("value").desc, col("ps_partkey").asc)

@@ -2566,7 +2566,7 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
       .groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
     val total = perPart.values.sum
     val want = perPart.filter { case (_, v) =>
-      v.toDouble * 10000.0 > total.toDouble * 10.0 }
+      v.toDouble * perPart.size * 10.0 > total.toDouble * 10.0 }
     assert(rows.map(_.getAs[Long]("ps_partkey")).toSet == want.keySet)
     rows.foreach { r =>
       assert(math.abs(r.getAs[Double]("value") -
