@@ -327,6 +327,14 @@ object PlanAudit {
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
         failures += "q_topn: expected TakeOrderedAndProject (global sort instead)"
+      // r11 VERDICT #3 done-criterion: Q12's date window + two-class mode
+      // IN filter must reach the lineitem scan, and the top-100 of Q2 must
+      // be a distributed TakeOrdered, never a global sort.
+      if (name == "q_tpch_q12" && !(has("PushedFilters: [") &&
+          plan.contains("l_shipdate") && plan.contains("In(l_returnflag")))
+        failures += "q_tpch_q12: shipdate window / returnflag IN not pushed to the scan"
+      if (name == "q_tpch_q2" && !has("TakeOrderedAndProject"))
+        failures += "q_tpch_q2: expected TakeOrderedAndProject for the top-100"
       if (name == "q_antijoin" && !has("HashAggregate"))
         failures += "q_antijoin: build side must pre-aggregate to distinct join keys"
       if (name == "q_join_bloom" && !has("bloom_might_contain"))
