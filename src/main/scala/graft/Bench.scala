@@ -75,13 +75,23 @@ object Bench {
     "q_pagerank", "q_market_basket",                // graph + co-occurrence
     "q_copy_bucketed", "q_curate")                  // bucketed write + pipeline
 
+  /** The r12 TPC-H completions, soloed every round SEPARATELY from
+    * [[canary]] (that list is frozen — changing it would invalidate the
+    * cross-round drift table; this one gives the 22/22 claim a per-round
+    * perf trace, VERDICT r12 #6). Q12 is cheap in the sweep but rides
+    * along so the whole r12 batch is attributable from one column.
+    */
+  val tpchSolo: Seq[String] =
+    Seq("q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20")
+
   /** 1-minute loadavg (Linux) — NaN where /proc is unavailable. */
   private def load1: Double = try {
     scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
   } catch { case _: Throwable => Double.NaN }
 
-  /** Count of OTHER live JVMs on the box (excluding this one and our own
-    * solo children, which hold SPARK_GRAFT_SOLO=0). A nonzero count at
+  /** Count of OTHER live JVMs on the box (excluding only this process —
+    * correct as a contention marker because it is sampled at sweep start
+    * and sweep end, both before any solo child spawns). A nonzero count at
     * sweep start means the 32 local cores were shared and the sweep
     * column is inflated 2-10× unattributably (the r10/r11 lesson: a
     * driver-side JVM turned a q_lsh_curve read into a phantom
@@ -210,7 +220,7 @@ object Bench {
         val canaryOn = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") != "0"
         val candidates =
           (ranked.take(soloN) ++
-            (if (canaryOn) canary.filter(results.get(_).exists(_.isDefined)) else Nil)).distinct
+            (if (canaryOn) (canary ++ tpchSolo).filter(results.get(_).exists(_.isDefined)) else Nil)).distinct
         val javaBin = System.getProperty("java.home") + "/bin/java"
         import scala.jdk.CollectionConverters._
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean

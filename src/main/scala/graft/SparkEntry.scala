@@ -398,6 +398,60 @@ object SparkEntry {
           lit(nTop).as("n_top_rows"),
           lit(names).as("top_names"))
     }),
+    // Stored-procedure / function / sequence replication (SMO parity one
+    // step past views, r13 #385): discover from the live Derby catalog,
+    // replay on the destination, then LIVE-FIRE all three there — the
+    // function computes, the procedure CALLs, and the sequence CONTINUES
+    // past every source-issued value (the KeepIdentity analogue).
+    "copy_jdbc_procs" -> ((s, dir) => {
+      val srcUrl = freshDerby("procsrc")
+      val dstUrl = freshDerby("procdst")
+      val srcDb = TableCopy.JdbcStore(srcUrl,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val dstDb = TableCopy.JdbcStore(dstUrl,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      locally {
+        val c = java.sql.DriverManager.getConnection(srcUrl)
+        try {
+          val st = c.createStatement()
+          st.executeUpdate("CREATE SEQUENCE ORD_SEQ AS BIGINT " +
+            "START WITH 100 INCREMENT BY 5 " +
+            "MINVALUE 1 MAXVALUE 1000000 NO CYCLE")
+          // Consume two values so the live position sits past START WITH
+          // (fetch the row: Derby issues NEXT VALUE lazily on fetch).
+          (1 to 2).foreach { _ =>
+            val r = st.executeQuery("VALUES NEXT VALUE FOR ORD_SEQ")
+            r.next(); r.close()
+          }
+          st.executeUpdate("CREATE FUNCTION ABS_F(X DOUBLE) RETURNS DOUBLE " +
+            "PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA " +
+            "EXTERNAL NAME 'java.lang.Math.abs'")
+          st.executeUpdate("CREATE PROCEDURE NAP(IN MS BIGINT) " +
+            "PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA " +
+            "EXTERNAL NAME 'java.lang.Thread.sleep'")
+        } finally c.close()
+      }
+      val manifest = TableCopy.copyRoutines(s, srcDb, dstDb)
+      val d = java.sql.DriverManager.getConnection(dstUrl)
+      val (absV, napOk, seqNext) =
+        try {
+          val rs = d.createStatement().executeQuery("VALUES ABS_F(-7.5E0)")
+          rs.next(); val a = rs.getDouble(1)
+          d.prepareCall("CALL NAP(1)").execute()
+          val rs2 = d.createStatement()
+            .executeQuery("VALUES NEXT VALUE FOR ORD_SEQ")
+          rs2.next(); val nxt = rs2.getLong(1)
+          (a, true, nxt)
+        } finally d.close()
+      s.range(1).select(
+        lit(manifest.map { case (n, k, st) => s"$n:$k=$st" }.mkString(";"))
+          .as("manifest"),
+        lit(absV).as("abs_result"),
+        lit(napOk).as("proc_called"),
+        // The destination sequence continues on the source's grid, past
+        // BOTH source-issued values (100, 105).
+        lit(seqNext >= 110 && (seqNext - 100) % 5 == 0).as("seq_continues"))
+    }),
     // -WhatIf / dry-run: the full execution plan — FK-topological order,
     // row estimates, and the EXACT DDL each table would get (shared code
     // path with the real copy, so the preview can't drift) — with NOTHING
@@ -1292,7 +1346,7 @@ object SparkEntry {
     // must equal it, which is the incremental-maintenance soundness claim.
     "q_ivm" ->
       """SELECT event_type, strftime(ts::DATE, '%Y-%m-%d') AS day, count(*) AS n,
-        |  floor((CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS sum_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
@@ -1731,10 +1785,14 @@ object SparkEntry {
         |top AS (SELECT n_name FROM base WHERE n_nationkey > 4)
         |SELECT (SELECT count(*) FROM nation) AS n_rows,
         |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS sum_nkey,
-        |  'A_TOP=r2;Z_BASE=r1' AS view_rounds,
-        |  'A_TOP,Z_BASE' AS dest_views,
+        |  'APP.A_TOP=r2;APP.Z_BASE=r1' AS view_rounds,
+        |  'APP.A_TOP,APP.Z_BASE' AS dest_views,
         |  (SELECT count(*) FROM top) AS n_top_rows,
         |  (SELECT string_agg(n_name, ',' ORDER BY n_name) FROM top) AS top_names""".stripMargin,
+    "copy_jdbc_procs" ->
+      """SELECT 'APP.ORD_SEQ:S=ok;APP.ABS_F:F=ok;APP.NAP:P=ok' AS manifest,
+        |  CAST(7.5 AS DOUBLE) AS abs_result,
+        |  true AS proc_called, true AS seq_continues""".stripMargin,
     "copy_jdbc_constraints" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,
@@ -2518,7 +2576,7 @@ object SparkEntry {
         |  FROM s)
         |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
         |  count(*) AS n_customers,
-        |  floor((CAST(sum(monetary) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS revenue
+        |  CAST(CAST(sum(monetary) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM q GROUP BY 1 ORDER BY segment""".stripMargin,
     "q_doc_rarity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),

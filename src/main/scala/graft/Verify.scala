@@ -1,10 +1,114 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened per VERDICT r12 #1 (the silent-dropout class): a per-query
+  * exception used to vanish to stderr with exit 0 — the query simply had
+  * no result dir and dropped out of the round's correctness artifact —
+  * and an empty DataFrame committed as a 0-row parquet with no vacuity
+  * check. Now every query retries once on failure OR on an empty first
+  * result (transient pressure, the r12 trigger), the requested key set is
+  * reconciled against produced result dirs after the loop (the
+  * tools/stress.sh:53-61 discipline, ported), markers are written to
+  * `_verify_markers.json`, and any requested-but-missing key exits
+  * nonzero.
+  */
 object Verify {
+
+  /** Outcome of one [[run]]: keys that produced no result dir (failed
+    * twice, or were requested but aren't in the registry) and keys whose
+    * first pass was empty/crashed and were retried (the retry may have
+    * succeeded — `missing` is the hard-failure set).
+    */
+  private[graft] case class Report(missing: Seq[String], retried: Seq[String]) {
+    def ok: Boolean = missing.isEmpty
+  }
+
+  /** Runs each requested query, writes `outDir/<name>` parquet, reconciles
+    * requested-vs-produced. Registry is injectable so VerifySpec can prove
+    * the reconcile/retry behavior on synthetic queries.
+    */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]],
+      registry: Map[String, (SparkSession, String) => DataFrame] =
+        SparkEntry.queries): Report = {
+    new java.io.File(outDir).mkdirs()
+    val requested: Seq[String] = only match {
+      // Preserve unknown names: a typo'd/dropped key must fail the
+      // reconcile, not silently shrink the request (subset-mode erosion).
+      case Some(names) => names.toSeq.sorted
+      case None => registry.keys.toSeq.sorted
+    }
+    val retried = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def writeOnce(name: String,
+        fn: (SparkSession, String) => DataFrame): Long = {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      // Footer-only row count: cheap next to the query, and the vacuity
+      // signal the r12 q_rolling_z dropout needed.
+      spark.read.parquet(s"$outDir/$name").count()
+    }
+
+    requested.foreach { name =>
+      registry.get(name) match {
+        case None =>
+          System.err.println(s"[verify] $name: requested but not in registry")
+        case Some(fn) =>
+          val first: Either[Throwable, Long] =
+            try Right(writeOnce(name, fn))
+            catch { case e: Throwable => Left(e) }
+          first match {
+            case Right(n) if n > 0 => // committed, non-vacuous
+            case other =>
+              val why = other.fold(e => s"failed: ${e.getMessage}",
+                _ => "returned 0 rows")
+              System.err.println(s"[verify] $name $why — retrying once")
+              retried += name
+              try {
+                val n2 = writeOnce(name, fn)
+                if (n2 == 0)
+                  System.err.println(s"[verify] $name: empty after retry " +
+                    "(committed; legitimate-empty or persistent vacuity — " +
+                    "the oracle compare decides)")
+              } catch { case e2: Throwable =>
+                System.err.println(s"[verify] $name failed twice: ${e2.getMessage}")
+                // A half-written dir from the crashed write would satisfy
+                // the dir-exists reconcile — remove it so the key counts
+                // as missing, not as a committed result.
+                deleteRecursively(new java.io.File(s"$outDir/$name"))
+              }
+          }
+      }
+    }
+
+    val missing = requested.filterNot(n =>
+      new java.io.File(s"$outDir/$n").isDirectory)
+    missing.foreach(n =>
+      System.err.println(s"[verify] RECONCILE: requested but no result dir: $n"))
+    val report = Report(missing, retried.toSeq)
+    Files.writeString(Paths.get(s"$outDir/_verify_markers.json"),
+      s"""{"missing": ${jsonArr(report.missing)}, "retried": ${jsonArr(report.retried)}}""")
+    report
+  }
+
+  private def jsonArr(xs: Seq[String]): String =
+    xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--list")) {
+      // Key inventory for tools/reconcile.sh — no Spark needed.
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated subset of query names (dev loop).
     val only: Option[Set[String]] =
@@ -17,16 +121,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val report = run(spark, sfDir, outDir, only)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,5 +138,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!report.ok) {
+      System.err.println(s"[verify] FAILED: ${report.missing.size} requested " +
+        s"key(s) produced no result: ${report.missing.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -774,8 +774,7 @@ object Curation {
     val scored = s.withColumn("ns", nD * sigma).localCheckpoint(true)
     val z = scored.agg(sum(col("ns").cast(dec)).as("zd"))
       .select(col("zd").cast("double").as("z"))
-    def fl6(c: org.apache.spark.sql.Column) =
-      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def fl6(c: org.apache.spark.sql.Column) = Fl6(c)
     scored.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), fl6(sigma).as("sigma_tokens"),
         fl6(col("ns") / col("z")).as("alloc_share"),
@@ -807,8 +806,7 @@ object Curation {
       .localCheckpoint(true)
     val z = scored.agg(sum(col("sq").cast(dec)).as("zd"))
       .select(col("zd").cast("double").as("z"))
-    def fl6(c: org.apache.spark.sql.Column) =
-      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def fl6(c: org.apache.spark.sql.Column) = Fl6(c)
     scored.crossJoin(broadcast(z))
       .select(col("source"), col("n_tokens"), fl6(col("p")).as("share"),
         fl6(col("sq") / col("z")).as("weight"),

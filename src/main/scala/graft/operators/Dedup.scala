@@ -621,8 +621,7 @@ object Dedup {
           .as("gt_cross"),
         sum(when(col("j") >= col("tau") && col("ham") <= maxDist, col("wt"))
           .otherwise(0L)).as("det_cross"))
-    def fl6(c: Column): Column =
-      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    def fl6(c: Column): Column = Fl6(c)
     // Recall proportion p from the EXACT integer counts (one double
     // division — both engines identical), 95% normal-approximation CI
     // with n = gt_pairs: under content-addressed doc sampling the sampled

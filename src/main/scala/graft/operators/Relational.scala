@@ -361,9 +361,11 @@ object Relational {
         d(x).as("sx"), d(y).as("sy"),
         d(x * y).as("sxy"), d(x * x).as("sxx"), d(y * y).as("syy"))
       .select(col("l_returnflag"),
-        (floor(((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // Non-finite-guarded fl6 (ADVICE r12): a zero-variance group's
+        // 0/0 or sqrt-of-0 denominator must not fabricate a finite corr.
+        fl6((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy")))) * lit(1e6) + lit(0.5)) / lit(1e6)).as("corr_qty_disc"),
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_disc"),
         col("n").cast("long").as("n_rows"))
       .orderBy("l_returnflag")
   }
@@ -1479,8 +1481,12 @@ object Relational {
       .groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
         .cast("long").as("segment"))
       .agg(count(lit(1)).as("n_customers"),
+        // monetary sums are DECIMAL(18,2): exact at 2 dp already, so the
+        // old 2-dp floor-form was a value no-op with a floor→BIGINT
+        // saturation hazard above ~9.2e16 cents (ADVICE r12). Spark's
+        // decimal→double cast is correctly rounded; the oracle matches
+        // via its VARCHAR round-trip.
         sum(col("monetary")).cast("double").as("revenue"))
-      .withColumn("revenue", (floor((col("revenue")) * lit(1e2) + lit(0.5)) / lit(1e2)))
       .orderBy("segment")
   }
 
@@ -4096,7 +4102,7 @@ object Relational {
     * engine and version. New operators use this; the oracle side spells
     * the same floor(x * 1e6 + 0.5) / 1e6.
     */
-  private def fl6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def fl6(c: Column): Column = Fl6(c)
 
   /** §2.2 #280 — HIGHER MOMENTS per order priority: mean, standard
     * deviation, skewness, excess kurtosis, and the Jarque–Bera normality

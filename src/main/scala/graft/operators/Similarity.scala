@@ -36,7 +36,7 @@ object Similarity {
     * r7 q_cov_matrix red row), so every oracle-checked surface value uses
     * this deterministic form on BOTH engines (r11 allowlist burn-down).
     */
-  private def fl6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def fl6(c: Column): Column = Fl6(c)
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -1383,6 +1383,7 @@ object Similarity {
       .join(kmeansAssign(spark, dir, k), "vec_id")
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
       .localCheckpoint(true)
+    semDedupPairGuard(spark, m, k)
     val pairs = m.as("a")
       .join(m.as("b"), col("a.cid") === col("b.cid") &&
         col("a.vec_id") < col("b.vec_id"))
@@ -1405,6 +1406,45 @@ object Similarity {
           .cast("double") / col("n_members").cast("double")).as("keep_rate"))
       .orderBy("cid")
   }
+
+  /** Pair ceiling for [[semDedup]]'s within-cluster pair join. The
+    * operator's scale contract is that k GROWS with the corpus (SemDeDup
+    * keeps per-cluster occupancy bounded, so Σ C(n_c, 2) stays ~N·n̄/2);
+    * nothing used to enforce it — at the 100× decade corpus the default
+    * k=8 meant ~1.5e10 cosine pairs (SURVEY §7 r12 tally). Mirrors the
+    * exactGroundTruth guard (Dedup.scala): the estimate is one k-row
+    * aggregate over the already-checkpointed assignment frame — free next
+    * to the join it guards — and the 10× tally's ~1.5e8 pairs stay well
+    * under the default ceiling.
+    */
+  private[graft] val SemDedupMaxPairs = 1000000000L
+
+  /** Refuses [[semDedup]] when the per-cluster member counts imply more
+    * than `spark.graft.semdedup.maxPairs` (default [[SemDedupMaxPairs]])
+    * within-cluster pairs, unless `spark.graft.semdedup.force=true`
+    * acknowledges the run. The error names the k ≈ √N repair.
+    */
+  private def semDedupPairGuard(spark: SparkSession,
+      assigned: DataFrame, k: Int): Unit =
+    if (!spark.conf.getOption("spark.graft.semdedup.force")
+          .exists(_.toBoolean)) {
+      val ceiling = spark.conf.getOption("spark.graft.semdedup.maxPairs")
+        .map(_.toLong).getOrElse(SemDedupMaxPairs)
+      // Spark's `/` on longs is a DOUBLE divide — sum the even product
+      // n·(n−1) exactly in LONG and halve driver-side.
+      val row = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - lit(1L))).as("pairs2"),
+          sum(col("n")).as("n_vecs")).head()
+      if (row.isNullAt(0)) return // empty corpus: nothing to guard
+      val (pairs, nVecs) = (row.getLong(0) / 2, row.getLong(1))
+      require(pairs <= ceiling,
+        s"semDedup: k=$k puts ~$pairs within-cluster pairs over $nVecs " +
+        s"vectors, past the $ceiling-pair ceiling — the operator's scale " +
+        s"contract is k growing with the corpus (k ≈ √N = " +
+        s"${math.round(math.sqrt(nVecs.toDouble))} here); raise k, set " +
+        "spark.graft.semdedup.maxPairs, or set " +
+        "spark.graft.semdedup.force=true for a signed-off run")
+    }
 
   /** DuckDB oracle for [[semDedup]]: the kmeans-core assignment CTEs feed
     * the identical cluster-scoped pair search and survivor rule.

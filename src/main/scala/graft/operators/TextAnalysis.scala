@@ -1057,8 +1057,7 @@ object TextAnalysis {
         .otherwise(0L)).as("agree"))
     val pe = rows.join(cols2, col("lang") === col("lang_detected"))
       .agg(sum(col("nr") * col("ncol")).as("pe_num"))
-    val fl6 = (c: org.apache.spark.sql.Column) =>
-      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val fl6 = (c: org.apache.spark.sql.Column) => Fl6(c)
     tot.crossJoin(broadcast(pe))
       .select(col("n").as("n_docs"), col("agree").as("n_agree"),
         fl6(col("agree").cast("double") / col("n").cast("double")).as("po"),
@@ -1081,7 +1080,7 @@ object TextAnalysis {
     */
   def stopwordDensity(spark: SparkSession, dir: String,
       stops: Seq[String] = Seq("join", "hash", "row", "batch", "scan")): DataFrame = {
-    val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val fl6 = (c: Column) => Fl6(c)
     // Membership test via a typed array literal, NOT string-interpolated SQL:
     // a stopword containing a quote must stay a plain value, never expression
     // text (ADVICE r11). array_contains over a <=|stops|-element literal is
@@ -1124,7 +1123,7 @@ object TextAnalysis {
   def dsirWeights(spark: SparkSession, dir: String,
       targetLang: String = "en"): DataFrame = {
     val dec = DecimalType(38, 12)
-    val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val fl6 = (c: Column) => Fl6(c)
     val toks = docs(spark, dir)
       .select(col("doc_id"), col("source"),
         (col("lang") === targetLang).as("is_t"),
@@ -1158,7 +1157,13 @@ object TextAnalysis {
   /** DuckDB oracle for [[dsirWeights]]: same add-one unigram models, same
     * per-token scalar log-ratios, same decimal sums.
     */
-  def dsirWeightsOracleSql(targetLang: String = "en"): String =
+  def dsirWeightsOracleSql(targetLang: String = "en"): String = {
+    // Quote-unsafe interpolation guard (ADVICE r12, the stopwordDensity
+    // lesson): the lang tag is interpolated into SQL, so pin it to the
+    // BCP-47-ish shapes the corpus actually uses before it reaches the
+    // string.
+    require(targetLang.matches("[A-Za-z]{2,8}(-[A-Za-z0-9]{1,8})*"),
+      s"dsirWeightsOracleSql: targetLang '$targetLang' is not a language tag")
     s"""WITH toks AS (
        |  SELECT doc_id, source, (lang = '$targetLang') AS is_t,
        |    unnest(string_split(trim(text), ' ')) AS t
@@ -1189,6 +1194,7 @@ object TextAnalysis {
        |  floor(CAST(CAST(min(w) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_w,
        |  floor(CAST(CAST(max(w) AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_w
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+  }
 
   /** §2.3 #374 — SHINGLE-COMPRESSION (cross-document redundancy) per
     * source: 1 − |distinct word-3-grams| / Σ per-doc distinct 3-grams.
@@ -1202,7 +1208,7 @@ object TextAnalysis {
     */
   def shingleCompression(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftglue._
-    val fl6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val fl6 = (c: Column) => Fl6(c)
     val sh = docs(spark, dir)
       .select(col("source"), tokensCol.as("w"))
       .where(size(col("w")) >= 3)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The driver gate's un-droppable contract (VERDICT r12 #1): a crashed or
+  * vacuous query must not silently vanish from the correctness artifact.
+  */
+class VerifySpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpOut(): String =
+    Files.createTempDirectory("graft_verify_spec").toString
+
+  private val okQuery: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(5).toDF("id")
+
+  test("reconcile flags a requested key the registry doesn't have") {
+    val out = tmpOut()
+    val report = Verify.run(spark, sf, out,
+      Some(Set("q_ok", "q_dropped_key")),
+      registry = Map("q_ok" -> okQuery))
+    assert(report.missing == Seq("q_dropped_key"))
+    assert(!report.ok)
+    assert(new java.io.File(s"$out/q_ok").isDirectory)
+    assert(!new java.io.File(s"$out/q_dropped_key").exists())
+    val markers = Files.readString(java.nio.file.Paths.get(s"$out/_verify_markers.json"))
+    assert(markers.contains("q_dropped_key"))
+  }
+
+  test("a query that always crashes is retried, removed, and reported missing") {
+    val out = tmpOut()
+    var calls = 0
+    val crash: (SparkSession, String) => DataFrame = (_, _) => {
+      calls += 1; throw new RuntimeException("synthetic crash")
+    }
+    val report = Verify.run(spark, sf, out, None,
+      registry = Map("q_ok" -> okQuery, "q_crash" -> crash))
+    assert(calls == 2, "crashing query must be retried exactly once")
+    assert(report.missing == Seq("q_crash"))
+    assert(report.retried.contains("q_crash"))
+    // No half-written dir may satisfy the dir-exists reconcile.
+    assert(!new java.io.File(s"$out/q_crash").exists())
+    assert(new java.io.File(s"$out/q_ok").isDirectory)
+  }
+
+  test("a transient blank retries once and commits the non-empty rerun") {
+    val out = tmpOut()
+    var calls = 0
+    val flaky: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      if (calls == 1) s.range(5).toDF("id").where("id < 0") else s.range(3).toDF("id")
+    }
+    val report = Verify.run(spark, sf, out, None,
+      registry = Map("q_flaky" -> flaky))
+    assert(report.ok)
+    assert(report.retried == Seq("q_flaky"))
+    assert(spark.read.parquet(s"$out/q_flaky").count() == 3)
+  }
+
+  test("a transient crash retries once and commits the rerun") {
+    val out = tmpOut()
+    var calls = 0
+    val flaky: (SparkSession, String) => DataFrame = (s, _) => {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("transient") else s.range(4).toDF("id")
+    }
+    val report = Verify.run(spark, sf, out, None,
+      registry = Map("q_flaky" -> flaky))
+    assert(report.ok)
+    assert(report.retried == Seq("q_flaky"))
+    assert(spark.read.parquet(s"$out/q_flaky").count() == 4)
+  }
+
+  test("clean run: no retries, no missing, markers empty") {
+    val out = tmpOut()
+    val report = Verify.run(spark, sf, out, None,
+      registry = Map("q_a" -> okQuery, "q_b" -> okQuery))
+    assert(report.ok && report.retried.isEmpty)
+    val markers = Files.readString(java.nio.file.Paths.get(s"$out/_verify_markers.json"))
+    assert(markers == """{"missing": [], "retried": []}""")
+  }
+}

@@ -49,6 +49,15 @@ class DialectGoldenSpec extends AnyFunSuite {
        |
        |-- triggersSql
        |${opt(d.triggersSql)}
+       |
+       |-- viewsSql
+       |${opt(d.viewsSql)}
+       |
+       |-- checkConstraintsScopedSql
+       |${opt(d.checkConstraintsScopedSql)}
+       |
+       |-- triggersScopedSql
+       |${opt(d.triggersScopedSql)}
        |""".stripMargin
   }
 

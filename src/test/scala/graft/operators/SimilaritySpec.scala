@@ -934,6 +934,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(strict <= rows.map(_.getAs[Long]("n_dropped")).sum)
   }
 
+  test("semDedup pair ceiling refuses a fixed-k quadratic blow-up unless forced (r13 VERDICT #3)") {
+    // Lower the ceiling below the test corpus's Σ C(n_c, 2) so the guard
+    // fires, then confirm the escape hatches: raising the ceiling back,
+    // and the explicit force flag for signed-off runs.
+    spark.conf.set("spark.graft.semdedup.maxPairs", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.semDedup(spark, sf)
+      }
+      assert(e.getMessage.contains("pair ceiling") &&
+        e.getMessage.contains("k ≈ √N"))
+      spark.conf.set("spark.graft.semdedup.force", "true")
+      assert(Similarity.semDedup(spark, sf).collect().nonEmpty)
+      spark.conf.unset("spark.graft.semdedup.force")
+      spark.conf.unset("spark.graft.semdedup.maxPairs")
+      // Default ceiling admits the gate corpus.
+      assert(Similarity.semDedup(spark, sf).collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.semdedup.maxPairs")
+      spark.conf.unset("spark.graft.semdedup.force")
+    }
+  }
+
   test("sourceClusterMix shares sum to 1 per source and counts partition the corpus (r12 #383)") {
     val rows = Similarity.sourceClusterMix(spark, sf).collect()
     val nTotal = Tables.load(spark, sf, "documents").count()

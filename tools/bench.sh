@@ -23,7 +23,10 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 
 if [ "${BENCH_FORCE:-0}" != "1" ]; then
-  others=$(pgrep -c java 2>/dev/null || echo 0)
+  # No `|| echo 0` fallback: when nothing matches, pgrep -c still PRINTS
+  # "0" before exiting 1, so the fallback emitted "0\n0" and broke the
+  # -gt test (ADVICE r12). An empty capture (pgrep absent) defaults to 0.
+  others=$(pgrep -c java 2>/dev/null); others=${others:-0}
   if [ "$others" -gt 0 ]; then
     echo "[bench.sh] REFUSING to start: $others java process(es) already running" >&2
     pgrep -a java | head -5 >&2
