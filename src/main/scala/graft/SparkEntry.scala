@@ -1120,6 +1120,14 @@ object SparkEntry {
     "q_shingle_compression" -> ((s, dir) => TextAnalysis.shingleCompression(s, dir)),
     "q_dsir_weights" -> ((s, dir) => TextAnalysis.dsirWeights(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.dedupCanonical(s, dir)),
+    // r13 additions (§2.2 #386-#388; §2.3 #389-#390): grouped jackknife,
+    // BH multiplicity control, randomization test, BPE merge-candidate
+    // scan, QID k-anonymity audit.
+    "q_jackknife" -> ((s, dir) => Relational.jackknife(s, dir)),
+    "q_fdr_bh" -> ((s, dir) => Relational.fdrBh(s, dir)),
+    "q_permutation_test" -> ((s, dir) => Relational.permutationTest(s, dir)),
+    "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairs(s, dir)),
+    "q_k_anonymity" -> ((s, dir) => Curation.kAnonymity(s, dir)),
   )
 
   /** DuckDB twin of [[TableCopy.checksum]]: canonical row string → sha256 →
@@ -6517,5 +6525,119 @@ object SparkEntry {
         |  FROM cl JOIN sized USING (cluster_id) JOIN qs ON qs.doc_id = cl.doc_id)
         |SELECT cluster_id, n_members, doc_id AS keep_id, quality AS keep_quality
         |FROM j WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q_jackknife" ->
+      """WITH g AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS m, count(*)::BIGINT AS ng,
+        |    sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sg
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n, sum(sg) AS s,
+        |  count(*)::BIGINT AS gcnt FROM g),
+        |th AS (SELECT gcnt, n, s,
+        |    CAST(floor(CAST(s - sg AS DOUBLE) / (CAST(n - ng AS DOUBLE) * 100.0)
+        |      * 1e6 + 0.5) AS BIGINT) AS thi
+        |  FROM g CROSS JOIN tot),
+        |a AS (SELECT max(gcnt) AS g_groups, max(n) AS n_rows,
+        |    CAST(max(s) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * 100.0) AS mean_full,
+        |    CAST(CAST(sum(CAST(thi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sthi,
+        |    CAST(CAST(sum(CAST(thi AS DECIMAL(38,0)) * CAST(thi AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sthi2
+        |  FROM th)
+        |SELECT g_groups, n_rows,
+        |  floor(mean_full * 1e6 + 0.5) / 1e6 AS mean_full,
+        |  floor(sthi / 1e6 / g_groups * 1e6 + 0.5) / 1e6 AS theta_bar,
+        |  floor(sqrt(greatest(0.0, (g_groups - 1.0) / g_groups
+        |    * (sthi2 / 1e12 - (sthi / 1e6) * (sthi / 1e6) / g_groups)))
+        |    * 1e6 + 0.5) / 1e6 AS se_jack
+        |FROM a""".stripMargin,
+    "q_fdr_bh" ->
+      """WITH pn AS (
+        |  SELECT n_name, count(*)::BIGINT AS n1,
+        |    sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END)::BIGINT AS k1
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n1) AS BIGINT) AS nn, CAST(sum(k1) AS BIGINT) AS kk,
+        |  count(*)::BIGINT AS m FROM pn),
+        |z AS (
+        |  SELECT n_name, n1, k1, m,
+        |    (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(kk - k1 AS DOUBLE) / CAST(nn - n1 AS DOUBLE))
+        |    / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (1.0 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+        |        * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(nn - n1 AS DOUBLE))) AS zs
+        |  FROM pn CROSS JOIN tot),
+        |p AS (
+        |  SELECT n_name, n1, k1, m, zs,
+        |    floor(2.0 / (1.0 + exp(1.702 * abs(zs))) * 1e6 + 0.5) / 1e6 AS p6
+        |  FROM z),
+        |r AS (
+        |  SELECT *, CAST(floor(p6 * 1e6 + 0.5) AS BIGINT) AS p_int,
+        |    row_number() OVER (ORDER BY CAST(floor(p6 * 1e6 + 0.5) AS BIGINT), n_name) AS rk
+        |  FROM p),
+        |c AS (SELECT coalesce(max(CASE WHEN p_int * m <= 100000 * rk THEN rk END), 0) AS crit FROM r)
+        |SELECT n_name AS nation, n1 AS n_orders, k1 AS n_high,
+        |  floor(zs * 1e6 + 0.5) / 1e6 AS z, p6 AS p_approx,
+        |  CAST(rk AS BIGINT) AS p_rank, (rk <= crit) AS discovered
+        |FROM r CROSS JOIN c
+        |ORDER BY p_rank""".stripMargin,
+    "q_permutation_test" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, c_mktsegment AS seg,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |obs AS (
+        |  SELECT sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)::BIGINT AS na_o,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END)::BIGINT AS nb_o,
+        |    sum(CASE WHEN seg = 'BUILDING' THEN CAST(xc AS DECIMAL(38,0)) ELSE 0 END) AS sa_o,
+        |    sum(CASE WHEN seg = 'MACHINERY' THEN CAST(xc AS DECIMAL(38,0)) ELSE 0 END) AS sb_o
+        |  FROM base),
+        |obsd AS (SELECT na_o, nb_o,
+        |  CAST(sa_o AS DOUBLE) / (CAST(na_o AS DOUBLE) * 100.0)
+        |    - CAST(sb_o AS DOUBLE) / (CAST(nb_o AS DOUBLE) * 100.0) AS d_obs FROM obs),
+        |hs AS (SELECT xc, grp, sha256(concat(CAST(o_orderkey AS VARCHAR), '|',
+        |         CAST(grp AS VARCHAR))) AS h
+        |       FROM (SELECT o_orderkey, xc, unnest(generate_series(0, 5)) AS grp FROM base)),
+        |sl AS (SELECT xc, grp * 16 + slot + 1 AS rep,
+        |         substr(h, slot * 4 + 1, 4) < '8000' AS toA
+        |       FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS slot) s
+        |       WHERE grp * 16 + slot + 1 <= 96),
+        |pr AS (
+        |  SELECT rep,
+        |    sum(CASE WHEN toA THEN 1 ELSE 0 END)::BIGINT AS na,
+        |    sum(CASE WHEN NOT toA THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |    sum(CASE WHEN toA THEN CAST(xc AS DECIMAL(38,0)) ELSE 0 END) AS sa,
+        |    sum(CASE WHEN NOT toA THEN CAST(xc AS DECIMAL(38,0)) ELSE 0 END) AS sb
+        |  FROM sl GROUP BY 1),
+        |prd AS (SELECT rep,
+        |  CAST(sa AS DOUBLE) / (CAST(na AS DOUBLE) * 100.0)
+        |    - CAST(sb AS DOUBLE) / (CAST(nb AS DOUBLE) * 100.0) AS d_b FROM pr)
+        |SELECT max(na_o) AS n_a, max(nb_o) AS n_b,
+        |  floor(max(d_obs) * 1e6 + 0.5) / 1e6 AS d_obs,
+        |  count(*)::BIGINT AS n_perm,
+        |  sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END)::BIGINT AS n_extreme,
+        |  floor((CAST(sum(CASE WHEN abs(d_b) >= abs(d_obs) THEN 1 ELSE 0 END) AS DOUBLE) + 1.0)
+        |    / (CAST(count(*) AS DOUBLE) + 1.0) * 1e6 + 0.5) / 1e6 AS p_perm
+        |FROM prd CROSS JOIN obsd""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH p AS (
+        |  SELECT substr(text, i, 2) AS pair
+        |  FROM (SELECT text, unnest(generate_series(1, length(text) - 1)) AS i
+        |        FROM documents WHERE length(text) >= 2)),
+        |c AS (SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY 1),
+        |r AS (SELECT pair, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS INTEGER) AS rk FROM c)
+        |SELECT rk, pair, n FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT source, lang, CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket,
+        |    count(*)::BIGINT AS cls
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, count(*)::BIGINT AS n_classes,
+        |  CAST(sum(cls) AS BIGINT) AS n_docs,
+        |  sum(CASE WHEN cls < 5 THEN 1 ELSE 0 END)::BIGINT AS risky_classes,
+        |  CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT) AS docs_at_risk,
+        |  floor(CAST(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(cls) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS risk_share
+        |FROM cls GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -859,4 +859,33 @@ object Curation {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("eps_bound"))
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
+
+  /** §2.3 #390 — K-ANONYMITY audit over quasi-identifiers (source, lang,
+    * 100-char length bucket): any document whose QID equivalence class has
+    * fewer than `k` members is re-identifiable from metadata alone — the
+    * release gate a curated corpus passes BEFORE publication, complementing
+    * content-level PII scrubbing (#107): scrubbing removes identifiers
+    * written IN the text, this catches identification BY the row's
+    * attributes. Two bounded aggregations: class sizes (shuffle keyed on
+    * the QID tuple — cardinality ≤ |sources|·|langs|·|buckets|, never
+    * corpus rows), then a per-source rollup of risky classes and the
+    * documents exposed in them; integer-exact except the final ratio.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val classes = docs(spark, dir)
+      .select(col("source"), col("lang"),
+        (floor(col("n_chars") / lit(100)) * 100).cast("long").as("len_bucket"))
+      .groupBy("source", "lang", "len_bucket")
+      .agg(count(lit(1)).as("cls"))
+    classes.groupBy("source")
+      .agg(count(lit(1)).as("n_classes"),
+        sum("cls").as("n_docs"),
+        sum(when(col("cls") < k, 1L).otherwise(0L)).as("risky_classes"),
+        sum(when(col("cls") < k, col("cls")).otherwise(0L)).as("docs_at_risk"))
+      .select(col("source"), col("n_classes"), col("n_docs"),
+        col("risky_classes"), col("docs_at_risk"),
+        Fl6(col("docs_at_risk").cast("double") / col("n_docs").cast("double"))
+          .as("risk_share"))
+      .orderBy("source")
+  }
 }

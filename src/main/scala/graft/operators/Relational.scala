@@ -5934,4 +5934,175 @@ object Relational {
       .orderBy(col("min_gap_s").asc, col("n_events").desc, col("user_id").asc)
       .limit(topK)
   }
+
+  /** §2.2 #386 — DELETE-ONE-GROUP JACKKNIFE standard error of the mean
+    * order price, grouped by order month: each replicate mean θ_g drops
+    * one month, var_jack = (G−1)/G · Σ(θ_g − θ̄)². The resampling-free
+    * uncertainty estimate for a ratio metric over correlated batches
+    * (months) — the grouped complement of the Poisson bootstrap (#206):
+    * G replicates instead of nBoot, each an O(1) algebraic correction
+    * (S−s_g)/(N−n_g) of the SAME one-pass group sums, so the whole
+    * operator is ONE scan + a |months|-bounded frame — at 100 TB the
+    * jackknife costs exactly what the monthly rollup already costs.
+    *
+    * Determinism: group sums ride exact integer cents in DECIMAL(38,0);
+    * each θ_g is one IEEE division of exact values (bit-identical on both
+    * engines) QUANTIZED to integer micro-units by the floor-form — a
+    * double→scaled-decimal cast would multiply past 2⁵³ and round
+    * differently per engine, an exact integer never can — so Σθ and Σθ²
+    * are add-order-free integer sums; the variance is clamped at 0 before
+    * sqrt (an all-identical corpus would otherwise hand sqrt a −1 ulp
+    * residue).
+    */
+  def jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val g = t(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("ng"), sum(col("xc").cast(dec0)).as("sg"))
+    val tot = g.agg(sum("ng").as("n"), sum("sg").as("s"),
+      count(lit(1)).as("gcnt"))
+    val th = g.crossJoin(broadcast(tot))
+      .withColumn("theta", (col("s") - col("sg")).cast("double") /
+        ((col("n") - col("ng")).cast("double") * lit(100.0)))
+      .withColumn("thi", expr("CAST(floor(theta * 1e6 + 0.5d) AS BIGINT)"))
+    val a = th.agg(
+      max("gcnt").as("g_groups"), max("n").as("n_rows"),
+      (max("s").cast("double") / (max("n").cast("double") * lit(100.0)))
+        .as("mean_full"),
+      sum(col("thi").cast(dec0)).cast("double").as("sthi"),
+      sum((col("thi").cast(dec0) * col("thi").cast(dec0))).cast("double")
+        .as("sthi2"))
+    val gd = col("g_groups").cast("double")
+    a.select(col("g_groups"), col("n_rows"), fl6(col("mean_full")).as("mean_full"),
+      fl6(col("sthi") / lit(1e6) / gd).as("theta_bar"),
+      fl6(sqrt(greatest(lit(0.0), (gd - 1.0) / gd *
+        (col("sthi2") / lit(1e12) -
+         (col("sthi") / lit(1e6)) * (col("sthi") / lit(1e6)) / gd))))
+        .as("se_jack"))
+  }
+
+  /** §2.2 #387 — BENJAMINI–HOCHBERG FDR control over one z-test per
+    * nation: "which nations' high-value-order rate really differs from
+    * the rest?" asked 25 times needs multiplicity control — BH's step-up
+    * (largest i with p_(i) ≤ αi/m; everything ranked at or below
+    * discovers) bounds the expected false-discovery fraction at α where
+    * Bonferroni would throw away power. Per-nation pooled two-proportion
+    * z from integer counts in ONE fact scan; the BH walk runs on the
+    * |nations|-bounded frame (the unpartitioned window is over ≤25 rows,
+    * never the corpus).
+    *
+    * Determinism: counts are exact; z is IEEE arithmetic on exact values
+    * (bit-identical both engines); Φ(|z|) uses the logistic surrogate
+    * 1/(1+exp(1.702·|z|)) — an explicit, documented approximation chosen
+    * because neither engine exposes erf, identical formula both sides;
+    * the BH comparison runs on INTEGERS (p6·1e6·m ≤ 1e5·α₁₀·i with α =
+    * α₁₀/10), so no float threshold can flip a rank between engines.
+    */
+  def fdrBh(spark: SparkSession, dir: String, priceCut: Double = 250000.0,
+      alpha10: Int = 1): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(spark, dir, "nation").select("n_nationkey", "n_name")
+    val perNation = t(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n1"),
+        sum(when(col("o_totalprice") > priceCut, 1L).otherwise(0L)).as("k1"))
+    val tot = perNation.agg(sum("n1").as("nn"), sum("k1").as("kk"),
+      count(lit(1)).as("m"))
+    val z = perNation.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nn") - col("n1"))
+      .withColumn("k2", col("kk") - col("k1"))
+      .withColumn("phat", col("kk").cast("double") / col("nn").cast("double"))
+      .withColumn("zs",
+        (col("k1").cast("double") / col("n1").cast("double") -
+         col("k2").cast("double") / col("n2").cast("double")) /
+        sqrt(col("phat") * (lit(1.0) - col("phat")) *
+          (lit(1.0) / col("n1").cast("double") +
+           lit(1.0) / col("n2").cast("double"))))
+      // Two-sided p through the logistic CDF surrogate (see scaladoc).
+      .withColumn("p6", fl6(lit(2.0) /
+        (lit(1.0) + exp(lit(1.702) * abs(col("zs"))))))
+      .withColumn("p_int",
+        expr("CAST(floor(p6 * 1e6 + 0.5d) AS BIGINT)"))
+    val wRank = Window.orderBy(col("p_int"), col("n_name"))
+    val ranked = z
+      .withColumn("rk", row_number().over(wRank))
+      // step-up: integer-exact p_(i) ≤ (α10/10)·(i/m)  ⇔  m·p_int ≤ 1e5·α10·i
+      .withColumn("below",
+        col("p_int") * col("m") <= lit(100000L * alpha10) * col("rk"))
+    val crit = ranked.agg(
+      coalesce(max(when(col("below"), col("rk"))), lit(0L)).as("crit"))
+    ranked.crossJoin(broadcast(crit))
+      .select(col("n_name").as("nation"), col("n1").as("n_orders"),
+        col("k1").as("n_high"), fl6(col("zs")).as("z"), col("p6").as("p_approx"),
+        col("rk").cast("long").as("p_rank"),
+        (col("rk") <= col("crit")).as("discovered"))
+      .orderBy("p_rank")
+  }
+
+  /** §2.2 #388 — RANDOMIZATION (permutation) TEST for the BUILDING vs
+    * MACHINERY mean-order-price difference: `nPerm` deterministic 50/50
+    * re-labelings of the pooled sample, p = (#{|d_b| ≥ |d_obs|} + 1) /
+    * (B + 1) — the assumption-free companion to Welch (#227): no normality,
+    * no variance model, just exchangeability under H₀. Runs as the #206
+    * bootstrap shape: ONE hash per 16 replicates (4-hex sha slices, '8000'
+    * lexicographic midpoint = fair coin), assignment resolved per
+    * (replicate, side) by partial-aggregated integer-cent sums, so the
+    * scan fans out ⌈B/16⌉× and the shuffle carries 2·B·partitions rows —
+    * scan-dominated and embarrassingly parallel at 100 TB.
+    *
+    * Determinism: per-replicate sums are exact decimals; each d_b is IEEE
+    * on exact values (bit-identical both engines), so the |d_b| ≥ |d_obs|
+    * count — and therefore p — cannot flip on an ulp between engines.
+    */
+  def permutationTest(spark: SparkSession, dir: String, nPerm: Int = 96,
+      segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val base = t(spark, dir, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin(segA, segB))
+      .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc"))
+    val obs = base.agg(
+      sum(when(col("seg") === segA, 1L).otherwise(0L)).as("na_o"),
+      sum(when(col("seg") === segB, 1L).otherwise(0L)).as("nb_o"),
+      sum(when(col("seg") === segA, col("xc")).otherwise(0L).cast(dec0)).as("sa_o"),
+      sum(when(col("seg") === segB, col("xc")).otherwise(0L).cast(dec0)).as("sb_o"))
+      .withColumn("d_obs",
+        col("sa_o").cast("double") / (col("na_o").cast("double") * 100.0) -
+        col("sb_o").cast("double") / (col("nb_o").cast("double") * 100.0))
+    val nGroups = (nPerm + 15) / 16
+    val perms = base
+      .select(col("o_orderkey"), col("xc"),
+        explode(sequence(lit(0), lit(nGroups - 1))).as("grp"))
+      .withColumn("h", sha2(concat(col("o_orderkey").cast("string"), lit("|"),
+        col("grp").cast("string")), 256))
+      .select(col("xc"), col("grp"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("slot"))
+      .withColumn("rep", col("grp") * 16 + col("slot") + 1)
+      .where(col("rep") <= nPerm)
+      .withColumn("toA", expr("substring(h, slot * 4 + 1, 4)") < lit("8000"))
+      .groupBy("rep")
+      .agg(sum(when(col("toA"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("toA"), 1L).otherwise(0L)).as("nb"),
+        sum(when(col("toA"), col("xc")).otherwise(0L).cast(dec0)).as("sa"),
+        sum(when(!col("toA"), col("xc")).otherwise(0L).cast(dec0)).as("sb"))
+      .withColumn("d_b",
+        col("sa").cast("double") / (col("na").cast("double") * 100.0) -
+        col("sb").cast("double") / (col("nb").cast("double") * 100.0))
+    perms.crossJoin(broadcast(obs))
+      .agg(max("na_o").as("n_a"), max("nb_o").as("n_b"),
+        count(lit(1)).as("n_perm"),
+        sum(when(abs(col("d_b")) >= abs(col("d_obs")), 1L).otherwise(0L))
+          .as("n_extreme"),
+        max("d_obs").as("d_obs_raw"))
+      .select(col("n_a"), col("n_b"), fl6(col("d_obs_raw")).as("d_obs"),
+        col("n_perm"), col("n_extreme"),
+        fl6((col("n_extreme") + lit(1)).cast("double") /
+          (col("n_perm") + lit(1)).cast("double")).as("p_perm"))
+  }
 }

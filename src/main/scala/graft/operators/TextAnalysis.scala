@@ -1226,4 +1226,34 @@ object TextAnalysis {
           col("n_shingles").cast("double")).as("redundancy"))
       .orderBy("source")
   }
+
+  /** §2.3 #389 — BPE MERGE-CANDIDATE SCAN: corpus-wide adjacent
+    * character-pair frequencies, top-`topK` by (count desc, pair asc) —
+    * the inner loop of byte-pair-encoding training (each BPE round merges
+    * the argmax of exactly this table), extracted as the distributed
+    * primitive: ONE explode of ⌈len−1⌉ positions per document (pure
+    * codegen: sequence + substr, no UDF), then a hash aggregation whose
+    * key space is bounded by |alphabet|² — a few thousand keys at ANY
+    * corpus size, so the shuffle after map-side combine is partitions ×
+    * |pairs|, independent of the 100 TB scan. A full BPE trainer is this
+    * scan iterated with the running merge table broadcast back; the
+    * per-round cost is this operator's cost.
+    *
+    * Sub-2-char documents are filtered on BOTH engines: Spark's
+    * `sequence(1, 0)` would DESCEND ([1,0]) rather than return empty —
+    * the guard is correctness, not hygiene.
+    */
+  def bpePairs(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val pairs = docs(spark, dir)
+      .where(length(col("text")) >= 2)
+      .select(col("text"),
+        explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
+      .select(col("text").substr(col("i"), lit(2)).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("pair").asc)))
+      .select("rk", "pair", "n")
+  }
 }

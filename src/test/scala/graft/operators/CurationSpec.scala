@@ -495,4 +495,27 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
         math.E * n / 1024.0) < 1e-3)
     }
   }
+
+  test("kAnonymity risky classes match a local QID equivalence-class count") {
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val classes = d.groupBy { case (s, l, nc) =>
+      (s, l, math.floor(nc / 100.0).toLong * 100) }
+      .view.mapValues(_.length.toLong).toMap
+    val rows = Curation.kAnonymity(spark, sf).collect()
+    val bySource = classes.groupBy(_._1._1)
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cls = bySource(src).values.toSeq
+      assert(r.getAs[Long]("n_classes") == cls.length.toLong)
+      assert(r.getAs[Long]("n_docs") == cls.sum)
+      assert(r.getAs[Long]("risky_classes") == cls.count(_ < 5).toLong)
+      val atRisk = cls.filter(_ < 5).sum
+      assert(r.getAs[Long]("docs_at_risk") == atRisk)
+      assert(r.getAs[Double]("risk_share") ==
+        math.floor(atRisk.toDouble / cls.sum * 1e6 + 0.5) / 1e6)
+    }
+  }
 }

