@@ -55,6 +55,30 @@ object SparkEntry {
     s"jdbc:derby:${tmp(name)}/db;create=true"
   }
 
+  /** [[freshDerby]] with SQL AUTHORIZATION enabled: the static database
+    * property only takes effect on the boot AFTER it is set, so the helper
+    * creates the database (owner = default user APP), sets the property,
+    * shuts the database down (Derby signals success via SQLException), and
+    * hands back the base URL — the next connection boots with GRANT/REVOKE
+    * enforced. Authentication stays off: connections CLAIM a user and
+    * authorization checks the claimed identity, which is exactly what the
+    * grant-replication probe needs (connect as ALICE, be denied as
+    * MALLORY).
+    */
+  private def freshDerbyAuthz(name: String): String = {
+    val url = freshDerby(name)
+    val base = url.stripSuffix(";create=true")
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      c.createStatement().executeUpdate(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+          "'derby.database.sqlAuthorization', 'true')"): Unit
+    } finally c.close()
+    try java.sql.DriverManager.getConnection(s"$base;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+    base
+  }
+
   /** A deterministic "stale destination copy" of orders for the diff/upsert
     * rows: every 10th key never arrived, every 7th has a drifted price.
     */
@@ -451,6 +475,113 @@ object SparkEntry {
         // The destination sequence continues on the source's grid, past
         // BOTH source-issued values (100, 105).
         lit(seqNext >= 110 && (seqNext - 100) % 5 == 0).as("seq_continues"))
+    }),
+    // Synonym replication (§2.1 #391): table + view + a synonym chain on
+    // the source; base objects copy first, then copySynonyms replays the
+    // aliases, and the destination is queried THROUGH the chain — the
+    // readback proving both the DDL replay and live resolution.
+    "copy_jdbc_synonyms" -> ((s, dir) => {
+      val srcDb = TableCopy.JdbcStore(freshDerby("synsrc"),
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val dstDb = TableCopy.JdbcStore(freshDerby("syndst"),
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), srcDb, "nation",
+        TableCopy.Recreate): Unit
+      locally {
+        val c = java.sql.DriverManager.getConnection(srcDb.url)
+        try {
+          val st = c.createStatement()
+          st.executeUpdate("CREATE VIEW NAT_BIG AS SELECT * FROM nation " +
+            "WHERE \"n_nationkey\" >= 10")
+          st.executeUpdate("CREATE SYNONYM NAT_SYN FOR nation")
+          st.executeUpdate("CREATE SYNONYM NATV_SYN FOR NAT_BIG")
+          st.executeUpdate("CREATE SYNONYM NAT_CHAIN FOR NAT_SYN"): Unit
+        } finally c.close()
+      }
+      TableCopy.copy(s, srcDb, dstDb, "nation", TableCopy.Recreate): Unit
+      TableCopy.copyViews(s, srcDb, dstDb): Unit
+      val manifest = TableCopy.copySynonyms(s, srcDb, dstDb)
+      val d = java.sql.DriverManager.getConnection(dstDb.url)
+      val (chainRows, chainSum, viewRows) =
+        try {
+          val rs = d.createStatement().executeQuery(
+            "SELECT COUNT(*), SUM(\"n_nationkey\") FROM NAT_CHAIN")
+          rs.next(); val (n, sm) = (rs.getLong(1), rs.getLong(2))
+          val rs2 = d.createStatement()
+            .executeQuery("SELECT COUNT(*) FROM NATV_SYN")
+          rs2.next(); (n, sm, rs2.getLong(1))
+        } finally d.close()
+      s.range(1).select(
+        lit(manifest.map { case (n, st) => s"$n=$st" }.mkString(";"))
+          .as("manifest"),
+        lit(chainRows).as("chain_rows"), lit(chainSum).as("chain_sum"),
+        lit(viewRows).as("view_rows"))
+    }),
+    // Permission replication (§2.1 #392): a sqlAuthorization source grants
+    // table- and column-level privileges; the copy replays them and the
+    // DESTINATION engine is probed live per principal — granted verbs
+    // work, ungranted verbs are rejected (42500/42502), and a column-
+    // scoped UPDATE is allowed on exactly its column.
+    "copy_jdbc_grants" -> ((s, dir) => {
+      val srcUrl = freshDerbyAuthz("grantsrc")
+      val dstUrl = freshDerbyAuthz("grantdst")
+      val srcDb = TableCopy.JdbcStore(srcUrl,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      val dstDb = TableCopy.JdbcStore(dstUrl,
+        Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      TableCopy.copy(s, TableCopy.ParquetStore(dir), srcDb, "region",
+        TableCopy.Recreate): Unit
+      locally {
+        val c = java.sql.DriverManager.getConnection(srcUrl)
+        try {
+          val st = c.createStatement()
+          st.executeUpdate("GRANT SELECT ON region TO ALICE")
+          st.executeUpdate("GRANT SELECT, UPDATE ON region TO BOB")
+          st.executeUpdate("GRANT UPDATE (\"r_name\") ON region TO CAROL"): Unit
+        } finally c.close()
+      }
+      TableCopy.copy(s, srcDb, dstDb, "region", TableCopy.Recreate): Unit
+      val manifest = TableCopy.copyGrants(s, srcDb, dstDb, Seq("region"))
+      def as(user: String): java.sql.Connection =
+        java.sql.DriverManager.getConnection(s"$dstUrl;user=$user")
+      def denied(c: java.sql.Connection, sql: String): Boolean =
+        try { c.createStatement().execute(sql); false }
+        catch { case e: java.sql.SQLException =>
+          Set("42500", "42502")(e.getSQLState) }
+      val a = as("alice")
+      val (aliceRows, aliceSum, aliceUpdDenied) =
+        try {
+          val rs = a.createStatement().executeQuery(
+            "SELECT COUNT(*), SUM(\"r_regionkey\") FROM APP.region")
+          rs.next()
+          (rs.getLong(1), rs.getLong(2),
+            denied(a, "UPDATE APP.region SET \"r_name\" = 'X'"))
+        } finally a.close()
+      val m = as("mallory")
+      val mallorySelDenied =
+        try denied(m, "SELECT COUNT(*) FROM APP.region") finally m.close()
+      val ca = as("carol")
+      val (carolNameOk, carolKeyDenied) =
+        try {
+          // Constant assignments, no WHERE: a predicate or a column
+          // reference on the right-hand side would READ a column carol
+          // has no SELECT grant on — the denial would then test the
+          // wrong privilege (probed: Derby rejects the READ first).
+          val ok =
+            try { ca.createStatement()
+              .executeUpdate("UPDATE APP.region SET \"r_name\" = 'ZZZ'")
+              true }
+            catch { case _: java.sql.SQLException => false }
+          (ok, denied(ca, "UPDATE APP.region SET \"r_regionkey\" = 99"))
+        } finally ca.close()
+      s.range(1).select(
+        lit(manifest.map { case (t, g, p, cs, st) => s"$t:$g:$p:$cs=$st" }
+          .mkString(";")).as("manifest"),
+        lit(aliceRows).as("alice_rows"), lit(aliceSum).as("alice_sum"),
+        lit(aliceUpdDenied).as("alice_update_denied"),
+        lit(mallorySelDenied).as("mallory_select_denied"),
+        lit(carolNameOk).as("carol_name_update_ok"),
+        lit(carolKeyDenied).as("carol_key_update_denied"))
     }),
     // -WhatIf / dry-run: the full execution plan — FK-topological order,
     // row estimates, and the EXACT DDL each table would get (shared code
@@ -1801,6 +1932,17 @@ object SparkEntry {
       """SELECT 'APP.ORD_SEQ:S=ok;APP.ABS_F:F=ok;APP.NAP:P=ok' AS manifest,
         |  CAST(7.5 AS DOUBLE) AS abs_result,
         |  true AS proc_called, true AS seq_continues""".stripMargin,
+    "copy_jdbc_synonyms" ->
+      """SELECT 'APP.NATV_SYN=ok;APP.NAT_CHAIN=ok;APP.NAT_SYN=ok' AS manifest,
+        |  (SELECT count(*) FROM nation) AS chain_rows,
+        |  (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation) AS chain_sum,
+        |  (SELECT count(*) FROM nation WHERE n_nationkey >= 10) AS view_rows""".stripMargin,
+    "copy_jdbc_grants" ->
+      """SELECT 'region:ALICE:SELECT:*=ok;region:BOB:SELECT:*=ok;region:BOB:UPDATE:*=ok;region:CAROL:UPDATE:r_name=ok' AS manifest,
+        |  (SELECT count(*) FROM region) AS alice_rows,
+        |  (SELECT CAST(sum(r_regionkey) AS BIGINT) FROM region) AS alice_sum,
+        |  true AS alice_update_denied, true AS mallory_select_denied,
+        |  true AS carol_name_update_ok, true AS carol_key_update_denied""".stripMargin,
     "copy_jdbc_constraints" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_custkey,

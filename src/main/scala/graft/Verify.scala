@@ -98,6 +98,25 @@ object Verify {
   private def jsonArr(xs: Seq[String]): String =
     xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
 
+  /** The oracle map as one JSON object. String escape covers backslash,
+    * quote, and ALL control chars (<0x20) — a tab or CR in builder-authored
+    * SQL would otherwise make the driver's json.load fail and silently
+    * zero the round's correctness.
+    */
+  private def oracleJson(): String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
@@ -107,6 +126,17 @@ object Verify {
     if (args.headOption.contains("--list")) {
       // Key inventory for tools/reconcile.sh — no Spark needed.
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    if (args.headOption.contains("--dump-oracles")) {
+      // oracle_sql.json only, no queries and no Spark — the stress gate's
+      // per-mode selection input. Replaces the old `__dump_only__` subset
+      // sentinel, which the r12 reconcile hardening correctly turned into
+      // a requested-but-missing failure (an unknown key must never again
+      // pass silently, so the dump needed its own explicit mode).
+      val outDir = args(1)
+      new java.io.File(outDir).mkdirs()
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
       return
     }
     val (sfDir, outDir) = (args(0), args(1))
@@ -122,21 +152,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val report = run(spark, sfDir, outDir, only)
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
     spark.stop()
     if (!report.ok) {
       System.err.println(s"[verify] FAILED: ${report.missing.size} requested " +

@@ -80,4 +80,21 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     val markers = Files.readString(java.nio.file.Paths.get(s"$out/_verify_markers.json"))
     assert(markers == """{"missing": [], "retried": []}""")
   }
+
+  test("--dump-oracles writes the full oracle map and exits cleanly (stress gate input)") {
+    // Regression pin: the old `__dump_only__` subset sentinel started
+    // FAILING when the reconcile hardening landed (an unknown requested
+    // key now exits nonzero — correctly), which silently broke the stress
+    // gate's oracle dump. The dump is its own mode now; it must cover
+    // every oracle key and parse as JSON.
+    val out = tmpOut()
+    Verify.main(Array("--dump-oracles", out))
+    val json = Files.readString(java.nio.file.Paths.get(s"$out/oracle_sql.json"))
+    val keyPat = "\"(q_|copy_)[a-z0-9_]+\":".r
+    // Spot-parse: every oracleSql key appears exactly once as a JSON key.
+    graft.SparkEntry.oracleSql.keys.foreach { k =>
+      assert(json.contains("\"" + k + "\":"), s"dump missing oracle for $k")
+    }
+    assert(keyPat.findAllIn(json).size == graft.SparkEntry.oracleSql.size)
+  }
 }

@@ -58,6 +58,21 @@ class DialectGoldenSpec extends AnyFunSuite {
        |
        |-- triggersScopedSql
        |${opt(d.triggersScopedSql)}
+       |
+       |-- sequencesSql
+       |${opt(d.sequencesSql)}
+       |
+       |-- routinesSql
+       |${opt(d.routinesSql)}
+       |
+       |-- synonymsSql
+       |${opt(d.synonymsSql)}
+       |
+       |-- tablePermsSql
+       |${opt(d.tablePermsSql)}
+       |
+       |-- colPermsSql
+       |${opt(d.colPermsSql)}
        |""".stripMargin
   }
 

@@ -1451,6 +1451,119 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     } finally d.close()
   }
 
+  test("copySynonyms replicates table/view/chained synonyms, live-resolved on the destination (r13 #391)") {
+    val srcUrl = s"jdbc:derby:memory:synsrc${System.nanoTime()};create=true"
+    val dstUrl = s"jdbc:derby:memory:syndst${System.nanoTime()};create=true"
+    val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val srcDb = TableCopy.JdbcStore(srcUrl, drv)
+    val dstDb = TableCopy.JdbcStore(dstUrl, drv)
+    srcDb.write(Tables.load(spark, sf, "region"), "region", TableCopy.Recreate)
+    val c = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        """CREATE VIEW REG_V AS SELECT "r_name" FROM region WHERE "r_regionkey" > 1""")
+      st.executeUpdate("CREATE SYNONYM REG_S FOR region")
+      st.executeUpdate("CREATE SYNONYM REGV_S FOR REG_V")
+      st.executeUpdate("CREATE SYNONYM REG_CHAIN FOR REG_S"): Unit
+    } finally c.close()
+    // Discovery: target spelled exactly as the catalog stores it
+    // (qualified + quoted), chain target is the intermediate synonym.
+    val disc = srcDb.synonyms(spark).toMap
+    assert(disc.keySet == Set("APP.REG_S", "APP.REGV_S", "APP.REG_CHAIN"))
+    assert(disc("APP.REG_CHAIN") == "CREATE SYNONYM REG_CHAIN FOR \"APP\".\"REG_S\"")
+    dstDb.write(Tables.load(spark, sf, "region"), "region", TableCopy.Recreate)
+    assert(TableCopy.copyViews(spark, srcDb, dstDb).toMap == Map("APP.REG_V" -> 1))
+    val manifest = TableCopy.copySynonyms(spark, srcDb, dstDb)
+    assert(manifest.toMap ==
+      Map("APP.REG_S" -> "ok", "APP.REGV_S" -> "ok", "APP.REG_CHAIN" -> "ok"))
+    // Live resolution THROUGH the chain and through the view synonym —
+    // creation never validates targets (Derby resolves at query time), so
+    // this query is the replication proof, not the DDL replay.
+    val d = java.sql.DriverManager.getConnection(dstUrl)
+    try {
+      val rs = d.createStatement()
+        .executeQuery("SELECT COUNT(*), SUM(\"r_regionkey\") FROM REG_CHAIN")
+      rs.next(); assert(rs.getLong(1) == 5L && rs.getLong(2) == 10L)
+      val rs2 = d.createStatement().executeQuery("SELECT COUNT(*) FROM REGV_S")
+      rs2.next(); assert(rs2.getLong(1) == 3L) // regionkeys 2,3,4
+    } finally d.close()
+  }
+
+  test("copyGrants replicates table and column grants; the destination enforces them live (r13 #392)") {
+    // sqlAuthorization is a STATIC database property: set, shut down,
+    // reboot — only then do GRANT/REVOKE checks run. Authentication stays
+    // off: connections CLAIM a user; authorization judges the claim.
+    def authzDb(name: String): String = {
+      val base = s"jdbc:derby:memory:$name${System.nanoTime()}"
+      val c = java.sql.DriverManager.getConnection(s"$base;create=true")
+      try c.createStatement().executeUpdate(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+          "'derby.database.sqlAuthorization', 'true')"): Unit
+      finally c.close()
+      try java.sql.DriverManager.getConnection(s"$base;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      base
+    }
+    val srcUrl = authzDb("grsrc")
+    val dstUrl = authzDb("grdst")
+    val drv = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val srcDb = TableCopy.JdbcStore(srcUrl, drv)
+    val dstDb = TableCopy.JdbcStore(dstUrl, drv)
+    srcDb.write(Tables.load(spark, sf, "region"), "region", TableCopy.Recreate)
+    val c = java.sql.DriverManager.getConnection(srcUrl)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("GRANT SELECT ON region TO ALICE")
+      st.executeUpdate("GRANT SELECT, UPDATE ON region TO BOB")
+      st.executeUpdate("GRANT UPDATE (\"r_name\") ON region TO CAROL"): Unit
+    } finally c.close()
+    // Discovery: flag columns unpacked to privilege words, SYSCOLPERMS'
+    // 0-based position descriptor mapped to the real column name.
+    assert(srcDb.grants(spark, "region") == Seq(
+      ("ALICE", "SELECT", Seq.empty), ("BOB", "SELECT", Seq.empty),
+      ("BOB", "UPDATE", Seq.empty), ("CAROL", "UPDATE", Seq("r_name"))))
+    dstDb.write(Tables.load(spark, sf, "region"), "region", TableCopy.Recreate)
+    val manifest = TableCopy.copyGrants(spark, srcDb, dstDb, Seq("region"))
+    assert(manifest == Seq(
+      ("region", "ALICE", "SELECT", "*", "ok"),
+      ("region", "BOB", "SELECT", "*", "ok"),
+      ("region", "BOB", "UPDATE", "*", "ok"),
+      ("region", "CAROL", "UPDATE", "r_name", "ok")))
+    def as(user: String) =
+      java.sql.DriverManager.getConnection(s"$dstUrl;user=$user")
+    def denied(conn: java.sql.Connection, sql: String): Boolean =
+      try { conn.createStatement().execute(sql); false }
+      catch { case e: java.sql.SQLException =>
+        Set("42500", "42502")(e.getSQLState) }
+    // ALICE: SELECT works, UPDATE rejected by the destination engine.
+    val a = as("alice")
+    try {
+      val rs = a.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM APP.region")
+      rs.next(); assert(rs.getLong(1) == 5L)
+      assert(denied(a, "UPDATE APP.region SET \"r_name\" = 'X'"))
+    } finally a.close()
+    // MALLORY (never granted): SELECT rejected.
+    val m = as("mallory")
+    try assert(denied(m, "SELECT COUNT(*) FROM APP.region")) finally m.close()
+    // CAROL: column-scoped UPDATE allowed on exactly its column. Constant
+    // right-hand sides and no WHERE — any column REFERENCE would need a
+    // SELECT grant carol doesn't have and would test the wrong privilege.
+    val ca = as("carol")
+    try {
+      assert(ca.createStatement()
+        .executeUpdate("UPDATE APP.region SET \"r_name\" = 'ZZZ'") == 5)
+      assert(denied(ca, "UPDATE APP.region SET \"r_regionkey\" = 99"))
+    } finally ca.close()
+    // BOB got both verbs.
+    val b = as("bob")
+    try {
+      assert(!denied(b, "SELECT COUNT(*) FROM APP.region"))
+      assert(!denied(b, "UPDATE APP.region SET \"r_name\" = 'W'"))
+    } finally b.close()
+  }
+
   test("multi-schema copy: same-named tables stay distinct, FK order crosses schemas (r13 VERDICT #5)") {
     val srcUrl = s"jdbc:derby:memory:mssrc${System.nanoTime()};create=true"
     val dstUrl = s"jdbc:derby:memory:msdst${System.nanoTime()};create=true"

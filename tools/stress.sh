@@ -28,8 +28,11 @@ FACTOR_NUMERIC=${FACTOR_NUMERIC:-100}
 FACTOR_EVENTS=${FACTOR_EVENTS:-100}
 FACTOR_DOCS=${FACTOR_DOCS:-100}
 
-# Oracle map dump (no queries run): feeds the per-mode selection.
-$JAVA graft.Verify "$SF" "$WORK/_oracles" __dump_only__ >/dev/null 2>&1 \
+# Oracle map dump (no queries run, no Spark): feeds the per-mode
+# selection. The old `__dump_only__` subset sentinel is gone — the r12
+# reconcile hardening rightly fails any requested-but-unknown key, so
+# the dump is its own explicit Verify mode now.
+$JAVA graft.Verify --dump-oracles "$WORK/_oracles" >/dev/null 2>&1 \
   || { echo "[stress] oracle dump failed"; exit 1; }
 
 fail=0
