@@ -104,6 +104,85 @@ class HeavyUsersProcessor(m: Int)
   }
 }
 
+/** Version history for one temporal-join key: (version ts µs, value)
+  * ascending by ts — the bounded slice of the dimension's timeline the
+  * horizon still allows a late fact to land in.
+  */
+case class VersionState(tsUs: Seq[Long], values: Seq[Double])
+
+/** One enriched fact (Update-mode output row): the fact row joined to the
+  * dimension version in force AT ITS EVENT TIME. `dim_ts_us` is
+  * Long.MinValue and `matched` false when no version at-or-before the fact
+  * exists yet. `n_versions` is the post-trim state size — observability
+  * for the bounded-state contract, not business data.
+  */
+case class TemporalMatch(user_id: Long, fact_ts_us: Long, fact_value: Double,
+                         dim_ts_us: Long, dim_value: Double, matched: Boolean,
+                         n_versions: Int)
+
+/** StatefulProcessor for [[EventStream.temporalJoin]]: per key, a version
+  * HISTORY of the dimension (not just the latest value) so a fact that
+  * arrives in a later micro-batch with an EARLIER event time still joins
+  * to the version that was in force at its time — the property a
+  * latest-value stream-static join cannot give. Each batch's rows are
+  * processed in event-time order (updates before facts at equal ts: as-of
+  * means at-or-before inclusive); versions older than the horizon below
+  * the key's max seen time are trimmed, KEEPING the newest trimmed one as
+  * the floor version — so state is bounded by the update rate within one
+  * horizon (+1) per key, and any fact no later than the horizon still
+  * resolves exactly.
+  */
+class TemporalJoinProcessor(horizonUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.TemporalIn, TemporalMatch] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[VersionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[VersionState]("versions",
+      org.apache.spark.sql.Encoders.product[VersionState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventStream.TemporalIn],
+      timerValues: TimerValues): Iterator[TemporalMatch] = {
+    val init = if (state.exists()) state.get() else VersionState(Seq.empty, Seq.empty)
+    // Ascending (ts, value) timeline; within a batch updates sort before
+    // facts at the same microsecond (as-of is at-or-before INCLUSIVE).
+    var timeline = init.tsUs.zip(init.values).toVector
+    val out = scala.collection.mutable.ArrayBuffer.empty[TemporalMatch]
+    val batch = rows.toVector.sortBy(r =>
+      (r.ts.getTime * 1000L, if (r.kind == "U") 0 else 1))
+    var maxSeen = timeline.lastOption.map(_._1).getOrElse(Long.MinValue)
+    batch.foreach { r =>
+      val tUs = r.ts.getTime * 1000L
+      maxSeen = math.max(maxSeen, tUs)
+      if (r.kind == "U") {
+        // Insert in ts order (a late update lands mid-timeline so
+        // later-batch facts before the next version see it).
+        val at = timeline.indexWhere(_._1 > tUs)
+        val ins = (tUs, r.value)
+        timeline = if (at < 0) timeline :+ ins
+          else (timeline.take(at) :+ ins) ++ timeline.drop(at)
+      } else {
+        val i = timeline.lastIndexWhere(_._1 <= tUs)
+        if (i < 0) out += TemporalMatch(key, tUs, r.value,
+          Long.MinValue, 0.0, matched = false, timeline.size)
+        else out += TemporalMatch(key, tUs, r.value,
+          timeline(i)._1, timeline(i)._2, matched = true, timeline.size)
+      }
+    }
+    // Trim: drop versions fully superseded before (maxSeen − horizon),
+    // keeping the newest of them as the floor so in-horizon facts still
+    // resolve. A version is droppable only if a NEWER version also sits
+    // at-or-below the bound.
+    val bound = maxSeen - horizonUs
+    val floor = timeline.lastIndexWhere(_._1 <= bound)
+    if (floor > 0) timeline = timeline.drop(floor)
+    state.update(VersionState(timeline.map(_._1), timeline.map(_._2)))
+    out.iterator.map(m => m.copy(n_versions = timeline.size))
+  }
+}
+
 /** One emitted profile update (Update-mode output row). */
 case class UserProfile(user_id: Long, n_events: Long, total_value: Double,
                        last_ts_us: Long)
@@ -156,6 +235,12 @@ object EventStream {
   /** A closed (or flushed) per-user session. */
   case class UserSession(user_id: Long, n_events: Int, first_ts: Timestamp,
                          last_ts: Timestamp, total_value: Double)
+
+  /** One tagged input row for [[temporalJoin]]: kind "U" = a dimension
+    * VERSION (value becomes current at ts), kind "F" = a fact to enrich.
+    */
+  case class TemporalIn(user_id: Long, ts: Timestamp, kind: String,
+                        value: Double)
 
   /** Per-window type-count state for [[topTypesPerWindow]]. */
   case class WindowTopState(counts: Map[String, Long])
@@ -277,6 +362,33 @@ object EventStream {
     events
       .groupByKey(_.user_id)
       .transformWithState(new ProfileProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** §2.4 #393 — stream-stream TEMPORAL JOIN (the streaming twin of batch
+    * as-of #61; Flink spells it `FOR SYSTEM_TIME AS OF`): facts enrich
+    * against the dimension version in force AT THEIR EVENT TIME, not the
+    * latest arrival — the operator behind "price at order time" /
+    * "segment at click time" joins that Spark has natively only in
+    * stream-static form (#62, which silently uses the CURRENT dim row for
+    * historical facts). Both inputs arrive as one tagged union keyed by
+    * the join key; per key, [[TemporalJoinProcessor]] holds the version
+    * TIMELINE bounded by `horizon` (versions older than the key's max
+    * seen time minus the horizon collapse to one floor entry), so a fact
+    * up to `horizon` late still resolves to the exact historical version
+    * while state stays bounded by update-rate × horizon, never stream
+    * length. Within a micro-batch rows process in event-time order;
+    * cross-batch, facts later than `horizon` behind a key's frontier may
+    * see the floor version — the documented at-arrival semantics (the
+    * same contract Flink's temporal join has under its watermark).
+    */
+  def temporalJoin(tagged: Dataset[TemporalIn],
+      horizonMinutes: Int = 60): Dataset[TemporalMatch] = {
+    import tagged.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    tagged
+      .groupByKey(_.user_id)
+      .transformWithState(new TemporalJoinProcessor(horizonMinutes * 60_000_000L),
         TimeMode.None(), OutputMode.Update())
   }
 

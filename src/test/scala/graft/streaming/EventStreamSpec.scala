@@ -981,4 +981,101 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("temporalJoin enriches facts with the dim version at THEIR event time, across batches (r13 #393)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventStream.TemporalIn]
+      // Batch 1: user 1 gets dim versions at t0 (v=10) and t20 (v=20); a
+      // fact at t5 must see 10, a fact at t20 must see 20 (at-or-before
+      // INCLUSIVE), a fact at t25 must see 20. User 2 has a fact BEFORE
+      // any version — unmatched, not silently joined to a later version.
+      input.addData(
+        EventStream.TemporalIn(1, ts(0), "U", 10.0),
+        EventStream.TemporalIn(1, ts(20), "U", 20.0),
+        EventStream.TemporalIn(1, ts(5), "F", 1.0),
+        EventStream.TemporalIn(1, ts(20), "F", 2.0),
+        EventStream.TemporalIn(1, ts(25), "F", 3.0),
+        EventStream.TemporalIn(2, ts(5), "F", 9.0))
+      val q = EventStream.temporalJoin(input.toDS(), horizonMinutes = 60)
+        .writeStream.option("checkpointLocation", ckpt())
+        .format("memory").queryName("temporal")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        // Batch 2: a LATE fact (t10, arrives after the t20 version exists)
+        // must join the t0 version — the historical resolution a
+        // latest-value join gets wrong; a new version at t40 then a fact
+        // at t41 proves the timeline keeps advancing.
+        input.addData(
+          EventStream.TemporalIn(1, ts(10), "F", 4.0),
+          EventStream.TemporalIn(1, ts(40), "U", 40.0),
+          EventStream.TemporalIn(1, ts(41), "F", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("temporal").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4), r.getBoolean(5), r.getInt(6)))
+        def at(u: Long, factMin: Int) =
+          rows.find(r => r._1 == u && r._2 == ts(factMin).getTime * 1000L).get
+        assert(at(1, 5)._5 == 10.0 && at(1, 5)._6)
+        assert(at(1, 20)._5 == 20.0, "as-of must be at-or-before INCLUSIVE")
+        assert(at(1, 25)._5 == 20.0)
+        assert(at(1, 10)._5 == 10.0,
+          "late fact must resolve against the HISTORICAL version")
+        assert(at(1, 41)._5 == 40.0)
+        assert(!at(2, 5)._6 && at(2, 5)._4 == Long.MinValue,
+          "a fact before any version is unmatched, never forward-joined")
+        // Stream = batch: the matched rows equal a local as-of replay of
+        // the same tagged input in event-time order.
+        val allIn = Seq(
+          (1L, 0, "U", 10.0), (1L, 20, "U", 20.0), (1L, 40, "U", 40.0),
+          (1L, 5, "F", 1.0), (1L, 20, "F", 2.0), (1L, 25, "F", 3.0),
+          (1L, 10, "F", 4.0), (1L, 41, "F", 5.0))
+        val versions = allIn.filter(_._3 == "U").map(v => (ts(v._2).getTime * 1000L, v._4)).sorted
+        allIn.filter(_._3 == "F").foreach { f =>
+          val tUs = ts(f._2).getTime * 1000L
+          val want = versions.filter(_._1 <= tUs).lastOption
+          assert(want.map(_._2).contains(at(f._1, f._2)._5))
+        }
+      } finally stopClean(q)
+    }
+  }
+
+  test("temporalJoin trims versions beyond the horizon to one floor entry (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[EventStream.TemporalIn]
+      // Horizon 30 min. Versions at t0, t5, t10; frontier pushed to t60 —
+      // bound = t30, so t0 and t5 are superseded-below-bound and must drop,
+      // t10 survives as the floor. n_versions on the t60 fact's row is the
+      // post-trim state size: floor(t10) + t50 = 2, not 4.
+      input.addData(
+        EventStream.TemporalIn(7, ts(0), "U", 1.0),
+        EventStream.TemporalIn(7, ts(5), "U", 2.0),
+        EventStream.TemporalIn(7, ts(10), "U", 3.0),
+        EventStream.TemporalIn(7, ts(50), "U", 5.0),
+        EventStream.TemporalIn(7, ts(60), "F", 0.0))
+      val q = EventStream.temporalJoin(input.toDS(), horizonMinutes = 30)
+        .writeStream.option("checkpointLocation", ckpt())
+        .format("memory").queryName("temporal_trim")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        // A fact INSIDE the horizon that lands on the floor version still
+        // resolves exactly (t40 → the t10 version, which was kept).
+        input.addData(EventStream.TemporalIn(7, ts(40), "F", 0.0))
+        q.processAllAvailable()
+        val rows = spark.table("temporal_trim").collect()
+          .map(r => (r.getLong(1), r.getDouble(4), r.getBoolean(5), r.getInt(6)))
+        val at60 = rows.find(_._1 == ts(60).getTime * 1000L).get
+        assert(at60._2 == 5.0 && at60._3)
+        assert(at60._4 == 2, s"state not trimmed to floor+live: ${at60._4}")
+        val at40 = rows.find(_._1 == ts(40).getTime * 1000L).get
+        assert(at40._2 == 3.0 && at40._3,
+          "in-horizon fact must still resolve via the kept floor version")
+      } finally stopClean(q)
+    }
+  }
 }
