@@ -121,7 +121,10 @@ object PlanAudit {
     "q_theil_sen",
     // r9 daily-series toolbox: lag/rolling/row_number windows over the
     // calendar-bounded daily-revenue rollup (|days| rows at any SF)
-    "q_durbin_watson", "q_bollinger", "q_rsi", "q_hurst", "q_peak_detect")
+    "q_durbin_watson", "q_bollinger", "q_rsi", "q_hurst", "q_peak_detect",
+    // r13: the BH rank window runs over the per-nation test frame —
+    // |nations| = 25 rows at any SF (the dimension is the bound)
+    "q_fdr_bh")
 
   /** Queries whose single-partition window input shows as RAW only
     * because `localCheckpoint` truncated the lineage of a BOUNDED frame
@@ -238,6 +241,13 @@ object PlanAudit {
         // bloom_fpr: 1-row count frames chained over the bounded bit set
         "q_decay_engagement", "q_hill_tail", "q_vocab_coverage",
         "q_xcorr_lags", "q_bloom_fpr",
+        // r13 stats trio, all the 1-row-totals scalar-subquery pattern:
+        // jackknife broadcasts the (N, S, G) totals row over the |months|
+        // frame; fdr_bh broadcasts the (N, K, m) totals row over the
+        // |nations| frame and the 1-row BH critical rank back over the
+        // ranked frame; permutation_test broadcasts the 1-row observed-
+        // difference frame over the 96-row replicate frame.
+        "q_jackknife", "q_fdr_bh", "q_permutation_test",
         // pca_power: 1-row norm/eigenvalue/trace/top-dim frames chained
         // over the bounded d-vector (the kmeans/bootstrap scalar pattern)
         "q_pca_power",
