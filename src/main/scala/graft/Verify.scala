@@ -134,10 +134,19 @@ object Verify {
       // sentinel, which the r12 reconcile hardening correctly turned into
       // a requested-but-missing failure (an unknown key must never again
       // pass silently, so the dump needed its own explicit mode).
+      if (args.length < 2) {
+        System.err.println("usage: graft.Verify --dump-oracles <outDir>")
+        sys.exit(2)
+      }
       val outDir = args(1)
       new java.io.File(outDir).mkdirs()
       Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
       return
+    }
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [keys,...] " +
+        "| --list | --dump-oracles <outDir>")
+      sys.exit(2)
     }
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated subset of query names (dev loop).

@@ -150,16 +150,28 @@ class TemporalJoinProcessor(horizonUs: Long)
     // facts at the same microsecond (as-of is at-or-before INCLUSIVE).
     var timeline = init.tsUs.zip(init.values).toVector
     val out = scala.collection.mutable.ArrayBuffer.empty[TemporalMatch]
+    // Event time at FULL microsecond precision: getTime truncates to ms,
+    // getNanos carries the sub-second rest — combining them stops
+    // sub-ms versions collapsing into ties whose winner depended on
+    // arrival order across batch compositions (ADVICE r13 #4). Equal-µs
+    // updates get a value tie-break below, so even a true tie resolves
+    // the same way regardless of batching.
+    def tsUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     val batch = rows.toVector.sortBy(r =>
-      (r.ts.getTime * 1000L, if (r.kind == "U") 0 else 1))
+      (tsUs(r.ts), if (r.kind == "U") 0 else 1, r.value))
     var maxSeen = timeline.lastOption.map(_._1).getOrElse(Long.MinValue)
     batch.foreach { r =>
-      val tUs = r.ts.getTime * 1000L
+      val tUs = tsUs(r.ts)
       maxSeen = math.max(maxSeen, tUs)
       if (r.kind == "U") {
-        // Insert in ts order (a late update lands mid-timeline so
-        // later-batch facts before the next version see it).
-        val at = timeline.indexWhere(_._1 > tUs)
+        // Insert in (ts, value) order (a late update lands mid-timeline
+        // so later-batch facts before the next version see it; the value
+        // tie-break makes equal-µs versions batch-composition-stable —
+        // lastIndexWhere then always resolves an equal-ts tie to the
+        // LARGEST value).
+        val at = timeline.indexWhere(v =>
+          v._1 > tUs || (v._1 == tUs && v._2 > r.value))
         val ins = (tUs, r.value)
         timeline = if (at < 0) timeline :+ ins
           else (timeline.take(at) :+ ins) ++ timeline.drop(at)

@@ -1564,6 +1564,48 @@ class TableCopySpec extends AnyFunSuite with SparkFixture {
     } finally b.close()
   }
 
+  test("grants discovery is schema-scoped: a same-named table in another schema leaks nothing (ADVICE r13 #1)") {
+    // Same authz-database setup as the live-enforcement test above; here
+    // the subject is DISCOVERY. Two same-named tables with DIFFERENT
+    // column layouts and different grants: unscoped discovery would merge
+    // both grant sets AND concatenate both column lists, so OTHER's
+    // 0-based position descriptor {2} would resolve against APP.region's
+    // columns — a silently widened grant on the wrong column.
+    val base = s"jdbc:derby:memory:grsc${System.nanoTime()}"
+    val c0 = java.sql.DriverManager.getConnection(s"$base;create=true")
+    try c0.createStatement().executeUpdate(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+        "'derby.database.sqlAuthorization', 'true')"): Unit
+    finally c0.close()
+    try java.sql.DriverManager.getConnection(s"$base;shutdown=true")
+    catch { case _: java.sql.SQLException => () }
+    val db = TableCopy.JdbcStore(base,
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val c = java.sql.DriverManager.getConnection(base)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE region (r_key INT, r_name VARCHAR(10))")
+      st.executeUpdate("CREATE SCHEMA OTHER")
+      st.executeUpdate(
+        "CREATE TABLE OTHER.region (a INT, b INT, zz_only_other VARCHAR(5))")
+      st.executeUpdate("GRANT SELECT ON region TO ALICE")
+      st.executeUpdate("GRANT DELETE ON OTHER.region TO EVE")
+      // Position {2} in OTHER.region = zz_only_other; in a merged
+      // APP+OTHER ordinal list position 2 would still bounds-check but
+      // name an APP column.
+      st.executeUpdate(
+        "GRANT UPDATE (zz_only_other) ON OTHER.region TO EVE"): Unit
+    } finally c.close()
+    assert(db.grants(spark, "region") ==
+      Seq(("ALICE", "SELECT", Seq.empty)),
+      "bare name must bind the CURRENT schema only")
+    assert(db.grants(spark, "OTHER.region") == Seq(
+      ("EVE", "DELETE", Seq.empty),
+      ("EVE", "UPDATE", Seq("ZZ_ONLY_OTHER"))),
+      "qualified name must bind its own schema and resolve positions " +
+        "against its own column list")
+  }
+
   test("multi-schema copy: same-named tables stay distinct, FK order crosses schemas (r13 VERDICT #5)") {
     val srcUrl = s"jdbc:derby:memory:mssrc${System.nanoTime()};create=true"
     val dstUrl = s"jdbc:derby:memory:msdst${System.nanoTime()};create=true"

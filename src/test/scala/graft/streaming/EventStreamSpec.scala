@@ -1042,6 +1042,46 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("temporalJoin keeps sub-millisecond versions distinct; equal-µs ties resolve by value (ADVICE r13 #4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Timestamps 250µs / 750µs into the SAME millisecond — getTime alone
+    // collapses them, getNanos restores the µs the state keys on.
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    withRocksDb {
+      val input = MemoryStream[EventStream.TemporalIn]
+      input.addData(
+        EventStream.TemporalIn(3, tsUs(250), "U", 10.0),
+        EventStream.TemporalIn(3, tsUs(750), "U", 20.0),
+        EventStream.TemporalIn(3, tsUs(500), "F", 1.0),
+        EventStream.TemporalIn(3, tsUs(900), "F", 2.0),
+        // Equal-µs tie: two versions at exactly 2000µs — the value
+        // tie-break must pick 7.0 (largest) independent of arrival order.
+        EventStream.TemporalIn(4, tsUs(2000), "U", 7.0),
+        EventStream.TemporalIn(4, tsUs(2000), "U", 5.0),
+        EventStream.TemporalIn(4, tsUs(2000), "F", 0.0))
+      val q = EventStream.temporalJoin(input.toDS(), horizonMinutes = 60)
+        .writeStream.option("checkpointLocation", ckpt())
+        .format("memory").queryName("temporal_us")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("temporal_us").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+        def at(u: Long, us: Long) = rows.find(r => r._1 == u && r._2 == us).get
+        assert(at(3, 500L)._4 == 10.0 && at(3, 500L)._3 == 250L,
+          "fact at +500µs must see the +250µs version, not a ms-collapsed tie")
+        assert(at(3, 900L)._4 == 20.0 && at(3, 900L)._3 == 750L)
+        assert(at(4, 2000L)._4 == 7.0,
+          "equal-µs versions must resolve deterministically to the largest value")
+      } finally stopClean(q)
+    }
+  }
+
   test("temporalJoin trims versions beyond the horizon to one floor entry (bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
