@@ -767,6 +767,8 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "q_ann_sq" -> ((s, dir) => Similarity.sqTopK(s, dir)),
     "q_ann_pq" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    "q_ann_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    "q_mrl_recall" -> ((s, dir) => Similarity.mrlRecall(s, dir)),
     "q_ann_ivf_indexed" -> ((s, dir) =>
       Similarity.ivfTopKIndexed(s, dir, tmp("ivf_index"))),
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(s, dir)),
@@ -1477,6 +1479,8 @@ object SparkEntry {
     "q_ann_ivf" -> Similarity.ivfOracleSql(),
     "q_ann_sq" -> Similarity.sqOracleSql(),
     "q_ann_pq" -> Similarity.pqOracleSql(),
+    "q_ann_ivfpq" -> Similarity.ivfPqOracleSql(),
+    "q_mrl_recall" -> Similarity.mrlRecallOracleSql(),
     "q_kmeans" -> Similarity.kmeansOracleSql(),
     "q_rand_proj" -> Similarity.randProjectOracleSql(),
     "q_pagerank" -> Similarity.pageRankOracleSql(),

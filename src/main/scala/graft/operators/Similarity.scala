@@ -1771,6 +1771,234 @@ object Similarity {
        |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** §2.3 #394 — IVF-PQ ANN (the two indexes COMPOSED — the actual
+    * billion-scale layout, FAISS's `IVFx,PQy`): the #38 coarse quantizer
+    * prunes the corpus to the `nProbe` probed inverted lists, then
+    * WITHIN those lists ranking runs on #143's product-quantized codes
+    * (asymmetric distance), and only the ADC top-`rescoreC` pay the
+    * exact-cosine rescore. Separately each index trades one thing; the
+    * composition is why a 100 TB store works at all: partition pruning
+    * cuts the candidate set to ~nProbe·N/K rows AND those rows are read
+    * as nSub one-byte codes (32×-compressed scan), so per-query cost is
+    * sublinear in N and near-free per candidate — full vectors are
+    * touched only for `rescoreC` rows per query.
+    *
+    * Determinism is inherited wholesale: #38's seeded centroid
+    * stand-ins and (cc DESC, cid ASC) probe ranking, #143's codebooks,
+    * argmin tie-breaks and DECIMAL(28,12) order-free ADC sums — so the
+    * doubly-approximate result is value-exact cross-engine and one
+    * relational oracle verifies the whole composed index.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, nCentroids: Int = 0, nProbe: Int = 4, nSub: Int = 8,
+      subDim: Int = 8, nCents: Int = 16, rescoreC: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def l2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, (x, y) => x - y)
+      dot(diff, diff)
+    }
+    val (assigned, probes) = ivfCore(spark, dir, nCentroids, nQueries, nProbe)
+    // IVF stage: candidates = corpus rows in a probed list (equi-join on
+    // the list id — at scale this is partition pruning, not a scan).
+    val cand = assigned.select("cid", "vec_id")
+      .join(broadcast(probes.select("q_id", "cid")), Seq("cid"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    // PQ stage: codes for the full corpus (the stored index), ADC only
+    // over the IVF-pruned candidate pairs.
+    val emb = embeddings(spark, dir)
+    val subs = emb.select(col("vec_id"),
+        explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
+          s"s -> struct(s AS s, slice(v, s * $subDim + 1, $subDim) AS sub))")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+    val cents = subs.where(col("vec_id") < nCents)
+      .select(col("s"), col("vec_id").as("cid"), col("sub").as("cent"))
+    val codes = subs.join(broadcast(cents), "s")
+      .withColumn("d2", l2(col("sub"), col("cent")))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("s"), col("best.cid").as("code"))
+    val dbParts = codes.join(
+      broadcast(cents.withColumnRenamed("cid", "code")), Seq("s", "code"))
+      .select(col("vec_id"), col("s"), col("cent"))
+    val qParts = subs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub").as("q_sub"))
+    val approx = cand.join(dbParts, "vec_id")
+      .join(broadcast(qParts), Seq("q_id", "s"))
+      .withColumn("pd", l2(col("q_sub"), col("cent")).cast(DecimalType(28, 12)))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("pd").as("adist"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val shortlist = approx.withColumn("arank", row_number().over(aw))
+      .where(col("arank") <= rescoreC)
+      .select("q_id", "vec_id")
+    val base = emb.select(col("vec_id"), col("v"), col("nrm"))
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val ew = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    shortlist.join(base, "vec_id").join(broadcast(queries), "q_id")
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rank", row_number().over(ew))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), fl6(col("cos")).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]]: the #38 IVF CTEs feed the candidate
+    * set, the #143 PQ CTEs score it — the same composed pipeline,
+    * relational end to end.
+    */
+  def ivfPqOracleSql(nQueries: Int = 10, k: Int = 10, nProbe: Int = 4,
+      nSub: Int = 8, subDim: Int = 8, nCents: Int = 16,
+      rescoreC: Int = 50): String = {
+    def l2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [($a[i] - $b[i]) * ($a[i] - $b[i]) FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+    def fold(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a.v[i] * $b.v[i] FOR i IN generate_series(1, len($a.v))]), (x, y) -> x + y)"
+    def foldv(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+    val selfDot =
+      "list_reduce(list_prepend(0.0::DOUBLE, [v[i] * v[i] FOR i IN generate_series(1, len(v))]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |prm AS (SELECT 1 << ((length(bin(count(*) - 1)) + 1) // 2) AS kc FROM e),
+       |n AS (SELECT vec_id, v, sqrt($selfDot) AS nrm FROM e),
+       |c AS (SELECT vec_id AS ccid, v, nrm FROM n, prm WHERE vec_id < prm.kc),
+       |ac AS (
+       |  SELECT n.vec_id, c.ccid, ${fold("n", "c")} / (n.nrm * c.nrm) AS cc
+       |  FROM n, c),
+       |a AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, ccid ASC) AS rn
+       |    FROM ac) t
+       |  WHERE rn = 1),
+       |p AS (
+       |  SELECT vec_id AS q_id, ccid FROM (
+       |    SELECT vec_id, ccid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, ccid ASC) AS rn
+       |    FROM ac WHERE vec_id < $nQueries) t
+       |  WHERE rn <= $nProbe),
+       |ivfcand AS (
+       |  SELECT p.q_id, a.vec_id FROM p JOIN a ON a.ccid = p.ccid AND a.vec_id <> p.q_id),
+       |sp AS (SELECT g FROM generate_series(0, ${nSub - 1}) AS t(g)),
+       |subs AS (
+       |  SELECT vec_id, sp.g AS s,
+       |    list_slice(v, sp.g * $subDim + 1, sp.g * $subDim + $subDim) AS sub
+       |  FROM e CROSS JOIN sp),
+       |cents AS (SELECT s, vec_id AS cid, sub AS cent FROM subs WHERE vec_id < $nCents),
+       |cd AS (
+       |  SELECT subs.vec_id, subs.s, cents.cid,
+       |    ${l2("subs.sub", "cents.cent")} AS d2
+       |  FROM subs JOIN cents ON subs.s = cents.s),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT vec_id, s, cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM cd) t WHERE rn = 1),
+       |dbp AS (
+       |  SELECT codes.vec_id, codes.s, cents.cent
+       |  FROM codes JOIN cents ON cents.s = codes.s AND cents.cid = codes.code),
+       |qp AS (SELECT vec_id AS q_id, s, sub AS q_sub FROM subs WHERE vec_id < $nQueries),
+       |ad AS (
+       |  SELECT ivfcand.q_id, ivfcand.vec_id,
+       |    sum(CAST(${l2("qp.q_sub", "dbp.cent")} AS DECIMAL(28,12))) AS adist
+       |  FROM ivfcand
+       |  JOIN dbp ON dbp.vec_id = ivfcand.vec_id
+       |  JOIN qp ON qp.q_id = ivfcand.q_id AND qp.s = dbp.s
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS arank
+       |    FROM ad) t WHERE arank <= $rescoreC),
+       |sc AS (
+       |  SELECT shortlist.q_id, shortlist.vec_id,
+       |    ${foldv("cv.v", "qv.v")} / (cv.nrm * qv.nrm) AS cos
+       |  FROM shortlist
+       |  JOIN n cv ON cv.vec_id = shortlist.vec_id
+       |  JOIN n qv ON qv.vec_id = shortlist.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+       |  FROM sc)
+       |SELECT q_id, rank, vec_id, floor(cos * 1e6 + 0.5) / 1e6 AS cos
+       |FROM r WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** §2.3 #395 — MATRYOSHKA truncation recall (MRL, Kusupati et al.
+    * 2022): recall@k of brute-force cosine retrieval over the FIRST
+    * `tDim` of 64 dimensions against the full-width ground truth — the
+    * measurement behind every "store the first quarter of the vector"
+    * decision (MRL-trained embeddings front-load information precisely
+    * so a prefix slice retrieves almost as well at a fraction of the
+    * memory/shuffle bytes). Per query: the two top-k sets (full and
+    * truncated, each with the house (cos DESC, vec_id ASC) tie-break)
+    * joined on membership; reported as n_hits and recall@k. At 100 TB
+    * the truncated pass scans tDim/64 of the vector bytes — this query
+    * is the evidence for whether that 4× saving costs recall.
+    *
+    * Scale shape: two #26-style broadcast-query corpus scans (no
+    * cross-join blow-up), k·nQueries-bounded compare.
+    */
+  def mrlRecall(spark: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, tDim: Int = 16): DataFrame = {
+    val emb = embeddings(spark, dir)
+    def topK(frame: DataFrame, vCol: String, nCol: String): DataFrame = {
+      val queries = frame.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col(vCol).as("qv"), col(nCol).as("qn"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      frame.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos", dot(col(vCol), col("qv")) / (col(nCol) * col("qn")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "vec_id")
+    }
+    val full = topK(emb, "v", "nrm")
+    val trunc = topK(
+      emb.withColumn("tv", slice(col("v"), 1, tDim))
+        .withColumn("tn", sqrt(dot(col("tv"), col("tv")))),
+      "tv", "tn")
+    full.join(trunc.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        fl6(col("n_hits").cast("double") / col("k").cast("double")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** DuckDB oracle for [[mrlRecall]]: same two rankings (full vs
+    * list_slice prefix), same tie-breaks, membership join.
+    */
+  def mrlRecallOracleSql(nQueries: Int = 10, k: Int = 10,
+      tDim: Int = 16): String = {
+    def foldv(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, [$a[i] * $b[i] FOR i IN generate_series(1, len($a))]), (x, y) -> x + y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, list_slice(v, 1, $tDim) AS tv FROM e),
+       |n AS (SELECT vec_id, v, tv, sqrt(${foldv("v", "v")}) AS nrm,
+       |  sqrt(${foldv("tv", "tv")}) AS tn FROM b),
+       |q AS (SELECT vec_id AS q_id, v AS qv, tv AS qtv, nrm AS qn, tn AS qtn
+       |  FROM n WHERE vec_id < $nQueries),
+       |full_r AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${foldv("n.v", "q.qv")} / (n.nrm * q.qn) DESC, n.vec_id ASC) AS rank
+       |    FROM n, q WHERE n.vec_id <> q.q_id) t
+       |  WHERE rank <= $k),
+       |tr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, n.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${foldv("n.tv", "q.qtv")} / (n.tn * q.qtn) DESC, n.vec_id ASC) AS rank
+       |    FROM n, q WHERE n.vec_id <> q.q_id) t
+       |  WHERE rank <= $k)
+       |SELECT f.q_id, count(tr.vec_id) AS n_hits,
+       |  floor(count(tr.vec_id)::DOUBLE / count(*)::DOUBLE * 1e6 + 0.5) / 1e6 AS recall
+       |FROM full_r f
+       |LEFT JOIN tr ON tr.q_id = f.q_id AND tr.vec_id = f.vec_id
+       |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin
+  }
+
   /** §2.3 #139 — EMBEDDING DRIFT monitor: per label, the L2 distance
     * between the centroid of split-A vectors and split-B vectors, where the
     * split is sha256(vec_id) (seedless, re-ingestion-stable — the #46
