@@ -955,6 +955,7 @@ object SparkEntry {
     "q_bootstrap_ci" -> ((s, dir) => Relational.bootstrapCi(s, dir)),
     "q_triangle_count" -> ((s, dir) => Similarity.triangleCount(s, dir, maxBits = 12)),
     "q_rrf_fusion" -> ((s, dir) => TextAnalysis.rrfFusion(s, dir)),
+    "q_rbo" -> ((s, dir) => TextAnalysis.rbo(s, dir)),
     "copy_zorder" -> ((s, dir) => TableCopy.zorderCopy(s, dir, tmp("zorder"))),
     "q_quartiles" -> ((s, dir) => Relational.quartiles(s, dir)),
     "q_mutual_info" -> ((s, dir) => Curation.mutualInfo(s, dir)),
@@ -1037,6 +1038,8 @@ object SparkEntry {
     "q_clustering_coeff" -> ((s, dir) =>
       Similarity.clusteringCoeff(s, dir, maxBits = 12)),
     "q_adamic_adar" -> ((s, dir) => Similarity.adamicAdar(s, dir, maxBits = 12)),
+    "q_jaccard_linkpred" -> ((s, dir) =>
+      Similarity.jaccardLinkPred(s, dir, maxBits = 12)),
     "q_intrinsic_dim" -> ((s, dir) => Similarity.intrinsicDim(s, dir, maxBits = 12)),
     // k = 3: short suffix so footer groups exist even in small corpora
     // (k = 8 has zero qualifying groups below sf0.1 — a vacuous gate).
@@ -1044,6 +1047,8 @@ object SparkEntry {
     "q_surprisal_outliers" -> ((s, dir) => TextAnalysis.surprisalOutliers(s, dir)),
     "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
     "q_anova" -> ((s, dir) => Relational.anova(s, dir)),
+    "q_icc" -> ((s, dir) => Relational.icc(s, dir)),
+    "q_conformal" -> ((s, dir) => Relational.conformal(s, dir)),
     "q_levene" -> ((s, dir) => Relational.levene(s, dir)),
     "q_changepoint" -> ((s, dir) => Relational.changepoint(s, dir)),
     "q_dedup_yield" -> ((s, dir) => Dedup.dedupYield(s, dir)),
@@ -1207,6 +1212,8 @@ object SparkEntry {
     "q_js_divergence" -> ((s, dir) => TextAnalysis.jsDivergence(s, dir)),
     "q_hellinger" -> ((s, dir) => TextAnalysis.hellinger(s, dir)),
     "q_cohens_kappa" -> ((s, dir) => TextAnalysis.cohensKappa(s, dir)),
+    "q_krippendorff" -> ((s, dir) => TextAnalysis.krippendorffAlpha(s, dir)),
+    "q_ece" -> ((s, dir) => TextAnalysis.eceQuality(s, dir)),
     // r9 additions (#353-#356): graph partition quality, reliability,
     // mixture temperature, vocabulary concentration
     "q_modularity" -> ((s, dir) => Similarity.modularity(s, dir, maxBits = 12)),
@@ -3774,6 +3781,49 @@ object SparkEntry {
         |SELECT doc_id, rank_bm25, rank_tfidf,
         |  floor((1.0 / (60 + rank_bm25) + 1.0 / (60 + rank_tfidf)) * 1e6 + 0.5) / 1e6 AS rrf
         |FROM rk ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rbo" -> {
+      val spine = TextAnalysis.rboWeights(0.9, 20)
+        .map { case (i, w) => s"($i, ${w}::DOUBLE)" }.mkString(", ")
+      val factor = (1.0 - 0.9) / 0.9
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+         |tk AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok FROM d),
+         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tk
+         |       WHERE tok IN ('query', 'vector', 'merge') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              CAST(sum(len(w)) AS DOUBLE) AS sdl FROM d),
+         |tw AS (
+         |  SELECT doc_id,
+         |    ln(1.0 + (n_docs - dfq + 0.5) / (dfq + 0.5)) * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sdl / n_docs))) AS tw_bm25,
+         |    tf * ln((n_docs + 1.0) / (dfq + 1.0)) AS tw_tfidf
+         |  FROM tf JOIN dfq USING (tok) CROSS JOIN st),
+         |sc AS (SELECT doc_id,
+         |  floor((CAST(CAST(sum(CAST(tw_bm25 AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS bm25,
+         |  floor((CAST(CAST(sum(CAST(tw_tfidf AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tfidf
+         |  FROM tw GROUP BY doc_id),
+         |rk AS (SELECT doc_id,
+         |  CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank_bm25,
+         |  CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id) AS INTEGER) AS rank_tfidf
+         |  FROM sc),
+         |mxf AS (SELECT doc_id, greatest(rank_bm25, rank_tfidf) AS mx
+         |        FROM rk WHERE greatest(rank_bm25, rank_tfidf) <= 20),
+         |spine AS (SELECT * FROM (VALUES $spine) s(depth, w)),
+         |agg AS (
+         |  SELECT s.depth, s.w, count(m.doc_id)::BIGINT AS n_common
+         |  FROM spine s LEFT JOIN mxf m ON m.mx <= s.depth GROUP BY 1, 2),
+         |tm AS (SELECT depth, n_common,
+         |  CAST(n_common AS DOUBLE) / CAST(depth AS DOUBLE) AS agreement,
+         |  w * (CAST(n_common AS DOUBLE) / CAST(depth AS DOUBLE)) AS term
+         |  FROM agg)
+         |SELECT depth, n_common,
+         |  floor(agreement * 1e6 + 0.5) / 1e6 AS agreement,
+         |  floor(${factor} * CAST(CAST(
+         |    sum(CAST(term AS DECIMAL(28,12))) OVER (ORDER BY depth
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rbo_cum
+         |FROM tm ORDER BY depth""".stripMargin
+    },
     "copy_zorder" -> TableCopy.zorderOracleSql(),
     "q_quartiles" ->
       """WITH c AS (SELECT c_mktsegment AS seg, CAST(c_acctbal AS DECIMAL(12,2)) AS v
@@ -4872,6 +4922,60 @@ object SparkEntry {
         |    AS f_stat,
         |  floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6 AS eta_sq
         |FROM f""".stripMargin,
+    "q_icc" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS grp,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+        |  FROM customer),
+        |pg AS (SELECT grp, count(*)::BIGINT AS ng, sum(yc)::BIGINT AS sg,
+        |  sum(CAST(yc AS HUGEINT) * yc) AS qg FROM c GROUP BY 1),
+        |tm AS (SELECT ng, sg, qg,
+        |  (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(ng AS DOUBLE) AS term
+        |  FROM pg),
+        |s AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+        |  sum(sg)::BIGINT AS s, sum(qg) AS q, sum(ng * ng)::BIGINT AS sn2,
+        |  CAST(CAST(sum(CAST(term AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS terms FROM tm),
+        |f AS (SELECT n, k,
+        |  (terms - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    / (CAST(k AS DOUBLE) - 1.0) AS msb,
+        |  (CAST(q AS DOUBLE) - terms) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS msw,
+        |  (CAST(n AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(k AS DOUBLE) - 1.0) AS k0
+        |  FROM s)
+        |SELECT n, k AS k_groups,
+        |  floor(k0 * 1e6 + 0.5) / 1e6 AS k0,
+        |  floor((msb - msw) / (msb + (k0 - 1.0) * msw) * 1e6 + 0.5) / 1e6 AS icc
+        |FROM f""".stripMargin,
+    "q_conformal" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+        |    substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 1) AS h
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tr AS (SELECT seg, count(*)::BIGINT AS ng, sum(yc)::BIGINT AS sg
+        |       FROM j WHERE h <= '7' GROUP BY 1),
+        |cal AS (SELECT j.seg, abs(yc * ng - sg) AS r2
+        |        FROM j JOIN tr USING (seg) WHERE h > '7' AND h <= 'b'),
+        |hist AS (SELECT seg, r2, count(*)::BIGINT AS cnt FROM cal GROUP BY 1, 2),
+        |w AS (SELECT seg, r2,
+        |  sum(cnt) OVER (PARTITION BY seg ORDER BY r2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY seg) AS ncal FROM hist),
+        |q AS (SELECT seg, max(ncal)::BIGINT AS n_cal,
+        |  min(CASE WHEN cum >= ((ncal + 1) * 9 + 9) // 10 THEN r2 END) AS qhat
+        |  FROM w GROUP BY 1),
+        |tst AS (SELECT j.seg, abs(yc * ng - sg) AS r2
+        |        FROM j JOIN tr USING (seg) WHERE h > 'b'),
+        |cov AS (SELECT tst.seg, count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN tst.r2 <= q.qhat THEN 1 ELSE 0 END)::BIGINT AS covered
+        |  FROM tst JOIN q USING (seg) GROUP BY 1)
+        |SELECT q.seg, tr.ng AS n_train, q.n_cal, cov.n_test,
+        |  floor(CAST(qhat AS DOUBLE) / (CAST(ng AS DOUBLE) * 100.0) * 1e6 + 0.5) / 1e6
+        |    AS qhat_dollars,
+        |  floor(CAST(covered AS DOUBLE) / CAST(n_test AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |    AS coverage,
+        |  0.9 AS target
+        |FROM q JOIN tr USING (seg) JOIN cov USING (seg) ORDER BY seg""".stripMargin,
     "q_levene" ->
       """WITH j AS (
         |  SELECT c_mktsegment AS seg,
@@ -5638,6 +5742,7 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q_clustering_coeff" -> Similarity.clusteringCoeffOracleSql(),
     "q_adamic_adar" -> Similarity.adamicAdarOracleSql(),
+    "q_jaccard_linkpred" -> Similarity.jaccardLinkPredOracleSql(),
     "q_intrinsic_dim" -> Similarity.intrinsicDimOracleSql(),
     "q_theil_sen" ->
       """WITH daily AS (SELECT o_orderdate::DATE AS day,
@@ -6483,6 +6588,73 @@ object SparkEntry {
         |    AS hellinger
         |FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nc
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_krippendorff" ->
+      s"""WITH li AS (
+         |$langIdOracle
+         |),
+         |sm AS (
+         |  SELECT source, lang AS lang_src FROM (
+         |    SELECT source, lang, row_number() OVER (
+         |      PARTITION BY source ORDER BY n DESC, lang ASC) AS rn
+         |    FROM (SELECT source, lang, count(*)::BIGINT AS n
+         |          FROM documents GROUP BY 1, 2) g) t
+         |  WHERE rn = 1),
+         |r AS (
+         |  SELECT d.doc_id, unnest([d.lang, li.lang_detected, sm.lang_src]) AS cat
+         |  FROM documents d
+         |  JOIN li ON li.doc_id = d.doc_id
+         |  JOIN sm ON sm.source = d.source),
+         |muc AS (SELECT doc_id, cat, count(*)::BIGINT AS m FROM r GROUP BY 1, 2),
+         |obs AS (SELECT sum(9 - sm2)::BIGINT AS d2, count(*)::BIGINT AS n_units
+         |  FROM (SELECT doc_id, sum(m * m)::BIGINT AS sm2 FROM muc GROUP BY 1) u),
+         |marg AS (SELECT sum(nc)::BIGINT AS n, sum(nc * nc)::BIGINT AS snc2
+         |  FROM (SELECT cat, sum(m)::BIGINT AS nc FROM muc GROUP BY 1) m)
+         |SELECT n_units, n AS n_ratings,
+         |  floor(CAST(d2 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS d_obs,
+         |  floor(CAST(n * n - snc2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d_exp,
+         |  floor((1.0 - CAST(d2 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+         |    / (2.0 * CAST(n * n - snc2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS alpha
+         |FROM obs CROSS JOIN marg""".stripMargin,
+    "q_ece" ->
+      s"""WITH qs AS (
+         |$qualityScoreOracle
+         |),
+         |b2 AS (
+         |  SELECT doc_id,
+         |    len(string_split(trim(text), ' '))::INTEGER AS nt,
+         |    length(replace(text, ' ', ''))::DOUBLE
+         |      / len(string_split(trim(text), ' ')) AS mwl,
+         |    len(list_filter(string_split(trim(text), ' '),
+         |      t -> t IN ('the', 'a', 'of', 'and', 'is')))::INTEGER AS stop_hits
+         |  FROM documents),
+         |hist AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct FROM (
+         |    SELECT doc_id, tok, count(*) AS c FROM (
+         |      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         |      FROM documents) GROUP BY 1, 2) GROUP BY 1),
+         |fl AS (SELECT b2.doc_id,
+         |    CASE WHEN (nt >= 30 AND nt <= 90) AND (mwl >= 4.0 AND mwl <= 4.9)
+         |      AND coalesce(CAST(top_c AS DOUBLE) / nt <= 0.15, false)
+         |      AND coalesce(1.0 - CAST(n_distinct AS DOUBLE) / nt <= 0.6, false)
+         |      AND (stop_hits >= 1) THEN 1 ELSE 0 END AS ok
+         |  FROM b2 LEFT JOIN hist USING (doc_id)),
+         |g AS (
+         |  SELECT least(CAST(floor(quality * 1e6 + 0.5) AS BIGINT) * 10 // 1000000, 9) AS bin,
+         |    quality AS conf, ok
+         |  FROM qs JOIN fl USING (doc_id)),
+         |t AS (SELECT count(*)::BIGINT AS n_total FROM g),
+         |bins AS (
+         |  SELECT bin, count(*)::BIGINT AS n_docs, sum(ok)::BIGINT AS n_correct,
+         |    CAST(CAST(sum(CAST(conf AS DECIMAL(28,12))) AS VARCHAR) AS DOUBLE) AS sconf
+         |  FROM g GROUP BY 1)
+         |SELECT bin, n_docs, n_correct,
+         |  floor(sconf / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_conf,
+         |  floor(CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS accuracy,
+         |  floor(abs(sconf / CAST(n_docs AS DOUBLE)
+         |    - CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS gap,
+         |  floor(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |    * abs(sconf / CAST(n_docs AS DOUBLE)
+         |      - CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ece_contrib
+         |FROM bins CROSS JOIN t ORDER BY bin""".stripMargin,
     "q_cohens_kappa" ->
       s"""WITH li AS (
          |$langIdOracle

@@ -707,6 +707,25 @@ object Curation {
     * partial-aggregated source rollup.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gopherFlags(spark, dir)
+    def fails(c: String) = sum(when(col(c), 0L).otherwise(1L)).as(s"fail_${c.drop(5)}")
+    flags.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        fails("pass_len"), fails("pass_wordlen"), fails("pass_top"),
+        fails("pass_rep"), fails("pass_stop"),
+        sum(when(col("pass_len") && col("pass_wordlen") && col("pass_top") &&
+          col("pass_rep") && col("pass_stop"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        floor(col("n_keep").cast("double") / col("n_docs").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6))
+      .orderBy("source")
+  }
+
+  /** Per-document Gopher rule flags — the doc-level frame [[gopherRules]]
+    * rolls up and the #400 calibration outcome reads (one derivation, two
+    * consumers).
+    */
+  private[operators] def gopherFlags(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir)
       .select(col("doc_id"), col("source"), col("text"), tokensCol.as("toks"))
       .withColumn("nt", size(col("toks")))
@@ -724,7 +743,7 @@ object Curation {
     // invariant, not a join guarantee. An inner join would silently drop
     // such a doc from n_docs entirely (ADVICE r9); here it stays counted
     // and fails the dominance/repetition rules explicitly.
-    val flags = base.join(hist, Seq("doc_id"), "left")
+    base.join(hist, Seq("doc_id"), "left")
       .withColumn("pass_len", col("nt") >= 30 && col("nt") <= 90)
       .withColumn("pass_wordlen", col("mwl") >= 4.0 && col("mwl") <= 4.9)
       .withColumn("pass_top", coalesce(
@@ -733,17 +752,6 @@ object Curation {
         lit(1.0) - col("n_distinct").cast("double") / col("nt") <= 0.6,
         lit(false)))
       .withColumn("pass_stop", col("stop_hits") >= 1)
-    def fails(c: String) = sum(when(col(c), 0L).otherwise(1L)).as(s"fail_${c.drop(5)}")
-    flags.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        fails("pass_len"), fails("pass_wordlen"), fails("pass_top"),
-        fails("pass_rep"), fails("pass_stop"),
-        sum(when(col("pass_len") && col("pass_wordlen") && col("pass_top") &&
-          col("pass_rep") && col("pass_stop"), 1L).otherwise(0L)).as("n_keep"))
-      .withColumn("keep_rate",
-        floor(col("n_keep").cast("double") / col("n_docs").cast("double")
-          * lit(1e6) + lit(0.5)) / lit(1e6))
-      .orderBy("source")
   }
 
   /** §2.3 #357 — NEYMAN ALLOCATION for stratified labeling: per source

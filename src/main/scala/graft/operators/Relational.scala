@@ -4436,6 +4436,104 @@ object Relational {
     fFromPowerSums(segPowerSums(joint), "f_stat")
   }
 
+  /** §2.2 #398 — ONE-WAY INTRACLASS CORRELATION ICC(1,1) of customer
+    * balance grouped by nation: the share of total variance attributable
+    * to the GROUPING — the reliability/clustering number behind "are
+    * ratings from the same annotator (or rows from the same shard/source)
+    * exchangeable", and the design-effect input that says how much a
+    * cluster-sampled estimate really n-counts. Unequal group sizes use
+    * the standard k0 = (N − Σn_g²/N)/(G−1) correction;
+    * ICC = (MSB − MSW)/(MSB + (k0 − 1)·MSW) from [[anova]]'s exact
+    * power-sum frame — the fact table is scanned once, everything after
+    * is a ≤|nations|-row reduction (per-group S_g²/n_g doubles
+    * decimal-summed order-free, then one fixed-order double expression).
+    */
+  def icc(spark: SparkSession, dir: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val big = DecimalType(38, 0)
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("grp"),
+      (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("yc"))
+    val pg = c.groupBy("grp")
+      .agg(count(lit(1)).as("ng"), sum("yc").as("sg"),
+        sum(col("yc").cast(big) * col("yc").cast(big)).as("qg"))
+    val s = pg
+      .select(col("ng"), col("sg"), col("qg"),
+        ((col("sg").cast("double") * col("sg").cast("double")) /
+          col("ng").cast("double")).as("term"))
+      .agg(sum("ng").as("n"), count(lit(1)).as("k"),
+        sum("sg").as("s"), sum("qg").as("q"),
+        sum(col("ng") * col("ng")).as("sn2"),
+        sum(col("term").cast(dec12)).cast("double").as("terms"))
+    val n = col("n").cast("double")
+    val k = col("k").cast("double")
+    val grand = (col("s").cast("double") * col("s").cast("double")) / n
+    val msb = (col("terms") - grand) / (k - 1.0)
+    val msw = (col("q").cast("double") - col("terms")) / (n - k)
+    val k0 = (n - col("sn2").cast("double") / n) / (k - 1.0)
+    s.select(col("n"), col("k").as("k_groups"),
+      fl6(k0).as("k0"),
+      fl6((msb - msw) / (msb + (k0 - 1.0) * msw)).as("icc"))
+  }
+
+  /** §2.2 #399 — SPLIT-CONFORMAL PREDICTION intervals, Mondrian
+    * (per-segment) form: orders hash-split (sha256(o_orderkey), the #46
+    * seedless convention) into train/calibration/test; the "model" is the
+    * train-split segment mean, the nonconformity is |y − ŷ|, and q̂ is the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual — the
+    * distribution-free interval with guaranteed ≥1−α coverage that a
+    * model-scored 100 TB filter should ship instead of a point estimate.
+    * Coverage is then MEASURED on the held-out test split per segment —
+    * the empirical check of the conformal guarantee.
+    *
+    * Exactness end to end: with ŷ_seg = S_g/n_g, the residual order
+    * statistic runs on the INTEGER |y·n_g − S_g| (monotone-equivalent,
+    * cents·count — no double ever enters the ranking), q̂ via the
+    * histogram-cumulative trick (the #280 discipline: the sort touches
+    * distinct residual values, never fact rows), and the ceil-rank is
+    * integer arithmetic. Work: one scan to split+join, two bounded
+    * aggregations.
+    */
+  def conformal(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("yc"))
+    val cst = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val h = substring(sha2(col("o_orderkey").cast("string"), 256), 1, 1)
+    val j = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), col("yc"), h.as("h"))
+      .localCheckpoint(true)
+    val tr = j.where(col("h") <= "7").groupBy("seg")
+      .agg(count(lit(1)).as("ng"), sum("yc").as("sg"))
+    val cal = j.where(col("h") > "7" && col("h") <= "b")
+      .join(broadcast(tr), "seg")
+      .select(col("seg"), abs(col("yc") * col("ng") - col("sg")).as("r2"))
+    val wCum = Window.partitionBy("seg").orderBy("r2")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeg = Window.partitionBy("seg")
+    val q = cal.groupBy("seg", "r2").agg(count(lit(1)).as("cnt"))
+      .select(col("seg"), col("r2"), sum("cnt").over(wCum).as("cum"),
+        sum("cnt").over(wSeg).as("ncal"))
+      .groupBy("seg")
+      .agg(max("ncal").as("n_cal"),
+        min(when(col("cum") >=
+          expr("CAST((ncal + 1) * 9 + 9 AS BIGINT) DIV 10"), col("r2")))
+          .as("qhat"))
+    val tst = j.where(col("h") > "b").join(broadcast(tr), "seg")
+      .select(col("seg"), abs(col("yc") * col("ng") - col("sg")).as("r2"))
+    val cov = tst.join(broadcast(q.select("seg", "qhat")), "seg")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("r2") <= col("qhat"), 1L).otherwise(0L)).as("covered"))
+    q.join(tr, "seg").join(cov, "seg")
+      .select(col("seg"), col("ng").as("n_train"), col("n_cal"), col("n_test"),
+        fl6(col("qhat").cast("double") /
+          (col("ng").cast("double") * 100.0)).as("qhat_dollars"),
+        fl6(col("covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"),
+        lit(0.9).as("target"))
+      .orderBy("seg")
+  }
+
   /** §2.2 #292 — BROWN–FORSYTHE (median-centered Levene) test of variance
     * homogeneity across market segments: the assumption check behind #291's
     * F (and Welch's whole reason to exist) — are the group SPREADS equal?

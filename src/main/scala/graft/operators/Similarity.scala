@@ -2284,6 +2284,70 @@ object Similarity {
        |  floor(s * 1e6 + 0.5) / 1e6 AS aa_score
        |FROM sc ORDER BY aa_score DESC, vec_a, vec_b LIMIT $topN""".stripMargin
 
+  /** §2.3 #401 — JACCARD link prediction over the [[knnGraph]]: for every
+    * NON-adjacent pair sharing ≥1 neighbor, score = |Γa ∩ Γc| / |Γa ∪ Γc|
+    * — the normalized companion to #285's Adamic–Adar (AA rewards RARE
+    * common neighbors; Jaccard asks what FRACTION of both neighborhoods
+    * agrees, so a high-degree hub pair with two common neighbors scores
+    * low where AA might rank it). Running both and comparing tops is the
+    * standard link-prediction ablation. Same oriented-wedge + anti-join
+    * frame as #285 (O(Σ deg²), kNN-fan-in-bounded); the score is a single
+    * division of exact integers (n_common / (deg_a + deg_c − n_common)),
+    * so not even a decimal sum is needed — top-20 by (score desc, pair) is
+    * a TakeOrderedAndProject.
+    */
+  def jaccardLinkPred(spark: SparkSession, dir: String, k: Int = 3,
+      topN: Int = 20, nBits: Int = 0, nTables: Int = 16,
+      maxBits: Int = 24): DataFrame = {
+    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("deg"))
+    val adj = e.select(col("u").as("b"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("b"), col("u").as("n")))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.b") === col("y.b") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("c"))
+    val open = wedges.join(e.as("z"),
+      col("a") === col("z.u") && col("c") === col("z.v"), "left_anti")
+    open.groupBy("a", "c")
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("b").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("b").as("c"), col("deg").as("dc")), "c")
+      .select(col("a").as("vec_a"), col("c").as("vec_b"), col("n_common"),
+        fl6(col("n_common").cast("double") /
+          (col("da") + col("dc") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB oracle SQL for [[jaccardLinkPred]] — the same anti-joined
+    * wedge counts and integer-ratio scores over [[knnGraphOracleSql]].
+    */
+  def jaccardLinkPredOracleSql(k: Int = 3, topN: Int = 20, nTables: Int = 16,
+      maxBits: Int = 12): String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v
+       |  FROM (${knnGraphOracleSql(k, nTables, maxBits)}) g
+       |),
+       |d AS (SELECT b, count(*)::BIGINT AS deg
+       |      FROM (SELECT unnest([u, v]) AS b FROM e) GROUP BY 1),
+       |adj AS (SELECT u AS b, v AS n FROM e UNION ALL SELECT v AS b, u AS n FROM e),
+       |w AS (SELECT x.n AS a, y.n AS c
+       |      FROM adj x JOIN adj y ON x.b = y.b AND x.n < y.n),
+       |open_w AS (SELECT a, c FROM w
+       |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
+       |nc AS (SELECT a, c, count(*)::BIGINT AS n_common FROM open_w GROUP BY 1, 2)
+       |SELECT a AS vec_a, c AS vec_b, n_common,
+       |  floor(CAST(n_common AS DOUBLE) /
+       |    CAST(da.deg + dc.deg - n_common AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
+       |FROM nc JOIN d da ON da.b = nc.a JOIN d dc ON dc.b = nc.c
+       |ORDER BY jaccard DESC, vec_a, vec_b LIMIT $topN""".stripMargin
+
   /** §2.3 #286 — TWO-NN INTRINSIC DIMENSIONALITY (Facco et al.) from the
     * [[knnGraph]]'s rank-1/rank-2 neighbors: d̂ = n / Σ ln(r2/r1) over
     * cosine distances r = 1 − cos — the "how many dimensions is this

@@ -1069,6 +1069,186 @@ object TextAnalysis {
             (col("n") * col("n")).cast("double"))).as("kappa"))
   }
 
+  /** §2.3 #397 — KRIPPENDORFF'S ALPHA (nominal) over a three-rater
+    * language-annotation grid: rater 1 = the declared `lang`, rater 2 =
+    * the #29 stopword-profile inference, rater 3 = the document's
+    * source-majority declared lang (majority by (count desc, lang asc) —
+    * the "annotate by provenance" baseline). Alpha generalizes #351's
+    * two-rater kappa to m raters (and to missing data, though this grid
+    * is complete): α = 1 − D_o/D_e over the coincidence matrix — the
+    * standard reliability number for judging whether a labeling scheme
+    * (human or model annotators alike) is trustworthy enough to train on.
+    *
+    * Exactness: with m = 3 raters everywhere, the observed disagreement
+    * is Σ_u (m² − Σ_c m_uc²) and the marginals n_c are plain integer
+    * counts, so α = 1 − D2·(n−1)/(2·(n² − Σ n_c²)) is integers down to
+    * ONE final division. Work: one per-(doc, category) count (≤3 rows per
+    * doc), a ≤|langs|-row marginal frame — nothing beyond the #29 scan.
+    */
+  def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+    val det = langId(spark, dir).select(col("doc_id"), col("lang_detected"))
+    val srcCnt = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy("source").orderBy(col("n").desc, col("lang").asc)
+    val srcMaj = srcCnt.withColumn("rn", row_number().over(wSrc))
+      .where(col("rn") === 1).select(col("source"), col("lang").as("lang_src"))
+    val muc = d.join(det, "doc_id").join(broadcast(srcMaj), "source")
+      .select(col("doc_id"),
+        explode(array(col("lang"), col("lang_detected"), col("lang_src"))).as("cat"))
+      .groupBy("doc_id", "cat").agg(count(lit(1)).as("m"))
+    val obs = muc.groupBy("doc_id")
+      .agg((lit(9L) - sum(col("m") * col("m"))).as("d2u"))
+      .agg(sum("d2u").as("d2"), count(lit(1)).as("n_units"))
+    val marg = muc.groupBy("cat").agg(sum("m").as("nc"))
+      .agg(sum("nc").as("n"), sum(col("nc") * col("nc")).as("snc2"))
+    val fl6 = (c: Column) => Fl6(c)
+    obs.crossJoin(broadcast(marg))
+      .select(col("n_units"), col("n").as("n_ratings"),
+        fl6(col("d2").cast("double") /
+          (lit(2.0) * col("n").cast("double"))).as("d_obs"),
+        fl6((col("n") * col("n") - col("snc2")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("d_exp"),
+        fl6(lit(1.0) - col("d2").cast("double") * (col("n") - 1).cast("double") /
+          (lit(2.0) * (col("n") * col("n") - col("snc2")).cast("double")))
+          .as("alpha"))
+  }
+
+  /** §2.3 #400 — EXPECTED-CALIBRATION-ERROR reliability table for the #32
+    * quality score, judged against the INDEPENDENT #344 Gopher rule gate:
+    * confidence = the per-doc quality score (its [0,1] blend read as "how
+    * sure am I this doc is keepable"), outcome = the doc passes all five
+    * Gopher rules; docs bucket into 10 equal-width confidence bins and
+    * each bin reports size, mean confidence, accuracy, |gap|, and its ECE
+    * contribution (n_b/N·gap) — the reliability diagram + ECE
+    * decomposition any model-scored filtering gate should publish before
+    * its scores gate a 100 TB corpus (a score can RANK well and still be
+    * wildly miscalibrated — thresholds transfer only if this table is
+    * flat). The two signals share no thresholds, so the comparison is a
+    * genuine calibration question, not a tautology.
+    *
+    * Determinism: the 6-dp-rounded score is recovered to an exact INTEGER
+    * (floor(q·1e6 + 0.5)) and binned with integer division — never a
+    * float boundary; per-bin confidence sums ride DECIMAL(28,12),
+    * accuracies are integer ratios; work is two doc-level scans + a
+    * ≤10-row aggregate.
+    */
+  def eceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val fl6 = (c: Column) => Fl6(c)
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val ok = Curation.gopherFlags(spark, dir)
+      .select(col("doc_id"),
+        when(col("pass_len") && col("pass_wordlen") && col("pass_top") &&
+          col("pass_rep") && col("pass_stop"), 1L).otherwise(0L).as("ok"))
+    val f = q.join(ok, "doc_id")
+      .withColumn("qint", floor(col("quality") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("bin", least(expr("qint * 10 DIV 1000000"), lit(9L)))
+      .withColumn("conf", col("quality"))
+    val tot = f.agg(count(lit(1)).as("n_total"))
+    f.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("ok").as("n_correct"),
+        sum(col("conf").cast(dec)).as("sconf"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("n_correct"),
+        fl6(col("sconf").cast("double") / col("n_docs").cast("double"))
+          .as("avg_conf"),
+        fl6(col("n_correct").cast("double") / col("n_docs").cast("double"))
+          .as("accuracy"),
+        fl6(abs(col("sconf").cast("double") / col("n_docs").cast("double") -
+          col("n_correct").cast("double") / col("n_docs").cast("double")))
+          .as("gap"),
+        fl6(col("n_docs").cast("double") / col("n_total").cast("double") *
+          abs(col("sconf").cast("double") / col("n_docs").cast("double") -
+            col("n_correct").cast("double") / col("n_docs").cast("double")))
+          .as("ece_contrib"))
+      .orderBy("bin")
+  }
+
+  /** §2.3 #396 — RANK-BIASED OVERLAP (Webber et al. 2010) between the
+    * #208 pair of rankers (BM25 vs tf·idf over the same query terms):
+    * RBO@d = (1−p)/p · Σ_{i≤d} pⁱ·|A_1..i ∩ B_1..i|/i — the top-weighted
+    * "how similar are two retrieval systems" number (Kendall/Spearman
+    * need identical item sets and weight the tail equally; RBO's
+    * geometric weights match how users read result lists). Reported as
+    * the per-depth overlap curve with the cumulative RBO in the last
+    * row — the curve says WHERE the rankers diverge, the scalar says how
+    * much. Ranks are assigned over the same 6-dp-ROUNDED scores as #208
+    * (ulp-flip-proof, doc_id tie-break), pⁱ weights are ONE sequence of
+    * Scala-computed double literals embedded in both engines (the
+    * lshCurve lesson: never let two engines exponentiate independently),
+    * and the cumulative sum rides DECIMAL(28,12) over a ≤d-row frame.
+    * Scale shape: the candidate set is query-term-df-bounded (PrefixScan
+    * distributed ranks, #208's discipline); everything after the `mx ≤ d`
+    * filter is a ≤d-row local frame.
+    */
+  def rbo(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("query", "vector", "merge"),
+      k1: Double = 1.2, b: Double = 0.75, p: Double = 0.9,
+      depth: Int = 20): DataFrame = {
+    val dec = DecimalType(28, 10)
+    val dec12 = DecimalType(28, 12)
+    val fl6 = (c: Column) => Fl6(c)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), tokensCol.as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("dl"),
+        explode(col("w")).as("tok"))
+    val tf = toks.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val stats = docs(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(size(tokensCol).cast("bigint")).cast("double").as("sdl"))
+    val scored = tf.join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("tw_bm25",
+        log(lit(1.0) + (col("n_docs") - col("dfq") + 0.5) / (col("dfq") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / (col("sdl") / col("n_docs")))))
+      .withColumn("tw_tfidf",
+        col("tf") * log((col("n_docs") + 1.0) / (col("dfq") + 1.0)))
+      .groupBy("doc_id")
+      .agg((floor((sum(col("tw_bm25").cast(dec)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("bm25"),
+        (floor((sum(col("tw_tfidf").cast(dec)).cast("double")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("tfidf"))
+    val base = scored.withColumn("negb", -col("bm25"))
+      .withColumn("negt", -col("tfidf"))
+      .localCheckpoint(false)
+    val ranked = PrefixScan.rowNumber(
+      PrefixScan.rowNumber(base,
+        "negb", Seq(col("bm25").desc, col("doc_id").asc), "rank_bm25"),
+      "negt", Seq(col("tfidf").desc, col("doc_id").asc), "rank_tfidf")
+    val mxF = ranked
+      .select(col("doc_id"),
+        greatest(col("rank_bm25"), col("rank_tfidf")).as("mx"))
+      .where(col("mx") <= depth)
+    // p^i as ONE sequence of literals shared verbatim with the oracle.
+    val weights = rboWeights(p, depth)
+    import spark.implicits._
+    val spine = weights.toDF("depth", "w")
+    val factor = (1.0 - p) / p
+    val wCum = Window.orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(mxF, col("mx") <= col("depth"), "left_outer")
+      .groupBy("depth", "w")
+      .agg(count(col("doc_id")).as("n_common"))
+      .withColumn("agreement",
+        col("n_common").cast("double") / col("depth").cast("double"))
+      .withColumn("term", col("w") * col("agreement"))
+      .withColumn("rbo_cum", fl6(lit(factor) *
+        sum(col("term").cast(dec12)).over(wCum).cast("double")))
+      .select(col("depth"), col("n_common"), fl6(col("agreement")).as("agreement"),
+        col("rbo_cum"))
+      .orderBy("depth")
+  }
+
+  /** Sequentially-multiplied (depth, p^depth) pairs — the single source of
+    * truth both engines embed as literals.
+    */
+  private[graft] def rboWeights(p: Double, depth: Int): Seq[(Int, Double)] = {
+    var w = 1.0
+    (1 to depth).map { i => w *= p; (i, w) }
+  }
+
   /** §2.3 #373 — STOPWORD-DENSITY profile per source: share of tokens
     * drawn from a fixed function-word list, with the doc-level density
     * range. The cheapest of the quality signals (Gopher's "stop word

@@ -2055,6 +2055,70 @@ class RelationalSpec extends AnyFunSuite with SparkFixture {
     ((ssb / (k - 1)) / (ssw / (n - k)), ssb / (ssb + ssw))
   }
 
+  test("icc matches a local one-way ICC(1,1) recomputation with the k0 correction") {
+    val r = Relational.icc(spark, sf).collect()(0)
+    val groups = Tables.load(spark, sf, "customer")
+      .select(col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = groups.values.map(_.length).sum.toDouble
+    val k = groups.size.toDouble
+    val s = groups.values.map(_.map(BigInt(_)).sum).sum
+    val q = groups.values.map(_.map(x => BigInt(x) * BigInt(x)).sum).sum
+    val terms = groups.values.map { g =>
+      val sg = g.map(BigInt(_)).sum.toDouble; sg * sg / g.length
+    }.sum
+    val msb = (terms - s.toDouble * s.toDouble / n) / (k - 1)
+    val msw = (q.toDouble - terms) / (n - k)
+    val sn2 = groups.values.map(g => g.length.toLong * g.length).sum.toDouble
+    val k0 = (n - sn2 / n) / (k - 1)
+    val icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    assert(r.getAs[Long]("n") == n.toLong && r.getAs[Long]("k_groups") == k.toLong)
+    assert(math.abs(r.getAs[Double]("k0") - k0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("icc") - icc) < 1e-6)
+    // Balance is near-random across nations: ICC sits near 0, inside [-1, 1].
+    assert(r.getAs[Double]("icc") >= -1.0 && r.getAs[Double]("icc") <= 1.0)
+  }
+
+  test("conformal q-hat is the exact calibration order statistic and test coverage lands near 1 - alpha") {
+    val rows = Relational.conformal(spark, sf).collect()
+    assert(rows.length == 5)
+    // Local replay of one segment: same hash split, same integer residuals.
+    val custSeg = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex1(s: String): Char = {
+      val d = md.digest(s.getBytes("UTF-8"))
+      "%02x".format(d(0)).charAt(0)
+    }
+    val orders = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => (custSeg(r.getLong(1)), r.getLong(2), hex1(r.getLong(0).toString)))
+    rows.foreach { r =>
+      val seg = r.getAs[String]("seg")
+      val inSeg = orders.filter(_._1 == seg)
+      val train = inSeg.filter(_._3 <= '7').map(_._2)
+      val (ng, sg) = (train.length.toLong, train.sum)
+      val cal = inSeg.filter(o => o._3 > '7' && o._3 <= 'b')
+        .map(o => math.abs(o._2 * ng - sg)).sorted
+      val rank = (((cal.length + 1) * 9) + 9) / 10
+      val qhat = cal(rank.toInt - 1)
+      assert(r.getAs[Long]("n_train") == ng && r.getAs[Long]("n_cal") == cal.length)
+      assert(math.abs(r.getAs[Double]("qhat_dollars") -
+        qhat.toDouble / (ng * 100.0)) < 1e-5, seg)
+      val tst = inSeg.filter(_._3 > 'b').map(o => math.abs(o._2 * ng - sg))
+      val cov = tst.count(_ <= qhat).toDouble / tst.length
+      assert(math.abs(r.getAs[Double]("coverage") - cov) < 1e-6, seg)
+      // The conformal guarantee: coverage >= 1 - alpha in expectation;
+      // with thousands of test rows it cannot stray far below 0.9.
+      assert(r.getAs[Double]("coverage") > 0.85, s"$seg: $cov")
+    }
+  }
+
   test("anova F and eta2 match a local exact-sum recomputation") {
     val r = Relational.anova(spark, sf).collect()(0)
     val groups = segValuesCents

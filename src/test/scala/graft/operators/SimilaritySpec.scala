@@ -553,6 +553,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       t64.map(r => (r.get(0), r.get(2))).mkString(", "))
   }
 
+  test("jaccardLinkPred scores non-edges by the exact neighborhood ratio") {
+    val edges = Similarity.knnGraph(spark, sf, 3, maxBits = 12).collect()
+      .map(r => {
+        val a = r.getAs[Long]("vec_id"); val b = r.getAs[Long]("nbr_id")
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = Similarity.jaccardLinkPred(spark, sf, maxBits = 12).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (a, c) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(a < c && !edges.contains((a, c)), s"($a,$c) must be a NON-edge")
+      val inter = (adj(a) & adj(c)).size
+      val union = (adj(a) | adj(c)).size
+      assert(r.getAs[Long]("n_common") == inter.toLong, s"($a,$c)")
+      assert(math.abs(r.getAs[Double]("jaccard") - inter.toDouble / union) < 1e-6)
+      assert(r.getAs[Double]("jaccard") > 0.0 && r.getAs[Double]("jaccard") <= 1.0)
+    }
+    // Top-N ordering is (score desc, pair asc).
+    val keys = rows.map(r => (-r.getAs[Double]("jaccard"),
+      r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq
+    assert(keys == keys.sorted)
+  }
+
   test("embedDrift: exchangeable hash halves give small centroid distances, a shifted half does not") {
     val rows = Similarity.embedDrift(spark, sf).collect()
     val n = Tables.load(spark, sf, "embeddings").count()

@@ -649,6 +649,88 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("krippendorffAlpha equals a local three-rater coincidence recomputation") {
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val det = TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_detected")).toMap
+    val srcMaj = d.groupBy(_._3).view.mapValues { docs =>
+      docs.groupBy(_._2).view.mapValues(_.length).toSeq
+        .minBy { case (lang, n) => (-n, lang) }._1
+    }.toMap
+    // Per-unit category multiplicities of the 3 ratings.
+    val units = d.map { case (id, lang, src) =>
+      Seq(lang, det(id), srcMaj(src)).groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val d2 = units.map(m => 9L - m.values.map(v => v.toLong * v).sum).sum
+    val margins = units.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2.toLong).sum).toMap
+    val n = margins.values.sum
+    val snc2 = margins.values.map(v => v * v).sum
+    val alpha = 1.0 - d2.toDouble * (n - 1) / (2.0 * (n * n - snc2))
+    val r = TextAnalysis.krippendorffAlpha(spark, sf).collect()(0)
+    assert(r.getAs[Long]("n_units") == d.length.toLong)
+    assert(r.getAs[Long]("n_ratings") == 3L * d.length)
+    assert(math.abs(r.getAs[Double]("d_obs") - d2 / (2.0 * n)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("alpha") - alpha) < 1e-6)
+    assert(r.getAs[Double]("alpha") <= 1.0)
+  }
+
+  test("eceQuality bins partition the corpus; per-bin stats match a local quality-vs-gopher replay") {
+    val rows = TextAnalysis.eceQuality(spark, sf).collect()
+    val q = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val keepBySource = Curation.gopherRules(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_keep")).toMap
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every doc lands in exactly one bin")
+    // Total kept across bins equals the gopher rollup's total keeps —
+    // the outcome column is the SAME gate, independently aggregated.
+    assert(rows.map(_.getAs[Long]("n_correct")).sum == keepBySource.values.sum)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val inBin = q.values.filter(v =>
+        math.min(math.round(v * 1e6) * 10 / 1000000, 9L) == bin)
+      assert(inBin.size.toLong == r.getAs[Long]("n_docs"), s"bin $bin")
+      val avg = inBin.sum / inBin.size
+      assert(math.abs(r.getAs[Double]("avg_conf") - avg) < 1e-5, s"bin $bin")
+      val acc = r.getAs[Double]("accuracy")
+      val gap = r.getAs[Double]("gap")
+      assert(math.abs(gap - math.abs(r.getAs[Double]("avg_conf") - acc)) < 2e-6)
+      assert(math.abs(r.getAs[Double]("ece_contrib") -
+        r.getAs[Long]("n_docs").toDouble / nDocs * gap) < 2e-6)
+    }
+    assert(rows.length >= 3, "the score must spread over several bins")
+  }
+
+  test("rbo curve matches a local replay over the full fused rankings and is monotone") {
+    val rows = TextAnalysis.rbo(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("depth")).toSeq == (1 to 20))
+    // Full candidate ranks from the fusion operator itself (topK large
+    // enough to keep every candidate).
+    val ranks = TextAnalysis.rrfFusion(spark, sf, topK = 1000000).collect()
+      .map(r => math.max(r.getAs[Number]("rank_bm25").longValue,
+        r.getAs[Number]("rank_tfidf").longValue))
+    val weights = TextAnalysis.rboWeights(0.9, 20).toMap
+    var cum = 0.0
+    rows.foreach { r =>
+      val depth = r.getAs[Int]("depth")
+      val x = ranks.count(_ <= depth).toLong
+      assert(r.getAs[Long]("n_common") == x, s"depth $depth")
+      val agreement = x.toDouble / depth
+      assert(math.abs(r.getAs[Double]("agreement") - agreement) < 1e-6)
+      cum += weights(depth) * agreement
+      assert(math.abs(r.getAs[Double]("rbo_cum") - (1.0 - 0.9) / 0.9 * cum) < 1e-5)
+    }
+    // RBO is a weighted average of agreements, so it stays in [0, 1];
+    // the cumulative form can only grow with depth.
+    val cums = rows.map(_.getAs[Double]("rbo_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-12 })
+    assert(cums.last >= 0.0 && cums.last <= 1.0)
+  }
+
   test("cohensKappa equals the confusion-matrix formula and is below raw accuracy") {
     val conf = TextAnalysis.langConfusion(spark, sf).collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_detected"),
