@@ -124,7 +124,10 @@ object PlanAudit {
     "q_durbin_watson", "q_bollinger", "q_rsi", "q_hurst", "q_peak_detect",
     // r13: the BH rank window runs over the per-nation test frame —
     // |nations| = 25 rows at any SF (the dimension is the bound)
-    "q_fdr_bh")
+    "q_fdr_bh",
+    // r14: the RBO cumulative window runs over the FIXED 20-row literal
+    // depth spine (the p^i weight table) — a constant, never data-sized
+    "q_rbo")
 
   /** Queries whose single-partition window input shows as RAW only
     * because `localCheckpoint` truncated the lineage of a BOUNDED frame
@@ -332,7 +335,15 @@ object PlanAudit {
         // 1-row (nt, nr, V) model-totals frame over the vocab-sized ratio
         // frame; semdedup / source_cluster_mix ride the kmeans k-row
         // centroid broadcast (the q_kmeans assignment pattern).
-        "q_tpch_q11", "q_dsir_weights", "q_semdedup", "q_source_cluster_mix")
+        "q_tpch_q11", "q_dsir_weights", "q_semdedup", "q_source_cluster_mix",
+        // r14: mrl_recall runs q_ann_brute's broadcast-10-query linear
+        // scan TWICE (full-width and prefix-slice rankings); ece a 1-row
+        // total-docs frame over the ≤10-bin aggregate (scalar-subquery
+        // pattern); krippendorff a 1-row marginal (n, Σn_c²) frame over
+        // the 1-row disagreement frame; rbo the bm25 1-row corpus-stats
+        // frame PLUS the fixed 20-row literal depth spine non-equi-joined
+        // onto the ≤20-row mx frame — every side bounded by a constant.
+        "q_mrl_recall", "q_ece", "q_krippendorff", "q_rbo")
       if (bnlj && !bnljOk(name))
         failures += s"$name: unexpected BroadcastNestedLoopJoin"
       if (name == "q_topn" && !has("TakeOrderedAndProject"))
