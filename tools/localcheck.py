@@ -51,16 +51,8 @@ def round_lint(oracle):
                   if re.search(r"round\(", v, re.I) and k not in allowed)
 
 
-def main():
-    # --allow-missing: subset runs (dev loop, stress probes) verify only the
-    # queries they ran; oracles with no result dir are expected, not a gate
-    # failure. Full-gate runs keep missing as a hard fail.
-    allow_missing = "--allow-missing" in sys.argv
-    argv = [a for a in sys.argv if a != "--allow-missing"]
-    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = argv[2] if len(argv) > 2 else "/tmp/graft_verify"
-    print(f"duckdb {duckdb.__version__}, pandas {pd.__version__}, "
-          f"sf_dir {sf_dir}")
+def connect(sf_dir: str):
+    """One DuckDB connection with the corpus tables mounted as views."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -71,54 +63,77 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare_one(con, name: str, result_dir: str, sql):
+    """Compare one Spark result dir against its oracle SQL.
+
+    Returns (status, msg): status is "exact" (oracle matched),
+    "rows-only" (no oracle, non-empty result), or "fail". The compare
+    semantics are the driver gate's: column names, strict dtypes after
+    small-int widening, exact values after sorting columns by name.
+    tools/tally.py runs this per-query in an isolated subprocess; main()
+    below runs it in the classic one-process full-gate loop.
+    """
+    files = glob.glob(f"{result_dir}/*.parquet")
+    if not files:
+        return ("fail", "no parquet output")
+    got = pd.read_parquet(result_dir)
+    if sql is None:
+        if len(got) == 0:
+            return ("fail", "VACUOUS: rows-only query returned 0 rows")
+        return ("rows-only", f"rows-only: {len(got)} rows")
+    try:
+        exp = con.execute(sql).df()
+    except Exception as e:
+        return ("fail", f"oracle SQL failed: {e}")
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        return ("fail", f"columns differ: spark={list(g.columns)} duck={list(e.columns)}")
+    if len(g) != len(e):
+        return ("fail", f"row count differs: spark={len(g)} duck={len(e)}")
+    if len(g) == 0:
+        # The r8 q_suffix_dup failure mode: both engines return the
+        # empty set at the gate SF, so the green row proves NOTHING
+        # about the operator. An oracle must produce signal here.
+        return ("fail", "VACUOUS: empty result at gate SF on both "
+                "engines — empty==empty proves nothing; tune the "
+                "operator params so the gate corpus yields rows")
+    dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+              if str(g[c].dtype) != str(e[c].dtype)]
+    if dt_bad:
+        return ("fail", "dtype mismatch (driver hash is representation-"
+                f"sensitive): {dt_bad}")
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
+        return ("exact", f"{len(g)} rows exact")
+    except AssertionError as ex:
+        msg = str(ex).split("\n")
+        return ("fail", " | ".join(msg[:4]))
+
+
+def main():
+    # --allow-missing: subset runs (dev loop, stress probes) verify only the
+    # queries they ran; oracles with no result dir are expected, not a gate
+    # failure. Full-gate runs keep missing as a hard fail.
+    allow_missing = "--allow-missing" in sys.argv
+    argv = [a for a in sys.argv if a != "--allow-missing"]
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = argv[2] if len(argv) > 2 else "/tmp/graft_verify"
+    print(f"duckdb {duckdb.__version__}, pandas {pd.__version__}, "
+          f"sf_dir {sf_dir}")
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad = [], []
-    result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    # Underscore-prefixed dirs are harness artifacts (tools/tally.py's
+    # _duck_tmp spill dir), never query results.
+    result_dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)
+                         and not os.path.basename(d).startswith("_"))
     for d in result_dirs:
         name = os.path.basename(d)
-        files = glob.glob(f"{d}/*.parquet")
-        if not files:
-            bad.append((name, "no parquet output"))
-            continue
-        got = pd.read_parquet(d)
-        if name not in oracle:
-            if len(got) == 0:
-                bad.append((name, "VACUOUS: rows-only query returned 0 rows"))
-            else:
-                ok.append((name, f"rows-only: {len(got)} rows"))
-            continue
-        try:
-            exp = con.execute(oracle[name]).df()
-        except Exception as e:
-            bad.append((name, f"oracle SQL failed: {e}"))
-            continue
-        g, e = norm(got), norm(exp)
-        if list(g.columns) != list(e.columns):
-            bad.append((name, f"columns differ: spark={list(g.columns)} duck={list(e.columns)}"))
-            continue
-        if len(g) != len(e):
-            bad.append((name, f"row count differs: spark={len(g)} duck={len(e)}"))
-            continue
-        if len(g) == 0:
-            # The r8 q_suffix_dup failure mode: both engines return the
-            # empty set at the gate SF, so the green row proves NOTHING
-            # about the operator. An oracle must produce signal here.
-            bad.append((name, "VACUOUS: empty result at gate SF on both "
-                        "engines — empty==empty proves nothing; tune the "
-                        "operator params so the gate corpus yields rows"))
-            continue
-        dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
-                  if str(g[c].dtype) != str(e[c].dtype)]
-        if dt_bad:
-            bad.append((name, "dtype mismatch (driver hash is representation-"
-                        f"sensitive): {dt_bad}"))
-            continue
-        try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
-            ok.append((name, f"{len(g)} rows exact"))
-        except AssertionError as ex:
-            msg = str(ex).split("\n")
-            bad.append((name, " | ".join(msg[:4])))
+        status, msg = compare_one(con, name, d, oracle.get(name))
+        (ok if status in ("exact", "rows-only") else bad).append((name, msg))
     for name, m in ok:
         print(f"  OK   {name}: {m}")
     for name, m in bad:

@@ -10,6 +10,17 @@
 #   WORK=...  scratch dir        (default /root/repo/stress)
 #   FACTOR_NUMERIC/FACTOR_EVENTS/FACTOR_DOCS  replication factors
 #             (default 100 each — one decade past the r9 10x stress)
+#   FACTOR_HEAVY  reduced factor for the oracle-heavy family (default 10;
+#             see tools/stress_select.py — the DuckDB side of the
+#             hyperplane-LSH kNN oracles cannot complete at x100 on this
+#             machine, judge-reproduced in r13, so that family's decade
+#             tally runs BOTH sides at x10, recorded, not skipped)
+#   TALLY_TIMEOUT/TALLY_JOBS  per-query oracle budget (default 1800s / 4)
+#
+# The DuckDB compare runs through tools/tally.py: one subprocess per
+# query with a memory limit and temp spill dir, one JSON verdict line
+# appended per query (resumable — rerunning a crashed gate resumes where
+# it stopped instead of losing the whole tally, the r13 failure mode).
 #
 # NOT run concurrently with Bench (shared cores inflate timings); stress is
 # a correctness gate, so concurrent Verify runs are safe but slow.
@@ -27,6 +38,19 @@ MODES=${*:-numeric events docs}
 FACTOR_NUMERIC=${FACTOR_NUMERIC:-100}
 FACTOR_EVENTS=${FACTOR_EVENTS:-100}
 FACTOR_DOCS=${FACTOR_DOCS:-100}
+FACTOR_HEAVY=${FACTOR_HEAVY:-10}
+TALLY_TIMEOUT=${TALLY_TIMEOUT:-1800}
+TALLY_JOBS=${TALLY_JOBS:-4}
+
+# Disk preflight (VERDICT r13 #3: the driver window filled the disk and
+# three shuffles died mid-write as silent-looking test failures). A
+# decade corpus + results + DuckDB spill needs real headroom; fail loud
+# BEFORE burning an hour.
+free_gb=$(df -BG --output=avail . | tail -1 | tr -dc 0-9)
+if [ "$free_gb" -lt 25 ]; then
+  echo "[stress] only ${free_gb}G free on $(pwd) — need >=25G; clean up first"
+  exit 3
+fi
 
 # Oracle map dump (no queries run, no Spark): feeds the per-mode
 # selection. The old `__dump_only__` subset sentinel is gone — the r12
@@ -34,6 +58,39 @@ FACTOR_DOCS=${FACTOR_DOCS:-100}
 # the dump is its own explicit Verify mode now.
 $JAVA graft.Verify --dump-oracles "$WORK/_oracles" >/dev/null 2>&1 \
   || { echo "[stress] oracle dump failed"; exit 1; }
+
+# One pass: corpus at $3, Spark verify of $4's queries, per-query tally.
+# A completion marker ($corpus/_stressgen_done) makes the corpus build
+# idempotent — a resumed gate reuses the replica instead of regenerating.
+run_pass() {
+  local mode=$1 factor=$2 queries=$3 tag=$4
+  local corpus="$WORK/${mode}_x${factor}"
+  local out="$WORK/${mode}_x${factor}_out${tag}"
+  local n; n=$(echo "$queries" | tr ',' '\n' | grep -c .)
+  if [ "$n" -eq 0 ]; then return 0; fi
+  echo "[stress] mode=$mode$tag factor=$factor queries=$n"
+  if [ ! -f "$corpus/_stressgen_done" ]; then
+    $JAVA graft.StressGen "$SF" "$corpus" "$factor" "$mode" \
+      || { echo "[stress] $mode: StressGen FAILED"; return 1; }
+    touch "$corpus/_stressgen_done"
+  fi
+  $JAVA graft.Verify "$corpus" "$out" "$queries" 2> >(grep -E "\[verify\]" >&2) \
+    || { echo "[stress] $mode$tag: Verify FAILED"; return 1; }
+  # Reconcile requested vs produced (ADVICE r11): Verify catches per-query
+  # exceptions and exits 0, and --allow-missing would reclassify a crashed
+  # query's missing result dir as benign subset mode — so a decade-scale
+  # crash could silently drop out of the gate. tally.py records any
+  # targeted-but-missing query as a hard "missing" verdict line.
+  if python3 tools/tally.py "$corpus" "$out" --queries "$queries" \
+      --timeout "$TALLY_TIMEOUT" --jobs "$TALLY_JOBS" \
+      | tee "$WORK/${mode}_x${factor}${tag}.log" | grep -E "^\[tally\] (summary|NOT-EXACT)"; then
+    echo "[stress] mode=$mode$tag: EXACT at ${factor}x"
+    return 0
+  else
+    echo "[stress] mode=$mode$tag: DIVERGENCE at ${factor}x — see $WORK/${mode}_x${factor}${tag}.log and $out/_tally.jsonl"
+    return 1
+  fi
+}
 
 fail=0
 for mode in $MODES; do
@@ -43,34 +100,9 @@ for mode in $MODES; do
     docs)    factor=$FACTOR_DOCS ;;
     *) echo "[stress] unknown mode $mode"; exit 2 ;;
   esac
-  corpus="$WORK/${mode}_x${factor}"
-  out="$WORK/${mode}_x${factor}_out"
-  queries=$(python3 tools/stress_select.py "$WORK/_oracles/oracle_sql.json" "$mode")
-  n=$(echo "$queries" | tr ',' '\n' | grep -c .)
-  echo "[stress] mode=$mode factor=$factor queries=$n"
-  $JAVA graft.StressGen "$SF" "$corpus" "$factor" "$mode" \
-    || { echo "[stress] $mode: StressGen FAILED"; fail=1; continue; }
-  rm -rf "$out"
-  $JAVA graft.Verify "$corpus" "$out" "$queries" 2> >(grep -E "\[verify\]" >&2) \
-    || { echo "[stress] $mode: Verify FAILED"; fail=1; continue; }
-  # Reconcile requested vs produced (ADVICE r11): Verify catches per-query
-  # exceptions and exits 0, and --allow-missing would reclassify a crashed
-  # query's missing result dir as benign subset mode — so a decade-scale
-  # crash could silently drop out of the gate. Any requested-but-missing
-  # query fails the mode BEFORE localcheck runs.
-  dropped=$(echo "$queries" | tr ',' '\n' | grep . | while read -r q; do
-      [ -d "$out/$q" ] || echo "$q"; done)
-  if [ -n "$dropped" ]; then
-    echo "[stress] mode=$mode: CRASHED at ${factor}x (requested but no result dir):"
-    echo "$dropped" | sed 's/^/[stress]   /'
-    fail=1; continue
-  fi
-  if python3 tools/localcheck.py --allow-missing "$corpus" "$out" \
-      | tee "$WORK/${mode}_x${factor}.log" | tail -1; then
-    echo "[stress] mode=$mode: EXACT at ${factor}x"
-  else
-    echo "[stress] mode=$mode: DIVERGENCE at ${factor}x — see $WORK/${mode}_x${factor}.log"
-    fail=1
-  fi
+  light=$(python3 tools/stress_select.py "$WORK/_oracles/oracle_sql.json" "$mode" light)
+  heavy=$(python3 tools/stress_select.py "$WORK/_oracles/oracle_sql.json" "$mode" heavy)
+  run_pass "$mode" "$factor" "$light" "" || fail=1
+  run_pass "$mode" "$FACTOR_HEAVY" "$heavy" "_heavy" || fail=1
 done
 exit $fail
