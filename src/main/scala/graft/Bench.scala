@@ -203,6 +203,7 @@ object Bench {
     val soloHeap = sys.env.getOrElse("SPARK_GRAFT_SOLO_HEAP", "8g")
     var soloError: Option[String] = None
     val soloLog = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    val soloReasons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val solo: Seq[(String, Option[Double])] =
       if (!soloEnabled || soloN <= 0) Seq.empty
       else {
@@ -245,7 +246,10 @@ object Bench {
           Seq.empty
         } else {
         val deadline = System.nanoTime() + soloBudgetSec * 1000000000L
-        def launch(name: String): Option[Double] = try {
+        // A nulled solo must carry WHY (VERDICT r13 #2: the artifact had
+        // seven silent nulls — timeout? crash? budget? — and the reader
+        // could not tell regression from harness).
+        def launch(name: String): Either[String, Double] = try {
           val outFile = java.io.File.createTempFile("graft-solo-", ".out")
           val pb = new ProcessBuilder(
             (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
@@ -259,31 +263,42 @@ object Bench {
           env.put("SPARK_GRAFT_PASSES", passes.toString)
           val p = pb.start()
           val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-          if (!finished) { p.destroyForcibly(); p.waitFor(); None }
+          if (!finished) { p.destroyForcibly(); p.waitFor(); Left("timeout 300s") }
           else {
             val txt = scala.io.Source.fromFile(outFile).mkString
             outFile.delete()
             if (p.exitValue() != 0)
               System.err.println(s"[bench] solo $name: child exited ${p.exitValue()}")
             ("\"" + name + "\":([0-9.]+)").r
-              .findFirstMatchIn(txt).map(_.group(1).toDouble)
+              .findFirstMatchIn(txt).map(_.group(1).toDouble) match {
+              case Some(v) => Right(v)
+              case None if p.exitValue() != 0 => Left(s"child exited ${p.exitValue()}")
+              case None => Left("no metric line in child output")
+            }
           }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] solo $name: ${e.getMessage}")
-          None
+          Left(s"launch error: ${e.getMessage}")
         }
         candidates.map { name =>
           name -> (if (System.nanoTime() > deadline) {
             System.err.println(s"[bench] solo $name skipped: budget exhausted")
+            soloReasons += name -> "solo budget exhausted before launch"
             None
           } else {
-            val first = Seq(launch(name), launch(name)).flatten
-            val runs =
+            val attempts = Seq(launch(name), launch(name))
+            val first = attempts.collect { case Right(v) => v }
+            val all =
               if (first.size == 2 && first.max / first.min > agreeRatio &&
-                  System.nanoTime() < deadline) first ++ launch(name)
-              else first
+                  System.nanoTime() < deadline) attempts :+ launch(name)
+              else attempts
+            val runs = all.collect { case Right(v) => v }
             soloLog += name -> runs
-            if (runs.isEmpty) None else Some(median(runs))
+            if (runs.isEmpty) {
+              soloReasons += name ->
+                all.collect { case Left(r) => r }.distinct.mkString("; ")
+              None
+            } else Some(median(runs))
           })
         }
         }
@@ -304,11 +319,18 @@ object Bench {
     // heap and the launch protocol next to the column it qualifies.
     val soloJson = {
       val err = soloError.map(e => s""","solo_error":"${e.replace("\"", "'")}"""").getOrElse("")
+      // Every null solo value gets a sibling reason entry — a null with no
+      // reason is the r13 artifact defect this closes.
+      val reasons =
+        if (soloReasons.isEmpty) ""
+        else soloReasons.toSeq.sortBy(_._1).map { case (k, r) =>
+          "\"" + k + "\":\"" + r.replace("\\", "/").replace("\"", "'") + "\""
+        }.mkString(""","solo_null_reasons":{""", ",", "}")
       if (solo.isEmpty) err
       else solo.sortBy(_._1).map { case (k, v) =>
         "\"" + k + "\":" + v.map(s => f"$s%.2f").getOrElse("null")
       }.mkString(""","solo":{""", ",",
-        s"""},"solo_jvm":"$soloHeap","solo_protocol":"median-of-2to3-launches"""") + err
+        s"""},"solo_jvm":"$soloHeap","solo_protocol":"median-of-2to3-launches"""") + reasons + err
     }
     // Machine-load marker (VERDICT r11 #4): nonzero other_jvms or an
     // elevated load1 at start says the sweep shared the cores — treat the
