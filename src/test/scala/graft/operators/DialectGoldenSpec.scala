@@ -73,6 +73,9 @@ class DialectGoldenSpec extends AnyFunSuite {
        |
        |-- colPermsSql
        |${opt(d.colPermsSql)}
+       |
+       |-- principalsSql
+       |${opt(d.principalsSql)}
        |""".stripMargin
   }
 
