@@ -122,6 +122,48 @@ object TokenSimhash {
   * universal-hash MinHash family. a(j) < 2^31 and x < 2^32 keep the product
   * inside a Long; the result is identical to the array_min/transform SQL.
   */
+/** hashed_shingles(array<string>) -> array<long>: per element,
+  * pmod(xxhash64(s), 2^32) — the MinHash pre-hash. Bit-identical to the
+  * `transform(sh, g -> pmod(xxhash64(g), 4294967296L))` lambda it replaces
+  * (same XXH64 with Spark's seed 42, same positive-mod), but one codegen'd
+  * loop per row instead of an interpreted per-shingle lambda dispatch over
+  * the whole corpus (r14: the lambda was the largest single cost left in
+  * the near-dup signature stage).
+  */
+case class HashedShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedShingles.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashedShingles.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  private final val Mod = 4294967296L // 2^32
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      // Exactly Spark's xxhash64(string) (XxHash64 expression, seed 42).
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val m = h % Mod
+      out(i) = if (m < 0) m + Mod else m
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 case class MinhashSignature(child: Expression, a: Array[Long], b: Array[Long], p: Long)
   extends UnaryExpression {
   require(a.length == b.length)

@@ -135,10 +135,15 @@ object Dedup {
     */
   private def shingleDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftglue._
+    // A pre-computed content key rides along when the caller derived one on
+    // the same scan (groupedSignatures) — keeps the key join-free without
+    // widening the explode for callers that don't need it.
+    val keep = (Seq("doc_id") ++
+      (if (docs.columns.contains("ckey")) Seq("ckey") else Nil)).map(col)
     spread(docs)
-      .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
-      .select(col("doc_id"),
-        exprColumn(graft.functions.WordNgrams(columnExpr(col("w")), 3)).as("sh"))
+      .select(keep :+ split(trim(col("text")), " ").as("w"): _*)
+      .select(keep :+
+        exprColumn(graft.functions.WordNgrams(columnExpr(col("w")), 3)).as("sh"): _*)
       .where(size(col("w")) >= 3)
   }
 
@@ -165,7 +170,10 @@ object Dedup {
     */
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftglue._
-    val hs = expr("transform(sh, g -> pmod(xxhash64(g), 4294967296L))")
+    // hashed_shingles is the codegen'd form of
+    // `transform(sh, g -> pmod(xxhash64(g), 4294967296L))` — identical
+    // values, no interpreted per-shingle lambda on the corpus scan (r14).
+    val hs = exprColumn(graft.functions.HashedShingles(columnExpr(col("sh"))))
     shingled(spark, dir)
       .withColumn("sig", exprColumn(
         graft.functions.MinhashSignature(columnExpr(hs), hashA, hashB, MinhashP)))
@@ -176,12 +184,19 @@ object Dedup {
     * implies equal shingle set), plus the per-key representative doc. Only
     * representatives enter LSH banding; an exact-duplicate cluster of any
     * size contributes ONE row per band instead of k.
+    *
+    * ckey is computed ON the signature scan itself (r14) — the old shape
+    * derived it from a second `documents` scan and attached it with a
+    * doc_id equi-join, which shuffled every (sh, sig) array pair through
+    * an extra exchange just to pick up a column the text already carries.
     */
   private def groupedSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), sha2(trim(col("text")), 256).as("ckey"))
-    signatures(spark, dir)
-      .join(keys, "doc_id")
+    import org.apache.spark.sql.graftglue._
+    val hs = exprColumn(graft.functions.HashedShingles(columnExpr(col("sh"))))
+    shingleDocs(Tables.load(spark, dir, "documents")
+        .withColumn("ckey", sha2(trim(col("text")), 256)))
+      .withColumn("sig", exprColumn(
+        graft.functions.MinhashSignature(columnExpr(hs), hashA, hashB, MinhashP)))
       .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ckey")))
   }
 
@@ -190,8 +205,19 @@ object Dedup {
     * scale assertion: candidate count must stay near-linear even when the
     * corpus is full of exact duplicates.
     */
-  private[graft] def jaccardCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val reps = groupedSignatures(spark, dir).where(col("doc_id") === col("rep_id"))
+  private[graft] def jaccardCandidates(spark: SparkSession, dir: String): DataFrame =
+    candidatesFromReps(
+      groupedSignatures(spark, dir).where(col("doc_id") === col("rep_id")))
+
+  /** Band-collision candidate pairs over an already-derived representative
+    * frame — shared by [[jaccardCandidates]] (spec surface) and
+    * [[verifiedRepPairs]], whose checkpointed reps frame must feed BOTH
+    * banding and verification (r14: building the candidates from a second
+    * `groupedSignatures` plan re-ran the whole scan→shingle→MinHash
+    * pipeline — column pruning projects the two copies differently, so
+    * ReuseExchange cannot deduplicate them).
+    */
+  private def candidatesFromReps(reps: DataFrame): DataFrame = {
     // Band key = xxhash64(band, h1, h2): one 8-byte shuffle key instead of a
     // 20-byte struct. A hash collision can only ADD a candidate pair, and
     // every candidate is verified with exact Jaccard afterwards, so the
@@ -216,9 +242,17 @@ object Dedup {
     */
   private[graft] def verifiedRepPairs(spark: SparkSession, dir: String,
       threshold: Double): (DataFrame, DataFrame) = {
-    val grouped = groupedSignatures(spark, dir).select("doc_id", "ckey", "rep_id", "sh")
-    val repSets = grouped.where(col("doc_id") === col("rep_id")).select("doc_id", "sh")
-    val verified = jaccardCandidates(spark, dir)
+    // ONE materialization of the signature pipeline (r14): banding,
+    // verification sets, and the membership map all read this checkpoint.
+    // The pre-r14 shape built groupedSignatures twice (once inside
+    // jaccardCandidates) and the column pruner projected the copies
+    // differently, defeating exchange reuse — the corpus-wide
+    // scan→shingle→MinHash stages executed two-to-three times per query.
+    val grouped = groupedSignatures(spark, dir)
+      .select("doc_id", "rep_id", "sh", "sig").localCheckpoint(true)
+    val reps = grouped.where(col("doc_id") === col("rep_id"))
+    val repSets = reps.select("doc_id", "sh")
+    val verified = candidatesFromReps(reps)
       .join(repSets.select(col("doc_id").as("rep_a"), col("sh").as("sa")), "rep_a")
       .join(repSets.select(col("doc_id").as("rep_b"), col("sh").as("sb")), "rep_b")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -317,7 +351,19 @@ object Dedup {
     * label SUM going flat (one cheap agg per round, no join).
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.6,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25): DataFrame =
+    dedupClustersCore(spark, dir, threshold, maxRounds).orderBy("doc_id")
+
+  /** [[dedupClusters]] without the final presentation `orderBy`. Every
+    * downstream consumer (canonical selection, size histogram, weights,
+    * yield) immediately re-shuffles by its own key, so the global
+    * range-partition + sort of the corpus-sized cluster map was pure
+    * wasted work in their lineage (r14 measurement: it executes before the
+    * consumer's checkpoint even though the final plan hides it behind
+    * `Scan ExistingRDD`).
+    */
+  private[operators] def dedupClustersCore(spark: SparkSession, dir: String,
+      threshold: Double = 0.6, maxRounds: Int = 25): DataFrame = {
     // Materialize each side of the MinHash pipeline exactly ONCE: edges,
     // label init, and the final expansion all reuse these checkpoints
     // instead of re-executing the banding/verification DAG per consumer.
@@ -338,7 +384,6 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** §2.3 #375 — QUALITY-AWARE CANONICAL SELECTION: for every near-dup
@@ -354,7 +399,7 @@ object Dedup {
     */
   def dedupCanonical(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val cl = dedupClusters(spark, dir, threshold).select("doc_id", "cluster_id")
+    val cl = dedupClustersCore(spark, dir, threshold).select("doc_id", "cluster_id")
     val q = TextAnalysis.qualityScore(spark, dir).select("doc_id", "quality")
     val sized = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
       .where(col("n_members") >= 2)
@@ -1508,7 +1553,7 @@ object Dedup {
     */
   def clusterSizeHist(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame =
-    dedupClusters(spark, dir, threshold)
+    dedupClustersCore(spark, dir, threshold)
       .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
@@ -1526,7 +1571,7 @@ object Dedup {
     */
   def dedupWeights(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val cl = dedupClusters(spark, dir, threshold)
+    val cl = dedupClustersCore(spark, dir, threshold)
       .select("doc_id", "cluster_id").localCheckpoint(true)
     val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     val weighted = cl.join(sz, "cluster_id")

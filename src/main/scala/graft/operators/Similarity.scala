@@ -41,7 +41,12 @@ object Similarity {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        // Array-level Cast, not `transform(x -> cast(x AS double))`: the
+        // higher-order lambda runs interpreted OUTSIDE whole-stage codegen
+        // on every row of every similarity scan (the same trap bootstrapCi
+        // measured 6× on), while Cast(array<float> → array<double>) is a
+        // codegen'd element-wise widening with bit-identical values.
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
 
   /** §2.3 #26 — brute-force cosine top-k for query vectors vec_id < nQueries.
@@ -513,6 +518,17 @@ object Similarity {
     * have no edges (recall is bought with nTables, like all LSH paths here).
     */
   def knnGraph(spark: SparkSession, dir: String, k: Int = 3,
+               nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame =
+    knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
+      .orderBy("vec_id", "rank")
+
+  /** [[knnGraph]] without the final presentation `orderBy`: all fifteen
+    * graph-analytics consumers re-key the edge list immediately (union of
+    * both directions, degree aggregates, label joins), so the global
+    * range-partition + sort of the O(k*N) edge frame ran as pure wasted
+    * work inside every one of their lineages (r14).
+    */
+  private[operators] def knnGraphCore(spark: SparkSession, dir: String, k: Int = 3,
                nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     val bucketed = bucketedVectors(spark, dir,
       resolveBits(spark, dir, nBits, maxBits), nTables)
@@ -532,7 +548,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("nbr_id"), fl6(col("cos")).as("cos"))
-      .orderBy("vec_id", "rank")
   }
 
   /** DuckDB oracle SQL for [[knnGraph]] (same embedded planes and
@@ -578,7 +593,7 @@ object Similarity {
       damping: Double = 0.85, nBits: Int = 0, nTables: Int = 16,
       maxBits: Int = 24): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val edges = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
       .localCheckpoint(true)
     val nodes = Tables.load(spark, dir, "embeddings").select("vec_id")
@@ -664,7 +679,16 @@ object Similarity {
     */
   def semanticClusters(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25): DataFrame =
+    semanticClustersCore(spark, dir, threshold, nBits, nTables, maxBits,
+      maxRounds).orderBy("vec_id")
+
+  /** [[semanticClusters]] without the final presentation `orderBy` (the
+    * purity rollup re-shuffles by cluster immediately — r14, same waste as
+    * the knnGraphCore split). */
+  private[operators] def semanticClustersCore(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nBits: Int = 0, nTables: Int = 16,
+      maxBits: Int = 24, maxRounds: Int = 25): DataFrame = {
     // Materialize the near-dup pipeline ONCE; label propagation runs over
     // the vectors that actually have an edge (everything else is a
     // singleton component by definition and rejoins at the end) — the same
@@ -681,7 +705,6 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
-      .orderBy("vec_id")
   }
 
   /** DuckDB oracle SQL for [[semanticClusters]]: the near-dup pair CTEs
@@ -731,7 +754,7 @@ object Similarity {
   def knnComponents(spark: SparkSession, dir: String, k: Int = 3,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
       maxRounds: Int = 25): DataFrame = {
-    val pairs = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val pairs = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
       .localCheckpoint(true)
     val touched = pairs.select(col("a").as("vec_id"))
@@ -784,7 +807,7 @@ object Similarity {
   def bfsReach(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24, seeds: Int = 3,
       rounds: Int = 4): DataFrame = {
-    val g = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val g = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
     val edges = g.unionAll(g.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
@@ -822,13 +845,18 @@ object Similarity {
   def kCore(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24, kk: Int = 4,
       rounds: Int = 4): DataFrame = {
-    val g = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val g = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
     var edges = g.unionAll(g.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
     val perRound = (1 to rounds).map { r =>
+      // surv is LAZY (r14): its two consumers below are the same
+      // aggregate subtree over the checkpointed edge frame, which
+      // ReuseExchange computes once — the old eager localCheckpoint paid
+      // one extra job per round for a materialization the plan already
+      // deduplicates.
       val surv = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= kk).select("a").localCheckpoint(true)
+        .where(col("deg") >= kk).select("a")
       edges = edges.join(surv, "a")
         .join(surv.select(col("a").as("b")), "b")
         .select("a", "b").localCheckpoint(true)
@@ -883,7 +911,7 @@ object Similarity {
   def modularity(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-    val g = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val g = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(col("vec_id").as("a"), col("nbr_id").as("b"))
     val edges = g.unionAll(g.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
@@ -2122,7 +2150,7 @@ object Similarity {
     */
   def triangleCount(spark: SparkSession, dir: String, k: Int = 3,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
-    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val e = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct()
@@ -2164,7 +2192,7 @@ object Similarity {
     */
   def clusteringCoeff(spark: SparkSession, dir: String, k: Int = 3,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
-    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val e = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct()
@@ -2233,7 +2261,7 @@ object Similarity {
   def adamicAdar(spark: SparkSession, dir: String, k: Int = 3, topN: Int = 20,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val e = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct()
@@ -2299,7 +2327,7 @@ object Similarity {
   def jaccardLinkPred(spark: SparkSession, dir: String, k: Int = 3,
       topN: Int = 20, nBits: Int = 0, nTables: Int = 16,
       maxBits: Int = 24): DataFrame = {
-    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val e = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct()
@@ -2363,7 +2391,7 @@ object Similarity {
   def intrinsicDim(spark: SparkSession, dir: String, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val g = knnGraph(spark, dir, 2, nBits, nTables, maxBits)
+    val g = knnGraphCore(spark, dir, 2, nBits, nTables, maxBits)
     val r = g.groupBy("vec_id")
       .agg(min(when(col("rank") === 1, lit(1.0) - col("cos"))).as("r1"),
         min(when(col("rank") === 2, lit(1.0) - col("cos"))).as("r2"))
@@ -2416,7 +2444,7 @@ object Similarity {
     */
   def hubness(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24): DataFrame = {
-    val indeg = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val indeg = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .groupBy(col("nbr_id").as("vec_id"))
       .agg(count(lit(1)).as("in_deg"))
     Tables.load(spark, dir, "embeddings").select("vec_id")
@@ -2450,7 +2478,7 @@ object Similarity {
     */
   def reciprocity(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24): DataFrame = {
-    val e = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val e = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select("vec_id", "nbr_id").localCheckpoint(true)
     val mutual = e.join(
         e.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")),
@@ -2497,7 +2525,7 @@ object Similarity {
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val big = DecimalType(38, 0)
-    val und = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val und = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct().localCheckpoint(true)
@@ -2556,7 +2584,7 @@ object Similarity {
     */
   def twoHop(spark: SparkSession, dir: String, k: Int = 3, nBits: Int = 0,
       nTables: Int = 16, maxBits: Int = 24): DataFrame = {
-    val und = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val und = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(least(col("vec_id"), col("nbr_id")).as("u"),
         greatest(col("vec_id"), col("nbr_id")).as("v"))
       .distinct()
@@ -2610,7 +2638,7 @@ object Similarity {
   def clusterPurity(spark: SparkSession, dir: String, threshold: Double = 0.4,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24,
       maxRounds: Int = 25): DataFrame = {
-    val cl = semanticClusters(spark, dir, threshold, nBits, nTables, maxBits,
+    val cl = semanticClustersCore(spark, dir, threshold, nBits, nTables, maxBits,
       maxRounds).select("vec_id", "cluster_id")
     val lab = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
     val g = cl.join(lab, "vec_id")
@@ -2844,7 +2872,7 @@ object Similarity {
   def knnClassify(spark: SparkSession, dir: String, k: Int = 3,
       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     val labels = Tables.load(spark, dir, "embeddings").select("vec_id", "label")
-    val votes = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val votes = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select("vec_id", "nbr_id")
       .join(labels.select(col("vec_id").as("nbr_id"),
         col("label").as("nbr_label")), "nbr_id")
@@ -2917,7 +2945,7 @@ object Similarity {
       outlierCut: Double = 1.5): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 18)
-    val edges = knnGraph(spark, dir, k, nBits, nTables, maxBits)
+    val edges = knnGraphCore(spark, dir, k, nBits, nTables, maxBits)
       .select(col("vec_id"), col("nbr_id"),
         (lit(1.0) - col("cos")).as("dist"))
       .localCheckpoint(true)
