@@ -268,6 +268,68 @@ object DotProduct {
   }
 }
 
+/** lsh_buckets(array<double> v) -> array<long>: the packed multi-table LSH
+  * bucket keys (table << 32 | signBits) for ALL hyperplane tables in one
+  * codegen'd kernel. Value-identical to the per-plane expression tree it
+  * replaces — each plane's dot product is the same strictly left-to-right
+  * fold as [[DotProduct]], the sign test is `> 0.0`, bit j of table t is
+  * `1L << j`, and the pack is `t << 32 | bits` — but the plan carries ONE
+  * expression with the plane matrix as a reference object instead of
+  * nTables x nBits literal arrays (16 x 12 x 64 = 12k double literals):
+  * the r14 bench showed those plans broadcasting 1.2 MB task binaries per
+  * stage and paying optimizer/codegen walks over ~200 expression nodes per
+  * LSH consumer. Per row it also converts the vector to a primitive
+  * double[] once instead of re-reading ArrayData per plane.
+  */
+case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+    nTables: Int, bits: Int) extends UnaryExpression {
+  require(planes.length == nTables * bits,
+    s"planes must be nTables*bits rows (got ${planes.length} for $nTables x $bits)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBuckets.compute(input.asInstanceOf[ArrayData], planes, nTables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshBuckets.compute($c, $pRef, $nTables, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  def compute(arr: ArrayData, planes: Array[Array[Double]], nTables: Int,
+      bits: Int): ArrayData = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bitSum = 0L
+      var j = 0
+      while (j < bits) {
+        val p = planes(t * bits + j)
+        val m = math.min(n, p.length)
+        // Same left-to-right fold as DotProduct.compute — bit-identical.
+        var acc = 0.0
+        var d = 0
+        while (d < m) { acc += v(d) * p(d); d += 1 }
+        if (acc > 0.0) bitSum += (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << 32) + bitSum
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** word_ngrams(array<string> words, n) -> array<string>: DISTINCT
   * space-joined word n-grams in first-occurrence order — value-identical to
   * `array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ',

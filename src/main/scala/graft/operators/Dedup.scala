@@ -270,7 +270,18 @@ object Dedup {
     * a shingle set, so the rep-level Jaccard IS the pair's Jaccard; pairs
     * inside one cluster are emitted directly at Jaccard 1.0).
     */
-  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+  def nearDupJaccard(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame =
+    nearDupJaccardCore(spark, dir, threshold).orderBy("doc_a", "doc_b")
+
+  /** [[nearDupJaccard]] without the final presentation `orderBy`: the
+    * internal consumers (curate, dupMatrix, dupLangMatrix) immediately
+    * re-key the pair frame (distinct on one side, dimension joins + a
+    * bounded rollup), so the global range-partition + sort — and the
+    * RangePartitioner's extra sampling pass over the whole verified-pair
+    * pipeline — was wasted work in their lineages (guide §2.4).
+    */
+  private[operators] def nearDupJaccardCore(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val (verified, members) = verifiedRepPairs(spark, dir, threshold)
     val cross = verified
       .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
@@ -282,8 +293,7 @@ object Dedup {
         col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
-    if (threshold <= 1.0) cross.unionAll(within).orderBy("doc_a", "doc_b")
-    else cross.orderBy("doc_a", "doc_b")
+    if (threshold <= 1.0) cross.unionAll(within) else cross
   }
 
   /** §2.3 #53 — the end-to-end curation verdict: every document tagged with
@@ -308,10 +318,10 @@ object Dedup {
         min("doc_id").over(Window.partitionBy(sha2(lower(trim(col("text"))), 256))))
       .where(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit(true).as("is_exact"))
-    val nearDup = nearDupJaccard(spark, dir, threshold)
+    val nearDup = nearDupJaccardCore(spark, dir, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
-    val lowQ = graft.operators.TextAnalysis.qualityScore(spark, dir)
+    val lowQ = graft.operators.TextAnalysis.qualityScoreCore(spark, dir)
       .where(!col("keep"))
       .select(col("doc_id"), lit(true).as("is_lowq"))
     docs.select("doc_id")
@@ -400,7 +410,7 @@ object Dedup {
   def dedupCanonical(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
     val cl = dedupClustersCore(spark, dir, threshold).select("doc_id", "cluster_id")
-    val q = TextAnalysis.qualityScore(spark, dir).select("doc_id", "quality")
+    val q = TextAnalysis.qualityScoreCore(spark, dir).select("doc_id", "quality")
     val sized = cl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
       .where(col("n_members") >= 2)
     val w = Window.partitionBy("cluster_id")
@@ -468,9 +478,19 @@ object Dedup {
     * the fingerprints — and therefore the near-dup pairs — reproduce exactly
     * in the DuckDB oracle.
     */
-  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.load(spark, dir, "documents"))
+
+  /** Same fingerprinting over an arbitrary (doc_id, text) frame — lets
+    * [[dedupRecall]] fingerprint only the exact-duplicate representatives
+    * it scores (the fingerprint is a pure function of the text, so
+    * restricting the scan to reps is value-identical and skips the
+    * TokenSimhash kernel on every duplicate copy — replica-heavy corpora
+    * pay the hash once per distinct text instead of once per doc).
+    */
+  private def simhashOf(docs: DataFrame): DataFrame =  {
     import org.apache.spark.sql.graftglue._
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
       .withColumn("fp", exprColumn(
         graft.functions.TokenSimhash(columnExpr(col("w")))))
@@ -630,8 +650,10 @@ object Dedup {
     val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
     val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
-    val fps = simhashFingerprints(spark, dir)
-      .join(repCopies.select("doc_id"), "doc_id")
+    // Fingerprint the REP frame, not the whole corpus: the join to
+    // repCopies below made the full-scan fingerprints of duplicate copies
+    // dead work (same rows out, one TokenSimhash per distinct text).
+    val fps = simhashOf(repDocs)
     // One per-doc side frame instead of six: shingle count, fingerprint
     // and copy weight ride a single (one row per rep doc) join per pair
     // side, a third of the lookup joins over the pair frame.
@@ -1104,7 +1126,7 @@ object Dedup {
     * corpus-scale.
     */
   def dupMatrix(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val pairs = nearDupJaccardCore(spark, dir, threshold).select("doc_a", "doc_b")
     val srcs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
     pairs
       .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -1124,7 +1146,7 @@ object Dedup {
     * already-banded pair derivation — nothing corpus-scale.
     */
   def dupLangMatrix(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
-    val pairs = nearDupJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val pairs = nearDupJaccardCore(spark, dir, threshold).select("doc_a", "doc_b")
     val langs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("lang"))
     pairs
       .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")

@@ -151,15 +151,19 @@ object Similarity {
     */
   private def bucketedVectors(spark: SparkSession, dir: String, bits: Int,
                               nTables: Int): DataFrame = {
+    import org.apache.spark.sql.graftglue._
     val dim = 64
-    val bucketCols = (0 until nTables).map { t =>
-      val planes = hyperplanes(bits, dim, seed = 7L + t)
-      val bitSum = (0 until bits).map { j =>
-        when(dot(col("v"), typedlit(planes(j).toSeq)) > 0d, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      (lit(t.toLong * (1L << 32)) + bitSum).as(s"bk$t")
-    }
-    embeddings(spark, dir).withColumn("bk", explode(array(bucketCols: _*)))
+    // ONE fused kernel for all nTables x bits sign tests (bit-identical to
+    // the per-plane expression tree: same left-to-right dot fold, same
+    // `> 0` sign test, same packed key). The expression-tree form carried
+    // nTables*bits*dim literal doubles (12k at 16x12x64) through analysis,
+    // optimization, and the task binary of every LSH stage — the r14 bench
+    // measured 1.2 MB task-binary broadcasts per stage from exactly this.
+    val planes: Array[Array[Double]] = (0 until nTables).flatMap { t =>
+      hyperplanes(bits, dim, seed = 7L + t)
+    }.toArray
+    embeddings(spark, dir).withColumn("bk", explode(exprColumn(
+      graft.functions.LshBuckets(columnExpr(col("v")), planes, nTables, bits))))
   }
 
   /** Distinct (query, candidate) pairs from LSH bucket collisions — the
@@ -454,7 +458,22 @@ object Similarity {
     * is still value-exact cross-engine.
     */
   def nearDupEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame = {
+                       nBits: Int = 0, nTables: Int = 16, maxBits: Int = 24): DataFrame =
+    nearDupEmbeddingCore(spark, dir, threshold, nBits, nTables, maxBits)
+      .orderBy("vec_a", "vec_b")
+
+  /** [[nearDupEmbedding]] without the final presentation `orderBy`:
+    * [[semanticClustersCore]] (and through it cluster purity) consumes
+    * only the pair CONNECTIVITY and checkpoints immediately, so the global
+    * range-partition + sort of the pair frame — plus the RangePartitioner
+    * sampling pass over the whole LSH pipeline — executed as pure wasted
+    * work inside every consumer lineage (guide §2.4; the knnGraphCore /
+    * dedupClustersCore split, applied to the third pipeline that still
+    * paid it).
+    */
+  private[operators] def nearDupEmbeddingCore(spark: SparkSession,
+      dir: String, threshold: Double = 0.4, nBits: Int = 0,
+      nTables: Int = 16, maxBits: Int = 24): DataFrame = {
     // The self-join ships (vec_id, bucket) ONLY — 16 bytes per exploded row
     // instead of the 64-dim vector riding every one of its nTables copies
     // through the exchange. Vectors re-attach to the (much smaller) distinct
@@ -476,7 +495,6 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), fl6(col("cos")).as("cos"))
-      .orderBy("vec_a", "vec_b")
   }
 
   /** DuckDB oracle SQL for [[nearDupEmbedding]] (same embedded planes and
@@ -694,8 +712,8 @@ object Similarity {
     // singleton component by definition and rejoins at the end) — the same
     // touched-nodes-only reduction dedupClusters applies to its
     // representatives, so round cost tracks |edges|, not corpus size.
-    val pairs = nearDupEmbedding(spark, dir, threshold, nBits, nTables, maxBits)
-      .select("vec_a", "vec_b").localCheckpoint(true)
+    val pairs = nearDupEmbeddingCore(spark, dir, threshold, nBits, nTables,
+      maxBits).select("vec_a", "vec_b").localCheckpoint(true)
     val touched = pairs.select(col("vec_a").as("vec_id"))
       .unionAll(pairs.select(col("vec_b").as("vec_id"))).distinct()
     val labels = Dedup.propagateMinLabels(touched, pairs, maxRounds)

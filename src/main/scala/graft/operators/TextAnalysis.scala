@@ -48,6 +48,15 @@ object TextAnalysis {
     * priority tie-break (en > de > es > unknown).
     */
   def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdCore(spark, dir).orderBy("doc_id")
+
+  /** [[langId]] without the final presentation `orderBy` — the internal
+    * consumers (cohensKappa, krippendorffAlpha, langConfusion,
+    * sourceLangMix) all re-aggregate immediately, so the global sort +
+    * RangePartitioner sampling pass over the detection scan was wasted
+    * work in their lineages (guide §2.4).
+    */
+  private[operators] def langIdCore(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), tokensCol.as("toks"))
       .withColumn("en_hits", hits(enStops))
@@ -59,7 +68,6 @@ object TextAnalysis {
           .when(col("de_hits") >= col("es_hits"), "de")
           .otherwise("es"))
       .select("doc_id", "lang_detected", "en_hits", "de_hits", "es_hits")
-      .orderBy("doc_id")
 
   /** §2.3 #30 — token counting: whitespace tokens plus BPE-ish regex classes
     * (alpha runs, digit runs, punctuation singletons).
@@ -361,6 +369,18 @@ object TextAnalysis {
     * divisions (deterministic); the score is rounded to 6 for presentation.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreCore(spark, dir).orderBy("doc_id")
+
+  /** [[qualityScore]] without the final presentation `orderBy`: every
+    * internal consumer (curate, dedupCanonical, qualityBySource,
+    * eceQuality, dsirCalibration) immediately re-keys by join or
+    * aggregation, so the global range-partition + sort of the corpus-sized
+    * score frame — plus the RangePartitioner's extra sampling pass over
+    * the whole scoring pipeline — was pure wasted work in their lineages
+    * (guide §2.4: "an orderBy used only to make output deterministic").
+    */
+  private[operators] def qualityScoreCore(spark: SparkSession,
+      dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("text"), tokensCol.as("toks"))
       .withColumn("n_tokens", size(col("toks")))
@@ -376,7 +396,6 @@ object TextAnalysis {
           + col("stop_ratio") * 0.2)
       .select(col("doc_id"), (floor((col("score")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("quality"),
         (col("score") >= 0.5).as("keep"))
-      .orderBy("doc_id")
 
   /** §2.3 #46 — deterministic train/holdout split by content hash: the
     * first hex digit of sha256(text) buckets every document into 16 slices;
@@ -531,7 +550,15 @@ object TextAnalysis {
     * run over DECIMAL(28,12)-cast ln terms, so the aggregation is
     * order-free and the score reproduces bit-for-bit cross-engine.
     */
-  def ngramLm(spark: SparkSession, dir: String): DataFrame = {
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    ngramLmCore(spark, dir).orderBy("doc_id")
+
+  /** [[ngramLm]] without the final presentation `orderBy` —
+    * [[surprisalOutliers]] re-aggregates and re-joins the per-doc frame,
+    * so the global sort + RangePartitioner sampling pass over the whole
+    * bigram pipeline was wasted work in its lineage (guide §2.4).
+    */
+  private[operators] def ngramLmCore(spark: SparkSession, dir: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(28, 12)
     val bigrams = docs(spark, dir)
       .select(col("doc_id"), tokensCol.as("w"))
@@ -555,7 +582,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         (floor((sum(col("nll").cast(dec)).cast("double") / count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("avg_surprisal"))
-      .orderBy("doc_id")
   }
 
   /** §2.3 #289 — SURPRISAL OUTLIER flags: every document's [[ngramLm]]
@@ -571,7 +597,7 @@ object TextAnalysis {
   def surprisalOutliers(spark: SparkSession, dir: String,
       zCut: Double = 2.0): DataFrame = {
     val dec = DecimalType(28, 12)
-    val lm = ngramLm(spark, dir).select("doc_id", "avg_surprisal")
+    val lm = ngramLmCore(spark, dir).select("doc_id", "avg_surprisal")
     val st = lm.agg(count(lit(1)).as("n"),
       sum(col("avg_surprisal").cast(dec)).cast("double").as("sx"),
       sum((col("avg_surprisal") * col("avg_surprisal")).cast(dec))
@@ -673,7 +699,7 @@ object TextAnalysis {
     * expressions), one \|langs\|² bounded rollup.
     */
   def langConfusion(spark: SparkSession, dir: String): DataFrame =
-    langId(spark, dir).select("doc_id", "lang_detected")
+    langIdCore(spark, dir).select("doc_id", "lang_detected")
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang", "lang_detected")
       .agg(count(lit(1)).as("n_docs"))
@@ -746,7 +772,7 @@ object TextAnalysis {
     * order-independent.
     */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
-    val q = qualityScore(spark, dir)
+    val q = qualityScoreCore(spark, dir)
     val src = docs(spark, dir).select("doc_id", "source")
     q.join(src, "doc_id")
       .groupBy("source")
@@ -1046,7 +1072,7 @@ object TextAnalysis {
     * exact integer counts down to two final divisions.
     */
   def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
-    val cells = langId(spark, dir).select("doc_id", "lang_detected")
+    val cells = langIdCore(spark, dir).select("doc_id", "lang_detected")
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang", "lang_detected").agg(count(lit(1)).as("nij"))
       .localCheckpoint(true)
@@ -1087,7 +1113,7 @@ object TextAnalysis {
     */
   def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
-    val det = langId(spark, dir).select(col("doc_id"), col("lang_detected"))
+    val det = langIdCore(spark, dir).select(col("doc_id"), col("lang_detected"))
     val srcCnt = d.groupBy("source", "lang").agg(count(lit(1)).as("n"))
     val wSrc = Window.partitionBy("source").orderBy(col("n").desc, col("lang").asc)
     val srcMaj = srcCnt.withColumn("rn", row_number().over(wSrc))
@@ -1135,7 +1161,7 @@ object TextAnalysis {
   def eceQuality(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(28, 12)
     val fl6 = (c: Column) => Fl6(c)
-    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val q = qualityScoreCore(spark, dir).select(col("doc_id"), col("quality"))
     val ok = Curation.gopherFlags(spark, dir)
       .select(col("doc_id"),
         when(col("pass_len") && col("pass_wordlen") && col("pass_top") &&
