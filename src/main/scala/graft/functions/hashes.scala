@@ -268,6 +268,45 @@ object DotProduct {
   }
 }
 
+/** l2_distance2(array<double>, array<double>) -> double: squared L2
+  * distance as a strictly left-to-right fold acc += (a(i)−b(i))², the
+  * exact op sequence of `DotProduct(zip_with(a,b,(x,y)=>x−y), same)` it
+  * replaces — each element difference is rounded once, then squared, then
+  * added, in index order — so results are bit-identical while skipping the
+  * interpreted zip_with lambda AND the intermediate diff-array allocation
+  * per evaluation (the PQ paths evaluate this ~|corpus|·nCents times per
+  * query — the hottest scalar loop in the ANN family, guide §1.2 step 2).
+  */
+case class L2Distance2(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_distance2"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    L2Distance2.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.L2Distance2.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Distance2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2Distance2 {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
 /** lsh_buckets(array<double> v) -> array<long>: the packed multi-table LSH
   * bucket keys (table << 32 | signBits) for ALL hyperplane tables in one
   * codegen'd kernel. Value-identical to the per-plane expression tree it

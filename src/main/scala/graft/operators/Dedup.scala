@@ -1497,8 +1497,16 @@ object Dedup {
     val skipped = sizes.where(col("bn") > blockCap)
       .agg(count(lit(1)).as("skipped_blocks"),
         coalesce(sum("bn"), lit(0L)).as("skipped_docs"))
-    val keep = reps
-      .join(sizes.where(col("bn") <= blockCap).select("pkey"), "pkey")
+    // Co-partition the block frame by pkey with an EXPLICIT partition
+    // count before the self-join: the within-block pair join EXPANDS up to
+    // blockCap²/2 Levenshtein evaluations per block, and AQE's byte-based
+    // coalescing of a plain join exchange serialized all of it into one
+    // task (r15 measured ~4 s of single-task DP; bytes say "1 MB", CPU
+    // says "minutes"). Identical exchanges on both sides reuse one
+    // shuffle; scale-adaptive count via Par.spreadBy.
+    val keep = Par.spreadBy(reps
+      .join(sizes.where(col("bn") <= blockCap).select("pkey"), "pkey"),
+      col("pkey"))
     keep.as("x")
       .join(keep.as("y"),
         col("x.pkey") === col("y.pkey") && col("x.doc_id") < col("y.doc_id"))

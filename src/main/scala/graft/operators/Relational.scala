@@ -1466,16 +1466,25 @@ object Relational {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("monetary"))
     val anchor = per.agg(max("last_day").as("d1"))
-    // Lazy-checkpoint the scored frame: three rank passes (each reading it
-    // a few times) reuse one materialization instead of re-rolling orders.
+    // EAGER checkpoint, and one per rank level (r15): each globalNtile
+    // reads its input 3-4 times (chunk bounds, local windows, carry, row
+    // count), so chaining three of them over ONE lazy checkpoint
+    // re-executed the previous levels 3× each — 1+3+9 = 13 full re-rolls
+    // of orders measured in the job profile (the lazy checkpoint's blocks
+    // are not guaranteed before the fan-out replans it). Materializing
+    // each level once makes the chain 3 linear passes over the bounded
+    // customer frame at any scale (guide §5 "cut lineage when an
+    // intermediate is reused").
     val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency", datediff(col("d1"), col("last_day")))
       .withColumn("negfreq", -col("freq"))
       .withColumn("negmon", -col("monetary"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val scored = globalNtile(globalNtile(globalNtile(base,
-      4, "recency", Seq(col("recency").asc, col("o_custkey").asc), "r_q"),
-      4, "negfreq", Seq(col("freq").desc, col("o_custkey").asc), "f_q"),
+      4, "recency", Seq(col("recency").asc, col("o_custkey").asc), "r_q")
+        .localCheckpoint(true),
+      4, "negfreq", Seq(col("freq").desc, col("o_custkey").asc), "f_q")
+        .localCheckpoint(true),
       4, "negmon", Seq(col("monetary").desc, col("o_custkey").asc), "m_q")
     scored
       .groupBy((col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
@@ -2513,9 +2522,14 @@ object Relational {
     val wgt = thresholds.zipWithIndex.foldRight(lit(6): Column) {
       case ((thr, k), rest) => when(col("h4") < lit(thr), k).otherwise(rest)
     }
-    val o = t(spark, dir, "orders")
+    // The ×⌈nBoot/16⌉ explode+hash below is the operator's entire cost and
+    // runs MAP-SIDE on the scan: spread the pruned two-column frame first
+    // (guide §2.5) so a sub-split local file doesn't serialize 7 sha256
+    // evaluations per order on one core. No-op at scale (scan splits ≥
+    // slots); r15 measured 7.1 s single-task → sub-second at 32 tasks.
+    val o = Par.spread(t(spark, dir, "orders")
       .select(col("o_orderkey"),
-        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc"))
+        expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)").as("xc")))
     val means = o
       .select(col("o_orderkey"), col("xc"),
         explode(sequence(lit(0), lit(nGroups - 1))).as("grp"))
@@ -4270,17 +4284,89 @@ object Relational {
         .cast("long")).as("yc"))
       .withColumn("idx", row_number().over(Window.orderBy("day")).cast("long"))
       .localCheckpoint(true)
-    val pairs = daily.as("a").join(daily.as("b"), col("a.idx") < col("b.idx"))
-      .select(col("a.idx").as("i"), col("b.idx").as("j"),
-        ((col("b.yc") - col("a.yc")).cast("double") /
-          (col("b.idx") - col("a.idx")).cast("double")).as("slope"))
-    val wS = Window.orderBy(col("slope"), col("i"), col("j"))
-    val m = pairs.agg(count(lit(1)).as("n_pairs"))
-    // Lower-median rank ⌊(m+1)/2⌋ (Column `/` is double division — floor it)
-    val slope = pairs.withColumn("rn", row_number().over(wS))
-      .crossJoin(broadcast(m))
-      .where(col("rn") === floor((col("n_pairs") + lit(1)) / lit(2)))
-      .select(col("n_pairs"), col("slope"))
+    // Pair generation is a BNLJ that EXPANDS ~n²/2 rows out of the bounded
+    // daily frame: stream the left side at full width (explicit-count
+    // round-robin — AQE would coalesce the 1-partition checkpoint read and
+    // serialize the expansion, r15 measured 2.6 s in one task) against the
+    // broadcast right side. Broadcast is safe at any corpus size: the
+    // frame is calendar-bounded.
+    // The daily frame is CALENDAR-BOUNDED (one row per day — thousands of
+    // rows at any corpus size), so it joins the repo's accepted bounded-
+    // collect class (≤k centroid sets, per-table manifests): pull it to
+    // the driver ONCE and ship the yc series as a broadcast array literal.
+    // Pair work stays fully distributed — `spark.range` over i is
+    // splittable, each task explodes its own j-range and reads yc by
+    // index, so generation is pure parallel map work with NO join and NO
+    // shuffle (the pre-r15 BNLJ shape paid ~1 s per pass just building
+    // 3.3M joined rows at sf0.1, and its single-task row_number median
+    // paid another 3.6 s).
+    val dRows = daily.select("idx", "yc").collect()
+    val nDays = dRows.length
+    val yc = new Array[Long](nDays + 1)
+    dRows.foreach(r => yc(r.getLong(0).toInt) = r.getLong(1))
+    val ycLit = typedlit(yc.toSeq)
+    val nPairs = nDays.toLong * (nDays - 1) / 2
+    def genPairs: DataFrame = spark.range(1L, nDays.toLong)
+      .select(col("id").cast("long").as("i"),
+        explode(sequence(col("id") + 1, lit(nDays.toLong))).as("j"))
+      .select(col("i"), col("j"),
+        ((element_at(ycLit, col("j").cast("int") + 1) -
+          element_at(ycLit, col("i").cast("int") + 1)).cast("double") /
+          (col("j") - col("i")).cast("double")).as("slope"))
+    // The median is a SELECTION, not a sort: nothing pair-sized is ever
+    // sorted, shuffled, or stored. Two refinement levels of a monotone
+    // value-range histogram (map-side partial agg; the only shuffle is
+    // ≤nb rows) narrow rank ⌊(m+1)/2⌋ to a sliver of the slope range —
+    // one level degenerates when the distribution spikes (r15 measured a
+    // 1M-row median bucket = a 23 MB single-task sort); the second level
+    // divides the spike by nb² — then only that sliver's rows pay a sort.
+    val nb = 1024
+    // Exact a-priori slope bounds from the daily series (|Δidx| ≥ 1):
+    // every slope lies in [minYc−maxYc, maxYc−minYc] — no bounds pass.
+    val mn0 = (yc.slice(1, nDays + 1).min - yc.slice(1, nDays + 1).max).toDouble
+    val w0 = math.max((-mn0 - mn0) / nb, java.lang.Double.MIN_NORMAL)
+    // Monotone, clamp-consistent bucket id: equal slopes share a bucket
+    // and bucket id is non-decreasing in slope, so bucket-cumulative
+    // counts embed the global (slope, i, j) order. Membership below is
+    // always tested with THIS function (never a range predicate, whose
+    // top-edge semantics differ from the clamp).
+    def bucketOf(s: Column, lo: Column, w: Column): Column =
+      least(lit(nb - 1L), greatest(lit(0L), floor((s - lo) / w)))
+    // Level 1: histogram all pairs into nb buckets, pick the bucket
+    // holding global rank ⌊(m+1)/2⌋ and the residual in-bucket rank.
+    val t1 = lit((nPairs + 1) / 2)
+    val l1 = genPairs
+      .groupBy(bucketOf(col("slope"), lit(mn0), lit(w0)).as("bk1"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bk1") // ≤ nb rows
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") >= t1 && col("cum") - col("c") < t1)
+      .select(col("bk1"), (t1 - (col("cum") - col("c"))).as("rk1"),
+        (lit(mn0) + col("bk1") * lit(w0)).as("lo1"),
+        greatest(lit(w0 / nb), lit(java.lang.Double.MIN_NORMAL)).as("w1"))
+      .localCheckpoint(true) // 1 row
+    // Level 2: sub-bucket ONLY the selected bucket's rows (spiky slope
+    // distributions put ~1/3 of all pairs in one level-1 bucket — r15
+    // measured a 23 MB single-task sort without this level; w1 = w0/nb²
+    // divides the spike again).
+    val l2 = genPairs.crossJoin(broadcast(l1))
+      .where(bucketOf(col("slope"), lit(mn0), lit(w0)) === col("bk1"))
+      .groupBy(col("bk1"), col("rk1"), col("lo1"), col("w1"),
+        bucketOf(col("slope"), col("lo1"), col("w1")).as("bk2"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.orderBy("bk2") // ≤ nb rows
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") >= col("rk1") && col("cum") - col("c") < col("rk1"))
+      .select(col("bk1"), col("lo1"), col("w1"), col("bk2"),
+        (col("rk1") - (col("cum") - col("c"))).as("rk2"))
+      .localCheckpoint(true) // 1 row
+    val slope = genPairs.crossJoin(broadcast(l2))
+      .where(bucketOf(col("slope"), lit(mn0), lit(w0)) === col("bk1") &&
+        bucketOf(col("slope"), col("lo1"), col("w1")) === col("bk2"))
+      .withColumn("rn", row_number().over( // one sliver: ~m/nb² rows
+        Window.orderBy(col("slope"), col("i"), col("j"))))
+      .where(col("rn") === col("rk2"))
+      .select(lit(nPairs).as("n_pairs"), col("slope"))
     val wI = Window.orderBy(col("resid"), col("idx"))
     val nd = daily.agg(count(lit(1)).as("n_days"))
     daily.crossJoin(broadcast(slope))
@@ -4312,7 +4398,12 @@ object Relational {
       .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
         .cast("long")).as("yc"))
       .localCheckpoint(true)
-    val s = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+    // Same expansion shape as Theil–Sen's pair frame: stream left at full
+    // width (explicit count — AQE would coalesce the tiny checkpoint read
+    // to one task and serialize the n²/2 sign evaluations), broadcast the
+    // calendar-bounded right side; the sign sum partial-aggregates map-side.
+    val s = daily.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(daily).as("b"), col("a.day") < col("b.day"))
       .agg(sum(signum(col("b.yc") - col("a.yc")).cast("long")).as("s_stat"))
     val ties = daily.groupBy("yc").agg(count(lit(1)).as("tk"))
       .agg(coalesce(sum(col("tk") * (col("tk") - 1) * (lit(2) * col("tk") + 5)),
@@ -6160,7 +6251,11 @@ object Relational {
       segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
     val dec0 = DecimalType(38, 0)
     val cust = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
-    val base = t(spark, dir, "orders")
+    // Spread the pruned orders scan BEFORE the broadcast join + ×⌈B/16⌉
+    // explode (guide §2.5): the hash fan-out is map-side and a sub-split
+    // local file would run it on one core. No-op at scale.
+    val base = Par.spread(t(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .where(col("c_mktsegment").isin(segA, segB))
       .select(col("o_orderkey"), col("c_mktsegment").as("seg"),

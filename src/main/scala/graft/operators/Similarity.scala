@@ -1719,11 +1719,14 @@ object Similarity {
       nSub: Int = 8, subDim: Int = 8, nCents: Int = 16,
       rescoreC: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Bit-identical to dot(zip_with(a,b,_-_), same) — see L2Distance2.
     def l2(a: Column, b: Column): Column = {
-      val diff = zip_with(a, b, (x, y) => x - y)
-      dot(diff, diff)
+      import org.apache.spark.sql.graftglue._
+      exprColumn(graft.functions.L2Distance2(columnExpr(a), columnExpr(b)))
     }
-    val emb = embeddings(spark, dir)
+    // Code assignment evaluates l2 |corpus|·nSub·nCents times MAP-SIDE on
+    // the embeddings scan — spread it first (guide §2.5; no-op at scale).
+    val emb = Par.spread(embeddings(spark, dir))
     val subs = emb.select(col("vec_id"),
         explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
           s"s -> struct(s AS s, slice(v, s * $subDim + 1, $subDim) AS sub))")).as("e"))
@@ -1839,9 +1842,10 @@ object Similarity {
       k: Int = 10, nCentroids: Int = 0, nProbe: Int = 4, nSub: Int = 8,
       subDim: Int = 8, nCents: Int = 16, rescoreC: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Bit-identical to dot(zip_with(a,b,_-_), same) — see L2Distance2.
     def l2(a: Column, b: Column): Column = {
-      val diff = zip_with(a, b, (x, y) => x - y)
-      dot(diff, diff)
+      import org.apache.spark.sql.graftglue._
+      exprColumn(graft.functions.L2Distance2(columnExpr(a), columnExpr(b)))
     }
     val (assigned, probes) = ivfCore(spark, dir, nCentroids, nQueries, nProbe)
     // IVF stage: candidates = corpus rows in a probed list (equi-join on
@@ -1851,8 +1855,8 @@ object Similarity {
       .where(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id")
     // PQ stage: codes for the full corpus (the stored index), ADC only
-    // over the IVF-pruned candidate pairs.
-    val emb = embeddings(spark, dir)
+    // over the IVF-pruned candidate pairs. Spread: see pqTopK.
+    val emb = Par.spread(embeddings(spark, dir))
     val subs = emb.select(col("vec_id"),
         explode(expr(s"transform(sequence(0, ${nSub - 1}), " +
           s"s -> struct(s AS s, slice(v, s * $subDim + 1, $subDim) AS sub))")).as("e"))
@@ -2739,7 +2743,10 @@ object Similarity {
     */
   private def covCellsExact(spark: SparkSession, dir: String): DataFrame = {
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val base = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    // The d(d+1)/2-products-per-row explode below is map-side work on the
+    // embeddings scan (20M generated longs at sf0.1): spread the two-column
+    // frame first (guide §2.5; no-op at scale).
+    val base = Par.spread(embeddings(spark, dir).select(col("vec_id"), col("v")))
     val tri = base.select(posexplode(expr(
       "flatten(transform(v, (xi, i) -> " +
         "transform(slice(v, i + 1, size(v) - i), " +

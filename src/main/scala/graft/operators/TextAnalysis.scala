@@ -331,8 +331,13 @@ object TextAnalysis {
     // the explode: Spark's sequence(1, 0) is the DESCENDING array [1, 0]
     // (it honors reversed bounds), which would emit two spurious "bigrams",
     // while DuckDB's generate_series(1, 0) is empty — silent divergence.
-    val grams = docs(spark, dir)
-      .where(length(col("text")) >= 2)
+    // The per-character bigram explode (~|text| rows per doc) is map-side
+    // work on the documents scan: spread it first (guide §2.5) so a
+    // sub-split local file doesn't serialize the explode + partial
+    // aggregation on one core. No-op at scale.
+    val grams = Par.spread(docs(spark, dir)
+        .where(length(col("text")) >= 2)
+        .select("lang", "text"))
       .select(col("lang"), explode(expr(
         "transform(sequence(1, length(text) - 1), " +
           "i -> substr(text, i, 2))")).as("g"))
