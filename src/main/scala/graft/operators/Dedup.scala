@@ -911,7 +911,12 @@ object Dedup {
     // materialization, keep everything after it slim. All upstream
     // checkpointed frames are unpersisted below as soon as the 1-row
     // aggregate exists, so at most two big frames ever coexist.
-    val aggCols = configs.zipWithIndex.flatMap { case ((b, r), i) =>
+    // gt_cross depends only on tau (shared by every config) — ONE sum,
+    // not one per config: the old per-config copies were 3 redundant
+    // long-sums over the pair frame, the query's single hottest stage
+    // (r15: 1.25 s over 92 MB of checkpointed pairs).
+    val aggCols = sum(when(col("j") >= tau, col("wt")).otherwise(0L))
+      .as("gt_cross") +: configs.zipWithIndex.flatMap { case ((b, r), i) =>
       val p = lit(1.0) - sq(lit(1.0) - sq(col("j"), r), b)
       // Exact-multiple weighting: cast p ALONE to scale-18 decimal, then
       // multiply by the integer weight IN DECIMAL ((10,0)×(27,18) →
@@ -921,7 +926,6 @@ object Dedup {
       // rounding boundary on replica-heavy corpora.
       val term = col("wt").cast(DecimalType(10, 0)) * p.cast(dec18)
       Seq(
-        sum(when(col("j") >= tau, col("wt")).otherwise(0L)).as(s"gt_cross_$i"),
         sum(term).as(s"cand_cross_$i"),
         sum(when(col("j") >= tau, term)
           .otherwise(lit(0).cast(DecimalType(38, 18)))).as(s"det_cross_$i"))
@@ -933,7 +937,7 @@ object Dedup {
     // union whose legs each rescanned the checkpoint blocks).
     val cfgRows = configs.zipWithIndex.map { case ((b, r), i) =>
       struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-        col(s"gt_cross_$i").as("gt_cross"),
+        col("gt_cross"),
         col(s"cand_cross_$i").as("cand_cross"),
         col(s"det_cross_$i").as("det_cross"))
     }
@@ -1439,13 +1443,18 @@ object Dedup {
       minShared: Int = 3): DataFrame = {
     val p = 1000000007L
     val b = 1000003L
-    val d = Tables.load(spark, dir, "documents")
+    // spreadBy, not a bare window exchange: the per-token polynomial
+    // fold below is the query's CPU (every char of every doc), and AQE
+    // coalesced the ckey-window exchange to ONE partition (r15 JobProf:
+    // 2 × ~1 s single-task stages — the self-join ran the whole
+    // fingerprint transform once PER SIDE, serially).
+    val d = Par.spreadBy(Tables.load(spark, dir, "documents")
       .withColumn("ckey", sha2(trim(col("text")), 256))
       .withColumn("rep_id", min("doc_id").over(Window.partitionBy("ckey")))
       .where(col("doc_id") === col("rep_id"))
       .select(col("doc_id"),
         expr("filter(split(trim(text), ' '), t -> t <> '')").as("w"))
-      .where(size(col("w")) >= 7)
+      .where(size(col("w")) >= 7), col("doc_id"))
     val fps = d
       .withColumn("th", expr(
         s"""transform(w, t -> aggregate(sequence(1, length(t)),
@@ -1460,6 +1469,9 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, size(kh) - 3)," +
           " i -> array_min(slice(kh, i, 4))))")).as("fp"))
+      // Materialized once: both sides of the fp self-join consumed the
+      // lazy frame, re-running the polynomial fingerprint transform twice.
+      .localCheckpoint(true)
     fps.as("x")
       .join(fps.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))

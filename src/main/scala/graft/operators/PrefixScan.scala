@@ -131,7 +131,17 @@ object PrefixScan {
       isSum: Boolean, exclusive: Boolean,
       equiDepth: Boolean = false): DataFrame = {
     def agg(c: Column): Column = if (isSum) sum(c) else max(c)
-    val chunked = assignChunks(df, chunkOn, nChunks, equiDepth)
+    // The local window's own exchange (hash(__chunk)) is AQE-coalesced by
+    // BYTES — a 1.2 MB histogram coalesces to ONE partition and the whole
+    // per-chunk window pass runs as a single task (r15 JobProf:
+    // q_kruskal_wallis spent 3 × 2-3 s in exactly these stages). An
+    // explicit-count repartition on __chunk is the same exchange the
+    // window needs (no extra shuffle — the window reuses the partitioning,
+    // and `carry`'s groupBy reuses the exchange), but opts out of
+    // coalescing; the count comes from spark.sql.shuffle.partitions, so
+    // production parallelism flows from conf (guide §2.5).
+    val chunked = Par.spreadBy(
+      assignChunks(df, chunkOn, nChunks, equiDepth), col("__chunk"))
     val localW = Window.partitionBy("__chunk").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding,
         if (exclusive) -1 else Window.currentRow)

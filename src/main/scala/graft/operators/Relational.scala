@@ -2027,8 +2027,15 @@ object Relational {
     val freq = up.groupBy("part").agg(count(lit(1)).as("n_users"))
     val hint: DataFrame => DataFrame =
       if (t(spark, dir, "part").count() <= maxBroadcastParts) broadcast else identity
-    up.select(col("cust"), col("part").as("part_a"))
-      .join(up.select(col("cust"), col("part").as("part_b")), "cust")
+    // The basket self-join EXPANDS to Σ C(basket,2) pairs per cust — AQE's
+    // byte-based coalescing saw ~9 MB of keys and ran the 7M-pair
+    // expansion + partial count on 8 tasks (2.4 s of the query, r15
+    // JobProf). Explicit-count co-partitioning by cust (one exchange,
+    // reused by both identical sides) opts it out; count flows from
+    // spark.sql.shuffle.partitions, so production values come from conf.
+    val upS = Par.spreadBy(up, col("cust"))
+    upS.select(col("cust"), col("part").as("part_a"))
+      .join(upS.select(col("cust"), col("part").as("part_b")), "cust")
       .where(col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b").agg(count(lit(1)).as("co_users"))
       .where(col("co_users") >= minCo)
@@ -3326,11 +3333,15 @@ object Relational {
     */
   def elasticity(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(28, 12)
-    val li = t(spark, dir, "lineitem")
+    // Two ln() + four double→decimal(28,12) casts per row are the cost
+    // here, all map-side on a ≤3-split local scan (2.9 s single job, r15
+    // JobProf) — spread the pruned columns first (guide §2.5; no-op at
+    // scale, where the fact scan has ≥ slots splits).
+    val li = Par.spread(t(spark, dir, "lineitem")
       .where(col("l_quantity") > 0 && col("l_extendedprice") > 0)
       .select(col("l_partkey"),
         log(col("l_extendedprice") / col("l_quantity")).as("x"),
-        log(col("l_quantity")).as("y"))
+        log(col("l_quantity")).as("y")))
     val parts = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
     val s = li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
@@ -3713,6 +3724,10 @@ object Relational {
     * histogram shuffle.
     */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    // NOT spread (r15 A/B: 2.37 → 2.87 s): the histogram groupBy's
+    // map-side partial aggregation on the scan beats exchanging the raw
+    // rows — spread only pays when per-row map work dominates, not for a
+    // plain decimal-cast rollup.
     val hist = t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag").as("flag"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")
@@ -4183,12 +4198,18 @@ object Relational {
     val joint = o.join(broadcast(cst), col("o_custkey") === col("c_custkey"))
       .groupBy("yc", "seg").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+    // Checkpointed: perValue feeds BOTH the per-group rank join and the
+    // tie-correction aggregate below — lazily it re-ran the whole
+    // PrefixScan (3 passes over the histogram) once per consumer (r15
+    // JobProf: two of the query's three 2-3 s jobs were the same scan
+    // subtree twice). ≤|distinct yc| rows.
     val perValue = PrefixScan.runningSum(
         joint.groupBy("yc").agg(sum("cnt").as("tv")),
         "yc", Seq(col("yc")), "tv", "cum_less", exclusive = true)
       .select(col("yc"),
         (lit(2) * col("cum_less") + col("tv") + 1).cast(big).as("r2"),
         (col("tv").cast(big) * col("tv") * col("tv") - col("tv")).as("tie"))
+      .localCheckpoint(true)
     val perGroup = joint.join(perValue.select("yc", "r2"), "yc")
       .groupBy("seg")
       .agg(sum("cnt").as("ng"), sum(col("cnt").cast(big) * col("r2")).as("r2sum"))
@@ -4933,6 +4954,9 @@ object Relational {
     */
   def priceIndex(spark: SparkSession, dir: String): DataFrame = {
     val dec12 = DecimalType(38, 12)
+    // NOT spread (r15 A/B: 2.28 → 2.28): the (month, part) cell count is
+    // close to the row count, so the map-side partial agg already carries
+    // most of the work and a pre-exchange buys nothing.
     val mp = t(spark, dir, "lineitem")
       .groupBy(date_format(to_date(col("l_shipdate")), "yyyy-MM").as("month"),
         col("l_partkey").as("part"))

@@ -314,6 +314,12 @@ object Similarity {
         1 << ((bitsN + 1) / 2)
       }
     val np = math.min(nProbe, kCent)
+    // NOT spread (r15 A/B: all three IVF consumers flat-to-worse with a
+    // pre-exchange — q_ann_ivf_indexed 2.65 → 3.52 s): the literal-path
+    // assignment pipelines into the scan and the exchange of (v, nrm)
+    // payloads costs more than the single-split serialization it fixes
+    // at this corpus size.
+    val embS = emb
     if (kCent <= litMaxCentroids) {
       // Centroid vectors ride into the plan as literals (a few KB); their norms
       // use the same sequential left fold as the kernel so quotients match the
@@ -329,7 +335,7 @@ object Similarity {
       val cosArr = array(cents.map { case (_, cv) =>
         dot(col("v"), typedlit(cv.toSeq)) / (col("nrm") * lit(foldNorm(cv)))
       }: _*)
-      val assigned = emb
+      val assigned = embS
         .withColumn("cid", array_position(cosArr, array_max(cosArr)) - 1)
       val probes = emb.where(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
@@ -346,7 +352,7 @@ object Similarity {
       // order, same norms), so one oracle serves both.
       val cents = emb.where(col("vec_id") < kCent)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-      val assigned = emb.crossJoin(broadcast(cents))
+      val assigned = embS.crossJoin(broadcast(cents))
         .withColumn("cc", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
         .groupBy(col("vec_id"), col("v"), col("nrm"))
         .agg(max(struct(col("cc"), (-col("cid")).as("ncid"))).as("best"))
