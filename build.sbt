@@ -11,6 +11,48 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The serial suite wall was 2250 s in ONE forked JVM (SparkEntrySpec 516 s,
+// TableCopySpec 434 s, ...) — past the driver's test budget on a contended
+// machine (VERIFY_r14 tests_ok:false was a timeout, not a failure). Suites
+// are packed into independent forked JVMs (greedy by measured weight) that
+// run CONCURRENTLY: each group has its own SparkSession (local[4] ×
+// TEST_GROUPS ≤ the 32 cores) and its own java.io.tmpdir + derby.log, so
+// nothing is shared across groups. Wall ≈ the slowest single suite.
+val testGroupCount = settingKey[Int]("concurrent forked test-JVM groups")
+testGroupCount := sys.env.getOrElse("TEST_GROUPS", "6").toInt
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / forkOptions).value
+  val n = testGroupCount.value.max(1)
+  // Measured serial seconds (r15, test-reports XML) — packing weights only;
+  // an unlisted suite counts 10 s.
+  val weight = Map(
+    "graft.SparkEntrySpec" -> 516, "graft.operators.TableCopySpec" -> 435,
+    "graft.operators.PrefixScanSpec" -> 269, "graft.operators.CurationSpec" -> 218,
+    "graft.operators.SimilaritySpec" -> 181, "graft.operators.RelationalSpec" -> 171,
+    "graft.operators.DedupSpec" -> 125, "graft.streaming.EventStreamSpec" -> 120,
+    "graft.operators.TextAnalysisSpec" -> 105, "graft.operators.MultimodalSpec" -> 69,
+    "graft.operators.StatsSpec" -> 24).withDefaultValue(10)
+  val bins = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[TestDefinition])
+  val load = Array.fill(n)(0)
+  tests.sortBy(t => -weight(t.name)).foreach { t =>
+    val i = load.indices.minBy(load)
+    bins(i) += t; load(i) += weight(t.name)
+  }
+  bins.toSeq.zipWithIndex.filter(_._1.nonEmpty).map { case (ts, i) =>
+    val tmp = target.value / "test-tmp" / s"g$i"
+    IO.createDirectory(tmp)
+    val opts = base.withRunJVMOptions(base.runJVMOptions ++ Seq(
+      s"-Djava.io.tmpdir=${tmp.getAbsolutePath}",
+      s"-Dderby.stream.error.file=${(tmp / "derby.log").getAbsolutePath}"))
+    Tests.Group(s"g$i", ts.toSeq, Tests.SubProcess(opts))
+  }
+}
+// sbt's default restriction runs forked test groups ONE at a time; lift it
+// to the group count (the whole point is concurrent JVMs).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount.value),
+  Tags.limitAll(java.lang.Runtime.getRuntime.availableProcessors()))
 // Forked mains write straight to this JVM's stdout/stderr, WITHOUT sbt's
 // "[info] " logger prefix — the driver parses Bench's one-line JSON from
 // stdout and a prefixed line does not parse (round-1 BENCH had parsed:null).

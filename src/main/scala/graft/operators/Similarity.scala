@@ -1341,6 +1341,11 @@ object Similarity {
   private[graft] def kmeansSecondAssign(spark: SparkSession, dir: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // NOT spread (r15 A/B: q_silhouette 1.86 → 2.61 s, q_source_cluster_mix
+    // 1.00 → 1.38 s with a spread here): the two-iteration loop pipelines
+    // into the scan and its aggregates carry most of the reduction; the
+    // downstream pair-join consumer that DID need parallelism gets it from
+    // its own cid-keyed exchange (see semDedup).
     val emb = embeddings(spark, dir)
     // Iteration 1: assign against the k literal seed centroids (IVF-style).
     val cents: Seq[(Long, Array[Double])] = emb.where(col("vec_id") < k)
@@ -1431,9 +1436,15 @@ object Similarity {
     */
   def semDedup(spark: SparkSession, dir: String, k: Int = 8,
       tau: Double = 0.3): DataFrame = {
-    val m = embeddings(spark, dir)
+    // cid-keyed explicit-count exchange BEFORE the checkpoint: the
+    // within-cluster pair join below keys on cid, so the checkpoint's
+    // partitioning satisfies both join sides (zero join exchanges) AND
+    // the CPU-expanding pair stage runs at full width instead of the
+    // AQE-coalesced single task (r15 A/B: q_semdedup 3.66 → 1.9 s).
+    // Count flows from spark.sql.shuffle.partitions (guide §2.5).
+    val m = Par.spreadBy(embeddings(spark, dir)
       .join(kmeansAssign(spark, dir, k), "vec_id")
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm")), col("cid"))
       .localCheckpoint(true)
     semDedupPairGuard(spark, m, k)
     val pairs = m.as("a")
@@ -2072,6 +2083,10 @@ object Similarity {
   def embedDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val split = substring(sha2(col("vec_id").cast("string"), 256), 1, 1) <= "7"
+    // NOT spread (r15 A/B: 0.57 → 0.96 s): the (label, in_a, i) partial
+    // aggregation reduces 64×N exploded rows to a bounded cell grid
+    // map-side — exchanging the vectors first costs more than the
+    // single-split serialization.
     val cells = embeddings(spark, dir)
       .withColumn("in_a", split)
       .select(col("label"), col("in_a"), posexplode(col("v")).as(Seq("i", "x")))

@@ -386,7 +386,10 @@ object TextAnalysis {
     */
   private[operators] def qualityScoreCore(spark: SparkSession,
       dir: String): DataFrame =
-    docs(spark, dir)
+    // Pure per-row text scoring (tokenize + regexp strip + stop-hit scan)
+    // on the single local split (r15 JobProf: a 1.0 s one-task job inside
+    // q_dedup_canonical) — spread first (guide §2.5; no-op at scale).
+    Par.spread(docs(spark, dir))
       .select(col("doc_id"), col("text"), tokensCol.as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_hits", hits(enStops))
