@@ -120,6 +120,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Session hygiene, not a speed knob (r15): Spark's ContextCleaner
+      // and Derby's connection cleanup are both driven by DRIVER GC, and
+      // a 24g-heap sweep of ~1500 query executions may never GC — shuffle
+      // files, broadcasts, and JDBC finalizables accumulate until
+      // unrelated queries degrade 3-8× by sweep position
+      // (copy_jdbc_grants 11.0 s deep in the r15 sweep vs 1.4 s with the
+      // cleaner running; q_dedup_recall_sampled 6.8 → 3.0). Default 30min
+      // is longer than the whole sweep; 90s keeps cleanup continuous.
+      // Identical computation per query — this conditions the SESSION,
+      // not the plans.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_CLEANER_GC", "90s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries

@@ -648,6 +648,11 @@ object Dedup {
     // 1-row count over the checkpointed stop set — computed at action
     // time (no eager job of its own).
     val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
+    // NOT g-co-partitioned before the checkpoint (r15 A/B: lshCurve
+    // 5.53 → 6.65 s with the semDedup-style spreadBy(g)): unlike the cid
+    // pair join, the (ra, rb) aggregation after this join re-exchanges
+    // anyway, so the g exchange is moved in front of the checkpoint (a
+    // bigger write), not removed.
     val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
     // Fingerprint the REP frame, not the whole corpus: the join to
@@ -864,6 +869,11 @@ object Dedup {
     // 1-row count over the checkpointed stop set — computed at action
     // time (no eager job of its own).
     val nStop = stopG.agg(count(lit(1)).as("n_stop_shingles"))
+    // NOT g-co-partitioned before the checkpoint (r15 A/B: lshCurve
+    // 5.53 → 6.65 s with the semDedup-style spreadBy(g)): unlike the cid
+    // pair join, the (ra, rb) aggregation after this join re-exchanges
+    // anyway, so the g exchange is moved in front of the checkpoint (a
+    // bigger write), not removed.
     val exploded = explodedAll.join(stopG, Seq("g"), "left_anti")
       .localCheckpoint(true)
     // One per-doc side frame instead of four: shingle count and copy
@@ -1234,6 +1244,7 @@ object Dedup {
     val rare = sh.join(repCopies, "doc_id")
       .groupBy("g").agg(sum("copies").as("df"))
       .where(col("df") <= dfCap).select("g")
+    // NOT g-co-partitioned (r15 A/B: flat — see the dedupRecall note).
     val capped = sh.join(rare, "g").localCheckpoint(true)
     val sz = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val repPairs = capped.as("a")
