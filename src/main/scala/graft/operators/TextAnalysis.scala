@@ -1458,8 +1458,12 @@ object TextAnalysis {
     * the guard is correctness, not hygiene.
     */
   def bpePairs(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val pairs = docs(spark, dir)
-      .where(length(col("text")) >= 2)
+    // The ⌈len−1⌉-per-doc explode + substr is map-side on the single
+    // local split (1.4 s one-task job, r15 JobProf) — spread the pruned
+    // text column first (the charEntropy discipline; no-op at scale).
+    val pairs = Par.spread(docs(spark, dir)
+        .where(length(col("text")) >= 2)
+        .select(col("text")))
       .select(col("text"),
         explode(sequence(lit(1), length(col("text")) - 1)).as("i"))
       .select(col("text").substr(col("i"), lit(2)).as("pair"))
