@@ -458,6 +458,10 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+        // Materialized per round: the pointer-jumping self-join below
+        // consumes `pulled` on BOTH sides, so lazily the edge-join +
+        // min-aggregate above executed twice every round (r15).
+        .localCheckpoint(true)
       val parents = pulled.select(col("id").as("p_id"), col("cluster_id").as("p_label"))
       val next = pulled.join(parents, col("cluster_id") === col("p_id"), "left_outer")
         .select(col("id"), coalesce(col("p_label"), col("cluster_id")).as("cluster_id"))
