@@ -34,7 +34,9 @@ object Verify {
   private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
       only: Option[Set[String]],
       registry: Map[String, (SparkSession, String) => DataFrame] =
-        SparkEntry.queries): Report = {
+        SparkEntry.queries,
+      threads: Int =
+        sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt): Report = {
     new java.io.File(outDir).mkdirs()
     val requested: Seq[String] = only match {
       // Preserve unknown names: a typo'd/dropped key must fail the
@@ -53,7 +55,7 @@ object Verify {
       spark.read.parquet(s"$outDir/$name").count()
     }
 
-    requested.foreach { name =>
+    def processOne(name: String): Unit = {
       registry.get(name) match {
         case None =>
           System.err.println(s"[verify] $name: requested but not in registry")
@@ -67,7 +69,7 @@ object Verify {
               val why = other.fold(e => s"failed: ${e.getMessage}",
                 _ => "returned 0 rows")
               System.err.println(s"[verify] $name $why — retrying once")
-              retried += name
+              retried.synchronized { retried += name }
               try {
                 val n2 = writeOnce(name, fn)
                 if (n2 == 0)
@@ -83,6 +85,35 @@ object Verify {
               }
           }
       }
+    }
+
+    // Independent queries overlap inside ONE session (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially) —
+    // the serial loop left local[N] mostly idle between the many sub-second
+    // queries' jobs, and the r14 round died of driver-budget walls, not of
+    // any one query. Each query's result is written to its own directory
+    // by the same deterministic plan as before, so the artifact is
+    // byte-identical to the serial run's; only the wall changes. The
+    // Derby-backed family stays serialized on the submitting thread (one
+    // embedded engine per JVM; its lock manager and db lifecycle are the
+    // one piece of cross-query shared state), overlapped with the pool.
+    val derbyBound = (n: String) =>
+      n.contains("jdbc") || n == "copy_fk_ordered" || n == "copy_whatif"
+    if (threads <= 1) requested.foreach(processOne)
+    else {
+      val (serialQ, parQ) = requested.partition(derbyBound)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val futures = parQ.map { n =>
+        pool.submit(new Runnable { def run(): Unit = processOne(n) })
+      }
+      serialQ.foreach(processOne)
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] pool task: ${e.getMessage}")
+        }
+      }
+      pool.shutdown()
     }
 
     val missing = requested.filterNot(n =>

@@ -81,6 +81,27 @@ class VerifySpec extends AnyFunSuite with SparkFixture {
     assert(markers == """{"missing": [], "retried": []}""")
   }
 
+  test("parallel run commits results identical to the serial run (r15 wall fix)") {
+    // The thread pool only changes WHEN each query executes, never what it
+    // writes: same registry through threads=1 and threads=4 must produce
+    // the same per-query parquet contents and a clean report in both.
+    val registry: Map[String, (SparkSession, String) => DataFrame] =
+      (1 to 8).map { i =>
+        s"q_par_$i" -> ((s: SparkSession, _: String) =>
+          s.range(i * 10).toDF("id").selectExpr("id", s"id * $i as v"))
+      }.toMap
+    val outSer = tmpOut(); val outPar = tmpOut()
+    val rSer = Verify.run(spark, sf, outSer, None, registry, threads = 1)
+    val rPar = Verify.run(spark, sf, outPar, None, registry, threads = 4)
+    assert(rSer.ok && rPar.ok)
+    assert(rSer.retried.isEmpty && rPar.retried.isEmpty)
+    registry.keys.foreach { k =>
+      val a = spark.read.parquet(s"$outSer/$k").orderBy("id").collect().toSeq
+      val b = spark.read.parquet(s"$outPar/$k").orderBy("id").collect().toSeq
+      assert(a == b, s"$k differs between serial and parallel runs")
+    }
+  }
+
   test("--dump-oracles writes the full oracle map and exits cleanly (stress gate input)") {
     // Regression pin: the old `__dump_only__` subset sentinel started
     // FAILING when the reconcile hardening landed (an unknown requested
